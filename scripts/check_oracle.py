@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: reads Verify's output
+parquet per query + oracle_sql.json, runs the oracle in DuckDB against the
+testdata tables, and compares (schema by sorted column names, values by
+sorted-row hash with float rounding). Usage:
+    python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return out
+
+fails = 0
+for name in sorted(oracle):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        got_cols = [c.lower() for c in got_rel.columns]
+        got = canon(got_rel.fetchall(), got_cols)
+        exp_rel = con.sql(oracle[name])
+        exp_cols = [c.lower() for c in exp_rel.columns]
+        exp = canon(exp_rel.fetchall(), exp_cols)
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    if sorted(got_cols) != sorted(exp_cols):
+        print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}"); fails += 1
+    elif got != exp:
+        print(f"FAIL {name}: {len(got)} rows vs {len(exp)}; first diff:")
+        for a, b in zip(got, exp):
+            if a != b:
+                print(f"  spark={a}\n  duck ={b}"); break
+        else:
+            extra = got[len(exp):] or exp[len(got):]
+            print(f"  length mismatch, extra={extra[:2]}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,174 @@
+package graft
+
+import graft.fixtures.TpchLake
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SPARQL-engine query suite: each entry runs end-to-end through the graft
+  * engine (parser → mappings → star compiler → join chain → modifiers) over
+  * the driver's test tables, with a DuckDB-oracle SQL equivalent.
+  * Covers the reference's operator inventory (SURVEY §2) line by line.
+  */
+object EngineQueries {
+
+  private val P = "PREFIX g: <http://graft.io/schema/>\n"
+
+  private def eng(sparql: String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => TpchLake.run(spark, sfDir, P + sparql)
+
+  /** (name, sparql, oracle). Oracle column names match the SPARQL output
+    * variable names — the driver sorts columns by name before hashing. */
+  val suite: Seq[(String, String, String)] = Seq(
+
+    // §2.1 parquet scan + §2.2 projection/rename
+    ("q01_scan_project",
+      """SELECT ?pname ?brand ?psize WHERE {
+        |  ?p g:partName ?pname . ?p g:brand ?brand . ?p g:psize ?psize .
+        |}""".stripMargin,
+      "SELECT p_name AS pname, p_brand AS brand, p_size AS psize FROM part"),
+
+    // §2.2 comparison FILTERs (incl. a filtered-but-not-selected var)
+    ("q02_filter_cmp",
+      """SELECT ?pname ?psize WHERE {
+        |  ?p g:partName ?pname . ?p g:psize ?psize . ?p g:brand ?brand .
+        |  FILTER(?psize > 40) FILTER(?brand != "Brand#13")
+        |}""".stripMargin,
+      "SELECT p_name AS pname, p_size AS psize FROM part " +
+        "WHERE p_size > 40 AND p_brand <> 'Brand#13'"),
+
+    // §2.2 FILTER regex (SQL LIKE wildcards, as the reference)
+    ("q03_filter_like",
+      """SELECT ?pname ?price WHERE {
+        |  ?p g:partName ?pname . ?p g:retailprice ?price .
+        |  FILTER regex(?pname, "%red%")
+        |}""".stripMargin,
+      "SELECT p_name AS pname, p_retailprice AS price FROM part WHERE p_name LIKE '%red%'"),
+
+    // §2.3 two-star equi-join + numeric filter
+    ("q04_join2",
+      """SELECT ?cname ?total WHERE {
+        |  ?o g:customer ?c . ?o g:totalprice ?total .
+        |  ?c g:custName ?cname .
+        |  FILTER(?total > 200000)
+        |}""".stripMargin,
+      "SELECT c_name AS cname, o_totalprice AS total FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 200000"),
+
+    // §2.3 three-star chain through two dimensions
+    ("q05_join3",
+      """SELECT ?cname ?nname ?rname WHERE {
+        |  ?c g:custName ?cname . ?c g:custNation ?n .
+        |  ?n g:nationName ?nname . ?n g:region ?r .
+        |  ?r g:regionName ?rname .
+        |  FILTER(?rname = "ASIA")
+        |}""".stripMargin,
+      "SELECT c_name AS cname, n_name AS nname, r_name AS rname FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"),
+
+    // §2.3+§2.6 flagship: 4-star chain + filters + multi-key ORDER BY + LIMIT
+    ("q06_join4_mod",
+      """SELECT ?ord ?lnum ?cname ?qty ?eprice WHERE {
+        |  ?li g:order ?ord . ?li g:linenumber ?lnum .
+        |  ?li g:quantity ?qty . ?li g:extprice ?eprice .
+        |  ?ord g:customer ?c .
+        |  ?c g:custName ?cname . ?c g:custNation ?n .
+        |  ?n g:nationName ?nname .
+        |  FILTER(?nname = "NATION_3") FILTER(?qty >= 45)
+        |}
+        |ORDER BY DESC(?eprice) ?ord ?lnum
+        |LIMIT 50""".stripMargin,
+      "SELECT o_orderkey AS ord, l_linenumber AS lnum, c_name AS cname, " +
+        "l_quantity AS qty, l_extendedprice AS eprice FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_3' AND l_quantity >= 45 " +
+        "ORDER BY l_extendedprice DESC, o_orderkey, l_linenumber LIMIT 50"),
+
+    // §2.4 GROUP BY + all five aggregate functions (quantity is integral →
+    // double sums are order-independent, safe against the oracle)
+    ("q07_groupby_agg",
+      """SELECT ?rf ?ls (SUM(?qty) AS ?sum_qty) (MIN(?qty) AS ?min_qty)
+        |       (MAX(?eprice) AS ?max_price) (AVG(?qty) AS ?avg_qty)
+        |       (COUNT(?qty) AS ?cnt)
+        |WHERE {
+        |  ?li g:returnflag ?rf . ?li g:linestatus ?ls .
+        |  ?li g:quantity ?qty . ?li g:extprice ?eprice .
+        |}
+        |GROUP BY ?rf ?ls""".stripMargin,
+      "SELECT l_returnflag AS rf, l_linestatus AS ls, SUM(l_quantity) AS sum_qty, " +
+        "MIN(l_quantity) AS min_qty, MAX(l_extendedprice) AS max_price, " +
+        "AVG(l_quantity) AS avg_qty, COUNT(l_quantity) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+    // §2.7 DISTINCT
+    ("q08_distinct",
+      "SELECT DISTINCT ?seg WHERE { ?c g:mktsegment ?seg . }",
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer"),
+
+    // §2.6 multi-key ORDER BY + LIMIT (top-k; unique by s_name)
+    ("q09_orderby_multi",
+      """SELECT ?sname ?sbal WHERE {
+        |  ?s g:suppName ?sname . ?s g:suppAcctbal ?sbal .
+        |}
+        |ORDER BY DESC(?sbal) ?sname
+        |LIMIT 20""".stripMargin,
+      "SELECT s_name AS sname, s_acctbal AS sbal FROM supplier " +
+        "ORDER BY s_acctbal DESC, s_name LIMIT 20"),
+
+    // §2.1 per-star union of two sources (parquet + derived CSV copy)
+    ("q10_union_sources",
+      "SELECT ?uname ?ureg WHERE { ?n g:uNationName ?uname . ?n g:uRegion ?ureg . }",
+      "SELECT n_name AS uname, n_regionkey AS ureg FROM nation " +
+        "UNION ALL SELECT n_name, n_regionkey FROM nation"),
+
+    // §2.8 inline TRANSFORM: scl on the FK side, toInt on the (string) ID
+    // side of a derived CSV with shifted string keys
+    ("q11_transform_join",
+      """SELECT ?pname2 ?qty WHERE {
+        |  ?li g:part ?p . ?li g:quantity ?qty .
+        |  ?p g:shiftPartName ?pname2 .
+        |  FILTER(?qty = 50)
+        |}
+        |TRANSFORM(?li?p.l.scl(_+1000000) && ?li?p.r.toInt)""".stripMargin,
+      "SELECT p.p_name AS pname2, l.l_quantity AS qty FROM lineitem l " +
+        "JOIN part p ON l.l_partkey = p.p_partkey WHERE l.l_quantity = 50"),
+
+    // §2.2 FILTER on a subject variable (reference Q7/Q8 pattern) —
+    // pushed to BOTH the ID column and the FK column
+    ("q12_filter_subject",
+      """SELECT ?total ?status WHERE {
+        |  ?o g:customer ?c . ?o g:totalprice ?total . ?o g:orderstatus ?status .
+        |  ?c g:acctbal ?bal .
+        |  FILTER(?c = 371) FILTER(?bal > 0)
+        |}""".stripMargin,
+      "SELECT o_totalprice AS total, o_orderstatus AS status FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey WHERE c_custkey = 371 AND c_acctbal > 0"),
+
+    // rdf:type constraint drives source selection (rr:class match)
+    ("q13_type_star",
+      """SELECT ?cname ?bal WHERE {
+        |  ?c a g:Customer . ?c g:custName ?cname . ?c g:acctbal ?bal .
+        |  FILTER(?bal < 0)
+        |}""".stripMargin,
+      "SELECT c_name AS cname, c_acctbal AS bal FROM customer WHERE c_acctbal < 0"),
+
+    // §2.4+§2.6 aggregate over a join, ORDER BY aggregate output
+    ("q14_agg_join_orderby",
+      """SELECT ?nname (COUNT(?c) AS ?nc) (MAX(?bal) AS ?maxbal) WHERE {
+        |  ?c g:custNation ?n . ?c g:acctbal ?bal .
+        |  ?n g:nationName ?nname .
+        |}
+        |GROUP BY ?nname
+        |ORDER BY DESC(?nc) ?nname
+        |LIMIT 10""".stripMargin,
+      "SELECT n_name AS nname, COUNT(c_custkey) AS nc, MAX(c_acctbal) AS maxbal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY nc DESC, n_name LIMIT 10"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    suite.map { case (name, sparql, _) => name -> eng(sparql) }.toMap
+
+  def oracleSql: Map[String, String] =
+    suite.map { case (name, _, oracle) => name -> oracle }.toMap
+}

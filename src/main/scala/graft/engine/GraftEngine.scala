@@ -1,0 +1,174 @@
+package graft.engine
+
+import graft.mappings.{ConfigParser, RmlParser}
+import graft.model._
+import graft.sparql.SparqlParser
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine: SPARQL fragment + RML mappings + lake config → DataFrame.
+  *
+  * Pipeline (reference Run.scala:17-318, re-expressed declaratively):
+  * parse → star decomposition → join planning → per-star compile (scan,
+  * semantic column pruning, filters below joins) → inner equi-join chain →
+  * GROUP BY/aggregates → ORDER BY → projection (+DISTINCT) → LIMIT.
+  *
+  * Everything stays a lazy logical plan; Catalyst applies predicate
+  * pushdown / column pruning / join selection, and AQE (enabled by callers)
+  * re-plans broadcast and skew at runtime. No temp views, no SQL strings,
+  * no driver-side data movement.
+  */
+object GraftEngine {
+
+  final case class JoinEdge(fromStar: String, toStar: String) {
+    def leftCol: String = StarCompiler.varCol(fromStar, toStar)
+    def rightCol: String = StarCompiler.idCol(toStar)
+  }
+
+  def execute(spark: SparkSession, queryText: String, mappingsText: String,
+      configText: String): DataFrame =
+    executeParsed(spark, SparqlParser.parse(queryText),
+      RmlParser.parse(mappingsText), ConfigParser.parse(configText))
+
+  def executeParsed(spark: SparkSession, q: ParsedQuery,
+      mappings: MappingsDoc, config: LakeConfig): DataFrame = {
+
+    val starNames = q.stars.keys.toSeq.sorted
+    val needed = neededVars(q)
+
+    // --- per-star ParSets (reference SparkExecutor.query, stage 6 of §3.1)
+    val starDFs: Map[String, DataFrame] = starNames.map { s =>
+      val df = StarCompiler.compile(spark, q, s, mappings, config, needed, q.filters)
+      s -> StarCompiler.applyInlineTransforms(df, s, q)
+    }.toMap
+
+    // --- join plan: star A joins star B iff A has an object var that is
+    // B's subject var (reference Planner.scala:62-88)
+    val edges: Seq[JoinEdge] = for {
+      s <- starNames
+      TriplePattern(_, p, ObjVar(o)) <- q.stars(s)
+      if p != TriplePattern.RdfType && q.stars.contains(o) && o != s
+    } yield JoinEdge(s, o)
+
+    val joined = joinChain(starDFs, edges.distinct)
+
+    // --- rename to bare variable names; star prefixes disappear here
+    val resolution = resolveVars(q, needed)
+    var df = joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
+
+    // --- modifiers (reference Run.scala:266-306 order:
+    // groupBy → orderBy → project(+distinct) → limit)
+    if (q.aggregates.nonEmpty || q.groupBy.nonEmpty) {
+      val aggCols = q.aggregates.map(aggColumn)
+      require(aggCols.nonEmpty, "GROUP BY without aggregates is not supported")
+      df =
+        if (q.groupBy.nonEmpty)
+          df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        else df.agg(aggCols.head, aggCols.tail: _*)
+    }
+
+    if (q.orderBy.nonEmpty) {
+      // single multi-key sort — deliberate fix of the reference's
+      // last-key-wins loop (Run.scala:294-299; SURVEY §7.4.2)
+      df = df.orderBy(q.orderBy.map(k =>
+        if (k.ascending) col(k.varName).asc else col(k.varName).desc): _*)
+    }
+
+    val projected =
+      if (q.selectAll) df
+      else df.select(q.selectItems.map {
+        case SelectVar(v) => col(v)
+        case SelectAgg(a) => col(a.alias)
+      }: _*)
+
+    val distincted = if (q.distinct) projected.distinct() else projected
+    q.limit.fold(distincted)(distincted.limit)
+  }
+
+  private def aggColumn(a: AggSpec): Column = {
+    val in = if (a.varName == "*") lit(1) else col(a.varName)
+    val c = a.fn match {
+      case "sum" => sum(in)
+      case "min" => min(in)
+      case "max" => max(in)
+      case "avg" => avg(in)
+      case "count" => count(in)
+      case other => sys.error(s"unknown aggregate '$other'")
+    }
+    c.as(a.alias)
+  }
+
+  /** Semantic column pruning (reference Planner.getNeededPredicates,
+    * Planner.scala:24-60): a var's column is materialized iff it is
+    * SELECTed, filtered, grouped, ordered, aggregated, a join key, a
+    * transform operand, or a repeated object var. */
+  private[engine] def neededVars(q: ParsedQuery): Set[String] = {
+    if (q.selectAll)
+      return q.patterns.collect { case TriplePattern(_, _, ObjVar(v)) => v }.toSet ++
+        q.stars.keySet
+    val objVars = q.patterns.collect { case TriplePattern(_, _, ObjVar(v)) => v }
+    val repeated = objVars.groupBy(identity).collect { case (v, occ) if occ.size > 1 => v }
+    val joinVars = objVars.filter(q.stars.contains)
+    (q.selectVarNames ++ q.aggregates.map(_.varName).filter(_ != "*") ++
+      q.filters.map(_.varName) ++ q.groupBy ++ q.orderBy.map(_.varName) ++
+      q.transforms.map(_.rightVar) ++ joinVars ++ repeated).toSet
+  }
+
+  /** var -> concrete post-join column. A subject var resolves to its star's
+    * ID column; an object var to the (first) star that binds it
+    * (one-binding invariant, reference Run.scala:73). */
+  private def resolveVars(q: ParsedQuery, needed: Set[String]): Seq[(String, String)] = {
+    val vars = needed.toSeq.sorted
+    vars.flatMap { v =>
+      if (q.stars.contains(v)) Some(v -> StarCompiler.idCol(v))
+      else q.varToStarPred.get(v).map { case (s, _) => v -> StarCompiler.varCol(s, v) }
+    }
+  }
+
+  /** Left-deep inner-join chain with the reference's pending-queue
+    * semantics (SparkExecutor.scala:247-359): seed with the first edge,
+    * attach any edge touching the joined set, queue the rest; a genuinely
+    * disconnected component becomes a cross join (the reference would
+    * never drain it). */
+  private[engine] def joinChain(starDFs: Map[String, DataFrame], edges: Seq[JoinEdge]): DataFrame = {
+    if (edges.isEmpty) {
+      require(starDFs.size == 1,
+        s"${starDFs.size} stars but no join conditions (cartesian query)")
+      return starDFs.head._2
+    }
+    var joinedStars = Set.empty[String]
+    var df: DataFrame = null
+    var pending = edges.toList
+    while (pending.nonEmpty) {
+      val idx =
+        if (df == null) 0
+        else pending.indexWhere(e =>
+          joinedStars.contains(e.fromStar) || joinedStars.contains(e.toStar))
+      if (idx >= 0) {
+        val e = pending(idx)
+        pending = pending.patch(idx, Nil, 1)
+        val cond = col(e.leftCol) === col(e.rightCol)
+        if (df == null) {
+          df = starDFs(e.fromStar).join(starDFs(e.toStar), cond, "inner")
+          joinedStars ++= Set(e.fromStar, e.toStar)
+        } else (joinedStars.contains(e.fromStar), joinedStars.contains(e.toStar)) match {
+          case (true, true) => df = df.filter(cond) // cycle edge: extra condition
+          case (true, false) => df = df.join(starDFs(e.toStar), cond, "inner"); joinedStars += e.toStar
+          case (false, true) => df = starDFs(e.fromStar).join(df, cond, "inner"); joinedStars += e.fromStar
+          case (false, false) => () // unreachable: idx guarantees a touch
+        }
+      } else {
+        // disconnected component: join it internally, then cross join on
+        val e = pending.head
+        pending = pending.tail
+        val sub = starDFs(e.fromStar)
+          .join(starDFs(e.toStar), col(e.leftCol) === col(e.rightCol), "inner")
+        df = df.crossJoin(sub)
+        joinedStars ++= Set(e.fromStar, e.toStar)
+      }
+    }
+    // stars with no edges at all (disconnected singletons)
+    for ((s, sdf) <- starDFs if !joinedStars.contains(s)) df = df.crossJoin(sdf)
+    df
+  }
+}

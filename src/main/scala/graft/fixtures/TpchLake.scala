@@ -1,0 +1,150 @@
+package graft.fixtures
+
+import graft.engine.GraftEngine
+import graft.mappings.{ConfigParser, RmlParser}
+import graft.model.{LakeConfig, MappingsDoc}
+import graft.sparql.SparqlParser
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A semantic-data-lake binding of the driver's TPC-H-ish test tables
+  * (/root/repo/TESTDATA.md) — the analogue of the reference's BSBM
+  * mappings.ttl + config (evaluation/input_files/). Exercises every
+  * reference behavior on local deterministic data: star decomposition, id
+  * templates, FK equi-join chains, rdf:type source selection, multi-source
+  * union (nation: parquet + derived CSV), and join-side TRANSFORMs
+  * (part: derived CSV with string-shifted keys).
+  */
+object TpchLake {
+
+  val NS = "http://graft.io/schema/"
+
+  /** Derived CSV copies live under target/ (never in /root/testdata). */
+  private def derivedDir(sfDir: String): String = {
+    val label = new java.io.File(sfDir).getName
+    s"/root/repo/target/derived/$label"
+  }
+
+  def mappingsText(sfDir: String): String = {
+    val d = derivedDir(sfDir)
+    s"""@prefix g: <$NS>
+       |@prefix rr: <http://www.w3.org/ns/r2rml#>
+       |@prefix rml: <http://semweb.mmlab.be/ns/rml#>
+       |@prefix nosql: <http://purl.org/db/nosql#>
+       |
+       |<#RegionMap>
+       |  rml:logicalSource [ rml:source "$sfDir/region.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/region/{r_regionkey}"; rr:class g:Region ];
+       |  rr:predicateObjectMap [ rr:predicate g:regionName; rr:objectMap [ rml:reference "r_name" ] ] .
+       |
+       |<#NationMap>
+       |  rml:logicalSource [ rml:source "$sfDir/nation.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/nation/{n_nationkey}"; rr:class g:Nation ];
+       |  rr:predicateObjectMap [ rr:predicate g:nationName; rr:objectMap [ rml:reference "n_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:region; rr:objectMap [ rml:reference "n_regionkey" ] ] .
+       |
+       |<#CustomerMap>
+       |  rml:logicalSource [ rml:source "$sfDir/customer.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/customer/{c_custkey}"; rr:class g:Customer ];
+       |  rr:predicateObjectMap [ rr:predicate g:custName; rr:objectMap [ rml:reference "c_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:custNation; rr:objectMap [ rml:reference "c_nationkey" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:acctbal; rr:objectMap [ rml:reference "c_acctbal" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:mktsegment; rr:objectMap [ rml:reference "c_mktsegment" ] ] .
+       |
+       |<#SupplierMap>
+       |  rml:logicalSource [ rml:source "$sfDir/supplier.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/supplier/{s_suppkey}"; rr:class g:Supplier ];
+       |  rr:predicateObjectMap [ rr:predicate g:suppName; rr:objectMap [ rml:reference "s_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:suppNation; rr:objectMap [ rml:reference "s_nationkey" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:suppAcctbal; rr:objectMap [ rml:reference "s_acctbal" ] ] .
+       |
+       |<#PartMap>
+       |  rml:logicalSource [ rml:source "$sfDir/part.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/part/{p_partkey}"; rr:class g:Part ];
+       |  rr:predicateObjectMap [ rr:predicate g:partName; rr:objectMap [ rml:reference "p_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:brand; rr:objectMap [ rml:reference "p_brand" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:ptype; rr:objectMap [ rml:reference "p_type" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:psize; rr:objectMap [ rml:reference "p_size" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:retailprice; rr:objectMap [ rml:reference "p_retailprice" ] ] .
+       |
+       |<#OrdersMap>
+       |  rml:logicalSource [ rml:source "$sfDir/orders.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/order/{o_orderkey}"; rr:class g:Order ];
+       |  rr:predicateObjectMap [ rr:predicate g:customer; rr:objectMap [ rml:reference "o_custkey" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:orderstatus; rr:objectMap [ rml:reference "o_orderstatus" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:totalprice; rr:objectMap [ rml:reference "o_totalprice" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:orderdate; rr:objectMap [ rml:reference "o_orderdate" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:orderpriority; rr:objectMap [ rml:reference "o_orderpriority" ] ] .
+       |
+       |<#LineitemMap>
+       |  rml:logicalSource [ rml:source "$sfDir/lineitem.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/lineitem/{l_orderkey}"; rr:class g:Lineitem ];
+       |  rr:predicateObjectMap [ rr:predicate g:order; rr:objectMap [ rml:reference "l_orderkey" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:part; rr:objectMap [ rml:reference "l_partkey" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:supplier; rr:objectMap [ rml:reference "l_suppkey" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:quantity; rr:objectMap [ rml:reference "l_quantity" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:extprice; rr:objectMap [ rml:reference "l_extendedprice" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:discount; rr:objectMap [ rml:reference "l_discount" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:tax; rr:objectMap [ rml:reference "l_tax" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:returnflag; rr:objectMap [ rml:reference "l_returnflag" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:linestatus; rr:objectMap [ rml:reference "l_linestatus" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:shipdate; rr:objectMap [ rml:reference "l_shipdate" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:linenumber; rr:objectMap [ rml:reference "l_linenumber" ] ] .
+       |
+       |<#NationAllParquet>
+       |  rml:logicalSource [ rml:source "$sfDir/nation.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/nation/{n_nationkey}" ];
+       |  rr:predicateObjectMap [ rr:predicate g:uNationName; rr:objectMap [ rml:reference "n_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:uRegion; rr:objectMap [ rml:reference "n_regionkey" ] ] .
+       |
+       |<#NationAllCsv>
+       |  rml:logicalSource [ rml:source "$d/nation_csv"; nosql:store nosql:csv ];
+       |  rr:subjectMap [ rr:template "http://graft.io/nation/{n_nationkey}" ];
+       |  rr:predicateObjectMap [ rr:predicate g:uNationName; rr:objectMap [ rml:reference "n_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:uRegion; rr:objectMap [ rml:reference "n_regionkey" ] ] .
+       |
+       |<#PartShiftedMap>
+       |  rml:logicalSource [ rml:source "$d/part_shifted_csv"; nosql:store nosql:csv ];
+       |  rr:subjectMap [ rr:template "http://graft.io/partshift/{p_partkey_s}" ];
+       |  rr:predicateObjectMap [ rr:predicate g:shiftPartName; rr:objectMap [ rml:reference "p_name" ] ] .
+       |""".stripMargin
+  }
+
+  def configText(sfDir: String): String = {
+    val d = derivedDir(sfDir)
+    val parquetEntries = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .map(t =>
+        s"""{"type":"parquet","options":{},"source":"$sfDir/$t.parquet","entity":"${t.capitalize}"}""")
+    val csvEntries = Seq(
+      s"""{"type":"csv","options":{"header":"true","inferSchema":"true"},"source":"$d/nation_csv","entity":"NationAllCsv"}""",
+      s"""{"type":"csv","options":{"header":"true"},"source":"$d/part_shifted_csv","entity":"PartShifted"}""")
+    val weights = """[{"datasource":"parquet","weight":2},{"datasource":"csv","weight":1}]"""
+    s"""{"sources":[${(parquetEntries ++ csvEntries).mkString(",")}],"weights":$weights}"""
+  }
+
+  /** Generate the derived CSV sources (idempotent: SaveMode.Ignore). */
+  def ensureDerived(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val d = derivedDir(sfDir)
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .coalesce(1).write.mode(SaveMode.Ignore).option("header", "true")
+      .csv(s"$d/nation_csv")
+    spark.read.parquet(s"$sfDir/part.parquet")
+      .select((col("p_partkey") + lit(1000000L)).cast("string").as("p_partkey_s"),
+        col("p_name"))
+      .coalesce(1).write.mode(SaveMode.Ignore).option("header", "true")
+      .csv(s"$d/part_shifted_csv")
+  }
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, (MappingsDoc, LakeConfig)]
+
+  def lake(sfDir: String): (MappingsDoc, LakeConfig) =
+    cache.getOrElseUpdate(sfDir,
+      (RmlParser.parse(mappingsText(sfDir)), ConfigParser.parse(configText(sfDir))))
+
+  /** Run a SPARQL query against the lake for `sfDir`. */
+  def run(spark: SparkSession, sfDir: String, sparql: String): DataFrame = {
+    ensureDerived(spark, sfDir)
+    val (m, c) = lake(sfDir)
+    GraftEngine.executeParsed(spark, SparqlParser.parse(sparql), m, c)
+  }
+}

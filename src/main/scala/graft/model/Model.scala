@@ -1,0 +1,127 @@
+package graft.model
+
+/** Core model for the graft engine.
+  *
+  * The query model mirrors the SPARQL fragment supported by the reference
+  * (see /root/reference/evaluation/input_files/README.md:15-29): star-shaped
+  * BGPs, comparison/regex FILTERs, GROUP BY + {sum,min,max,avg,count},
+  * ORDER BY, DISTINCT, LIMIT, plus the TRANSFORM pseudo-clause
+  * (reference Run.scala:33-37).
+  */
+
+/** One triple pattern `?s <pred> obj`. Predicate is the fully-expanded IRI,
+  * or the sentinel [[TriplePattern.RdfType]] for `rdf:type` / `a`. */
+final case class TriplePattern(subject: String, predicate: String, obj: ObjectTerm)
+
+object TriplePattern {
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+}
+
+sealed trait ObjectTerm
+final case class ObjVar(name: String) extends ObjectTerm
+final case class ObjIri(iri: String) extends ObjectTerm
+final case class ObjLit(lexical: String) extends ObjectTerm
+
+/** FILTER condition. `op` is one of = != < <= > >= regex. Value keeps its
+  * lexical form; typing is decided at compile time against the column. */
+final case class FilterCond(varName: String, op: String, value: String)
+
+final case class OrderKey(varName: String, ascending: Boolean)
+
+/** Aggregate in the SELECT list: fn in {sum,min,max,avg,count};
+  * alias is the output column name (user-supplied via AS, or `fn(var)`
+  * to match the reference's default naming, Run.scala:273). */
+final case class AggSpec(fn: String, varName: String, alias: String)
+
+sealed trait SelectItem
+final case class SelectVar(name: String) extends SelectItem
+final case class SelectAgg(agg: AggSpec) extends SelectItem
+
+/** One step of a join-side transformation (reference §2.8):
+  * toInt | scl(_+n|_-n|_*n) | skp(v) | substit(a,b) | replc(a,b)
+  * | prefix(s) | postfix(s). Args are kept raw. */
+final case class TransformFn(name: String, args: Seq[String])
+
+/** Transformation attached to one side of a join pair
+  * (`TRANSFORM(?l?r.side.fn1.fn2)`): side 'l' transforms the joining
+  * (FK) column of star `leftVar`; side 'r' transforms the ID column of
+  * star `rightVar`. Reference QueryAnalyser.scala:166-185. */
+final case class JoinTransform(leftVar: String, rightVar: String, side: Char, fns: Seq[TransformFn])
+
+final case class ParsedQuery(
+    prefixes: Map[String, String],
+    distinct: Boolean,
+    selectItems: Seq[SelectItem],
+    selectAll: Boolean,
+    patterns: Seq[TriplePattern],
+    filters: Seq[FilterCond],
+    groupBy: Seq[String],
+    orderBy: Seq[OrderKey],
+    limit: Option[Int],
+    transforms: Seq[JoinTransform]) {
+
+  /** Star-shaped decomposition: subject var -> its triple patterns,
+    * in query order (reference QueryAnalyser.getStars, but structural). */
+  lazy val stars: Map[String, Seq[TriplePattern]] =
+    patterns.groupBy(_.subject)
+
+  /** object var -> (star subject var, predicate IRI). The fragment
+    * guarantees at most one (star,pred) per object var in practice;
+    * first wins (reference Run.scala:73 TODO notes the same invariant). */
+  lazy val varToStarPred: Map[String, (String, String)] =
+    patterns.collect { case TriplePattern(s, p, ObjVar(o)) => o -> (s, p) }
+      .reverse.toMap
+
+  def selectVarNames: Seq[String] =
+    selectItems.collect { case SelectVar(v) => v }
+
+  def aggregates: Seq[AggSpec] =
+    selectItems.collect { case SelectAgg(a) => a }
+}
+
+/** One RML triples-map: which source holds an entity and how each
+  * predicate maps to a source attribute (reference mappings.ttl:16-54). */
+final case class EntityMapping(
+    name: String,
+    source: String,
+    storeType: String,
+    subjectTemplate: String,
+    classIri: Option[String],
+    predicateToAttr: Map[String, String],
+    /** attribute -> FnO transform chain (reference Mapper.scala:183-301);
+      * key "" means the subject/ID attribute. */
+    attrTransforms: Map[String, Seq[TransformFn]]) {
+
+  /** ID attribute = the name inside the rr:template braces
+    * (reference Helpers.scala:146-149). */
+  val idAttr: String = {
+    val i = subjectTemplate.indexOf('{')
+    val j = subjectTemplate.indexOf('}')
+    if (i >= 0 && j > i) subjectTemplate.substring(i + 1, j)
+    else sys.error(s"subject template without {id}: $subjectTemplate")
+  }
+}
+
+final case class SourceConfig(
+    entity: String,
+    storeType: String,
+    source: String,
+    options: Map[String, String])
+
+final case class LakeConfig(sources: Seq[SourceConfig], weights: Map[String, Int]) {
+  def optionsFor(source: String): Map[String, String] =
+    sources.find(_.source == source).map(_.options).getOrElse(Map.empty)
+}
+
+/** A mappings document: prefix table + entity mappings. */
+final case class MappingsDoc(prefixes: Map[String, String], entities: Seq[EntityMapping]) {
+
+  /** Relevant sources for a star: every non-type predicate of the star must
+    * be mapped, and an rdf:type constraint must match rr:class
+    * (reference Mapper.scala:102-129 — all-predicates-must-match). */
+  def relevantFor(preds: Seq[String], classIri: Option[String]): Seq[EntityMapping] =
+    entities.filter { m =>
+      preds.forall(m.predicateToAttr.contains) &&
+        classIri.forall(c => m.classIri.contains(c))
+    }
+}

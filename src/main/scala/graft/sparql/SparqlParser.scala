@@ -1,0 +1,354 @@
+package graft.sparql
+
+import graft.model._
+
+/** Recursive-descent parser for the SPARQL fragment the reference supports
+  * (grammar: /root/reference/evaluation/input_files/README.md:15-29), parsed
+  * structurally instead of the reference's regex-over-pretty-printed-BGP
+  * (QueryAnalyser.scala:122-123). Extensions beyond the reference:
+  *   - `(AGG(?v) AS ?alias)` select expressions (SPARQL 1.1 style) in
+  *     addition to the reference's bare `AGG(?v)`;
+  *   - `;` predicate-object lists with subject elision;
+  *   - modifiers accepted in any order;
+  *   - TRANSFORM(...) extracted with balanced-paren scanning anywhere in the
+  *     text (the reference requires it to be the final clause, Run.scala:33).
+  */
+object SparqlParser {
+
+  private val AggFns = Set("sum", "min", "max", "avg", "count")
+  private val CmpOps = Seq("<=", ">=", "!=", "=", "<", ">")
+
+  def parse(queryText: String): ParsedQuery = {
+    val (text, transforms) = extractTransform(queryText)
+    new Parser(stripComments(text)).parseQuery(transforms)
+  }
+
+  /** Remove `#`-to-EOL comments, but not inside IRIs or strings. */
+  private def stripComments(s: String): String = {
+    val sb = new StringBuilder
+    var inIri = false; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '<' if !inStr => inIri = true; sb += c
+        case '>' if !inStr => inIri = false; sb += c
+        case '"' if !inIri => inStr = !inStr; sb += c
+        case '#' if !inIri && !inStr =>
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+          sb += '\n'
+        case _ => sb += c
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Pull out `TRANSFORM( ... )` (balanced parens) and parse its content:
+    * `?l?r.side.fn1.fn2(...) && ...` (reference QueryAnalyser.scala:166-185). */
+  private def extractTransform(q: String): (String, Seq[JoinTransform]) = {
+    val idx = q.indexOf("TRANSFORM")
+    if (idx < 0) return (q, Nil)
+    var i = q.indexOf('(', idx)
+    require(i >= 0, "TRANSFORM without '('")
+    var depth = 0; var end = -1; var j = i
+    while (j < q.length && end < 0) {
+      q.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) end = j
+        case _ =>
+      }
+      j += 1
+    }
+    require(end > 0, "unbalanced TRANSFORM parens")
+    val body = q.substring(i + 1, end)
+    val rest = q.substring(0, idx) + q.substring(end + 1)
+    (rest, parseTransforms(body))
+  }
+
+  private[sparql] def parseTransforms(body: String): Seq[JoinTransform] =
+    body.split("&&").toSeq.map(_.trim).filter(_.nonEmpty).map { t =>
+      // ?l?r.side.fn1.fn2(args)...  — dots inside (...) are not separators
+      require(t.startsWith("?"), s"transform must start with ?var?var: $t")
+      val dot0 = t.indexOf('.')
+      val vars = t.substring(1, dot0).split("\\?")
+      require(vars.length == 2, s"transform needs two vars: $t")
+      val restStr = t.substring(dot0 + 1)
+      val parts = splitTopLevelDots(restStr)
+      val side = parts.head.trim
+      require(side == "l" || side == "r", s"transform side must be l|r: $t")
+      val fns = parts.tail.map(parseFn)
+      JoinTransform(vars(0), vars(1), side.charAt(0), fns)
+    }
+
+  private def splitTopLevelDots(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    for (i <- 0 until s.length) s.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case '.' if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  private def parseFn(s0: String): TransformFn = {
+    val s = s0.trim
+    val p = s.indexOf('(')
+    if (p < 0) TransformFn(s, Nil)
+    else {
+      val name = s.substring(0, p)
+      val inner = s.substring(p + 1, s.lastIndexOf(')'))
+      val args = name match {
+        case "scl" => Seq(inner.trim) // keep `_+61` whole
+        case _ => inner.split(",").toSeq.map(_.trim)
+      }
+      TransformFn(name, args)
+    }
+  }
+
+  // ---------------------------------------------------------------- tokens
+
+  private sealed trait Tok
+  private case class Word(s: String) extends Tok // keyword / qname / number / 'a'
+  private case class Var(name: String) extends Tok
+  private case class Iri(iri: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class Sym(s: String) extends Tok
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    def isWordChar(c: Char) =
+      c.isLetterOrDigit || c == '_' || c == ':' || c == '-' || c == '+' ||
+        (c == '.' && false)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '?') {
+        var j = i + 1
+        while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+        toks += Var(s.substring(i + 1, j)); i = j
+      } else if (c == '<' && {
+        // '<' opens an IRI only if a '>' follows with no whitespace between;
+        // otherwise it is the comparison operator (FILTER(?x < 5))
+        val j = s.indexOf('>', i)
+        j > 0 && !s.substring(i + 1, j).exists(_.isWhitespace)
+      }) {
+        val j = s.indexOf('>', i)
+        toks += Iri(s.substring(i + 1, j)); i = j + 1
+      } else if (c == '"') {
+        val sb = new StringBuilder; var j = i + 1
+        while (j < s.length && s.charAt(j) != '"') {
+          if (s.charAt(j) == '\\' && j + 1 < s.length) { sb += s.charAt(j + 1); j += 2 }
+          else { sb += s.charAt(j); j += 1 }
+        }
+        toks += Str(sb.toString); i = j + 1
+      } else if ("{}();,*".indexOf(c) >= 0) {
+        toks += Sym(c.toString); i += 1
+      } else if (c == '!' || c == '=' || c == '<' || c == '>') {
+        val two = s.substring(i, math.min(i + 2, s.length))
+        if (CmpOps.contains(two)) { toks += Sym(two); i += 2 }
+        else { toks += Sym(c.toString); i += 1 }
+      } else if (c == '.') {
+        // distinguish triple terminator from decimal point: digit.digit
+        val prevDigit = toks.result().lastOption.exists {
+          case Word(w) => w.nonEmpty && w.last.isDigit; case _ => false
+        }
+        val nextDigit = i + 1 < s.length && s.charAt(i + 1).isDigit
+        if (prevDigit && nextDigit) {
+          // merge into previous number word
+          var j = i + 1
+          while (j < s.length && s.charAt(j).isDigit) j += 1
+          val all = toks.result()
+          val Word(prev) = all.last: @unchecked
+          toks.clear(); toks ++= all.init
+          toks += Word(prev + s.substring(i, j)); i = j
+        } else { toks += Sym("."); i += 1 }
+      } else if (isWordChar(c)) {
+        var j = i
+        while (j < s.length && isWordChar(s.charAt(j))) j += 1
+        toks += Word(s.substring(i, j)); i = j
+      } else sys.error(s"unexpected char '$c' at offset $i")
+    }
+    toks.result()
+  }
+
+  // ---------------------------------------------------------------- parser
+
+  private final class Parser(text: String) {
+    private val toks = tokenize(text)
+    private var pos = 0
+
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def expectSym(s: String): Unit = next() match {
+      case Sym(`s`) => ()
+      case t => sys.error(s"expected '$s', got $t (at token $pos)")
+    }
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case Word(w) => w.equalsIgnoreCase(kw); case _ => false
+    }
+    private def takeKw(kw: String): Boolean =
+      peek.exists(isKw(_, kw)) && { pos += 1; true }
+
+    def parseQuery(transforms: Seq[JoinTransform]): ParsedQuery = {
+      var prefixes = Map.empty[String, String]
+      while (takeKw("PREFIX")) {
+        val Word(pfx) = next(): @unchecked
+        val Iri(iri) = next(): @unchecked
+        prefixes += pfx.stripSuffix(":") -> iri
+      }
+      require(takeKw("SELECT"), "expected SELECT")
+      val distinct = takeKw("DISTINCT")
+      var selectAll = false
+      val items = Seq.newBuilder[SelectItem]
+      var reading = true
+      while (reading) peek match {
+        case Some(Sym("*")) => next(); selectAll = true
+        case Some(Var(v)) => next(); items += SelectVar(v)
+        case Some(Sym("(")) => next(); items += parseAggExpr(closeParen = true)
+        case Some(Word(w)) if AggFns.contains(w.toLowerCase) && !w.equalsIgnoreCase("where") =>
+          items += parseAggExpr(closeParen = false)
+        case _ => reading = false
+      }
+      require(takeKw("WHERE"), "expected WHERE")
+      expectSym("{")
+      val patterns = Seq.newBuilder[TriplePattern]
+      val filters = Seq.newBuilder[FilterCond]
+      var inBody = true
+      while (inBody) peek match {
+        case Some(Sym("}")) => next(); inBody = false
+        case Some(w) if isKw(w, "FILTER") => next(); filters += parseFilter()
+        case Some(Var(_)) => parseTriplesSameSubject(patterns, prefixes)
+        case Some(Sym(".")) => next() // stray terminator
+        case t => sys.error(s"unexpected token in WHERE: $t")
+      }
+      // modifiers, any order
+      var groupBy = Seq.empty[String]
+      var orderBy = Seq.empty[OrderKey]
+      var limit = Option.empty[Int]
+      var inMods = true
+      while (inMods) peek match {
+        case Some(w) if isKw(w, "GROUP") =>
+          next(); require(takeKw("BY"), "GROUP must be followed by BY")
+          val vs = Seq.newBuilder[String]
+          while (peek.exists(_.isInstanceOf[Var])) { val Var(v) = next(): @unchecked; vs += v }
+          groupBy = vs.result()
+        case Some(w) if isKw(w, "ORDER") =>
+          next(); require(takeKw("BY"), "ORDER must be followed by BY")
+          val ks = Seq.newBuilder[OrderKey]
+          var more = true
+          while (more) peek match {
+            case Some(Var(v)) => next(); ks += OrderKey(v, ascending = true)
+            case Some(w2) if isKw(w2, "ASC") || isKw(w2, "DESC") =>
+              val asc = isKw(w2, "ASC"); next(); expectSym("(")
+              val Var(v) = next(): @unchecked
+              expectSym(")"); ks += OrderKey(v, asc)
+            case _ => more = false
+          }
+          orderBy = ks.result()
+        case Some(w) if isKw(w, "LIMIT") =>
+          next(); val Word(n) = next(): @unchecked; limit = Some(n.toInt)
+        case None => inMods = false
+        case t => sys.error(s"unexpected trailing token: $t")
+      }
+      ParsedQuery(prefixes, distinct, items.result(), selectAll,
+        patterns.result(), filters.result(), groupBy, orderBy, limit, transforms)
+    }
+
+    /** AGG '(' ?v ')' [AS ?alias] [')'] — the surrounding '(' was already
+      * consumed when closeParen is true. */
+    private def parseAggExpr(closeParen: Boolean): SelectAgg = {
+      val Word(fnRaw) = next(): @unchecked
+      val fn = fnRaw.toLowerCase
+      require(AggFns.contains(fn), s"unknown aggregate: $fnRaw")
+      expectSym("(")
+      val v = next() match {
+        case Var(v0) => v0
+        case Sym("*") if fn == "count" => "*"
+        case t => sys.error(s"expected var in $fn(...), got $t")
+      }
+      expectSym(")")
+      var alias = s"$fn($v)" // reference default naming, Run.scala:273
+      if (takeKw("AS")) { val Var(a) = next(): @unchecked; alias = a }
+      if (closeParen) expectSym(")")
+      SelectAgg(AggSpec(fn, v, alias))
+    }
+
+    private def parseFilter(): FilterCond = {
+      peek match {
+        case Some(w) if isKw(w, "regex") =>
+          next(); expectSym("(")
+          val Var(v) = next(): @unchecked
+          expectSym(",")
+          val Str(pat) = next(): @unchecked
+          expectSym(")")
+          FilterCond(v, "regex", pat)
+        case _ =>
+          expectSym("(")
+          peek match {
+            case Some(w) if isKw(w, "regex") =>
+              next(); expectSym("(")
+              val Var(v) = next(): @unchecked
+              expectSym(",")
+              val Str(pat) = next(): @unchecked
+              expectSym(")"); expectSym(")")
+              FilterCond(v, "regex", pat)
+            case _ =>
+              val Var(v) = next(): @unchecked
+              val Sym(op) = next(): @unchecked
+              require(CmpOps.contains(op), s"unsupported filter op $op")
+              val value = next() match {
+                case Word(w) => w
+                case Str(s) => s
+                case t => sys.error(s"unsupported filter literal: $t")
+              }
+              expectSym(")")
+              FilterCond(v, op, value)
+          }
+      }
+    }
+
+    private def parseTriplesSameSubject(
+        out: scala.collection.mutable.Builder[TriplePattern, Seq[TriplePattern]],
+        prefixes: Map[String, String]): Unit = {
+      val Var(subj) = next(): @unchecked
+      var more = true
+      while (more) {
+        val pred = next() match {
+          case Word("a") => TriplePattern.RdfType
+          case Word(q) => expandQName(q, prefixes)
+          case Iri(iri) if iri == TriplePattern.RdfType => TriplePattern.RdfType
+          case Iri(iri) => iri
+          case t => sys.error(s"expected predicate, got $t")
+        }
+        val obj: ObjectTerm = next() match {
+          case Var(v) => ObjVar(v)
+          case Iri(iri) => ObjIri(iri)
+          case Str(s) => ObjLit(s)
+          case Word(w) if pred == TriplePattern.RdfType => ObjIri(expandQName(w, prefixes))
+          case Word(w) => ObjLit(w)
+          case t => sys.error(s"expected object, got $t")
+        }
+        out += TriplePattern(subj, pred, obj)
+        peek match {
+          case Some(Sym(";")) => next()
+          case Some(Sym(".")) => next(); more = false
+          case _ => more = false // allow missing final '.'
+        }
+      }
+    }
+
+    private def expandQName(q: String, prefixes: Map[String, String]): String = {
+      val i = q.indexOf(':')
+      require(i >= 0, s"expected qname or IRI, got: $q")
+      val (pfx, local) = (q.substring(0, i), q.substring(i + 1))
+      prefixes.get(pfx) match {
+        case Some(ns) => ns + local
+        case None => sys.error(s"undeclared prefix '$pfx:' in $q")
+      }
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end engine smoke on the sf0.001 tables (the full DuckDB-hash
+  * correctness gate runs driver-side at sf0.01; scripts/check_oracle.py
+  * replicates it locally). */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q05_join3 filters to one region's customers") {
+    val df = SparkEntry.queries("q05_join3")(spark, sf)
+    assert(df.columns.toSeq == Seq("cname", "nname", "rname"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(2) == "ASIA"))
+  }
+
+  test("q07_groupby_agg produces 6 (returnflag, linestatus) groups with sane sums") {
+    val rows = SparkEntry.queries("q07_groupby_agg")(spark, sf).collect()
+    assert(rows.length == 6)
+    val sumQty = rows.map(r => r.getDouble(r.fieldIndex("sum_qty"))).sum
+    val cnt = rows.map(r => r.getLong(r.fieldIndex("cnt"))).sum
+    assert(sumQty > 0 && cnt > 0)
+  }
+
+  test("q10_union_sources doubles the nation table") {
+    val n = SparkEntry.queries("q10_union_sources")(spark, sf).count()
+    val base = spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(n == 2 * base)
+  }
+
+  test("q11_transform_join equals the untransformed part join") {
+    val got = SparkEntry.queries("q11_transform_join")(spark, sf).count()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").filter("l_quantity = 50")
+    val p = spark.read.parquet(s"$sf/part.parquet")
+    val exp = li.join(p, li("l_partkey") === p("p_partkey")).count()
+    assert(got == exp && got > 0)
+  }
+
+  test("unsatisfiable star fails with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      graft.fixtures.TpchLake.run(spark, sf,
+        "PREFIX g: <http://graft.io/schema/> SELECT ?x WHERE { ?a g:noSuchPred ?x . }")
+    }
+    assert(e.getMessage.contains("no relevant source"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.model._
+import graft.sparql.SparqlParser
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparqlParserSpec extends AnyFunSuite {
+
+  private val q1 =
+    """PREFIX bsbm: <http://bsbm.org/v/>
+      |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+      |SELECT DISTINCT ?label ?p1
+      |WHERE {
+      |    ?product rdfs:label ?label .
+      |    ?product bsbm:producer ?pcr .
+      |    ?pcr bsbm:country ?c .
+      |    ?product bsbm:propertyNumeric1 ?p1 .
+      |    FILTER (?p1 > 630)
+      |}
+      |ORDER BY ?label
+      |LIMIT 10""".stripMargin
+
+  test("reference-shaped query parses into stars, filters, modifiers") {
+    val q = SparqlParser.parse(q1)
+    assert(q.distinct)
+    assert(q.selectVarNames == Seq("label", "p1"))
+    assert(q.stars.keySet == Set("product", "pcr"))
+    assert(q.stars("product").size == 3)
+    assert(q.filters == Seq(FilterCond("p1", ">", "630")))
+    assert(q.orderBy == Seq(OrderKey("label", ascending = true)))
+    assert(q.limit.contains(10))
+    assert(q.varToStarPred("c") == ("pcr", "http://bsbm.org/v/country"))
+  }
+
+  test("rdf:type via 'a' keyword and explicit qname") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        |SELECT ?x WHERE {
+        |  ?r a s:Review .
+        |  ?r rdf:type s:Review2 .
+        |  ?r s:text ?x .
+        |}""".stripMargin)
+    val types = q.stars("r").collect {
+      case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
+    }
+    assert(types == Seq("http://s/Review", "http://s/Review2"))
+  }
+
+  test("semicolon predicate-object lists share the subject") {
+    val q = SparqlParser.parse(
+      "PREFIX s: <http://s/> SELECT ?a ?b WHERE { ?x s:p1 ?a ; s:p2 ?b . }")
+    assert(q.stars("x").size == 2)
+  }
+
+  test("regex filter and '<' comparison disambiguation") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?n WHERE {
+        |  ?x s:name ?n . ?x s:bal ?b .
+        |  FILTER regex(?n, "%abc%")
+        |  FILTER(?b < 0)
+        |}""".stripMargin)
+    assert(q.filters.toSet ==
+      Set(FilterCond("n", "regex", "%abc%"), FilterCond("b", "<", "0")))
+  }
+
+  test("aggregates: SPARQL 1.1 AS form and reference bare form") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?g (SUM(?v) AS ?total) count(?v)
+        |WHERE { ?x s:g ?g . ?x s:v ?v . }
+        |GROUP BY ?g""".stripMargin)
+    assert(q.aggregates == Seq(
+      AggSpec("sum", "v", "total"), AggSpec("count", "v", "count(v)")))
+    assert(q.groupBy == Seq("g"))
+  }
+
+  test("ORDER BY multi-key with ASC/DESC wrappers") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?a WHERE { ?x s:a ?a . ?x s:b ?b . }
+        |ORDER BY DESC(?b) ?a""".stripMargin)
+    assert(q.orderBy == Seq(OrderKey("b", ascending = false), OrderKey("a", ascending = true)))
+  }
+
+  test("TRANSFORM pseudo-clause is extracted and parsed") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?a WHERE { ?k s:x ?a . ?a s:y ?z . }
+        |TRANSFORM(?k?a.l.toInt.scl(_+61) && ?k?a.r.toInt)""".stripMargin)
+    assert(q.transforms == Seq(
+      JoinTransform("k", "a", 'l', Seq(TransformFn("toInt", Nil), TransformFn("scl", Seq("_+61")))),
+      JoinTransform("k", "a", 'r', Seq(TransformFn("toInt", Nil)))))
+  }
+
+  test("decimal literals in filters survive tokenization") {
+    val q = SparqlParser.parse(
+      "PREFIX s: <http://s/> SELECT ?v WHERE { ?x s:v ?v . FILTER(?v >= 10.5) }")
+    assert(q.filters == Seq(FilterCond("v", ">=", "10.5")))
+  }
+}
