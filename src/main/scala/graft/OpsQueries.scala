@@ -1,0 +1,223 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.NtSource
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Net-new operator suite beyond the reference (training-data-pipeline
+  * operators, window functions, decimal-exact aggregation, streaming, NT
+  * ingestion), each validated against a DuckDB oracle where the semantics
+  * are SQL-expressible; the rest get rows-only driver checks + ScalaTest.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, sf: String) = s.read.parquet(s"$sf/documents.parquet")
+  private def emb(s: SparkSession, sf: String) = s.read.parquet(s"$sf/embeddings.parquet")
+
+  /** The query-vector for ANN queries: embedding of vec_id 0 (read once,
+    * tiny). Deterministic and oracle-reproducible via a scalar subquery. */
+  private def queryVec(s: SparkSession, sf: String): Seq[Double] =
+    emb(s, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+  val oracleSuite: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // ---- dedup ----------------------------------------------------------
+    ("d01_dedup_exact",
+      (s, sf) => Dedup.exact(docs(s, sf), Dedup.normText(col("text")), col("doc_id")),
+      "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY lower(trim(text))"),
+
+    ("d02_ngram_jaccard",
+      (s, sf) => Dedup.ngramJaccardPairs(docs(s, sf), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8),
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.ws,b.ws))::DOUBLE
+        |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE jaccard >= 0.8""".stripMargin),
+
+    // LSH candidates + exact verification ⇒ same rows as the exact oracle
+    // (recall at j≥0.8 with 16×4 bands is 1-(1-j⁴)¹⁶ > 1-10⁻⁸)
+    ("d03_minhash_lsh",
+      (s, sf) => Dedup.minHashNearDups(docs(s, sf), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8).select(col("id_a"), col("id_b")),
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8""".stripMargin),
+
+    ("d05_embed_neardup",
+      (s, sf) => Dedup.embeddingNearDups(emb(s, sf), col("vec_id"), col("embedding"),
+        threshold = 0.45).select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3")),
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos3 " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+
+    // ---- similarity search ---------------------------------------------
+    ("s01_cosine_topk",
+      (s, sf) => Similarity.bruteForceTopK(
+        emb(s, sf).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        queryVec(s, sf), k = 10)
+        .select(col("vec_id"), round(col("cosine"), 3).as("cos3")),
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 3) AS cos3
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin),
+
+    // ---- text analysis --------------------------------------------------
+    ("t01_token_count",
+      (s, sf) => docs(s, sf).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ntok"),
+        TextOps.stopwordCount(col("text")).as("nstop")),
+      "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(lower(trim(text)),'\\s+')) END AS ntok, " +
+        "CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(string_split_regex(lower(trim(text)),'\\s+'), " +
+        "x -> x IN ('the','a','of','and','to','in','is'))) END AS nstop FROM documents"),
+
+    ("t02_quality_score",
+      (s, sf) => docs(s, sf).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality")),
+      """SELECT doc_id, floor((
+        |  0.4 * (CASE WHEN ntok=0 THEN 0 ELSE nstop::DOUBLE/ntok END)
+        |+ 0.3 * least(ntok/100.0, 1.0)
+        |+ 0.3 * (1.0 - CASE WHEN len(text)=0 THEN 0 ELSE npunct::DOUBLE/len(text) END)) * 10000 + 0.5) / 10000 AS quality
+        |FROM (SELECT doc_id, text,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is'))) END AS nstop,
+        |  len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS npunct
+        |FROM documents)""".stripMargin),
+
+    ("t03_lang_id",
+      (s, sf) => docs(s, sf).select(col("doc_id"),
+        TextOps.langId(col("text")).as("pred_lang")),
+      """SELECT doc_id, CASE
+        |  WHEN en = best AND best > 0 THEN 'en'
+        |  WHEN de = best AND best > 0 THEN 'de'
+        |  WHEN fr = best AND best > 0 THEN 'fr'
+        |  WHEN es = best AND best > 0 THEN 'es'
+        |  ELSE 'und' END AS pred_lang
+        |FROM (SELECT doc_id, en, de, fr, es, greatest(en, de, fr, es) AS best
+        |FROM (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','y','es','uno','una'))) AS es
+        |FROM (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS toks FROM documents)))""".stripMargin),
+
+    ("t04_fingerprint",
+      (s, sf) => docs(s, sf).select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp")),
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"),
+
+    // ---- multimodal plumbing (stub decode, real mapPartitions contract) -
+    ("mm01_media_meta",
+      (s, sf) => Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, sf)))
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames")),
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  64 + (ord(substr(text,1,1)) % 64) * 8 AS width,
+        |  64 + (ord(substr(text,2,1)) % 64) * 6 AS height,
+        |  1 + octet_length(encode(text)) % 16 AS n_frames
+        |FROM documents""".stripMargin),
+
+    // ---- window functions (net-new vs reference §2.5) -------------------
+    ("w01_topn_per_group",
+      (s, sf) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        s.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+            col("o_totalprice").as("price"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= 2)
+      },
+      "SELECT custkey, okey, price, rn FROM (SELECT o_custkey AS custkey, " +
+        "o_orderkey AS okey, o_totalprice AS price, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 2"),
+
+    // ---- decimal-exact revenue aggregation (order-independent sums) -----
+    ("a01_revenue_decimal",
+      (s, sf) => s.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue")),
+      "SELECT l_returnflag AS rf, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem GROUP BY l_returnflag"),
+
+    // ---- structured streaming (file source → watermark → window agg) ----
+    ("st01_events_hourly",
+      (s, sf) => EventStreams.runHourlyStatsBatch(s, s"$sf/events.parquet"),
+      "SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket, " +
+        "event_type AS etype, COUNT(*) AS n, floor(SUM(value) * 100 + 0.5) / 100 AS sumv " +
+        "FROM events GROUP BY 1, 2"),
+
+    // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
+    ("nt01_ingest",
+      (s, sf) => {
+        val path = ntFixture(s, sf)
+        NtSource.read(s, path, "http://graft.io/schema/Nation")
+          .select(col("name"), col("regionkey"))
+      },
+      "SELECT n_name AS name, n_regionkey AS regionkey FROM nation"))
+
+  /** Rows-only entries (not SQL-expressible in DuckDB: engine-specific
+    * hash functions / probabilistic recall): driver records a weaker
+    * rows>0-style check; exact semantics covered by ScalaTest. */
+  val rowsOnlySuite: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    ("d04_simhash_pairs",
+      (s, sf) => Dedup.simHashNearDups(docs(s, sf), col("doc_id"), col("text"), maxHamming = 3)),
+    ("s02_ann_lsh_topk",
+      (s, sf) => Similarity.annTopK(emb(s, sf).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), queryVec(s, sf), k = 10)),
+    ("t05_rolling_hash",
+      (s, sf) => docs(s, sf).select(col("doc_id"),
+        TextOps.rollingHash(col("text")).as("rh"))),
+    ("mm02_frame_sample",
+      (s, sf) => Multimodal.sampleFrames(
+        Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, sf))), stride = 2)),
+    ("st02_sessionize",
+      (s, sf) => EventStreams.sessionize(
+        EventStreams.readEvents(s, s"$sf/events.parquet"), gapMinutes = 30)))
+
+  /** Deterministic NT file derived from the nation table (idempotent). */
+  private def ntFixture(s: SparkSession, sf: String): String = synchronized {
+    val label = new java.io.File(sf).getName
+    val dir = s"/root/repo/target/derived/$label/nation_nt"
+    val n = s.read.parquet(s"$sf/nation.parquet")
+    n.select(concat(
+        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
+        lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "),
+        lit("<http://graft.io/schema/Nation> ."), lit("\n"),
+        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
+        lit("<http://graft.io/schema/name> \""), col("n_name"), lit("\" ."), lit("\n"),
+        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
+        lit("<http://graft.io/schema/regionkey> \""), col("n_regionkey"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
+        .as("value"))
+      .coalesce(1).write.mode(SaveMode.Ignore).text(dir)
+    dir
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (oracleSuite.map { case (n, f, _) => n -> f } ++ rowsOnlySuite).toMap
+
+  def oracleSql: Map[String, String] =
+    oracleSuite.map { case (n, _, o) => n -> o }.toMap
+}

@@ -8,9 +8,9 @@ object SparkEntry {
     queries("q06_join4_mod")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2 (+ net-new ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EngineQueries.queries
+    EngineQueries.queries ++ OpsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EngineQueries.oracleSql
+    EngineQueries.oracleSql ++ OpsQueries.oracleSql
 }

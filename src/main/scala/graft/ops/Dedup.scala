@@ -1,0 +1,191 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus pipelines. All operators
+  * are single declarative plans (shuffle on the dedup key only, map-side
+  * partial aggregation free from Catalyst) and are written to survive a
+  * 1000-executor / 100 TB corpus:
+  *  - exact dedup shuffles (key, id) only;
+  *  - MinHash/SimHash candidate generation is LSH-bucketed so the pair
+  *    space never materializes n²;
+  *  - verification joins carry shingle-set arrays, not raw text.
+  */
+object Dedup {
+
+  /** Normalized text key used by the exact dedup operators. */
+  def normText(text: Column): Column = lower(trim(text))
+
+  /** Small local inputs arrive as one scan partition, serializing the
+    * heavy per-row work (shingling, 64 hash lanes, pair loops). Widen to
+    * the session's shuffle parallelism when the scan is narrower; a no-op
+    * for big inputs that already scan wide (the 100 TB case). */
+  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Exact dedup: one surviving (minimum) id per distinct key. */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("keep_id"))
+      .select(col("keep_id"))
+
+  /** Distinct word n-gram shingles of a text column (lowercased,
+    * whitespace-tokenized). Empty/short texts yield their full token join
+    * so no document silently disappears. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(normText(text), "\\s+")
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** doc -> (id, shingles array). */
+  private def shingled(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    ensureParallelism(df.select(id.as("sid"), wordShingles(text, n).as("shingles")))
+
+  /** All-pairs exact n-gram Jaccard with ppjoin-style prefix filtering:
+    * shingles are globally ordered rarest-first; a pair with
+    * jaccard ≥ t must share a shingle within each side's first
+    * |S| − ⌈t·|S|⌉ + 1 shingles (prefix-filter theorem), so only prefix
+    * shingles are indexed for the candidate join — hot shingles land in
+    * long suffixes and never fan out. Exact verification on the full sets
+    * follows; output = naive all-pairs result, cost ≪ n². */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(df, id, text, n)
+    val ex = sh.select(col("sid"), explode(col("shingles")).as("sh"))
+    val freq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(freq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("sid")).orderBy(col("df"), col("sh"))))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("sid"))))
+    val prefix = ranked.filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .select(col("sid"), col("sh"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against full shingle
+    * sets (array_intersect is codegen'd; arrays ride the joins once). */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sh.select(col("sid").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("sid").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("shared") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** MinHash signature columns: for each of `numHashes` seeds, the minimum
+    * xxhash64(seed, shingle) over the document's shingles — computed as a
+    * single groupBy with `numHashes` min-aggregates (one shuffle of
+    * (id, shingle) pairs). */
+  def minHashSignatures(df: DataFrame, id: Column, text: Column, n: Int,
+      numHashes: Int): DataFrame = {
+    val ex = shingled(df, id, text, n)
+      .select(col("sid"), explode(col("shingles")).as("sh"))
+    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
+    ex.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
+      .select(col("sid"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** LSH banding: emit (band index, hash of the band's signature slice) per
+    * doc, self-join per bucket → candidate pairs (each pair may surface in
+    * several bands; distinct). Never materializes non-colliding pairs. */
+  def minHashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("sid"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "bhash")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+        col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification of
+    * the LSH candidates (estimate generates, exact confirms — no
+    * probabilistic output). Returns (id_a, id_b, jaccard ≥ threshold). */
+  def minHashNearDups(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingled(df, id, text, n)
+    val cands = minHashCandidates(
+      minHashSignatures(df, id, text, n, numHashes), bands, rowsPerBand)
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    * ±1 token-hash bit contributions (one shuffle, 64 sum-aggregates). */
+  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ex = ensureParallelism(df.select(id.as("sid"),
+      explode(split(normText(text), "\\s+")).as("tok")))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val agged = ex.groupBy(col("sid")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col("sid"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dups with Hamming distance ≤ maxHamming, candidates by
+    * 16-bit chunk banding (pigeonhole: ≤3 differing bits over 4 chunks ⇒
+    * ≥1 identical chunk), verified with bit_count(xor). */
+  def simHashNearDups(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val hashed = simHash(df, id, text)
+    val banded = hashed.select(col("sid"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))
+        .as(Seq("chunk", "cval")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.cval") === col("r.cval") &&
+        col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dups: exact cosine ≥ threshold over candidate pairs.
+    * `buckets = None` → brute all-pairs (verification/oracle mode);
+    * `buckets = Some(planes)` → random-hyperplane LSH bucketing first
+    * (scale mode; recall < 1 by design). Uses the codegen'd
+    * [[graft.functions.CosineSimilarity]] inner loop. */
+  def embeddingNearDups(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, planes: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    // pre-cast once and widen partitions: the pair join multiplies every
+    // per-row cost by n, and a single-partition left side serializes the
+    // whole n² loop
+    val base = ensureParallelism(
+      df.select(id.as("sid"), vec.cast("array<double>").as("v")))
+    val paired = planes match {
+      case None =>
+        val l = base.as("l"); val r = base.as("r")
+        l.join(r, col("l.sid") < col("r.sid"))
+      case Some(ps) =>
+        val sigCol = Similarity.hyperplaneSignature(col("v"), ps)
+        val b = base.withColumn("bucket", sigCol)
+        val l = b.as("l"); val r = b.as("r")
+        l.join(r, col("l.bucket") === col("r.bucket") && col("l.sid") < col("r.sid"))
+    }
+    paired
+      .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"),
+        VectorFunctions.cosine(col("l.v"), col("r.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

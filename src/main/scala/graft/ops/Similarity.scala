@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  * Brute-force cosine top-k is the exactness baseline (a single codegen'd
+  * scan + TakeOrderedAndProject — no shuffle of the corpus); the
+  * hyperplane-LSH variant is the 100 TB path: bucket once (one narrow
+  * shuffle), then scan only the probed buckets. */
+object Similarity {
+
+  /** Deterministic Rademacher (±1) hyperplanes: seed-stable across runs. */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Bit-signature of `vec` against the hyperplanes: bit p = sign of
+    * dot(vec, plane_p). Computed as a codegen-friendly expression. */
+  def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val dot = zip_with(vec, typedLit(plane), (x, w) => x * w)
+      val s = aggregate(dot, lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Exact top-k by cosine against one query vector. Plans as
+    * scan → project(cosine) → TakeOrderedAndProject: no shuffle, fully
+    * parallel, k rows to the driver. Ties broken by id for determinism. */
+  def bruteForceTopK(df: DataFrame, id: Column, vec: Column,
+      query: Seq[Double], k: Int): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    df.select(id.as("vec_id"),
+        VectorFunctions.cosine(vec, typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: restrict the scan to buckets within `probeHamming`
+    * of the query's bucket (multi-probe), then exact cosine top-k inside.
+    * Recall < 1 by construction; raise numPlanes/probeHamming to trade
+    * cost for recall. */
+  def annTopK(df: DataFrame, id: Column, vec: Column, query: Seq[Double],
+      k: Int, numPlanes: Int = 12, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val planes = randomPlanes(numPlanes, query.size, seed)
+    val qSig = planes.zipWithIndex.map { case (plane, p) =>
+      val dot = plane.zip(query).map { case (w, x) => w * x }.sum
+      if (dot >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    df.select(id.as("vec_id"), vec.as("v"),
+        hyperplaneSignature(vec, planes).as("bucket"))
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= probeHamming)
+      .select(col("vec_id"), VectorFunctions.cosine(col("v"), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}

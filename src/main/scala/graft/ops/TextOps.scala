@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus pipelines: token counting, quality
+  * scoring, language ID, fingerprinting. All pure codegen'd Column
+  * expressions (no UDFs) — they run inside whole-stage codegen and
+  * vectorized parquet scans, so a 100 TB corpus pass is scan-bound. */
+object TextOps {
+
+  /** Whitespace tokens of trimmed, lowercased text (empty → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: whitespace tokens plus an extra unit per
+    * 4 characters of long tokens (cheap deterministic proxy for a real
+    * tokenizer's subword splits). */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + greatest(ceil(length(t) / 4.0).cast("int"), lit(1)))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+
+  /** Composite quality score in [0,1]:
+    * 0.4·stopword-ratio + 0.3·min(ntok/100, 1) + 0.3·(1 − punct-ratio),
+    * rounded to 4 dp. Deterministic double arithmetic (same expression
+    * shape as the DuckDB oracle). */
+  def qualityScore(text: Column): Column = {
+    val ntok = tokenCount(text).cast("double")
+    val stopRatio = when(ntok === 0, 0.0)
+      .otherwise(stopwordCount(text).cast("double") / ntok)
+    val lenScore = least(ntok / 100.0, lit(1.0))
+    val punctRatio = when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text).cast("double"))
+    val score = lit(0.4) * stopRatio + lit(0.3) * lenScore + lit(0.3) * (lit(1.0) - punctRatio)
+    // floor-based half-up rounding: round() is half-up in Spark but can
+    // land half-even in other engines at exact .5 boundaries
+    floor(score * 10000 + 0.5) / 10000
+  }
+
+  /** Per-language function-word lists for the n-gram/stopword-vote
+    * language-ID heuristic. */
+  private val LangWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "uno", "una"))
+
+  /** Language ID by function-word voting: argmax of per-language hit
+    * counts (ties broken by list order above), "und" when no hits. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = LangWords.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isin(ws: _*)))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, c), els) =>
+      when(c === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Content fingerprint: md5 hex of the normalized text (exact-dup key;
+    * cross-engine reproducible). */
+  def fingerprintMd5(text: Column): Column = md5(Dedup.normText(text).cast("binary"))
+
+  /** Polynomial rolling hash of the normalized text (base 257 mod 2^31−1;
+    * intermediate values stay < 2^39 so 64-bit arithmetic never overflows)
+    * via codegen'd aggregate over the char codes — the streaming-friendly
+    * fingerprint for shingling/windowed hashing. */
+  def rollingHash(text: Column): Column = {
+    val M = lit(2147483647L) // 2^31 - 1
+    val codes = transform(split(Dedup.normText(text), ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(7L), (acc, c) => pmod(acc * 257L + c, M))
+  }
+}

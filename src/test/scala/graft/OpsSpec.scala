@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("CosineSimilarity expression: known vectors, codegen path") {
+    VectorFunctions.register(spark)
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(2.0, 4.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    // expression survives interpreted (non-codegen) eval too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr = Literal.create(Seq(3.0, 4.0), ArrayType(DoubleType))
+    val interp = graft.functions.CosineSimilarity(arr, arr)
+    assert(math.abs(interp.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("kappa", "lambda") // small edit
+    val distinct = "one two three four five six seven eight nine ten " * 5
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinct)).toDF("id", "text")
+    val pairs = Dedup.minHashNearDups(df, col("id"), col("text"), n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts distance 0, small edit small distance") {
+    val a = "the quick brown fox jumps over the lazy dog " * 10
+    val b = a.replace("lazy", "sleepy")
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "text")
+    val h = Dedup.simHash(df, col("id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) < 16)
+  }
+
+  test("annTopK results are a subset of brute-force ranking, same scoring") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), q, 50)
+      .as[(Long, Double)].collect().toMap
+    val ann = Similarity.annTopK(emb.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), q, 10)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (id, c) =>
+      assert(brute.get(id).forall(b => math.abs(b - c) < 1e-9)) }
+  }
+
+  test("rolling hash is stable and order-sensitive") {
+    val df = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("id", "text")
+    val h = df.select(col("id"), TextOps.rollingHash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(3L))
+    assert(h(1L) != h(2L))
+    // closed form: ((7*257 + 'a') * 257 + 'b') mod (2^31-1)
+    assert(h(1L) == ((7L * 257 + 'a') * 257 + 'b') % 2147483647L)
+  }
+
+  test("stub media decode is deterministic and batch-shaped") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
+    val meta1 = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs)).collect()
+    val meta2 = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs)).collect()
+    assert(meta1.sortBy(_.media_id).sameElements(meta2.sortBy(_.media_id)))
+    meta1.foreach { m =>
+      assert(m.width >= 64 && m.width < 64 + 64 * 8)
+      assert(m.n_frames >= 1 && m.n_frames <= 16)
+      assert(m.checksum.length == 32)
+    }
+  }
+
+  test("sessionize splits on the gap and counts events") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), "a"), (1L, ts(10), "a"), (1L, ts(100), "a"),
+      (2L, ts(5), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val sessions = EventStreams.sessionize(df, gapMinutes = 30)
+      .orderBy("user_id", "start").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getLong(3) == 2) // user 1, first session: 2 events
+    assert(sessions(1).getLong(3) == 1)
+    assert(sessions(2).getLong(3) == 1)
+  }
+}
