@@ -10,11 +10,12 @@ import org.apache.spark.sql.SparkSession
 object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println("usage: graft.Cli <query.sparql> <mappings.ttl> <config.json> [master]")
+      System.err.println("usage: graft.Cli <query.sparql> <mappings.ttl> <config.json> [master] [reorder]")
       sys.exit(2)
     }
     val Array(queryFile, mappingsFile, configFile) = args.take(3)
     val master = args.lift(3).getOrElse("local[*]")
+    val reorder = args.lift(4).contains("reorder")
     def read(p: String) = {
       val s = scala.io.Source.fromFile(p)
       try s.mkString finally s.close()
@@ -29,7 +30,8 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val df = GraftEngine.execute(spark, read(queryFile), read(mappingsFile), read(configFile))
+      val df = GraftEngine.execute(spark, read(queryFile), read(mappingsFile),
+        read(configFile), reorderJoins = reorder)
       df.show(20, truncate = false)
       println(s"total: ${df.count()} rows")
     } catch {

@@ -164,7 +164,36 @@ object EngineQueries {
         |LIMIT 10""".stripMargin,
       "SELECT n_name AS nname, COUNT(c_custkey) AS nc, MAX(c_acctbal) AS maxbal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
-        "GROUP BY n_name ORDER BY nc DESC, n_name LIMIT 10"))
+        "GROUP BY n_name ORDER BY nc DESC, n_name LIMIT 10"),
+
+    // §2.8 FnO FunctionMap transforms from the mappings: scale + prefix
+    ("q15_fno_transform",
+      "SELECT ?sreg ?pname WHERE { ?n g:fnoReg ?sreg . ?n g:fnoName ?pname . }",
+      "SELECT n_regionkey + 100 AS sreg, concat('N_', n_name) AS pname FROM nation"),
+
+    // §2.8 FnO substitute / replace / postfix on projected columns
+    ("q16_fno_strings",
+      """SELECT ?src2 ?txt2 ?lng2 WHERE {
+        |  ?d g:fnoSource ?src2 . ?d g:fnoText ?txt2 . ?d g:fnoLang ?lng2 .
+        |}""".stripMargin,
+      "SELECT CASE WHEN source = 'src0' THEN 'SRC' ELSE source END AS src2, " +
+        "replace(text, 'widget', 'gadget') AS txt2, lang || '_x' AS lng2 FROM documents"),
+
+    // §2.8 skp(v): row-dropping transform on the join's FK side
+    ("q17_transform_skp",
+      """SELECT ?pn ?qty WHERE {
+        |  ?li g:part ?p . ?li g:quantity ?qty .
+        |  ?p g:partName ?pn .
+        |  FILTER(?qty = 50)
+        |}
+        |TRANSFORM(?li?p.l.skp(7))""".stripMargin,
+      "SELECT p_name AS pn, l_quantity AS qty FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey WHERE l_quantity = 50 AND l_partkey <> 7"),
+
+    // §2.1 JDBC source (in-memory Derby, loaded from the nation table)
+    ("q18_jdbc_source",
+      "SELECT ?jn ?jr WHERE { ?n g:jdbcName ?jn . ?n g:jdbcRegion ?jr . }",
+      "SELECT n_name AS jn, n_regionkey AS jr FROM nation"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     suite.map { case (name, sparql, _) => name -> eng(sparql) }.toMap

@@ -26,12 +26,13 @@ object GraftEngine {
   }
 
   def execute(spark: SparkSession, queryText: String, mappingsText: String,
-      configText: String): DataFrame =
+      configText: String, reorderJoins: Boolean = false): DataFrame =
     executeParsed(spark, SparqlParser.parse(queryText),
-      RmlParser.parse(mappingsText), ConfigParser.parse(configText))
+      RmlParser.parse(mappingsText), ConfigParser.parse(configText), reorderJoins)
 
   def executeParsed(spark: SparkSession, q: ParsedQuery,
-      mappings: MappingsDoc, config: LakeConfig): DataFrame = {
+      mappings: MappingsDoc, config: LakeConfig,
+      reorderJoins: Boolean = false): DataFrame = {
 
     val starNames = q.stars.keys.toSeq.sorted
     val needed = neededVars(q)
@@ -50,7 +51,31 @@ object GraftEngine {
       if p != TriplePattern.RdfType && q.stars.contains(o) && o != s
     } yield JoinEdge(s, o)
 
-    val joined = joinChain(starDFs, edges.distinct)
+    // optional weight-heuristic join ordering (reference
+    // Planner.scala:90-170: per-store weight from config + filter bonus;
+    // the reference computes but never applies it — Run.scala:236/240).
+    // AQE re-plans physically at runtime either way; this only seeds the
+    // left-deep chain with the heaviest edge first.
+    val ordered =
+      if (!reorderJoins) edges.distinct
+      else {
+        val weight: Map[String, Int] = starNames.map { s =>
+          val preds = q.stars(s).collect {
+            case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
+          }
+          val classIri = q.stars(s).collectFirst {
+            case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
+          }
+          val storeW = mappings.relevantFor(preds, classIri).headOption
+            .flatMap(m => config.weights.get(m.storeType)).getOrElse(1)
+          val vars = q.stars(s).collect { case TriplePattern(_, _, ObjVar(v)) => v }.toSet
+          val filterBonus = if (q.filters.exists(f => vars(f.varName) || f.varName == s)) 1 else 0
+          s -> (storeW + filterBonus)
+        }.toMap
+        edges.distinct.sortBy(e => -(weight(e.fromStar) + weight(e.toStar)))
+      }
+
+    val joined = joinChain(starDFs, ordered)
 
     // --- rename to bare variable names; star prefixes disappear here
     val resolution = resolveVars(q, needed)

@@ -24,16 +24,20 @@ object Transforms {
     fns.collect { case TransformFn("skp", args) => args.head }
 
   private def applyOne(col: Column, fn: TransformFn): Column = fn.name match {
-    case "toInt" => col.cast("int")
+    // try_cast: uncastable → null (reference semantics under Spark 2.4;
+    // Spark 4 ANSI mode would throw on a plain cast)
+    case "toInt" => col.try_cast("int")
     case "scl" =>
       // arg forms: `_+61`, `_-61`, `_*61` (inline), or `+61` / `61` (FnO)
       val a = fn.args.head.stripPrefix("_").trim
-      val (op, n) = (a.head, a.tail.trim.toDouble)
-      op match {
-        case '+' => col + lit(n)
-        case '-' => col - lit(n)
-        case '*' => col * lit(n)
-        case d if d.isDigit => col + lit(a.toDouble)
+      // integral literals stay integral so int/long columns keep their type
+      def num(s: String): Column =
+        s.toLongOption.map(lit(_)).getOrElse(lit(s.toDouble))
+      a.head match {
+        case '+' => col + num(a.tail.trim)
+        case '-' => col - num(a.tail.trim)
+        case '*' => col * num(a.tail.trim)
+        case d if d.isDigit => col + num(a)
         case other => sys.error(s"scl: unsupported operator '$other'")
       }
     case "substit" =>

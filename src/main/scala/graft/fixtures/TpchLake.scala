@@ -31,6 +31,9 @@ object TpchLake {
        |@prefix rr: <http://www.w3.org/ns/r2rml#>
        |@prefix rml: <http://semweb.mmlab.be/ns/rml#>
        |@prefix nosql: <http://purl.org/db/nosql#>
+       |@prefix fnml: <http://semweb.mmlab.be/ns/fnml#>
+       |@prefix fno: <http://w3id.org/function/ontology#>
+       |@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#>
        |
        |<#RegionMap>
        |  rml:logicalSource [ rml:source "$sfDir/region.parquet"; nosql:store nosql:parquet ];
@@ -107,19 +110,89 @@ object TpchLake {
        |  rml:logicalSource [ rml:source "$d/part_shifted_csv"; nosql:store nosql:csv ];
        |  rr:subjectMap [ rr:template "http://graft.io/partshift/{p_partkey_s}" ];
        |  rr:predicateObjectMap [ rr:predicate g:shiftPartName; rr:objectMap [ rml:reference "p_name" ] ] .
+       |
+       |<#FnScale100>
+       |  fnml:functionValue [
+       |    rml:logicalSource "$sfDir/nation.parquet" ;
+       |    rr:predicateObjectMap [ rr:predicate fno:executes; rr:objectMap [ rr:constant grel:scale ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam1; rr:objectMap [ rr:reference "n_regionkey" ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam2; rr:objectMap [ rr:reference "+100" ] ] ;
+       |  ] .
+       |
+       |<#FnPrefixN>
+       |  fnml:functionValue [
+       |    rml:logicalSource "$sfDir/nation.parquet" ;
+       |    rr:predicateObjectMap [ rr:predicate fno:executes; rr:objectMap [ rr:constant grel:prefix ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam1; rr:objectMap [ rr:reference "n_name" ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam2; rr:objectMap [ rr:reference "N_" ] ] ;
+       |  ] .
+       |
+       |<#NationFnoMap>
+       |  rml:logicalSource [ rml:source "$sfDir/nation.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/nationfno/{n_nationkey}" ];
+       |  rr:predicateObjectMap [ rr:predicate g:fnoReg; rr:objectMap <#FnScale100> ];
+       |  rr:predicateObjectMap [ rr:predicate g:fnoName; rr:objectMap <#FnPrefixN> ] .
+       |
+       |<#FnSubstSrc>
+       |  fnml:functionValue [
+       |    rml:logicalSource "$sfDir/documents.parquet" ;
+       |    rr:predicateObjectMap [ rr:predicate fno:executes; rr:objectMap [ rr:constant grel:substitute ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam1; rr:objectMap [ rr:reference "source" ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam2; rr:objectMap [ rr:reference "src0" ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam3; rr:objectMap [ rr:reference "SRC" ] ] ;
+       |  ] .
+       |
+       |<#FnReplText>
+       |  fnml:functionValue [
+       |    rml:logicalSource "$sfDir/documents.parquet" ;
+       |    rr:predicateObjectMap [ rr:predicate fno:executes; rr:objectMap [ rr:constant grel:replace ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam1; rr:objectMap [ rr:reference "text" ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam2; rr:objectMap [ rr:reference "widget" ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam3; rr:objectMap [ rr:reference "gadget" ] ] ;
+       |  ] .
+       |
+       |<#FnPostfixLang>
+       |  fnml:functionValue [
+       |    rml:logicalSource "$sfDir/documents.parquet" ;
+       |    rr:predicateObjectMap [ rr:predicate fno:executes; rr:objectMap [ rr:constant grel:postfix ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam1; rr:objectMap [ rr:reference "lang" ] ] ;
+       |    rr:predicateObjectMap [ rr:predicate grel:valueParam2; rr:objectMap [ rr:reference "_x" ] ] ;
+       |  ] .
+       |
+       |<#DocsFnoMap>
+       |  rml:logicalSource [ rml:source "$sfDir/documents.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/docfno/{doc_id}" ];
+       |  rr:predicateObjectMap [ rr:predicate g:fnoSource; rr:objectMap <#FnSubstSrc> ];
+       |  rr:predicateObjectMap [ rr:predicate g:fnoText; rr:objectMap <#FnReplText> ];
+       |  rr:predicateObjectMap [ rr:predicate g:fnoLang; rr:objectMap <#FnPostfixLang> ] .
+       |
+       |<#NationJdbcMap>
+       |  rml:logicalSource [ rml:source "//NationJdbc"; nosql:store nosql:jdbc ];
+       |  rr:subjectMap [ rr:template "http://graft.io/nationjdbc/{N_NATIONKEY}" ];
+       |  rr:predicateObjectMap [ rr:predicate g:jdbcName; rr:objectMap [ rml:reference "N_NAME" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:jdbcRegion; rr:objectMap [ rml:reference "N_REGIONKEY" ] ] .
        |""".stripMargin
   }
 
+  private def jdbcTable(sfDir: String): String =
+    "NATION_J_" + new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_").toUpperCase
+
+  private val JdbcUrl = "jdbc:derby:memory:graftdb;create=true"
+
   def configText(sfDir: String): String = {
     val d = derivedDir(sfDir)
-    val parquetEntries = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    val parquetEntries = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents")
       .map(t =>
         s"""{"type":"parquet","options":{},"source":"$sfDir/$t.parquet","entity":"${t.capitalize}"}""")
     val csvEntries = Seq(
       s"""{"type":"csv","options":{"header":"true","inferSchema":"true"},"source":"$d/nation_csv","entity":"NationAllCsv"}""",
       s"""{"type":"csv","options":{"header":"true"},"source":"$d/part_shifted_csv","entity":"PartShifted"}""")
-    val weights = """[{"datasource":"parquet","weight":2},{"datasource":"csv","weight":1}]"""
-    s"""{"sources":[${(parquetEntries ++ csvEntries).mkString(",")}],"weights":$weights}"""
+    val jdbcEntry =
+      s"""{"type":"jdbc","options":{"url":"$JdbcUrl","dbtable":"${jdbcTable(sfDir)}",
+         |"driver":"org.apache.derby.jdbc.EmbeddedDriver"},
+         |"source":"//NationJdbc","entity":"NationJdbc"}""".stripMargin.replace("\n", "")
+    val weights = """[{"datasource":"parquet","weight":2},{"datasource":"csv","weight":1},{"datasource":"jdbc","weight":4}]"""
+    s"""{"sources":[${(parquetEntries ++ csvEntries :+ jdbcEntry).mkString(",")}],"weights":$weights}"""
   }
 
   /** Generate the derived CSV sources (idempotent: SaveMode.Ignore). */
@@ -135,6 +208,22 @@ object TpchLake {
       .csv(s"$d/part_shifted_csv")
   }
 
+  private val jdbcLoaded = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Load the nation table into an in-memory Derby DB (once per JVM+sf) so
+    * the JDBC source path is exercised end-to-end against a real database. */
+  def ensureJdbc(spark: SparkSession, sfDir: String): Unit =
+    jdbcLoaded.getOrElseUpdate(sfDir, {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.format("jdbc")
+        .option("url", JdbcUrl)
+        .option("dbtable", jdbcTable(sfDir))
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode(SaveMode.Overwrite)
+        .save()
+      true
+    })
+
   private val cache = scala.collection.concurrent.TrieMap.empty[String, (MappingsDoc, LakeConfig)]
 
   def lake(sfDir: String): (MappingsDoc, LakeConfig) =
@@ -144,6 +233,7 @@ object TpchLake {
   /** Run a SPARQL query against the lake for `sfDir`. */
   def run(spark: SparkSession, sfDir: String, sparql: String): DataFrame = {
     ensureDerived(spark, sfDir)
+    if (sparql.contains("jdbc")) ensureJdbc(spark, sfDir)
     val (m, c) = lake(sfDir)
     GraftEngine.executeParsed(spark, SparqlParser.parse(sparql), m, c)
   }
