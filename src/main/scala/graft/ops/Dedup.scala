@@ -57,7 +57,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingled(df, id, text, n)
+    // shingle sets feed both candidate generation and verification — cache
+    // instead of recomputing the tokenize+shingle scan twice
+    val sh = shingled(df, id, text, n).cache()
     val ex = sh.select(col("sid"), explode(col("shingles")).as("sh"))
     val freq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ranked = ex.join(freq, "sh")
@@ -65,9 +67,11 @@ object Dedup {
         Window.partitionBy(col("sid")).orderBy(col("df"), col("sh"))))
       .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("sid"))))
     val prefix = ranked.filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-      .select(col("sid"), col("sh"))
+      .select(col("sid"), col("sh"), col("nsh"))
+    // length filter: jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t
     val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid") &&
+        col("b.nsh") >= col("a.nsh") * threshold && col("a.nsh") >= col("b.nsh") * threshold)
       .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
       .distinct()
     verifyJaccard(cands, sh, threshold)
@@ -119,9 +123,12 @@ object Dedup {
   def minHashNearDups(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingled(df, id, text, n)
-    val cands = minHashCandidates(
-      minHashSignatures(df, id, text, n, numHashes), bands, rowsPerBand)
+    val sh = shingled(df, id, text, n).cache()
+    val sigs = sh.select(col("sid"), explode(col("shingles")).as("sh"))
+    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
+    val sigDf = sigs.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
+      .select(col("sid"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+    val cands = minHashCandidates(sigDf, bands, rowsPerBand)
     verifyJaccard(cands, sh, threshold)
   }
 
