@@ -193,7 +193,26 @@ object EngineQueries {
     // §2.1 JDBC source (in-memory Derby, loaded from the nation table)
     ("q18_jdbc_source",
       "SELECT ?jn ?jr WHERE { ?n g:jdbcName ?jn . ?n g:jdbcRegion ?jr . }",
-      "SELECT n_name AS jn, n_regionkey AS jr FROM nation"))
+      "SELECT n_name AS jn, n_regionkey AS jr FROM nation"),
+
+    // OPTIONAL → left-outer join (net-new: the reference has no OPTIONAL)
+    ("q19_optional",
+      """SELECT ?cname ?total WHERE {
+        |  ?c g:custName ?cname .
+        |  OPTIONAL { ?o g:customer ?c . ?o g:totalprice ?total . FILTER(?total > 300000) }
+        |}""".stripMargin,
+      "SELECT c_name AS cname, o_totalprice AS total FROM customer " +
+        "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o " +
+        "ON o.o_custkey = c_custkey"),
+
+    // UNION → bag union of branch bodies (net-new: BSBM Q11 was dropped)
+    ("q20_union_branches",
+      """SELECT ?name WHERE {
+        |  { ?c g:custName ?name . }
+        |  UNION
+        |  { ?s g:suppName ?name . }
+        |}""".stripMargin,
+      "SELECT c_name AS name FROM customer UNION ALL SELECT s_name FROM supplier"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     suite.map { case (name, sparql, _) => name -> eng(sparql) }.toMap

@@ -34,6 +34,52 @@ object GraftEngine {
       mappings: MappingsDoc, config: LakeConfig,
       reorderJoins: Boolean = false): DataFrame = {
 
+    // { A } UNION { B }: compile each branch body independently, bag-union
+    // by name (a var unbound in one branch surfaces as null there)
+    var df =
+      if (q.unionBranches.nonEmpty)
+        q.unionBranches.map { case (ps, fs) =>
+          compileBody(spark,
+            q.copy(patterns = ps, filters = fs, unionBranches = Nil, optionalStars = Set.empty),
+            mappings, config, reorderJoins)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      else compileBody(spark, q, mappings, config, reorderJoins)
+
+    // --- modifiers (reference Run.scala:266-306 order:
+    // groupBy → orderBy → project(+distinct) → limit)
+    if (q.aggregates.nonEmpty || q.groupBy.nonEmpty) {
+      val aggCols = q.aggregates.map(aggColumn)
+      require(aggCols.nonEmpty, "GROUP BY without aggregates is not supported")
+      df =
+        if (q.groupBy.nonEmpty)
+          df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        else df.agg(aggCols.head, aggCols.tail: _*)
+    }
+
+    if (q.orderBy.nonEmpty) {
+      // single multi-key sort — deliberate fix of the reference's
+      // last-key-wins loop (Run.scala:294-299; SURVEY §7.4.2)
+      df = df.orderBy(q.orderBy.map(k =>
+        if (k.ascending) col(k.varName).asc else col(k.varName).desc): _*)
+    }
+
+    val projected =
+      if (q.selectAll) df
+      else df.select(q.selectItems.map {
+        case SelectVar(v) => col(v)
+        case SelectAgg(a) => col(a.alias)
+      }: _*)
+
+    val distincted = if (q.distinct) projected.distinct() else projected
+    q.limit.fold(distincted)(distincted.limit)
+  }
+
+  /** Compile the WHERE body (stars → join chain → bare-variable columns),
+    * without solution modifiers. */
+  private def compileBody(spark: SparkSession, q: ParsedQuery,
+      mappings: MappingsDoc, config: LakeConfig,
+      reorderJoins: Boolean): DataFrame = {
+
     val starNames = q.stars.keys.toSeq.sorted
     val needed = neededVars(q)
 
@@ -75,39 +121,11 @@ object GraftEngine {
         edges.distinct.sortBy(e => -(weight(e.fromStar) + weight(e.toStar)))
       }
 
-    val joined = joinChain(starDFs, ordered)
+    val joined = joinChain(starDFs, ordered, q.optionalStars)
 
     // --- rename to bare variable names; star prefixes disappear here
     val resolution = resolveVars(q, needed)
-    var df = joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
-
-    // --- modifiers (reference Run.scala:266-306 order:
-    // groupBy → orderBy → project(+distinct) → limit)
-    if (q.aggregates.nonEmpty || q.groupBy.nonEmpty) {
-      val aggCols = q.aggregates.map(aggColumn)
-      require(aggCols.nonEmpty, "GROUP BY without aggregates is not supported")
-      df =
-        if (q.groupBy.nonEmpty)
-          df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-        else df.agg(aggCols.head, aggCols.tail: _*)
-    }
-
-    if (q.orderBy.nonEmpty) {
-      // single multi-key sort — deliberate fix of the reference's
-      // last-key-wins loop (Run.scala:294-299; SURVEY §7.4.2)
-      df = df.orderBy(q.orderBy.map(k =>
-        if (k.ascending) col(k.varName).asc else col(k.varName).desc): _*)
-    }
-
-    val projected =
-      if (q.selectAll) df
-      else df.select(q.selectItems.map {
-        case SelectVar(v) => col(v)
-        case SelectAgg(a) => col(a.alias)
-      }: _*)
-
-    val distincted = if (q.distinct) projected.distinct() else projected
-    q.limit.fold(distincted)(distincted.limit)
+    joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
   }
 
   private def aggColumn(a: AggSpec): Column = {
@@ -150,20 +168,26 @@ object GraftEngine {
     }
   }
 
-  /** Left-deep inner-join chain with the reference's pending-queue
-    * semantics (SparkExecutor.scala:247-359): seed with the first edge,
-    * attach any edge touching the joined set, queue the rest; a genuinely
-    * disconnected component becomes a cross join (the reference would
-    * never drain it). */
-  private[engine] def joinChain(starDFs: Map[String, DataFrame], edges: Seq[JoinEdge]): DataFrame = {
+  /** Left-deep join chain with the reference's pending-queue semantics
+    * (SparkExecutor.scala:247-359), extended with left-outer attachment of
+    * OPTIONAL stars: required-required edges join inner (processed first);
+    * attaching an optional star preserves the already-joined side. A
+    * genuinely disconnected component becomes a cross join (the reference
+    * would never drain it). */
+  private[engine] def joinChain(starDFs: Map[String, DataFrame], edges: Seq[JoinEdge],
+      optionalStars: Set[String] = Set.empty): DataFrame = {
     if (edges.isEmpty) {
       require(starDFs.size == 1,
         s"${starDFs.size} stars but no join conditions (cartesian query)")
       return starDFs.head._2
     }
+    def opt(s: String) = optionalStars.contains(s)
+    // inner edges first so every required star is joined before any
+    // left-outer attachment can touch it
+    val (innerEdges, outerEdges) = edges.partition(e => !opt(e.fromStar) && !opt(e.toStar))
     var joinedStars = Set.empty[String]
     var df: DataFrame = null
-    var pending = edges.toList
+    var pending = (innerEdges ++ outerEdges).toList
     while (pending.nonEmpty) {
       val idx =
         if (df == null) 0
@@ -173,21 +197,35 @@ object GraftEngine {
         val e = pending(idx)
         pending = pending.patch(idx, Nil, 1)
         val cond = col(e.leftCol) === col(e.rightCol)
+        def attach(newStar: String): Unit = {
+          if (opt(newStar))
+            df = df.join(starDFs(newStar), cond, "left_outer")
+          else if (opt(e.fromStar) || opt(e.toStar))
+            sys.error(s"required star ?$newStar is reachable only through an " +
+              "OPTIONAL edge — rewrite the query so it joins a required star")
+          else df = df.join(starDFs(newStar), cond, "inner")
+          joinedStars += newStar
+        }
         if (df == null) {
-          df = starDFs(e.fromStar).join(starDFs(e.toStar), cond, "inner")
-          joinedStars ++= Set(e.fromStar, e.toStar)
+          // seed: start from a required endpoint so outer joins preserve it
+          val (seed, other) =
+            if (!opt(e.fromStar)) (e.fromStar, e.toStar) else (e.toStar, e.fromStar)
+          df = starDFs(seed)
+          joinedStars += seed
+          attach(other)
         } else (joinedStars.contains(e.fromStar), joinedStars.contains(e.toStar)) match {
           case (true, true) => df = df.filter(cond) // cycle edge: extra condition
-          case (true, false) => df = df.join(starDFs(e.toStar), cond, "inner"); joinedStars += e.toStar
-          case (false, true) => df = starDFs(e.fromStar).join(df, cond, "inner"); joinedStars += e.fromStar
+          case (true, false) => attach(e.toStar)
+          case (false, true) => attach(e.fromStar)
           case (false, false) => () // unreachable: idx guarantees a touch
         }
       } else {
         // disconnected component: join it internally, then cross join on
         val e = pending.head
         pending = pending.tail
+        val jt = if (opt(e.fromStar) || opt(e.toStar)) "left_outer" else "inner"
         val sub = starDFs(e.fromStar)
-          .join(starDFs(e.toStar), col(e.leftCol) === col(e.rightCol), "inner")
+          .join(starDFs(e.toStar), col(e.leftCol) === col(e.rightCol), jt)
         df = df.crossJoin(sub)
         joinedStars ++= Set(e.fromStar, e.toStar)
       }

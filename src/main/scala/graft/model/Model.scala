@@ -58,7 +58,16 @@ final case class ParsedQuery(
     groupBy: Seq[String],
     orderBy: Seq[OrderKey],
     limit: Option[Int],
-    transforms: Seq[JoinTransform]) {
+    transforms: Seq[JoinTransform],
+    /** Stars whose patterns all come from OPTIONAL { } groups — they join
+      * with left-outer semantics (net-new vs the reference, which has no
+      * OPTIONAL: QueryAnalyser.scala:163 TODO). Their patterns/filters are
+      * merged into `patterns`/`filters`. */
+    optionalStars: Set[String] = Set.empty,
+    /** `{ A } UNION { B }` branches (patterns, filters). When non-empty,
+      * `patterns` is empty and the result is the bag-union of the branches
+      * (net-new vs the reference: BSBM Q11 dropped as unsupported). */
+    unionBranches: Seq[(Seq[TriplePattern], Seq[FilterCond])] = Nil) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

@@ -217,10 +217,24 @@ object SparqlParser {
       expectSym("{")
       val patterns = Seq.newBuilder[TriplePattern]
       val filters = Seq.newBuilder[FilterCond]
+      val optionalPatterns = Seq.newBuilder[TriplePattern]
+      val unionBranches = Seq.newBuilder[(Seq[TriplePattern], Seq[FilterCond])]
       var inBody = true
       while (inBody) peek match {
         case Some(Sym("}")) => next(); inBody = false
         case Some(w) if isKw(w, "FILTER") => next(); filters += parseFilter()
+        case Some(w) if isKw(w, "OPTIONAL") =>
+          next()
+          val (ps, fs) = parseGroup(prefixes)
+          optionalPatterns ++= ps
+          filters ++= fs // per-star filters apply before the outer join
+        case Some(Sym("{")) =>
+          // { branch } UNION { branch } [UNION { branch }]*
+          unionBranches += parseGroup(prefixes)
+          while (peek.exists(isKw(_, "UNION"))) {
+            next()
+            unionBranches += parseGroup(prefixes)
+          }
         case Some(Var(_)) => parseTriplesSameSubject(patterns, prefixes)
         case Some(Sym(".")) => next() // stray terminator
         case t => sys.error(s"unexpected token in WHERE: $t")
@@ -254,8 +268,33 @@ object SparqlParser {
         case None => inMods = false
         case t => sys.error(s"unexpected trailing token: $t")
       }
+      val required = patterns.result()
+      val optional = optionalPatterns.result()
+      val branches = unionBranches.result()
+      require(branches.isEmpty || (required.isEmpty && optional.isEmpty),
+        "UNION branches cannot be mixed with top-level triple patterns")
+      // a star is optional only if none of its patterns are required
+      val requiredSubjects = required.map(_.subject).toSet
+      val optStars = optional.map(_.subject).toSet -- requiredSubjects
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
-        patterns.result(), filters.result(), groupBy, orderBy, limit, transforms)
+        required ++ optional, filters.result(), groupBy, orderBy, limit,
+        transforms, optStars, branches)
+    }
+
+    /** `{ triples/filters }` group used by OPTIONAL and UNION. */
+    private def parseGroup(prefixes: Map[String, String]): (Seq[TriplePattern], Seq[FilterCond]) = {
+      expectSym("{")
+      val ps = Seq.newBuilder[TriplePattern]
+      val fs = Seq.newBuilder[FilterCond]
+      var in = true
+      while (in) peek match {
+        case Some(Sym("}")) => next(); in = false
+        case Some(w) if isKw(w, "FILTER") => next(); fs += parseFilter()
+        case Some(Var(_)) => parseTriplesSameSubject(ps, prefixes)
+        case Some(Sym(".")) => next()
+        case t => sys.error(s"unexpected token in group: $t")
+      }
+      (ps.result(), fs.result())
     }
 
     /** AGG '(' ?v ')' [AS ?alias] [')'] — the surrounding '(' was already

@@ -94,6 +94,43 @@ class SparqlParserSpec extends AnyFunSuite {
       JoinTransform("k", "a", 'r', Seq(TransformFn("toInt", Nil)))))
   }
 
+  test("OPTIONAL group: star with only optional patterns is optional") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?n ?t WHERE {
+        |  ?c s:name ?n .
+        |  OPTIONAL { ?o s:cust ?c . ?o s:total ?t . FILTER(?t > 5) }
+        |}""".stripMargin)
+    assert(q.optionalStars == Set("o"))
+    assert(q.stars.keySet == Set("c", "o"))
+    assert(q.filters == Seq(FilterCond("t", ">", "5")))
+  }
+
+  test("OPTIONAL predicates on a required star do not make it optional") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?n WHERE {
+        |  ?c s:name ?n .
+        |  OPTIONAL { ?c s:phone ?p . }
+        |}""".stripMargin)
+    assert(q.optionalStars.isEmpty)
+    assert(q.stars("c").size == 2)
+  }
+
+  test("UNION branches parse separately; mixing with top-level triples fails") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?n WHERE {
+        |  { ?c s:cname ?n . } UNION { ?x s:sname ?n . } UNION { ?y s:pname ?n . }
+        |}""".stripMargin)
+    assert(q.unionBranches.size == 3)
+    assert(q.patterns.isEmpty)
+    intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        "PREFIX s: <http://s/> SELECT ?n WHERE { ?a s:p ?n . { ?c s:c ?n . } UNION { ?x s:s ?n . } }")
+    }
+  }
+
   test("decimal literals in filters survive tokenization") {
     val q = SparqlParser.parse(
       "PREFIX s: <http://s/> SELECT ?v WHERE { ?x s:v ?v . FILTER(?v >= 10.5) }")
