@@ -205,6 +205,14 @@ object EngineQueries {
         "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o " +
         "ON o.o_custkey = c_custkey"),
 
+    // global aggregates without GROUP BY (net-new: the reference's
+    // getGroupBy returns null without a GROUP BY clause — SURVEY §2.4)
+    ("q21_global_agg",
+      """SELECT (COUNT(*) AS ?n) (SUM(?qty) AS ?sq) (MAX(?ep) AS ?mx) WHERE {
+        |  ?li g:quantity ?qty . ?li g:extprice ?ep .
+        |}""".stripMargin,
+      "SELECT COUNT(*) AS n, SUM(l_quantity) AS sq, MAX(l_extendedprice) AS mx FROM lineitem"),
+
     // UNION → bag union of branch bodies (net-new: BSBM Q11 was dropped)
     ("q20_union_branches",
       """SELECT ?name WHERE {

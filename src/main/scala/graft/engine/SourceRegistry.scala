@@ -19,12 +19,30 @@ object SourceRegistry {
   private def sparkOpts(o: Map[String, String]): Map[String, String] =
     o.map { case (k, v) => k.replace('_', '.') -> v }
 
+  /** Mongo connection URI from the reference's option shape
+    * ({url, database, collection, options} — config:26-33; URI builder
+    * Helpers.scala:154-161). */
+  private[graft] def mongoUri(o: Map[String, String]): String = {
+    val base = s"mongodb://${o.getOrElse("url", "127.0.0.1")}/" +
+      s"${o.getOrElse("database", "db")}.${o.getOrElse("collection", "collection")}"
+    o.get("options").filter(_.nonEmpty).fold(base)(opts => s"$base?$opts")
+  }
+
   private var loaders: Map[String, Loader] = Map(
     "csv" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).csv(sc.source)),
     "parquet" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).parquet(sc.source)),
     "json" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).json(sc.source)),
     "jdbc" -> ((spark, sc) => spark.read.format("jdbc").options(sc.options).load()),
-    "mongodb" -> connectorLoader("mongodb", "mongodb"),
+    "mongodb" -> ((spark, sc) =>
+      try spark.read.format("mongodb")
+        .option("connection.uri", mongoUri(sc.options))
+        .option("database", sc.options.getOrElse("database", "db"))
+        .option("collection", sc.options.getOrElse("collection", "collection"))
+        .load()
+      catch {
+        case e: ClassNotFoundException => throw new IllegalStateException(
+          "mongodb connector not on classpath; add its Spark connector jar", e)
+      }),
     "cassandra" -> connectorLoader("cassandra", "org.apache.spark.sql.cassandra"),
     "elasticsearch" -> connectorLoader("elasticsearch", "org.elasticsearch.spark.sql"))
 

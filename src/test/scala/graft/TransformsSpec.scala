@@ -60,6 +60,16 @@ class TransformsSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(s"$dir/c").count() == 2)
   }
 
+  test("mongo URI built from the reference's option shape") {
+    import graft.engine.SourceRegistry
+    assert(SourceRegistry.mongoUri(Map(
+      "url" -> "10.0.0.1", "database" -> "bsbm", "collection" -> "offers",
+      "options" -> "")) == "mongodb://10.0.0.1/bsbm.offers")
+    assert(SourceRegistry.mongoUri(Map(
+      "url" -> "h1,h2:27002", "database" -> "db", "collection" -> "offer",
+      "options" -> "replicaSet=rs")) == "mongodb://h1,h2:27002/db.offer?replicaSet=rs")
+  }
+
   test("weighted join reordering returns identical results") {
     val sf = "/root/testdata/sf0.001"
     graft.fixtures.TpchLake.ensureDerived(spark, sf)
