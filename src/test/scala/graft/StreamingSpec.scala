@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermark semantics of the streaming hourly aggregation: windows emit
+  * (append mode) once the watermark passes, and data later than the
+  * watermark is dropped — bounded state at any scale. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(hour: Int, min: Int = 0) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+
+  test("append-mode hourly windows finalize at the watermark; late rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyStats(events).writeStream
+      .format("memory").queryName("wmtest").outputMode("append").start()
+    try {
+      // batch 1: two events in hour 0, one in hour 5 (advances the watermark
+      // to 03:00 at batch end)
+      ms.addData((ts(0, 10), "click", 1.0), (ts(0, 20), "click", 2.0), (ts(5), "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: trigger emission under the new watermark — hour-0 closes
+      ms.addData((ts(5, 30), "view", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("wmtest")
+        .filter("bucket = " + ts(0).getTime / 1000).collect()
+      assert(afterClose.length == 1)
+      assert(afterClose.head.getAs[Long]("n") == 2)
+
+      // batch 3: a LATE hour-0 event (far behind the 03:00 watermark) +
+      // a fresh event; the late row must not reopen or change the window
+      ms.addData((ts(0, 40), "click", 99.0), (ts(6), "view", 1.0))
+      q.processAllAvailable()
+      ms.addData((ts(9), "view", 1.0)) // advance again to flush anything pending
+      q.processAllAvailable()
+      val afterLate = spark.table("wmtest")
+        .filter("bucket = " + ts(0).getTime / 1000).collect()
+      assert(afterLate.length == 1, "late data must not re-emit the closed window")
+      assert(afterLate.head.getAs[Long]("n") == 2, "late row must be dropped")
+    } finally q.stop()
+  }
+}
