@@ -89,18 +89,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** MinHash signature columns: for each of `numHashes` seeds, the minimum
-    * xxhash64(seed, shingle) over the document's shingles — computed as a
-    * single groupBy with `numHashes` min-aggregates (one shuffle of
-    * (id, shingle) pairs). */
+  /** MinHash signature: for each of `numHashes` seeds, the minimum
+    * xxhash64(seed, shingle) over the document's shingles. Computed
+    * entirely per-row with higher-order functions (transform + array_min)
+    * — zero shuffles; the whole signature stage is map-side codegen. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(s =>
+      array_min(transform(shingles, sh => xxhash64(lit(s), sh)))): _*)
+
   def minHashSignatures(df: DataFrame, id: Column, text: Column, n: Int,
-      numHashes: Int): DataFrame = {
-    val ex = shingled(df, id, text, n)
-      .select(col("sid"), explode(col("shingles")).as("sh"))
-    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
-    ex.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
-      .select(col("sid"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
-  }
+      numHashes: Int): DataFrame =
+    shingled(df, id, text, n)
+      .select(col("sid"), minHashSignature(col("shingles"), numHashes).as("sig"))
 
   /** LSH banding: emit (band index, hash of the band's signature slice) per
     * doc, self-join per bucket → candidate pairs (each pair may surface in
@@ -124,10 +124,7 @@ object Dedup {
       threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingled(df, id, text, n).cache()
-    val sigs = sh.select(col("sid"), explode(col("shingles")).as("sh"))
-    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
-    val sigDf = sigs.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
-      .select(col("sid"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+    val sigDf = sh.select(col("sid"), minHashSignature(col("shingles"), numHashes).as("sig"))
     val cands = minHashCandidates(sigDf, bands, rowsPerBand)
     verifyJaccard(cands, sh, threshold)
   }
