@@ -205,6 +205,17 @@ object EngineQueries {
         "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o " +
         "ON o.o_custkey = c_custkey"),
 
+    // timestamp-typed FILTER (string literal coerced to timestamp, pushed
+    // to the parquet scan) + GROUP BY count
+    ("q22_date_filter",
+      """SELECT ?status (COUNT(?o) AS ?n) WHERE {
+        |  ?o g:orderstatus ?status . ?o g:orderdate ?d .
+        |  FILTER(?d >= "1996-06-01")
+        |}
+        |GROUP BY ?status""".stripMargin,
+      "SELECT o_orderstatus AS status, COUNT(o_orderkey) AS n FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-06-01' GROUP BY o_orderstatus"),
+
     // global aggregates without GROUP BY (net-new: the reference's
     // getGroupBy returns null without a GROUP BY clause — SURVEY §2.4)
     ("q21_global_agg",

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the physical-plan properties that matter at 100 TB: filters
+  * reach the parquet scan, scans read only needed columns, top-k plans as
+  * TakeOrderedAndProject. A change that silently regresses plan shape
+  * fails here even while results stay correct. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q06: numeric filter pushed into the lineitem parquet scan") {
+    val p = plan("q06_join4_mod")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"),
+      s"pushdown missing in:\n$p")
+  }
+
+  test("q06: lineitem scan reads only the needed columns") {
+    val p = plan("q06_join4_mod")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("lineitem.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("l_orderkey") && scanLine.contains("l_quantity"))
+    assert(!scanLine.contains("l_partkey") && !scanLine.contains("l_tax"),
+      s"unneeded columns read: $scanLine")
+  }
+
+  test("q06: ORDER BY + LIMIT plans as TakeOrderedAndProject") {
+    assert(plan("q06_join4_mod").contains("TakeOrderedAndProject"))
+  }
+
+  test("q22: timestamp filter pushed to the orders scan") {
+    val p = plan("q22_date_filter")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), s"no timestamp pushdown in:\n$p")
+  }
+
+  test("s01: brute-force top-k has no shuffle exchange") {
+    val df = SparkEntry.queries("s01_cosine_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in top-k scan:\n$p")
+  }
+}
