@@ -205,6 +205,17 @@ object EngineQueries {
         "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o " +
         "ON o.o_custkey = c_custkey"),
 
+    // events table through the SPARQL lake: per-type max + count over a
+    // value filter (double comparison pushed to the scan)
+    ("q23_events_lake",
+      """SELECT ?etype (COUNT(?e) AS ?n) (MAX(?v) AS ?mx) WHERE {
+        |  ?e g:eventType ?etype . ?e g:eventValue ?v .
+        |  FILTER(?v > 50.0)
+        |}
+        |GROUP BY ?etype""".stripMargin,
+      "SELECT event_type AS etype, COUNT(event_id) AS n, MAX(value) AS mx " +
+        "FROM events WHERE value > 50.0 GROUP BY event_type"),
+
     // timestamp-typed FILTER (string literal coerced to timestamp, pushed
     // to the parquet scan) + GROUP BY count
     ("q22_date_filter",

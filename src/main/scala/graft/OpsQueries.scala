@@ -186,6 +186,10 @@ object OpsQueries {
     ("s02_ann_lsh_topk",
       (s, sf) => Similarity.annTopK(emb(s, sf).filter(col("vec_id") =!= 0),
         col("vec_id"), col("embedding"), queryVec(s, sf), k = 10)),
+    ("s03_ann_ivf_topk",
+      (s, sf) => Similarity.buildIvf(emb(s, sf).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), nLists = 16)
+        .topK(queryVec(s, sf), k = 10, nProbe = 4)),
     ("t05_rolling_hash",
       (s, sf) => docs(s, sf).select(col("doc_id"),
         TextOps.rollingHash(col("text")).as("rh"))),

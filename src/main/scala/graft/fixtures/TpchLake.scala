@@ -166,6 +166,13 @@ object TpchLake {
        |  rr:predicateObjectMap [ rr:predicate g:fnoText; rr:objectMap <#FnReplText> ];
        |  rr:predicateObjectMap [ rr:predicate g:fnoLang; rr:objectMap <#FnPostfixLang> ] .
        |
+       |<#EventsMap>
+       |  rml:logicalSource [ rml:source "$sfDir/events.parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/event/{event_id}"; rr:class g:Event ];
+       |  rr:predicateObjectMap [ rr:predicate g:eventType; rr:objectMap [ rml:reference "event_type" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:eventUser; rr:objectMap [ rml:reference "user_id" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:eventValue; rr:objectMap [ rml:reference "value" ] ] .
+       |
        |<#NationJdbcMap>
        |  rml:logicalSource [ rml:source "//NationJdbc"; nosql:store nosql:jdbc ];
        |  rr:subjectMap [ rr:template "http://graft.io/nationjdbc/{N_NATIONKEY}" ];
@@ -232,6 +239,9 @@ object TpchLake {
 
   /** Run a SPARQL query against the lake for `sfDir`. */
   def run(spark: SparkSession, sfDir: String, sparql: String): DataFrame = {
+    // the events table stores TIMESTAMP(NANOS); read as long everywhere
+    // (only affects nanos-typed columns)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ensureDerived(spark, sfDir)
     if (sparql.contains("jdbc")) ensureJdbc(spark, sfDir)
     val (m, c) = lake(sfDir)

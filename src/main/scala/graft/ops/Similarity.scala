@@ -38,6 +38,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: k-means centroids over the corpus; each
+    * vector is assigned to its nearest centroid's partition list. Queries
+    * probe only the `nProbe` nearest centroids' lists. The index is built
+    * once (seeded, deterministic) and reused across queries — the classic
+    * ANN scale path when the corpus outgrows per-query scans. */
+  final case class IvfIndex(assigned: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Double]]) {
+
+    /** Exact cosine top-k restricted to the nProbe nearest clusters. */
+    def topK(query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+      VectorFunctions.register(assigned.sparkSession)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val probe = centroids.zipWithIndex
+        .sortBy { case (c, _) => -cos(query, c.toSeq) }
+        .take(nProbe).map(_._2).toSeq
+      assigned
+        .filter(col("cluster").isin(probe: _*))
+        .select(col("vec_id"), VectorFunctions.cosine(col("v"), typedLit(query)).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+    }
+  }
+
+  /** Build an IVF index with `nLists` k-means clusters (seeded). */
+  def buildIvf(df: DataFrame, id: Column, vec: Column, nLists: Int,
+      seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val base = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      .fit(base)
+    val assigned = model.transform(base)
+      .select(col("vec_id"), col("v"), col("prediction").as("cluster"))
+      .cache()
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
   /** LSH-bucketed ANN: restrict the scan to buckets within `probeHamming`
     * of the query's bucket (multi-probe), then exact cosine top-k inside.
     * Recall < 1 by construction; raise numPlanes/probeHamming to trade

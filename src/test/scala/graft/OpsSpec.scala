@@ -72,6 +72,20 @@ class OpsSpec extends AnyFunSuite {
       assert(brute.get(id).forall(b => math.abs(b - c) < 1e-9)) }
   }
 
+  test("IVF topK scores match brute force for the vectors it returns") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val brute = graft.ops.Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), q, 50).as[(Long, Double)].collect().toMap
+    val ivf = graft.ops.Similarity.buildIvf(emb.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), nLists = 8)
+      .topK(q, 10, nProbe = 3).as[(Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, c) =>
+      assert(brute.get(id).forall(b => math.abs(b - c) < 1e-9)) }
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val df = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("id", "text")
     val h = df.select(col("id"), TextOps.rollingHash(col("text")).as("h"))
