@@ -150,6 +150,23 @@ object OpsQueries {
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
         "FROM orders) WHERE rn <= 2"),
 
+    // same semantics as w01 but via the typed TopK Aggregator (bounded
+    // O(k) state per group instead of a full per-group window sort)
+    ("w02_topn_aggregator",
+      (s, sf) => {
+        val o = s.read.parquet(s"$sf/orders.parquet")
+        o.groupBy(col("o_custkey").as("custkey"))
+          .agg(graft.functions.TopKAggregator.topK(2)(
+            col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("custkey"), col("t.id").as("okey"), col("t.score").as("price"),
+            (col("pos") + 1).as("rn"))
+      },
+      "SELECT custkey, okey, price, rn FROM (SELECT o_custkey AS custkey, " +
+        "o_orderkey AS okey, o_totalprice AS price, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 2"),
+
     // ---- decimal-exact revenue aggregation (order-independent sums) -----
     ("a01_revenue_decimal",
       (s, sf) => s.read.parquet(s"$sf/lineitem.parquet")
@@ -186,6 +203,12 @@ object OpsQueries {
     ("s02_ann_lsh_topk",
       (s, sf) => Similarity.annTopK(emb(s, sf).filter(col("vec_id") =!= 0),
         col("vec_id"), col("embedding"), queryVec(s, sf), k = 10)),
+    ("s04_knn_join",
+      (s, sf) => {
+        val e = emb(s, sf)
+        Similarity.knnJoinBroadcast(e, e, col("vec_id"), col("embedding"),
+          col("vec_id"), col("embedding"), k = 3)
+      }),
     ("s03_ann_ivf_topk",
       (s, sf) => Similarity.buildIvf(emb(s, sf).filter(col("vec_id") =!= 0),
         col("vec_id"), col("embedding"), nLists = 16)

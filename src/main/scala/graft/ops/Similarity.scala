@@ -81,6 +81,49 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** kNN join: for every query vector, its k nearest corpus vectors by
+    * cosine. The corpus is broadcast and each partition streams its query
+    * rows against it with a bounded heap — no shuffle and no n×m row
+    * materialization (the equivalent crossJoin + window formulation
+    * materializes and sorts n·m rows). mapPartitions is justified here
+    * (preference order (d)): the per-row bounded-heap loop has no
+    * DataFrame expression form that avoids the n×m intermediate.
+    * For corpora too large to broadcast, use [[buildIvf]]/[[annTopK]]
+    * per side instead. Ties break by corpus id. */
+  def knnJoinBroadcast(queries: DataFrame, corpus: DataFrame,
+      qId: Column, qVec: Column, cId: Column, cVec: Column, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val corpusLocal: Array[(Long, Array[Double])] =
+      corpus.select(cId.cast("long"), cVec.cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().map { case (i, v) => (i, v.toArray) }
+    val bc = spark.sparkContext.broadcast(corpusLocal)
+    val q = queries.select(qId.cast("long"), qVec.cast("array<double>"))
+      .as[(Long, Seq[Double])]
+    q.mapPartitions { it =>
+      val corp = bc.value
+      it.flatMap { case (qid, qv) =>
+        val qa = qv.toArray
+        var qn = 0.0; var i = 0
+        while (i < qa.length) { qn += qa(i) * qa(i); i += 1 }
+        // bounded max-heap of size k ordered worst-first
+        val ord = Ordering.by((t: (Long, Double)) => (t._2, -t._1))
+        val heap = scala.collection.mutable.PriorityQueue.empty(ord.reverse)
+        for ((cid, cv) <- corp if cid != qid) {
+          var dot = 0.0; var cn = 0.0; var j = 0
+          val n = math.min(qa.length, cv.length)
+          while (j < n) { dot += qa(j) * cv(j); cn += cv(j) * cv(j); j += 1 }
+          val cos = if (qn == 0 || cn == 0) 0.0 else dot / math.sqrt(qn * cn)
+          if (heap.size < k) heap.enqueue((cid, cos))
+          else if (ord.gt((cid, cos), heap.head)) { heap.dequeue(); heap.enqueue((cid, cos)) }
+        }
+        heap.toSeq.sorted(ord.reverse).zipWithIndex.map { case ((cid, cos), rk) =>
+          (qid, cid, cos, rk + 1)
+        }
+      }
+    }.toDF("q_id", "c_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN: restrict the scan to buckets within `probeHamming`
     * of the query's bucket (multi-probe), then exact cosine top-k inside.
     * Recall < 1 by construction; raise numPlanes/probeHamming to trade

@@ -86,6 +86,25 @@ class OpsSpec extends AnyFunSuite {
       assert(brute.get(id).forall(b => math.abs(b - c) < 1e-9)) }
   }
 
+  test("knn join equals the crossJoin+window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(120).cache()
+    val got = graft.ops.Similarity.knnJoinBroadcast(emb, emb,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    graft.functions.VectorFunctions.register(spark)
+    val a = emb.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val b = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(graft.functions.VectorFunctions.cosine(col("qv"), col("cv")).desc,
+        col("c_id"))
+    val exp = a.crossJoin(b).filter(col("q_id") =!= col("c_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == exp)
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val df = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("id", "text")
     val h = df.select(col("id"), TextOps.rollingHash(col("text")).as("h"))
