@@ -221,7 +221,10 @@ object OpsQueries {
         Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, sf))), stride = 2)),
     ("st02_sessionize",
       (s, sf) => EventStreams.sessionize(
-        EventStreams.readEvents(s, s"$sf/events.parquet"), gapMinutes = 30)))
+        EventStreams.readEvents(s, s"$sf/events.parquet"), gapMinutes = 30)),
+    ("st03_streaming_dedup",
+      (s, sf) => EventStreams.runStreamingDedupBatch(
+        s, s"$sf/events.parquet", "1 hour", Seq("user_id"))))
 
   /** Deterministic NT file derived from the nation table (idempotent). */
   private def ntFixture(s: SparkSession, sf: String): String = synchronized {

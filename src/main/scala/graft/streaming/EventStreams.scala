@@ -35,28 +35,53 @@ object EventStreams {
   /** Run [[hourlyStats]] as a real streaming query over the parquet file
     * (file source → memory sink, complete mode), block until all available
     * data is processed, and return the result table. */
-  def runHourlyStatsBatch(spark: SparkSession, parquetPath: String): DataFrame = {
+  /** File-source stream over a single parquet file (the source monitors a
+    * directory; expose the file through a derived symlink dir) with the
+    * nanos→µs timestamp conversion applied. */
+  private def streamEvents(spark: SparkSession, parquetPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(parquetPath).schema
-    // the file source monitors a directory; expose the single file through
-    // a derived dir (symlink, idempotent)
     val dir = java.nio.file.Paths.get(
       s"/root/repo/target/derived/${new java.io.File(parquetPath).getParentFile.getName}/events_stream")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("part-0.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(parquetPath))
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    spark.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    val name = s"graft_hourly_${math.abs(parquetPath.hashCode)}"
-    // a previous run of the same query may still be registered
+  }
+
+  /** Run a streaming plan to completion over the events file and return
+    * the collected result table (memory sink). */
+  private def runToMemory(spark: SparkSession, plan: DataFrame, name: String,
+      mode: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = hourlyStats(stream).writeStream
-      .format("memory").queryName(name).outputMode("complete")
+    val q = plan.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** [[streamingDedup]] run as a real streaming query over the events
+    * parquet file; returns the surviving rows. */
+  def runStreamingDedupBatch(spark: SparkSession, parquetPath: String,
+      delay: String, keys: Seq[String]): DataFrame =
+    runToMemory(spark,
+      streamingDedup(streamEvents(spark, parquetPath), "ts", delay, keys),
+      s"graft_dedup_${math.abs(parquetPath.hashCode)}", "append")
+
+  def runHourlyStatsBatch(spark: SparkSession, parquetPath: String): DataFrame =
+    runToMemory(spark, hourlyStats(streamEvents(spark, parquetPath)),
+      s"graft_hourly_${math.abs(parquetPath.hashCode)}", "complete")
+
+  /** Streaming exact dedup: drops rows whose key was already seen, with
+    * state bounded by the watermark (duplicates arriving later than the
+    * watermark delay may pass — the deliberate state/recall trade every
+    * streaming dedup makes). Batch twin: [[graft.ops.Dedup.exact]]. */
+  def streamingDedup(events: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Sessionization with typed state: gap-based sessions per user via
     * flatMapGroupsWithState — the custom-state surface

@@ -52,4 +52,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(afterLate.head.getAs[Long]("n") == 2, "late row must be dropped")
     } finally q.stop()
   }
+
+  test("streaming dedup drops in-watermark duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = EventStreams.streamingDedup(
+      ms.toDF().toDF("ts", "doc_id"), "ts", "1 hour", Seq("doc_id"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("deduptest").outputMode("append").start()
+    try {
+      ms.addData((ts(1), 10L), (ts(1, 5), 10L), (ts(1, 10), 11L))
+      q.processAllAvailable()
+      ms.addData((ts(1, 20), 10L), (ts(1, 30), 12L)) // 10 again, in-watermark
+      q.processAllAvailable()
+      val ids = spark.table("deduptest").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
 }
