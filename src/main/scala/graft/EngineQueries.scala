@@ -195,6 +195,12 @@ object EngineQueries {
       "SELECT ?jn ?jr WHERE { ?n g:jdbcName ?jn . ?n g:jdbcRegion ?jr . }",
       "SELECT n_name AS jn, n_regionkey AS jr FROM nation"),
 
+    // §2.1 rdf store type: N-Triples ingestion inside the engine flow
+    // (reference SparkExecutor.scala:101-104)
+    ("q24_rdf_store",
+      "SELECT ?ntn ?ntr WHERE { ?n g:ntName ?ntn . ?n g:ntRegion ?ntr . }",
+      "SELECT n_name AS ntn, n_regionkey AS ntr FROM nation"),
+
     // OPTIONAL → left-outer join (net-new: the reference has no OPTIONAL)
     ("q19_optional",
       """SELECT ?cname ?total WHERE {

@@ -227,23 +227,8 @@ object OpsQueries {
         s, s"$sf/events.parquet", "1 hour", Seq("user_id"))))
 
   /** Deterministic NT file derived from the nation table (idempotent). */
-  private def ntFixture(s: SparkSession, sf: String): String = synchronized {
-    val label = new java.io.File(sf).getName
-    val dir = s"/root/repo/target/derived/$label/nation_nt"
-    val n = s.read.parquet(s"$sf/nation.parquet")
-    n.select(concat(
-        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
-        lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "),
-        lit("<http://graft.io/schema/Nation> ."), lit("\n"),
-        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
-        lit("<http://graft.io/schema/name> \""), col("n_name"), lit("\" ."), lit("\n"),
-        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
-        lit("<http://graft.io/schema/regionkey> \""), col("n_regionkey"),
-        lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
-        .as("value"))
-      .coalesce(1).write.mode(SaveMode.Ignore).text(dir)
-    dir
-  }
+  private def ntFixture(s: SparkSession, sf: String): String =
+    graft.fixtures.TpchLake.ntFixture(s, sf)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (oracleSuite.map { case (n, f, _) => n -> f } ++ rowsOnlySuite).toMap

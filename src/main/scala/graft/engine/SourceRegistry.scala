@@ -33,6 +33,11 @@ object SourceRegistry {
     "parquet" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).parquet(sc.source)),
     "json" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).json(sc.source)),
     "jdbc" -> ((spark, sc) => spark.read.format("jdbc").options(sc.options).load()),
+    // RDF N-Triples: one wide typed table per rdf:type class (reference
+    // SparkExecutor.scala:101-104 → NTtoDF; class from source options)
+    "rdf" -> ((spark, sc) => graft.sources.NtSource.read(spark, sc.source,
+      sc.options.getOrElse("class",
+        sys.error(s"rdf source ${sc.source} needs a 'class' option")))),
     "mongodb" -> ((spark, sc) =>
       try spark.read.format("mongodb")
         .option("connection.uri", mongoUri(sc.options))

@@ -166,6 +166,12 @@ object TpchLake {
        |  rr:predicateObjectMap [ rr:predicate g:fnoText; rr:objectMap <#FnReplText> ];
        |  rr:predicateObjectMap [ rr:predicate g:fnoLang; rr:objectMap <#FnPostfixLang> ] .
        |
+       |<#NationNtMap>
+       |  rml:logicalSource [ rml:source "$d/nation_nt"; nosql:store nosql:rdf ];
+       |  rr:subjectMap [ rr:template "http://graft.io/nation/{id}" ];
+       |  rr:predicateObjectMap [ rr:predicate g:ntName; rr:objectMap [ rml:reference "name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:ntRegion; rr:objectMap [ rml:reference "regionkey" ] ] .
+       |
        |<#EventsMap>
        |  rml:logicalSource [ rml:source "$sfDir/events.parquet"; nosql:store nosql:parquet ];
        |  rr:subjectMap [ rr:template "http://graft.io/event/{event_id}"; rr:class g:Event ];
@@ -194,15 +200,17 @@ object TpchLake {
     val csvEntries = Seq(
       s"""{"type":"csv","options":{"header":"true","inferSchema":"true"},"source":"$d/nation_csv","entity":"NationAllCsv"}""",
       s"""{"type":"csv","options":{"header":"true"},"source":"$d/part_shifted_csv","entity":"PartShifted"}""")
+    val rdfEntry =
+      s"""{"type":"rdf","options":{"class":"${NS}Nation"},"source":"$d/nation_nt","entity":"NationNt"}"""
     val jdbcEntry =
       s"""{"type":"jdbc","options":{"url":"$JdbcUrl","dbtable":"${jdbcTable(sfDir)}",
          |"driver":"org.apache.derby.jdbc.EmbeddedDriver"},
          |"source":"//NationJdbc","entity":"NationJdbc"}""".stripMargin.replace("\n", "")
     val weights = """[{"datasource":"parquet","weight":2},{"datasource":"csv","weight":1},{"datasource":"jdbc","weight":4}]"""
-    s"""{"sources":[${(parquetEntries ++ csvEntries :+ jdbcEntry).mkString(",")}],"weights":$weights}"""
+    s"""{"sources":[${(parquetEntries ++ csvEntries :+ rdfEntry :+ jdbcEntry).mkString(",")}],"weights":$weights}"""
   }
 
-  /** Generate the derived CSV sources (idempotent: SaveMode.Ignore). */
+  /** Generate the derived CSV/NT sources (idempotent: SaveMode.Ignore). */
   def ensureDerived(spark: SparkSession, sfDir: String): Unit = synchronized {
     val d = derivedDir(sfDir)
     spark.read.parquet(s"$sfDir/nation.parquet")
@@ -213,6 +221,25 @@ object TpchLake {
         col("p_name"))
       .coalesce(1).write.mode(SaveMode.Ignore).option("header", "true")
       .csv(s"$d/part_shifted_csv")
+    ntFixture(spark, sfDir)
+  }
+
+  /** Deterministic N-Triples file derived from the nation table. */
+  def ntFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = s"${derivedDir(sfDir)}/nation_nt"
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(concat(
+        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
+        lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "),
+        lit("<http://graft.io/schema/Nation> ."), lit("\n"),
+        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
+        lit("<http://graft.io/schema/name> \""), col("n_name"), lit("\" ."), lit("\n"),
+        lit("<http://graft.io/nation/"), col("n_nationkey"), lit("> "),
+        lit("<http://graft.io/schema/regionkey> \""), col("n_regionkey"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
+        .as("value"))
+      .coalesce(1).write.mode(SaveMode.Ignore).text(dir)
+    dir
   }
 
   private val jdbcLoaded = scala.collection.concurrent.TrieMap.empty[String, Boolean]
