@@ -56,18 +56,20 @@ object Dedup {
     * follows; output = naive all-pairs result, cost ≪ n². */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // shingle sets feed both candidate generation and verification — cache
     // instead of recomputing the tokenize+shingle scan twice
     val sh = shingled(df, id, text, n).cache()
-    val ex = sh.select(col("sid"), explode(col("shingles")).as("sh"))
-    val freq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val ranked = ex.join(freq, "sh")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("sid")).orderBy(col("df"), col("sh"))))
-      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("sid"))))
-    val prefix = ranked.filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-      .select(col("sid"), col("sh"), col("nsh"))
+    // prefix filtering needs only SOME fixed global shingle order; hash
+    // order is computed per-row (sort + slice inside codegen), avoiding
+    // the frequency-join + two windows a rarity order would cost. A pair
+    // with jaccard ≥ t still must share a shingle within each side's
+    // first |S| − ⌈t·|S|⌉ + 1 shingles under that order.
+    val prefixArr = slice(
+      array_sort(transform(col("shingles"), s => struct(xxhash64(s).as("h"), s.as("s")))),
+      lit(1), (size(col("shingles")) - ceil(size(col("shingles")) * threshold) + 1).cast("int"))
+    val prefix = sh.select(col("sid"), size(col("shingles")).as("nsh"),
+        explode(prefixArr).as("hs"))
+      .select(col("sid"), col("hs.s").as("sh"), col("nsh"))
     // length filter: jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid") &&
