@@ -218,6 +218,7 @@ object SparqlParser {
       val patterns = Seq.newBuilder[TriplePattern]
       val filters = Seq.newBuilder[FilterCond]
       val optionalPatterns = Seq.newBuilder[TriplePattern]
+      val optionalFilters = Seq.newBuilder[FilterCond]
       val unionBranches = Seq.newBuilder[(Seq[TriplePattern], Seq[FilterCond])]
       var inBody = true
       while (inBody) peek match {
@@ -227,7 +228,7 @@ object SparqlParser {
           next()
           val (ps, fs) = parseGroup(prefixes)
           optionalPatterns ++= ps
-          filters ++= fs // per-star filters apply before the outer join
+          optionalFilters ++= fs
         case Some(Sym("{")) =>
           // { branch } UNION { branch } [UNION { branch }]*
           unionBranches += parseGroup(prefixes)
@@ -276,9 +277,19 @@ object SparqlParser {
       // a star is optional only if none of its patterns are required
       val requiredSubjects = required.map(_.subject).toSet
       val optStars = optional.map(_.subject).toSet -- requiredSubjects
+      // filters inside OPTIONAL groups apply per-star before the outer
+      // join — correct only when they constrain optional-star bindings;
+      // a filter on an outer/required var would drop preserved rows
+      val optionalStarVars = (optStars ++ optional.collect {
+        case TriplePattern(s, _, ObjVar(v)) if optStars.contains(s) => v
+      }) -- requiredSubjects // a join var IS an outer binding
+      for (f <- optionalFilters.result())
+        require(optionalStarVars.contains(f.varName),
+          s"FILTER(?${f.varName} ...) inside OPTIONAL must reference a " +
+            "variable bound by the optional group's own (optional) stars")
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
-        required ++ optional, filters.result(), groupBy, orderBy, limit,
-        transforms, optStars, branches)
+        required ++ optional, filters.result() ++ optionalFilters.result(),
+        groupBy, orderBy, limit, transforms, optStars, branches)
     }
 
     /** `{ triples/filters }` group used by OPTIONAL and UNION. */

@@ -117,6 +117,17 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(q.stars("c").size == 2)
   }
 
+  test("OPTIONAL filter on an outer variable is rejected") {
+    intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        """PREFIX s: <http://s/>
+          |SELECT ?n WHERE {
+          |  ?c s:name ?n .
+          |  OPTIONAL { ?o s:cust ?c . FILTER(?n = "x") }
+          |}""".stripMargin)
+    }
+  }
+
   test("UNION branches parse separately; mixing with top-level triples fails") {
     val q = SparqlParser.parse(
       """PREFIX s: <http://s/>
