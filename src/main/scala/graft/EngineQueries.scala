@@ -195,6 +195,17 @@ object EngineQueries {
       "SELECT ?jn ?jr WHERE { ?n g:jdbcName ?jn . ?n g:jdbcRegion ?jr . }",
       "SELECT n_name AS jn, n_regionkey AS jr FROM nation"),
 
+    // HAVING: post-aggregation filter (net-new vs reference)
+    ("q25_having",
+      """SELECT ?nname (COUNT(?c) AS ?nc) WHERE {
+        |  ?c g:custNation ?n . ?n g:nationName ?nname .
+        |}
+        |GROUP BY ?nname
+        |HAVING (COUNT(?c) > 70)""".stripMargin,
+      "SELECT n_name AS nname, COUNT(c_custkey) AS nc FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name " +
+        "HAVING COUNT(c_custkey) > 70"),
+
     // §2.1 rdf store type: N-Triples ingestion inside the engine flow
     // (reference SparkExecutor.scala:101-104)
     ("q24_rdf_store",

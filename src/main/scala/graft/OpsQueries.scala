@@ -29,6 +29,12 @@ object OpsQueries {
       (s, sf) => Dedup.exact(docs(s, sf), Dedup.normText(col("text")), col("doc_id")),
       "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY lower(trim(text))"),
 
+    ("d06_dedup_rows",
+      (s, sf) => Dedup.exactRows(docs(s, sf), Dedup.normText(col("text")), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      "SELECT doc_id, lang, n_chars FROM documents " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) = 1"),
+
     ("d02_ngram_jaccard",
       (s, sf) => Dedup.ngramJaccardPairs(docs(s, sf), col("doc_id"), col("text"),
         n = 3, threshold = 0.8),
@@ -115,6 +121,12 @@ object OpsQueries {
         |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
         |  len(list_filter(toks, x -> x IN ('el','los','las','y','es','uno','una'))) AS es
         |FROM (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS toks FROM documents)))""".stripMargin),
+
+    ("t06_doc_freq",
+      (s, sf) => TextOps.documentFrequency(docs(s, sf), col("text")),
+      "SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, unnest(" +
+        "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS term " +
+        "FROM documents WHERE trim(text) <> '') GROUP BY term"),
 
     ("t04_fingerprint",
       (s, sf) => docs(s, sf).select(col("doc_id"),

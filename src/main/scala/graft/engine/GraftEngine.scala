@@ -54,6 +54,13 @@ object GraftEngine {
         if (q.groupBy.nonEmpty)
           df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
         else df.agg(aggCols.head, aggCols.tail: _*)
+      // HAVING: post-aggregation filter on a SELECTed aggregate (net-new)
+      for ((agg, op, value) <- q.having) {
+        val alias = q.aggregates.find(a => a.fn == agg.fn && a.varName == agg.varName)
+          .map(_.alias).getOrElse(sys.error(
+            s"HAVING ${agg.fn}(?${agg.varName}) must also appear in SELECT"))
+        df = df.filter(StarCompiler.predicate(col(alias), FilterCond(alias, op, value)))
+      }
     }
 
     if (q.orderBy.nonEmpty) {

@@ -67,7 +67,11 @@ final case class ParsedQuery(
     /** `{ A } UNION { B }` branches (patterns, filters). When non-empty,
       * `patterns` is empty and the result is the bag-union of the branches
       * (net-new vs the reference: BSBM Q11 dropped as unsupported). */
-    unionBranches: Seq[(Seq[TriplePattern], Seq[FilterCond])] = Nil) {
+    unionBranches: Seq[(Seq[TriplePattern], Seq[FilterCond])] = Nil,
+    /** HAVING conditions: (aggregate, op, literal) applied after GROUP BY
+      * (net-new vs the reference). The aggregate must also appear in the
+      * SELECT list (matched by fn+var). */
+    having: Seq[(AggSpec, String, String)] = Nil) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

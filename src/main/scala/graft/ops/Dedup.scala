@@ -33,6 +33,16 @@ object Dedup {
       .agg(min(id).as("keep_id"))
       .select(col("keep_id"))
 
+  /** Exact dedup keeping the full surviving rows (min id per key wins) —
+    * a single window pass, no self-join back. */
+  def exactRows(df: DataFrame, key: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(key).orderBy(id)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Distinct word n-gram shingles of a text column (lowercased,
     * whitespace-tokenized). Empty/short texts yield their full token join
     * so no document silently disappears. */

@@ -72,6 +72,14 @@ object TextOps {
     }
   }
 
+  /** Corpus document frequency: for each distinct token, the number of
+    * documents containing it (classic IDF numerator; one explode + one
+    * count-distinct-free aggregation). */
+  def documentFrequency(df: org.apache.spark.sql.DataFrame, text: Column): org.apache.spark.sql.DataFrame =
+    df.select(explode(array_distinct(tokens(text))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+
   /** Content fingerprint: md5 hex of the normalized text (exact-dup key;
     * cross-engine reproducible). */
   def fingerprintMd5(text: Column): Column = md5(Dedup.normText(text).cast("binary"))

@@ -244,8 +244,21 @@ object SparqlParser {
       var groupBy = Seq.empty[String]
       var orderBy = Seq.empty[OrderKey]
       var limit = Option.empty[Int]
+      var having = Seq.empty[(AggSpec, String, String)]
       var inMods = true
       while (inMods) peek match {
+        case Some(w) if isKw(w, "HAVING") =>
+          next(); expectSym("(")
+          val agg = parseAggExpr(closeParen = false).agg
+          val Sym(op) = next(): @unchecked
+          require(CmpOps.contains(op), s"unsupported HAVING op $op")
+          val value = next() match {
+            case Word(v) => v
+            case Str(s) => s
+            case t => sys.error(s"unsupported HAVING literal: $t")
+          }
+          expectSym(")")
+          having :+= ((agg, op, value))
         case Some(w) if isKw(w, "GROUP") =>
           next(); require(takeKw("BY"), "GROUP must be followed by BY")
           val vs = Seq.newBuilder[String]
@@ -289,7 +302,7 @@ object SparqlParser {
             "variable bound by the optional group's own (optional) stars")
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
         required ++ optional, filters.result() ++ optionalFilters.result(),
-        groupBy, orderBy, limit, transforms, optStars, branches)
+        groupBy, orderBy, limit, transforms, optStars, branches, having)
     }
 
     /** `{ triples/filters }` group used by OPTIONAL and UNION. */
