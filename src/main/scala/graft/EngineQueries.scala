@@ -206,6 +206,15 @@ object EngineQueries {
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name " +
         "HAVING COUNT(c_custkey) > 70"),
 
+    // MINUS → anti join (net-new): customers with no 400k+ order
+    ("q26_minus",
+      """SELECT ?cname ?bal WHERE {
+        |  ?c g:custName ?cname . ?c g:acctbal ?bal .
+        |  MINUS { ?o g:customer ?c . ?o g:totalprice ?t . FILTER(?t > 400000) }
+        |}""".stripMargin,
+      "SELECT c_name AS cname, c_acctbal AS bal FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"),
+
     // §2.1 rdf store type: N-Triples ingestion inside the engine flow
     // (reference SparkExecutor.scala:101-104)
     ("q24_rdf_store",

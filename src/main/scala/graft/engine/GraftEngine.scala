@@ -128,10 +128,15 @@ object GraftEngine {
         edges.distinct.sortBy(e => -(weight(e.fromStar) + weight(e.toStar)))
       }
 
-    val joined = joinChain(starDFs, ordered, q.optionalStars)
+    val joined = joinChain(starDFs, ordered, q.optionalStars, q.minusStars)
 
-    // --- rename to bare variable names; star prefixes disappear here
-    val resolution = resolveVars(q, needed)
+    // --- rename to bare variable names; star prefixes disappear here.
+    // MINUS-star bindings are not part of the solution (anti join keeps
+    // only the preserved side's columns).
+    val resolution = resolveVars(q, needed).filterNot { case (v, _) =>
+      q.minusStars.contains(v) ||
+        q.varToStarPred.get(v).exists { case (s, _) => q.minusStars.contains(s) }
+    }
     joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
   }
 
@@ -182,15 +187,23 @@ object GraftEngine {
     * genuinely disconnected component becomes a cross join (the reference
     * would never drain it). */
   private[engine] def joinChain(starDFs: Map[String, DataFrame], edges: Seq[JoinEdge],
-      optionalStars: Set[String] = Set.empty): DataFrame = {
+      optionalStars: Set[String] = Set.empty,
+      minusStars: Set[String] = Set.empty): DataFrame = {
     if (edges.isEmpty) {
       require(starDFs.size == 1,
         s"${starDFs.size} stars but no join conditions (cartesian query)")
       return starDFs.head._2
     }
-    def opt(s: String) = optionalStars.contains(s)
+    def opt(s: String) = optionalStars.contains(s) || minusStars.contains(s)
+    // a MINUS star leaves no columns behind (anti join) — it must be a
+    // leaf of the join graph
+    for (m <- minusStars) {
+      val touching = edges.count(e => e.fromStar == m || e.toStar == m)
+      require(touching == 1,
+        s"MINUS star ?$m must connect to the rest of the query by exactly one join")
+    }
     // inner edges first so every required star is joined before any
-    // left-outer attachment can touch it
+    // left-outer/anti attachment can touch it
     val (innerEdges, outerEdges) = edges.partition(e => !opt(e.fromStar) && !opt(e.toStar))
     var joinedStars = Set.empty[String]
     var df: DataFrame = null
@@ -205,7 +218,9 @@ object GraftEngine {
         pending = pending.patch(idx, Nil, 1)
         val cond = col(e.leftCol) === col(e.rightCol)
         def attach(newStar: String): Unit = {
-          if (opt(newStar))
+          if (minusStars.contains(newStar))
+            df = df.join(starDFs(newStar), cond, "left_anti")
+          else if (opt(newStar))
             df = df.join(starDFs(newStar), cond, "left_outer")
           else if (opt(e.fromStar) || opt(e.toStar))
             sys.error(s"required star ?$newStar is reachable only through an " +

@@ -71,7 +71,11 @@ final case class ParsedQuery(
     /** HAVING conditions: (aggregate, op, literal) applied after GROUP BY
       * (net-new vs the reference). The aggregate must also appear in the
       * SELECT list (matched by fn+var). */
-    having: Seq[(AggSpec, String, String)] = Nil) {
+    having: Seq[(AggSpec, String, String)] = Nil,
+    /** Stars bound only inside MINUS { } groups — attached with
+      * left-anti semantics (solutions matching the group are removed).
+      * Must be leaves of the join graph. Net-new vs the reference. */
+    minusStars: Set[String] = Set.empty) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

@@ -218,6 +218,7 @@ object SparqlParser {
       val patterns = Seq.newBuilder[TriplePattern]
       val filters = Seq.newBuilder[FilterCond]
       val optionalPatterns = Seq.newBuilder[TriplePattern]
+      val minusPatterns = Seq.newBuilder[TriplePattern]
       val optionalFilters = Seq.newBuilder[FilterCond]
       val unionBranches = Seq.newBuilder[(Seq[TriplePattern], Seq[FilterCond])]
       var inBody = true
@@ -229,6 +230,11 @@ object SparqlParser {
           val (ps, fs) = parseGroup(prefixes)
           optionalPatterns ++= ps
           optionalFilters ++= fs
+        case Some(w) if isKw(w, "MINUS") =>
+          next()
+          val (ps, fs) = parseGroup(prefixes)
+          minusPatterns ++= ps
+          optionalFilters ++= fs // same scoping rule as OPTIONAL filters
         case Some(Sym("{")) =>
           // { branch } UNION { branch } [UNION { branch }]*
           unionBranches += parseGroup(prefixes)
@@ -284,25 +290,28 @@ object SparqlParser {
       }
       val required = patterns.result()
       val optional = optionalPatterns.result()
+      val minus = minusPatterns.result()
       val branches = unionBranches.result()
-      require(branches.isEmpty || (required.isEmpty && optional.isEmpty),
+      require(branches.isEmpty || (required.isEmpty && optional.isEmpty && minus.isEmpty),
         "UNION branches cannot be mixed with top-level triple patterns")
-      // a star is optional only if none of its patterns are required
+      // a star is optional/minus only if none of its patterns are required
       val requiredSubjects = required.map(_.subject).toSet
       val optStars = optional.map(_.subject).toSet -- requiredSubjects
-      // filters inside OPTIONAL groups apply per-star before the outer
-      // join — correct only when they constrain optional-star bindings;
-      // a filter on an outer/required var would drop preserved rows
-      val optionalStarVars = (optStars ++ optional.collect {
-        case TriplePattern(s, _, ObjVar(v)) if optStars.contains(s) => v
+      val mStars = minus.map(_.subject).toSet -- requiredSubjects -- optStars
+      // filters inside OPTIONAL/MINUS groups apply per-star before the
+      // outer/anti join — correct only when they constrain the group's own
+      // stars; a filter on an outer/required var would drop preserved rows
+      val groupStars = optStars ++ mStars
+      val groupVars = (groupStars ++ (optional ++ minus).collect {
+        case TriplePattern(s, _, ObjVar(v)) if groupStars.contains(s) => v
       }) -- requiredSubjects // a join var IS an outer binding
       for (f <- optionalFilters.result())
-        require(optionalStarVars.contains(f.varName),
-          s"FILTER(?${f.varName} ...) inside OPTIONAL must reference a " +
-            "variable bound by the optional group's own (optional) stars")
+        require(groupVars.contains(f.varName),
+          s"FILTER(?${f.varName} ...) inside OPTIONAL/MINUS must reference a " +
+            "variable bound by the group's own stars")
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
-        required ++ optional, filters.result() ++ optionalFilters.result(),
-        groupBy, orderBy, limit, transforms, optStars, branches, having)
+        required ++ optional ++ minus, filters.result() ++ optionalFilters.result(),
+        groupBy, orderBy, limit, transforms, optStars, branches, having, mStars)
     }
 
     /** `{ triples/filters }` group used by OPTIONAL and UNION. */

@@ -128,6 +128,17 @@ class SparqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("MINUS group: star with only minus patterns is a minus star") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?n WHERE {
+        |  ?c s:name ?n .
+        |  MINUS { ?o s:cust ?c . ?o s:total ?t . }
+        |}""".stripMargin)
+    assert(q.minusStars == Set("o"))
+    assert(q.optionalStars.isEmpty)
+  }
+
   test("UNION branches parse separately; mixing with top-level triples fails") {
     val q = SparqlParser.parse(
       """PREFIX s: <http://s/>
