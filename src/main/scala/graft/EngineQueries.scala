@@ -206,6 +206,16 @@ object EngineQueries {
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name " +
         "HAVING COUNT(c_custkey) > 70"),
 
+    // DISTINCT aggregates (net-new — SURVEY §2.4 notes the reference
+    // lacks them): distinct customers and parts per return flag
+    ("q27_distinct_agg",
+      """SELECT ?rf (COUNT(DISTINCT ?p) AS ?nparts) (COUNT(?qty) AS ?nrows) WHERE {
+        |  ?li g:returnflag ?rf . ?li g:part ?p . ?li g:quantity ?qty .
+        |}
+        |GROUP BY ?rf""".stripMargin,
+      "SELECT l_returnflag AS rf, COUNT(DISTINCT l_partkey) AS nparts, " +
+        "COUNT(l_quantity) AS nrows FROM lineitem GROUP BY l_returnflag"),
+
     // MINUS → anti join (net-new): customers with no 400k+ order
     ("q26_minus",
       """SELECT ?cname ?bal WHERE {

@@ -142,13 +142,15 @@ object GraftEngine {
 
   private def aggColumn(a: AggSpec): Column = {
     val in = if (a.varName == "*") lit(1) else col(a.varName)
-    val c = a.fn match {
-      case "sum" => sum(in)
-      case "min" => min(in)
-      case "max" => max(in)
-      case "avg" => avg(in)
-      case "count" => count(in)
-      case other => sys.error(s"unknown aggregate '$other'")
+    val c = (a.fn, a.distinct) match {
+      case ("sum", false) => sum(in)
+      case ("sum", true) => sum_distinct(in)
+      case ("min", _) => min(in)
+      case ("max", _) => max(in)
+      case ("avg", false) => avg(in)
+      case ("count", false) => count(in)
+      case ("count", true) => countDistinct(in)
+      case (other, d) => sys.error(s"unsupported aggregate '$other'${if (d) " DISTINCT" else ""}")
     }
     c.as(a.alias)
   }

@@ -30,8 +30,11 @@ final case class OrderKey(varName: String, ascending: Boolean)
 
 /** Aggregate in the SELECT list: fn in {sum,min,max,avg,count};
   * alias is the output column name (user-supplied via AS, or `fn(var)`
-  * to match the reference's default naming, Run.scala:273). */
-final case class AggSpec(fn: String, varName: String, alias: String)
+  * to match the reference's default naming, Run.scala:273).
+  * `distinct` supports COUNT(DISTINCT ?v) / SUM(DISTINCT ?v) — absent
+  * from the reference (SURVEY §2.4). */
+final case class AggSpec(fn: String, varName: String, alias: String,
+    distinct: Boolean = false)
 
 sealed trait SelectItem
 final case class SelectVar(name: String) extends SelectItem

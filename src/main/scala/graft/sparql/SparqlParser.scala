@@ -337,6 +337,7 @@ object SparqlParser {
       val fn = fnRaw.toLowerCase
       require(AggFns.contains(fn), s"unknown aggregate: $fnRaw")
       expectSym("(")
+      val distinctAgg = takeKw("DISTINCT")
       val v = next() match {
         case Var(v0) => v0
         case Sym("*") if fn == "count" => "*"
@@ -346,7 +347,7 @@ object SparqlParser {
       var alias = s"$fn($v)" // reference default naming, Run.scala:273
       if (takeKw("AS")) { val Var(a) = next(): @unchecked; alias = a }
       if (closeParen) expectSym(")")
-      SelectAgg(AggSpec(fn, v, alias))
+      SelectAgg(AggSpec(fn, v, alias, distinctAgg))
     }
 
     private def parseFilter(): FilterCond = {
