@@ -206,6 +206,16 @@ object EngineQueries {
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name " +
         "HAVING COUNT(c_custkey) > 70"),
 
+    // OFFSET pagination (net-new): page 3 of suppliers by balance
+    ("q28_offset",
+      """SELECT ?sname ?sbal WHERE {
+        |  ?s g:suppName ?sname . ?s g:suppAcctbal ?sbal .
+        |}
+        |ORDER BY DESC(?sbal) ?sname
+        |LIMIT 10 OFFSET 20""".stripMargin,
+      "SELECT s_name AS sname, s_acctbal AS sbal FROM supplier " +
+        "ORDER BY s_acctbal DESC, s_name LIMIT 10 OFFSET 20"),
+
     // DISTINCT aggregates (net-new — SURVEY §2.4 notes the reference
     // lacks them): distinct customers and parts per return flag
     ("q27_distinct_agg",

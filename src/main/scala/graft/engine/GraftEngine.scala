@@ -78,7 +78,9 @@ object GraftEngine {
       }: _*)
 
     val distincted = if (q.distinct) projected.distinct() else projected
-    q.limit.fold(distincted)(distincted.limit)
+    // OFFSET before LIMIT (SPARQL slice semantics; net-new vs reference)
+    val skipped = q.offset.fold(distincted)(distincted.offset)
+    q.limit.fold(skipped)(skipped.limit)
   }
 
   /** Compile the WHERE body (stars → join chain → bare-variable columns),

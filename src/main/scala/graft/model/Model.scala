@@ -61,7 +61,8 @@ final case class ParsedQuery(
     groupBy: Seq[String],
     orderBy: Seq[OrderKey],
     limit: Option[Int],
-    transforms: Seq[JoinTransform],
+    offset: Option[Int] = None,
+    transforms: Seq[JoinTransform] = Nil,
     /** Stars whose patterns all come from OPTIONAL { } groups — they join
       * with left-outer semantics (net-new vs the reference, which has no
       * OPTIONAL: QueryAnalyser.scala:163 TODO). Their patterns/filters are

@@ -250,6 +250,7 @@ object SparqlParser {
       var groupBy = Seq.empty[String]
       var orderBy = Seq.empty[OrderKey]
       var limit = Option.empty[Int]
+      var offset = Option.empty[Int]
       var having = Seq.empty[(AggSpec, String, String)]
       var inMods = true
       while (inMods) peek match {
@@ -285,6 +286,8 @@ object SparqlParser {
           orderBy = ks.result()
         case Some(w) if isKw(w, "LIMIT") =>
           next(); val Word(n) = next(): @unchecked; limit = Some(n.toInt)
+        case Some(w) if isKw(w, "OFFSET") =>
+          next(); val Word(n) = next(): @unchecked; offset = Some(n.toInt)
         case None => inMods = false
         case t => sys.error(s"unexpected trailing token: $t")
       }
@@ -311,7 +314,7 @@ object SparqlParser {
             "variable bound by the group's own stars")
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
         required ++ optional ++ minus, filters.result() ++ optionalFilters.result(),
-        groupBy, orderBy, limit, transforms, optStars, branches, having, mStars)
+        groupBy, orderBy, limit, offset, transforms, optStars, branches, having, mStars)
     }
 
     /** `{ triples/filters }` group used by OPTIONAL and UNION. */
