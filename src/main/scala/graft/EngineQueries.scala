@@ -206,6 +206,15 @@ object EngineQueries {
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name " +
         "HAVING COUNT(c_custkey) > 70"),
 
+    // VALUES inline data (net-new) → isin pushed to the scan
+    ("q29_values",
+      """SELECT ?cname ?seg WHERE {
+        |  ?c g:custName ?cname . ?c g:mktsegment ?seg .
+        |  VALUES ?seg { "BUILDING" "MACHINERY" }
+        |}""".stripMargin,
+      "SELECT c_name AS cname, c_mktsegment AS seg FROM customer " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"),
+
     // OFFSET pagination (net-new): page 3 of suppliers by balance
     ("q28_offset",
       """SELECT ?sname ?sbal WHERE {

@@ -169,8 +169,9 @@ object GraftEngine {
     val repeated = objVars.groupBy(identity).collect { case (v, occ) if occ.size > 1 => v }
     val joinVars = objVars.filter(q.stars.contains)
     (q.selectVarNames ++ q.aggregates.map(_.varName).filter(_ != "*") ++
-      q.filters.map(_.varName) ++ q.groupBy ++ q.orderBy.map(_.varName) ++
-      q.transforms.map(_.rightVar) ++ joinVars ++ repeated).toSet
+      q.filters.map(_.varName) ++ q.values.map(_._1) ++ q.groupBy ++
+      q.orderBy.map(_.varName) ++ q.transforms.map(_.rightVar) ++
+      joinVars ++ repeated).toSet
   }
 
   /** var -> concrete post-join column. A subject var resolves to its star's

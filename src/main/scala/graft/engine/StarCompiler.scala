@@ -125,14 +125,22 @@ object StarCompiler {
       predToVar: Map[String, String]): DataFrame = {
 
     val objVars = predToVar.values.toSet
-    filters.foldLeft(df) { (d, f) =>
-      val target: Option[String] =
-        if (objVars.contains(f.varName)) Some(varCol(star, f.varName))
-        else if (f.varName == star) Some(idCol(star))
-        else None
-      target match {
-        case None => d
-        case Some(c) => d.filter(predicate(col(c), f))
+    def target(v: String): Option[String] =
+      if (objVars.contains(v)) Some(varCol(star, v))
+      else if (v == star) Some(idCol(star))
+      else None
+    val filtered = filters.foldLeft(df) { (d, f) =>
+      target(f.varName).fold(d)(c => d.filter(predicate(col(c), f)))
+    }
+    // VALUES ?v { ... } → isin filter on this star's binding (pushed to
+    // the scan like any other per-star predicate)
+    query.values.foldLeft(filtered) { case (d, (v, vals)) =>
+      target(v).fold(d) { c =>
+        val typed: Seq[Any] =
+          if (vals.forall(_.toLongOption.isDefined)) vals.map(_.toLong)
+          else if (vals.forall(_.toDoubleOption.isDefined)) vals.map(_.toDouble)
+          else vals
+        d.filter(col(c).isin(typed: _*))
       }
     }
   }

@@ -79,7 +79,10 @@ final case class ParsedQuery(
     /** Stars bound only inside MINUS { } groups — attached with
       * left-anti semantics (solutions matching the group are removed).
       * Must be leaves of the join graph. Net-new vs the reference. */
-    minusStars: Set[String] = Set.empty) {
+    minusStars: Set[String] = Set.empty,
+    /** VALUES ?v { lit... } inline data, single-variable form — compiled
+      * to an isin filter pushed below the joins. Net-new vs reference. */
+    values: Seq[(String, Seq[String])] = Nil) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

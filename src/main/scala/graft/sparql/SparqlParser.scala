@@ -220,6 +220,7 @@ object SparqlParser {
       val optionalPatterns = Seq.newBuilder[TriplePattern]
       val minusPatterns = Seq.newBuilder[TriplePattern]
       val optionalFilters = Seq.newBuilder[FilterCond]
+      val valuesClauses = Seq.newBuilder[(String, Seq[String])]
       val unionBranches = Seq.newBuilder[(Seq[TriplePattern], Seq[FilterCond])]
       var inBody = true
       while (inBody) peek match {
@@ -235,6 +236,19 @@ object SparqlParser {
           val (ps, fs) = parseGroup(prefixes)
           minusPatterns ++= ps
           optionalFilters ++= fs // same scoping rule as OPTIONAL filters
+        case Some(w) if isKw(w, "VALUES") =>
+          next()
+          val Var(v) = next(): @unchecked
+          expectSym("{")
+          val vs = Seq.newBuilder[String]
+          var inVals = true
+          while (inVals) peek match {
+            case Some(Sym("}")) => next(); inVals = false
+            case Some(Word(x)) => next(); vs += x
+            case Some(Str(x)) => next(); vs += x
+            case t => sys.error(s"unsupported VALUES entry: $t")
+          }
+          valuesClauses += v -> vs.result()
         case Some(Sym("{")) =>
           // { branch } UNION { branch } [UNION { branch }]*
           unionBranches += parseGroup(prefixes)
@@ -314,7 +328,8 @@ object SparqlParser {
             "variable bound by the group's own stars")
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
         required ++ optional ++ minus, filters.result() ++ optionalFilters.result(),
-        groupBy, orderBy, limit, offset, transforms, optStars, branches, having, mStars)
+        groupBy, orderBy, limit, offset, transforms, optStars, branches,
+        having, mStars, valuesClauses.result())
     }
 
     /** `{ triples/filters }` group used by OPTIONAL and UNION. */
