@@ -206,6 +206,20 @@ object EngineQueries {
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name " +
         "HAVING COUNT(c_custkey) > 70"),
 
+    // BIND computed variables (net-new), usable by later modifiers
+    ("q30_bind",
+      """SELECT ?ord ?lnum ?gross WHERE {
+        |  ?li g:order ?ord . ?li g:linenumber ?lnum .
+        |  ?li g:quantity ?qty . ?li g:extprice ?ep .
+        |  BIND(?ep * ?qty AS ?gross)
+        |  FILTER(?qty = 50)
+        |}
+        |ORDER BY DESC(?gross) ?ord ?lnum
+        |LIMIT 25""".stripMargin,
+      "SELECT l_orderkey AS ord, l_linenumber AS lnum, " +
+        "l_extendedprice * l_quantity AS gross FROM lineitem WHERE l_quantity = 50 " +
+        "ORDER BY gross DESC, ord, lnum LIMIT 25"),
+
     // VALUES inline data (net-new) → isin pushed to the scan
     ("q29_values",
       """SELECT ?cname ?seg WHERE {

@@ -45,6 +45,23 @@ object GraftEngine {
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       else compileBody(spark, q, mappings, config, reorderJoins)
 
+    // --- BIND computed variables (before modifiers so bound vars are
+    // usable in SELECT / aggregates / ORDER BY)
+    for (b <- q.binds) {
+      def operand(o: BindOperand): Column =
+        if (o.isVar) col(o.value)
+        else o.value.toLongOption.map(lit(_)).getOrElse(lit(o.value.toDouble))
+      val e = (b.op, b.right) match {
+        case (None, _) => operand(b.left)
+        case (Some("+"), Some(r)) => operand(b.left) + operand(r)
+        case (Some("-"), Some(r)) => operand(b.left) - operand(r)
+        case (Some("*"), Some(r)) => operand(b.left) * operand(r)
+        case (Some("/"), Some(r)) => operand(b.left) / operand(r)
+        case (op, _) => sys.error(s"unsupported BIND operator $op")
+      }
+      df = df.withColumn(b.outVar, e)
+    }
+
     // --- modifiers (reference Run.scala:266-306 order:
     // groupBy → orderBy → project(+distinct) → limit)
     if (q.aggregates.nonEmpty || q.groupBy.nonEmpty) {
@@ -168,10 +185,13 @@ object GraftEngine {
     val objVars = q.patterns.collect { case TriplePattern(_, _, ObjVar(v)) => v }
     val repeated = objVars.groupBy(identity).collect { case (v, occ) if occ.size > 1 => v }
     val joinVars = objVars.filter(q.stars.contains)
+    val bindOperands = q.binds.flatMap(b =>
+      (b.left +: b.right.toSeq).filter(_.isVar).map(_.value))
+    val bindOutputs = q.binds.map(_.outVar).toSet
     (q.selectVarNames ++ q.aggregates.map(_.varName).filter(_ != "*") ++
       q.filters.map(_.varName) ++ q.values.map(_._1) ++ q.groupBy ++
       q.orderBy.map(_.varName) ++ q.transforms.map(_.rightVar) ++
-      joinVars ++ repeated).toSet
+      joinVars ++ repeated ++ bindOperands).toSet -- bindOutputs
   }
 
   /** var -> concrete post-join column. A subject var resolves to its star's

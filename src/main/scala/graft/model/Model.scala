@@ -40,6 +40,12 @@ sealed trait SelectItem
 final case class SelectVar(name: String) extends SelectItem
 final case class SelectAgg(agg: AggSpec) extends SelectItem
 
+/** One BIND: out := left [op right]. Operands are vars ("?"-less) or
+  * numeric literal strings (distinguished by [[BindOperand.isVar]]). */
+final case class BindOperand(value: String, isVar: Boolean)
+final case class BindSpec(outVar: String, left: BindOperand,
+    op: Option[String], right: Option[BindOperand])
+
 /** One step of a join-side transformation (reference §2.8):
   * toInt | scl(_+n|_-n|_*n) | skp(v) | substit(a,b) | replc(a,b)
   * | prefix(s) | postfix(s). Args are kept raw. */
@@ -82,7 +88,11 @@ final case class ParsedQuery(
     minusStars: Set[String] = Set.empty,
     /** VALUES ?v { lit... } inline data, single-variable form — compiled
       * to an isin filter pushed below the joins. Net-new vs reference. */
-    values: Seq[(String, Seq[String])] = Nil) {
+    values: Seq[(String, Seq[String])] = Nil,
+    /** BIND(expr AS ?v) computed variables: operand op operand where an
+      * operand is a var or numeric literal, op ∈ + - * /; or a plain
+      * rename BIND(?x AS ?y). Net-new vs the reference. */
+    binds: Seq[BindSpec] = Nil) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

@@ -145,7 +145,7 @@ object SparqlParser {
           else { sb += s.charAt(j); j += 1 }
         }
         toks += Str(sb.toString); i = j + 1
-      } else if ("{}();,*".indexOf(c) >= 0) {
+      } else if ("{}();,*/".indexOf(c) >= 0) {
         toks += Sym(c.toString); i += 1
       } else if (c == '!' || c == '=' || c == '<' || c == '>') {
         val two = s.substring(i, math.min(i + 2, s.length))
@@ -221,6 +221,7 @@ object SparqlParser {
       val minusPatterns = Seq.newBuilder[TriplePattern]
       val optionalFilters = Seq.newBuilder[FilterCond]
       val valuesClauses = Seq.newBuilder[(String, Seq[String])]
+      val bindClauses = Seq.newBuilder[BindSpec]
       val unionBranches = Seq.newBuilder[(Seq[TriplePattern], Seq[FilterCond])]
       var inBody = true
       while (inBody) peek match {
@@ -236,6 +237,25 @@ object SparqlParser {
           val (ps, fs) = parseGroup(prefixes)
           minusPatterns ++= ps
           optionalFilters ++= fs // same scoping rule as OPTIONAL filters
+        case Some(w) if isKw(w, "BIND") =>
+          next(); expectSym("(")
+          def operand(): BindOperand = next() match {
+            case Var(v) => BindOperand(v, isVar = true)
+            case Word(n) if n.toDoubleOption.isDefined => BindOperand(n, isVar = false)
+            case t => sys.error(s"BIND operand must be a var or number, got $t")
+          }
+          val left = operand()
+          val (op, right) = peek match {
+            case Some(Sym(o)) if "+-*/".contains(o) && o.length == 1 =>
+              next(); (Some(o), Some(operand()))
+            case Some(Word(o)) if o == "-" || o == "+" => // tokenized into word
+              next(); (Some(o), Some(operand()))
+            case _ => (None, None)
+          }
+          require(takeKw("AS"), "BIND needs AS ?var")
+          val Var(out) = next(): @unchecked
+          expectSym(")")
+          bindClauses += BindSpec(out, left, op, right)
         case Some(w) if isKw(w, "VALUES") =>
           next()
           val Var(v) = next(): @unchecked
@@ -329,7 +349,7 @@ object SparqlParser {
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
         required ++ optional ++ minus, filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
-        having, mStars, valuesClauses.result())
+        having, mStars, valuesClauses.result(), bindClauses.result())
     }
 
     /** `{ triples/filters }` group used by OPTIONAL and UNION. */
