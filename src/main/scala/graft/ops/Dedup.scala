@@ -141,15 +141,33 @@ object Dedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Cross-engine-reproducible 62-bit token hash: two independent
+    * polynomial hashes over the char codes (base 31 mod 1e9+7 in the high
+    * 32 bits, base 131 mod 998244353 in the low). Unlike xxhash64 this is
+    * expressible in any SQL engine (list_reduce in DuckDB), which is what
+    * makes the SimHash gate oracle-checkable; bits 62–63 carry no entropy
+    * (identically 0 for every input) so they never affect Hamming
+    * distances. Intermediates stay < 2^40, so ANSI-mode 64-bit arithmetic
+    * never overflows. */
+  def portableTokenHash(tok: Column): Column = {
+    val codes = transform(split(tok, ""), ch => ascii(ch).cast("long"))
+    val h1 = aggregate(codes, lit(7L), (a, c) => pmod(a * 31 + c, lit(1000000007L)))
+    val h2 = aggregate(codes, lit(7L), (a, c) => pmod(a * 131 + c, lit(998244353L)))
+    h1 * lit(4294967296L) + h2
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
     * ±1 token-hash bit contributions (explode + 64 codegen'd sum-
     * aggregates; one shuffle). A per-row formulation with higher-order
     * `aggregate` lanes was measured ~3× slower — HOF lambdas evaluate
-    * interpreted per element, codegen'd hash aggregates don't. */
-  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    * interpreted per element, codegen'd hash aggregates don't.
+    * `tokenHash` defaults to xxhash64 (fastest); pass
+    * [[portableTokenHash]] for cross-engine-verifiable signatures. */
+  def simHash(df: DataFrame, id: Column, text: Column,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val ex = ensureParallelism(df.select(id.as("sid"),
       explode(split(normText(text), "\\s+")).as("tok")))
-      .withColumn("th", xxhash64(col("tok")))
+      .withColumn("th", tokenHash(col("tok")))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     val agged = ex.groupBy(col("sid")).agg(bitSums.head, bitSums.tail: _*)
@@ -163,9 +181,9 @@ object Dedup {
     * 16-bit chunk banding (pigeonhole: ≤3 differing bits over 4 chunks ⇒
     * ≥1 identical chunk), verified with bit_count(xor). */
   def simHashNearDups(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val hashed = simHash(df, id, text)
+    val hashed = simHash(df, id, text, tokenHash)
     val banded = hashed.select(col("sid"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))
@@ -179,32 +197,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dups: exact cosine ≥ threshold over candidate pairs.
-    * `buckets = None` → brute all-pairs (verification/oracle mode);
-    * `buckets = Some(planes)` → random-hyperplane LSH bucketing first
-    * (scale mode; recall < 1 by design). Uses the codegen'd
-    * [[graft.functions.CosineSimilarity]] inner loop. */
+  /** Embedding near-dups: exact cosine ≥ threshold over candidate pairs,
+    * using the codegen'd [[graft.functions.CosineSimilarity]] inner loop.
+    *
+    * Default mode is banded random-hyperplane LSH — the 100 TB contract:
+    * each vector gets `bands` small signatures (one per band of
+    * `rowsPerBand` hyperplanes); candidates are pairs colliding in ≥1
+    * band, verified with exact cosine. Pair recall for a pair at angle θ
+    * is 1−(1−p^r)^b with p = 1−θ/π; the 32×4 default gives >0.99 at
+    * cosine 0.45 and ~1 above 0.7. Candidate volume is per-bucket, never
+    * n².
+    *
+    * `exact = true` switches to brute all-pairs (sid < sid cross join) —
+    * exact recall, O(n²) cost: verification/oracle mode for bounded
+    * inputs only. */
   def embeddingNearDups(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, planes: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      threshold: Double, exact: Boolean = false,
+      bands: Int = 32, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     VectorFunctions.register(df.sparkSession)
     // pre-cast once and widen partitions: the pair join multiplies every
     // per-row cost by n, and a single-partition left side serializes the
-    // whole n² loop
+    // per-bucket loops
     val base = ensureParallelism(
       df.select(id.as("sid"), vec.cast("array<double>").as("v")))
-    val paired = planes match {
-      case None =>
+    val paired =
+      if (exact) {
         val l = base.as("l"); val r = base.as("r")
         l.join(r, col("l.sid") < col("r.sid"))
-      case Some(ps) =>
-        val sigCol = Similarity.hyperplaneSignature(col("v"), ps)
-        val b = base.withColumn("bucket", sigCol)
-        val l = b.as("l"); val r = b.as("r")
-        l.join(r, col("l.bucket") === col("r.bucket") && col("l.sid") < col("r.sid"))
-    }
+          .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"),
+            col("l.v").as("v_a"), col("r.v").as("v_b"))
+      } else {
+        val cached = base.cache()
+        // dim read once from the data (bounded: single-row action)
+        val dim = cached.select(size(col("v"))).head().getInt(0)
+        val planes = Similarity.randomPlanes(bands * rowsPerBand, dim, seed)
+        val bandSigs = array((0 until bands).map { b =>
+          Similarity.hyperplaneSignature(col("v"),
+            planes.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+        }: _*)
+        val banded = cached.select(col("sid"), posexplode(bandSigs).as(Seq("band", "bsig")))
+        // a pair can collide in several bands — distinct before the
+        // cosine verify so each pair is scored once
+        val cands = banded.as("l")
+          .join(banded.as("r"), col("l.band") === col("r.band") &&
+            col("l.bsig") === col("r.bsig") && col("l.sid") < col("r.sid"))
+          .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"))
+          .distinct()
+        cands
+          .join(cached.select(col("sid").as("id_a"), col("v").as("v_a")), "id_a")
+          .join(cached.select(col("sid").as("id_b"), col("v").as("v_b")), "id_b")
+      }
     paired
-      .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"),
-        VectorFunctions.cosine(col("l.v"), col("r.v")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -124,6 +124,47 @@ object Similarity {
     }.toDF("q_id", "c_id", "cosine", "rank")
   }
 
+  /** Scale-safe kNN join: IVF-partition the corpus (k-means lists), route
+    * every query row to its `nProbe` nearest centroids, equi-join queries
+    * to corpus lists on the cluster id, and rank candidates per query.
+    * Nothing is collected to the driver and no n×m pair set forms: the
+    * join fans each query out to the probed lists only (candidate count ≈
+    * nProbe/nLists of the corpus), and the per-query top-k is a window
+    * over that bounded candidate set. Shuffles: one on `cluster` (the
+    * centroid table itself is broadcast — it has `nLists` rows), one for
+    * the per-query window. Approximate: a true neighbor in an unprobed
+    * list is missed — raise nProbe for recall (nProbe = nLists ⇒ exact).
+    * The broadcast path ([[knnJoinBroadcast]]) stays the small-corpus
+    * fast path. Ties break by corpus id, matching knnJoinBroadcast. */
+  def knnJoinIvf(queries: DataFrame, corpus: DataFrame,
+      qId: Column, qVec: Column, cId: Column, cVec: Column, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    val ivf = buildIvf(corpus, cId, cVec, nLists, seed)
+    val cents = spark.createDataFrame(
+      ivf.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cluster", "centroid")
+    val q = queries.select(qId.cast("long").as("q_id"), qVec.cast("array<double>").as("qv"))
+    // route: per query, the nProbe nearest centroids (broadcast join —
+    // the centroid side is nLists rows)
+    val routeW = Window.partitionBy(col("q_id"))
+      .orderBy(VectorFunctions.cosine(col("qv"), col("centroid")).desc, col("cluster"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("crn", row_number().over(routeW))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cluster"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    routed.join(ivf.assigned, "cluster")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: restrict the scan to buckets within `probeHamming`
     * of the query's bucket (multi-probe), then exact cosine top-k inside.
     * Recall < 1 by construction; raise numPlanes/probeHamming to trade

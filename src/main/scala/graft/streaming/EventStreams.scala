@@ -29,7 +29,7 @@ object EventStreams {
   def readEvents(spark: SparkSession, parquetPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(parquetPath)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Run [[hourlyStats]] as a real streaming query over the parquet file
@@ -41,14 +41,18 @@ object EventStreams {
   private def streamEvents(spark: SparkSession, parquetPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(parquetPath).schema
+    // stream-source staging dir: configurable, defaults to the JVM temp
+    // dir (library code must not write into a source checkout)
+    val baseDir = spark.conf.getOption("graft.stream.stageDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_stream")
     val dir = java.nio.file.Paths.get(
-      s"/root/repo/target/derived/${new java.io.File(parquetPath).getParentFile.getName}/events_stream")
+      s"$baseDir/${new java.io.File(parquetPath).getParentFile.getName}/events_stream")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("part-0.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(parquetPath))
     spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Run a streaming plan to completion over the events file and return
@@ -83,9 +87,38 @@ object EventStreams {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Batch sessionization as a declarative gaps-and-islands window plan:
+    * lag → session-break flag → cumulative session id → groupBy. Each
+    * step is a per-user window (Spark's sort-based window spills to disk)
+    * or a hash aggregate, so per-user state is bounded — a 10⁷-event
+    * power user sorts externally instead of materializing in one task's
+    * heap (the failure mode of the flatMapGroupsWithState formulation at
+    * 100 TB). Gap comparisons are in microseconds (the events table's
+    * native precision). Returns (user_id, start, end, n_events). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events.select(col("user_id"), col("ts"))
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start"), col("end"), col("n_events"))
+  }
+
   /** Sessionization with typed state: gap-based sessions per user via
     * flatMapGroupsWithState — the custom-state surface
-    * (KeyValueGroupedDataset) exercised on the same events shape. */
+    * (KeyValueGroupedDataset) for TRUE STREAMING use (extend with
+    * GroupStateTimeout to emit sessions as watermarks pass). For batch
+    * data use [[sessionizeBatch]]: this formulation materializes each
+    * user's full event list in executor memory, which is fine per
+    * micro-batch but not for an unbounded batch group. */
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp, n_events: Long)

@@ -150,4 +150,53 @@ class OpsSpec extends AnyFunSuite {
     assert(sessions(1).getLong(3) == 1)
     assert(sessions(2).getLong(3) == 1)
   }
+
+  test("sessionizeBatch equals the typed-state sessionize, without fMGWS in the plan") {
+    val events = EventStreams.readEvents(spark, s"$sf/events.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), unix_micros(col("start")).as("s"),
+        unix_micros(col("end")).as("e"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventStreams.sessionizeBatch(events, gapMinutes = 30)
+    assert(canon(batch) == canon(EventStreams.sessionize(events, gapMinutes = 30)))
+    // the batch path must be the window plan: bounded per-user state
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("FlatMapGroupsWithState"))
+    assert(plan.contains("Window"))
+  }
+
+  test("portable token hash matches its closed form and discriminates") {
+    val df = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("id", "t")
+      .select(col("id"), Dedup.portableTokenHash(col("t")).as("h"))
+    val h = df.as[(Long, Long)].collect().toMap
+    def poly(s: String, b: Long, m: Long) = s.foldLeft(7L)((a, c) => (a * b + c) % m)
+    assert(h(1L) == poly("ab", 31, 1000000007L) * 4294967296L + poly("ab", 131, 998244353L))
+    assert(h(1L) == h(3L) && h(1L) != h(2L))
+    // bits 62-63 carry no entropy (documented contract for the oracle)
+    assert((h(1L) >>> 62) == 0 && (h(2L) >>> 62) == 0)
+  }
+
+  test("bucketed embedding near-dup (default) equals exact mode on the test corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = canon(Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
+      threshold = 0.45, exact = true))
+    val lsh = canon(Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
+      threshold = 0.45))
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // 32×4 banding: per-pair recall >0.998 at cos≥0.45
+  }
+
+  test("IVF kNN join with full probe equals the broadcast-exact join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200).cache()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = canon(Similarity.knnJoinBroadcast(emb, emb,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
+    val ivf = canon(Similarity.knnJoinIvf(emb, emb,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3,
+      nLists = 8, nProbe = 8)) // nProbe = nLists ⇒ every list probed ⇒ exact
+    assert(ivf == exact)
+  }
 }
