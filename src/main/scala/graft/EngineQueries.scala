@@ -220,6 +220,27 @@ object EngineQueries {
         "l_extendedprice * l_quantity AS gross FROM lineitem WHERE l_quantity = 50 " +
         "ORDER BY gross DESC, ord, lnum LIMIT 25"),
 
+    // BIND expression grammar: nested arithmetic with parens + standard
+    // precedence, string CONCAT, and a BIND referencing an earlier BIND
+    ("q31_bind_expr",
+      """SELECT ?ord ?lnum ?adj ?tag WHERE {
+        |  ?li g:order ?ord . ?li g:linenumber ?lnum .
+        |  ?li g:quantity ?qty . ?li g:extprice ?ep .
+        |  ?li g:discount ?disc . ?li g:returnflag ?rf .
+        |  BIND((?ep * (1 - ?disc) + 10) / 2 AS ?net)
+        |  BIND(?net - ?qty * 2 AS ?adj)
+        |  BIND(CONCAT(?rf, "_", ?lnum) AS ?tag)
+        |  FILTER(?qty = 50)
+        |}
+        |ORDER BY DESC(?adj) ?ord ?lnum
+        |LIMIT 25""".stripMargin,
+      "SELECT ord, lnum, adj, tag FROM (SELECT l_orderkey AS ord, " +
+        "l_linenumber AS lnum, " +
+        "(l_extendedprice * (1 - l_discount) + 10) / 2 - l_quantity * 2 AS adj, " +
+        "l_returnflag || '_' || l_linenumber AS tag " +
+        "FROM lineitem WHERE l_quantity = 50) " +
+        "ORDER BY adj DESC, ord, lnum LIMIT 25"),
+
     // VALUES inline data (net-new) → isin pushed to the scan
     ("q29_values",
       """SELECT ?cname ?seg WHERE {

@@ -47,20 +47,8 @@ object GraftEngine {
 
     // --- BIND computed variables (before modifiers so bound vars are
     // usable in SELECT / aggregates / ORDER BY)
-    for (b <- q.binds) {
-      def operand(o: BindOperand): Column =
-        if (o.isVar) col(o.value)
-        else o.value.toLongOption.map(lit(_)).getOrElse(lit(o.value.toDouble))
-      val e = (b.op, b.right) match {
-        case (None, _) => operand(b.left)
-        case (Some("+"), Some(r)) => operand(b.left) + operand(r)
-        case (Some("-"), Some(r)) => operand(b.left) - operand(r)
-        case (Some("*"), Some(r)) => operand(b.left) * operand(r)
-        case (Some("/"), Some(r)) => operand(b.left) / operand(r)
-        case (op, _) => sys.error(s"unsupported BIND operator $op")
-      }
-      df = df.withColumn(b.outVar, e)
-    }
+    // sequential withColumn: later BINDs may reference earlier outputs
+    for (b <- q.binds) df = df.withColumn(b.outVar, bindColumn(b.expr))
 
     // --- modifiers (reference Run.scala:266-306 order:
     // groupBy → orderBy → project(+distinct) → limit)
@@ -159,6 +147,27 @@ object GraftEngine {
     joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
   }
 
+  /** BIND expression → Column: arithmetic stays numeric (integer literals
+    * as longs, decimals as doubles — the same typing DuckDB gives the
+    * twin expression); CONCAT casts every operand to string (SPARQL
+    * string-function semantics). Everything is a plain Catalyst
+    * expression — codegen'd, pushdown-transparent, no UDFs. */
+  private def bindColumn(e: BindExpr): Column = e match {
+    case BVar(v) => col(v)
+    case BNum(n) => n.toLongOption.map(lit(_)).getOrElse(lit(n.toDouble))
+    case BStr(s) => lit(s)
+    case BOp("+", l, r) => bindColumn(l) + bindColumn(r)
+    case BOp("-", l, r) => bindColumn(l) - bindColumn(r)
+    case BOp("*", l, r) => bindColumn(l) * bindColumn(r)
+    case BOp("/", l, r) => bindColumn(l) / bindColumn(r)
+    case BOp(op, _, _) => sys.error(s"unsupported BIND operator $op")
+    case BFun("concat", args) if args.nonEmpty =>
+      concat(args.map(a => bindColumn(a).cast("string")): _*)
+    case BFun("str", Seq(a)) => bindColumn(a).cast("string")
+    case BFun("abs", Seq(a)) => abs(bindColumn(a))
+    case BFun(f, args) => sys.error(s"unsupported BIND function $f/${args.size}")
+  }
+
   private def aggColumn(a: AggSpec): Column = {
     val in = if (a.varName == "*") lit(1) else col(a.varName)
     val c = (a.fn, a.distinct) match {
@@ -185,8 +194,7 @@ object GraftEngine {
     val objVars = q.patterns.collect { case TriplePattern(_, _, ObjVar(v)) => v }
     val repeated = objVars.groupBy(identity).collect { case (v, occ) if occ.size > 1 => v }
     val joinVars = objVars.filter(q.stars.contains)
-    val bindOperands = q.binds.flatMap(b =>
-      (b.left +: b.right.toSeq).filter(_.isVar).map(_.value))
+    val bindOperands = q.binds.flatMap(_.expr.vars)
     val bindOutputs = q.binds.map(_.outVar).toSet
     (q.selectVarNames ++ q.aggregates.map(_.varName).filter(_ != "*") ++
       q.filters.map(_.varName) ++ q.values.map(_._1) ++ q.groupBy ++

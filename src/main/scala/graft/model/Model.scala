@@ -40,11 +40,25 @@ sealed trait SelectItem
 final case class SelectVar(name: String) extends SelectItem
 final case class SelectAgg(agg: AggSpec) extends SelectItem
 
-/** One BIND: out := left [op right]. Operands are vars ("?"-less) or
-  * numeric literal strings (distinguished by [[BindOperand.isVar]]). */
-final case class BindOperand(value: String, isVar: Boolean)
-final case class BindSpec(outVar: String, left: BindOperand,
-    op: Option[String], right: Option[BindOperand])
+/** BIND(expr AS ?out) expression AST (net-new vs the reference):
+  * variables, numeric/string literals, binary arithmetic with standard
+  * precedence and parentheses, and function calls (CONCAT/STR/ABS). */
+sealed trait BindExpr {
+  /** Variables referenced anywhere in the expression (for pruning). */
+  def vars: Set[String] = this match {
+    case BVar(v) => Set(v)
+    case BOp(_, l, r) => l.vars ++ r.vars
+    case BFun(_, args) => args.flatMap(_.vars).toSet
+    case _ => Set.empty
+  }
+}
+final case class BVar(name: String) extends BindExpr
+final case class BNum(value: String) extends BindExpr
+final case class BStr(value: String) extends BindExpr
+final case class BOp(op: String, left: BindExpr, right: BindExpr) extends BindExpr
+final case class BFun(name: String, args: Seq[BindExpr]) extends BindExpr
+
+final case class BindSpec(outVar: String, expr: BindExpr)
 
 /** One step of a join-side transformation (reference §2.8):
   * toInt | scl(_+n|_-n|_*n) | skp(v) | substit(a,b) | replc(a,b)

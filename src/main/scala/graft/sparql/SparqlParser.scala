@@ -239,23 +239,11 @@ object SparqlParser {
           optionalFilters ++= fs // same scoping rule as OPTIONAL filters
         case Some(w) if isKw(w, "BIND") =>
           next(); expectSym("(")
-          def operand(): BindOperand = next() match {
-            case Var(v) => BindOperand(v, isVar = true)
-            case Word(n) if n.toDoubleOption.isDefined => BindOperand(n, isVar = false)
-            case t => sys.error(s"BIND operand must be a var or number, got $t")
-          }
-          val left = operand()
-          val (op, right) = peek match {
-            case Some(Sym(o)) if "+-*/".contains(o) && o.length == 1 =>
-              next(); (Some(o), Some(operand()))
-            case Some(Word(o)) if o == "-" || o == "+" => // tokenized into word
-              next(); (Some(o), Some(operand()))
-            case _ => (None, None)
-          }
+          val expr = parseBindExpr()
           require(takeKw("AS"), "BIND needs AS ?var")
           val Var(out) = next(): @unchecked
           expectSym(")")
-          bindClauses += BindSpec(out, left, op, right)
+          bindClauses += BindSpec(out, expr)
         case Some(w) if isKw(w, "VALUES") =>
           next()
           val Var(v) = next(): @unchecked
@@ -350,6 +338,55 @@ object SparqlParser {
         required ++ optional ++ minus, filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
         having, mStars, valuesClauses.result(), bindClauses.result())
+    }
+
+    /** BIND expression: precedence-climbing over the token stream
+      * (factor := var | literal | '(' expr ')' | fn '(' args ')';
+      * term := factor (('*'|'/') factor)*; expr := term (('+'|'-') term)*).
+      * The tokenizer folds '+'/'-' into words (standalone `Word("-")`, or
+      * fused with a following literal as `Word("-3")`), so the
+      * operator-vs-signed-literal split is contextual: a signed numeric
+      * word in operand position is a literal; in operator position it is
+      * an operator fused with its right literal. Parsing stops at `AS`. */
+    private def parseBindExpr(): BindExpr = {
+      def factor(): BindExpr = next() match {
+        case Sym("(") => val e = expr(); expectSym(")"); e
+        case Var(v) => BVar(v)
+        case Str(s) => BStr(s)
+        case Word(n) if n.toDoubleOption.isDefined => BNum(n)
+        case Word(f) if peek.contains(Sym("(")) =>
+          next()
+          val args = Seq.newBuilder[BindExpr]
+          if (!peek.contains(Sym(")"))) {
+            args += expr()
+            while (peek.contains(Sym(","))) { next(); args += expr() }
+          }
+          expectSym(")")
+          BFun(f.toLowerCase, args.result())
+        case t => sys.error(s"unsupported BIND factor: $t")
+      }
+      def term(): BindExpr = {
+        var e = factor(); var go = true
+        while (go) peek match {
+          case Some(Sym("*")) => next(); e = BOp("*", e, factor())
+          case Some(Sym("/")) => next(); e = BOp("/", e, factor())
+          case _ => go = false
+        }
+        e
+      }
+      def expr(): BindExpr = {
+        var e = term(); var go = true
+        while (go) peek match {
+          case Some(Word(o)) if o == "+" || o == "-" =>
+            next(); e = BOp(o, e, term())
+          case Some(Word(w)) if (w.startsWith("+") || w.startsWith("-")) &&
+              w.length > 1 && w.tail.toDoubleOption.isDefined =>
+            next(); e = BOp(w.head.toString, e, BNum(w.tail))
+          case _ => go = false
+        }
+        e
+      }
+      expr()
     }
 
     /** `{ triples/filters }` group used by OPTIONAL and UNION. */

@@ -158,4 +158,26 @@ class SparqlParserSpec extends AnyFunSuite {
       "PREFIX s: <http://s/> SELECT ?v WHERE { ?x s:v ?v . FILTER(?v >= 10.5) }")
     assert(q.filters == Seq(FilterCond("v", ">=", "10.5")))
   }
+
+  test("BIND expressions: precedence, parens, concat, signed literals") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?z WHERE {
+        |  ?x s:a ?a . ?x s:b ?b .
+        |  BIND(?a + ?b * 2 AS ?p)
+        |  BIND((?a + ?b) * 2 AS ?q)
+        |  BIND(?a - 3 AS ?r)
+        |  BIND(CONCAT(?a, "_", ?b) AS ?z)
+        |}""".stripMargin)
+    val byOut = q.binds.map(b => b.outVar -> b.expr).toMap
+    // * binds tighter than +
+    assert(byOut("p") == BOp("+", BVar("a"), BOp("*", BVar("b"), BNum("2"))))
+    // parens override precedence
+    assert(byOut("q") == BOp("*", BOp("+", BVar("a"), BVar("b")), BNum("2")))
+    // tokenizer-fused "-3" in operator position splits into op + literal
+    assert(byOut("r") == BOp("-", BVar("a"), BNum("3")))
+    assert(byOut("z") == BFun("concat", Seq(BVar("a"), BStr("_"), BVar("b"))))
+    // pruning sees all operand vars, not bind outputs
+    assert(q.binds.flatMap(_.expr.vars).toSet == Set("a", "b"))
+  }
 }
