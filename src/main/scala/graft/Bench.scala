@@ -27,7 +27,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, fn) => n -> time(fn) }
     val pass2 = ordered.map { case (n, fn) => n -> time(fn) }
     val results = pass1.zip(pass2)

@@ -395,6 +395,29 @@ object OpsQueries {
     * pinned measured-recall verdict row for the probabilistic ANN ops). */
   val rowsOnlySuite: Seq[(String, (SparkSession, String) => DataFrame)] = Seq.empty
 
+  /** Bench-mode overrides for the ANN entries: the s02/s03/s05 gates in
+    * the oracle suite run the exact baseline AND the approximate operator
+    * 20× each to measure recall — the right correctness check, but a
+    * 40-job harness timing, not an operator timing. The bench instead
+    * times one invocation of the operator under test (what a user pays
+    * per query / per join); the recall gates stay in `queries` and keep
+    * gating Verify. */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s02_ann_lsh_topk" -> ((s, sf) =>
+      Similarity.annTopK(emb(s, sf).filter(col("vec_id") =!= 0), col("vec_id"),
+        col("embedding"), queryVec(s, sf), k = 10, numPlanes = 8, probeHamming = 3)),
+    "s03_ann_ivf_topk" -> ((s, sf) => {
+      val idx = Similarity.buildIvf(emb(s, sf).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), nLists = 16)
+      idx.topK(queryVec(s, sf), k = 10, nProbe = 6)
+    }),
+    "s05_knn_join_ivf" -> ((s, sf) => {
+      val e = emb(s, sf)
+      Similarity.knnJoinIvf(e, e, col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 3, nLists = 16, nProbe = 8)
+    }),
+  )
+
   /** Deterministic NT file derived from the nation table (idempotent). */
   private def ntFixture(s: SparkSession, sf: String): String =
     graft.fixtures.TpchLake.ntFixture(s, sf)

@@ -13,4 +13,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EngineQueries.oracleSql ++ OpsQueries.oracleSql
+  /** Bench-mode query set: identical to [[queries]] except the ANN
+    * entries, whose verification form is a recall gate (20 exact + 20
+    * approximate runs per gate — right for correctness, not an operator
+    * timing). The bench times the operator itself once. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ OpsQueries.benchOverrides
 }
