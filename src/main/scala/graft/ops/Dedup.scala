@@ -147,14 +147,13 @@ object Dedup {
     * expressible in any SQL engine (list_reduce in DuckDB), which is what
     * makes the SimHash gate oracle-checkable; bits 62–63 carry no entropy
     * (identically 0 for every input) so they never affect Hamming
-    * distances. Intermediates stay < 2^40, so ANSI-mode 64-bit arithmetic
-    * never overflows. */
-  def portableTokenHash(tok: Column): Column = {
-    val codes = transform(split(tok, ""), ch => ascii(ch).cast("long"))
-    val h1 = aggregate(codes, lit(7L), (a, c) => pmod(a * 31 + c, lit(1000000007L)))
-    val h2 = aggregate(codes, lit(7L), (a, c) => pmod(a * 131 + c, lit(998244353L)))
-    h1 * lit(4294967296L) + h2
-  }
+    * distances. Computed by the codegen'd
+    * [[graft.functions.PolyHash]] loop (bit-identical to the
+    * `aggregate(transform(split(...)))` HOF formulation, which evaluated
+    * its lambdas interpreted per char and dominated the SimHash stage). */
+  def portableTokenHash(tok: Column): Column =
+    graft.functions.HashFunctions.polyHash(tok, 31, 1000000007L) * lit(4294967296L) +
+      graft.functions.HashFunctions.polyHash(tok, 131, 998244353L)
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
     * ±1 token-hash bit contributions (explode + 64 codegen'd sum-

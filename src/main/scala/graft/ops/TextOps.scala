@@ -84,13 +84,10 @@ object TextOps {
     * cross-engine reproducible). */
   def fingerprintMd5(text: Column): Column = md5(Dedup.normText(text).cast("binary"))
 
-  /** Polynomial rolling hash of the normalized text (base 257 mod 2^31−1;
-    * intermediate values stay < 2^39 so 64-bit arithmetic never overflows)
-    * via codegen'd aggregate over the char codes — the streaming-friendly
-    * fingerprint for shingling/windowed hashing. */
-  def rollingHash(text: Column): Column = {
-    val M = lit(2147483647L) // 2^31 - 1
-    val codes = transform(split(Dedup.normText(text), ""), ch => ascii(ch).cast("long"))
-    aggregate(codes, lit(7L), (acc, c) => pmod(acc * 257L + c, M))
-  }
+  /** Polynomial rolling hash of the normalized text (base 257 mod 2^31−1)
+    * — the streaming-friendly fingerprint for shingling/windowed hashing.
+    * One codegen'd byte loop ([[graft.functions.PolyHash]]); bit-identical
+    * to the HOF `aggregate(transform(split(...)))` formulation. */
+  def rollingHash(text: Column): Column =
+    graft.functions.HashFunctions.polyHash(Dedup.normText(text), 257, 2147483647L)
 }

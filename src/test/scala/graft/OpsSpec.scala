@@ -176,6 +176,29 @@ class OpsSpec extends AnyFunSuite {
     assert((h(1L) >>> 62) == 0 && (h(2L) >>> 62) == 0)
   }
 
+  test("PolyHash expression is bit-identical to the HOF aggregate/split/ascii form") {
+    import graft.functions.HashFunctions
+    // edge cases: empty (split('','') folds one ascii('')=0 code),
+    // non-ASCII (Spark ascii = full code point: é→233, €→8364), plus
+    // real corpus tokens
+    val edge = Seq("", "a", "ab", "hello world", "hé€", "é", "x" * 300).toDF("t")
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t")).limit(2000)
+    for (df <- Seq(edge, toks); (b, m) <- Seq((31L, 1000000007L), (131L, 998244353L), (257L, 2147483647L))) {
+      val hof = aggregate(transform(split(col("t"), ""), ch => ascii(ch).cast("long")),
+        lit(7L), (a, c) => pmod(a * b + c, lit(m)))
+      val mismatches = df
+        .select(HashFunctions.polyHash(col("t"), b, m).as("cg"), hof.as("hof"))
+        .filter(col("cg") =!= col("hof")).count()
+      assert(mismatches == 0, s"base=$b mod=$m")
+    }
+    // interpreted (non-codegen) eval path agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.functions.PolyHash(
+      Literal.create("ab"), Literal.create(31L), Literal.create(1000000007L))
+    assert(interp.eval(null) == "ab".foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L))
+  }
+
   test("bucketed embedding near-dup (default) equals exact mode on the test corpus") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
