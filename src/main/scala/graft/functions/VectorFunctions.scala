@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two equal-length
   * numeric arrays. A codegen'd tight loop (no per-element lambda closures
@@ -63,16 +63,110 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression computing banded random-hyperplane LSH
+  * signatures in one pass: for each band b of `rowsPerBand` planes, bit p
+  * of signature b is the sign of dot(vec, plane_{b·rowsPerBand+p}).
+  * `planes` is the flattened plane matrix (band-major, each plane `dim`
+  * doubles where dim = vec length) — a literal, so codegen reads it from
+  * a reference without per-row construction.
+  *
+  * Replaces the `zip_with` + `aggregate` HOF composition, which
+  * materialized a per-plane product array and evaluated its lambdas
+  * interpreted per element — numPlanes × dim interpreted ops per row was
+  * the dominant cost of the embedding-LSH candidate stage. Sum order per
+  * plane is ascending-index, matching the HOF `aggregate` fold, so signs
+  * (and therefore signatures) are bit-identical. */
+case class PlaneSignatures(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_plane_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (arr(first.dataType) && arr(second.dataType) && third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_plane_sigs expects (array<double>, array<double>, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+
+  override def nullSafeEval(vecAny: Any, planesAny: Any, rpbAny: Any): Any = {
+    val v = vecAny.asInstanceOf[ArrayData]
+    val pl = planesAny.asInstanceOf[ArrayData]
+    val rpb = rpbAny.asInstanceOf[Int]
+    val dim = v.numElements()
+    val nBands = if (dim == 0) 0 else pl.numElements() / dim / rpb
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var sig = 0L; var p = 0
+      while (p < rpb) {
+        val base = (b * rpb + p) * dim
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v.getDouble(i) * pl.getDouble(base + i); i += 1 }
+        if (s >= 0) sig |= 1L << p
+        p += 1
+      }
+      out(b) = sig; b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, pl, rpb) => {
+      val dim = ctx.freshName("dim"); val nBands = ctx.freshName("nBands")
+      val out = ctx.freshName("out"); val b = ctx.freshName("b")
+      val sig = ctx.freshName("sig"); val p = ctx.freshName("p")
+      val base = ctx.freshName("base"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $dim = $v.numElements();
+         |int $nBands = $dim == 0 ? 0 : $pl.numElements() / $dim / $rpb;
+         |long[] $out = new long[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $rpb; $p++) {
+         |    int $base = ($b * $rpb + $p) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) $s += $v.getDouble($i) * $pl.getDouble($base + $i);
+         |    if ($s >= 0) $sig |= 1L << $p;
+         |  }
+         |  $out[$b] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFunctions {
 
   /** Idempotent per-session registration of the native functions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_plane_sigs", exprs => PlaneSignatures(exprs.head, exprs(1), exprs(2)), "built-in")
+  }
 
   /** Cosine similarity column; caller must have invoked [[register]] for
     * the session (all graft.ops entry points do). Float arrays are cast
     * here (a no-copy reinterpret inside codegen). */
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Banded hyperplane signatures column: array of `planes.length /
+    * rowsPerBand` packed sign-bit signatures (band-major plane order). */
+  def planeSignatures(vec: Column, planes: Seq[Seq[Double]], rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    call_function("graft_plane_sigs", vec.cast("array<double>"),
+      typedLit(planes.flatten), lit(rowsPerBand))
+  }
 }

@@ -230,10 +230,7 @@ object Dedup {
         // dim read once from the data (bounded: single-row action)
         val dim = cached.select(size(col("v"))).head().getInt(0)
         val planes = Similarity.randomPlanes(bands * rowsPerBand, dim, seed)
-        val bandSigs = array((0 until bands).map { b =>
-          Similarity.hyperplaneSignature(col("v"),
-            planes.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
-        }: _*)
+        val bandSigs = Similarity.bandSignatures(col("v"), planes, rowsPerBand)
         val banded = cached.select(col("sid"), posexplode(bandSigs).as(Seq("band", "bsig")))
         // a pair can collide in several bands — distinct before the
         // cosine verify so each pair is scored once

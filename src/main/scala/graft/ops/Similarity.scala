@@ -18,13 +18,16 @@ object Similarity {
   }
 
   /** Bit-signature of `vec` against the hyperplanes: bit p = sign of
-    * dot(vec, plane_p). Computed as a codegen-friendly expression. */
+    * dot(vec, plane_p). One codegen'd loop over the vector (the
+    * [[graft.functions.PlaneSignatures]] expression with a single band);
+    * callers must hold a session with [[VectorFunctions.register]]
+    * invoked (all graft.ops entry points do). */
   def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      val dot = zip_with(vec, typedLit(plane), (x, w) => x * w)
-      val s = aggregate(dot, lit(0.0), (acc, x) => acc + x)
-      when(s >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+    VectorFunctions.planeSignatures(vec, planes, planes.length).getItem(0)
+
+  /** All band signatures of `vec` in one pass (band-major plane order). */
+  def bandSignatures(vec: Column, planes: Seq[Seq[Double]], rowsPerBand: Int): Column =
+    VectorFunctions.planeSignatures(vec, planes, rowsPerBand)
 
   /** Exact top-k by cosine against one query vector. Plans as
     * scan → project(cosine) → TakeOrderedAndProject: no shuffle, fully

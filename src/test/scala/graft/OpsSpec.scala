@@ -199,6 +199,29 @@ class OpsSpec extends AnyFunSuite {
     assert(interp.eval(null) == "ab".foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L))
   }
 
+  test("PlaneSignatures expression is bit-identical to the HOF zip_with/aggregate form") {
+    VectorFunctions.register(spark)
+    val planes = Similarity.randomPlanes(16, 64)
+    val hof = planes.zipWithIndex.map { case (plane, p) =>
+      val dot = zip_with(col("v"), typedLit(plane), (x, w) => x * w)
+      val s = aggregate(dot, lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    // single band of 16 planes ≡ the one-signature contract
+    val single = df.select(
+        Similarity.hyperplaneSignature(col("v"), planes).as("cg"), hof.as("hof"))
+      .filter(col("cg") =!= col("hof")).count()
+    assert(single == 0)
+    // 4 bands × 4 planes: band b of the array = signature of plane slice b
+    val banded = df.select(Similarity.bandSignatures(col("v"), planes, 4).as("sigs"),
+      array((0 until 4).map(b => Similarity.hyperplaneSignature(col("v"),
+        planes.slice(b * 4, (b + 1) * 4))): _*).as("ref"))
+      .filter(col("sigs") =!= col("ref")).count()
+    assert(banded == 0)
+  }
+
   test("bucketed embedding near-dup (default) equals exact mode on the test corpus") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
