@@ -22,6 +22,24 @@ object OpsQueries {
     emb(s, sf).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
 
+  /** The ANN invocations under test, each defined ONCE and shared between
+    * the recall gate (s02/s03/s05 correctness entries) and the bench-mode
+    * override that times it — so the bench can never quietly time a
+    * differently-configured operator than the one the gate verifies. */
+  private[graft] def annLsh(corpus: DataFrame, qv: Seq[Double]): DataFrame =
+    Similarity.annTopK(corpus, col("vec_id"), col("embedding"), qv,
+      k = 10, numPlanes = 8, probeHamming = 3)
+
+  private[graft] def annIvfBuild(corpus: DataFrame): Similarity.IvfIndex =
+    Similarity.buildIvf(corpus, col("vec_id"), col("embedding"), nLists = 16)
+
+  private[graft] def annIvfProbe(idx: Similarity.IvfIndex, qv: Seq[Double]): DataFrame =
+    idx.topK(qv, k = 10, nProbe = 6)
+
+  private[graft] def knnIvf(queries: DataFrame, corpus: DataFrame): DataFrame =
+    Similarity.knnJoinIvf(queries, corpus, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), k = 3, nLists = 16, nProbe = 8)
+
   /** Shared harness for the ANN recall gates: average recall@10 of `ann`
     * against the exact brute-force baseline (itself oracle-gated via s01)
     * over vec_id 0..19 as queries, corpus = the rest. Emits one verdict
@@ -181,19 +199,15 @@ object OpsQueries {
     // LSH(8 planes, probe≤3) = 0.58 scanning ~36%; IVF(16 lists,
     // probe 6) = 0.74 scanning ~38%; kNN-IVF(16, 8) = 0.82 scanning 50%.
     ("s02_ann_lsh_topk",
-      (s, sf) => annRecallGate(s, sf, floorPct = 50) { (corpus, qv) =>
-        Similarity.annTopK(corpus, col("vec_id"), col("embedding"), qv, k = 10,
-          numPlanes = 8, probeHamming = 3)
-      },
+      (s, sf) => annRecallGate(s, sf, floorPct = 50)(annLsh),
       "SELECT 20 AS n_queries, 50 AS floor_pct, true AS recall_floor_met"),
 
     ("s03_ann_ivf_topk",
       (s, sf) => {
         var idx: Similarity.IvfIndex = null
         annRecallGate(s, sf, floorPct = 70) { (corpus, qv) =>
-          if (idx == null)
-            idx = Similarity.buildIvf(corpus, col("vec_id"), col("embedding"), nLists = 16)
-          idx.topK(qv, k = 10, nProbe = 6)
+          if (idx == null) idx = annIvfBuild(corpus)
+          annIvfProbe(idx, qv)
         }
       },
       "SELECT 20 AS n_queries, 70 AS floor_pct, true AS recall_floor_met"),
@@ -209,9 +223,7 @@ object OpsQueries {
           df.select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
         val exact = pairs(Similarity.knnJoinBroadcast(e, e, col("vec_id"),
           col("embedding"), col("vec_id"), col("embedding"), k = 3))
-        val approx = pairs(Similarity.knnJoinIvf(e, e, col("vec_id"),
-          col("embedding"), col("vec_id"), col("embedding"), k = 3,
-          nLists = 16, nProbe = 8))
+        val approx = pairs(knnIvf(e, e))
         val recall = (approx & exact).size.toDouble / exact.size
         s.createDataFrame(Seq((3, 75, recall >= 0.75)))
           .toDF("k", "floor_pct", "recall_floor_met")
@@ -404,18 +416,10 @@ object OpsQueries {
     * gating Verify. */
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s02_ann_lsh_topk" -> ((s, sf) =>
-      Similarity.annTopK(emb(s, sf).filter(col("vec_id") =!= 0), col("vec_id"),
-        col("embedding"), queryVec(s, sf), k = 10, numPlanes = 8, probeHamming = 3)),
-    "s03_ann_ivf_topk" -> ((s, sf) => {
-      val idx = Similarity.buildIvf(emb(s, sf).filter(col("vec_id") =!= 0),
-        col("vec_id"), col("embedding"), nLists = 16)
-      idx.topK(queryVec(s, sf), k = 10, nProbe = 6)
-    }),
-    "s05_knn_join_ivf" -> ((s, sf) => {
-      val e = emb(s, sf)
-      Similarity.knnJoinIvf(e, e, col("vec_id"), col("embedding"),
-        col("vec_id"), col("embedding"), k = 3, nLists = 16, nProbe = 8)
-    }),
+      annLsh(emb(s, sf).filter(col("vec_id") =!= 0), queryVec(s, sf))),
+    "s03_ann_ivf_topk" -> ((s, sf) =>
+      annIvfProbe(annIvfBuild(emb(s, sf).filter(col("vec_id") =!= 0)), queryVec(s, sf))),
+    "s05_knn_join_ivf" -> ((s, sf) => { val e = emb(s, sf); knnIvf(e, e) }),
   )
 
   /** Deterministic NT file derived from the nation table (idempotent). */

@@ -17,6 +17,12 @@ object SparkEntry {
     * entries, whose verification form is a recall gate (20 exact + 20
     * approximate runs per gate — right for correctness, not an operator
     * timing). The bench times the operator itself once. */
-  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ OpsQueries.benchOverrides
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val q = queries
+    // an override key that doesn't match a gated query would silently add
+    // an unverified entry to the bench — fail loudly instead
+    require(OpsQueries.benchOverrides.keySet.subsetOf(q.keySet),
+      s"bench overrides not in queries: ${OpsQueries.benchOverrides.keySet -- q.keySet}")
+    q ++ OpsQueries.benchOverrides
+  }
 }

@@ -133,14 +133,24 @@ object StarCompiler {
       target(f.varName).fold(d)(c => d.filter(predicate(col(c), f)))
     }
     // VALUES ?v { ... } → isin filter on this star's binding (pushed to
-    // the scan like any other per-star predicate)
+    // the scan like any other per-star predicate). Literals are typed
+    // per-column from the BOUND COLUMN's schema, not from the literal
+    // list: a mixed numeric/string value list against a long column keeps
+    // its numeric members and drops the unparseable ones (which could
+    // never match a numeric binding) instead of comparing post-cast
+    // strings all-or-nothing.
     query.values.foldLeft(filtered) { case (d, (v, vals)) =>
       target(v).fold(d) { c =>
-        val typed: Seq[Any] =
-          if (vals.forall(_.toLongOption.isDefined)) vals.map(_.toLong)
-          else if (vals.forall(_.toDoubleOption.isDefined)) vals.map(_.toDouble)
-          else vals
-        d.filter(col(c).isin(typed: _*))
+        import org.apache.spark.sql.types._
+        val typed: Seq[Any] = d.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            vals.flatMap(_.toLongOption)
+          case FloatType | DoubleType | _: DecimalType =>
+            vals.flatMap(_.toDoubleOption)
+          case _ => vals
+        }
+        if (typed.isEmpty) d.filter(lit(false))
+        else d.filter(col(c).isin(typed: _*))
       }
     }
   }

@@ -50,14 +50,25 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
     var i = 0
     while (i < n) {
       val b0 = bytes.getByte(i) & 0xFF
-      var cp = 0; var len = 1
-      if (b0 < 0x80) { cp = b0 }
-      else if ((b0 & 0xE0) == 0xC0) { cp = ((b0 & 0x1F) << 6) | (bytes.getByte(i + 1) & 0x3F); len = 2 }
-      else if ((b0 & 0xF0) == 0xE0) {
-        cp = ((b0 & 0x0F) << 12) | ((bytes.getByte(i + 1) & 0x3F) << 6) | (bytes.getByte(i + 2) & 0x3F); len = 3
+      // sequence length from the lead byte FIRST; a truncated multi-byte
+      // tail (or a stray continuation byte classified as a 4-byte lead)
+      // must not read past numBytes — UTF8String.getByte is an unchecked
+      // unsafe read. Malformed input degrades to one code unit per byte,
+      // deterministically.
+      var len =
+        if (b0 < 0x80) 1
+        else if ((b0 & 0xE0) == 0xC0) 2
+        else if ((b0 & 0xF0) == 0xE0) 3
+        else 4
+      var cp = 0
+      if (i + len > n) { cp = b0; len = 1 }
+      else if (len == 1) { cp = b0 }
+      else if (len == 2) { cp = ((b0 & 0x1F) << 6) | (bytes.getByte(i + 1) & 0x3F) }
+      else if (len == 3) {
+        cp = ((b0 & 0x0F) << 12) | ((bytes.getByte(i + 1) & 0x3F) << 6) | (bytes.getByte(i + 2) & 0x3F)
       } else {
         cp = ((b0 & 0x07) << 18) | ((bytes.getByte(i + 1) & 0x3F) << 12) |
-          ((bytes.getByte(i + 2) & 0x3F) << 6) | (bytes.getByte(i + 3) & 0x3F); len = 4
+          ((bytes.getByte(i + 2) & 0x3F) << 6) | (bytes.getByte(i + 3) & 0x3F)
       }
       h = (h * base + cp) % mod
       i += len
@@ -77,11 +88,15 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
          |int $i = 0;
          |while ($i < $n) {
          |  int $b0 = $s.getByte($i) & 0xFF;
-         |  int $cp; int $len = 1;
-         |  if ($b0 < 0x80) { $cp = $b0; }
-         |  else if (($b0 & 0xE0) == 0xC0) { $cp = (($b0 & 0x1F) << 6) | ($s.getByte($i + 1) & 0x3F); $len = 2; }
-         |  else if (($b0 & 0xF0) == 0xE0) { $cp = (($b0 & 0x0F) << 12) | (($s.getByte($i + 1) & 0x3F) << 6) | ($s.getByte($i + 2) & 0x3F); $len = 3; }
-         |  else { $cp = (($b0 & 0x07) << 18) | (($s.getByte($i + 1) & 0x3F) << 12) | (($s.getByte($i + 2) & 0x3F) << 6) | ($s.getByte($i + 3) & 0x3F); $len = 4; }
+         |  // length first + bounds clamp: truncated/malformed sequences
+         |  // degrade to one code unit per byte, never read past numBytes
+         |  int $len = $b0 < 0x80 ? 1 : (($b0 & 0xE0) == 0xC0 ? 2 : (($b0 & 0xF0) == 0xE0 ? 3 : 4));
+         |  int $cp;
+         |  if ($i + $len > $n) { $cp = $b0; $len = 1; }
+         |  else if ($len == 1) { $cp = $b0; }
+         |  else if ($len == 2) { $cp = (($b0 & 0x1F) << 6) | ($s.getByte($i + 1) & 0x3F); }
+         |  else if ($len == 3) { $cp = (($b0 & 0x0F) << 12) | (($s.getByte($i + 1) & 0x3F) << 6) | ($s.getByte($i + 2) & 0x3F); }
+         |  else { $cp = (($b0 & 0x07) << 18) | (($s.getByte($i + 1) & 0x3F) << 12) | (($s.getByte($i + 2) & 0x3F) << 6) | ($s.getByte($i + 3) & 0x3F); }
          |  $h = ($h * $base + $cp) % $mod;
          |  $i += $len;
          |}
@@ -96,16 +111,21 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
 
 object HashFunctions {
 
-  /** Idempotent per-session registration (piggybacks on the graft.ops
-    * entry points that already register the vector functions). */
+  /** Idempotent per-session registration — invoked by
+    * [[VectorFunctions.register]], which every graft.ops entry point
+    * already calls (the one documented registration contract). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polyhash", exprs => PolyHash(exprs.head, exprs(1), exprs(2)), "built-in")
 
-  /** Polynomial hash column; registers against the active session so
-    * Column-only call sites (no DataFrame in scope) keep working. */
+  /** Polynomial hash column. Callers must hold a session with
+    * [[VectorFunctions.register]] invoked (all graft.ops entry points
+    * do); the active-session registration here is best-effort convenience
+    * only — Column construction must not throw when no session is active,
+    * and in multi-session drivers the analyzing session's own register
+    * call is authoritative. */
   def polyHash(s: Column, base: Long, mod: Long): Column = {
-    register(SparkSession.active)
+    scala.util.Try(register(SparkSession.active))
     call_function("graft_polyhash", s, lit(base), lit(mod))
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -67,8 +67,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * signatures in one pass: for each band b of `rowsPerBand` planes, bit p
   * of signature b is the sign of dot(vec, plane_{b·rowsPerBand+p}).
   * `planes` is the flattened plane matrix (band-major, each plane `dim`
-  * doubles where dim = vec length) — a literal, so codegen reads it from
-  * a reference without per-row construction.
+  * doubles) — a literal, so codegen reads it from a reference without
+  * per-row construction.
+  *
+  * `dim` (fourth argument) is the dimensionality the planes were built
+  * for. A row whose vector length differs — ragged embeddings — yields
+  * NULL rather than silently re-deriving a different band count and
+  * reading plane slices at wrong offsets (the plane literal's length is
+  * a multiple of dim·rowsPerBand, so all reads stay in bounds by
+  * construction once dim is pinned). NULL signatures drop out of the
+  * downstream posexplode: mismatched rows simply produce no candidates.
   *
   * Replaces the `zip_with` + `aggregate` HOF composition, which
   * materialized a per-plane product array and evaluated its lambdas
@@ -76,30 +84,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * the dominant cost of the embedding-LSH candidate stage. Sum order per
   * plane is ascending-index, matching the HOF `aggregate` fold, so signs
   * (and therefore signatures) are bit-identical. */
-case class PlaneSignatures(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+case class PlaneSignatures(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_plane_sigs"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def arr(t: DataType) = t match {
       case ArrayType(DoubleType, _) => true
       case _ => false
     }
-    if (arr(first.dataType) && arr(second.dataType) && third.dataType == IntegerType)
+    if (arr(first.dataType) && arr(second.dataType) &&
+        third.dataType == IntegerType && fourth.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_plane_sigs expects (array<double>, array<double>, int), got " +
-        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+      s"graft_plane_sigs expects (array<double>, array<double>, int, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType}, ${fourth.dataType})")
   }
 
-  override def nullSafeEval(vecAny: Any, planesAny: Any, rpbAny: Any): Any = {
+  override def nullSafeEval(vecAny: Any, planesAny: Any, rpbAny: Any, dimAny: Any): Any = {
     val v = vecAny.asInstanceOf[ArrayData]
     val pl = planesAny.asInstanceOf[ArrayData]
     val rpb = rpbAny.asInstanceOf[Int]
-    val dim = v.numElements()
-    val nBands = if (dim == 0) 0 else pl.numElements() / dim / rpb
+    val dim = dimAny.asInstanceOf[Int]
+    if (v.numElements() != dim || dim == 0) return null
+    val nBands = pl.numElements() / dim / rpb
     val out = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {
@@ -117,43 +128,51 @@ case class PlaneSignatures(first: Expression, second: Expression, third: Express
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, pl, rpb) => {
-      val dim = ctx.freshName("dim"); val nBands = ctx.freshName("nBands")
+    nullSafeCodeGen(ctx, ev, (v, pl, rpb, dim) => {
+      val nBands = ctx.freshName("nBands")
       val out = ctx.freshName("out"); val b = ctx.freshName("b")
       val sig = ctx.freshName("sig"); val p = ctx.freshName("p")
       val base = ctx.freshName("base"); val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |int $dim = $v.numElements();
-         |int $nBands = $dim == 0 ? 0 : $pl.numElements() / $dim / $rpb;
-         |long[] $out = new long[$nBands];
-         |for (int $b = 0; $b < $nBands; $b++) {
-         |  long $sig = 0L;
-         |  for (int $p = 0; $p < $rpb; $p++) {
-         |    int $base = ($b * $rpb + $p) * $dim;
-         |    double $s = 0.0;
-         |    for (int $i = 0; $i < $dim; $i++) $s += $v.getDouble($i) * $pl.getDouble($base + $i);
-         |    if ($s >= 0) $sig |= 1L << $p;
+         |if ($v.numElements() != $dim || $dim == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $nBands = $pl.numElements() / $dim / $rpb;
+         |  long[] $out = new long[$nBands];
+         |  for (int $b = 0; $b < $nBands; $b++) {
+         |    long $sig = 0L;
+         |    for (int $p = 0; $p < $rpb; $p++) {
+         |      int $base = ($b * $rpb + $p) * $dim;
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) $s += $v.getDouble($i) * $pl.getDouble($base + $i);
+         |      if ($s >= 0) $sig |= 1L << $p;
+         |    }
+         |    $out[$b] = $sig;
          |  }
-         |  $out[$b] = $sig;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
-    copy(first = newFirst, second = newSecond, third = newThird)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 object VectorFunctions {
 
-  /** Idempotent per-session registration of the native functions. */
+  /** Idempotent per-session registration of ALL native graft functions
+    * (vector + hash) — the single registration contract every graft.ops
+    * entry point invokes. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_plane_sigs", exprs => PlaneSignatures(exprs.head, exprs(1), exprs(2)), "built-in")
+      "graft_plane_sigs",
+      exprs => PlaneSignatures(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    HashFunctions.register(spark)
   }
 
   /** Cosine similarity column; caller must have invoked [[register]] for
@@ -163,10 +182,13 @@ object VectorFunctions {
     call_function("graft_cosine", a.cast("array<double>"), b.cast("array<double>"))
 
   /** Banded hyperplane signatures column: array of `planes.length /
-    * rowsPerBand` packed sign-bit signatures (band-major plane order). */
+    * rowsPerBand` packed sign-bit signatures (band-major plane order).
+    * Rows whose vector length differs from the planes' dimensionality
+    * yield NULL (and so drop out of candidate generation) instead of
+    * reading plane slices at wrong offsets. */
   def planeSignatures(vec: Column, planes: Seq[Seq[Double]], rowsPerBand: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedLit}
     call_function("graft_plane_sigs", vec.cast("array<double>"),
-      typedLit(planes.flatten), lit(rowsPerBand))
+      typedLit(planes.flatten), lit(rowsPerBand), lit(planes.head.length))
   }
 }

@@ -20,11 +20,19 @@ object Dedup {
 
   /** Small local inputs arrive as one scan partition, serializing the
     * heavy per-row work (shingling, 64 hash lanes, pair loops). Widen to
-    * the session's shuffle parallelism when the scan is narrower; a no-op
-    * for big inputs that already scan wide (the 100 TB case). */
-  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    * the session's shuffle parallelism when the scan would be narrower; a
+    * no-op for big inputs that already scan wide (the 100 TB case).
+    *
+    * The width estimate comes from logical-plan statistics
+    * (sizeInBytes / files.maxPartitionBytes ≈ scan partitions), NOT from
+    * `df.rdd.getNumPartitions` — the latter forces physical planning of
+    * the upstream plan before the caller's cache point. */
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val estScanParts = bytes / math.max(1L, conf.filesMaxPartitionBytes) + 1
+    if (estScanParts < target) df.repartition(target) else df
   }
 
   /** Exact dedup: one surviving (minimum) id per distinct key. */
@@ -227,8 +235,14 @@ object Dedup {
             col("l.v").as("v_a"), col("r.v").as("v_b"))
       } else {
         val cached = base.cache()
-        // dim read once from the data (bounded: single-row action)
-        val dim = cached.select(size(col("v"))).head().getInt(0)
+        // plane dimensionality = the corpus's majority vector length (one
+        // narrow map-side-combined aggregation over the cached input, not
+        // a first-row sample — the first row could be a ragged outlier,
+        // which would null out the whole corpus's signatures). Rows of any
+        // other length get NULL signatures and drop out of candidate
+        // generation (see PlaneSignatures).
+        val dim = cached.groupBy(size(col("v")).as("d")).count()
+          .orderBy(desc("count"), asc("d")).head().getInt(0)
         val planes = Similarity.randomPlanes(bands * rowsPerBand, dim, seed)
         val bandSigs = Similarity.bandSignatures(col("v"), planes, rowsPerBand)
         val banded = cached.select(col("sid"), posexplode(bandSigs).as(Seq("band", "bsig")))

@@ -50,6 +50,27 @@ class EngineSpec extends AnyFunSuite {
     assert(got == exp && got > 0)
   }
 
+  test("VALUES types literals per-column: mixed list keeps numeric members on a long column") {
+    // g:region binds n_regionkey (long); "x" can never match a numeric
+    // binding and is dropped instead of forcing a string comparison
+    val mixed = graft.fixtures.TpchLake.run(spark, sf,
+      """PREFIX g: <http://graft.io/schema/>
+        |SELECT ?nname ?reg WHERE {
+        |  ?n g:nationName ?nname . ?n g:region ?reg .
+        |  VALUES ?reg { 1 "x" 2 }
+        |}""".stripMargin)
+    val regs = mixed.collect().map(_.getAs[Number](1).longValue).toSet
+    assert(regs == Set(1L, 2L))
+    // all-unparseable list on a numeric column → empty result, no error
+    val none = graft.fixtures.TpchLake.run(spark, sf,
+      """PREFIX g: <http://graft.io/schema/>
+        |SELECT ?nname WHERE {
+        |  ?n g:nationName ?nname . ?n g:region ?reg .
+        |  VALUES ?reg { "x" }
+        |}""".stripMargin)
+    assert(none.count() == 0)
+  }
+
   test("unsatisfiable star fails with a clear error") {
     val e = intercept[IllegalArgumentException] {
       graft.fixtures.TpchLake.run(spark, sf,

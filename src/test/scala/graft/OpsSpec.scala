@@ -222,6 +222,68 @@ class OpsSpec extends AnyFunSuite {
     assert(banded == 0)
   }
 
+  test("PolyHash clamps malformed UTF-8 to single code units, deterministically") {
+    import graft.functions.PolyHash
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def poly(codes: Seq[Int], b: Long, m: Long) =
+      codes.foldLeft(7L)((a, c) => (a * b + c) % m)
+    def hash(bytes: Array[Byte]): Long =
+      PolyHash(Literal.create(UTF8String.fromBytes(bytes), StringType),
+        Literal.create(31L), Literal.create(1000000007L)).eval(null).asInstanceOf[Long]
+    // truncated 2-byte lead at end of buffer → one code unit (0xC3), no
+    // read past numBytes
+    assert(hash(Array('a'.toByte, 0xC3.toByte)) == poly(Seq('a'.toInt, 0xC3), 31, 1000000007L))
+    // stray continuation byte (classified as 4-byte lead, clamped)
+    assert(hash(Array(0x80.toByte)) == poly(Seq(0x80), 31, 1000000007L))
+    // truncated 4-byte lead with one continuation: lead clamps to a unit,
+    // then the continuation clamps too
+    assert(hash(Array(0xF0.toByte, 0x9F.toByte)) == poly(Seq(0xF0, 0x9F), 31, 1000000007L))
+    // codegen path agrees with the interpreted clamp (binary→string cast
+    // never validates UTF-8 — the reachable malformed-input route)
+    val viaDf = Seq(Array('a'.toByte, 0xC3.toByte)).toDF("b")
+      .select(graft.functions.HashFunctions.polyHash(
+        col("b").cast("string"), 31, 1000000007L).as("h"))
+      .head().getLong(0)
+    assert(viaDf == poly(Seq('a'.toInt, 0xC3), 31, 1000000007L))
+    // well-formed multi-byte input still decodes full code points
+    assert(hash("é".getBytes("UTF-8")) == poly(Seq(233), 31, 1000000007L))
+  }
+
+  test("PlaneSignatures nulls out rows whose dim mismatches the planes") {
+    VectorFunctions.register(spark)
+    val planes = Similarity.randomPlanes(8, 4)
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(1.0, 2.0, 3.0)),
+      (3L, Seq.empty[Double]))
+      .toDF("id", "v")
+      .select(col("id"), VectorFunctions.planeSignatures(col("v"), planes, 4).as("sigs"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L) && rows(2L) && rows(3L))
+    // operator-level: a ragged row degrades to "no candidates", not wrong
+    // offsets or a crash
+    val emb = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
+      threshold = 0.9).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ensureParallelism widens narrow scans from stats, leaves wide scans alone") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val target = spark.sessionState.conf.numShufflePartitions
+    // tiny file → stats say one scan partition → widened
+    assert(Dedup.ensureParallelism(docs).rdd.getNumPartitions == target)
+    // shrink maxPartitionBytes so the same file estimates >= target scan
+    // partitions → returned untouched (same reference, no repartition)
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "128")
+      val wide = spark.read.parquet(s"$sf/documents.parquet")
+      assert(Dedup.ensureParallelism(wide) eq wide)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
   test("bucketed embedding near-dup (default) equals exact mode on the test corpus") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
