@@ -334,9 +334,48 @@ object EngineQueries {
         |}""".stripMargin,
       "SELECT c_name AS name FROM customer UNION ALL SELECT s_name FROM supplier"))
 
+  /** SQL-generation engine gates (the reference's Presto-path capability,
+    * PrestoExecutor.scala:404-518): each reuses an existing suite entry's
+    * SPARQL, lowers it through [[graft.engine.SqlGenExecutor]] to one
+    * nested ANSI SQL string, and executes that string on Spark SQL over
+    * temp views. The ORACLE for each gate is the SAME generated string
+    * run by DuckDB — two independent SQL engines must agree on the
+    * lowering, which also makes it a second oracle path for the covered
+    * query shapes (filter, 3/4-star joins, agg, HAVING, OPTIONAL, FnO). */
+  private val sqlGenGates: Seq[(String, String)] = Seq(
+    "sg01_sqlgen_filter" -> "q02_filter_cmp",
+    "sg02_sqlgen_join3" -> "q05_join3",
+    "sg03_sqlgen_join4_mod" -> "q06_join4_mod",
+    "sg04_sqlgen_agg" -> "q14_agg_join_orderby",
+    "sg05_sqlgen_having" -> "q25_having",
+    "sg06_sqlgen_optional" -> "q19_optional",
+    "sg07_sqlgen_fno" -> "q15_fno_transform")
+
+  private def sparqlOf(name: String): String =
+    suite.collectFirst { case (`name`, sparql, _) => sparql }
+      .getOrElse(sys.error(s"no suite entry $name"))
+
+  private def sqlgenRun(sparql: String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      val (m, c) = TpchLake.lake(sfDir)
+      graft.engine.SqlGenExecutor.execute(spark,
+        graft.sparql.SparqlParser.parse(P + sparql), m, c)
+    }
+
+  /** The oracle SQL IS the lowered SQL (table names are sf-independent
+    * parquet basenames, so lowering against any lake dir yields the same
+    * string). */
+  private def loweredOracle(sparql: String): String = {
+    val (m, c) = TpchLake.lake("/root/testdata/sf0.01")
+    graft.engine.SqlGenExecutor.lower(
+      graft.sparql.SparqlParser.parse(P + sparql), m, c).sql
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    suite.map { case (name, sparql, _) => name -> eng(sparql) }.toMap
+    suite.map { case (name, sparql, _) => name -> eng(sparql) }.toMap ++
+      sqlGenGates.map { case (n, src) => n -> sqlgenRun(sparqlOf(src)) }
 
   def oracleSql: Map[String, String] =
-    suite.map { case (name, _, oracle) => name -> oracle }.toMap
+    suite.map { case (name, _, oracle) => name -> oracle }.toMap ++
+      sqlGenGates.map { case (n, src) => n -> loweredOracle(sparqlOf(src)) }
 }

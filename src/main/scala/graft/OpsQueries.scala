@@ -90,6 +90,22 @@ object OpsQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE jaccard >= 0.8""".stripMargin),
 
+    // rarity-ordered prefix path (the large-corpus default): identical
+    // semantics to d02 — the prefix-filter theorem holds for any global
+    // total order — so it shares d02's exact all-pairs oracle
+    ("d08_ngram_jaccard_rarity",
+      (s, sf) => Dedup.ngramJaccardPairs(docs(s, sf), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8, rarityPrefix = Some(true)),
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.ws,b.ws))::DOUBLE
+        |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE jaccard >= 0.8""".stripMargin),
+
     // LSH candidates + exact verification ⇒ same rows as the exact oracle
     // (recall at j≥0.8 with 16×4 bands is 1-(1-j⁴)¹⁶ > 1-10⁻⁸)
     ("d03_minhash_lsh",

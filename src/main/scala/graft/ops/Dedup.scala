@@ -65,37 +65,89 @@ object Dedup {
   private def shingled(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     ensureParallelism(df.select(id.as("sid"), wordShingles(text, n).as("shingles")))
 
+  /** Inputs estimated above this size default to the rarity-ordered
+    * prefix (the extra DF join pays for itself once a corpus-hot shingle
+    * could fan out quadratically inside its candidate bucket). */
+  private val RarityAutoBytes = BigInt(1L << 30)
+
   /** All-pairs exact n-gram Jaccard with ppjoin-style prefix filtering:
-    * shingles are globally ordered rarest-first; a pair with
-    * jaccard ≥ t must share a shingle within each side's first
-    * |S| − ⌈t·|S|⌉ + 1 shingles (prefix-filter theorem), so only prefix
-    * shingles are indexed for the candidate join — hot shingles land in
-    * long suffixes and never fan out. Exact verification on the full sets
-    * follows; output = naive all-pairs result, cost ≪ n². */
+    * shingles are globally ordered; a pair with jaccard ≥ t must share a
+    * shingle within each side's first |S| − ⌈t·|S|⌉ + 1 shingles under
+    * that order (prefix-filter theorem), so only prefix shingles are
+    * indexed for the candidate join. Exact verification on the full sets
+    * follows; output = naive all-pairs result, cost ≪ n².
+    *
+    * Two global orders, selected by `rarityPrefix`:
+    *  - hash order (small inputs): computed per-row (sort + slice inside
+    *    codegen), no extra joins. Scale caveat: a corpus-hot shingle
+    *    (boilerplate header, license text) that lands in short documents'
+    *    prefixes fans out quadratically inside its bucket.
+    *  - rarity order (default for large inputs): shingles ordered by
+    *    ascending corpus document frequency, so globally hot shingles
+    *    land in suffixes and never enter the candidate index. Costs one
+    *    DF aggregation + join + per-doc window; identical output (the
+    *    theorem holds for any global total order — spec-asserted).
+    * `rarityPrefix = None` picks by input size statistics. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, rarityPrefix: Option[Boolean] = None): DataFrame = {
     // shingle sets feed both candidate generation and verification — cache
     // instead of recomputing the tokenize+shingle scan twice
     val sh = shingled(df, id, text, n).cache()
-    // prefix filtering needs only SOME fixed global shingle order; hash
-    // order is computed per-row (sort + slice inside codegen), avoiding
-    // the frequency-join + two windows a rarity order would cost. A pair
-    // with jaccard ≥ t still must share a shingle within each side's
-    // first |S| − ⌈t·|S|⌉ + 1 shingles under that order.
+    val useRarity = rarityPrefix.getOrElse(
+      df.queryExecution.analyzed.stats.sizeInBytes > RarityAutoBytes)
+    val cands = if (useRarity) rarityPrefixCandidates(sh, threshold)
+      else hashPrefixCandidates(sh, threshold)
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Candidate pairs only (pre-verification) — exposed for the prefix-
+    * order specs, which assert identical final pairs and a reduced
+    * candidate count under skew. */
+  private[graft] def candidatePairs(df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double, rarity: Boolean): DataFrame = {
+    val sh = shingled(df, id, text, n)
+    if (rarity) rarityPrefixCandidates(sh, threshold)
+    else hashPrefixCandidates(sh, threshold)
+  }
+
+  /** Hash-ordered prefixes, computed per-row with zero extra joins. */
+  private def hashPrefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     val prefixArr = slice(
       array_sort(transform(col("shingles"), s => struct(xxhash64(s).as("h"), s.as("s")))),
       lit(1), (size(col("shingles")) - ceil(size(col("shingles")) * threshold) + 1).cast("int"))
     val prefix = sh.select(col("sid"), size(col("shingles")).as("nsh"),
         explode(prefixArr).as("hs"))
       .select(col("sid"), col("hs.s").as("sh"), col("nsh"))
-    // length filter: jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t
-    val cands = prefix.as("a")
+    joinPrefixes(prefix, threshold)
+  }
+
+  /** Rarity-ordered prefixes: global order = (document frequency asc,
+    * shingle asc) — a total order, so the prefix-filter theorem applies
+    * unchanged. The DF table reuses the exploded shingle relation (one
+    * map-side-combined aggregation); the per-doc window is bounded by the
+    * doc's shingle count. */
+  private def rarityPrefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = sh.select(col("sid"), size(col("shingles")).as("nsh"),
+      explode(col("shingles")).as("sh"))
+    val dfTab = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
+    val prefix = ex.join(dfTab, "sh")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("sid")).orderBy(col("df"), col("sh"))))
+      .filter(col("__rn") <= prefLen)
+      .select(col("sid"), col("sh"), col("nsh"))
+    joinPrefixes(prefix, threshold)
+  }
+
+  /** Prefix self-join with the ppjoin length filter:
+    * jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t. */
+  private def joinPrefixes(prefix: DataFrame, threshold: Double): DataFrame =
+    prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid") &&
         col("b.nsh") >= col("a.nsh") * threshold && col("a.nsh") >= col("b.nsh") * threshold)
       .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
       .distinct()
-    verifyJaccard(cands, sh, threshold)
-  }
 
   /** Exact-Jaccard verification of candidate pairs against full shingle
     * sets (array_intersect is codegen'd; arrays ride the joins once). */

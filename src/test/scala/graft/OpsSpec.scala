@@ -284,6 +284,39 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("rarity-ordered prefixes: identical pairs, fewer candidates under a hot shingle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // both global orders produce the same verified pairs on the d02 corpus
+    val hashPairs = canon(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.8, rarityPrefix = Some(false)))
+    val rarityPairs = canon(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.8, rarityPrefix = Some(true)))
+    assert(hashPairs.nonEmpty && rarityPairs == hashPairs)
+    // skewed fixture: one boilerplate sentence shared by 30% of docs. Its
+    // shingles are corpus-hot; under hash order they can land in prefixes
+    // and fan out quadratically in their buckets, under rarity order they
+    // sort to the suffixes — candidate count must drop measurably.
+    val hot = "all rights reserved contact support for help with this product today"
+    val skewed = (0 until 200).map { i =>
+      val base = (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+      (i.toLong, if (i % 10 < 3) s"$hot $base" else base)
+    }.toDF("id", "text")
+    val nHash = Dedup.candidatePairs(skewed, col("id"), col("text"),
+      n = 3, threshold = 0.5, rarity = false).count()
+    val nRarity = Dedup.candidatePairs(skewed, col("id"), col("text"),
+      n = 3, threshold = 0.5, rarity = true).count()
+    assert(nRarity < nHash / 2,
+      s"expected rarity order to cut candidates: hash=$nHash rarity=$nRarity")
+    // and the skewed corpus still verifies to the same pairs either way
+    val vHash = canon(Dedup.ngramJaccardPairs(skewed, col("id"), col("text"),
+      n = 3, threshold = 0.5, rarityPrefix = Some(false)))
+    val vRarity = canon(Dedup.ngramJaccardPairs(skewed, col("id"), col("text"),
+      n = 3, threshold = 0.5, rarityPrefix = Some(true)))
+    assert(vRarity == vHash)
+  }
+
   test("bucketed embedding near-dup (default) equals exact mode on the test corpus") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -1,0 +1,86 @@
+package graft
+
+import graft.engine.SqlGenExecutor
+import graft.fixtures.TpchLake
+import graft.sparql.SparqlParser
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-generation engine (reference Presto-path counterpart) must
+  * agree with the Column engine on every gated query shape — same SPARQL
+  * in, same rows out — and must refuse shapes it does not lower instead
+  * of generating wrong SQL. (The sg* driver gates additionally run the
+  * generated string through DuckDB.) */
+class SqlGenSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val gatePairs = Seq(
+    "sg01_sqlgen_filter" -> "q02_filter_cmp",
+    "sg02_sqlgen_join3" -> "q05_join3",
+    "sg03_sqlgen_join4_mod" -> "q06_join4_mod",
+    "sg04_sqlgen_agg" -> "q14_agg_join_orderby",
+    "sg05_sqlgen_having" -> "q25_having",
+    "sg06_sqlgen_optional" -> "q19_optional",
+    "sg07_sqlgen_fno" -> "q15_fno_transform")
+
+  test("SQL-gen engine agrees with the Column engine on every gated shape") {
+    for ((sg, src) <- gatePairs) {
+      val a = SparkEntry.queries(sg)(spark, sf)
+      val b = SparkEntry.queries(src)(spark, sf)
+      assert(a.columns.toSeq == b.columns.toSeq, s"$sg columns")
+      val ra = a.collect().map(_.mkString("|")).sorted.toSeq
+      val rb = b.collect().map(_.mkString("|")).sorted.toSeq
+      assert(ra == rb, s"$sg rows differ from $src")
+      // sg05's HAVING threshold leaves 0 rows at sf0.001 (both engines
+      // agree); every other gate must produce rows
+      if (sg != "sg05_sqlgen_having") assert(ra.nonEmpty, s"$sg returned no rows")
+    }
+  }
+
+  test("lowering is a single statement over base tables, filters pushed into stars") {
+    val (m, c) = TpchLake.lake(sf)
+    val q = SparqlParser.parse(
+      "PREFIX g: <http://graft.io/schema/>\n" +
+        """SELECT ?cname ?total WHERE {
+          |  ?o g:customer ?c . ?o g:totalprice ?total .
+          |  ?c g:custName ?cname .
+          |  FILTER(?total > 200000)
+          |}""".stripMargin)
+    val l = SqlGenExecutor.lower(q, m, c)
+    assert(l.tables.map(_._1).sorted == Seq("customer", "orders"))
+    // the filter must sit inside the o star's subquery (before the join),
+    // not in the outer query
+    val joinIdx = l.sql.indexOf(" JOIN ")
+    val filterIdx = l.sql.indexOf("o__total > 200000")
+    assert(filterIdx >= 0 && joinIdx >= 0)
+    assert(l.sql.startsWith("SELECT "))
+  }
+
+  test("unsupported shapes are refused, not mis-lowered") {
+    val (m, c) = TpchLake.lake(sf)
+    def refuse(sparql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        SqlGenExecutor.lower(SparqlParser.parse(
+          "PREFIX g: <http://graft.io/schema/>\n" + sparql), m, c)
+      }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    refuse(
+      """SELECT ?ord ?gross WHERE {
+        |  ?li g:order ?ord . ?li g:quantity ?qty .
+        |  BIND(?qty * 2 AS ?gross)
+        |}""".stripMargin, "BIND")
+    refuse(
+      """SELECT ?name WHERE {
+        |  { ?c g:custName ?name . } UNION { ?s g:suppName ?name . }
+        |}""".stripMargin, "UNION")
+  }
+}
