@@ -22,6 +22,27 @@ object OpsQueries {
     emb(s, sf).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
 
+  /** Deterministic clustered embedding fixture: a 40-center mixture with
+    * 25% noise, hash-derived (no RNG state) — the shape a real corpus
+    * has, where sublinear ANN earns recall ≥ 0.9. The driver's synthetic
+    * embeddings are near-random (top-10 cosines ~0.2–0.4, ANN's worst
+    * case), which caps meaningful floors at 50–75%; these gates pin the
+    * high-recall contract on realistic data. sf-independent by design:
+    * the same fixture (and therefore the same verdict row) at every
+    * scale factor. */
+  private[graft] def clusteredEmb(s: SparkSession,
+      n: Int = 2000, dim: Int = 32, centers: Int = 40): DataFrame =
+    s.range(0, n, 1, 8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        (pmod(xxhash64(lit("cc"), pmod(col("id"), lit(centers)), i), lit(2001))
+          .cast("double") / 1000.0 - 1.0) +
+          (pmod(xxhash64(lit("cn"), col("id"), i), lit(2001))
+            .cast("double") / 1000.0 - 1.0) * 0.25).as("embedding"))
+
+  private[graft] def clusteredQueryVec(s: SparkSession): Seq[Double] =
+    clusteredEmb(s).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Double](0)
+
   /** The ANN invocations under test, each defined ONCE and shared between
     * the recall gate (s02/s03/s05 correctness entries) and the bench-mode
     * override that times it — so the bench can never quietly time a
@@ -40,16 +61,34 @@ object OpsQueries {
     Similarity.knnJoinIvf(queries, corpus, col("vec_id"), col("embedding"),
       col("vec_id"), col("embedding"), k = 3, nLists = 16, nProbe = 8)
 
+  private[graft] def annIvfAuto(corpus: DataFrame): Similarity.IvfIndex = {
+    val (nLists, _) = Similarity.autoIvfParams(corpus.count())
+    Similarity.buildIvf(corpus, col("vec_id"), col("embedding"), nLists)
+  }
+
+  private[graft] def annIvfAutoProbe(idx: Similarity.IvfIndex, qv: Seq[Double]): DataFrame =
+    idx.topK(qv, k = 10, nProbe = math.max(4, idx.centroids.length / 8))
+
+  private[graft] def knnIvfAuto(queries: DataFrame, corpus: DataFrame): DataFrame =
+    Similarity.knnJoinIvfAuto(queries, corpus, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), k = 3)
+
   /** Shared harness for the ANN recall gates: average recall@10 of `ann`
     * against the exact brute-force baseline (itself oracle-gated via s01)
     * over vec_id 0..19 as queries, corpus = the rest. Emits one verdict
     * row the oracle pins. Driver-side collects are bounded: 20 query
     * vectors + 20×10 result ids. */
   private def annRecallGate(s: SparkSession, sf: String, floorPct: Int)(
+      ann: (DataFrame, Seq[Double]) => DataFrame): DataFrame =
+    annRecallGateOn(s, emb(s, sf), floorPct)(ann)
+
+  /** Same protocol over an arbitrary embedding table (vec_id < 20 are the
+    * queries, the rest the corpus). */
+  private def annRecallGateOn(s: SparkSession, all: DataFrame, floorPct: Int)(
       ann: (DataFrame, Seq[Double]) => DataFrame): DataFrame = {
     import s.implicits._
-    val corpus = emb(s, sf).filter(col("vec_id") >= 20).cache()
-    val qs = emb(s, sf).filter(col("vec_id") < 20)
+    val corpus = all.filter(col("vec_id") >= 20).cache()
+    val qs = all.filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val recalls = qs.map { case (_, qv) =>
@@ -246,6 +285,43 @@ object OpsQueries {
       },
       "SELECT 3 AS k, 75 AS floor_pct, true AS recall_floor_met"),
 
+    // high-recall ANN contract on clustered (real-corpus-shaped) data:
+    // same operators, auto-scaled IVF knobs, floors at 90% — the
+    // near-random driver embeddings cap the s02/s03/s05 floors at 50–75%
+    // by fixture, not by operator (OpsQueries.scala s02 comment)
+    ("s06_ann_lsh_clustered",
+      (s, sf) => annRecallGateOn(s, clusteredEmb(s), floorPct = 90)(annLsh),
+      "SELECT 20 AS n_queries, 90 AS floor_pct, true AS recall_floor_met"),
+
+    ("s07_ann_ivf_clustered",
+      (s, sf) => {
+        var idx: Similarity.IvfIndex = null
+        annRecallGateOn(s, clusteredEmb(s), floorPct = 90) { (corpus, qv) =>
+          if (idx == null) idx = annIvfAuto(corpus)
+          annIvfAutoProbe(idx, qv)
+        }
+      },
+      "SELECT 20 AS n_queries, 90 AS floor_pct, true AS recall_floor_met"),
+
+    // auto-scaled IVF kNN join (nLists ≈ √n, 12.5% probe): the fixed-knob
+    // s05 configuration probes 50% of the corpus at ANY size — candidate
+    // volume n²/2, measured 56 s at sf1 — while the auto knobs bound it
+    // at nProbe·√n per query AND hold recall ≥ 0.9 on clustered data
+    ("s08_knn_join_ivf_auto",
+      (s, sf) => {
+        import s.implicits._
+        val e = clusteredEmb(s)
+        def pairs(df: DataFrame) =
+          df.select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+        val exact = pairs(Similarity.knnJoinBroadcast(e, e, col("vec_id"),
+          col("embedding"), col("vec_id"), col("embedding"), k = 3))
+        val approx = pairs(knnIvfAuto(e, e))
+        val recall = (approx & exact).size.toDouble / exact.size
+        s.createDataFrame(Seq((3, 90, recall >= 0.9)))
+          .toDF("k", "floor_pct", "recall_floor_met")
+      },
+      "SELECT 3 AS k, 90 AS floor_pct, true AS recall_floor_met"),
+
     // ---- text analysis --------------------------------------------------
     ("t01_token_count",
       (s, sf) => docs(s, sf).select(col("doc_id"),
@@ -436,6 +512,12 @@ object OpsQueries {
     "s03_ann_ivf_topk" -> ((s, sf) =>
       annIvfProbe(annIvfBuild(emb(s, sf).filter(col("vec_id") =!= 0)), queryVec(s, sf))),
     "s05_knn_join_ivf" -> ((s, sf) => { val e = emb(s, sf); knnIvf(e, e) }),
+    "s06_ann_lsh_clustered" -> ((s, _) =>
+      annLsh(clusteredEmb(s).filter(col("vec_id") =!= 0), clusteredQueryVec(s))),
+    "s07_ann_ivf_clustered" -> ((s, _) =>
+      annIvfAutoProbe(annIvfAuto(clusteredEmb(s).filter(col("vec_id") =!= 0)),
+        clusteredQueryVec(s))),
+    "s08_knn_join_ivf_auto" -> ((s, _) => { val e = clusteredEmb(s); knnIvfAuto(e, e) }),
   )
 
   /** Deterministic NT file derived from the nation table (idempotent). */

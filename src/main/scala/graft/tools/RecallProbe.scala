@@ -14,7 +14,9 @@ object RecallProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // arg "clustered" probes the in-code clustered fixture instead
+    val e = if (sf == "clustered") graft.OpsQueries.clusteredEmb(spark)
+      else spark.read.parquet(s"$sf/embeddings.parquet")
     val corpus = e.filter(col("vec_id") >= 20).cache()
     val qs = e.filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -31,7 +33,8 @@ object RecallProbe {
     for ((np, ph) <- Seq((12, 2), (12, 3), (8, 2), (8, 3), (6, 2)))
       println(f"LSH planes=$np probe=$ph recall=${avgRecall(qv =>
         Similarity.annTopK(corpus, col("vec_id"), col("embedding"), qv, 10, np, ph))}%.2f")
-    for ((nl, np) <- Seq((16, 4), (16, 6), (16, 8), (8, 3), (8, 4))) {
+    val (autoL, autoP) = Similarity.autoIvfParams(corpus.count())
+    for ((nl, np) <- Seq((16, 4), (16, 6), (16, 8), (8, 3), (8, 4), (autoL, autoP))) {
       val idx = Similarity.buildIvf(corpus, col("vec_id"), col("embedding"), nl)
       println(f"IVF lists=$nl probe=$np recall=${avgRecall(qv => idx.topK(qv, 10, np))}%.2f")
     }
@@ -40,7 +43,8 @@ object RecallProbe {
       df.select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
     val exact = pairs(Similarity.knnJoinBroadcast(e, e, col("vec_id"), col("embedding"),
       col("vec_id"), col("embedding"), 3))
-    for ((nl, np) <- Seq((16, 8), (16, 12), (8, 4), (8, 6))) {
+    val (jl, jp) = Similarity.autoIvfParams(e.count())
+    for ((nl, np) <- Seq((16, 8), (16, 12), (8, 4), (8, 6), (jl, jp))) {
       val approx = pairs(Similarity.knnJoinIvf(e, e, col("vec_id"), col("embedding"),
         col("vec_id"), col("embedding"), 3, nl, np))
       println(f"KNN-IVF lists=$nl probe=$np recall=${(approx & exact).size.toDouble / exact.size}%.2f")
