@@ -517,7 +517,11 @@ object OpsQueries {
     "s07_ann_ivf_clustered" -> ((s, _) =>
       annIvfAutoProbe(annIvfAuto(clusteredEmb(s).filter(col("vec_id") =!= 0)),
         clusteredQueryVec(s))),
-    "s08_knn_join_ivf_auto" -> ((s, _) => { val e = clusteredEmb(s); knnIvfAuto(e, e) }),
+    // the timed data is the sf dir's embedding table (so the sf1 sweep
+    // contrasts auto knobs with s05's fixed knobs on identical data); the
+    // CONFIGURATION RULE — autoIvfParams — is the same one the s08 gate
+    // verifies at ≥90% recall on the clustered fixture
+    "s08_knn_join_ivf_auto" -> ((s, sf) => { val e = emb(s, sf); knnIvfAuto(e, e) }),
   )
 
   /** Deterministic NT file derived from the nation table (idempotent). */

@@ -49,6 +49,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate,"), s"no timestamp pushdown in:\n$p")
   }
 
+  test("sg01: SQL-gen path still pushes filters into the parquet scan") {
+    // the generated SQL runs through temp views, but Catalyst must see
+    // the same declarative shape: the psize comparison reaches the reader
+    val p = plan("sg01_sqlgen_filter")
+    assert(p.contains("GreaterThan(p_size,40)"), s"pushdown missing in:\n$p")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("part.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("p_retailprice"),
+      s"unneeded columns read via SQL-gen: $scanLine")
+  }
+
+  test("sg03: SQL-gen ORDER BY + LIMIT plans as TakeOrderedAndProject") {
+    assert(plan("sg03_sqlgen_join4_mod").contains("TakeOrderedAndProject"))
+  }
+
   test("s01: brute-force top-k has no shuffle exchange") {
     val df = SparkEntry.queries("s01_cosine_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
