@@ -322,6 +322,82 @@ object OpsQueries {
       },
       "SELECT 3 AS k, 90 AS floor_pct, true AS recall_floor_met"),
 
+    // ---- cluster dedup (pairs → components → canonical survivors) -------
+    // near-dup similarity is pairwise; dedup policy is per transitive
+    // closure. The Spark side runs MinHash-LSH pairs (≡ the exact pair
+    // relation on this data — the d03 gate) then iterative min-label
+    // propagation; the oracle recomputes the exact pairs and closes them
+    // with a recursive CTE — two entirely different fixpoint algorithms
+    // that must land on the same labeling
+    ("c01_dedup_clusters",
+      (s, sf) => {
+        val d = docs(s, sf)
+        Dedup.connectedComponents(
+          Dedup.minHashNearDups(d, col("doc_id"), col("text"), n = 3, threshold = 0.8),
+          col("id_a"), col("id_b"), d, col("doc_id"))
+          .select(col("node").as("doc_id"), col("label").as("canonical"))
+      },
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |      / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+        |r(id, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b)
+        |SELECT id AS doc_id, MIN(l) AS canonical FROM r GROUP BY id""".stripMargin),
+
+    // end-to-end fuzzy corpus dedup: one surviving row per cluster
+    ("c02_fuzzy_dedup",
+      (s, sf) => Dedup.fuzzyDedupCorpus(docs(s, sf), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8).select(col("doc_id"), col("lang")),
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |      / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+        |r(id, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN (SELECT id, MIN(l) AS canonical FROM r GROUP BY id) m
+        |  ON d.doc_id = m.id AND d.doc_id = m.canonical""".stripMargin),
+
+    // ---- corpus assembly (deterministic sampling, shard packing) --------
+    // the keep/drop decision is a portable polynomial hash of (id, salt)
+    // — no RNG, no partition dependence — so DuckDB re-derives the exact
+    // surviving row set from the same fold
+    ("p01_stratified_sample",
+      (s, sf) => graft.ops.Pipeline.stratifiedSample(docs(s, sf), col("doc_id"),
+        col("lang"), Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1, salt = "mix1")
+        .select(col("doc_id"), col("lang")),
+      "SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+        "list_reduce(list_prepend(7::BIGINT, list_transform(" +
+        "string_split('mix1:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)), " +
+        "(a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk FROM documents) " +
+        "WHERE bk < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END"),
+
+    // two-level prefix sum ≡ the oracle's single global window
+    ("p02_pack_shards",
+      (s, sf) => graft.ops.Pipeline.packByTokenBudget(docs(s, sf), col("doc_id"),
+        TextOps.tokenCount(col("text")), budget = 2000, bucketWidth = 64),
+      "SELECT doc_id, ntok, CAST(floor((SUM(ntok) OVER (ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - ntok) / 2000) AS BIGINT) AS shard " +
+        "FROM (SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE " +
+        "len(string_split_regex(lower(trim(text)), '\\s+')) END AS ntok FROM documents)"),
+
     // ---- text analysis --------------------------------------------------
     ("t01_token_count",
       (s, sf) => docs(s, sf).select(col("doc_id"),
@@ -382,6 +458,39 @@ object OpsQueries {
       "SELECT doc_id, list_reduce(list_prepend(7::BIGINT, list_transform(" +
         "string_split(lower(trim(text)), ''), c -> ord(c)::BIGINT)), " +
         "(a, c) -> (a * 257 + c) % 2147483647) AS rh FROM documents"),
+
+    // PII scrub over text with a deterministic planted email/URL/id tail
+    // (the driver corpus is synthetic and clean — planting in the query
+    // itself exercises every pattern on every row, in both engines)
+    ("t07_pii_scrub",
+      (s, sf) => docs(s, sf).select(col("doc_id"),
+        TextOps.scrubPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com via https://ex.example/p?id="),
+          col("doc_id").cast("string"), lit(" ref 1234567890123"))).as("scrubbed")),
+      "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com via " +
+        "https://ex.example/p?id=' || doc_id::VARCHAR || ' ref 1234567890123', " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'https?://[!-~]+', '<URL>', 'g'), " +
+        "'[0-9]{9,}', '<NUM>', 'g') AS scrubbed FROM documents"),
+
+    ("t08_repetition",
+      (s, sf) => TextOps.repetitionMetrics(docs(s, sf), col("doc_id"), col("text")),
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |          FROM documents),
+        |d AS (SELECT doc_id,
+        |        CASE WHEN len(toks) = 0 THEN 0
+        |             ELSE 1 - len(list_distinct(toks))::DOUBLE / len(toks) END AS dup_raw,
+        |        [ toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks)) ] AS bgs
+        |      FROM t),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS n
+        |      FROM (SELECT doc_id, unnest(bgs) AS bg FROM d) GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, MAX(n)::DOUBLE / SUM(n) AS top_raw FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  floor(dup_raw * 10000 + 0.5) / 10000 AS dup_token_frac,
+        |  floor(coalesce(top_raw, 0) * 10000 + 0.5) / 10000 AS top_bigram_frac
+        |FROM d LEFT JOIN tp ON d.doc_id = tp.doc_id""".stripMargin),
 
     // ---- multimodal plumbing (stub decode, real mapPartitions contract) -
     ("mm01_media_meta",

@@ -256,6 +256,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair relation: every id in
+    * `ids` labeled with the smallest id reachable through `pairs` (its
+    * cluster canonical; singletons label themselves). This is the step
+    * that turns pairwise near-dup output into corpus-level clusters —
+    * near-dup similarity is not transitive, but dedup policy treats the
+    * transitive closure as one duplicate group (one kept doc per
+    * component).
+    *
+    * Iterative min-label propagation: each round joins the current labels
+    * over the symmetric edge list and takes the per-node minimum of own
+    * and neighbor labels — one shuffle-join plus one aggregation per
+    * round, converging in O(component diameter) rounds (near-dup
+    * clusters are shallow star/clique shapes in practice; `maxRounds`
+    * guards adversarial chains). The driver loop is control flow only:
+    * per round it runs one bounded `count()` on the (tiny) changed-label
+    * delta; labels are `localCheckpoint`ed so round N's plan doesn't
+    * replay rounds 1..N−1's lineage. At 100 TB both sides of the round
+    * join shuffle on the component id key only — no row data rides the
+    * iteration. */
+  def connectedComponents(pairs: DataFrame, idA: Column, idB: Column,
+      ids: DataFrame, id: Column, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+      .union(pairs.select(idB.as("src"), idA.as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(id.as("node"), id.as("label")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") < col("old_label")).isEmpty
+      labels = next.select(col("node"), col("label"))
+      round += 1
+    }
+    labels
+  }
+
+  /** End-to-end fuzzy corpus dedup: MinHash near-dup pairs → connected
+    * components → keep one document per cluster (the minimum id). Returns
+    * the surviving rows of `df`. */
+  def fuzzyDedupCorpus(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val pairs = minHashNearDups(df, id, text, n, threshold)
+    val clusters = connectedComponents(pairs, col("id_a"), col("id_b"), df, id)
+    df.join(clusters.filter(col("node") === col("label")).select(col("node")),
+      id === col("node"))
+      .drop("node")
+  }
+
   /** Embedding near-dups: exact cosine ≥ threshold over candidate pairs,
     * using the codegen'd [[graft.functions.CosineSimilarity]] inner loop.
     *

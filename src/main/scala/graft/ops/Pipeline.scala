@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * (engine/partitioning/retry-independent) sampling and token-budget
+  * shard packing. Everything here avoids RNG state on purpose — a 100 TB
+  * pipeline re-run after a failure must keep exactly the same rows, and
+  * a sample drawn by this engine must be reproducible by any other
+  * engine auditing it. */
+object Pipeline {
+
+  /** Deterministic per-row bucket in [0, 10000): portable polynomial
+    * hash (base 257 mod 2^31−1, the [[graft.functions.PolyHash]] codegen
+    * loop) of `salt ++ ":" ++ id`. No RNG, no partition-index
+    * dependence: the same row lands in the same bucket in any engine
+    * that can fold char codes — which is what makes sampling decisions
+    * auditable cross-engine.
+    *
+    * The salt is PREPENDED deliberately: a polynomial hash is linear in
+    * its last characters, so an appended salt would shift every bucket
+    * by the same constant and two salts would draw near-identical
+    * samples; a prepended salt multiplies through every following char
+    * and decorrelates the draws (spec-asserted). */
+  def deterministicBucket(id: Column, salt: String): Column =
+    pmod(graft.functions.HashFunctions.polyHash(
+      concat(lit(salt + ":"), id.cast("string")), 257, 2147483647L), lit(10000))
+
+  /** Deterministic Bernoulli sample at `rate` (codegen filter, pushes
+    * into the scan stage; zero shuffles). */
+  def sampleDeterministic(df: DataFrame, id: Column, rate: Double,
+      salt: String): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate out of [0,1]: $rate")
+    df.filter(deterministicBucket(id, salt) < (rate * 10000).toInt)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep rates (training
+    * mixture weights — e.g. languages, quality buckets), `defaultRate`
+    * for unlisted strata. One codegen'd CASE over the stratum column;
+    * still zero shuffles. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double, salt: String): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates out of [0,1]")
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+      lit((defaultRate * 10000).toInt): Column) { case ((s, r), els) =>
+        when(stratum === s, lit((r * 10000).toInt)).otherwise(els)
+      }
+    df.filter(deterministicBucket(id, salt) < threshold)
+  }
+
+  /** Contiguous token-budget shard packing: documents in ascending `id`
+    * order are cut into shards of ≈ `budget` tokens (a new shard starts
+    * when the running total would cross a budget boundary) — the layout
+    * step before writing fixed-size training shards.
+    *
+    * The running sum is a two-level scan, NOT one global window (which
+    * would sort the whole corpus into a single task): rows bucket by
+    * `floor(id / bucketWidth)`, the per-bucket prefix sum is a bounded
+    * partitioned window, and bucket offsets come from a bucket-totals
+    * table that is smaller than the input by a factor of `bucketWidth`
+    * (its single-partition window is over n/bucketWidth rows) and
+    * broadcast back. The result is bit-identical to the global
+    * formulation — spec-asserted. */
+  def packByTokenBudget(df: DataFrame, id: Column, tokenCount: Column,
+      budget: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && bucketWidth > 0, "budget and bucketWidth must be positive")
+    val base = df.select(id.as("doc_id"), tokenCount.cast("long").as("ntok"),
+      floor(id / bucketWidth).cast("long").as("bkt"))
+    val inBucket = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = base.withColumn("cum_in", sum(col("ntok")).over(inBucket))
+    val acrossBuckets = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bkt")).agg(sum(col("ntok")).as("tot"))
+      .select(col("bkt"), coalesce(sum(col("tot")).over(acrossBuckets), lit(0L)).as("off"))
+    withCum.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("ntok"),
+        floor((col("off") + col("cum_in") - col("ntok")) / budget).cast("long").as("shard"))
+  }
+}

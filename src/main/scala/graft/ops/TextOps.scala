@@ -84,6 +84,53 @@ object TextOps {
     * cross-engine reproducible). */
   def fingerprintMd5(text: Column): Column = md5(Dedup.normText(text).cast("binary"))
 
+  /** PII scrubbing for training corpora: emails → `<EMAIL>`, URLs →
+    * `<URL>`, long digit runs (9+, the id/phone/ssn shape) → `<NUM>`.
+    * A pure `regexp_replace` chain — codegen'd, scan-bound at corpus
+    * scale, and every pattern is RE2-safe so cross-engine twins replace
+    * the same spans. Email runs first: addresses contain digit runs and
+    * can appear inside URLs, so the more specific pattern must win. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[!-~]+", "<URL>"),
+      "[0-9]{9,}", "<NUM>")
+
+  /** Within-document repetition metrics (the Gopher-style quality
+    * filters):
+    *  - `dup_token_frac`: 1 − distinct/total tokens — per-row arithmetic
+    *    on the token array, no shuffle;
+    *  - `top_bigram_frac`: share of the most frequent bigram among all
+    *    bigrams — explode + (doc, bigram) count + per-doc max/sum, two
+    *    shuffles both keyed and map-side-combined. The explode path (vs a
+    *    per-row higher-order loop) is deliberate: a single pathological
+    *    100 M-token document costs O(n) distributed work here, not O(n²)
+    *    inside one task.
+    * Fractions are 4-dp half-up rounded (cross-engine stable). */
+  def repetitionMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), tokens(text).as("toks"))
+    val perDoc = base.select(col("doc_id"),
+      when(size(col("toks")) === 0, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
+        .as("dup_raw"),
+      when(size(col("toks")) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .as("bigrams"))
+    val topFrac = perDoc
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("top_raw"))
+    perDoc.select(col("doc_id"), col("dup_raw"))
+      .join(topFrac, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (floor(col("dup_raw") * 10000 + 0.5) / 10000).as("dup_token_frac"),
+        (floor(coalesce(col("top_raw"), lit(0.0)) * 10000 + 0.5) / 10000).as("top_bigram_frac"))
+  }
+
   /** Polynomial rolling hash of the normalized text (base 257 mod 2^31−1)
     * — the streaming-friendly fingerprint for shingling/windowed hashing.
     * One codegen'd byte loop ([[graft.functions.PolyHash]]); bit-identical

@@ -329,6 +329,89 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact) // 32×4 banding: per-pair recall >0.998 at cos≥0.45
   }
 
+  test("connectedComponents: chains close transitively, singletons self-label") {
+    // components: {1,2,3} via 1-2, 2-3 (min label 1), {7,9} (min 7), {5} alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val got = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"),
+      ids, col("doc_id")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("fuzzyDedupCorpus keeps exactly one row per near-dup cluster") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (12L, "a completely different document about spark query planning"),
+      (13L, "yet another unrelated piece of text mentioning nothing shared"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDedupCorpus(docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 13L)) // 11 collapses into 10's cluster
+  }
+
+  test("scrubPii redacts emails, urls, and long digit runs; leaves prose alone") {
+    val got = Seq("mail bob.smith+x@corp.example.org now, see http://a.example/x?y=1 id 123456789 tel 12345678")
+      .toDF("t").select(TextOps.scrubPii(col("t"))).as[String].head()
+    assert(got == "mail <EMAIL> now, see <URL> id <NUM> tel 12345678")
+  }
+
+  test("repetitionMetrics: planted repetition scores as expected") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),         // dup 3/4, top bigram 3/3
+      (2L, "all tokens here are distinct"),// dup 0, top bigram 1/4
+      (3L, ""))                            // empty: both 0
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionMetrics(docs, col("doc_id"), col("text"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0.75, 1.0))
+    assert(got(2L) == (0.0, 0.25))
+    assert(got(3L) == (0.0, 0.0))
+  }
+
+  test("stratifiedSample is deterministic across partitioning and respects rate edges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val once = ids(graft.ops.Pipeline.stratifiedSample(docs, col("doc_id"),
+      col("lang"), Map("en" -> 0.5), 0.2, "s1"))
+    val repartitioned = ids(graft.ops.Pipeline.stratifiedSample(docs.repartition(13),
+      col("doc_id"), col("lang"), Map("en" -> 0.5), 0.2, "s1"))
+    assert(once == repartitioned) // no RNG, no partition-index dependence
+    assert(ids(graft.ops.Pipeline.sampleDeterministic(docs, col("doc_id"), 1.0, "s1"))
+      == ids(docs))
+    assert(graft.ops.Pipeline.sampleDeterministic(docs, col("doc_id"), 0.0, "s1").isEmpty)
+    // a different salt draws a different (same-rate) sample
+    val other = ids(graft.ops.Pipeline.stratifiedSample(docs, col("doc_id"),
+      col("lang"), Map("en" -> 0.5), 0.2, "s2"))
+    assert(other != once)
+  }
+
+  test("packByTokenBudget: bucketed scan equals the global window, shards respect budget") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "ntok", "shard").as[(Long, Long, Long)].collect().toSet
+    val packed = canon(graft.ops.Pipeline.packByTokenBudget(docs, col("doc_id"),
+      TextOps.tokenCount(col("text")), budget = 500, bucketWidth = 32))
+    // reference: one global window (what the two-level scan must equal)
+    val global = canon(docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+      .withColumn("shard", floor((sum(col("ntok")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("ntok")) / 500).cast("long")))
+    assert(packed == global)
+    // bucket width must not change the assignment
+    val wider = canon(graft.ops.Pipeline.packByTokenBudget(docs, col("doc_id"),
+      TextOps.tokenCount(col("text")), budget = 500, bucketWidth = 1L << 20))
+    assert(wider == packed)
+    // every doc fits its shard: shard totals stay under budget + the one
+    // doc that crossed the boundary (greedy-cut invariant)
+    val shardTotals = packed.groupBy(_._3).map { case (sh, rows) => sh -> rows.map(_._2).sum }
+    val maxDoc = packed.map(_._2).max
+    assert(shardTotals.values.forall(_ <= 500 + maxDoc))
+  }
+
   test("IVF kNN join with full probe equals the broadcast-exact join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200).cache()
     def canon(df: org.apache.spark.sql.DataFrame) =

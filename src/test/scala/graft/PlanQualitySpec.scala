@@ -64,6 +64,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("sg03_sqlgen_join4_mod").contains("TakeOrderedAndProject"))
   }
 
+  test("p01: deterministic sample is a codegen filter over a pruned scan") {
+    val p = plan("p01_stratified_sample")
+    // keep/drop must happen in the scan stage — no shuffle, no join
+    assert(!p.contains("Exchange"), s"sampling shuffled:\n$p")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("documents.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("text"), s"sampling read doc text: $scanLine")
+  }
+
+  test("p02: shard packing broadcasts the bucket offsets, windows stay bucket-partitioned") {
+    val p = plan("p02_pack_shards")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"offsets not broadcast:\n$p")
+    // exactly one global (non-partitioned) sort feeds the tiny offsets
+    // window; the corpus-side window must sort within bucket partitions
+    val globalSorts = p.linesIterator.count(l =>
+      l.trim.startsWith("Sort ") && l.contains("false, 0")) // global sort marker
+    assert(globalSorts <= 1, s"corpus-wide global sort in:\n$p")
+  }
+
   test("s01: brute-force top-k has no shuffle exchange") {
     val df = SparkEntry.queries("s01_cosine_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
