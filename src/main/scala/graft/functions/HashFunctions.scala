@@ -109,14 +109,228 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Native Catalyst expression computing all MinHash lanes in one pass:
+  * lane s of the output is min over the input strings of
+  * `xxhash64(s, str)` — bit-identical to the higher-order formulation
+  * `array((0 until k).map(s => array_min(transform(shingles, sh =>
+  * xxhash64(lit(s), sh)))))`, which traversed the shingle array k times
+  * with an interpreted lambda per element (64 interpreted passes per row
+  * was the dominant cost of the MinHash signature stage). Here each
+  * shingle's bytes are fetched once and fed to all k lanes inside one
+  * codegen'd loop, so the signature stage stays scan-bound at corpus
+  * scale.
+  *
+  * Hash identity with Spark's `xxhash64(lit(s), sh)`: that expression
+  * folds children over seed 42 — `XXH64.hashInt(s, 42)` for the int
+  * literal, then `XXH64.hashUnsafeBytes(bytes, prev)` for the
+  * (UTF8_BINARY) string — reproduced verbatim (spec-asserted
+  * bit-identical). An empty input array yields all-NULL lanes, matching
+  * `array_min(empty) = NULL`.
+  */
+case class MinHashLanes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_lanes"
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _)
+      if right.dataType == org.apache.spark.sql.types.IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_lanes expects (array<string>, int), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(arrAny: Any, kAny: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = arrAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+    val seeds = new Array[Long](k)
+    var s = 0
+    while (s < k) { seeds(s) = XXH64.hashInt(s, 42L); s += 1 }
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sh = arr.getUTF8String(i)
+      val base = sh.getBaseObject; val off = sh.getBaseOffset; val len = sh.numBytes
+      s = 0
+      while (s < k) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, seeds(s))
+        if (h < out(s)) out(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, k) => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val n = ctx.freshName("n"); val seeds = ctx.freshName("seeds")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val sh = ctx.freshName("sh")
+      val base = ctx.freshName("base"); val off = ctx.freshName("off")
+      val len = ctx.freshName("len"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new $gad(new Object[$k]);
+         |} else {
+         |  long[] $seeds = new long[$k];
+         |  for (int $s = 0; $s < $k; $s++) $seeds[$s] = $xxh.hashInt($s, 42L);
+         |  long[] $out = new long[$k];
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    org.apache.spark.unsafe.types.UTF8String $sh = $arr.getUTF8String($i);
+         |    Object $base = $sh.getBaseObject();
+         |    long $off = $sh.getBaseOffset();
+         |    int $len = $sh.numBytes();
+         |    for (int $s = 0; $s < $k; $s++) {
+         |      long $h = $xxh.hashUnsafeBytes($base, $off, $len, $seeds[$s]);
+         |      if ($h < $out[$s]) $out[$s] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared implementation of word-n-gram shingling over a UTF8String —
+  * called from both [[WordShingles]].nullSafeEval and its generated code
+  * (one static call per row inside whole-stage codegen; no interpreted
+  * lambdas, no per-token Column machinery).
+  *
+  * Bit-identical to the HOF formulation
+  * `array_distinct(transform(sequence(0, count−1), i =>
+  * concat_ws(" ", slice(split(s, "\\s+"), i+1, n))))` including its edge
+  * cases (spec-asserted):
+  *  - Java-split semantics: a leading whitespace run yields an empty
+  *    first token, a trailing run an empty last token (limit −1), the
+  *    empty string one empty token — Spark's `trim` strips 0x20 only, so
+  *    tab/newline-wrapped text reaches the tokenizer;
+  *  - `slice` truncation at the array end (short docs yield their full
+  *    token join);
+  *  - `array_distinct`'s first-occurrence order.
+  * Whitespace is Java regex `\s` = ASCII {space, \t, \n, \x0B, \f, \r},
+  * all single bytes in UTF-8, so byte scanning is multibyte-safe. */
+object WordShinglesImpl {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def compute(str: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = str.getBytes
+    val len = bytes.length
+    // token segments [start, end): between whitespace runs, Java-split style
+    val se = new java.util.ArrayList[Integer]()
+    var i = 0
+    var segStart = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        se.add(segStart); se.add(i)
+        while (i < len && isWs(bytes(i))) i += 1
+        segStart = i
+      } else i += 1
+    }
+    se.add(segStart); se.add(len)
+    val nTok = se.size / 2
+    val cnt = math.max(nTok - (n - 1), 1)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i < cnt) {
+      val endTok = math.min(i + n, nTok)
+      var total = endTok - 1 - i // separators
+      var t = i
+      while (t < endTok) { total += se.get(2 * t + 1) - se.get(2 * t); t += 1 }
+      val joined = new Array[Byte](total)
+      var pos = 0
+      t = i
+      while (t < endTok) {
+        if (t > i) { joined(pos) = ' '; pos += 1 }
+        val s = se.get(2 * t); val e = se.get(2 * t + 1)
+        System.arraycopy(bytes, s, joined, pos, e - s)
+        pos += e - s
+        t += 1
+      }
+      out.add(UTF8String.fromBytes(joined))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Native Catalyst expression for distinct word-n-gram shingles of a
+  * (pre-normalized) text column. The HOF composition it replaces —
+  * split + sequence + transform(slice + concat_ws) + array_distinct —
+  * evaluated its lambda interpreted per shingle and rebuilt token arrays
+  * per row; profiling showed it dominating every shingle-based dedup
+  * operator (d02/d03/d08/c01). One pass, one static call per row. */
+case class WordShingles(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+        right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_word_shingles expects (string, int), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(s: Any, n: Any): Any =
+    WordShinglesImpl.compute(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.functions.WordShinglesImpl$$.MODULE$$.compute($s, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
 
   /** Idempotent per-session registration — invoked by
     * [[VectorFunctions.register]], which every graft.ops entry point
     * already calls (the one documented registration contract). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polyhash", exprs => PolyHash(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_lanes", exprs => MinHashLanes(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_shingles", exprs => WordShingles(exprs.head, exprs(1)), "built-in")
+  }
+
+  /** Distinct word-n-gram shingle column (single native pass); caller
+    * must hold a session with [[VectorFunctions.register]] invoked. */
+  def wordShingles(text: Column, n: Int): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_word_shingles", text, lit(n))
+  }
+
+  /** MinHash signature column (all lanes in one codegen pass); caller
+    * must hold a session with [[VectorFunctions.register]] invoked. */
+  def minHashLanes(shingles: Column, numHashes: Int): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_minhash_lanes", shingles, lit(numHashes))
+  }
 
   /** Polynomial hash column. Callers must hold a session with
     * [[VectorFunctions.register]] invoked (all graft.ops entry points

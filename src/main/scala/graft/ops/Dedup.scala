@@ -53,8 +53,15 @@ object Dedup {
 
   /** Distinct word n-gram shingles of a text column (lowercased,
     * whitespace-tokenized). Empty/short texts yield their full token join
-    * so no document silently disappears. */
-  def wordShingles(text: Column, n: Int): Column = {
+    * so no document silently disappears. One native pass per row
+    * ([[graft.functions.WordShingles]]); the HOF formulation below is
+    * kept for the bit-equality spec. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.HashFunctions.wordShingles(normText(text), n)
+
+  /** The higher-order-function formulation wordShingles replaced;
+    * private to the bit-equality spec. */
+  private[graft] def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = split(normText(text), "\\s+")
     val count = greatest(size(toks) - (n - 1), lit(1))
     array_distinct(transform(sequence(lit(0), count - 1),
@@ -110,14 +117,23 @@ object Dedup {
     else hashPrefixCandidates(sh, threshold)
   }
 
-  /** Hash-ordered prefixes, computed per-row with zero extra joins. */
+  /** Hash-ordered prefixes: global order = (xxhash64(shingle), shingle).
+    * Explode + per-doc row_number window, all codegen'd — the previous
+    * per-row `array_sort(transform(struct(...)))` evaluated its lambda
+    * interpreted per shingle and dominated this path's cost (~4 s of
+    * d02's 6 s at sf0.1). The window is bounded by each doc's shingle
+    * count; order ties on the hash break by the shingle itself, same as
+    * the struct sort did. */
   private def hashPrefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
-    val prefixArr = slice(
-      array_sort(transform(col("shingles"), s => struct(xxhash64(s).as("h"), s.as("s")))),
-      lit(1), (size(col("shingles")) - ceil(size(col("shingles")) * threshold) + 1).cast("int"))
-    val prefix = sh.select(col("sid"), size(col("shingles")).as("nsh"),
-        explode(prefixArr).as("hs"))
-      .select(col("sid"), col("hs.s").as("sh"), col("nsh"))
+    import org.apache.spark.sql.expressions.Window
+    val ex = sh.select(col("sid"), size(col("shingles")).as("nsh"),
+      explode(col("shingles")).as("sh"))
+    val prefLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
+    val prefix = ex
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("sid")).orderBy(xxhash64(col("sh")), col("sh"))))
+      .filter(col("__rn") <= prefLen)
+      .select(col("sid"), col("sh"), col("nsh"))
     joinPrefixes(prefix, threshold)
   }
 
@@ -162,10 +178,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum
-    * xxhash64(seed, shingle) over the document's shingles. Computed
-    * entirely per-row with higher-order functions (transform + array_min)
-    * — zero shuffles; the whole signature stage is map-side codegen. */
+    * xxhash64(seed, shingle) over the document's shingles. One codegen'd
+    * pass over the shingle array computing every lane
+    * ([[graft.functions.MinHashLanes]]) — zero shuffles, and each
+    * shingle's bytes are hashed k times without k interpreted array
+    * traversals (the HOF formulation below, kept for the bit-equality
+    * spec, was the dominant cost of the signature stage). */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.HashFunctions.minHashLanes(shingles, numHashes)
+
+  /** The higher-order-function formulation minHashSignature replaced;
+    * private to the bit-equality spec. */
+  private[graft] def minHashSignatureHof(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(s =>
       array_min(transform(shingles, sh => xxhash64(lit(s), sh)))): _*)
 

@@ -329,6 +329,61 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact) // 32×4 banding: per-pair recall >0.998 at cos≥0.45
   }
 
+  test("MinHashLanes expression is bit-identical to the HOF transform/array_min form") {
+    VectorFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val sh = docs.select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("shingles"))
+    val expr = sh.select(col("doc_id"),
+        Dedup.minHashSignature(col("shingles"), 64).as("sig"))
+      .as[(Long, Seq[Option[Long]])].collect().sortBy(_._1)
+    val hof = sh.select(col("doc_id"),
+        Dedup.minHashSignatureHof(col("shingles"), 64).as("sig"))
+      .as[(Long, Seq[Option[Long]])].collect().sortBy(_._1)
+    assert(expr.nonEmpty)
+    assert(expr.toSeq == hof.toSeq)
+    // empty shingle array → all-NULL lanes, like array_min(empty)
+    val empty = Seq(Seq.empty[String]).toDF("shingles")
+      .select(Dedup.minHashSignature(col("shingles"), 4).as("sig"))
+      .as[Seq[Option[Long]]].head()
+    assert(empty == Seq(None, None, None, None))
+    // interpreted (non-codegen) eval agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val arr = Literal.create(Seq("alpha", "beta"), ArrayType(StringType))
+    val interp = graft.functions.MinHashLanes(arr, Literal(8))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val viaDf = Seq(Seq("alpha", "beta")).toDF("s")
+      .select(Dedup.minHashSignature(col("s"), 8)).as[Seq[Long]].head()
+    assert(interp.toSeq == viaDf)
+  }
+
+  test("WordShingles expression is bit-identical to the HOF split/slice/concat_ws form") {
+    VectorFunctions.register(spark)
+    // the corpus, plus every tokenizer edge: empty, space-only (trim
+    // eats 0x20 but not tabs/newlines — Java-split leading/trailing
+    // empty tokens), short docs, collapsed runs, multibyte chars
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select(col("text"))
+    val edges = Seq("", " ", "\t", "a", "a b", "a  b", "\tx y", "x y\n",
+      "a\t\nb  c ", "héllo wörld déjà vu encore", "one two three four five")
+      .toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val both = corpus.union(edges).select(
+        Dedup.wordShingles(col("text"), n).as("fast"),
+        Dedup.wordShinglesHof(col("text"), n).as("hof"))
+      assert(both.filter(not(col("fast") <=> col("hof"))).isEmpty,
+        s"n=$n mismatch: " + both.filter(not(col("fast") <=> col("hof")))
+          .limit(3).collect().mkString("; "))
+    }
+    // interpreted path agrees with the DataFrame (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.functions.WordShingles(Literal("a b c d"), Literal(3))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(interp == Seq("a b c", "b c d"))
+  }
+
   test("connectedComponents: chains close transitively, singletons self-label") {
     // components: {1,2,3} via 1-2, 2-3 (min label 1), {7,9} (min 7), {5} alone
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
