@@ -492,6 +492,38 @@ object OpsQueries {
         |  floor(coalesce(top_raw, 0) * 10000 + 0.5) / 10000 AS top_bigram_frac
         |FROM d LEFT JOIN tp ON d.doc_id = tp.doc_id""".stripMargin),
 
+    // sketch gates: the oracle pins the EXACT value (computed by both
+    // engines independently) plus a measured-error verdict on the sketch
+    // — HLL++/GK are deterministic, so the verdict is reproducible
+    ("t09_approx_distinct",
+      (s, sf) => TextOps.distinctTermStats(docs(s, sf), col("text"), rsd = 0.02)
+        .select(col("n_terms"),
+          (abs(col("n_terms_approx") - col("n_terms")) / col("n_terms") <= 0.05)
+            .as("within_5pct")),
+      "SELECT COUNT(DISTINCT term) AS n_terms, true AS within_5pct FROM (" +
+        "SELECT unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS term " +
+        "FROM documents WHERE trim(text) <> '')"),
+
+    ("t10_length_quantiles",
+      (s, sf) => TextOps.lengthQuantiles(docs(s, sf), col("text"),
+        qs = Seq(0.5, 0.9, 0.99))
+        .select(
+          (floor(element_at(col("exact"), 1) * 10000 + 0.5) / 10000).as("p50"),
+          (floor(element_at(col("exact"), 2) * 10000 + 0.5) / 10000).as("p90"),
+          (floor(element_at(col("exact"), 3) * 10000 + 0.5) / 10000).as("p99"),
+          (0 until 3).map(i =>
+            abs(element_at(col("approx"), i + 1) - element_at(col("exact"), i + 1)) <=
+              greatest(element_at(col("exact"), i + 1) * 0.1, lit(1.0)))
+            .reduce(_ && _).as("approx_within_10pct")),
+      """WITH n AS (SELECT CASE WHEN trim(text)='' THEN 0
+        |  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END::DOUBLE AS ntok
+        |  FROM documents)
+        |SELECT floor(quantile_cont(ntok, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        |       floor(quantile_cont(ntok, 0.9) * 10000 + 0.5) / 10000 AS p90,
+        |       floor(quantile_cont(ntok, 0.99) * 10000 + 0.5) / 10000 AS p99,
+        |       true AS approx_within_10pct
+        |FROM n""".stripMargin),
+
     // ---- multimodal plumbing (stub decode, real mapPartitions contract) -
     ("mm01_media_meta",
       (s, sf) => Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, sf)))

@@ -117,22 +117,20 @@ object Dedup {
     else hashPrefixCandidates(sh, threshold)
   }
 
-  /** Hash-ordered prefixes: global order = (xxhash64(shingle), shingle).
-    * Explode + per-doc row_number window, all codegen'd — the previous
-    * per-row `array_sort(transform(struct(...)))` evaluated its lambda
-    * interpreted per shingle and dominated this path's cost (~4 s of
-    * d02's 6 s at sf0.1). The window is bounded by each doc's shingle
-    * count; order ties on the hash break by the shingle itself, same as
-    * the struct sort did. */
+  /** Hash-ordered prefixes: global order = (xxhash64(shingle), shingle),
+    * selected per row by the native [[graft.functions.PrefixByHash]]
+    * expression — zero extra shuffles (each doc sorts only its own
+    * shingles). Two slower formulations are retired under spec/bench
+    * evidence: a per-row `array_sort(transform(struct(...)))` HOF
+    * (interpreted lambda per shingle, ~4 s of d02's 6 s at sf0.1) and an
+    * explode + per-doc row_number window (all-codegen but shuffles the
+    * entire exploded shingle relation — 2× slower at sf1, where the
+    * shuffle dominates). */
   private def hashPrefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ex = sh.select(col("sid"), size(col("shingles")).as("nsh"),
-      explode(col("shingles")).as("sh"))
-    val prefLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
-    val prefix = ex
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("sid")).orderBy(xxhash64(col("sh")), col("sh"))))
-      .filter(col("__rn") <= prefLen)
+    val prefLen =
+      (size(col("shingles")) - ceil(size(col("shingles")) * threshold) + 1).cast("int")
+    val prefix = sh.select(col("sid"), size(col("shingles")).as("nsh"),
+        explode(graft.functions.HashFunctions.prefixByHash(col("shingles"), prefLen)).as("sh"))
       .select(col("sid"), col("sh"), col("nsh"))
     joinPrefixes(prefix, threshold)
   }

@@ -80,6 +80,31 @@ object TextOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
 
+  /** Corpus vocabulary cardinality, exact and sketched side by side:
+    * `n_terms` via a real distinct aggregation, `n_terms_approx` via
+    * HyperLogLog++ (`approx_count_distinct`, deterministic — no RNG).
+    * At 100 TB the sketch is the one you run (fixed ~kilobytes of state
+    * per partition, one pass, no distinct shuffle of the full term set);
+    * the exact twin exists so the gate can measure the sketch's error on
+    * data where exact is still computable. */
+  def distinctTermStats(df: DataFrame, text: Column,
+      rsd: Double = 0.02): DataFrame =
+    df.select(explode(array_distinct(tokens(text))).as("term"))
+      .agg(count_distinct(col("term")).as("n_terms"),
+        approx_count_distinct(col("term"), rsd).as("n_terms_approx"))
+
+  /** Document-length distribution quantiles, exact (`percentile`, full
+    * sort semantics) and sketched (`percentile_approx`, Greenwald-Khanna
+    * — bounded state, one pass, mergeable across partitions: the 100 TB
+    * form). Both deterministic. */
+  def lengthQuantiles(df: DataFrame, text: Column, qs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val qArr = s"array(${qs.mkString(",")})"
+    df.select(tokenCount(text).cast("double").as("ntok"))
+      .agg(expr(s"percentile(ntok, $qArr)").as("exact"),
+        expr(s"percentile_approx(ntok, $qArr, $accuracy)").as("approx"))
+  }
+
   /** Content fingerprint: md5 hex of the normalized text (exact-dup key;
     * cross-engine reproducible). */
   def fingerprintMd5(text: Column): Column = md5(Dedup.normText(text).cast("binary"))

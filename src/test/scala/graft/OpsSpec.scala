@@ -384,6 +384,21 @@ class OpsSpec extends AnyFunSuite {
     assert(interp == Seq("a b c", "b c d"))
   }
 
+  test("PrefixByHash selects exactly the HOF struct-sort prefix, in its order") {
+    VectorFunctions.register(spark)
+    val sh = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+    val prefLen = (size(col("shingles")) - ceil(size(col("shingles")) * 0.8) + 1).cast("int")
+    val fast = sh.select(col("doc_id"),
+      graft.functions.HashFunctions.prefixByHash(col("shingles"), prefLen).as("p"))
+    val hof = sh.select(col("doc_id"),
+      transform(slice(
+        array_sort(transform(col("shingles"), s => struct(xxhash64(s).as("h"), s.as("s")))),
+        lit(1), prefLen), x => x.getField("s")).as("p"))
+    assert(fast.as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+      == hof.as[(Long, Seq[String])].collect().sortBy(_._1).toSeq)
+  }
+
   test("connectedComponents: chains close transitively, singletons self-label") {
     // components: {1,2,3} via 1-2, 2-3 (min label 1), {7,9} (min 7), {5} alone
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
@@ -422,6 +437,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == (0.75, 1.0))
     assert(got(2L) == (0.0, 0.25))
     assert(got(3L) == (0.0, 0.0))
+  }
+
+  test("sketches: HLL term cardinality tracks exact; GK quantiles exact at full accuracy") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (exact, approx) = TextOps.distinctTermStats(docs, col("text"))
+      .as[(Long, Long)].head()
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05)
+    // determinism: a sketch is only gate-able because it has no RNG
+    val again = TextOps.distinctTermStats(docs.repartition(7), col("text"))
+      .as[(Long, Long)].head()._2
+    assert(again == approx)
+    val q = TextOps.lengthQuantiles(docs, col("text"), Seq(0.5, 0.9, 0.99))
+      .as[(Seq[Double], Seq[Double])].head()
+    // GK at accuracy >> n returns true elements at most one rank off;
+    // exact interpolated quantiles must bracket them tightly
+    q._1.zip(q._2).foreach { case (ex, ap) =>
+      assert(math.abs(ex - ap) <= math.max(ex * 0.1, 1.0), s"exact $ex vs approx $ap")
+    }
   }
 
   test("stratifiedSample is deterministic across partitioning and respects rate edges") {
