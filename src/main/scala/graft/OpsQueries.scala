@@ -626,6 +626,91 @@ object OpsQueries {
         .select(col("user_id")),
       "SELECT DISTINCT user_id FROM events"),
 
+    // stream-static join (broadcast dimension per micro-batch, no
+    // stream-side join state); AvailableNow run = one batch, so the
+    // enriched aggregate has an exact join+groupby twin
+    ("st04_stream_enrich",
+      (s, sf) => EventStreams.runEnrichedCountsBatch(s, s"$sf/events.parquet", sf),
+      "SELECT c_mktsegment AS seg, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumv " +
+        "FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey GROUP BY 1"),
+
+    // ---- end-to-end corpus pipeline (the ops compose) -------------------
+    // quality+language filter → fuzzy dedup (MinHash pairs → connected
+    // components → min-id survivor) → deterministic 50% sample →
+    // token-budget shard packing: every stage is an already-gated
+    // operator; this gate pins the COMPOSITION (one DuckDB query
+    // re-derives the entire pipeline output, shard assignments included)
+    ("e01_corpus_pipeline",
+      (s, sf) => {
+        val filtered = docs(s, sf).filter(
+          TextOps.langId(col("text")) === "en" &&
+            TextOps.qualityScore(col("text")) >= 0.35)
+        val surv = Dedup.fuzzyDedupCorpus(filtered, col("doc_id"), col("text"),
+          n = 3, threshold = 0.8)
+        val samp = graft.ops.Pipeline.sampleDeterministic(surv, col("doc_id"),
+          rate = 0.5, salt = "e01")
+        graft.ops.Pipeline.packByTokenBudget(samp, col("doc_id"),
+          TextOps.tokenCount(col("text")), budget = 1500, bucketWidth = 128)
+      },
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      CASE
+        |        WHEN en = best AND best > 0 THEN 'en' WHEN de = best AND best > 0 THEN 'de'
+        |        WHEN fr = best AND best > 0 THEN 'fr' WHEN es = best AND best > 0 THEN 'es'
+        |        ELSE 'und' END AS lang,
+        |      floor((0.4 * (CASE WHEN ntok=0 THEN 0 ELSE nstop::DOUBLE/ntok END)
+        |           + 0.3 * least(ntok/100.0, 1.0)
+        |           + 0.3 * (1.0 - CASE WHEN len(text)=0 THEN 0 ELSE npunct::DOUBLE/len(text) END))
+        |        * 10000 + 0.5) / 10000 AS quality
+        |    FROM (SELECT doc_id, text, en, de, fr, es, greatest(en, de, fr, es) AS best,
+        |            CASE WHEN trim(text)='' THEN 0 ELSE len(toks) END AS ntok,
+        |            CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(toks,
+        |              x -> x IN ('the','a','of','and','to','in','is'))) END AS nstop,
+        |            len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS npunct
+        |      FROM (SELECT doc_id, text,
+        |              len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+        |              len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS de,
+        |              len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
+        |              len(list_filter(toks, x -> x IN ('el','los','las','y','es','uno','una'))) AS es,
+        |              toks
+        |            FROM (SELECT doc_id, text,
+        |                    string_split_regex(lower(trim(text)),'\s+') AS toks
+        |                  FROM documents))))
+        |  WHERE lang = 'en' AND quality >= 0.35),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM f)),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |      / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+        |r(id, l) AS (
+        |  SELECT doc_id, doc_id FROM f
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b),
+        |surv AS (
+        |  SELECT f.doc_id, f.text FROM f
+        |  JOIN (SELECT id, MIN(l) AS canonical FROM r GROUP BY id) m
+        |    ON f.doc_id = m.id AND f.doc_id = m.canonical),
+        |samp AS (
+        |  SELECT doc_id, text FROM surv
+        |  WHERE list_reduce(list_prepend(7::BIGINT, list_transform(
+        |          string_split('e01:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |        (a, c) -> (a * 257 + c) % 2147483647) % 10000 < 5000),
+        |n AS (
+        |  SELECT doc_id, CASE WHEN trim(text)='' THEN 0
+        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS ntok
+        |  FROM samp)
+        |SELECT doc_id, ntok,
+        |  CAST(floor((SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok)
+        |    / 1500) AS BIGINT) AS shard
+        |FROM n""".stripMargin),
+
     // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
     ("nt01_ingest",
       (s, sf) => {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -77,6 +77,34 @@ object EventStreams {
   def runHourlyStatsBatch(spark: SparkSession, parquetPath: String): DataFrame =
     runToMemory(spark, hourlyStats(streamEvents(spark, parquetPath)),
       s"graft_hourly_${math.abs(parquetPath.hashCode)}", "complete")
+
+  /** Stream-static enrichment (the standard streaming ingest shape): the
+    * event stream joins a static dimension table, then aggregates per
+    * dimension attribute. Spark plans the static side as a broadcast
+    * re-evaluated per micro-batch — no stream-side join state, so state
+    * stays bounded regardless of stream length; the aggregation state is
+    * one row per dimension value. The value sum goes through
+    * decimal(18,6) so it is order-independent (double addition is not
+    * associative across partition/batch orders). */
+  def enrichedCounts(events: DataFrame, dim: DataFrame, eventKey: Column,
+      dimKey: Column, dimAttr: Column): DataFrame =
+    events.join(dim.select(dimKey.as("__dim_key"), dimAttr.as("seg")),
+        eventKey === col("__dim_key"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sumv"))
+
+  /** [[enrichedCounts]] run as a real streaming query (file source →
+    * memory sink): events enriched with the customer dimension
+    * (user_id + 1 = c_custkey), counts + value sums per market segment. */
+  def runEnrichedCountsBatch(spark: SparkSession, parquetPath: String,
+      sfDir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    runToMemory(spark,
+      enrichedCounts(streamEvents(spark, parquetPath), cust,
+        col("user_id") + 1, col("c_custkey"), col("c_mktsegment")),
+      s"graft_enrich_${math.abs(parquetPath.hashCode)}", "complete")
+  }
 
   /** Streaming exact dedup: drops rows whose key was already seen, with
     * state bounded by the watermark (duplicates arriving later than the

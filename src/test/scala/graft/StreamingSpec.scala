@@ -53,6 +53,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment accumulates across micro-batches, no stream state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("k", "segname")
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = ms.toDF().toDF("ts", "user_id", "value")
+    val enriched = EventStreams.enrichedCounts(events, dim,
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("k"),
+      org.apache.spark.sql.functions.col("segname"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrichtest").outputMode("complete").start()
+    try {
+      ms.addData((ts(1), 1L, 1.5), (ts(1, 5), 2L, 2.0), (ts(1, 10), 3L, 9.0))
+      q.processAllAvailable()
+      ms.addData((ts(2), 1L, 0.5)) // second micro-batch joins the same dim
+      q.processAllAvailable()
+      val got = spark.table("enrichtest")
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      // user 3 has no dim row (inner join drops it); sums span batches
+      assert(got == Seq(("A", 2L, 2.0), ("B", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
