@@ -399,6 +399,34 @@ class OpsSpec extends AnyFunSuite {
       == hof.as[(Long, Seq[String])].collect().sortBy(_._1).toSeq)
   }
 
+  test("GraftExtensions injects every native function into a fresh SQL-only session") {
+    // force the builder to construct a NEW session (same SparkContext)
+    // so the extension actually applies — getOrCreate would otherwise
+    // hand back the suite session
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions().apply(_))
+        .getOrCreate()
+      assert(s2 ne prev)
+      assert(s2.sql("SELECT graft_cosine(array(1d,0d), array(1d,0d))")
+        .head().getDouble(0) == 1.0)
+      assert(s2.sql("SELECT graft_polyhash('ab', 31l, 1000000007l)").head().getLong(0)
+        == ((7L * 31 + 'a') * 31 + 'b') % 1000000007L)
+      assert(s2.sql("SELECT graft_word_shingles('a b c', 2)")
+        .head().getSeq[String](0) == Seq("a b", "b c"))
+      assert(s2.sql("SELECT graft_minhash_lanes(array('x','y'), 4)")
+        .head().getSeq[Long](0).length == 4)
+      assert(s2.sql("SELECT graft_prefix_by_hash(array('x','y','z'), 2)")
+        .head().getSeq[String](0).length == 2)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("connectedComponents: chains close transitively, singletons self-label") {
     // components: {1,2,3} via 1-2, 2-3 (min label 1), {7,9} (min 7), {5} alone
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
