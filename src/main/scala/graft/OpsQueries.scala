@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 
 /** Net-new operator suite beyond the reference (training-data-pipeline
   * operators, window functions, decimal-exact aggregation, streaming, NT
-  * ingestion), each validated against a DuckDB oracle where the semantics
-  * are SQL-expressible; the rest get rows-only driver checks + ScalaTest.
+  * ingestion). Every entry carries a hard DuckDB oracle — an exact twin,
+  * a portable-hash twin, or a pinned measured-recall/measured-error
+  * verdict row for the probabilistic ops; no rows-only checks remain.
   */
 object OpsQueries {
 

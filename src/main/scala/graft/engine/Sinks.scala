@@ -33,4 +33,17 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.format("jdbc").options(options)
       .option("url", url).option("dbtable", table).mode(mode).save()
+
+  /** Hive-layout partitioned parquet (the lake/training-shard layout):
+    * one directory per partition-column value, so downstream readers get
+    * partition pruning for free, and `maxRecordsPerFile` bounds file
+    * size for shard-sized outputs (compose with
+    * `Pipeline.packByTokenBudget`: partition by its `shard` column to
+    * emit one directory per token-budget shard). */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -60,6 +60,24 @@ class TransformsSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(s"$dir/c").count() == 2)
   }
 
+  test("partitioned parquet sink writes hive layout, prunes on read") {
+    val df = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "ntok")
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "psink").toString
+    Sinks.partitionedParquet(df, s"$dir/docs", Seq("lang"))
+    // hive layout: one directory per partition value
+    val subdirs = new java.io.File(s"$dir/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(subdirs == Seq("lang=de", "lang=en"))
+    val back = spark.read.parquet(s"$dir/docs")
+    assert(back.count() == 3)
+    // a partition filter must prune to the one directory, not scan all
+    val plan = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"no pruning in:\n$plan")
+    assert(back.filter(col("lang") === "en").count() == 2)
+  }
+
   test("mongo URI built from the reference's option shape") {
     import graft.engine.SourceRegistry
     assert(SourceRegistry.mongoUri(Map(
