@@ -207,6 +207,37 @@ object EngineQueries {
         "HAVING COUNT(c_custkey) > 70"),
 
     // BIND computed variables (net-new), usable by later modifiers
+    // FILTER IN / NOT IN (SPARQL 1.1 §17.4.1.9) → Catalyst In predicate,
+    // pushed into the scan like a VALUES clause
+    ("q32_filter_in",
+      """SELECT ?nname ?rname WHERE {
+        |  ?n g:nationName ?nname . ?n g:region ?r .
+        |  ?r g:regionName ?rname .
+        |  FILTER(?rname IN ("EUROPE", "ASIA"))
+        |  FILTER(?nname NOT IN ("FRANCE", "CHINA"))
+        |}""".stripMargin,
+      "SELECT n_name AS nname, r_name AS rname FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name IN ('EUROPE', 'ASIA') AND n_name NOT IN ('FRANCE', 'CHINA')"),
+
+    // SPARQL 1.1 string/numeric builtins in BIND: UCASE, STRLEN, SUBSTR,
+    // CONTAINS inside IF, FLOOR over arithmetic
+    ("q33_string_funcs",
+      """SELECT ?pname ?uname ?len ?short ?cat ?pb WHERE {
+        |  ?p g:partName ?pname . ?p g:psize ?psize . ?p g:retailprice ?price .
+        |  BIND(UCASE(?pname) AS ?uname)
+        |  BIND(STRLEN(?pname) AS ?len)
+        |  BIND(SUBSTR(?pname, 1, 5) AS ?short)
+        |  BIND(IF(CONTAINS(?pname, "red"), "warm", "other") AS ?cat)
+        |  BIND(FLOOR(?price / 100) AS ?pb)
+        |  FILTER(?psize >= 48)
+        |}""".stripMargin,
+      "SELECT p_name AS pname, upper(p_name) AS uname, length(p_name) AS len, " +
+        "substr(p_name, 1, 5) AS short, " +
+        "CASE WHEN contains(p_name, 'red') THEN 'warm' ELSE 'other' END AS cat, " +
+        "CAST(floor(p_retailprice / 100) AS BIGINT) AS pb " +
+        "FROM part WHERE p_size >= 48"),
+
     ("q30_bind",
       """SELECT ?ord ?lnum ?gross WHERE {
         |  ?li g:order ?ord . ?li g:linenumber ?lnum .
@@ -349,7 +380,8 @@ object EngineQueries {
     "sg04_sqlgen_agg" -> "q14_agg_join_orderby",
     "sg05_sqlgen_having" -> "q25_having",
     "sg06_sqlgen_optional" -> "q19_optional",
-    "sg07_sqlgen_fno" -> "q15_fno_transform")
+    "sg07_sqlgen_fno" -> "q15_fno_transform",
+    "sg08_sqlgen_in" -> "q32_filter_in")
 
   private def sparqlOf(name: String): String =
     suite.collectFirst { case (`name`, sparql, _) => sparql }

@@ -165,6 +165,28 @@ object GraftEngine {
       concat(args.map(a => bindColumn(a).cast("string")): _*)
     case BFun("str", Seq(a)) => bindColumn(a).cast("string")
     case BFun("abs", Seq(a)) => abs(bindColumn(a))
+    // SPARQL 1.1 builtins (17.4.2/17.4.3), each a codegen'd Spark builtin.
+    // SUBSTR/STRLEN count characters 1-based like SPARQL; CONTAINS/
+    // STRSTARTS/STRENDS yield booleans usable directly in IF.
+    case BFun("strlen", Seq(a)) => length(bindColumn(a))
+    case BFun("ucase", Seq(a)) => upper(bindColumn(a))
+    case BFun("lcase", Seq(a)) => lower(bindColumn(a))
+    case BFun("contains", Seq(a, b)) => bindColumn(a).contains(bindColumn(b))
+    case BFun("strstarts", Seq(a, b)) => bindColumn(a).startsWith(bindColumn(b))
+    case BFun("strends", Seq(a, b)) => bindColumn(a).endsWith(bindColumn(b))
+    case BFun("substr", Seq(a, p)) =>
+      bindColumn(a).substr(bindColumn(p), lit(Int.MaxValue))
+    case BFun("substr", Seq(a, p, l)) =>
+      bindColumn(a).substr(bindColumn(p), bindColumn(l))
+    case BFun("replace", Seq(a, f0, t)) =>
+      replace(bindColumn(a), bindColumn(f0), bindColumn(t))
+    case BFun("ceil", Seq(a)) => ceil(bindColumn(a))
+    case BFun("floor", Seq(a)) => floor(bindColumn(a))
+    case BFun("round", Seq(a)) => round(bindColumn(a))
+    case BFun("coalesce", args) if args.nonEmpty =>
+      coalesce(args.map(bindColumn): _*)
+    case BFun("if", Seq(c0, t, f0)) =>
+      when(bindColumn(c0), bindColumn(t)).otherwise(bindColumn(f0))
     case BFun(f, args) => sys.error(s"unsupported BIND function $f/${args.size}")
   }
 

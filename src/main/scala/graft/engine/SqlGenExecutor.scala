@@ -100,6 +100,8 @@ object SqlGenExecutor {
       case "!=" => s"$col <> ${litSql(f.value)}"
       case "<" | "<=" | ">" | ">=" => s"$col ${f.op} ${litSql(f.value)}"
       case "regex" => s"$col LIKE ${litSql(f.value)}"
+      case "in" => s"$col IN (${f.values.map(litSql).mkString(", ")})"
+      case "not in" => s"$col NOT IN (${f.values.map(litSql).mkString(", ")})"
       case other => sys.error(s"unsupported filter operator '$other'")
     }
 

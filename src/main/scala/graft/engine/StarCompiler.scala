@@ -159,8 +159,9 @@ object StarCompiler {
     * raw SQL strings (SparkExecutor.scala:160-175); typed lits let Catalyst
     * push comparisons into the scan. */
   private[engine] def predicate(c: Column, f: FilterCond): Column = {
-    val v: Any = f.value.toLongOption.getOrElse(
-      f.value.toDoubleOption.getOrElse(f.value))
+    def typed(s: String): Any =
+      s.toLongOption.getOrElse(s.toDoubleOption.getOrElse(s))
+    val v: Any = typed(f.value)
     f.op match {
       case "=" => c === lit(v)
       case "!=" => c =!= lit(v)
@@ -170,6 +171,10 @@ object StarCompiler {
       case ">=" => c >= lit(v)
       // SQL LIKE wildcards, matching the reference (SparkExecutor.scala:180-182)
       case "regex" => c.like(f.value)
+      // IN-lists type each member like a single literal; Catalyst folds
+      // the isin into an In predicate that pushes to the scan
+      case "in" => c.isin(f.values.map(typed): _*)
+      case "not in" => !c.isin(f.values.map(typed): _*)
       case other => sys.error(s"unsupported filter operator '$other'")
     }
   }

@@ -24,7 +24,8 @@ final case class ObjLit(lexical: String) extends ObjectTerm
 
 /** FILTER condition. `op` is one of = != < <= > >= regex. Value keeps its
   * lexical form; typing is decided at compile time against the column. */
-final case class FilterCond(varName: String, op: String, value: String)
+final case class FilterCond(varName: String, op: String, value: String,
+    values: Seq[String] = Nil)
 
 final case class OrderKey(varName: String, ascending: Boolean)
 

@@ -446,15 +446,38 @@ object SparqlParser {
               FilterCond(v, "regex", pat)
             case _ =>
               val Var(v) = next(): @unchecked
-              val Sym(op) = next(): @unchecked
-              require(CmpOps.contains(op), s"unsupported filter op $op")
-              val value = next() match {
-                case Word(w) => w
-                case Str(s) => s
-                case t => sys.error(s"unsupported filter literal: $t")
+              peek match {
+                case Some(w) if isKw(w, "IN") || isKw(w, "NOT") =>
+                  val negated = isKw(w, "NOT")
+                  next()
+                  if (negated) {
+                    val t = next()
+                    require(isKw(t, "IN"), s"expected IN after NOT, got $t")
+                  }
+                  expectSym("(")
+                  val vals = Seq.newBuilder[String]
+                  var more = !peek.contains(Sym(")"))
+                  while (more) {
+                    vals += (next() match {
+                      case Word(w0) => w0
+                      case Str(s) => s
+                      case t => sys.error(s"unsupported IN-list literal: $t")
+                    })
+                    if (peek.contains(Sym(","))) next() else more = false
+                  }
+                  expectSym(")"); expectSym(")")
+                  FilterCond(v, if (negated) "not in" else "in", "", vals.result())
+                case _ =>
+                  val Sym(op) = next(): @unchecked
+                  require(CmpOps.contains(op), s"unsupported filter op $op")
+                  val value = next() match {
+                    case Word(w) => w
+                    case Str(s) => s
+                    case t => sys.error(s"unsupported filter literal: $t")
+                  }
+                  expectSym(")")
+                  FilterCond(v, op, value)
               }
-              expectSym(")")
-              FilterCond(v, op, value)
           }
       }
     }

@@ -64,6 +64,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("sg03_sqlgen_join4_mod").contains("TakeOrderedAndProject"))
   }
 
+  test("q32: FILTER IN pushes an In predicate into both parquet scans") {
+    val p = plan("q32_filter_in")
+    assert(p.contains("In(r_name, [ASIA,EUROPE])") || p.contains("In(r_name, [EUROPE,ASIA])"),
+      s"region IN not pushed in:\n$p")
+    assert(p.contains("Not(In(n_name,") || p.contains("Not(In(n_name ,"),
+      s"nation NOT IN not pushed in:\n$p")
+  }
+
   test("p01: deterministic sample is a codegen filter over a pruned scan") {
     val p = plan("p01_stratified_sample")
     // keep/drop must happen in the scan stage — no shuffle, no join

@@ -159,6 +159,31 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(q.filters == Seq(FilterCond("v", ">=", "10.5")))
   }
 
+  test("FILTER IN / NOT IN parse with mixed literal types") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?v WHERE { ?x s:v ?v . ?x s:w ?w .
+        |  FILTER(?v IN ("A", "B", "C")) FILTER(?w NOT IN (1, 2)) }""".stripMargin)
+    assert(q.filters == Seq(
+      FilterCond("v", "in", "", Seq("A", "B", "C")),
+      FilterCond("w", "not in", "", Seq("1", "2"))))
+  }
+
+  test("SPARQL builtin calls parse as BFun with arity preserved") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?u WHERE { ?x s:a ?a .
+        |  BIND(UCASE(?a) AS ?u)
+        |  BIND(SUBSTR(?a, 1, 5) AS ?s5)
+        |  BIND(IF(CONTAINS(?a, "x"), 1, 0) AS ?f)
+        |}""".stripMargin)
+    val byOut = q.binds.map(b => b.outVar -> b.expr).toMap
+    assert(byOut("u") == BFun("ucase", Seq(BVar("a"))))
+    assert(byOut("s5") == BFun("substr", Seq(BVar("a"), BNum("1"), BNum("5"))))
+    assert(byOut("f") == BFun("if",
+      Seq(BFun("contains", Seq(BVar("a"), BStr("x"))), BNum("1"), BNum("0"))))
+  }
+
   test("BIND expressions: precedence, parens, concat, signed literals") {
     val q = SparqlParser.parse(
       """PREFIX s: <http://s/>
