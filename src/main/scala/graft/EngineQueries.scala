@@ -238,6 +238,43 @@ object EngineQueries {
         "CAST(floor(p_retailprice / 100) AS BIGINT) AS pb " +
         "FROM part WHERE p_size >= 48"),
 
+    // GROUP_CONCAT (with SEPARATOR) + SAMPLE aggregates (SPARQL 1.1
+    // §18.5.1.7/.8): element order is undefined in the spec, so both are
+    // made deterministic — sorted elements / minimum member — which is
+    // what makes them oracle-checkable
+    ("q34_group_concat",
+      """SELECT ?rname (GROUP_CONCAT(?nname; SEPARATOR=", ") AS ?nations)
+        |       (SAMPLE(?nname) AS ?anyn) WHERE {
+        |  ?n g:nationName ?nname . ?n g:region ?r .
+        |  ?r g:regionName ?rname .
+        |}
+        |GROUP BY ?rname""".stripMargin,
+      "SELECT r_name AS rname, string_agg(n_name, ', ' ORDER BY n_name) AS nations, " +
+        "MIN(n_name) AS anyn FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+
+    // ASK query form (SPARQL 1.1 §16.3): one boolean row
+    ("q35_ask",
+      """ASK WHERE {
+        |  ?p g:partName ?pname . ?p g:psize ?psize .
+        |  FILTER regex(?pname, "%red%") FILTER(?psize > 40)
+        |}""".stripMargin,
+      "SELECT EXISTS(SELECT 1 FROM part WHERE p_name LIKE '%red%' AND p_size > 40) AS ask"),
+
+    // sequence property path (SPARQL 1.1 §9.1): ?o g:customer/g:custNation
+    // desugars to chained triples over a fresh intermediate variable —
+    // each hop is an ordinary star join, no path-aware operator needed
+    ("q36_seq_path",
+      """SELECT ?total ?nname WHERE {
+        |  ?o g:customer/g:custNation ?n .
+        |  ?o g:totalprice ?total .
+        |  ?n g:nationName ?nname .
+        |  FILTER(?total > 480000)
+        |}""".stripMargin,
+      "SELECT o_totalprice AS total, n_name AS nname FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey WHERE o_totalprice > 480000"),
+
     ("q30_bind",
       """SELECT ?ord ?lnum ?gross WHERE {
         |  ?li g:order ?ord . ?li g:linenumber ?lnum .

@@ -85,7 +85,12 @@ object GraftEngine {
     val distincted = if (q.distinct) projected.distinct() else projected
     // OFFSET before LIMIT (SPARQL slice semantics; net-new vs reference)
     val skipped = q.offset.fold(distincted)(distincted.offset)
-    q.limit.fold(skipped)(skipped.limit)
+    val sliced = q.limit.fold(skipped)(skipped.limit)
+    if (q.ask) {
+      // ASK: one boolean row — isEmpty is a limit-1 job, not a full scan
+      import spark.implicits._
+      Seq(!sliced.isEmpty).toDF("ask")
+    } else sliced
   }
 
   /** Compile the WHERE body (stars → join chain → bare-variable columns),
@@ -200,6 +205,15 @@ object GraftEngine {
       case ("avg", false) => avg(in)
       case ("count", false) => count(in)
       case ("count", true) => countDistinct(in)
+      // SPARQL 1.1 §18.5.1: GROUP_CONCAT leaves element order undefined —
+      // we sort elements so the result is deterministic (and therefore
+      // oracle-checkable); SAMPLE may return any group member — we pick
+      // the minimum, same rationale
+      case ("group_concat", false) =>
+        array_join(array_sort(collect_list(in.cast("string"))), a.separator)
+      case ("group_concat", true) =>
+        array_join(array_sort(collect_set(in.cast("string"))), a.separator)
+      case ("sample", _) => min(in)
       case (other, d) => sys.error(s"unsupported aggregate '$other'${if (d) " DISTINCT" else ""}")
     }
     c.as(a.alias)

@@ -35,7 +35,10 @@ final case class OrderKey(varName: String, ascending: Boolean)
   * `distinct` supports COUNT(DISTINCT ?v) / SUM(DISTINCT ?v) — absent
   * from the reference (SURVEY §2.4). */
 final case class AggSpec(fn: String, varName: String, alias: String,
-    distinct: Boolean = false)
+    distinct: Boolean = false,
+    /** GROUP_CONCAT separator (`; SEPARATOR="..."`), default single
+      * space per SPARQL 1.1. */
+    separator: String = " ")
 
 sealed trait SelectItem
 final case class SelectVar(name: String) extends SelectItem
@@ -107,7 +110,10 @@ final case class ParsedQuery(
     /** BIND(expr AS ?v) computed variables: operand op operand where an
       * operand is a var or numeric literal, op ∈ + - * /; or a plain
       * rename BIND(?x AS ?y). Net-new vs the reference. */
-    binds: Seq[BindSpec] = Nil) {
+    binds: Seq[BindSpec] = Nil,
+    /** ASK query form: the result is one boolean row (`ask`) — true iff
+      * the WHERE body has at least one solution. Net-new vs reference. */
+    ask: Boolean = false) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

@@ -15,7 +15,8 @@ import graft.model._
   */
 object SparqlParser {
 
-  private val AggFns = Set("sum", "min", "max", "avg", "count")
+  private val AggFns = Set("sum", "min", "max", "avg", "count",
+    "group_concat", "sample")
   private val CmpOps = Seq("<=", ">=", "!=", "=", "<", ">")
 
   def parse(queryText: String): ParsedQuery = {
@@ -200,11 +201,12 @@ object SparqlParser {
         val Iri(iri) = next(): @unchecked
         prefixes += pfx.stripSuffix(":") -> iri
       }
-      require(takeKw("SELECT"), "expected SELECT")
-      val distinct = takeKw("DISTINCT")
-      var selectAll = false
+      val ask = takeKw("ASK")
+      if (!ask) require(takeKw("SELECT"), "expected SELECT or ASK")
+      val distinct = !ask && takeKw("DISTINCT")
+      var selectAll = ask
       val items = Seq.newBuilder[SelectItem]
-      var reading = true
+      var reading = !ask
       while (reading) peek match {
         case Some(Sym("*")) => next(); selectAll = true
         case Some(Var(v)) => next(); items += SelectVar(v)
@@ -337,7 +339,7 @@ object SparqlParser {
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
         required ++ optional ++ minus, filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
-        having, mStars, valuesClauses.result(), bindClauses.result())
+        having, mStars, valuesClauses.result(), bindClauses.result(), ask)
     }
 
     /** BIND expression: precedence-climbing over the token stream
@@ -418,11 +420,21 @@ object SparqlParser {
         case Sym("*") if fn == "count" => "*"
         case t => sys.error(s"expected var in $fn(...), got $t")
       }
+      // GROUP_CONCAT(?v; SEPARATOR="...") — SPARQL 1.1 §18.5.1.7
+      var separator = " "
+      if (peek.contains(Sym(";"))) {
+        next()
+        val t = next()
+        require(isKw(t, "SEPARATOR"), s"expected SEPARATOR, got $t")
+        expectSym("=")
+        val Str(sep) = next(): @unchecked
+        separator = sep
+      }
       expectSym(")")
       var alias = s"$fn($v)" // reference default naming, Run.scala:273
       if (takeKw("AS")) { val Var(a) = next(): @unchecked; alias = a }
       if (closeParen) expectSym(")")
-      SelectAgg(AggSpec(fn, v, alias, distinctAgg))
+      SelectAgg(AggSpec(fn, v, alias, distinctAgg, separator))
     }
 
     private def parseFilter(): FilterCond = {
@@ -482,19 +494,34 @@ object SparqlParser {
       }
     }
 
+    /** Fresh intermediate variable for sequence-path desugaring. */
+    private var pathCounter = 0
+    private def freshPathVar(): String = {
+      val v = s"__path$pathCounter"; pathCounter += 1; v
+    }
+
     private def parseTriplesSameSubject(
         out: scala.collection.mutable.Builder[TriplePattern, Seq[TriplePattern]],
         prefixes: Map[String, String]): Unit = {
       val Var(subj) = next(): @unchecked
       var more = true
       while (more) {
-        val pred = next() match {
+        def predToken(): String = next() match {
           case Word("a") => TriplePattern.RdfType
           case Word(q) => expandQName(q, prefixes)
           case Iri(iri) if iri == TriplePattern.RdfType => TriplePattern.RdfType
           case Iri(iri) => iri
           case t => sys.error(s"expected predicate, got $t")
         }
+        // sequence property path p1/p2/... (SPARQL 1.1 §9.1): desugared
+        // here into chained triples over fresh intermediate variables —
+        // each hop becomes an ordinary star join, so the engine needs no
+        // path-aware operator
+        val chain = Seq.newBuilder[String]
+        chain += predToken()
+        while (peek.contains(Sym("/"))) { next(); chain += predToken() }
+        val preds = chain.result()
+        val pred = preds.last
         val obj: ObjectTerm = next() match {
           case Var(v) => ObjVar(v)
           case Iri(iri) => ObjIri(iri)
@@ -503,7 +530,13 @@ object SparqlParser {
           case Word(w) => ObjLit(w)
           case t => sys.error(s"expected object, got $t")
         }
-        out += TriplePattern(subj, pred, obj)
+        var cur = subj
+        for (p <- preds.init) {
+          val v = freshPathVar()
+          out += TriplePattern(cur, p, ObjVar(v))
+          cur = v
+        }
+        out += TriplePattern(cur, pred, obj)
         peek match {
           case Some(Sym(";")) => next()
           case Some(Sym(".")) => next(); more = false

@@ -184,6 +184,31 @@ class SparqlParserSpec extends AnyFunSuite {
       Seq(BFun("contains", Seq(BVar("a"), BStr("x"))), BNum("1"), BNum("0"))))
   }
 
+  test("ASK form parses; GROUP_CONCAT separator and SAMPLE parse") {
+    val a = SparqlParser.parse(
+      "PREFIX s: <http://s/> ASK WHERE { ?x s:v ?v . FILTER(?v > 5) }")
+    assert(a.ask && a.selectAll)
+    val g = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?k (GROUP_CONCAT(?v; SEPARATOR="|") AS ?vs) (SAMPLE(?v) AS ?one)
+        |WHERE { ?x s:k ?k . ?x s:v ?v . } GROUP BY ?k""".stripMargin)
+    val aggs = g.selectItems.collect { case SelectAgg(x) => x }
+    assert(aggs == Seq(
+      AggSpec("group_concat", "v", "vs", distinct = false, separator = "|"),
+      AggSpec("sample", "v", "one")))
+  }
+
+  test("sequence property path desugars to chained triples over fresh vars") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?z WHERE { ?x s:a/s:b/s:c ?z . ?x s:d ?d . }""".stripMargin)
+    assert(q.patterns == Seq(
+      TriplePattern("x", "http://s/a", ObjVar("__path0")),
+      TriplePattern("__path0", "http://s/b", ObjVar("__path1")),
+      TriplePattern("__path1", "http://s/c", ObjVar("z")),
+      TriplePattern("x", "http://s/d", ObjVar("d"))))
+  }
+
   test("BIND expressions: precedence, parens, concat, signed literals") {
     val q = SparqlParser.parse(
       """PREFIX s: <http://s/>
