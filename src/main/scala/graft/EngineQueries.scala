@@ -238,6 +238,30 @@ object EngineQueries {
         "CAST(floor(p_retailprice / 100) AS BIGINT) AS pb " +
         "FROM part WHERE p_size >= 48"),
 
+    // FILTER EXISTS → left-semi star attachment (solutions kept iff the
+    // group matches; the group's star contributes no columns)
+    ("q37_exists",
+      """SELECT ?cname ?bal WHERE {
+        |  ?c g:custName ?cname . ?c g:acctbal ?bal .
+        |  FILTER(?bal > 9000)
+        |  FILTER EXISTS { ?o g:customer ?c . }
+        |}""".stripMargin,
+      "SELECT c_name AS cname, c_acctbal AS bal FROM customer " +
+        "WHERE c_acctbal > 9000 AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+
+    // FILTER NOT EXISTS → the MINUS (left-anti) machinery; on this star
+    // fragment (group must join the outer query on a variable) the two
+    // constructs coincide
+    ("q38_not_exists",
+      """SELECT ?o ?total WHERE {
+        |  ?o g:totalprice ?total . ?o g:orderstatus ?status .
+        |  FILTER(?total > 300000)
+        |  FILTER NOT EXISTS { ?li g:order ?o . }
+        |}""".stripMargin,
+      "SELECT o_orderkey AS o, o_totalprice AS total FROM orders " +
+        "WHERE o_totalprice > 300000 AND NOT EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"),
+
     // GROUP_CONCAT (with SEPARATOR) + SAMPLE aggregates (SPARQL 1.1
     // §18.5.1.7/.8): element order is undefined in the spec, so both are
     // made deterministic — sorted elements / minimum member — which is

@@ -140,14 +140,21 @@ object GraftEngine {
         edges.distinct.sortBy(e => -(weight(e.fromStar) + weight(e.toStar)))
       }
 
-    val joined = joinChain(starDFs, ordered, q.optionalStars, q.minusStars)
+    val joined = joinChain(starDFs, ordered, q.optionalStars, q.minusStars,
+      q.existsStars)
 
     // --- rename to bare variable names; star prefixes disappear here.
-    // MINUS-star bindings are not part of the solution (anti join keeps
-    // only the preserved side's columns).
+    // MINUS/EXISTS-star bindings are not part of the solution (anti/semi
+    // joins keep only the preserved side's columns).
+    val dropStars = q.minusStars ++ q.existsStars
+    // a var survives if a KEPT star binds it — being the group's join var
+    // (object inside the anti/semi group, subject of a required star)
+    // must not drop it from the solution
+    val keptSubjects = q.stars.keySet -- dropStars
     val resolution = resolveVars(q, needed).filterNot { case (v, _) =>
-      q.minusStars.contains(v) ||
-        q.varToStarPred.get(v).exists { case (s, _) => q.minusStars.contains(s) }
+      dropStars.contains(v) ||
+        (!keptSubjects.contains(v) &&
+          q.varToStarPred.get(v).exists { case (s, _) => dropStars.contains(s) })
     }
     joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
   }
@@ -257,19 +264,21 @@ object GraftEngine {
     * would never drain it). */
   private[engine] def joinChain(starDFs: Map[String, DataFrame], edges: Seq[JoinEdge],
       optionalStars: Set[String] = Set.empty,
-      minusStars: Set[String] = Set.empty): DataFrame = {
+      minusStars: Set[String] = Set.empty,
+      existsStars: Set[String] = Set.empty): DataFrame = {
     if (edges.isEmpty) {
       require(starDFs.size == 1,
         s"${starDFs.size} stars but no join conditions (cartesian query)")
       return starDFs.head._2
     }
-    def opt(s: String) = optionalStars.contains(s) || minusStars.contains(s)
-    // a MINUS star leaves no columns behind (anti join) — it must be a
-    // leaf of the join graph
-    for (m <- minusStars) {
+    def opt(s: String) = optionalStars.contains(s) || minusStars.contains(s) ||
+      existsStars.contains(s)
+    // a MINUS/EXISTS star leaves no columns behind (anti/semi join) — it
+    // must be a leaf of the join graph
+    for (m <- minusStars ++ existsStars) {
       val touching = edges.count(e => e.fromStar == m || e.toStar == m)
       require(touching == 1,
-        s"MINUS star ?$m must connect to the rest of the query by exactly one join")
+        s"MINUS/EXISTS star ?$m must connect to the rest of the query by exactly one join")
     }
     // inner edges first so every required star is joined before any
     // left-outer/anti attachment can touch it
@@ -289,6 +298,8 @@ object GraftEngine {
         def attach(newStar: String): Unit = {
           if (minusStars.contains(newStar))
             df = df.join(starDFs(newStar), cond, "left_anti")
+          else if (existsStars.contains(newStar))
+            df = df.join(starDFs(newStar), cond, "left_semi")
           else if (opt(newStar))
             df = df.join(starDFs(newStar), cond, "left_outer")
           else if (opt(e.fromStar) || opt(e.toStar))

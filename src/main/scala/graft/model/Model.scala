@@ -113,7 +113,14 @@ final case class ParsedQuery(
     binds: Seq[BindSpec] = Nil,
     /** ASK query form: the result is one boolean row (`ask`) — true iff
       * the WHERE body has at least one solution. Net-new vs reference. */
-    ask: Boolean = false) {
+    ask: Boolean = false,
+    /** Stars bound only inside FILTER EXISTS { } groups — attached with
+      * left-semi semantics (solutions kept iff the group matches; no
+      * columns contributed). FILTER NOT EXISTS groups reuse the MINUS
+      * (left-anti) machinery: on this star fragment — where the group
+      * must share a join variable with the outer query — the two
+      * constructs coincide. Net-new vs the reference. */
+    existsStars: Set[String] = Set.empty) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

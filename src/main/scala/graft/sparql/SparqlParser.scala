@@ -226,9 +226,25 @@ object SparqlParser {
       val bindClauses = Seq.newBuilder[BindSpec]
       val unionBranches = Seq.newBuilder[(Seq[TriplePattern], Seq[FilterCond])]
       var inBody = true
+      val existsPatterns = Seq.newBuilder[TriplePattern]
       while (inBody) peek match {
         case Some(Sym("}")) => next(); inBody = false
-        case Some(w) if isKw(w, "FILTER") => next(); filters += parseFilter()
+        case Some(w) if isKw(w, "FILTER") =>
+          next()
+          // FILTER EXISTS { } → semi star; FILTER NOT EXISTS { } shares
+          // the MINUS (anti) machinery — identical on this fragment,
+          // where the group must join the outer query on a variable
+          if (takeKw("EXISTS")) {
+            val (ps, fs) = parseGroup(prefixes)
+            existsPatterns ++= ps
+            optionalFilters ++= fs
+          } else if (peek.exists(isKw(_, "NOT"))) {
+            next()
+            require(takeKw("EXISTS"), "expected EXISTS after FILTER NOT")
+            val (ps, fs) = parseGroup(prefixes)
+            minusPatterns ++= ps
+            optionalFilters ++= fs
+          } else filters += parseFilter()
         case Some(w) if isKw(w, "OPTIONAL") =>
           next()
           val (ps, fs) = parseGroup(prefixes)
@@ -318,28 +334,34 @@ object SparqlParser {
       val required = patterns.result()
       val optional = optionalPatterns.result()
       val minus = minusPatterns.result()
+      val exists = existsPatterns.result()
       val branches = unionBranches.result()
-      require(branches.isEmpty || (required.isEmpty && optional.isEmpty && minus.isEmpty),
+      require(branches.isEmpty ||
+        (required.isEmpty && optional.isEmpty && minus.isEmpty && exists.isEmpty),
         "UNION branches cannot be mixed with top-level triple patterns")
-      // a star is optional/minus only if none of its patterns are required
+      // a star is optional/minus/exists only if none of its patterns are required
       val requiredSubjects = required.map(_.subject).toSet
       val optStars = optional.map(_.subject).toSet -- requiredSubjects
       val mStars = minus.map(_.subject).toSet -- requiredSubjects -- optStars
-      // filters inside OPTIONAL/MINUS groups apply per-star before the
-      // outer/anti join — correct only when they constrain the group's own
-      // stars; a filter on an outer/required var would drop preserved rows
-      val groupStars = optStars ++ mStars
-      val groupVars = (groupStars ++ (optional ++ minus).collect {
+      val eStars = exists.map(_.subject).toSet -- requiredSubjects -- optStars -- mStars
+      // filters inside OPTIONAL/MINUS/EXISTS groups apply per-star before
+      // the outer/anti/semi join — correct only when they constrain the
+      // group's own stars; a filter on an outer/required var would drop
+      // preserved rows
+      val groupStars = optStars ++ mStars ++ eStars
+      val groupVars = (groupStars ++ (optional ++ minus ++ exists).collect {
         case TriplePattern(s, _, ObjVar(v)) if groupStars.contains(s) => v
       }) -- requiredSubjects // a join var IS an outer binding
       for (f <- optionalFilters.result())
         require(groupVars.contains(f.varName),
-          s"FILTER(?${f.varName} ...) inside OPTIONAL/MINUS must reference a " +
+          s"FILTER(?${f.varName} ...) inside OPTIONAL/MINUS/EXISTS must reference a " +
             "variable bound by the group's own stars")
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
-        required ++ optional ++ minus, filters.result() ++ optionalFilters.result(),
+        required ++ optional ++ minus ++ exists,
+        filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
-        having, mStars, valuesClauses.result(), bindClauses.result(), ask)
+        having, mStars, valuesClauses.result(), bindClauses.result(), ask,
+        eStars)
     }
 
     /** BIND expression: precedence-climbing over the token stream

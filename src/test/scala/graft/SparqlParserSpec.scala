@@ -198,6 +198,18 @@ class SparqlParserSpec extends AnyFunSuite {
       AggSpec("sample", "v", "one")))
   }
 
+  test("FILTER EXISTS / NOT EXISTS become semi / anti stars") {
+    val q = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |SELECT ?v WHERE { ?x s:v ?v .
+        |  FILTER EXISTS { ?y s:ref ?x . }
+        |  FILTER NOT EXISTS { ?z s:neg ?x . }
+        |}""".stripMargin)
+    assert(q.existsStars == Set("y"))
+    assert(q.minusStars == Set("z"))
+    assert(q.stars.keySet == Set("x", "y", "z"))
+  }
+
   test("sequence property path desugars to chained triples over fresh vars") {
     val q = SparqlParser.parse(
       """PREFIX s: <http://s/>
