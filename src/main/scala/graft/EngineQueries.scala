@@ -238,6 +238,32 @@ object EngineQueries {
         "CAST(floor(p_retailprice / 100) AS BIGINT) AS pb " +
         "FROM part WHERE p_size >= 48"),
 
+    // inverse property path (^p): the triple with roles swapped — the
+    // customer star is entered FROM the orders side
+    ("q39_inverse_path",
+      """SELECT ?cname ?total WHERE {
+        |  ?c ^g:customer ?o .
+        |  ?c g:custName ?cname .
+        |  ?o g:totalprice ?total .
+        |  FILTER(?total > 450000)
+        |}""".stripMargin,
+      "SELECT c_name AS cname, o_totalprice AS total FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 450000"),
+
+    // CONSTRUCT query form: the deduplicated (s, p, o) triple set from
+    // instantiating the template per solution
+    ("q40_construct",
+      """CONSTRUCT {
+        |  ?n g:name ?nname .
+        |  ?n g:inRegion ?r .
+        |} WHERE {
+        |  ?n g:nationName ?nname . ?n g:region ?r .
+        |}""".stripMargin,
+      "SELECT CAST(n_nationkey AS VARCHAR) AS s, 'http://graft.io/schema/name' AS p, " +
+        "n_name AS o FROM nation " +
+        "UNION SELECT CAST(n_nationkey AS VARCHAR), 'http://graft.io/schema/inRegion', " +
+        "CAST(n_regionkey AS VARCHAR) FROM nation"),
+
     // FILTER EXISTS → left-semi star attachment (solutions kept iff the
     // group matches; the group's star contributes no columns)
     ("q37_exists",

@@ -90,6 +90,20 @@ object GraftEngine {
       // ASK: one boolean row — isEmpty is a limit-1 job, not a full scan
       import spark.implicits._
       Seq(!sliced.isEmpty).toDF("ask")
+    } else if (q.construct.nonEmpty) {
+      // CONSTRUCT: instantiate each template triple per solution and
+      // union (a graph is a triple SET → distinct). Everything stays one
+      // declarative plan — Catalyst shares the solution subplan across
+      // the template branches.
+      q.construct.map { t =>
+        val oCol = t.obj match {
+          case ObjVar(v) => col(v).cast("string")
+          case ObjIri(iri) => lit(iri)
+          case ObjLit(l) => lit(l)
+        }
+        sliced.select(col(t.subject).cast("string").as("s"),
+          lit(t.predicate).as("p"), oCol.as("o"))
+      }.reduce(_.union(_)).distinct()
     } else sliced
   }
 

@@ -120,7 +120,11 @@ final case class ParsedQuery(
       * (left-anti) machinery: on this star fragment — where the group
       * must share a join variable with the outer query — the two
       * constructs coincide. Net-new vs the reference. */
-    existsStars: Set[String] = Set.empty) {
+    existsStars: Set[String] = Set.empty,
+    /** CONSTRUCT template triples: the result is the deduplicated triple
+      * set (s, p, o — all strings) produced by instantiating the
+      * template per solution. Net-new vs the reference. */
+    construct: Seq[TriplePattern] = Nil) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

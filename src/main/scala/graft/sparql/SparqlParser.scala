@@ -146,7 +146,7 @@ object SparqlParser {
           else { sb += s.charAt(j); j += 1 }
         }
         toks += Str(sb.toString); i = j + 1
-      } else if ("{}();,*/".indexOf(c) >= 0) {
+      } else if ("{}();,*/^".indexOf(c) >= 0) {
         toks += Sym(c.toString); i += 1
       } else if (c == '!' || c == '=' || c == '<' || c == '>') {
         val two = s.substring(i, math.min(i + 2, s.length))
@@ -202,11 +202,18 @@ object SparqlParser {
         prefixes += pfx.stripSuffix(":") -> iri
       }
       val ask = takeKw("ASK")
-      if (!ask) require(takeKw("SELECT"), "expected SELECT or ASK")
-      val distinct = !ask && takeKw("DISTINCT")
-      var selectAll = ask
+      val construct =
+        if (!ask && takeKw("CONSTRUCT")) {
+          val (ps, fs) = parseGroup(prefixes)
+          require(fs.isEmpty, "FILTER is not allowed in a CONSTRUCT template")
+          ps
+        } else Nil
+      val plainSelect = !ask && construct.isEmpty
+      if (plainSelect) require(takeKw("SELECT"), "expected SELECT, ASK or CONSTRUCT")
+      val distinct = plainSelect && takeKw("DISTINCT")
+      var selectAll = !plainSelect
       val items = Seq.newBuilder[SelectItem]
-      var reading = !ask
+      var reading = plainSelect
       while (reading) peek match {
         case Some(Sym("*")) => next(); selectAll = true
         case Some(Var(v)) => next(); items += SelectVar(v)
@@ -361,7 +368,7 @@ object SparqlParser {
         filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
         having, mStars, valuesClauses.result(), bindClauses.result(), ask,
-        eStars)
+        eStars, construct)
     }
 
     /** BIND expression: precedence-climbing over the token stream
@@ -535,15 +542,21 @@ object SparqlParser {
           case Iri(iri) => iri
           case t => sys.error(s"expected predicate, got $t")
         }
-        // sequence property path p1/p2/... (SPARQL 1.1 §9.1): desugared
-        // here into chained triples over fresh intermediate variables —
-        // each hop becomes an ordinary star join, so the engine needs no
-        // path-aware operator
-        val chain = Seq.newBuilder[String]
-        chain += predToken()
-        while (peek.contains(Sym("/"))) { next(); chain += predToken() }
+        // property paths (SPARQL 1.1 §9.1): sequences p1/p2/... and
+        // inverse elements ^p, desugared here into chained triples over
+        // fresh intermediate variables — each hop becomes an ordinary
+        // star join (inverse hops emit the triple with the roles
+        // swapped), so the engine needs no path-aware operator
+        def pathElem(): (String, Boolean) = {
+          val inv = peek.contains(Sym("^"))
+          if (inv) next()
+          (predToken(), inv)
+        }
+        val chain = Seq.newBuilder[(String, Boolean)]
+        chain += pathElem()
+        while (peek.contains(Sym("/"))) { next(); chain += pathElem() }
         val preds = chain.result()
-        val pred = preds.last
+        val (pred, lastInv) = preds.last
         val obj: ObjectTerm = next() match {
           case Var(v) => ObjVar(v)
           case Iri(iri) => ObjIri(iri)
@@ -552,13 +565,19 @@ object SparqlParser {
           case Word(w) => ObjLit(w)
           case t => sys.error(s"expected object, got $t")
         }
+        def emit(from: String, p: String, inv: Boolean, to: ObjectTerm): Unit =
+          if (!inv) out += TriplePattern(from, p, to)
+          else to match {
+            case ObjVar(tv) => out += TriplePattern(tv, p, ObjVar(from))
+            case t => sys.error(s"inverse path ^<$p> needs a variable object, got $t")
+          }
         var cur = subj
-        for (p <- preds.init) {
+        for ((p, inv) <- preds.init) {
           val v = freshPathVar()
-          out += TriplePattern(cur, p, ObjVar(v))
+          emit(cur, p, inv, ObjVar(v))
           cur = v
         }
-        out += TriplePattern(cur, pred, obj)
+        emit(cur, pred, lastInv, obj)
         peek match {
           case Some(Sym(";")) => next()
           case Some(Sym(".")) => next(); more = false

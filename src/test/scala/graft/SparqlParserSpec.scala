@@ -221,6 +221,18 @@ class SparqlParserSpec extends AnyFunSuite {
       TriplePattern("x", "http://s/d", ObjVar("d"))))
   }
 
+  test("inverse path swaps roles; CONSTRUCT template parses with body separate") {
+    val q = SparqlParser.parse(
+      "PREFIX s: <http://s/> SELECT ?v WHERE { ?x ^s:ref ?y . ?x s:v ?v . }")
+    assert(q.patterns.contains(TriplePattern("y", "http://s/ref", ObjVar("x"))))
+    val c = SparqlParser.parse(
+      """PREFIX s: <http://s/>
+        |CONSTRUCT { ?x s:out ?v . } WHERE { ?x s:v ?v . }""".stripMargin)
+    assert(c.construct == Seq(TriplePattern("x", "http://s/out", ObjVar("v"))))
+    assert(c.patterns == Seq(TriplePattern("x", "http://s/v", ObjVar("v"))))
+    assert(c.selectAll && !c.ask)
+  }
+
   test("BIND expressions: precedence, parens, concat, signed literals") {
     val q = SparqlParser.parse(
       """PREFIX s: <http://s/>
