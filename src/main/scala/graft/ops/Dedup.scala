@@ -286,19 +286,18 @@ object Dedup {
     * transitive closure as one duplicate group (one kept doc per
     * component).
     *
-    * Iterative min-label propagation: each round joins the current labels
-    * over the symmetric edge list and takes the per-node minimum of own
-    * and neighbor labels — one shuffle-join plus one aggregation per
-    * round, converging in O(component diameter) rounds (near-dup
-    * clusters are shallow star/clique shapes in practice; `maxRounds`
-    * guards adversarial chains). The driver loop is control flow only:
-    * per round it runs one bounded `count()` on the (tiny) changed-label
-    * delta; labels are `localCheckpoint`ed so round N's plan doesn't
-    * replay rounds 1..N−1's lineage. At 100 TB both sides of the round
-    * join shuffle on the component id key only — no row data rides the
-    * iteration. */
+    * Each round combines min-label propagation over the symmetric edge
+    * list with pointer jumping (label ← label of one's own label), so
+    * convergence is O(log n) rounds even on a path graph — neighbor
+    * propagation alone needs O(component diameter). Per round: two
+    * keyed shuffle-joins + one aggregation over (node, label) pairs
+    * only — no row data rides the iteration. The driver loop is control
+    * flow only (one bounded emptiness probe per round); labels are
+    * `localCheckpoint`ed so round N's plan doesn't replay rounds
+    * 1..N−1's lineage. Exhausting `maxRounds` before the fixpoint
+    * throws rather than returning a partial (wrong) labeling. */
   def connectedComponents(pairs: DataFrame, idA: Column, idB: Column,
-      ids: DataFrame, id: Column, maxRounds: Int = 20): DataFrame = {
+      ids: DataFrame, id: Column, maxRounds: Int = 25): DataFrame = {
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
       .union(pairs.select(idB.as("src"), idA.as("dst")))
       .localCheckpoint()
@@ -310,14 +309,28 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val propagated = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping: follow one's label to ITS label — roughly
+      // halves the distance to the component minimum every round, so a
+      // path graph converges in O(log n) rounds where neighbor
+      // propagation alone needs O(diameter) (a long duplicate chain —
+      // page-per-page near-dups of a book — would blow the round cap)
+      val next = propagated
+        .join(propagated.select(col("node").as("l_node"), col("label").as("l_label")),
+          propagated("label") === col("l_node"), "left")
+        .select(col("node"), col("old_label"),
+          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") < col("old_label")).isEmpty
       labels = next.select(col("node"), col("label"))
       round += 1
     }
+    // a partial labeling silently merges/splits clusters downstream —
+    // refuse instead
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds")
     labels
   }
 

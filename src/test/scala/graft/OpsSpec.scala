@@ -436,6 +436,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents: 200-node chain converges within the round cap") {
+    // diameter 200 — plain neighbor propagation would need 200 rounds
+    // and trip the 25-round cap; pointer jumping closes it in O(log n)
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L to 200L).toDF("doc_id")
+    val got = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"),
+      ids, col("doc_id")).as[(Long, Long)].collect()
+    assert(got.length == 201 && got.forall(_._2 == 0L))
+  }
+
   test("fuzzyDedupCorpus keeps exactly one row per near-dup cluster") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -72,6 +72,11 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nation NOT IN not pushed in:\n$p")
   }
 
+  test("q37/q38: EXISTS plans as a semi join, NOT EXISTS as an anti join") {
+    assert(plan("q37_exists").contains("LeftSemi"))
+    assert(plan("q38_not_exists").contains("LeftAnti"))
+  }
+
   test("p01: deterministic sample is a codegen filter over a pruned scan") {
     val p = plan("p01_stratified_sample")
     // keep/drop must happen in the scan stage — no shuffle, no join
