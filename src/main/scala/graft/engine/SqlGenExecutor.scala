@@ -54,6 +54,11 @@ object SqlGenExecutor {
     require(q.unionBranches.isEmpty, "UNION branches are not SQL-lowered")
     require(q.binds.isEmpty, "BIND is not SQL-lowered")
     require(q.minusStars.isEmpty, "MINUS is not SQL-lowered")
+    // without this guard an EXISTS star would lower as a plain inner
+    // join — duplicated solutions, silently wrong (refuse, don't mis-lower)
+    require(q.existsStars.isEmpty, "FILTER EXISTS is not SQL-lowered")
+    require(!q.ask, "ASK is not SQL-lowered")
+    require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
     require(q.transforms.isEmpty, "inline join TRANSFORMs are not SQL-lowered")
     require(q.offset.isEmpty, "OFFSET is not SQL-lowered")
 

@@ -82,5 +82,16 @@ class SqlGenSpec extends AnyFunSuite {
       """SELECT ?name WHERE {
         |  { ?c g:custName ?name . } UNION { ?s g:suppName ?name . }
         |}""".stripMargin, "UNION")
+    // an EXISTS star lowered as a plain inner join would duplicate
+    // solutions — the refusal is a correctness guard, not a convenience
+    refuse(
+      """SELECT ?cname WHERE {
+        |  ?c g:custName ?cname .
+        |  FILTER EXISTS { ?o g:customer ?c . }
+        |}""".stripMargin, "EXISTS")
+    refuse("ASK WHERE { ?c g:custName ?n . }", "ASK")
+    refuse(
+      """CONSTRUCT { ?c g:n ?n . } WHERE { ?c g:custName ?n . }""",
+      "CONSTRUCT")
   }
 }
