@@ -445,6 +445,18 @@ object OpsQueries {
         "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS term " +
         "FROM documents WHERE trim(text) <> '') GROUP BY term"),
 
+    // corpus heavy hitters: top-k terms by document frequency — the DF
+    // aggregation is map-side combined and the top-k plans as
+    // TakeOrderedAndProject (per-partition heaps, no global sort)
+    ("t11_top_terms",
+      (s, sf) => TextOps.documentFrequency(docs(s, sf), col("text"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(20),
+      "SELECT term, df FROM (SELECT term, COUNT(*) AS df FROM (" +
+        "SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(" +
+        "lower(trim(text)), '\\s+'))) AS term FROM documents WHERE trim(text) <> '') " +
+        "GROUP BY term) ORDER BY df DESC, term LIMIT 20"),
+
     ("t04_fingerprint",
       (s, sf) => docs(s, sf).select(col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp")),

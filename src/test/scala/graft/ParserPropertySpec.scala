@@ -20,6 +20,8 @@ class ParserPropertySpec extends AnyFunSuite {
   private case class Model(
       stars: Map[String, Seq[(String, String)]], // subj -> (predLocal, objVar)
       filters: Seq[(String, String, String)],
+      inFilters: Seq[(String, Seq[String], Boolean)], // var, values, negated
+      ask: Boolean,
       distinct: Boolean,
       limit: Option[Int])
 
@@ -39,25 +41,37 @@ class ParserPropertySpec extends AnyFunSuite {
     fvars <- Gen.listOfN(nFilters, Gen.oneOf(allVars))
     ops <- Gen.listOfN(nFilters, Gen.oneOf("=", "!=", "<", "<=", ">", ">="))
     vals <- Gen.listOfN(nFilters, Gen.choose(-1000, 1000))
+    nIn <- Gen.choose(0, 1)
+    inVars <- Gen.listOfN(nIn, Gen.oneOf(allVars))
+    inVals <- Gen.listOfN(nIn, Gen.nonEmptyListOf(Gen.choose(0, 99)).map(_.take(3)))
+    inNeg <- Gen.listOfN(nIn, Gen.oneOf(true, false))
+    ask <- Gen.frequency(4 -> false, 1 -> true)
     distinct <- Gen.oneOf(true, false)
     limit <- Gen.option(Gen.choose(1, 99))
   } yield Model(stars.toMap, fvars.lazyZip(ops).lazyZip(vals.map(_.toString)).toSeq,
-    distinct, limit)
+    inVars.lazyZip(inVals.map(_.map(_.toString))).lazyZip(inNeg).toSeq,
+    ask, distinct, limit)
 
   private val ws: Gen[String] = Gen.oneOf(" ", "  ", "\n", "\n  ", "\t")
 
   private def render(m: Model, w: String): String = {
     val sb = new StringBuilder
     sb ++= s"PREFIX ex: <http://ex.org/>$w"
-    sb ++= "SELECT "
-    if (m.distinct) sb ++= "DISTINCT "
-    val vars = m.stars.values.flatten.map(_._2).toSeq
-    sb ++= vars.map("?" + _).mkString(" ")
-    sb ++= s"${w}WHERE {$w"
+    if (m.ask) sb ++= s"ASK$w"
+    else {
+      sb ++= "SELECT "
+      if (m.distinct) sb ++= "DISTINCT "
+      val vars = m.stars.values.flatten.map(_._2).toSeq
+      sb ++= vars.map("?" + _).mkString(" ")
+      sb ++= w
+    }
+    sb ++= s"WHERE {$w"
     for ((s, pos) <- m.stars; (p, o) <- pos)
       sb ++= s"?$s ex:$p ?$o .$w"
     for ((v, op, value) <- m.filters)
       sb ++= s"FILTER(?$v $op $value)$w"
+    for ((v, vals, neg) <- m.inFilters)
+      sb ++= s"FILTER(?$v ${if (neg) "NOT IN" else "IN"} (${vals.mkString(", ")}))$w"
     sb ++= "}"
     m.limit.foreach(n => sb ++= s"${w}LIMIT $n")
     sb.toString
@@ -75,13 +89,16 @@ class ParserPropertySpec extends AnyFunSuite {
       val text = render(m, w)
       val q = try SparqlParser.parse(text)
       catch { case e: Exception => fail(s"parse failed for:\n$text", e) }
-      assert(q.distinct == m.distinct, text)
+      assert(q.ask == m.ask, text)
+      assert(q.distinct == (!m.ask && m.distinct), text)
       assert(q.limit == m.limit, text)
       assert(q.stars.keySet == m.stars.keySet, text)
       for ((s, pos) <- m.stars)
         assert(q.stars(s).map(tp => tp.predicate.stripPrefix("http://ex.org/")) ==
           pos.map(_._1), text)
-      assert(q.filters.map(f => (f.varName, f.op, f.value)) == m.filters, text)
+      val (cmp, ins) = q.filters.partition(_.values.isEmpty)
+      assert(cmp.map(f => (f.varName, f.op, f.value)) == m.filters, text)
+      assert(ins.map(f => (f.varName, f.values, f.op == "not in")) == m.inFilters, text)
       checked += 1
     }
   }
