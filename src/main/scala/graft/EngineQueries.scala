@@ -468,7 +468,9 @@ object EngineQueries {
     "sg05_sqlgen_having" -> "q25_having",
     "sg06_sqlgen_optional" -> "q19_optional",
     "sg07_sqlgen_fno" -> "q15_fno_transform",
-    "sg08_sqlgen_in" -> "q32_filter_in")
+    "sg08_sqlgen_in" -> "q32_filter_in",
+    "sg09_sqlgen_bind" -> "q30_bind",
+    "sg10_sqlgen_bind_expr" -> "q31_bind_expr")
 
   private def sparqlOf(name: String): String =
     suite.collectFirst { case (`name`, sparql, _) => sparql }

@@ -52,7 +52,6 @@ object SqlGenExecutor {
 
   def lower(q: ParsedQuery, mappings: MappingsDoc, config: LakeConfig): Lowered = {
     require(q.unionBranches.isEmpty, "UNION branches are not SQL-lowered")
-    require(q.binds.isEmpty, "BIND is not SQL-lowered")
     require(q.minusStars.isEmpty, "MINUS is not SQL-lowered")
     // without this guard an EXISTS star would lower as a plain inner
     // join — duplicated solutions, silently wrong (refuse, don't mis-lower)
@@ -230,6 +229,29 @@ object SqlGenExecutor {
       s"SELECT ${resolution.map { case (v, c) => s"$c AS $v" }.mkString(", ")}" +
         s" FROM ${fromSql.result()}$cycleWhere"
 
+    // ---- BIND computed variables (image of GraftEngine.bindColumn's
+    // arithmetic/concat core; SPARQL 1.1 builtins stay Column-engine
+    // only). One wrapper per BIND so later binds can reference earlier
+    // outputs; `/` is double division and CONCAT casts every operand to
+    // string in BOTH target engines, matching the Column semantics. ----
+    def bindSql(e: BindExpr): String = e match {
+      case BVar(v) => v
+      case BNum(n) => n
+      case BStr(s) => "'" + s.replace("'", "''") + "'"
+      case BOp(op @ ("+" | "-" | "*" | "/"), l, r) =>
+        s"(${bindSql(l)} $op ${bindSql(r)})"
+      case BOp(op, _, _) => sys.error(s"BIND operator '$op' is not SQL-lowered")
+      case BFun("concat", args) if args.nonEmpty =>
+        args.map(a => s"CAST(${bindSql(a)} AS STRING)").mkString("(", " || ", ")")
+      case BFun("str", Seq(a)) => s"CAST(${bindSql(a)} AS STRING)"
+      case BFun("abs", Seq(a)) => s"ABS(${bindSql(a)})"
+      case BFun(f, _) => sys.error(s"BIND function '$f' is not SQL-lowered")
+    }
+    val bodySql = q.binds.zipWithIndex.foldLeft(innerSql) {
+      case (prev, (b, i)) =>
+        s"SELECT g_b$i.*, ${bindSql(b.expr)} AS ${b.outVar} FROM ($prev) g_b$i"
+    }
+
     // ---- modifiers ----------------------------------------------------
     def aggExpr(a: AggSpec): String = {
       val in = if (a.varName == "*") "*" else a.varName
@@ -261,7 +283,7 @@ object SqlGenExecutor {
         s"${k.varName}${if (k.ascending) "" else " DESC"}").mkString(", ")}"
     val limit = q.limit.fold("")(n => s" LIMIT $n")
 
-    val sql = s"SELECT $distinct${items.mkString(", ")} FROM ($innerSql) g_q" +
+    val sql = s"SELECT $distinct${items.mkString(", ")} FROM ($bodySql) g_q" +
       groupBy + having + orderBy + limit
     Lowered(sql, tables.toSeq)
   }

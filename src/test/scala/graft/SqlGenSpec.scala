@@ -67,17 +67,20 @@ class SqlGenSpec extends AnyFunSuite {
   test("unsupported shapes are refused, not mis-lowered") {
     val (m, c) = TpchLake.lake(sf)
     def refuse(sparql: String, needle: String): Unit = {
-      val e = intercept[IllegalArgumentException] {
+      // require → IllegalArgumentException, sys.error → RuntimeException
+      val e = intercept[RuntimeException] {
         SqlGenExecutor.lower(SparqlParser.parse(
           "PREFIX g: <http://graft.io/schema/>\n" + sparql), m, c)
       }
       assert(e.getMessage.contains(needle), e.getMessage)
     }
+    // BIND arithmetic/concat lowers (sg09/sg10); the SPARQL 1.1 builtins
+    // beyond CONCAT/STR/ABS stay Column-engine only
     refuse(
-      """SELECT ?ord ?gross WHERE {
-        |  ?li g:order ?ord . ?li g:quantity ?qty .
-        |  BIND(?qty * 2 AS ?gross)
-        |}""".stripMargin, "BIND")
+      """SELECT ?ord ?u WHERE {
+        |  ?li g:order ?ord . ?li g:returnflag ?rf .
+        |  BIND(UCASE(?rf) AS ?u)
+        |}""".stripMargin, "ucase")
     refuse(
       """SELECT ?name WHERE {
         |  { ?c g:custName ?name . } UNION { ?s g:suppName ?name . }
