@@ -211,6 +211,24 @@ object OpsQueries {
         |FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin),
 
+    // benchmark decontamination: train docs sharing a 4-gram with the
+    // pseudo eval split (doc_id % 50 = 0); eval shingles broadcast, the
+    // train side never shuffles
+    ("d09_decontaminate",
+      (s, sf) => {
+        val d = docs(s, sf)
+        Dedup.contaminated(
+          d.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 4)
+      },
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |          FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([ array_to_string(toks[i:i+3], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-2, 2)) ])) AS sh FROM t)
+        |SELECT DISTINCT a.doc_id FROM sh a
+        |JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0) e ON a.sh = e.sh
+        |WHERE a.doc_id % 50 <> 0""".stripMargin),
+
     // ---- similarity search ---------------------------------------------
     ("s01_cosine_topk",
       (s, sf) => Similarity.bruteForceTopK(

@@ -334,6 +334,22 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: training documents sharing at least one
+    * word n-gram with any document of an evaluation set (the standard
+    * n-gram-overlap contamination test). The eval shingle set is tiny
+    * next to a training corpus, so it is deduplicated and broadcast —
+    * the train side streams through a broadcast-hash semi join inside
+    * its scan stage, no shuffle of the training corpus. */
+  def contaminated(train: DataFrame, trainId: Column, trainText: Column,
+      eval: DataFrame, evalText: Column, n: Int): DataFrame = {
+    val evalShingles = eval
+      .select(explode(wordShingles(evalText, n)).as("sh")).distinct()
+    train
+      .select(trainId.as("doc_id"), explode(wordShingles(trainText, n)).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** End-to-end fuzzy corpus dedup: MinHash near-dup pairs → connected
     * components → keep one document per cluster (the minimum id). Returns
     * the surviving rows of `df`. */

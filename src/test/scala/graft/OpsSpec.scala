@@ -446,6 +446,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == 201 && got.forall(_._2 == 0L))
   }
 
+  test("decontamination flags planted n-gram overlap, leaves clean docs alone") {
+    val eval = Seq((900L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "some prose containing the secret benchmark answer is forty two exactly verbatim"),
+      (2L, "entirely unrelated text with no overlap whatsoever here"),
+      (3L, "short"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contaminated(train, col("doc_id"), col("text"),
+      eval, col("text"), n = 5).as[Long].collect().toSet
+    assert(flagged == Set(1L))
+  }
+
   test("fuzzyDedupCorpus keeps exactly one row per near-dup cluster") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again"),
