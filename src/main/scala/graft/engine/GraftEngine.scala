@@ -118,7 +118,7 @@ object GraftEngine {
 
     // --- per-star ParSets (reference SparkExecutor.query, stage 6 of §3.1)
     val starDFs: Map[String, DataFrame] = starNames.map { s =>
-      val df = StarCompiler.compile(spark, q, s, mappings, config, needed, q.filters)
+      val df = StarCompiler.compile(spark, q, s, mappings, config, needed)
       s -> StarCompiler.applyInlineTransforms(df, s, q)
     }.toMap
 
@@ -160,16 +160,7 @@ object GraftEngine {
     // --- rename to bare variable names; star prefixes disappear here.
     // MINUS/EXISTS-star bindings are not part of the solution (anti/semi
     // joins keep only the preserved side's columns).
-    val dropStars = q.minusStars ++ q.existsStars
-    // a var survives if a KEPT star binds it — being the group's join var
-    // (object inside the anti/semi group, subject of a required star)
-    // must not drop it from the solution
-    val keptSubjects = q.stars.keySet -- dropStars
-    val resolution = resolveVars(q, needed).filterNot { case (v, _) =>
-      dropStars.contains(v) ||
-        (!keptSubjects.contains(v) &&
-          q.varToStarPred.get(v).exists { case (s, _) => dropStars.contains(s) })
-    }
+    val resolution = resolveKept(q, needed)
     joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
   }
 
@@ -259,14 +250,31 @@ object GraftEngine {
       joinVars ++ repeated ++ bindOperands).toSet -- bindOutputs
   }
 
-  /** var -> concrete post-join column. A subject var resolves to its star's
-    * ID column; an object var to the (first) star that binds it
-    * (one-binding invariant, reference Run.scala:73). */
-  private def resolveVars(q: ParsedQuery, needed: Set[String]): Seq[(String, String)] = {
-    val vars = needed.toSeq.sorted
-    vars.flatMap { v =>
-      if (q.stars.contains(v)) Some(v -> StarCompiler.idCol(v))
-      else q.varToStarPred.get(v).map { case (s, _) => v -> StarCompiler.varCol(s, v) }
+  /** var -> concrete post-join column, restricted to columns a KEPT
+    * (non-MINUS/EXISTS) star contributes — anti/semi joins keep only the
+    * preserved side's columns. Shared by both engines (the DataFrame
+    * engine and [[SqlGenExecutor]]) so the resolution semantics cannot
+    * drift.
+    *
+    * A var survives iff a kept star binds it:
+    *  - subject of a kept star → that star's ID column;
+    *  - otherwise, the FIRST kept star binding it as an object var → that
+    *    star's var column (one-binding invariant, reference Run.scala:73).
+    * Note the order: a var that names a DROPPED star's subject but is
+    * also the object of a kept star (SELECT ?v WHERE { ?x :p ?v .
+    * FILTER EXISTS { ?v :q ?w } }) resolves to the kept star's column —
+    * it is part of the solution, not anti/semi-joined away. */
+  private[engine] def resolveKept(q: ParsedQuery, needed: Set[String]): Seq[(String, String)] = {
+    val dropStars = q.minusStars ++ q.existsStars
+    val keptSubjects = q.stars.keySet -- dropStars
+    val keptBinding: Map[String, String] =
+      q.patterns.collect {
+        case TriplePattern(s, p, ObjVar(o))
+            if p != TriplePattern.RdfType && keptSubjects.contains(s) => o -> s
+      }.reverse.toMap // reverse + toMap = first binding wins
+    needed.toSeq.sorted.flatMap { v =>
+      if (keptSubjects.contains(v)) Some(v -> StarCompiler.idCol(v))
+      else keptBinding.get(v).map(s => v -> StarCompiler.varCol(s, v))
     }
   }
 

@@ -29,12 +29,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * SQL-expressible subset: parquet sources (single or unioned per star),
-  * comparison/LIKE filters, VALUES, inner + OPTIONAL (left) join chains,
-  * GROUP BY/aggregates/HAVING, ORDER BY, DISTINCT, LIMIT, and the FnO
-  * attribute transforms. Not lowered (the Column engine remains the
-  * full-coverage path, exactly as the reference keeps Spark beside
-  * Presto): BIND, MINUS, UNION branches, OFFSET, inline join TRANSFORMs,
-  * non-parquet stores, streaming.
+  * comparison/LIKE/IN filters, VALUES, inner + OPTIONAL (left) join
+  * chains, MINUS and FILTER (NOT) EXISTS (correlated [NOT] EXISTS
+  * subqueries), BIND arithmetic/CONCAT/STR/ABS, GROUP BY/aggregates/
+  * HAVING, ORDER BY, DISTINCT, LIMIT/OFFSET, and the FnO attribute
+  * transforms. Not lowered (the Column engine remains the full-coverage
+  * path, exactly as the reference keeps Spark beside Presto): UNION
+  * branches, ASK, CONSTRUCT, SELECT *, the SPARQL 1.1 BIND builtins
+  * beyond CONCAT/STR/ABS, inline join TRANSFORMs, non-parquet stores,
+  * streaming.
   */
 object SqlGenExecutor {
 
@@ -50,18 +53,20 @@ object SqlGenExecutor {
     spark.sql(l.sql)
   }
 
+  /** Finite plain numeric literals only: "Infinity"/"NaN"/"+5"/"1e3" all
+    * parse via toDoubleOption but are not portable unquoted SQL tokens —
+    * anything outside this pattern is emitted as a quoted string. */
+  private val NumericLit = "^-?\\d+(\\.\\d+)?$".r
+
   def lower(q: ParsedQuery, mappings: MappingsDoc, config: LakeConfig): Lowered = {
     require(q.unionBranches.isEmpty, "UNION branches are not SQL-lowered")
-    require(q.minusStars.isEmpty, "MINUS is not SQL-lowered")
-    // without this guard an EXISTS star would lower as a plain inner
-    // join — duplicated solutions, silently wrong (refuse, don't mis-lower)
-    require(q.existsStars.isEmpty, "FILTER EXISTS is not SQL-lowered")
     require(!q.ask, "ASK is not SQL-lowered")
     require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
     require(q.transforms.isEmpty, "inline join TRANSFORMs are not SQL-lowered")
-    require(q.offset.isEmpty, "OFFSET is not SQL-lowered")
 
     val starNames = q.stars.keys.toSeq.sorted
+    val dropStars = q.minusStars ++ q.existsStars
+    val keptNames = starNames.filterNot(dropStars.contains)
     val needed = GraftEngine.neededVars(q)
     val tables = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
@@ -69,7 +74,7 @@ object SqlGenExecutor {
     def vc(s: String, v: String) = StarCompiler.varCol(s, v)
 
     def litSql(v: String): String =
-      if (v.toLongOption.isDefined || v.toDoubleOption.isDefined) v
+      if (NumericLit.matches(v)) v
       else "'" + v.replace("'", "''") + "'"
 
     /** FnO transform chain → ANSI expression (same semantics as
@@ -111,67 +116,31 @@ object SqlGenExecutor {
 
     /** One star → aliased subquery: per-source SELECT+rename (+UNION ALL),
       * wrapped with this star's filters/VALUES on the renamed columns —
-      * the SQL image of StarCompiler.compile. */
+      * the SQL rendering of the SAME [[StarSpec]] description
+      * StarCompiler renders as Columns. */
     def starSubquery(s: String): String = {
-      val patterns = q.stars(s)
-      val preds = patterns.collect {
-        case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
-      }.distinct
-      val classIri = patterns.collectFirst {
-        case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
-      }
-      val predToVar: Map[String, String] = patterns.collect {
-        case TriplePattern(_, p, ObjVar(v)) if p != TriplePattern.RdfType => p -> v
-      }.toMap
-
-      val relevant = mappings.relevantFor(preds, classIri)
-      require(relevant.nonEmpty,
-        s"no relevant source for star ?$s (predicates: ${preds.mkString(", ")})")
-
-      val selects = relevant.map { m =>
+      val spec = StarSpec.build(q, s, mappings, needed)
+      def tx(cs: StarSpec.ColSpec): String = fnSql(cs.attr, cs.fns)
+      val selects = spec.sources.map { src =>
+        val m = src.mapping
         require(m.storeType == "parquet",
           s"store type '${m.storeType}' is not SQL-lowered (star ?$s)")
         val tbl = m.source.split('/').last.stripSuffix(".parquet")
         tables(tbl) = m.source
-        def tx(attr: String, e: String) =
-          m.attrTransforms.get(attr).map(fnSql(e, _)).getOrElse(e)
-        val cols =
-          s"${tx("", m.idAttr)} AS ${idc(s)}" +: predToVar.toSeq
-            .filter { case (_, v) => needed.contains(v) }
-            .sortBy(_._2)
-            .map { case (p, v) =>
-              val attr = m.predicateToAttr(p)
-              s"${tx(attr, attr)} AS ${vc(s, v)}"
-            }
+        val cols = src.cols.map(cs => s"${tx(cs)} AS ${cs.outCol}")
         // skp(v) row filters on the transformed expression (the engine
-        // filters the selected column)
-        val skps = m.attrTransforms.toSeq.flatMap { case (attr, fns) =>
-          Transforms.skipValues(fns).map { v =>
-            val target = if (attr.isEmpty) tx("", m.idAttr)
-              else predToVar.collectFirst {
-                case (p, _) if m.predicateToAttr(p) == attr => tx(attr, attr)
-              }.getOrElse(tx("", m.idAttr))
-            s"$target <> ${litSql(v)}"
-          }
-        }
+        // filters the selected column — same value)
+        val skps = src.skips.map { case (t, v) => s"${tx(t)} <> ${litSql(v)}" }
         val where = if (skps.isEmpty) "" else skps.mkString(" WHERE ", " AND ", "")
         s"SELECT ${cols.mkString(", ")} FROM $tbl$where"
       }
       val unioned = selects.mkString(" UNION ALL ")
-
-      // this star's filters + VALUES, on the renamed columns (the SQL
-      // image of applyStarFilters; both engines push these through the
-      // wrapper into the scan)
-      val objVars = predToVar.values.toSet
-      def target(v: String): Option[String] =
-        if (objVars.contains(v)) Some(vc(s, v))
-        else if (v == s) Some(idc(s))
-        else None
-      val filterConds = q.filters.flatMap(f => target(f.varName).map(condSql(_, f)))
-      val valueConds = q.values.flatMap { case (v, vals) =>
-        target(v).map(c => s"$c IN (${vals.map(litSql).mkString(", ")})")
-      }
-      val conds = filterConds ++ valueConds
+      // this star's filters + VALUES, on the renamed columns (both
+      // engines push these through the wrapper into the scan)
+      val conds = spec.filters.map { case (c, f) => condSql(c, f) } ++
+        spec.values.map { case (c, vals) =>
+          s"$c IN (${vals.map(litSql).mkString(", ")})"
+        }
       if (conds.isEmpty) s"($unioned)"
       else s"(SELECT * FROM ($unioned) g_${s}_src WHERE ${conds.mkString(" AND ")})"
     }
@@ -183,18 +152,46 @@ object SqlGenExecutor {
       if p != TriplePattern.RdfType && q.stars.contains(o) && o != s
     } yield GraftEngine.JoinEdge(s, o)).distinct
 
+    // MINUS / FILTER (NOT) EXISTS stars leave the join chain and become
+    // correlated [NOT] EXISTS subqueries — the SQL image of the engine's
+    // anti/semi attachment. Same leaf requirement as joinChain: exactly
+    // one edge to the rest of the query, and that edge's other endpoint
+    // must be a kept star.
+    val (dropEdges, keptEdges) = edges.partition(e =>
+      dropStars.contains(e.fromStar) || dropStars.contains(e.toStar))
+    for (m <- dropStars) {
+      val touching = dropEdges.filter(e => e.fromStar == m || e.toStar == m)
+      require(touching.size == 1,
+        s"MINUS/EXISTS star ?$m must connect to the rest of the query by exactly one join")
+      require(touching.forall(e =>
+        !(dropStars.contains(e.fromStar) && dropStars.contains(e.toStar))),
+        s"MINUS/EXISTS star ?$m may not join another MINUS/EXISTS star")
+    }
+    val existsConds = dropEdges.map { e =>
+      val m = if (dropStars.contains(e.fromStar)) e.fromStar else e.toStar
+      // correlate on the join edge: the subquery side qualified by its
+      // alias; the outer side's column name is unique (star-prefixed), so
+      // it resolves against the enclosing FROM
+      val corr =
+        if (m == e.toStar) s"g_x_$m.${e.rightCol} = ${e.leftCol}"
+        else s"g_x_$m.${e.leftCol} = ${e.rightCol}"
+      val kw = if (q.minusStars.contains(m)) "NOT EXISTS" else "EXISTS"
+      s"$kw (SELECT 1 FROM ${starSubquery(m)} g_x_$m WHERE $corr)"
+    }
+
     def opt(s: String) = q.optionalStars.contains(s)
     val cycleConds = Seq.newBuilder[String]
     val fromSql = new StringBuilder
-    if (starNames.size == 1) {
-      fromSql ++= s"${starSubquery(starNames.head)} g_${starNames.head}"
+    if (keptNames.size == 1) {
+      fromSql ++= s"${starSubquery(keptNames.head)} g_${keptNames.head}"
     } else {
-      require(edges.nonEmpty,
-        s"${starNames.size} stars but no join conditions (cartesian query)")
-      val seed = if (!opt(edges.head.fromStar)) edges.head.fromStar else edges.head.toStar
+      require(keptEdges.nonEmpty,
+        s"${keptNames.size} stars but no join conditions (cartesian query)")
+      val seed = if (!opt(keptEdges.head.fromStar)) keptEdges.head.fromStar
+        else keptEdges.head.toStar
       var joined = Set(seed)
       fromSql ++= s"${starSubquery(seed)} g_$seed"
-      var pending = edges.toList
+      var pending = keptEdges.toList
       def attach(newStar: String, e: GraftEngine.JoinEdge): Unit = {
         val jt = if (opt(newStar)) "LEFT JOIN" else "JOIN"
         fromSql ++= s" $jt ${starSubquery(newStar)} g_$newStar ON ${e.leftCol} = ${e.rightCol}"
@@ -215,19 +212,17 @@ object SqlGenExecutor {
       }
     }
 
-    // ---- bare-variable resolution (image of GraftEngine.resolveVars) --
-    val resolution = needed.toSeq.sorted.flatMap { v =>
-      if (q.stars.contains(v)) Some(v -> idc(v))
-      else q.varToStarPred.get(v).map { case (s, _) => v -> vc(s, v) }
-    }
+    // ---- bare-variable resolution — the SAME shared rule the DataFrame
+    // engine uses (GraftEngine.resolveKept), so anti/semi-joined-away
+    // bindings and kept-star fallbacks cannot drift between engines
+    val resolution = GraftEngine.resolveKept(q, needed)
     require(resolution.nonEmpty, "query resolves no variables")
-    val cycleWhere = {
-      val cs = cycleConds.result()
-      if (cs.isEmpty) "" else cs.mkString(" WHERE ", " AND ", "")
-    }
+    val innerConds = cycleConds.result() ++ existsConds
+    val innerWhere =
+      if (innerConds.isEmpty) "" else innerConds.mkString(" WHERE ", " AND ", "")
     val innerSql =
       s"SELECT ${resolution.map { case (v, c) => s"$c AS $v" }.mkString(", ")}" +
-        s" FROM ${fromSql.result()}$cycleWhere"
+        s" FROM ${fromSql.result()}$innerWhere"
 
     // ---- BIND computed variables (image of GraftEngine.bindColumn's
     // arithmetic/concat core; SPARQL 1.1 builtins stay Column-engine
@@ -282,9 +277,13 @@ object SqlGenExecutor {
       else s" ORDER BY ${q.orderBy.map(k =>
         s"${k.varName}${if (k.ascending) "" else " DESC"}").mkString(", ")}"
     val limit = q.limit.fold("")(n => s" LIMIT $n")
+    // LIMIT before OFFSET is the order both Spark SQL and DuckDB accept;
+    // semantically OFFSET skips first, LIMIT then caps — identical to the
+    // engine's df.offset(n).limit(k)
+    val offset = q.offset.fold("")(n => s" OFFSET $n")
 
     val sql = s"SELECT $distinct${items.mkString(", ")} FROM ($bodySql) g_q" +
-      groupBy + having + orderBy + limit
+      groupBy + having + orderBy + limit + offset
     Lowered(sql, tables.toSeq)
   }
 }

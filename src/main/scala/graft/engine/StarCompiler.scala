@@ -19,13 +19,13 @@ object StarCompiler {
   def idCol(star: String): String = s"${star}__id"
   def varCol(star: String, v: String): String = s"${star}__$v"
 
-  /** Build the DataFrame for `star`.
+  /** Build the DataFrame for `star` from its engine-neutral description
+    * ([[StarSpec.build]] — shared with [[SqlGenExecutor]]).
     *
-    * @param needed   object vars worth materializing (semantic column
-    *                 pruning, reference Planner.scala:24-60)
-    * @param filters  the query's filters; those on this star's vars are
-    *                 applied here, before any join (reference
-    *                 SparkExecutor.scala:146-185)
+    * @param needed object vars worth materializing (semantic column
+    *               pruning, reference Planner.scala:24-60); the query's
+    *               filters on this star's vars are applied here, before
+    *               any join (reference SparkExecutor.scala:146-185)
     */
   def compile(
       spark: SparkSession,
@@ -33,68 +33,31 @@ object StarCompiler {
       star: String,
       mappings: MappingsDoc,
       config: LakeConfig,
-      needed: Set[String],
-      filters: Seq[FilterCond]): DataFrame = {
+      needed: Set[String]): DataFrame = {
 
-    val patterns = query.stars(star)
-    val preds = patterns.collect {
-      case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
-    }.distinct
-    val classIri = patterns.collectFirst {
-      case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
-    }
-    val predToVar: Map[String, String] = patterns.collect {
-      case TriplePattern(_, p, ObjVar(v)) if p != TriplePattern.RdfType => p -> v
-    }.toMap
-
-    val relevant = mappings.relevantFor(preds, classIri)
-    require(relevant.nonEmpty,
-      s"no relevant source for star ?$star (predicates: ${preds.mkString(", ")})")
-
+    val spec = StarSpec.build(query, star, mappings, needed)
     // one DF per relevant source, then union (reference
     // SparkExecutor.scala:113-117 — but by name, not position; SURVEY §7.4.4)
-    val perSource = relevant.map(m => compileOne(spark, m, star, predToVar, needed, config))
+    val perSource = spec.sources.map(src => compileOne(spark, src, config))
     val unioned = perSource.reduce(_.unionByName(_))
-
-    applyStarFilters(unioned, star, query, filters, predToVar)
+    applyStarFilters(unioned, spec)
   }
 
   private def compileOne(
       spark: SparkSession,
-      m: EntityMapping,
-      star: String,
-      predToVar: Map[String, String],
-      needed: Set[String],
+      src: StarSpec.SourceSpec,
       config: LakeConfig): DataFrame = {
-
+    val m = src.mapping
     val sourceCfg = config.sources.find(_.source == m.source)
       .getOrElse(SourceConfig(m.name, m.storeType, m.source, Map.empty))
     val raw = SourceRegistry.load(spark, sourceCfg.copy(storeType = m.storeType))
 
-    def withFnTransforms(attr: String, c: Column): Column =
-      m.attrTransforms.get(attr) match {
-        case Some(fns) => Transforms(c, fns)
-        case None => c
-      }
+    def rendered(cs: StarSpec.ColSpec): Column =
+      if (cs.fns.isEmpty) col(cs.attr) else Transforms(col(cs.attr), cs.fns)
 
-    val idColumn = withFnTransforms("", col(m.idAttr)).as(idCol(star))
-    val objColumns = predToVar.toSeq
-      .filter { case (_, v) => needed.contains(v) }
-      .sortBy(_._2) // deterministic column order for unionByName
-      .map { case (p, v) =>
-        val attr = m.predicateToAttr(p)
-        withFnTransforms(attr, col(attr)).as(varCol(star, v))
-      }
-
-    var df = raw.select(idColumn +: objColumns: _*)
-
-    // FnO skp(v) = row filter on the transformed column's source attr
-    for ((attr, fns) <- m.attrTransforms; v <- Transforms.skipValues(fns)) {
-      val target = if (attr.isEmpty) idCol(star)
-        else predToVar.collectFirst { case (p, ov) if m.predicateToAttr(p) == attr => varCol(star, ov) }
-          .getOrElse(idCol(star))
-      df = df.filter(col(target) =!= lit(v))
-    }
+    var df = raw.select(src.cols.map(cs => rendered(cs).as(cs.outCol)): _*)
+    // FnO skp(v) = row filter on the transformed target column
+    for ((target, v) <- src.skips) df = df.filter(col(target.outCol) =!= lit(v))
     df
   }
 
@@ -117,20 +80,9 @@ object StarCompiler {
       } else d
     }
 
-  private def applyStarFilters(
-      df: DataFrame,
-      star: String,
-      query: ParsedQuery,
-      filters: Seq[FilterCond],
-      predToVar: Map[String, String]): DataFrame = {
-
-    val objVars = predToVar.values.toSet
-    def target(v: String): Option[String] =
-      if (objVars.contains(v)) Some(varCol(star, v))
-      else if (v == star) Some(idCol(star))
-      else None
-    val filtered = filters.foldLeft(df) { (d, f) =>
-      target(f.varName).fold(d)(c => d.filter(predicate(col(c), f)))
+  private def applyStarFilters(df: DataFrame, spec: StarSpec.Spec): DataFrame = {
+    val filtered = spec.filters.foldLeft(df) { case (d, (c, f)) =>
+      d.filter(predicate(col(c), f))
     }
     // VALUES ?v { ... } → isin filter on this star's binding (pushed to
     // the scan like any other per-star predicate). Literals are typed
@@ -139,19 +91,17 @@ object StarCompiler {
     // its numeric members and drops the unparseable ones (which could
     // never match a numeric binding) instead of comparing post-cast
     // strings all-or-nothing.
-    query.values.foldLeft(filtered) { case (d, (v, vals)) =>
-      target(v).fold(d) { c =>
-        import org.apache.spark.sql.types._
-        val typed: Seq[Any] = d.schema(c).dataType match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            vals.flatMap(_.toLongOption)
-          case FloatType | DoubleType | _: DecimalType =>
-            vals.flatMap(_.toDoubleOption)
-          case _ => vals
-        }
-        if (typed.isEmpty) d.filter(lit(false))
-        else d.filter(col(c).isin(typed: _*))
+    spec.values.foldLeft(filtered) { case (d, (c, vals)) =>
+      import org.apache.spark.sql.types._
+      val typed: Seq[Any] = d.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          vals.flatMap(_.toLongOption)
+        case FloatType | DoubleType | _: DecimalType =>
+          vals.flatMap(_.toDoubleOption)
+        case _ => vals
       }
+      if (typed.isEmpty) d.filter(lit(false))
+      else d.filter(col(c).isin(typed: _*))
     }
   }
 

@@ -50,6 +50,39 @@ class EngineSpec extends AnyFunSuite {
     assert(got == exp && got > 0)
   }
 
+  test("EXISTS group whose subject is an outer object var keeps that var in the solution") {
+    // ?c names the EXISTS star (anti/semi-joined away) but the kept star
+    // ?o binds it as an object var — SELECT ?c must resolve to o's column,
+    // not drop it (valid SPARQL in the supported fragment)
+    val df = graft.fixtures.TpchLake.run(spark, sf,
+      """PREFIX g: <http://graft.io/schema/>
+        |SELECT ?c ?t WHERE {
+        |  ?o g:customer ?c . ?o g:totalprice ?t .
+        |  FILTER(?t > 100000)
+        |  FILTER EXISTS { ?c g:acctbal ?bal . FILTER(?bal > 5000) }
+        |}""".stripMargin)
+    assert(df.columns.toSeq == Seq("c", "t"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet").filter("o_totalprice > 100000")
+    val cust = spark.read.parquet(s"$sf/customer.parquet").filter("c_acctbal > 5000")
+    val exp = ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_semi")
+      .selectExpr("o_custkey", "o_totalprice")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val got = df.collect().map(_.mkString("|")).sorted.toSeq
+    assert(got == exp && got.nonEmpty)
+    // same direction through NOT EXISTS (the left-anti machinery)
+    val anti = graft.fixtures.TpchLake.run(spark, sf,
+      """PREFIX g: <http://graft.io/schema/>
+        |SELECT ?c ?t WHERE {
+        |  ?o g:customer ?c . ?o g:totalprice ?t .
+        |  FILTER(?t > 100000)
+        |  FILTER NOT EXISTS { ?c g:acctbal ?bal . FILTER(?bal > 5000) }
+        |}""".stripMargin).collect().map(_.mkString("|")).sorted.toSeq
+    val expAnti = ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")
+      .selectExpr("o_custkey", "o_totalprice")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(anti == expAnti)
+  }
+
   test("VALUES types literals per-column: mixed list keeps numeric members on a long column") {
     // g:region binds n_regionkey (long); "x" can never match a numeric
     // binding and is dropped instead of forcing a string comparison

@@ -29,7 +29,20 @@ class SqlGenSpec extends AnyFunSuite {
     "sg04_sqlgen_agg" -> "q14_agg_join_orderby",
     "sg05_sqlgen_having" -> "q25_having",
     "sg06_sqlgen_optional" -> "q19_optional",
-    "sg07_sqlgen_fno" -> "q15_fno_transform")
+    "sg07_sqlgen_fno" -> "q15_fno_transform",
+    "sg08_sqlgen_in" -> "q32_filter_in",
+    "sg09_sqlgen_bind" -> "q30_bind",
+    "sg10_sqlgen_bind_expr" -> "q31_bind_expr",
+    "sg11_sqlgen_minus" -> "q26_minus",
+    "sg12_sqlgen_exists" -> "q37_exists",
+    "sg13_sqlgen_offset" -> "q28_offset",
+    "sg14_sqlgen_not_exists" -> "q38_not_exists")
+
+  // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
+  // and leave 0 rows (both engines agree on empty); every other gate must
+  // produce rows
+  private val mayBeEmpty =
+    Set("sg05_sqlgen_having", "sg13_sqlgen_offset", "sg14_sqlgen_not_exists")
 
   test("SQL-gen engine agrees with the Column engine on every gated shape") {
     for ((sg, src) <- gatePairs) {
@@ -39,9 +52,7 @@ class SqlGenSpec extends AnyFunSuite {
       val ra = a.collect().map(_.mkString("|")).sorted.toSeq
       val rb = b.collect().map(_.mkString("|")).sorted.toSeq
       assert(ra == rb, s"$sg rows differ from $src")
-      // sg05's HAVING threshold leaves 0 rows at sf0.001 (both engines
-      // agree); every other gate must produce rows
-      if (sg != "sg05_sqlgen_having") assert(ra.nonEmpty, s"$sg returned no rows")
+      if (!mayBeEmpty(sg)) assert(ra.nonEmpty, s"$sg returned no rows")
     }
   }
 
@@ -85,16 +96,25 @@ class SqlGenSpec extends AnyFunSuite {
       """SELECT ?name WHERE {
         |  { ?c g:custName ?name . } UNION { ?s g:suppName ?name . }
         |}""".stripMargin, "UNION")
-    // an EXISTS star lowered as a plain inner join would duplicate
-    // solutions — the refusal is a correctness guard, not a convenience
-    refuse(
-      """SELECT ?cname WHERE {
-        |  ?c g:custName ?cname .
-        |  FILTER EXISTS { ?o g:customer ?c . }
-        |}""".stripMargin, "EXISTS")
     refuse("ASK WHERE { ?c g:custName ?n . }", "ASK")
     refuse(
       """CONSTRUCT { ?c g:n ?n . } WHERE { ?c g:custName ?n . }""",
       "CONSTRUCT")
+    refuse("SELECT * WHERE { ?c g:custName ?n . }", "SELECT *")
+  }
+
+  test("string literals that merely parse as doubles stay quoted") {
+    val (m, c) = TpchLake.lake(sf)
+    def lowered(value: String): String =
+      SqlGenExecutor.lower(SparqlParser.parse(
+        "PREFIX g: <http://graft.io/schema/>\n" +
+          s"""SELECT ?n WHERE { ?c g:custName ?n . FILTER(?n != "$value") }"""), m, c).sql
+    // "Infinity"/"NaN"/"+5"/"1e3" pass toDoubleOption but are not portable
+    // unquoted SQL tokens — they must be emitted as quoted strings
+    for (v <- Seq("Infinity", "NaN", "+5", "1e3"))
+      assert(lowered(v).contains(s"'$v'"), s"$v must stay quoted")
+    // plain numerics stay unquoted so numeric comparisons type correctly
+    assert(lowered("42").contains("<> 42"))
+    assert(lowered("-1.5").contains("<> -1.5"))
   }
 }
