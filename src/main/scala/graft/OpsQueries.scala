@@ -60,7 +60,8 @@ object OpsQueries {
 
   private[graft] def knnIvf(queries: DataFrame, corpus: DataFrame): DataFrame =
     Similarity.knnJoinIvf(queries, corpus, col("vec_id"), col("embedding"),
-      col("vec_id"), col("embedding"), k = 3, nLists = 16, nProbe = 8)
+      col("vec_id"), col("embedding"), k = 3,
+      nListsOpt = Some(16), nProbeOpt = Some(8))
 
   private[graft] def annIvfAuto(corpus: DataFrame): Similarity.IvfIndex = {
     val (nLists, _) = Similarity.autoIvfParams(corpus.count())

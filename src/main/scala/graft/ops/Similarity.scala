@@ -138,13 +138,27 @@ object Similarity {
     * the per-query window. Approximate: a true neighbor in an unprobed
     * list is missed — raise nProbe for recall (nProbe = nLists ⇒ exact).
     * The broadcast path ([[knnJoinBroadcast]]) stays the small-corpus
-    * fast path. Ties break by corpus id, matching knnJoinBroadcast. */
+    * fast path. Ties break by corpus id, matching knnJoinBroadcast.
+    *
+    * Knobs default to None → [[autoIvfParams]] from the corpus count
+    * (nLists ≈ √n, 12.5% probe fraction — bounded candidate volume at any
+    * corpus size). Fixed ints pin the index shape explicitly; a fixed
+    * probe FRACTION does not scale (nLists=16/nProbe=4 probes 25% of the
+    * corpus at any size ⇒ candidate pairs grow as n²/4 — measured 49.7 s
+    * fixed vs 1.4 s auto at sf1), so explicit knobs are for experiments
+    * and contrast gates, not the default path. */
   def knnJoinIvf(queries: DataFrame, corpus: DataFrame,
       qId: Column, qVec: Column, cId: Column, cVec: Column, k: Int,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nListsOpt: Option[Int] = None, nProbeOpt: Option[Int] = None,
+      seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     VectorFunctions.register(spark)
+    val (autoLists, autoProbe) =
+      if (nListsOpt.isEmpty || nProbeOpt.isEmpty) autoIvfParams(corpus.count())
+      else (0, 0)
+    val nLists = nListsOpt.getOrElse(autoLists)
+    val nProbe = nProbeOpt.getOrElse(autoProbe)
     val ivf = buildIvf(corpus, cId, cVec, nLists, seed)
     val cents = spark.createDataFrame(
       ivf.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
@@ -183,13 +197,13 @@ object Similarity {
 
   /** [[knnJoinIvf]] with [[autoIvfParams]] derived from the corpus count
     * (one cheap count job — at 100 TB the count is metadata-cheap
-    * relative to the join it sizes). */
+    * relative to the join it sizes). Since the knobs now DEFAULT to auto,
+    * this is the same as calling [[knnJoinIvf]] with no knobs; kept as the
+    * explicit spelling. */
   def knnJoinIvfAuto(queries: DataFrame, corpus: DataFrame,
       qId: Column, qVec: Column, cId: Column, cVec: Column, k: Int,
-      seed: Long = 42L): DataFrame = {
-    val (nLists, nProbe) = autoIvfParams(corpus.count())
-    knnJoinIvf(queries, corpus, qId, qVec, cId, cVec, k, nLists, nProbe, seed)
-  }
+      seed: Long = 42L): DataFrame =
+    knnJoinIvf(queries, corpus, qId, qVec, cId, cVec, k, None, None, seed)
 
   /** LSH-bucketed ANN: restrict the scan to buckets within `probeHamming`
     * of the query's bucket (multi-probe), then exact cosine top-k inside.

@@ -46,7 +46,7 @@ object RecallProbe {
     val (jl, jp) = Similarity.autoIvfParams(e.count())
     for ((nl, np) <- Seq((16, 8), (16, 12), (8, 4), (8, 6), (jl, jp))) {
       val approx = pairs(Similarity.knnJoinIvf(e, e, col("vec_id"), col("embedding"),
-        col("vec_id"), col("embedding"), 3, nl, np))
+        col("vec_id"), col("embedding"), 3, Some(nl), Some(np)))
       println(f"KNN-IVF lists=$nl probe=$np recall=${(approx & exact).size.toDouble / exact.size}%.2f")
     }
     spark.stop()
