@@ -148,25 +148,32 @@ case class MinHashLanes(left: Expression, right: Expression)
     val arr = arrAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val k = kAny.asInstanceOf[Int]
     val n = arr.numElements()
-    if (n == 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
     val seeds = new Array[Long](k)
     var s = 0
     while (s < k) { seeds(s) = XXH64.hashInt(s, 42L); s += 1 }
     val out = Array.fill(k)(Long.MaxValue)
+    // null elements are skipped, matching the HOF twin (xxhash64 ignores
+    // null children); the pipeline never produces them, but the function
+    // is exposed to arbitrary SQL via GraftExtensions
+    var seen = false
     var i = 0
     while (i < n) {
-      val sh = arr.getUTF8String(i)
-      val base = sh.getBaseObject; val off = sh.getBaseOffset; val len = sh.numBytes
-      s = 0
-      while (s < k) {
-        val h = XXH64.hashUnsafeBytes(base, off, len, seeds(s))
-        if (h < out(s)) out(s) = h
-        s += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val sh = arr.getUTF8String(i)
+        val base = sh.getBaseObject; val off = sh.getBaseOffset; val len = sh.numBytes
+        s = 0
+        while (s < k) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, seeds(s))
+          if (h < out(s)) out(s) = h
+          s += 1
+        }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    if (!seen) // empty (or all-null) input: all-NULL lanes, = array_min(empty)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -178,25 +185,29 @@ case class MinHashLanes(left: Expression, right: Expression)
       val s = ctx.freshName("s"); val sh = ctx.freshName("sh")
       val base = ctx.freshName("base"); val off = ctx.freshName("off")
       val len = ctx.freshName("len"); val h = ctx.freshName("h")
+      val seen = ctx.freshName("seen")
       s"""
          |int $n = $arr.numElements();
-         |if ($n == 0) {
+         |long[] $seeds = new long[$k];
+         |for (int $s = 0; $s < $k; $s++) $seeds[$s] = $xxh.hashInt($s, 42L);
+         |long[] $out = new long[$k];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) continue;
+         |  $seen = true;
+         |  org.apache.spark.unsafe.types.UTF8String $sh = $arr.getUTF8String($i);
+         |  Object $base = $sh.getBaseObject();
+         |  long $off = $sh.getBaseOffset();
+         |  int $len = $sh.numBytes();
+         |  for (int $s = 0; $s < $k; $s++) {
+         |    long $h = $xxh.hashUnsafeBytes($base, $off, $len, $seeds[$s]);
+         |    if ($h < $out[$s]) $out[$s] = $h;
+         |  }
+         |}
+         |if (!$seen) {
          |  ${ev.value} = new $gad(new Object[$k]);
          |} else {
-         |  long[] $seeds = new long[$k];
-         |  for (int $s = 0; $s < $k; $s++) $seeds[$s] = $xxh.hashInt($s, 42L);
-         |  long[] $out = new long[$k];
-         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    org.apache.spark.unsafe.types.UTF8String $sh = $arr.getUTF8String($i);
-         |    Object $base = $sh.getBaseObject();
-         |    long $off = $sh.getBaseOffset();
-         |    int $len = $sh.numBytes();
-         |    for (int $s = 0; $s < $k; $s++) {
-         |      long $h = $xxh.hashUnsafeBytes($base, $off, $len, $seeds[$s]);
-         |      if ($h < $out[$s]) $out[$s] = $h;
-         |    }
-         |  }
          |  ${ev.value} = new $gad($out);
          |}
        """.stripMargin
@@ -284,14 +295,22 @@ object PrefixByHashImpl {
   def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       prefLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val n = arr.numElements()
+    // compact away null elements first (skipped like xxhash64's null
+    // children; the shingle pipeline never produces them but the function
+    // is exposed to arbitrary SQL via GraftExtensions)
+    val n0 = arr.numElements()
+    val items = new Array[UTF8String](n0)
+    var n = 0
+    var j = 0
+    while (j < n0) {
+      if (!arr.isNullAt(j)) { items(n) = arr.getUTF8String(j); n += 1 }
+      j += 1
+    }
     val take = math.max(math.min(prefLen, n), 0)
-    val items = new Array[UTF8String](n)
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      items(i) = s
+      val s = items(i)
       hashes(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       i += 1
     }

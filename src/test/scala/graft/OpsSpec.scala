@@ -384,6 +384,33 @@ class OpsSpec extends AnyFunSuite {
     assert(interp == Seq("a b c", "b c d"))
   }
 
+  test("native hash expressions skip null array elements instead of NPEing") {
+    VectorFunctions.register(spark)
+    // null elements never come out of the shingle pipeline, but both
+    // functions are exposed to arbitrary SQL via GraftExtensions — they
+    // must skip nulls like xxhash64 does, not NPE on the executor
+    val row = spark.sql(
+      "SELECT graft_minhash_lanes(array('x', CAST(NULL AS STRING), 'y'), 4) AS mh, " +
+        "graft_prefix_by_hash(array('x', CAST(NULL AS STRING), 'y', 'z'), 2) AS pf, " +
+        "graft_minhash_lanes(array(CAST(NULL AS STRING)), 4) AS mh_all_null").head()
+    val noNull = spark.sql(
+      "SELECT graft_minhash_lanes(array('x','y'), 4) AS mh, " +
+        "graft_prefix_by_hash(array('x','y','z'), 2) AS pf").head()
+    assert(row.getSeq[Long](0) == noNull.getSeq[Long](0))
+    assert(row.getSeq[String](1) == noNull.getSeq[String](1))
+    // an all-null array degenerates to the empty-array all-NULL lanes
+    assert(row.getSeq[Any](2) == Seq(null, null, null, null))
+    // interpreted (non-codegen) eval path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val withNull = Literal.create(Seq("x", null, "y"), ArrayType(StringType))
+    val plain = Literal.create(Seq("x", "y"), ArrayType(StringType))
+    assert(graft.functions.MinHashLanes(withNull, Literal(4)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+      == graft.functions.MinHashLanes(plain, Literal(4)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq)
+  }
+
   test("PrefixByHash selects exactly the HOF struct-sort prefix, in its order") {
     VectorFunctions.register(spark)
     val sh = spark.read.parquet(s"$sf/documents.parquet").limit(200)
@@ -560,7 +587,23 @@ class OpsSpec extends AnyFunSuite {
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
     val ivf = canon(Similarity.knnJoinIvf(emb, emb,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3,
-      nLists = 8, nProbe = 8)) // nProbe = nLists ⇒ every list probed ⇒ exact
+      // nProbe = nLists ⇒ every list probed ⇒ exact
+      nListsOpt = Some(8), nProbeOpt = Some(8)))
     assert(ivf == exact)
+  }
+
+  test("knnJoinIvf with no knobs defaults to autoIvfParams (≡ knnJoinIvfAuto)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(150).cache()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val noKnobs = canon(Similarity.knnJoinIvf(emb, emb,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
+    val explicitAuto = canon(Similarity.knnJoinIvfAuto(emb, emb,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
+    assert(noKnobs == explicitAuto)
+    // and the auto knobs differ from the old fixed defaults' 25% probe
+    // fraction: the derived fraction is bounded at 12.5%
+    val (nl, np) = Similarity.autoIvfParams(150L)
+    assert(np.toDouble / nl <= 0.25)
   }
 }
