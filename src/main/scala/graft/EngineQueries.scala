@@ -450,7 +450,52 @@ object EngineQueries {
         |  UNION
         |  { ?s g:suppName ?name . }
         |}""".stripMargin,
-      "SELECT c_name AS name FROM customer UNION ALL SELECT s_name FROM supplier"))
+      "SELECT c_name AS name FROM customer UNION ALL SELECT s_name FROM supplier"),
+
+    // SPARQL 1.1 §9.1 alternative path p1|p2 — desugars to UNION branches
+    // (two branches sharing the join and the custName leg)
+    ("q41_alt_path",
+      """SELECT ?cn ?v WHERE {
+        |  ?o g:customer ?c . ?o g:orderpriority|g:orderstatus ?v .
+        |  ?c g:custName ?cn .
+        |}""".stripMargin,
+      "SELECT c_name AS cn, o_orderpriority AS v FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "UNION ALL SELECT c_name AS cn, o_orderstatus AS v FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey"),
+
+    // SPARQL 1.1 §9.1 one-or-more path p+ over the derived management
+    // hierarchy (emp k reports to k/2), with the closure endpoint driving
+    // a further star join. Oracle: DuckDB recursive CTE re-deriving the
+    // same edge — two different fixpoint algorithms must agree (the c01
+    // twin pattern).
+    ("q42_path_plus",
+      """SELECT ?e ?mn WHERE {
+        |  ?e g:mgr+ ?m . ?m g:empName ?mn .
+        |}""".stripMargin,
+      """WITH RECURSIVE cl AS (
+        |  SELECT c_custkey AS e, c_custkey // 2 AS m FROM customer WHERE c_custkey >= 2
+        |  UNION
+        |  SELECT cl.e, c.c_custkey // 2 FROM cl JOIN customer c ON cl.m = c.c_custkey
+        |    WHERE c.c_custkey >= 2
+        |)
+        |SELECT cl.e AS e, c2.c_name AS mn FROM cl
+        |JOIN customer c2 ON cl.m = c2.c_custkey""".stripMargin),
+
+    // SPARQL 1.1 §9.1 zero-or-more path p* — reflexive closure: every
+    // subject pairs with itself plus all ancestors
+    ("q43_path_star",
+      """SELECT ?e ?m WHERE {
+        |  ?e g:mgr* ?m .
+        |}""".stripMargin,
+      """WITH RECURSIVE cl AS (
+        |  SELECT c_custkey AS e, c_custkey // 2 AS m FROM customer WHERE c_custkey >= 2
+        |  UNION
+        |  SELECT cl.e, c.c_custkey // 2 FROM cl JOIN customer c ON cl.m = c.c_custkey
+        |    WHERE c.c_custkey >= 2
+        |)
+        |SELECT e, m FROM cl
+        |UNION ALL SELECT c_custkey AS e, c_custkey AS m FROM customer""".stripMargin))
 
   /** SQL-generation engine gates (the reference's Presto-path capability,
     * PrestoExecutor.scala:404-518): each reuses an existing suite entry's

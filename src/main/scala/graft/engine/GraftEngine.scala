@@ -116,11 +116,43 @@ object GraftEngine {
     val starNames = q.stars.keys.toSeq.sorted
     val needed = neededVars(q)
 
+    // --- arbitrary-length paths: filters on a closure's object var apply
+    // to the REACHABLE endpoint, not the one-hop edge — keep them out of
+    // the per-star compile (which would push them into the scan, i.e.
+    // onto every intermediate hop) and apply them after the closure
+    val closureVars = q.closures.map(_.objVar).toSet
+    require(q.values.forall(v => !closureVars(v._1)),
+      "VALUES on a p+/p* path object variable is not supported")
+    val qStar =
+      if (closureVars.isEmpty) q
+      else q.copy(filters = q.filters.filterNot(f => closureVars(f.varName)))
+
     // --- per-star ParSets (reference SparkExecutor.query, stage 6 of §3.1)
-    val starDFs: Map[String, DataFrame] = starNames.map { s =>
-      val df = StarCompiler.compile(spark, q, s, mappings, config, needed)
+    val baseDFs: Map[String, DataFrame] = starNames.map { s =>
+      val df = StarCompiler.compile(spark, qStar, s, mappings, config, needed)
       s -> StarCompiler.applyInlineTransforms(df, s, q)
     }.toMap
+
+    // --- close each p+/p* star: replace the one-hop (subject, object)
+    // pairs with their transitive closure (graft.ops.Closure — iterated
+    // squaring, O(log diameter) rounds), reflexive for `*`
+    val starDFs: Map[String, DataFrame] = q.closures.foldLeft(baseDFs) { (m, cl) =>
+      val sCol = StarCompiler.idCol(cl.subjVar)
+      val oCol = StarCompiler.varCol(cl.subjVar, cl.objVar)
+      val base = m(cl.subjVar)
+      val srcType = base.schema(sCol).dataType
+      val edges = base.select(col(sCol).as("src"), col(oCol).cast(srcType).as("dst"))
+      val closed = graft.ops.Closure.transitive(edges)
+      val pairs =
+        if (!cl.reflexive) closed
+        // `*`: zero hops — (x, x) for every subject of the star
+        else closed.union(base.select(col(sCol).as("src"), col(sCol).as("dst"))).distinct()
+      val rejoined = base.drop(oCol).join(
+        pairs.select(col("src").as(sCol), col("dst").as(oCol)), Seq(sCol))
+      val filtered = q.filters.filter(_.varName == cl.objVar)
+        .foldLeft(rejoined)((d, f) => d.filter(StarCompiler.predicate(col(oCol), f)))
+      m.updated(cl.subjVar, filtered)
+    }
 
     // --- join plan: star A joins star B iff A has an object var that is
     // B's subject var (reference Planner.scala:62-88)

@@ -60,6 +60,7 @@ object SqlGenExecutor {
 
   def lower(q: ParsedQuery, mappings: MappingsDoc, config: LakeConfig): Lowered = {
     require(q.unionBranches.isEmpty, "UNION branches are not SQL-lowered")
+    require(q.closures.isEmpty, "p+/p* path closures are not SQL-lowered")
     require(!q.ask, "ASK is not SQL-lowered")
     require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
     require(q.transforms.isEmpty, "inline join TRANSFORMs are not SQL-lowered")

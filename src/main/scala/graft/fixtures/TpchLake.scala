@@ -172,6 +172,12 @@ object TpchLake {
        |  rr:predicateObjectMap [ rr:predicate g:ntName; rr:objectMap [ rml:reference "name" ] ];
        |  rr:predicateObjectMap [ rr:predicate g:ntRegion; rr:objectMap [ rml:reference "regionkey" ] ] .
        |
+       |<#OrgMap>
+       |  rml:logicalSource [ rml:source "$d/org_parquet"; nosql:store nosql:parquet ];
+       |  rr:subjectMap [ rr:template "http://graft.io/emp/{o_empkey}"; rr:class g:Emp ];
+       |  rr:predicateObjectMap [ rr:predicate g:mgr; rr:objectMap [ rml:reference "o_mgrkey" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:empName; rr:objectMap [ rml:reference "o_name" ] ] .
+       |
        |<#EventsMap>
        |  rml:logicalSource [ rml:source "$sfDir/events.parquet"; nosql:store nosql:parquet ];
        |  rr:subjectMap [ rr:template "http://graft.io/event/{event_id}"; rr:class g:Event ];
@@ -197,6 +203,8 @@ object TpchLake {
     val parquetEntries = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents")
       .map(t =>
         s"""{"type":"parquet","options":{},"source":"$sfDir/$t.parquet","entity":"${t.capitalize}"}""")
+    val orgEntry =
+      s"""{"type":"parquet","options":{},"source":"$d/org_parquet","entity":"Org"}"""
     val csvEntries = Seq(
       s"""{"type":"csv","options":{"header":"true","inferSchema":"true"},"source":"$d/nation_csv","entity":"NationAllCsv"}""",
       s"""{"type":"csv","options":{"header":"true"},"source":"$d/part_shifted_csv","entity":"PartShifted"}""")
@@ -207,7 +215,7 @@ object TpchLake {
          |"driver":"org.apache.derby.jdbc.EmbeddedDriver"},
          |"source":"//NationJdbc","entity":"NationJdbc"}""".stripMargin.replace("\n", "")
     val weights = """[{"datasource":"parquet","weight":2},{"datasource":"csv","weight":1},{"datasource":"jdbc","weight":4}]"""
-    s"""{"sources":[${(parquetEntries ++ csvEntries :+ rdfEntry :+ jdbcEntry).mkString(",")}],"weights":$weights}"""
+    s"""{"sources":[${(parquetEntries ++ csvEntries :+ orgEntry :+ rdfEntry :+ jdbcEntry).mkString(",")}],"weights":$weights}"""
   }
 
   /** Generate the derived CSV/NT sources (idempotent: SaveMode.Ignore). */
@@ -221,6 +229,14 @@ object TpchLake {
         col("p_name"))
       .coalesce(1).write.mode(SaveMode.Ignore).option("header", "true")
       .csv(s"$d/part_shifted_csv")
+    // management chain derived from customer: employee k reports to k/2 —
+    // a binary-tree hierarchy of depth log₂(n) for the p+/p* path gates
+    // (oracle re-derives the same edge with DuckDB's // integer division)
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("o_empkey"),
+        when(col("c_custkey") >= 2, floor(col("c_custkey") / 2)).as("o_mgrkey"),
+        col("c_name").as("o_name"))
+      .coalesce(1).write.mode(SaveMode.Ignore).parquet(s"$d/org_parquet")
     ntFixture(spark, sfDir)
   }
 

@@ -64,6 +64,12 @@ final case class BFun(name: String, args: Seq[BindExpr]) extends BindExpr
 
 final case class BindSpec(outVar: String, expr: BindExpr)
 
+/** One `?s p+ ?o` / `?s p* ?o` arbitrary-length path: the engine closes
+  * the (subject, object) one-hop relation transitively; `reflexive` adds
+  * the zero-hop (x, x) pair for every subject of the star (`*`). */
+final case class PathClosure(subjVar: String, predicate: String,
+    objVar: String, reflexive: Boolean)
+
 /** One step of a join-side transformation (reference §2.8):
   * toInt | scl(_+n|_-n|_*n) | skp(v) | substit(a,b) | replc(a,b)
   * | prefix(s) | postfix(s). Args are kept raw. */
@@ -124,7 +130,13 @@ final case class ParsedQuery(
     /** CONSTRUCT template triples: the result is the deduplicated triple
       * set (s, p, o — all strings) produced by instantiating the
       * template per solution. Net-new vs the reference. */
-    construct: Seq[TriplePattern] = Nil) {
+    construct: Seq[TriplePattern] = Nil,
+    /** Arbitrary-length property paths (`?s p+ ?o` / `?s p* ?o`,
+      * SPARQL 1.1 §9.1): the one-hop triple stays in `patterns` (so star
+      * detection and join planning see it), and the engine replaces the
+      * star's (subject, object) pairs with their transitive closure —
+      * reflexive for `*`. Net-new vs the reference. */
+    closures: Seq[PathClosure] = Nil) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

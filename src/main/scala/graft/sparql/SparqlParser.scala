@@ -146,7 +146,7 @@ object SparqlParser {
           else { sb += s.charAt(j); j += 1 }
         }
         toks += Str(sb.toString); i = j + 1
-      } else if ("{}();,*/^".indexOf(c) >= 0) {
+      } else if ("{}();,*/^|".indexOf(c) >= 0) {
         toks += Sym(c.toString); i += 1
       } else if (c == '!' || c == '=' || c == '<' || c == '>') {
         val two = s.substring(i, math.min(i + 2, s.length))
@@ -234,6 +234,8 @@ object SparqlParser {
       val unionBranches = Seq.newBuilder[(Seq[TriplePattern], Seq[FilterCond])]
       var inBody = true
       val existsPatterns = Seq.newBuilder[TriplePattern]
+      val altTriples = Seq.newBuilder[Seq[Seq[TriplePattern]]]
+      val closureSpecs = Seq.newBuilder[PathClosure]
       while (inBody) peek match {
         case Some(Sym("}")) => next(); inBody = false
         case Some(w) if isKw(w, "FILTER") =>
@@ -289,7 +291,9 @@ object SparqlParser {
             next()
             unionBranches += parseGroup(prefixes)
           }
-        case Some(Var(_)) => parseTriplesSameSubject(patterns, prefixes)
+        case Some(Var(_)) =>
+          parseTriplesSameSubject(patterns, prefixes,
+            altsInto = Some(altTriples), closuresInto = Some(closureSpecs))
         case Some(Sym(".")) => next() // stray terminator
         case t => sys.error(s"unexpected token in WHERE: $t")
       }
@@ -342,9 +346,26 @@ object SparqlParser {
       val optional = optionalPatterns.result()
       val minus = minusPatterns.result()
       val exists = existsPatterns.result()
-      val branches = unionBranches.result()
+      val closures = closureSpecs.result()
+      // path alternatives (`p1|p2`): each alternative of each alt-triple
+      // is one choice; the WHERE body expands into the cross product of
+      // the choices as UNION branches (SPARQL 1.1 §9.3: AltPath ≡ union)
+      val altChoices = altTriples.result()
+      val branches =
+        if (altChoices.isEmpty) unionBranches.result()
+        else {
+          require(unionBranches.result().isEmpty,
+            "path alternatives cannot be mixed with explicit UNION branches")
+          require(optional.isEmpty && minus.isEmpty && exists.isEmpty && closures.isEmpty,
+            "path alternatives cannot be combined with OPTIONAL/MINUS/EXISTS/closure paths")
+          val combos = altChoices.foldLeft(Seq(Seq.empty[TriplePattern])) { (acc, opts) =>
+            for (a <- acc; o <- opts) yield a ++ o
+          }
+          combos.map(c => (required ++ c, filters.result()))
+        }
+      val requiredBody = if (altChoices.isEmpty) required else Nil
       require(branches.isEmpty ||
-        (required.isEmpty && optional.isEmpty && minus.isEmpty && exists.isEmpty),
+        (requiredBody.isEmpty && optional.isEmpty && minus.isEmpty && exists.isEmpty),
         "UNION branches cannot be mixed with top-level triple patterns")
       // a star is optional/minus/exists only if none of its patterns are required
       val requiredSubjects = required.map(_.subject).toSet
@@ -364,11 +385,11 @@ object SparqlParser {
           s"FILTER(?${f.varName} ...) inside OPTIONAL/MINUS/EXISTS must reference a " +
             "variable bound by the group's own stars")
       ParsedQuery(prefixes, distinct, items.result(), selectAll,
-        required ++ optional ++ minus ++ exists,
+        requiredBody ++ optional ++ minus ++ exists,
         filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
         having, mStars, valuesClauses.result(), bindClauses.result(), ask,
-        eStars, construct)
+        eStars, construct, closures)
     }
 
     /** BIND expression: precedence-climbing over the token stream
@@ -529,55 +550,112 @@ object SparqlParser {
       val v = s"__path$pathCounter"; pathCounter += 1; v
     }
 
+    /** One path element: ([^]pred[+|*]) → (iri, inverse, modifier) where
+      * modifier is None / Some(false)=`+` / Some(true)=`*`. The tokenizer
+      * folds a trailing `+` into a qname word; after an `<iri>` form it
+      * surfaces as a standalone `Word("+")`. */
+    private type PathElem = (String, Boolean, Option[Boolean])
+
+    /** Triples-block parser. `altsInto`/`closuresInto` are present only for
+      * the top-level WHERE body: path alternatives (`p1|p2`) collect the
+      * per-alternative desugared triples (expanded to UNION branches by the
+      * caller); `p+`/`p*` collect [[PathClosure]] specs. Inside
+      * OPTIONAL/MINUS/EXISTS/UNION groups both forms are rejected. */
     private def parseTriplesSameSubject(
         out: scala.collection.mutable.Builder[TriplePattern, Seq[TriplePattern]],
-        prefixes: Map[String, String]): Unit = {
+        prefixes: Map[String, String],
+        altsInto: Option[scala.collection.mutable.Builder[Seq[Seq[TriplePattern]], Seq[Seq[Seq[TriplePattern]]]]] = None,
+        closuresInto: Option[scala.collection.mutable.Builder[PathClosure, Seq[PathClosure]]] = None): Unit = {
       val Var(subj) = next(): @unchecked
       var more = true
       while (more) {
-        def predToken(): String = next() match {
-          case Word("a") => TriplePattern.RdfType
-          case Word(q) => expandQName(q, prefixes)
-          case Iri(iri) if iri == TriplePattern.RdfType => TriplePattern.RdfType
-          case Iri(iri) => iri
+        def predToken(): (String, Option[Boolean]) = next() match {
+          case Word("a") => (TriplePattern.RdfType, None)
+          case Word(q) if q.length > 1 && q.endsWith("+") =>
+            (expandQName(q.dropRight(1), prefixes), Some(false))
+          case Word(q) => (expandQName(q, prefixes), None)
+          case Iri(iri) if iri == TriplePattern.RdfType => (TriplePattern.RdfType, None)
+          case Iri(iri) => (iri, None)
           case t => sys.error(s"expected predicate, got $t")
         }
-        // property paths (SPARQL 1.1 §9.1): sequences p1/p2/... and
-        // inverse elements ^p, desugared here into chained triples over
-        // fresh intermediate variables — each hop becomes an ordinary
-        // star join (inverse hops emit the triple with the roles
-        // swapped), so the engine needs no path-aware operator
-        def pathElem(): (String, Boolean) = {
+        // property paths (SPARQL 1.1 §9.1): sequences p1/p2/..., inverse
+        // elements ^p, alternatives p1|p2, and arbitrary length p+/p*.
+        // Sequences/inverses desugar to chained triples over fresh
+        // intermediate variables; alternatives desugar to UNION branches;
+        // +/* become PathClosure specs the engine closes transitively.
+        def pathElem(): PathElem = {
           val inv = peek.contains(Sym("^"))
           if (inv) next()
-          (predToken(), inv)
+          var (pred, mod) = predToken()
+          if (mod.isEmpty) peek match {
+            case Some(Sym("*")) => next(); mod = Some(true)
+            case Some(Word("+")) => next(); mod = Some(false)
+            case _ => ()
+          }
+          (pred, inv, mod)
         }
-        val chain = Seq.newBuilder[(String, Boolean)]
-        chain += pathElem()
-        while (peek.contains(Sym("/"))) { next(); chain += pathElem() }
-        val preds = chain.result()
-        val (pred, lastInv) = preds.last
+        def chain(): Seq[PathElem] = {
+          val b = Seq.newBuilder[PathElem]
+          b += pathElem()
+          while (peek.contains(Sym("/"))) { next(); b += pathElem() }
+          b.result()
+        }
+        val alternatives = Seq.newBuilder[Seq[PathElem]]
+        alternatives += chain()
+        while (peek.contains(Sym("|"))) { next(); alternatives += chain() }
+        val altChains = alternatives.result()
+        val (headPred, _, _) = altChains.head.last
         val obj: ObjectTerm = next() match {
           case Var(v) => ObjVar(v)
           case Iri(iri) => ObjIri(iri)
           case Str(s) => ObjLit(s)
-          case Word(w) if pred == TriplePattern.RdfType => ObjIri(expandQName(w, prefixes))
+          case Word(w) if headPred == TriplePattern.RdfType => ObjIri(expandQName(w, prefixes))
           case Word(w) => ObjLit(w)
           case t => sys.error(s"expected object, got $t")
         }
-        def emit(from: String, p: String, inv: Boolean, to: ObjectTerm): Unit =
-          if (!inv) out += TriplePattern(from, p, to)
-          else to match {
-            case ObjVar(tv) => out += TriplePattern(tv, p, ObjVar(from))
-            case t => sys.error(s"inverse path ^<$p> needs a variable object, got $t")
+        def desugarChain(preds: Seq[PathElem],
+            into: scala.collection.mutable.Builder[TriplePattern, Seq[TriplePattern]]): Unit = {
+          def emit(from: String, p: String, inv: Boolean, to: ObjectTerm): Unit =
+            if (!inv) into += TriplePattern(from, p, to)
+            else to match {
+              case ObjVar(tv) => into += TriplePattern(tv, p, ObjVar(from))
+              case t => sys.error(s"inverse path ^<$p> needs a variable object, got $t")
+            }
+          var cur = subj
+          for ((p, inv, _) <- preds.init) {
+            val v = freshPathVar()
+            emit(cur, p, inv, ObjVar(v))
+            cur = v
           }
-        var cur = subj
-        for ((p, inv) <- preds.init) {
-          val v = freshPathVar()
-          emit(cur, p, inv, ObjVar(v))
-          cur = v
+          val (pred, lastInv, _) = preds.last
+          emit(cur, pred, lastInv, obj)
         }
-        emit(cur, pred, lastInv, obj)
+        if (altChains.size > 1) {
+          require(altsInto.isDefined,
+            "path alternatives (p1|p2) are supported in the top-level WHERE body only")
+          require(altChains.forall(_.forall(_._3.isEmpty)),
+            "+/* modifiers inside path alternatives are not supported")
+          altsInto.get += altChains.map { ch =>
+            val b = Seq.newBuilder[TriplePattern]
+            desugarChain(ch, b)
+            b.result()
+          }
+        } else {
+          val ch = altChains.head
+          if (ch.exists(_._3.isDefined)) {
+            require(ch.size == 1 && !ch.head._2,
+              "+/* path modifiers are supported on a single forward predicate only")
+            require(closuresInto.isDefined,
+              "p+/p* paths are supported in the top-level WHERE body only")
+            val (p, _, Some(reflexive)) = ch.head: @unchecked
+            obj match {
+              case ObjVar(o) =>
+                out += TriplePattern(subj, p, ObjVar(o))
+                closuresInto.get += PathClosure(subj, p, o, reflexive)
+              case t => sys.error(s"p+/p* path needs a variable object, got $t")
+            }
+          } else desugarChain(ch, out)
+        }
         peek match {
           case Some(Sym(";")) => next()
           case Some(Sym(".")) => next(); more = false

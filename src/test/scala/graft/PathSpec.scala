@@ -1,0 +1,96 @@
+package graft
+
+import graft.fixtures.TpchLake
+import graft.sparql.SparqlParser
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SPARQL 1.1 property paths: alternatives (`p1|p2` → UNION branches),
+  * one-or-more (`p+`) and zero-or-more (`p*`) closures over the derived
+  * management hierarchy (emp k reports to k/2 — a binary tree, so every
+  * ancestor set is the bit-shift chain k/2, k/4, …, 1). */
+class PathSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private val P = "PREFIX g: <http://graft.io/schema/>\n"
+
+  test("alternative path desugars to UNION branches sharing the rest of the body") {
+    val q = SparqlParser.parse(P +
+      "SELECT ?cn ?v WHERE { ?o g:customer ?c . ?o g:orderpriority|g:orderstatus ?v . ?c g:custName ?cn . }")
+    assert(q.unionBranches.size == 2)
+    assert(q.patterns.isEmpty)
+    // each branch carries the join triple, the custName leg, and one alternative
+    for ((ps, _) <- q.unionBranches) assert(ps.size == 3)
+    val preds = q.unionBranches.flatMap(_._1.map(_.predicate)).toSet
+    assert(preds.exists(_.endsWith("orderpriority")) && preds.exists(_.endsWith("orderstatus")))
+  }
+
+  test("two alternative triples expand to the cross product of choices") {
+    val q = SparqlParser.parse(P +
+      "SELECT ?a ?b WHERE { ?p g:partName|g:brand ?a . ?p g:ptype|g:psize ?b . }")
+    assert(q.unionBranches.size == 4)
+  }
+
+  test("p+ / p* record closure specs; modifiers are rejected inside groups") {
+    val q = SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e g:mgr+ ?m . }")
+    assert(q.closures == Seq(graft.model.PathClosure("e", TpchLake.NS + "mgr", "m", reflexive = false)))
+    val q2 = SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e g:mgr* ?m . }")
+    assert(q2.closures.head.reflexive)
+    intercept[RuntimeException] {
+      SparqlParser.parse(P + "SELECT ?e WHERE { ?x g:a ?e . OPTIONAL { ?e g:mgr+ ?m . } }")
+    }
+    intercept[RuntimeException] { // modifier on a sequence path
+      SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e g:mgr/g:mgr+ ?m . }")
+    }
+  }
+
+  test("q41_alt_path equals the two-branch union") {
+    val rows = SparkEntry.queries("q41_alt_path")(spark, sf).count()
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows == 2 * orders)
+  }
+
+  test("q42_path_plus yields exactly the binary-tree ancestor chains") {
+    val df = SparkEntry.queries("q42_path_plus")(spark, sf)
+    assert(df.columns.toSeq == Seq("e", "mn"))
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // every employee's managers are exactly the k/2, k/4, …, 1 chain
+    def chain(k: Long): Seq[String] =
+      Iterator.iterate(k / 2)(_ / 2).takeWhile(_ >= 1).map(names).toSeq.sorted
+    for (k <- names.keys) {
+      val expect = chain(k)
+      if (expect.isEmpty) assert(!got.contains(k), s"root $k must have no managers")
+      else assert(got(k) == expect, s"ancestors of $k")
+    }
+  }
+
+  test("q43_path_star adds the reflexive pairs") {
+    val plus = TpchLake.run(spark, sf, P + "SELECT ?e ?m WHERE { ?e g:mgr+ ?m . }").count()
+    val star = SparkEntry.queries("q43_path_star")(spark, sf).count()
+    val n = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(star == plus + n)
+  }
+
+  test("a filter on the closure endpoint applies to reachability, not the one-hop edge") {
+    // ?m < 2 keeps only the root among ANCESTORS — if the filter were
+    // pushed into the one-hop scan, only emp 2 and 3 (direct reports of
+    // 1) would survive; through the closure every emp ≥ 2 reaches 1
+    val rows = TpchLake.run(spark, sf,
+        P + "SELECT ?e ?m WHERE { ?e g:mgr+ ?m . FILTER(?m < 2) }").collect()
+    // every employee with an edge (key ≥ 2) reaches the root (1)
+    val withEdge = spark.read.parquet(s"$sf/customer.parquet")
+      .filter("c_custkey >= 2").count()
+    assert(rows.length == withEdge)
+    assert(rows.forall(_.getLong(1) == 1L))
+  }
+}
