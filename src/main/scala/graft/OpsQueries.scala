@@ -578,6 +578,22 @@ object OpsQueries {
         "unnest(range(0, 1 + octet_length(encode(text)) % 16)) AS frame_idx " +
         "FROM documents) WHERE frame_idx % 2 = 0"),
 
+    // REAL image decode: per-doc PNG/JPEG payloads are encoded with
+    // dimensions/color-type derived from doc_id, then decoded back through
+    // javax.imageio — the oracle states the expected width/height/channels
+    // from doc_id alone, so a mis-read header (or a stub masquerading as a
+    // decoder) cannot pass
+    ("mm03_imageio_decode",
+      (s, sf) => Multimodal.decodeMeta(Multimodal.imagesFromDocuments(docs(s, sf)))
+        .toDF().select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("n_frames")),
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id * 7) % 32 AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END AS INTEGER) AS channels,
+        |  CAST(1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin),
+
     // ---- window functions (net-new vs reference §2.5) -------------------
     ("w01_topn_per_group",
       (s, sf) => {

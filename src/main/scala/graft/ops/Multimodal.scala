@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * Scala analogue of `mapInPandas` — an iterator-of-rows contract that a
   * vectorized decoder drops into without changing the plan shape).
   *
-  * The actual media decoding is STUBBED (no image/audio libraries in this
-  * environment): [[StubDecoder]] derives deterministic fake metadata from
-  * the raw bytes. The Spark-side contract — schema, partitioning, batch
-  * iteration, typed output — is real and tested; swap [[StubDecoder]] for
-  * a JNI/FFI decoder at deployment.
+  * IMAGE decoding is REAL: payloads whose magic bytes identify PNG or
+  * JPEG go through `javax.imageio` (ships in the JRE — no native libs
+  * needed) and yield actual decoded width/height/channel-count. Other
+  * payloads (audio/video, formats ImageIO lacks) fall back to
+  * [[StubDecoder]]'s deterministic fake metadata — an honest stub kept
+  * inside the same batch contract, to be swapped for a JNI/FFI decoder
+  * at deployment.
   */
 object Multimodal {
 
@@ -26,11 +28,61 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
+      /** decoded color components (3=RGB, 4=ARGB, 1=gray); 0 for payloads
+        * that went through the stub (no real decode happened) */
+      channels: Int,
       checksum: String)
 
+  /** Real image codec over `javax.imageio`: magic-byte sniffing + decode.
+    * Executor-side only; ImageIO's reader registry is JVM-global, so the
+    * per-partition init cost is one lookup. */
+  object ImageCodec {
+    def isPng(b: Array[Byte]): Boolean =
+      b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    def isJpeg(b: Array[Byte]): Boolean =
+      b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+    def isImage(b: Array[Byte]): Boolean = isPng(b) || isJpeg(b)
+
+    /** Decode → (width, height, channels). Throws on corrupt payloads —
+      * a payload that *claims* PNG/JPEG and fails to decode is data
+      * corruption worth surfacing, not stubbing over. */
+    def decode(b: Array[Byte]): (Int, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      require(img != null, "ImageIO could not decode payload with image magic bytes")
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    }
+
+    /** Deterministic PNG/JPEG encode for fixtures and tests: pixel(x,y) =
+      * (x*31 + y*17 + seed) mod 256 on every band. `imgType` is a
+      * BufferedImage.TYPE_* constant. */
+    def encode(width: Int, height: Int, imgType: Int, seed: Long,
+        format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height, imgType)
+      val gray = img.getRaster.getNumBands == 1
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = ((x * 31 + y * 17 + seed) % 256).toInt
+          // gray: raw raster sample (setRGB would sRGB-convert the value);
+          // RGB/ARGB: packed pixel with opaque alpha
+          if (gray) img.getRaster.setSample(x, y, 0, v)
+          else img.setRGB(x, y, (0xff << 24) | (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, bos),
+        s"no ImageIO writer for format $format")
+      bos.toByteArray
+    }
+  }
+
   /** =========== STUB — replace with a real decoder ===========
-    * Deterministic fake "decode": metadata is a pure function of the
-    * payload bytes so tests and oracles can reproduce it.
+    * Deterministic fake "decode" for non-image payloads: metadata is a
+    * pure function of the payload bytes so tests and oracles can
+    * reproduce it.
     *   width  = 64 + (byte0 mod 64)·8, height = 64 + (byte1 mod 64)·6,
     *   frames = 1 + n_bytes mod 16, checksum = md5 (computed plan-side). */
   object StubDecoder {
@@ -46,16 +98,49 @@ object Multimodal {
   }
 
   /** Decode metadata per partition (batch contract: one decoder init per
-    * partition, streaming iterator — no per-row setup, no driver collect). */
+    * partition, streaming iterator — no per-row setup, no driver collect).
+    * PNG/JPEG payloads decode through [[ImageCodec]] (real dimensions and
+    * channel count, n_frames=1); everything else through [[StubDecoder]]
+    * (channels=0 marks the fake). */
   def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real decoders initialize native context here, once per partition
       it.map { rec =>
-        val (w, h, f) = StubDecoder.decode(rec)
+        val (w, h, f, ch) =
+          if (ImageCodec.isImage(rec.content)) {
+            val (w0, h0, c0) = ImageCodec.decode(rec.content)
+            (w0, h0, 1, c0)
+          } else {
+            val (w0, h0, f0) = StubDecoder.decode(rec)
+            (w0, h0, f0, 0)
+          }
         val md5hex = java.security.MessageDigest.getInstance("MD5")
           .digest(rec.content).map("%02x".format(_)).mkString
-        MediaMeta(rec.media_id, rec.kind, rec.content.length.toLong, w, h, f, md5hex)
+        MediaMeta(rec.media_id, rec.kind, rec.content.length.toLong, w, h, f, ch, md5hex)
+      }
+    }
+  }
+
+  /** Deterministic real-image table from `documents`: one PNG or JPEG per
+    * doc, dimensions and color type derived from doc_id (so a SQL oracle
+    * can state the expected decode output without seeing the bytes):
+    * width = 8 + id%32, height = 8 + (id*7)%32; id%3 = 0 → JPEG RGB,
+    * 1 → PNG ARGB, 2 → PNG gray. Encoding runs in the same mapPartitions
+    * batch shape as decoding. */
+  def imagesFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    import java.awt.image.BufferedImage
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 32).toInt
+        val h = (8 + (id * 7) % 32).toInt
+        val (tpe, fmt) = (id % 3) match {
+          case 0 => (BufferedImage.TYPE_INT_RGB, "jpg")
+          case 1 => (BufferedImage.TYPE_INT_ARGB, "png")
+          case _ => (BufferedImage.TYPE_BYTE_GRAY, "png")
+        }
+        MediaRecord(id, "image", ImageCodec.encode(w, h, tpe, id, fmt))
       }
     }
   }

@@ -127,6 +127,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIO round-trip: PNG decodes losslessly to the generator's pixels") {
+    import java.awt.image.BufferedImage
+    // gray PNG: band 0 must reproduce pixel(x,y) = (x*31+y*17+seed)%256
+    val bytes = Multimodal.ImageCodec.encode(12, 9, BufferedImage.TYPE_BYTE_GRAY,
+      seed = 5L, format = "png")
+    assert(Multimodal.ImageCodec.isPng(bytes))
+    val (w, h, ch) = Multimodal.ImageCodec.decode(bytes)
+    assert((w, h, ch) == (12, 9, 1))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 9; x <- 0 until 12)
+      assert(img.getRaster.getSample(x, y, 0) == (x * 31 + y * 17 + 5) % 256,
+        s"pixel ($x,$y)")
+    // JPEG is lossy but the header metadata must still decode exactly
+    val jpg = Multimodal.ImageCodec.encode(33, 21, BufferedImage.TYPE_INT_RGB,
+      seed = 7L, format = "jpg")
+    assert(Multimodal.ImageCodec.isJpeg(jpg))
+    assert(Multimodal.ImageCodec.decode(jpg) == ((33, 21, 3)))
+    // ARGB PNG keeps the alpha channel
+    val argb = Multimodal.ImageCodec.encode(10, 10, BufferedImage.TYPE_INT_ARGB,
+      seed = 1L, format = "png")
+    assert(Multimodal.ImageCodec.decode(argb) == ((10, 10, 4)))
+  }
+
   test("salted skew join equals the plain equi-join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
     val o = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_totalprice")
