@@ -495,7 +495,28 @@ object EngineQueries {
         |    WHERE c.c_custkey >= 2
         |)
         |SELECT e, m FROM cl
-        |UNION ALL SELECT c_custkey AS e, c_custkey AS m FROM customer""".stripMargin))
+        |UNION ALL SELECT c_custkey AS e, c_custkey AS m FROM customer""".stripMargin),
+
+    // DESCRIBE ?v — every mapped predicate (plus rdf:type) of the
+    // described resources as an (s, p, o) triple set (net-new: the
+    // reference's own evaluation drops DESCRIBE, evaluation/README.md:9)
+    ("q44_describe",
+      """DESCRIBE ?n WHERE {
+        |  ?n a g:Nation . ?n g:region ?r .
+        |  FILTER(?r = 0)
+        |}""".stripMargin,
+      """SELECT CAST(n_nationkey AS VARCHAR) AS s,
+        |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |  'http://graft.io/schema/Nation' AS o
+        |FROM nation WHERE n_regionkey = 0
+        |UNION
+        |SELECT CAST(n_nationkey AS VARCHAR),
+        |  'http://graft.io/schema/nationName', n_name
+        |FROM nation WHERE n_regionkey = 0
+        |UNION
+        |SELECT CAST(n_nationkey AS VARCHAR),
+        |  'http://graft.io/schema/region', CAST(n_regionkey AS VARCHAR)
+        |FROM nation WHERE n_regionkey = 0""".stripMargin))
 
   /** SQL-generation engine gates (the reference's Presto-path capability,
     * PrestoExecutor.scala:404-518): each reuses an existing suite entry's

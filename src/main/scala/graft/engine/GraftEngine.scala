@@ -104,6 +104,47 @@ object GraftEngine {
         sliced.select(col(t.subject).cast("string").as("s"),
           lit(t.predicate).as("p"), oCol.as("o"))
       }.reduce(_.union(_)).distinct()
+    } else if (q.describe.isDefined) {
+      // DESCRIBE ?v: expand every mapped predicate (plus rdf:type) of the
+      // star's relevant sources for the resources the body binds to ?v.
+      // One scan branch per predicate, all semi-joined with the (usually
+      // small, AQE-broadcastable) described-id set; a triple set →
+      // distinct. Net-new vs the reference (its eval drops DESCRIBE).
+      val v = q.describe.get
+      require(q.stars.contains(v),
+        s"DESCRIBE ?$v requires ?$v to be a star subject in the WHERE body")
+      val patterns = q.stars(v)
+      val preds = patterns.collect {
+        case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
+      }.distinct
+      val classIri = patterns.collectFirst {
+        case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
+      }
+      val relevant = mappings.relevantFor(preds, classIri)
+      require(relevant.nonEmpty, s"no relevant source for DESCRIBE ?$v")
+      val ids = sliced.select(col(v).as("sid")).distinct()
+      val branches = relevant.flatMap { m =>
+        val raw = StarCompiler.loadSource(spark, m, config)
+        def rendered(attr: String): Column = {
+          val fns = m.attrTransforms.getOrElse(attr, Nil)
+          if (fns.isEmpty) col(attr) else Transforms(col(attr), fns)
+        }
+        val idC = {
+          val fns = m.attrTransforms.getOrElse("", Nil)
+          if (fns.isEmpty) col(m.idAttr) else Transforms(col(m.idAttr), fns)
+        }
+        val typeBranch = m.classIri.map(c => raw.select(idC.as("sid"),
+          lit(TriplePattern.RdfType).as("p"), lit(c).as("o")))
+        val predBranches = m.predicateToAttr.toSeq.sortBy(_._1).map {
+          case (p0, attr) => raw.select(idC.as("sid"), lit(p0).as("p"),
+            rendered(attr).cast("string").as("o"))
+        }
+        typeBranch.toSeq ++ predBranches
+      }
+      branches.reduce(_.unionByName(_))
+        .join(ids, Seq("sid"), "left_semi")
+        .select(col("sid").cast("string").as("s"), col("p"), col("o"))
+        .distinct()
     } else sliced
   }
 

@@ -63,6 +63,7 @@ object SqlGenExecutor {
     require(q.closures.isEmpty, "p+/p* path closures are not SQL-lowered")
     require(!q.ask, "ASK is not SQL-lowered")
     require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
+    require(q.describe.isEmpty, "DESCRIBE is not SQL-lowered")
     require(q.transforms.isEmpty, "inline join TRANSFORMs are not SQL-lowered")
 
     val starNames = q.stars.keys.toSeq.sorted

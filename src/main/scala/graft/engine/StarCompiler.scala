@@ -43,14 +43,20 @@ object StarCompiler {
     applyStarFilters(unioned, spec)
   }
 
+  /** Load a mapping's raw source (config options merged in) — shared by
+    * the star compiler and DESCRIBE's all-predicates expansion. */
+  def loadSource(spark: SparkSession, m: EntityMapping, config: LakeConfig): DataFrame = {
+    val sourceCfg = config.sources.find(_.source == m.source)
+      .getOrElse(SourceConfig(m.name, m.storeType, m.source, Map.empty))
+    SourceRegistry.load(spark, sourceCfg.copy(storeType = m.storeType))
+  }
+
   private def compileOne(
       spark: SparkSession,
       src: StarSpec.SourceSpec,
       config: LakeConfig): DataFrame = {
     val m = src.mapping
-    val sourceCfg = config.sources.find(_.source == m.source)
-      .getOrElse(SourceConfig(m.name, m.storeType, m.source, Map.empty))
-    val raw = SourceRegistry.load(spark, sourceCfg.copy(storeType = m.storeType))
+    val raw = loadSource(spark, m, config)
 
     def rendered(cs: StarSpec.ColSpec): Column =
       if (cs.fns.isEmpty) col(cs.attr) else Transforms(col(cs.attr), cs.fns)

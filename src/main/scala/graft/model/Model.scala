@@ -136,7 +136,12 @@ final case class ParsedQuery(
       * detection and join planning see it), and the engine replaces the
       * star's (subject, object) pairs with their transitive closure —
       * reflexive for `*`. Net-new vs the reference. */
-    closures: Seq[PathClosure] = Nil) {
+    closures: Seq[PathClosure] = Nil,
+    /** DESCRIBE ?v query form: the result is the deduplicated (s, p, o)
+      * triple set describing every resource the WHERE body binds to ?v —
+      * all mapped predicates (plus rdf:type) of the star's relevant
+      * sources. ?v must be a star subject. Net-new vs the reference. */
+    describe: Option[String] = None) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

@@ -208,11 +208,19 @@ object SparqlParser {
           require(fs.isEmpty, "FILTER is not allowed in a CONSTRUCT template")
           ps
         } else Nil
-      val plainSelect = !ask && construct.isEmpty
-      if (plainSelect) require(takeKw("SELECT"), "expected SELECT, ASK or CONSTRUCT")
+      val describe =
+        if (!ask && construct.isEmpty && takeKw("DESCRIBE")) {
+          val Var(v) = next(): @unchecked
+          Some(v)
+        } else None
+      val plainSelect = !ask && construct.isEmpty && describe.isEmpty
+      if (plainSelect)
+        require(takeKw("SELECT"), "expected SELECT, ASK, CONSTRUCT or DESCRIBE")
       val distinct = plainSelect && takeKw("DISTINCT")
-      var selectAll = !plainSelect
+      var selectAll = !plainSelect && describe.isEmpty
       val items = Seq.newBuilder[SelectItem]
+      // DESCRIBE compiles its body like SELECT ?v (resources to describe)
+      for (v <- describe) items += SelectVar(v)
       var reading = plainSelect
       while (reading) peek match {
         case Some(Sym("*")) => next(); selectAll = true
@@ -389,7 +397,7 @@ object SparqlParser {
         filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
         having, mStars, valuesClauses.result(), bindClauses.result(), ask,
-        eStars, construct, closures)
+        eStars, construct, closures, describe)
     }
 
     /** BIND expression: precedence-climbing over the token stream

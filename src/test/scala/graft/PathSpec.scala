@@ -81,6 +81,20 @@ class PathSpec extends AnyFunSuite {
     assert(star == plus + n)
   }
 
+  test("DESCRIBE emits all mapped predicates plus rdf:type for the bound resources") {
+    val df = SparkEntry.queries("q44_describe")(spark, sf)
+    assert(df.columns.toSeq == Seq("s", "p", "o"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val nations0 = spark.read.parquet(s"$sf/nation.parquet")
+      .filter("n_regionkey = 0").collect()
+      .map(r => r.get(0).toString).toSet
+    assert(rows.map(_._1).toSet == nations0)
+    // exactly 3 triples per nation: type, name, region
+    assert(rows.length == nations0.size * 3)
+    assert(rows.count(_._2.endsWith("#type")) == nations0.size)
+    assert(rows.filter(_._2.endsWith("region")).forall(_._3 == "0"))
+  }
+
   test("a filter on the closure endpoint applies to reachability, not the one-hop edge") {
     // ?m < 2 keeps only the root among ANCESTORS — if the filter were
     // pushed into the one-hop scan, only emp 2 and 3 (direct reports of
