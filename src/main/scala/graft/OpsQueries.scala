@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TemporalJoin, TextOps}
 import graft.sources.NtSource
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -682,6 +682,49 @@ object OpsQueries {
       "SELECT c_mktsegment AS seg, COUNT(*) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumv " +
         "FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey GROUP BY 1"),
+
+    // ---- temporal joins (net-new; Spark has no native operator) --------
+    // as-of enrichment: every event gains the user's latest purchase value
+    // at or before its timestamp. Engine: union-and-fill (one keyed
+    // shuffle + sort); oracle: DuckDB's native ASOF LEFT JOIN — two
+    // independent as-of implementations must agree. Timestamps stay raw
+    // int64 nanos Spark-side (full precision, no µs truncation).
+    ("ts01_asof_enrich",
+      (s, sf) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = s.read.parquet(s"$sf/events.parquet")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        TemporalJoin.asofJoinBackward(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, key = "user_id", ts = "ts", rightVals = Seq("value"))
+          .select(col("event_id"), col("value").as("last_purchase"))
+      },
+      """SELECT e.event_id, p.value AS last_purchase
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin),
+
+    // point-in-interval range join via slot bucketing (never a
+    // BroadcastNestedLoopJoin): heavy lineitems land in the order windows
+    // that contain their ship date; oracle is DuckDB's inequality join
+    ("ts02_range_count",
+      (s, sf) => {
+        val pts = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_quantity") === 50).select(col("l_shipdate"))
+        val ivals = s.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
+              .as("o_end"))
+        TemporalJoin.intervalJoin(pts, "l_shipdate", ivals,
+            "o_orderdate", "o_end", slotSeconds = 7L * 86400)
+          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+      },
+      """SELECT o_orderkey, count(*) AS cnt
+        |FROM orders JOIN lineitem ON l_quantity = 50
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))
+        |GROUP BY o_orderkey""".stripMargin),
 
     // ---- end-to-end corpus pipeline (the ops compose) -------------------
     // quality+language filter → fuzzy dedup (MinHash pairs → connected

@@ -82,7 +82,20 @@ object GraftEngine {
         case SelectAgg(a) => col(a.alias)
       }: _*)
 
-    val distincted = if (q.distinct) projected.distinct() else projected
+    val distincted = if (!q.distinct) projected else {
+      val d = projected.distinct()
+      // Spark's distinct is an aggregate and does not preserve the
+      // preceding sort — re-sort after dedup so OFFSET/LIMIT slice
+      // deterministically (SPARQL algebra: Slice ∘ Distinct ∘ Project ∘
+      // OrderBy). Requires the keys to survive projection.
+      if (q.orderBy.nonEmpty && (q.limit.isDefined || q.offset.isDefined)) {
+        val projCols = projected.columns.toSet
+        require(q.orderBy.forall(k => projCols(k.varName)),
+          "ORDER BY keys must be selected when combined with DISTINCT and LIMIT/OFFSET")
+        d.orderBy(q.orderBy.map(k =>
+          if (k.ascending) col(k.varName).asc else col(k.varName).desc): _*)
+      } else d
+    }
     // OFFSET before LIMIT (SPARQL slice semantics; net-new vs reference)
     val skipped = q.offset.fold(distincted)(distincted.offset)
     val sliced = q.limit.fold(skipped)(skipped.limit)

@@ -150,6 +150,36 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.ImageCodec.decode(argb) == ((10, 10, 4)))
   }
 
+  test("as-of join takes the latest right row at or before each left timestamp") {
+    val left = Seq((1L, 5L, "a"), (1L, 1L, "b"), (2L, 3L, "c"), (3L, 9L, "d"))
+      .toDF("k", "ts", "id")
+    val right = Seq((1L, 2L, 10.0), (1L, 5L, 20.0), (2L, 4L, 30.0))
+      .toDF("k", "ts", "v")
+    val got = graft.ops.TemporalJoin
+      .asofJoinBackward(left, right, key = "k", ts = "ts", rightVals = Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // a: right row AT ts 5 matches (inclusive); b: nothing at or before 1;
+    // c: right ts 4 is after 3; d: key with no right rows at all
+    assert(got == Map("a" -> Some(20.0), "b" -> None, "c" -> None, "d" -> None))
+  }
+
+  test("interval join equals the naive inequality join") {
+    val pts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") === 50).select(col("l_shipdate"))
+    val ivals = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)").as("o_end"))
+    val got = graft.ops.TemporalJoin
+      .intervalJoin(pts, "l_shipdate", ivals, "o_orderdate", "o_end", slotSeconds = 7L * 86400)
+      .count()
+    val naive = pts.crossJoin(ivals)
+      .filter(col("l_shipdate") >= col("o_orderdate") && col("l_shipdate") <= col("o_end"))
+      .count()
+    assert(got == naive && got > 0)
+  }
+
   test("salted skew join equals the plain equi-join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
     val o = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_totalprice")

@@ -97,6 +97,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(globalSorts <= 1, s"corpus-wide global sort in:\n$p")
   }
 
+  test("ts02: interval join plans as an equi-join on the slot, never a nested loop") {
+    val p = plan("ts02_range_count")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a nested loop:\n$p")
+    assert(p.contains("__slot"), s"slot bucketing missing:\n$p")
+  }
+
+  test("ts01: as-of join is one keyed window, not a range join") {
+    val p = plan("ts01_asof_enrich")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join fell back to a product:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected window formulation:\n$p")
+  }
+
   test("s01: brute-force top-k has no shuffle exchange") {
     val df = SparkEntry.queries("s01_cosine_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

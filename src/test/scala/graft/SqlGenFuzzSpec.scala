@@ -157,11 +157,9 @@ class SqlGenFuzzSpec extends AnyFunSuite {
       else Gen.const(Option.empty[BindM])
     distinct <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
     includeSubject <- Gen.oneOf(true, false)
-    // DISTINCT + slice is excluded: Spark's distinct does not preserve the
-    // preceding sort, so distinct+ORDER BY+LIMIT is not deterministic in
-    // the Column engine's operator order
-    slice <- if (distinct) Gen.const(Option.empty[(Int, Int)])
-      else Gen.option(for { l <- Gen.choose(1, 50); o <- Gen.choose(0, 10) } yield (l, o))
+    // DISTINCT + slice is fair game: the engine re-sorts after dedup so
+    // the slice is deterministic (keys ⊆ selected vars here)
+    slice <- Gen.option(for { l <- Gen.choose(1, 50); o <- Gen.choose(0, 10) } yield (l, o))
   } yield Model(stars, optStar, drop, filters, agg, bind, distinct,
     includeSubject, slice)
 
