@@ -403,21 +403,29 @@ object Dedup {
           .orderBy(desc("count"), asc("d")).head().getInt(0)
         val planes = Similarity.randomPlanes(bands * rowsPerBand, dim, seed)
         val bandSigs = Similarity.bandSignatures(col("v"), planes, rowsPerBand)
-        val banded = cached.select(col("sid"), posexplode(bandSigs).as(Seq("band", "bsig")))
-        // a pair can collide in several bands — distinct before the
-        // cosine verify so each pair is scored once
-        val cands = banded.as("l")
+        // vectors ride along into the band buckets so the cosine verify
+        // runs INSIDE the band join (codegen, scan-side). The alternative
+        // — distinct the candidate id-pairs first, then re-fetch both
+        // vectors — re-shuffles the whole corpus twice and runs a
+        // wide distinct over the raw candidate set; on cluster-dense
+        // data (many colliding bands per true pair) that was measured
+        // 10× slower at sf1 than re-scoring each collision. Dedup of
+        // multi-band collisions happens AFTER the threshold filter, when
+        // only true pairs (ids, not vectors) remain.
+        val banded = cached.select(col("sid"), col("v"),
+          posexplode(bandSigs).as(Seq("band", "bsig")))
+        banded.as("l")
           .join(banded.as("r"), col("l.band") === col("r.band") &&
             col("l.bsig") === col("r.bsig") && col("l.sid") < col("r.sid"))
-          .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"))
-          .distinct()
-        cands
-          .join(cached.select(col("sid").as("id_a"), col("v").as("v_a")), "id_a")
-          .join(cached.select(col("sid").as("id_b"), col("v").as("v_b")), "id_b")
+          .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"),
+            col("l.v").as("v_a"), col("r.v").as("v_b"))
       }
-    paired
+    val scored = paired
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // LSH mode scores a pair once per colliding band — dedupe the
+    // surviving (small) pair set; exact mode emits each pair once
+    if (exact) scored else scored.distinct()
   }
 }
