@@ -543,7 +543,9 @@ object EngineQueries {
     "sg11_sqlgen_minus" -> "q26_minus",
     "sg12_sqlgen_exists" -> "q37_exists",
     "sg13_sqlgen_offset" -> "q28_offset",
-    "sg14_sqlgen_not_exists" -> "q38_not_exists")
+    "sg14_sqlgen_not_exists" -> "q38_not_exists",
+    "sg15_sqlgen_union" -> "q20_union_branches",
+    "sg16_sqlgen_alt_path" -> "q41_alt_path")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

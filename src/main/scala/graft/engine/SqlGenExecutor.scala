@@ -31,12 +31,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL-expressible subset: parquet sources (single or unioned per star),
   * comparison/LIKE/IN filters, VALUES, inner + OPTIONAL (left) join
   * chains, MINUS and FILTER (NOT) EXISTS (correlated [NOT] EXISTS
-  * subqueries), BIND arithmetic/CONCAT/STR/ABS, GROUP BY/aggregates/
-  * HAVING, ORDER BY, DISTINCT, LIMIT/OFFSET, and the FnO attribute
-  * transforms. Not lowered (the Column engine remains the full-coverage
-  * path, exactly as the reference keeps Spark beside Presto): UNION
-  * branches, ASK, CONSTRUCT, SELECT *, the SPARQL 1.1 BIND builtins
-  * beyond CONCAT/STR/ABS, inline join TRANSFORMs, non-parquet stores,
+  * subqueries), UNION branches (positional NULL-padded UNION ALL), BIND
+  * arithmetic/CONCAT/STR/ABS, GROUP BY/aggregates/HAVING, ORDER BY,
+  * DISTINCT, LIMIT/OFFSET, and the FnO attribute transforms. Not lowered
+  * (the Column engine remains the full-coverage path, exactly as the
+  * reference keeps Spark beside Presto): ASK, CONSTRUCT, DESCRIBE,
+  * SELECT *, p+/p* closures, the SPARQL 1.1 BIND builtins beyond
+  * CONCAT/STR/ABS, inline join TRANSFORMs, non-parquet stores,
   * streaming.
   */
 object SqlGenExecutor {
@@ -59,17 +60,12 @@ object SqlGenExecutor {
   private val NumericLit = "^-?\\d+(\\.\\d+)?$".r
 
   def lower(q: ParsedQuery, mappings: MappingsDoc, config: LakeConfig): Lowered = {
-    require(q.unionBranches.isEmpty, "UNION branches are not SQL-lowered")
     require(q.closures.isEmpty, "p+/p* path closures are not SQL-lowered")
     require(!q.ask, "ASK is not SQL-lowered")
     require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
     require(q.describe.isEmpty, "DESCRIBE is not SQL-lowered")
     require(q.transforms.isEmpty, "inline join TRANSFORMs are not SQL-lowered")
 
-    val starNames = q.stars.keys.toSeq.sorted
-    val dropStars = q.minusStars ++ q.existsStars
-    val keptNames = starNames.filterNot(dropStars.contains)
-    val needed = GraftEngine.neededVars(q)
     val tables = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def idc(s: String) = StarCompiler.idCol(s)
@@ -116,12 +112,21 @@ object SqlGenExecutor {
       case other => sys.error(s"unsupported filter operator '$other'")
     }
 
+    /** One WHERE body (stars → join chain → bare-var resolution) → its
+      * resolution SELECT plus the resolved (var, column) list. Called once
+      * for a plain query, once per branch for UNION bodies. */
+    def resolvedSql(qb: ParsedQuery): (String, Seq[(String, String)]) = {
+    val starNames = qb.stars.keys.toSeq.sorted
+    val dropStars = qb.minusStars ++ qb.existsStars
+    val keptNames = starNames.filterNot(dropStars.contains)
+    val needed = GraftEngine.neededVars(qb)
+
     /** One star → aliased subquery: per-source SELECT+rename (+UNION ALL),
       * wrapped with this star's filters/VALUES on the renamed columns —
       * the SQL rendering of the SAME [[StarSpec]] description
       * StarCompiler renders as Columns. */
     def starSubquery(s: String): String = {
-      val spec = StarSpec.build(q, s, mappings, needed)
+      val spec = StarSpec.build(qb, s, mappings, needed)
       def tx(cs: StarSpec.ColSpec): String = fnSql(cs.attr, cs.fns)
       val selects = spec.sources.map { src =>
         val m = src.mapping
@@ -150,8 +155,8 @@ object SqlGenExecutor {
     // ---- join chain (textual image of GraftEngine.joinChain) ----------
     val edges = (for {
       s <- starNames
-      TriplePattern(_, p, ObjVar(o)) <- q.stars(s)
-      if p != TriplePattern.RdfType && q.stars.contains(o) && o != s
+      TriplePattern(_, p, ObjVar(o)) <- qb.stars(s)
+      if p != TriplePattern.RdfType && qb.stars.contains(o) && o != s
     } yield GraftEngine.JoinEdge(s, o)).distinct
 
     // MINUS / FILTER (NOT) EXISTS stars leave the join chain and become
@@ -177,11 +182,11 @@ object SqlGenExecutor {
       val corr =
         if (m == e.toStar) s"g_x_$m.${e.rightCol} = ${e.leftCol}"
         else s"g_x_$m.${e.leftCol} = ${e.rightCol}"
-      val kw = if (q.minusStars.contains(m)) "NOT EXISTS" else "EXISTS"
+      val kw = if (qb.minusStars.contains(m)) "NOT EXISTS" else "EXISTS"
       s"$kw (SELECT 1 FROM ${starSubquery(m)} g_x_$m WHERE $corr)"
     }
 
-    def opt(s: String) = q.optionalStars.contains(s)
+    def opt(s: String) = qb.optionalStars.contains(s)
     val cycleConds = Seq.newBuilder[String]
     val fromSql = new StringBuilder
     if (keptNames.size == 1) {
@@ -217,7 +222,7 @@ object SqlGenExecutor {
     // ---- bare-variable resolution — the SAME shared rule the DataFrame
     // engine uses (GraftEngine.resolveKept), so anti/semi-joined-away
     // bindings and kept-star fallbacks cannot drift between engines
-    val resolution = GraftEngine.resolveKept(q, needed)
+    val resolution = GraftEngine.resolveKept(qb, needed)
     require(resolution.nonEmpty, "query resolves no variables")
     val innerConds = cycleConds.result() ++ existsConds
     val innerWhere =
@@ -225,6 +230,28 @@ object SqlGenExecutor {
     val innerSql =
       s"SELECT ${resolution.map { case (v, c) => s"$c AS $v" }.mkString(", ")}" +
         s" FROM ${fromSql.result()}$innerWhere"
+    (innerSql, resolution)
+    }
+
+    // ---- body: one resolved block, or the positional NULL-padded
+    // UNION ALL of the branch bodies (the SQL image of the engine's
+    // unionByName(allowMissingColumns = true); SQL UNION is positional,
+    // so every branch projects the union of all branches' variables in
+    // one fixed sorted order, NULL where a branch leaves a var unbound)
+    val bodyInner =
+      if (q.unionBranches.isEmpty) resolvedSql(q)._1
+      else {
+        val parts = q.unionBranches.map { case (ps, fs) =>
+          resolvedSql(q.copy(patterns = ps, filters = fs,
+            unionBranches = Nil, optionalStars = Set.empty))
+        }
+        val allVars = parts.flatMap(_._2.map(_._1)).distinct.sorted
+        parts.map { case (sql, res) =>
+          val have = res.map(_._1).toSet
+          val sel = allVars.map(v => if (have(v)) v else s"NULL AS $v")
+          s"SELECT ${sel.mkString(", ")} FROM ($sql) g_ub"
+        }.mkString(" UNION ALL ")
+      }
 
     // ---- BIND computed variables (image of GraftEngine.bindColumn's
     // arithmetic/concat core; SPARQL 1.1 builtins stay Column-engine
@@ -244,7 +271,7 @@ object SqlGenExecutor {
       case BFun("abs", Seq(a)) => s"ABS(${bindSql(a)})"
       case BFun(f, _) => sys.error(s"BIND function '$f' is not SQL-lowered")
     }
-    val bodySql = q.binds.zipWithIndex.foldLeft(innerSql) {
+    val bodySql = q.binds.zipWithIndex.foldLeft(bodyInner) {
       case (prev, (b, i)) =>
         s"SELECT g_b$i.*, ${bindSql(b.expr)} AS ${b.outVar} FROM ($prev) g_b$i"
     }

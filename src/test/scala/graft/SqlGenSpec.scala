@@ -36,7 +36,9 @@ class SqlGenSpec extends AnyFunSuite {
     "sg11_sqlgen_minus" -> "q26_minus",
     "sg12_sqlgen_exists" -> "q37_exists",
     "sg13_sqlgen_offset" -> "q28_offset",
-    "sg14_sqlgen_not_exists" -> "q38_not_exists")
+    "sg14_sqlgen_not_exists" -> "q38_not_exists",
+    "sg15_sqlgen_union" -> "q20_union_branches",
+    "sg16_sqlgen_alt_path" -> "q41_alt_path")
 
   // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
   // and leave 0 rows (both engines agree on empty); every other gate must
@@ -75,6 +77,25 @@ class SqlGenSpec extends AnyFunSuite {
     assert(l.sql.startsWith("SELECT "))
   }
 
+  test("UNION branches with different variables NULL-pad positionally") {
+    val (m, c) = TpchLake.lake(sf)
+    val q = SparqlParser.parse(
+      "PREFIX g: <http://graft.io/schema/>\n" +
+        """SELECT ?name ?ab WHERE {
+          |  { ?c g:custName ?name . ?c g:acctbal ?ab . }
+          |  UNION
+          |  { ?s g:suppName ?name . }
+          |}""".stripMargin)
+    val a = graft.engine.GraftEngine.executeParsed(spark, q, m, c)
+    val b = SqlGenExecutor.execute(spark, q, m, c)
+    assert(a.columns.toSeq == b.columns.toSeq)
+    val ra = a.collect().map(_.mkString("|")).sorted.toSeq
+    val rb = b.collect().map(_.mkString("|")).sorted.toSeq
+    assert(ra == rb && ra.nonEmpty)
+    // the supplier branch leaves ?ab unbound → null
+    assert(ra.exists(_.endsWith("|null")))
+  }
+
   test("unsupported shapes are refused, not mis-lowered") {
     val (m, c) = TpchLake.lake(sf)
     def refuse(sparql: String, needle: String): Unit = {
@@ -92,10 +113,7 @@ class SqlGenSpec extends AnyFunSuite {
         |  ?li g:order ?ord . ?li g:returnflag ?rf .
         |  BIND(UCASE(?rf) AS ?u)
         |}""".stripMargin, "ucase")
-    refuse(
-      """SELECT ?name WHERE {
-        |  { ?c g:custName ?name . } UNION { ?s g:suppName ?name . }
-        |}""".stripMargin, "UNION")
+    refuse("SELECT ?e ?m WHERE { ?e g:mgr+ ?m . }", "closures")
     refuse("ASK WHERE { ?c g:custName ?n . }", "ASK")
     refuse(
       """CONSTRUCT { ?c g:n ?n . } WHERE { ?c g:custName ?n . }""",
