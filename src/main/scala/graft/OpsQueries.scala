@@ -280,9 +280,17 @@ object OpsQueries {
     ("s03_ann_ivf_topk",
       (s, sf) => {
         var idx: Similarity.IvfIndex = null
+        var probe = 6
         annRecallGate(s, sf, floorPct = 70) { (corpus, qv) =>
-          if (idx == null) idx = annIvfBuild(corpus)
-          annIvfProbe(idx, qv)
+          if (idx == null) {
+            // gate calibration, not an operator knob: probe 6/16 (37%)
+            // clears the 70% floor from sf0.01 up; a sub-1000-row corpus
+            // of near-random vectors needs a wider probe for the same
+            // floor (k-means lists are noise-dominated at that size)
+            probe = if (corpus.count() < 1000) 10 else 6
+            idx = annIvfBuild(corpus)
+          }
+          idx.topK(qv, k = 10, nProbe = probe)
         }
       },
       "SELECT 20 AS n_queries, 70 AS floor_pct, true AS recall_floor_met"),
