@@ -497,6 +497,37 @@ object EngineQueries {
         |SELECT e, m FROM cl
         |UNION ALL SELECT c_custkey AS e, c_custkey AS m FROM customer""".stripMargin),
 
+    // SPARQL 1.1 §12 subquery: aggregate per customer inside, natural
+    // join with the outer star on ?c, residual FILTER on the subquery's
+    // aggregate output (a var no star binds — applied post-join)
+    ("q45_subquery",
+      """SELECT ?cn ?avgT WHERE {
+        |  ?c g:custName ?cn .
+        |  { SELECT ?c (AVG(?tp) AS ?avgT) WHERE {
+        |      ?o g:customer ?c . ?o g:totalprice ?tp .
+        |    } GROUP BY ?c }
+        |  FILTER(?avgT >= 150000)
+        |}""".stripMargin,
+      """SELECT c_name AS cn, avgT FROM customer
+        |JOIN (SELECT o_custkey, AVG(o_totalprice) AS avgT
+        |      FROM orders GROUP BY o_custkey) s
+        |  ON c_custkey = s.o_custkey
+        |WHERE avgT >= 150000""".stripMargin),
+
+    // subquery with its own ORDER BY + LIMIT (modifiers evaluate inside
+    // the group, before the outer join — top-5 orders get their names)
+    ("q46_subquery_topn",
+      """SELECT ?cn ?total WHERE {
+        |  ?c g:custName ?cn .
+        |  { SELECT ?c ?total WHERE {
+        |      ?o g:customer ?c . ?o g:totalprice ?total .
+        |    } ORDER BY DESC(?total) LIMIT 5 }
+        |}""".stripMargin,
+      """SELECT c_name AS cn, total FROM customer
+        |JOIN (SELECT o_custkey AS c, o_totalprice AS total FROM orders
+        |      ORDER BY o_totalprice DESC LIMIT 5) s
+        |  ON c_custkey = s.c""".stripMargin),
+
     // DESCRIBE ?v — every mapped predicate (plus rdf:type) of the
     // described resources as an (s, p, o) triple set (net-new: the
     // reference's own evaluation drops DESCRIBE, evaluation/README.md:9)

@@ -43,12 +43,38 @@ object GraftEngine {
             q.copy(patterns = ps, filters = fs, unionBranches = Nil, optionalStars = Set.empty),
             mappings, config, reorderJoins)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
+      else if (q.patterns.isEmpty && q.subqueries.nonEmpty) null
       else compileBody(spark, q, mappings, config, reorderJoins)
+
+    // --- SPARQL 1.1 §12 subqueries: each evaluates independently (its
+    // own modifiers included) and natural-joins the outer solutions on
+    // the variables they share — cross join when none (rare, legal)
+    for (sub <- q.subqueries) {
+      val subDF = executeParsed(spark,
+        sub.copy(transforms = Nil), mappings, config, reorderJoins)
+      df =
+        if (df == null) subDF
+        else {
+          val shared = df.columns.intersect(subDF.columns).toSeq
+          if (shared.nonEmpty) df.join(subDF, shared) else df.crossJoin(subDF)
+        }
+    }
 
     // --- BIND computed variables (before modifiers so bound vars are
     // usable in SELECT / aggregates / ORDER BY)
     // sequential withColumn: later BINDs may reference earlier outputs
     for (b <- q.binds) df = df.withColumn(b.outVar, bindColumn(b.expr))
+
+    // --- residual FILTERs: conditions on vars no star binds (BIND
+    // outputs, subquery outputs) were invisible to the per-star compile —
+    // apply them here, where those columns exist. An unknown var now
+    // fails analysis instead of silently dropping the condition.
+    val starTargeted: Set[String] = {
+      val pats = if (q.unionBranches.nonEmpty) q.unionBranches.flatMap(_._1) else q.patterns
+      pats.collect { case TriplePattern(_, _, ObjVar(v)) => v }.toSet ++ pats.map(_.subject)
+    }
+    for (f <- q.filters if !starTargeted(f.varName))
+      df = df.filter(StarCompiler.predicate(col(f.varName), f))
 
     // --- modifiers (reference Run.scala:266-306 order:
     // groupBy → orderBy → project(+distinct) → limit)
@@ -330,10 +356,14 @@ object GraftEngine {
     val joinVars = objVars.filter(q.stars.contains)
     val bindOperands = q.binds.flatMap(_.expr.vars)
     val bindOutputs = q.binds.map(_.outVar).toSet
+    // a var shared with a subquery is a join key — materialize it even
+    // when the outer query neither selects nor filters it
+    val subVars = q.subqueries.flatMap(s =>
+      s.selectVarNames ++ s.aggregates.map(_.alias))
     (q.selectVarNames ++ q.aggregates.map(_.varName).filter(_ != "*") ++
       q.filters.map(_.varName) ++ q.values.map(_._1) ++ q.groupBy ++
       q.orderBy.map(_.varName) ++ q.transforms.map(_.rightVar) ++
-      joinVars ++ repeated ++ bindOperands).toSet -- bindOutputs
+      joinVars ++ repeated ++ bindOperands ++ subVars).toSet -- bindOutputs
   }
 
   /** var -> concrete post-join column, restricted to columns a KEPT

@@ -141,7 +141,12 @@ final case class ParsedQuery(
       * triple set describing every resource the WHERE body binds to ?v —
       * all mapped predicates (plus rdf:type) of the star's relevant
       * sources. ?v must be a star subject. Net-new vs the reference. */
-    describe: Option[String] = None) {
+    describe: Option[String] = None,
+    /** SPARQL 1.1 §12 subqueries: `{ SELECT ... WHERE { ... } ... }`
+      * groups inside the WHERE body. Each is evaluated independently and
+      * natural-joined with the outer solutions on the variables they
+      * share (cross join when none). Net-new vs the reference. */
+    subqueries: Seq[ParsedQuery] = Nil) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

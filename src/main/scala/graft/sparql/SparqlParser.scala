@@ -21,7 +21,7 @@ object SparqlParser {
 
   def parse(queryText: String): ParsedQuery = {
     val (text, transforms) = extractTransform(queryText)
-    new Parser(stripComments(text)).parseQuery(transforms)
+    new Parser(stripComments(text)).parseQuery(transforms, nested = false, Map.empty)
   }
 
   /** Remove `#`-to-EOL comments, but not inside IRIs or strings. */
@@ -194,8 +194,13 @@ object SparqlParser {
     private def takeKw(kw: String): Boolean =
       peek.exists(isKw(_, kw)) && { pos += 1; true }
 
-    def parseQuery(transforms: Seq[JoinTransform]): ParsedQuery = {
-      var prefixes = Map.empty[String, String]
+    /** `nested = true` parses a SPARQL 1.1 subquery: the SELECT query
+      * inside an already-consumed `{`, terminating at (and consuming) the
+      * matching `}` after the solution modifiers; `outerPrefixes` are in
+      * scope (a subquery declares no PREFIX of its own). */
+    def parseQuery(transforms: Seq[JoinTransform], nested: Boolean,
+        outerPrefixes: Map[String, String]): ParsedQuery = {
+      var prefixes = outerPrefixes
       while (takeKw("PREFIX")) {
         val Word(pfx) = next(): @unchecked
         val Iri(iri) = next(): @unchecked
@@ -244,6 +249,7 @@ object SparqlParser {
       val existsPatterns = Seq.newBuilder[TriplePattern]
       val altTriples = Seq.newBuilder[Seq[Seq[TriplePattern]]]
       val closureSpecs = Seq.newBuilder[PathClosure]
+      val subqueryClauses = Seq.newBuilder[ParsedQuery]
       while (inBody) peek match {
         case Some(Sym("}")) => next(); inBody = false
         case Some(w) if isKw(w, "FILTER") =>
@@ -292,6 +298,10 @@ object SparqlParser {
             case t => sys.error(s"unsupported VALUES entry: $t")
           }
           valuesClauses += v -> vs.result()
+        case Some(Sym("{")) if pos + 1 < toks.length && isKw(toks(pos + 1), "SELECT") =>
+          // { SELECT ... } — SPARQL 1.1 §12 subquery
+          next()
+          subqueryClauses += parseQuery(Nil, nested = true, prefixes)
         case Some(Sym("{")) =>
           // { branch } UNION { branch } [UNION { branch }]*
           unionBranches += parseGroup(prefixes)
@@ -347,7 +357,8 @@ object SparqlParser {
           next(); val Word(n) = next(): @unchecked; limit = Some(n.toInt)
         case Some(w) if isKw(w, "OFFSET") =>
           next(); val Word(n) = next(): @unchecked; offset = Some(n.toInt)
-        case None => inMods = false
+        case Some(Sym("}")) if nested => next(); inMods = false
+        case None if !nested => inMods = false
         case t => sys.error(s"unexpected trailing token: $t")
       }
       val required = patterns.result()
@@ -397,7 +408,7 @@ object SparqlParser {
         filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
         having, mStars, valuesClauses.result(), bindClauses.result(), ask,
-        eStars, construct, closures, describe)
+        eStars, construct, closures, describe, subqueryClauses.result())
     }
 
     /** BIND expression: precedence-climbing over the token stream
