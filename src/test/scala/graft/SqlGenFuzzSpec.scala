@@ -71,7 +71,10 @@ class SqlGenFuzzSpec extends AnyFunSuite {
       bind: Option[BindM],
       distinct: Boolean,
       includeSubject: Boolean,
-      slice: Option[(Int, Int)]) // limit, offset
+      slice: Option[(Int, Int)], // limit, offset
+      /** render (star, p1) as the alternative path p1|p2 — desugars to
+        * UNION branches, exercising both engines' union lowering */
+      altPred: Option[(String, Pred, Pred)] = None)
 
   private def subset[A](xs: Seq[A], min: Int): Gen[Seq[A]] =
     Gen.someOf(xs).map(_.toSeq).retryUntil(_.size >= min).map(s => xs.filter(s.contains))
@@ -160,8 +163,23 @@ class SqlGenFuzzSpec extends AnyFunSuite {
     // DISTINCT + slice is fair game: the engine re-sorts after dedup so
     // the slice is deterministic (keys ⊆ selected vars here)
     slice <- Gen.option(for { l <- Gen.choose(1, 50); o <- Gen.choose(0, 10) } yield (l, o))
+    altCandidates = for {
+      st <- stars
+      p1 <- st.preds.headOption.toSeq
+      pool = st.subj match {
+        case "c" => custPreds; case "o" => ordPreds; case _ => liPreds
+      }
+      p2 <- pool.filterNot(st.preds.contains)
+        .find(_.numeric == p1.numeric).toSeq // same type family: the
+        // alternated var's column must union cleanly across branches
+    } yield (st.subj, p1, p2)
+    altPred <-
+      if (optStar.isEmpty && drop.isEmpty && altCandidates.nonEmpty)
+        Gen.frequency(3 -> Gen.const(Option.empty[(String, Pred, Pred)]),
+          1 -> Gen.oneOf(altCandidates).map(Option(_)))
+      else Gen.const(Option.empty[(String, Pred, Pred)])
   } yield Model(stars, optStar, drop, filters, agg, bind, distinct,
-    includeSubject, slice)
+    includeSubject, slice, altPred)
 
   private def selectVars(m: Model): Seq[String] = m.agg match {
     case Some(a) => Seq(a.groupVar, "agg1")
@@ -180,7 +198,13 @@ class SqlGenFuzzSpec extends AnyFunSuite {
     sb ++= s"SELECT ${if (m.distinct) "DISTINCT " else ""}$sel WHERE {\n"
     def renderStar(s: StarM): String =
       (s.joins.map { case (p, o) => s"  ?${s.subj} g:$p ?$o ." } ++
-        s.preds.map(p => s"  ?${s.subj} g:${p.name} ?${p.objVar} .")).mkString("\n")
+        s.preds.map { p =>
+          m.altPred match {
+            case Some((subj, p1, p2)) if subj == s.subj && p1 == p =>
+              s"  ?${s.subj} g:${p.name}|g:${p2.name} ?${p.objVar} ."
+            case _ => s"  ?${s.subj} g:${p.name} ?${p.objVar} ."
+          }
+        }).mkString("\n")
     for (s <- m.stars) {
       if (m.optStar.contains(s.subj)) sb ++= s"  OPTIONAL {\n${renderStar(s)}\n  }\n"
       else sb ++= renderStar(s) + "\n"
