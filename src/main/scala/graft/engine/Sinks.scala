@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Result sinks. The reference only prints 20 rows + a count
   * (SparkExecutor.scala:543-556) and runs the plan twice doing it
@@ -46,4 +46,24 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Bucketed managed table — the co-located-join layout: two tables
+    * bucketed (and sorted) by the same key into the same bucket count
+    * join with NO shuffle exchange on either side (the scan reports the
+    * bucket hash partitioning, so SortMergeJoin consumes both scans
+    * directly). At 100 TB this converts every recurring fact⋈fact join
+    * on the bucket key from two full-corpus shuffles into none — the
+    * write pays the shuffle once, every subsequent join skips it.
+    * Managed-table API because Spark's bucket metadata lives in the
+    * catalog, not the parquet footer. */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a bucketed table back (by name, via the session catalog). */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

@@ -112,6 +112,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected window formulation:\n$p")
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    // a prior JVM's orphaned warehouse dir (location without catalog
+    // entry) blocks CREATE — clear both forms
+    for (t <- Seq("li_bkt", "o_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
+    graft.engine.Sinks.bucketedTable(li, "li_bkt", "l_orderkey", 8)
+    graft.engine.Sinks.bucketedTable(o, "o_bkt", "o_orderkey", 8)
+    // merge hint: at test scale the optimizer would broadcast the tiny
+    // side; at 100 TB (two fact tables) SortMergeJoin is the real plan —
+    // the property under guard is that it consumes the bucket layout
+    // with NO shuffle exchange on either side
+    val joined = graft.engine.Sinks.table(spark, "li_bkt").hint("merge")
+      .join(graft.engine.Sinks.table(spark, "o_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucket-aligned join still shuffles:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), s"scan ignored the bucket layout:\n$p")
+    assert(joined.count() ==
+      li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+  }
+
   test("s01: brute-force top-k has no shuffle exchange") {
     val df = SparkEntry.queries("s01_cosine_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
