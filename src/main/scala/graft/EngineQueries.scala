@@ -497,6 +497,16 @@ object EngineQueries {
         |SELECT e, m FROM cl
         |UNION ALL SELECT c_custkey AS e, c_custkey AS m FROM customer""".stripMargin),
 
+    // SPARQL 1.1 §9.1 negated property set — ?v ranges over every mapped
+    // predicate of the star's source except the excluded ones
+    // (string-cast; rdf:type rides the mapping's class, not the expansion)
+    ("q47_negated_set",
+      """SELECT ?c ?v WHERE {
+        |  ?c a g:Customer . ?c !(g:custNation|g:acctbal) ?v .
+        |}""".stripMargin,
+      "SELECT c_custkey AS c, c_name AS v FROM customer " +
+        "UNION ALL SELECT c_custkey, c_mktsegment FROM customer"),
+
     // SPARQL 1.1 §12 subquery: aggregate per customer inside, natural
     // join with the outer star on ?c, residual FILTER on the subquery's
     // aggregate output (a var no star binds — applied post-join)

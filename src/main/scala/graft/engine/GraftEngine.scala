@@ -213,10 +213,47 @@ object GraftEngine {
       s -> StarCompiler.applyInlineTransforms(df, s, q)
     }.toMap
 
+    // --- negated property sets: ?s !(p…) ?v fans each subject out over
+    // the values of every mapped predicate of its relevant sources except
+    // the excluded ones (string-cast — the expansion mixes column types)
+    val withNegations: Map[String, DataFrame] = q.negations.foldLeft(baseDFs) { (m, ng) =>
+      require(q.stars.contains(ng.subjVar),
+        s"negated path subject ?${ng.subjVar} needs at least one other pattern " +
+          "(typically `a <Class>`) to select its sources")
+      val pats = q.stars(ng.subjVar)
+      val preds = pats.collect {
+        case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
+      }.distinct
+      val classIri = pats.collectFirst {
+        case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
+      }
+      val sCol = StarCompiler.idCol(ng.subjVar)
+      val oCol = StarCompiler.varCol(ng.subjVar, ng.objVar)
+      val branches = mappings.relevantFor(preds, classIri).flatMap { mp =>
+        val raw = StarCompiler.loadSource(spark, mp, config)
+        def rendered(attr: String): Column = {
+          val fns = mp.attrTransforms.getOrElse(attr, Nil)
+          if (fns.isEmpty) col(attr) else Transforms(col(attr), fns)
+        }
+        val idC = {
+          val fns = mp.attrTransforms.getOrElse("", Nil)
+          if (fns.isEmpty) col(mp.idAttr) else Transforms(col(mp.idAttr), fns)
+        }
+        mp.predicateToAttr.toSeq.sortBy(_._1)
+          .filterNot { case (p, _) => ng.excluded.contains(p) }
+          .map { case (_, attr) =>
+            raw.select(idC.as(sCol), rendered(attr).cast("string").as(oCol))
+          }
+      }
+      require(branches.nonEmpty,
+        s"negated property set on ?${ng.subjVar} excludes every mapped predicate")
+      m.updated(ng.subjVar, m(ng.subjVar).join(branches.reduce(_.unionByName(_)), Seq(sCol)))
+    }
+
     // --- close each p+/p* star: replace the one-hop (subject, object)
     // pairs with their transitive closure (graft.ops.Closure — iterated
     // squaring, O(log diameter) rounds), reflexive for `*`
-    val starDFs: Map[String, DataFrame] = q.closures.foldLeft(baseDFs) { (m, cl) =>
+    val starDFs: Map[String, DataFrame] = q.closures.foldLeft(withNegations) { (m, cl) =>
       val sCol = StarCompiler.idCol(cl.subjVar)
       val oCol = StarCompiler.varCol(cl.subjVar, cl.objVar)
       val base = m(cl.subjVar)
@@ -271,8 +308,15 @@ object GraftEngine {
 
     // --- rename to bare variable names; star prefixes disappear here.
     // MINUS/EXISTS-star bindings are not part of the solution (anti/semi
-    // joins keep only the preserved side's columns).
-    val resolution = resolveKept(q, needed)
+    // joins keep only the preserved side's columns). Negated-path vars
+    // (bound by the expansion, not by a pattern) resolve to their star's
+    // expansion column.
+    val negRes = q.negations.filter(n => needed(n.objVar))
+      .map(n => n.objVar -> StarCompiler.varCol(n.subjVar, n.objVar))
+    val resolution = (resolveKept(q, needed) ++ negRes)
+      .foldLeft(Vector.empty[(String, String)]) { (acc, vc) =>
+        if (acc.exists(_._1 == vc._1)) acc else acc :+ vc
+      }
     joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
   }
 
@@ -359,7 +403,8 @@ object GraftEngine {
     // a var shared with a subquery is a join key — materialize it even
     // when the outer query neither selects nor filters it
     val subVars = q.subqueries.flatMap(s =>
-      s.selectVarNames ++ s.aggregates.map(_.alias))
+      s.selectVarNames ++ s.aggregates.map(_.alias)) ++
+      q.negations.map(_.objVar)
     (q.selectVarNames ++ q.aggregates.map(_.varName).filter(_ != "*") ++
       q.filters.map(_.varName) ++ q.values.map(_._1) ++ q.groupBy ++
       q.orderBy.map(_.varName) ++ q.transforms.map(_.rightVar) ++

@@ -62,6 +62,7 @@ object SqlGenExecutor {
   def lower(q: ParsedQuery, mappings: MappingsDoc, config: LakeConfig): Lowered = {
     require(q.closures.isEmpty, "p+/p* path closures are not SQL-lowered")
     require(q.subqueries.isEmpty, "subqueries are not SQL-lowered")
+    require(q.negations.isEmpty, "negated property sets are not SQL-lowered")
     require(!q.ask, "ASK is not SQL-lowered")
     require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
     require(q.describe.isEmpty, "DESCRIBE is not SQL-lowered")

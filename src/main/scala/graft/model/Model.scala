@@ -70,6 +70,14 @@ final case class BindSpec(outVar: String, expr: BindExpr)
 final case class PathClosure(subjVar: String, predicate: String,
     objVar: String, reflexive: Boolean)
 
+/** One `?s !p ?o` / `?s !(p1|p2) ?o` negated property set (SPARQL 1.1
+  * §9.1): ?o ranges over the values of every MAPPED predicate of the
+  * star's sources except the excluded ones (rdf:type is carried by the
+  * mapping's class, not expanded). Values are string-cast — the
+  * expansion mixes columns of different source types. */
+final case class NegatedPath(subjVar: String, excluded: Seq[String],
+    objVar: String)
+
 /** One step of a join-side transformation (reference §2.8):
   * toInt | scl(_+n|_-n|_*n) | skp(v) | substit(a,b) | replc(a,b)
   * | prefix(s) | postfix(s). Args are kept raw. */
@@ -146,7 +154,11 @@ final case class ParsedQuery(
       * groups inside the WHERE body. Each is evaluated independently and
       * natural-joined with the outer solutions on the variables they
       * share (cross join when none). Net-new vs the reference. */
-    subqueries: Seq[ParsedQuery] = Nil) {
+    subqueries: Seq[ParsedQuery] = Nil,
+    /** Negated property sets (`!p` / `!(p1|p2)`); not part of `patterns`
+      * — the subject star needs at least one other pattern (typically
+      * `a g:Class`) so source selection has something to work with. */
+    negations: Seq[NegatedPath] = Nil) {
 
   /** Star-shaped decomposition: subject var -> its triple patterns,
     * in query order (reference QueryAnalyser.getStars, but structural). */

@@ -250,6 +250,7 @@ object SparqlParser {
       val altTriples = Seq.newBuilder[Seq[Seq[TriplePattern]]]
       val closureSpecs = Seq.newBuilder[PathClosure]
       val subqueryClauses = Seq.newBuilder[ParsedQuery]
+      val negationClauses = Seq.newBuilder[NegatedPath]
       while (inBody) peek match {
         case Some(Sym("}")) => next(); inBody = false
         case Some(w) if isKw(w, "FILTER") =>
@@ -311,7 +312,8 @@ object SparqlParser {
           }
         case Some(Var(_)) =>
           parseTriplesSameSubject(patterns, prefixes,
-            altsInto = Some(altTriples), closuresInto = Some(closureSpecs))
+            altsInto = Some(altTriples), closuresInto = Some(closureSpecs),
+            negationsInto = Some(negationClauses))
         case Some(Sym(".")) => next() // stray terminator
         case t => sys.error(s"unexpected token in WHERE: $t")
       }
@@ -366,6 +368,7 @@ object SparqlParser {
       val minus = minusPatterns.result()
       val exists = existsPatterns.result()
       val closures = closureSpecs.result()
+      val negations = negationClauses.result()
       // path alternatives (`p1|p2`): each alternative of each alt-triple
       // is one choice; the WHERE body expands into the cross product of
       // the choices as UNION branches (SPARQL 1.1 §9.3: AltPath ≡ union)
@@ -375,8 +378,9 @@ object SparqlParser {
         else {
           require(unionBranches.result().isEmpty,
             "path alternatives cannot be mixed with explicit UNION branches")
-          require(optional.isEmpty && minus.isEmpty && exists.isEmpty && closures.isEmpty,
-            "path alternatives cannot be combined with OPTIONAL/MINUS/EXISTS/closure paths")
+          require(optional.isEmpty && minus.isEmpty && exists.isEmpty &&
+            closures.isEmpty && negations.isEmpty,
+            "path alternatives cannot be combined with OPTIONAL/MINUS/EXISTS/closure/negated paths")
           val combos = altChoices.foldLeft(Seq(Seq.empty[TriplePattern])) { (acc, opts) =>
             for (a <- acc; o <- opts) yield a ++ o
           }
@@ -408,7 +412,8 @@ object SparqlParser {
         filters.result() ++ optionalFilters.result(),
         groupBy, orderBy, limit, offset, transforms, optStars, branches,
         having, mStars, valuesClauses.result(), bindClauses.result(), ask,
-        eStars, construct, closures, describe, subqueryClauses.result())
+        eStars, construct, closures, describe, subqueryClauses.result(),
+        negations)
     }
 
     /** BIND expression: precedence-climbing over the token stream
@@ -584,7 +589,8 @@ object SparqlParser {
         out: scala.collection.mutable.Builder[TriplePattern, Seq[TriplePattern]],
         prefixes: Map[String, String],
         altsInto: Option[scala.collection.mutable.Builder[Seq[Seq[TriplePattern]], Seq[Seq[Seq[TriplePattern]]]]] = None,
-        closuresInto: Option[scala.collection.mutable.Builder[PathClosure, Seq[PathClosure]]] = None): Unit = {
+        closuresInto: Option[scala.collection.mutable.Builder[PathClosure, Seq[PathClosure]]] = None,
+        negationsInto: Option[scala.collection.mutable.Builder[NegatedPath, Seq[NegatedPath]]] = None): Unit = {
       val Var(subj) = next(): @unchecked
       var more = true
       while (more) {
@@ -598,10 +604,32 @@ object SparqlParser {
           case t => sys.error(s"expected predicate, got $t")
         }
         // property paths (SPARQL 1.1 §9.1): sequences p1/p2/..., inverse
-        // elements ^p, alternatives p1|p2, and arbitrary length p+/p*.
-        // Sequences/inverses desugar to chained triples over fresh
-        // intermediate variables; alternatives desugar to UNION branches;
-        // +/* become PathClosure specs the engine closes transitively.
+        // elements ^p, alternatives p1|p2, arbitrary length p+/p*, and
+        // negated sets !p / !(p1|p2). Sequences/inverses desugar to
+        // chained triples over fresh intermediate variables; alternatives
+        // desugar to UNION branches; +/* become PathClosure specs the
+        // engine closes transitively; ! becomes a NegatedPath the engine
+        // expands over the star's mapped predicates.
+        if (peek.contains(Sym("!"))) {
+          require(negationsInto.isDefined,
+            "negated property sets are supported in the top-level WHERE body only")
+          next()
+          val excluded = Seq.newBuilder[String]
+          def one(): Unit = {
+            val (p, mod) = predToken()
+            require(mod.isEmpty, "+/* modifiers inside a negated set are not supported")
+            excluded += p
+          }
+          if (peek.contains(Sym("("))) {
+            next(); one()
+            while (peek.contains(Sym("|"))) { next(); one() }
+            expectSym(")")
+          } else one()
+          next() match {
+            case Var(v) => negationsInto.get += NegatedPath(subj, excluded.result(), v)
+            case t => sys.error(s"negated property set needs a variable object, got $t")
+          }
+        } else {
         def pathElem(): PathElem = {
           val inv = peek.contains(Sym("^"))
           if (inv) next()
@@ -674,6 +702,7 @@ object SparqlParser {
               case t => sys.error(s"p+/p* path needs a variable object, got $t")
             }
           } else desugarChain(ch, out)
+        }
         }
         peek match {
           case Some(Sym(";")) => next()

@@ -81,6 +81,28 @@ class PathSpec extends AnyFunSuite {
     assert(star == plus + n)
   }
 
+  test("negated property set expands to every non-excluded mapped predicate") {
+    val q = SparqlParser.parse(P +
+      "SELECT ?c ?v WHERE { ?c a g:Customer . ?c !(g:custNation|g:acctbal) ?v . }")
+    assert(q.negations ==
+      Seq(graft.model.NegatedPath("c",
+        Seq(TpchLake.NS + "custNation", TpchLake.NS + "acctbal"), "v")))
+    val rows = SparkEntry.queries("q47_negated_set")(spark, sf).count()
+    val n = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows == 2 * n) // custName + mktsegment per customer
+    // single-predicate form !p
+    val one = TpchLake.run(spark, sf, P +
+      "SELECT ?n ?v WHERE { ?n a g:Nation . ?n !g:region ?v . }").collect()
+    val nations = spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(one.length == nations && one.forall(!_.getString(1).forall(_.isDigit)))
+    // excluding everything is an error, not an empty result
+    intercept[IllegalArgumentException] {
+      TpchLake.run(spark, sf, P +
+        "SELECT ?n ?v WHERE { ?n a g:Nation . ?n !(g:region|g:nationName) ?v . }")
+        .count()
+    }
+  }
+
   test("DESCRIBE emits all mapped predicates plus rdf:type for the bound resources") {
     val df = SparkEntry.queries("q44_describe")(spark, sf)
     assert(df.columns.toSeq == Seq("s", "p", "o"))
