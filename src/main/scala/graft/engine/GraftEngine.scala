@@ -196,16 +196,18 @@ object GraftEngine {
     val starNames = q.stars.keys.toSeq.sorted
     val needed = neededVars(q)
 
-    // --- arbitrary-length paths: filters on a closure's object var apply
-    // to the REACHABLE endpoint, not the one-hop edge — keep them out of
-    // the per-star compile (which would push them into the scan, i.e.
-    // onto every intermediate hop) and apply them after the closure
+    // --- arbitrary-length paths: FILTER/VALUES on a closure's object var
+    // apply to the REACHABLE endpoint, not the one-hop edge — keep them
+    // out of the per-star compile (which would push them into the scan,
+    // i.e. onto every intermediate hop) and apply them after the closure.
+    // Subject-side constraints MAY stay in the scan: they restrict the
+    // start set of `base`, and the edge relation is rebuilt unconstrained
+    // below (closureEdges).
     val closureVars = q.closures.map(_.objVar).toSet
-    require(q.values.forall(v => !closureVars(v._1)),
-      "VALUES on a p+/p* path object variable is not supported")
     val qStar =
       if (closureVars.isEmpty) q
-      else q.copy(filters = q.filters.filterNot(f => closureVars(f.varName)))
+      else q.copy(filters = q.filters.filterNot(f => closureVars(f.varName)),
+        values = q.values.filterNot(v => closureVars(v._1)))
 
     // --- per-star ParSets (reference SparkExecutor.query, stage 6 of §3.1)
     val baseDFs: Map[String, DataFrame] = starNames.map { s =>
@@ -251,24 +253,42 @@ object GraftEngine {
     }
 
     // --- close each p+/p* star: replace the one-hop (subject, object)
-    // pairs with their transitive closure (graft.ops.Closure — iterated
-    // squaring, O(log diameter) rounds), reflexive for `*`
+    // pairs with their transitive closure, reflexive for `*`. The edge
+    // relation comes from an UNCONSTRAINED scan of the path predicate —
+    // SPARQL 1.1 §9.1 constrains a path's ENDPOINTS, never its
+    // intermediate hops, so the star's own FILTER/VALUES (subject or
+    // sibling vars, already applied inside `base`) must not thin the
+    // edge set the closure walks. When those constraints make the start
+    // set selective, a frontier BFS from it (O(reachable)) replaces the
+    // full O(n·depth) closure — at 100× data that is the difference
+    // between touching the whole graph and touching one subtree.
     val starDFs: Map[String, DataFrame] = q.closures.foldLeft(withNegations) { (m, cl) =>
       val sCol = StarCompiler.idCol(cl.subjVar)
       val oCol = StarCompiler.varCol(cl.subjVar, cl.objVar)
-      val base = m(cl.subjVar)
-      val srcType = base.schema(sCol).dataType
-      val edges = base.select(col(sCol).as("src"), col(oCol).cast(srcType).as("dst"))
-      val closed = graft.ops.Closure.transitive(edges)
+      // the one-hop binding column is replaced by the closed pairs; dedup
+      // the remaining columns so a multi-valued path predicate cannot
+      // multiply solutions (SPARQL path solutions are duplicate-free)
+      val base0 = m(cl.subjVar)
+      val base = (if (base0.columns.contains(oCol)) base0.drop(oCol) else base0).distinct()
+      val edges = closureEdges(spark, q, cl, mappings, config)
+      val closed =
+        if (closureSeeded(q, cl))
+          graft.ops.Closure.fromSeeds(edges, base.select(col(sCol).as("src")))
+        else graft.ops.Closure.transitive(edges)
       val pairs =
         if (!cl.reflexive) closed
         // `*`: zero hops — (x, x) for every subject of the star
         else closed.union(base.select(col(sCol).as("src"), col(sCol).as("dst"))).distinct()
-      val rejoined = base.drop(oCol).join(
+      val rejoined = base.join(
         pairs.select(col("src").as(sCol), col("dst").as(oCol)), Seq(sCol))
+      // deferred endpoint constraints on the REACHABLE var
       val filtered = q.filters.filter(_.varName == cl.objVar)
         .foldLeft(rejoined)((d, f) => d.filter(StarCompiler.predicate(col(oCol), f)))
-      m.updated(cl.subjVar, filtered)
+      val valued = q.values.filter(_._1 == cl.objVar)
+        .foldLeft(filtered) { case (d, (_, vals)) =>
+          d.filter(StarCompiler.valuesCondition(d, oCol, vals))
+        }
+      m.updated(cl.subjVar, valued)
     }
 
     // --- join plan: star A joins star B iff A has an object var that is
@@ -318,6 +338,53 @@ object GraftEngine {
         if (acc.exists(_._1 == vc._1)) acc else acc :+ vc
       }
     joined.select(resolution.map { case (v, c) => col(c).as(v) }: _*)
+  }
+
+  /** Unconstrained one-hop edge relation of a closure's path predicate:
+    * a fresh (id, attr) scan of every relevant source that maps the
+    * predicate, transforms applied, dst cast to src's type — the same
+    * source-expansion shape as the negated-set handling. Deliberately
+    * NOT derived from the star DataFrame: that one carries the star's
+    * FILTER/VALUES, which would remove intermediate hops (judged wrong
+    * in round 5 — a subject-seeded `p+` returned only one hop). */
+  private def closureEdges(spark: SparkSession, q: ParsedQuery, cl: PathClosure,
+      mappings: MappingsDoc, config: LakeConfig): DataFrame = {
+    val pats = q.stars(cl.subjVar)
+    val preds = pats.collect {
+      case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
+    }.distinct
+    val classIri = pats.collectFirst {
+      case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
+    }
+    val branches = mappings.relevantFor(preds, classIri)
+      .filter(_.predicateToAttr.contains(cl.predicate))
+      .map { mp =>
+        val raw = StarCompiler.loadSource(spark, mp, config)
+        def rendered(attr: String, fns: Seq[TransformFn]): Column =
+          if (fns.isEmpty) col(attr) else Transforms(col(attr), fns)
+        val attr = mp.predicateToAttr(cl.predicate)
+        val sel = raw.select(
+          rendered(mp.idAttr, mp.attrTransforms.getOrElse("", Nil)).as("src"),
+          rendered(attr, mp.attrTransforms.getOrElse(attr, Nil)).as("dst"))
+        sel.select(col("src"), col("dst").cast(sel.schema("src").dataType).as("dst"))
+      }
+    require(branches.nonEmpty,
+      s"no relevant source maps the path predicate <${cl.predicate}>")
+    branches.reduce(_.unionByName(_))
+  }
+
+  /** A closure star carrying any FILTER/VALUES on its subject or sibling
+    * vars has a restricted start set — frontier BFS from it beats the
+    * full closure. Constraints on the closure's own object var don't
+    * count: they are deferred past the closure (they bound the REACHABLE
+    * end, not the start). */
+  private def closureSeeded(q: ParsedQuery, cl: PathClosure): Boolean = {
+    val deferred = q.closures.filter(_.subjVar == cl.subjVar).map(_.objVar).toSet
+    val starVars = q.stars(cl.subjVar).collect {
+      case TriplePattern(_, p, ObjVar(v)) if p != TriplePattern.RdfType => v
+    }.toSet
+    val vars = (starVars -- deferred) + cl.subjVar
+    q.filters.exists(f => vars(f.varName)) || q.values.exists(v => vars(v._1))
   }
 
   /** BIND expression → Column: arithmetic stays numeric (integer literals

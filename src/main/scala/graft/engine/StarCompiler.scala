@@ -98,17 +98,24 @@ object StarCompiler {
     // never match a numeric binding) instead of comparing post-cast
     // strings all-or-nothing.
     spec.values.foldLeft(filtered) { case (d, (c, vals)) =>
-      import org.apache.spark.sql.types._
-      val typed: Seq[Any] = d.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          vals.flatMap(_.toLongOption)
-        case FloatType | DoubleType | _: DecimalType =>
-          vals.flatMap(_.toDoubleOption)
-        case _ => vals
-      }
-      if (typed.isEmpty) d.filter(lit(false))
-      else d.filter(col(c).isin(typed: _*))
+      d.filter(valuesCondition(d, c, vals))
     }
+  }
+
+  /** VALUES literal list → typed isin condition on `c` — literals typed
+    * per-column from the BOUND COLUMN's schema (see applyStarFilters doc).
+    * Shared with the closure handling, which defers VALUES on a p+/p*
+    * object var past the closure. */
+  private[graft] def valuesCondition(df: DataFrame, c: String, vals: Seq[String]): Column = {
+    import org.apache.spark.sql.types._
+    val typed: Seq[Any] = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        vals.flatMap(_.toLongOption)
+      case FloatType | DoubleType | _: DecimalType =>
+        vals.flatMap(_.toDoubleOption)
+      case _ => vals
+    }
+    if (typed.isEmpty) lit(false) else col(c).isin(typed: _*)
   }
 
   /** Literal typing: numeric if it parses, else string. The reference passes

@@ -42,4 +42,40 @@ object Closure {
     }
     sys.error(s"transitive closure did not converge in $maxRounds rounds")
   }
+
+  /** Pairs (src, dst) with a path src →⁺ dst restricted to `src ∈ seeds`
+    * — frontier BFS, for SEEDED reachability (the closure subject is
+    * constrained to a small start set). Work is O(reachable-from-seeds),
+    * not O(full closure): [[transitive]] + post-filter would materialize
+    * every ancestor chain in the graph to keep a handful; at 100× data
+    * that is the difference between touching the whole graph and
+    * touching one subtree. Rounds equal graph DEPTH (one keyed shuffle
+    * each, frontier anti-joined against the reached set so cycles
+    * terminate), vs [[transitive]]'s log-diameter squarings — the right
+    * trade exactly when the seed set is selective.
+    *
+    * `seeds` needs a `src` column; `edges` needs `src`/`dst` (null
+    * endpoints dropped, as in [[transitive]]). */
+  def fromSeeds(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 10000): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    // round 0: one hop out of the seed set
+    var reached = seeds.select(col("src")).distinct()
+      .join(e, Seq("src")).localCheckpoint(true)
+    var frontier = reached
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      val stepped = frontier.as("f").join(e.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst")).distinct()
+      // only genuinely new pairs advance — termination on cyclic graphs
+      frontier = stepped.join(reached, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      reached = reached.union(frontier).localCheckpoint(true)
+      round += 1
+    }
+    if (round >= maxRounds)
+      sys.error(s"seeded closure did not converge in $maxRounds rounds")
+    reached
+  }
 }
