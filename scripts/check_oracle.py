@@ -15,6 +15,10 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+try:
+    errors = json.load(open(f"{outdir}/_errors.json"))
+except FileNotFoundError:
+    errors = {}
 
 def norm(v):
     if isinstance(v, float):
@@ -33,7 +37,11 @@ fails = 0
 for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        if name in errors:
+            print(f"ERR  {name}: query THREW: {errors[name]}")
+        else:
+            print(f"FAIL {name}: no spark output (not in _errors.json either)")
+        fails += 1; continue
     try:
         got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         got_cols = [c.lower() for c in got_rel.columns]
@@ -56,5 +64,9 @@ for name in sorted(oracle):
         fails += 1
     else:
         print(f"OK   {name} ({len(got)} rows)")
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+matched = len(oracle) - fails
+for name in sorted(set(errors) - set(oracle)):
+    print(f"ERR  {name}: query THREW (no oracle row): {errors[name]}")
+    fails += 1
+print(f"\n{matched}/{len(oracle)} queries match; {len(errors)} threw")
 sys.exit(1 if fails else 0)

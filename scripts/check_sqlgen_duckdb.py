@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Run every sg gate's LOWERED SQL string (dumped by graft.tools.SqlGenDump)
+on DuckDB and compare it to the gate's independent handwritten oracle —
+the lowering is validated by two SQL engines (Spark SQL via the sg gates,
+DuckDB here) agreeing on the identical string. Usage:
+    sbt -batch "runMain graft.tools.SqlGenDump <sfDir> target/sqlgen_dump.json"
+    python3 scripts/check_sqlgen_duckdb.py target/sqlgen_dump.json
+"""
+import sys, json, math
+import duckdb
+
+dump = json.load(open(sys.argv[1]))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "nan"
+        return f"{v:.6g}"
+    return str(v)
+
+def canon(rel):
+    cols = [c.lower() for c in rel.columns]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sorted(tuple(norm(r[i]) for i in order) for r in rel.fetchall())
+    return sorted(cols), rows
+
+fails = 0
+for name in sorted(dump):
+    d = dump[name]
+    con = duckdb.connect()
+    for tbl, path in d["tables"].items():
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{path}'")
+    try:
+        gcols, got = canon(con.sql(d["sql"]))
+        ecols, exp = canon(con.sql(d["oracle"]))
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    if gcols != ecols:
+        print(f"FAIL {name}: columns {gcols} != {ecols}"); fails += 1
+    elif got != exp:
+        print(f"FAIL {name}: {len(got)} rows vs {len(exp)}")
+        for a, b in zip(got, exp):
+            if a != b:
+                print(f"  lowered={a}\n  oracle ={b}"); break
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+print(f"\n{len(dump) - fails}/{len(dump)} lowered strings agree on DuckDB")
+sys.exit(1 if fails else 0)

@@ -608,7 +608,10 @@ object EngineQueries {
     "sg13_sqlgen_offset" -> "q28_offset",
     "sg14_sqlgen_not_exists" -> "q38_not_exists",
     "sg15_sqlgen_union" -> "q20_union_branches",
-    "sg16_sqlgen_alt_path" -> "q41_alt_path")
+    "sg16_sqlgen_alt_path" -> "q41_alt_path",
+    "sg17_sqlgen_subquery" -> "q45_subquery",
+    "sg18_sqlgen_negated_set" -> "q47_negated_set",
+    "sg19_sqlgen_subquery_topn" -> "q46_subquery_topn")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }
@@ -624,6 +627,21 @@ object EngineQueries {
       graft.engine.SqlGenExecutor.execute(spark,
         graft.sparql.SparqlParser.parse(P + sparql), m, c)
     }
+
+  /** (gate, lowered SQL+tables, handwritten oracle) for every sg gate —
+    * consumed by [[graft.tools.SqlGenDump]] so
+    * `scripts/check_sqlgen_duckdb.py` can run the IDENTICAL generated
+    * string on DuckDB and compare it to the independent oracle: the
+    * lowering is validated by two SQL engines agreeing on it. */
+  def sqlGenLowerings(sfDir: String)
+      : Seq[(String, graft.engine.SqlGenExecutor.Lowered, String)] = {
+    val (m, c) = TpchLake.lake(sfDir)
+    sqlGenGates.map { case (n, src) =>
+      (n, graft.engine.SqlGenExecutor.lower(
+        graft.sparql.SparqlParser.parse(P + sparqlOf(src)), m, c),
+        oracleOf(src))
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     suite.map { case (name, sparql, _) => name -> eng(sparql) }.toMap ++

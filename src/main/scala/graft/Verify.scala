@@ -15,11 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A gate that throws must surface as a RED row, not a silent absence:
+    // round 6 shipped a crashing query and the correctness artifact simply
+    // had no row for it. Collect failures into _errors.json so the compare
+    // script (and the judge) can distinguish "errored" from "missing".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    // loud but exit-0: the driver must still run the DuckDB compare on the
+    // queries that DID produce output (a nonzero exit could discard them)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries THREW: ${errors.keys.mkString(", ")}")
   }
 }

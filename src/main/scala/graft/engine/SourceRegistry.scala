@@ -30,7 +30,16 @@ object SourceRegistry {
 
   private var loaders: Map[String, Loader] = Map(
     "csv" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).csv(sc.source)),
-    "parquet" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).parquet(sc.source)),
+    // `bucketed_table` option: read via the session catalog instead of
+    // the path — Spark's bucket metadata lives in the catalog, so only a
+    // table read lets star joins on the bucket key consume the layout
+    // (zero shuffle exchange on either side; written by
+    // [[Sinks.bucketedTable]]). The path in `source` stays the mapping
+    // key; the catalog table is the physical layout twin.
+    "parquet" -> ((spark, sc) => sc.options.get("bucketed_table") match {
+      case Some(tbl) => spark.table(tbl)
+      case None => spark.read.options(sparkOpts(sc.options)).parquet(sc.source)
+    }),
     "json" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).json(sc.source)),
     "jdbc" -> ((spark, sc) => spark.read.format("jdbc").options(sc.options).load()),
     // RDF N-Triples: one wide typed table per rdf:type class (reference

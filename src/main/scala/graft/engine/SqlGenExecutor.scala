@@ -31,7 +31,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL-expressible subset: parquet sources (single or unioned per star),
   * comparison/LIKE/IN filters, VALUES, inner + OPTIONAL (left) join
   * chains, MINUS and FILTER (NOT) EXISTS (correlated [NOT] EXISTS
-  * subqueries), UNION branches (positional NULL-padded UNION ALL), BIND
+  * subqueries), UNION branches (positional NULL-padded UNION ALL),
+  * SPARQL 1.1 §12 subqueries (recursively lowered derived tables joined
+  * USING the shared projected vars), negated property sets (UNION ALL
+  * over the non-excluded mapped predicates), BIND
   * arithmetic/CONCAT/STR/ABS, GROUP BY/aggregates/HAVING, ORDER BY,
   * DISTINCT, LIMIT/OFFSET, and the FnO attribute transforms. Not lowered
   * (the Column engine remains the full-coverage path, exactly as the
@@ -61,8 +64,6 @@ object SqlGenExecutor {
 
   def lower(q: ParsedQuery, mappings: MappingsDoc, config: LakeConfig): Lowered = {
     require(q.closures.isEmpty, "p+/p* path closures are not SQL-lowered")
-    require(q.subqueries.isEmpty, "subqueries are not SQL-lowered")
-    require(q.negations.isEmpty, "negated property sets are not SQL-lowered")
     require(!q.ask, "ASK is not SQL-lowered")
     require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
     require(q.describe.isEmpty, "DESCRIBE is not SQL-lowered")
@@ -154,6 +155,51 @@ object SqlGenExecutor {
       else s"(SELECT * FROM ($unioned) g_${s}_src WHERE ${conds.mkString(" AND ")})"
     }
 
+    /** Negated property set `?s !(p…) ?v` → UNION ALL over the values of
+      * every non-excluded mapped predicate of the star's relevant
+      * sources, string-cast (the SQL image of the Column engine's
+      * expansion, GraftEngine.compileBody withNegations). */
+    def negationSubquery(ng: NegatedPath): String = {
+      require(qb.stars.contains(ng.subjVar),
+        s"negated path subject ?${ng.subjVar} needs at least one other pattern " +
+          "(typically `a <Class>`) to select its sources")
+      val pats = qb.stars(ng.subjVar)
+      val preds = pats.collect {
+        case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
+      }.distinct
+      val classIri = pats.collectFirst {
+        case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
+      }
+      val sCol = idc(ng.subjVar)
+      val oCol = vc(ng.subjVar, ng.objVar)
+      val branches = mappings.relevantFor(preds, classIri).flatMap { mp =>
+        require(mp.storeType == "parquet",
+          s"store type '${mp.storeType}' is not SQL-lowered (negated set on ?${ng.subjVar})")
+        val tbl = mp.source.split('/').last.stripSuffix(".parquet")
+        tables(tbl) = mp.source
+        val idExpr = fnSql(mp.idAttr, mp.attrTransforms.getOrElse("", Nil))
+        mp.predicateToAttr.toSeq.sortBy(_._1)
+          .filterNot { case (p, _) => ng.excluded.contains(p) }
+          .map { case (_, attr) =>
+            val e = fnSql(attr, mp.attrTransforms.getOrElse(attr, Nil))
+            s"SELECT $idExpr AS $sCol, CAST($e AS STRING) AS $oCol FROM $tbl"
+          }
+      }
+      require(branches.nonEmpty,
+        s"negated property set on ?${ng.subjVar} excludes every mapped predicate")
+      branches.mkString(" UNION ALL ")
+    }
+
+    /** Star subquery with any negated-set expansions joined on the star's
+      * id column (USING coalesces the key — same inner equi-join as the
+      * engine's `.join(expansion, Seq(sCol))`). */
+    def starSql(s: String): String =
+      qb.negations.filter(_.subjVar == s).zipWithIndex
+        .foldLeft(starSubquery(s)) { case (b, (ng, i)) =>
+          s"(SELECT * FROM $b g_nb_$s$i JOIN (${negationSubquery(ng)}) " +
+            s"g_nx_$s$i USING (${idc(s)}))"
+        }
+
     // ---- join chain (textual image of GraftEngine.joinChain) ----------
     val edges = (for {
       s <- starNames
@@ -185,25 +231,25 @@ object SqlGenExecutor {
         if (m == e.toStar) s"g_x_$m.${e.rightCol} = ${e.leftCol}"
         else s"g_x_$m.${e.leftCol} = ${e.rightCol}"
       val kw = if (qb.minusStars.contains(m)) "NOT EXISTS" else "EXISTS"
-      s"$kw (SELECT 1 FROM ${starSubquery(m)} g_x_$m WHERE $corr)"
+      s"$kw (SELECT 1 FROM ${starSql(m)} g_x_$m WHERE $corr)"
     }
 
     def opt(s: String) = qb.optionalStars.contains(s)
     val cycleConds = Seq.newBuilder[String]
     val fromSql = new StringBuilder
     if (keptNames.size == 1) {
-      fromSql ++= s"${starSubquery(keptNames.head)} g_${keptNames.head}"
+      fromSql ++= s"${starSql(keptNames.head)} g_${keptNames.head}"
     } else {
       require(keptEdges.nonEmpty,
         s"${keptNames.size} stars but no join conditions (cartesian query)")
       val seed = if (!opt(keptEdges.head.fromStar)) keptEdges.head.fromStar
         else keptEdges.head.toStar
       var joined = Set(seed)
-      fromSql ++= s"${starSubquery(seed)} g_$seed"
+      fromSql ++= s"${starSql(seed)} g_$seed"
       var pending = keptEdges.toList
       def attach(newStar: String, e: GraftEngine.JoinEdge): Unit = {
         val jt = if (opt(newStar)) "LEFT JOIN" else "JOIN"
-        fromSql ++= s" $jt ${starSubquery(newStar)} g_$newStar ON ${e.leftCol} = ${e.rightCol}"
+        fromSql ++= s" $jt ${starSql(newStar)} g_$newStar ON ${e.leftCol} = ${e.rightCol}"
         joined += newStar
       }
       while (pending.nonEmpty) {
@@ -223,8 +269,16 @@ object SqlGenExecutor {
 
     // ---- bare-variable resolution — the SAME shared rule the DataFrame
     // engine uses (GraftEngine.resolveKept), so anti/semi-joined-away
-    // bindings and kept-star fallbacks cannot drift between engines
-    val resolution = GraftEngine.resolveKept(qb, needed)
+    // bindings and kept-star fallbacks cannot drift between engines.
+    // Negated-path vars (bound by the expansion, not a pattern) resolve
+    // to their star's expansion column, first binding wins — mirrors
+    // GraftEngine.compileBody's negRes.
+    val negRes = qb.negations.filter(n => needed(n.objVar))
+      .map(n => n.objVar -> vc(n.subjVar, n.objVar))
+    val resolution = (GraftEngine.resolveKept(qb, needed) ++ negRes)
+      .foldLeft(Vector.empty[(String, String)]) { (acc, vcol) =>
+        if (acc.exists(_._1 == vcol._1)) acc else acc :+ vcol
+      }
     require(resolution.nonEmpty, "query resolves no variables")
     val innerConds = cycleConds.result() ++ existsConds
     val innerWhere =
@@ -240,19 +294,48 @@ object SqlGenExecutor {
     // unionByName(allowMissingColumns = true); SQL UNION is positional,
     // so every branch projects the union of all branches' variables in
     // one fixed sorted order, NULL where a branch leaves a var unbound)
-    val bodyInner =
-      if (q.unionBranches.isEmpty) resolvedSql(q)._1
-      else {
+    val (bodyBase, bodyBaseVars): (String, Seq[String]) =
+      if (q.patterns.isEmpty && q.unionBranches.isEmpty && q.subqueries.nonEmpty)
+        (null, Nil) // subquery-only body: the first subquery IS the body
+      else if (q.unionBranches.isEmpty) {
+        val (sql, res) = resolvedSql(q)
+        (sql, res.map(_._1))
+      } else {
         val parts = q.unionBranches.map { case (ps, fs) =>
           resolvedSql(q.copy(patterns = ps, filters = fs,
             unionBranches = Nil, optionalStars = Set.empty))
         }
         val allVars = parts.flatMap(_._2.map(_._1)).distinct.sorted
-        parts.map { case (sql, res) =>
+        (parts.map { case (sql, res) =>
           val have = res.map(_._1).toSet
           val sel = allVars.map(v => if (have(v)) v else s"NULL AS $v")
           s"SELECT ${sel.mkString(", ")} FROM ($sql) g_ub"
-        }.mkString(" UNION ALL ")
+        }.mkString(" UNION ALL "), allVars)
+      }
+
+    // ---- SPARQL 1.1 §12 subqueries (image of GraftEngine's subquery
+    // natural join, executed BEFORE binds exactly like the engine): each
+    // subquery lowers recursively — its own modifiers ride inside the
+    // derived table — and joins the outer body USING the shared projected
+    // vars (both target engines coalesce USING keys), CROSS JOIN when
+    // none are shared (rare, legal)
+    val (bodyInner, _) = q.subqueries.zipWithIndex
+      .foldLeft((bodyBase, bodyBaseVars)) { case ((prev, vars), (sub, i)) =>
+        val subL = lower(sub.copy(transforms = Nil), mappings, config)
+        subL.tables.foreach { case (n, p) => tables(n) = p }
+        val subVars = sub.selectItems.map {
+          case SelectVar(v) => v
+          case SelectAgg(a) => a.alias
+        }
+        if (prev == null) (s"SELECT * FROM (${subL.sql}) g_sub$i", subVars)
+        else {
+          val shared = vars.intersect(subVars)
+          val joinSql =
+            if (shared.nonEmpty)
+              s"JOIN (${subL.sql}) g_sub$i USING (${shared.mkString(", ")})"
+            else s"CROSS JOIN (${subL.sql}) g_sub$i"
+          (s"SELECT * FROM ($prev) g_sq$i $joinSql", (vars ++ subVars).distinct)
+        }
       }
 
     // ---- BIND computed variables (image of GraftEngine.bindColumn's
@@ -273,10 +356,26 @@ object SqlGenExecutor {
       case BFun("abs", Seq(a)) => s"ABS(${bindSql(a)})"
       case BFun(f, _) => sys.error(s"BIND function '$f' is not SQL-lowered")
     }
-    val bodySql = q.binds.zipWithIndex.foldLeft(bodyInner) {
+    val bodyBound = q.binds.zipWithIndex.foldLeft(bodyInner) {
       case (prev, (b, i)) =>
         s"SELECT g_b$i.*, ${bindSql(b.expr)} AS ${b.outVar} FROM ($prev) g_b$i"
     }
+
+    // ---- residual FILTERs: conditions on vars no star binds (subquery
+    // outputs, BIND outputs) were invisible to the per-star pushdown —
+    // the SQL image of GraftEngine's residual-filter pass, applied after
+    // binds so bind outputs are filterable
+    val starTargeted: Set[String] = {
+      val pats = if (q.unionBranches.nonEmpty) q.unionBranches.flatMap(_._1)
+        else q.patterns
+      pats.collect { case TriplePattern(_, _, ObjVar(v)) => v }.toSet ++
+        pats.map(_.subject)
+    }
+    val residual = q.filters.filterNot(f => starTargeted(f.varName))
+    val bodySql =
+      if (residual.isEmpty) bodyBound
+      else s"SELECT * FROM ($bodyBound) g_rf WHERE " +
+        residual.map(f => condSql(f.varName, f)).mkString(" AND ")
 
     // ---- modifiers ----------------------------------------------------
     def aggExpr(a: AggSpec): String = {

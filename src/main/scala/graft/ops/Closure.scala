@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Closure {
 
+  /** Eagerly materialize `df` AND re-root it with fresh attribute ids.
+    *
+    * `localCheckpoint` alone keeps the child plan's exprIds, so two
+    * loop-carried relations that both descend from the same checkpointed
+    * edge table share ids — and `union(...).localCheckpoint` then dies in
+    * `Union.rewriteConstraints` ("key not found: src#N") when
+    * `LogicalRDD.fromDataset` rewrites constraints over duplicate ids.
+    * `createDataFrame(df.rdd, df.schema)` cuts the Catalyst lineage with
+    * FRESH ids; the follow-up `localCheckpoint(true)` on that plain
+    * LogicalRDD (never a Union) materializes eagerly and truncates the
+    * RDD lineage so round N does not replay rounds 1..N-1. */
+  private def pin(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema).localCheckpoint(true)
+
   /** All pairs (src, dst) with a directed path src →⁺ dst. Input must
     * have columns `src` and `dst`; null endpoints are dropped (an
     * unterminated hop, e.g. a hierarchy root's absent parent). Throws if
@@ -57,24 +71,24 @@ object Closure {
     * `seeds` needs a `src` column; `edges` needs `src`/`dst` (null
     * endpoints dropped, as in [[transitive]]). */
   def fromSeeds(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 10000): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val e = pin(edges.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct())
     // round 0: one hop out of the seed set
-    var reached = seeds.select(col("src")).distinct()
-      .join(e, Seq("src")).localCheckpoint(true)
+    var reached = pin(seeds.select(col("src")).distinct().join(e, Seq("src")))
     var frontier = reached
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       val stepped = frontier.as("f").join(e.as("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst")).distinct()
       // only genuinely new pairs advance — termination on cyclic graphs
-      frontier = stepped.join(reached, Seq("src", "dst"), "left_anti")
-        .localCheckpoint(true)
-      reached = reached.union(frontier).localCheckpoint(true)
+      frontier = pin(stepped.join(reached, Seq("src", "dst"), "left_anti"))
+      reached = pin(reached.union(frontier))
       round += 1
     }
-    if (round >= maxRounds)
+    // converged iff the frontier drained — round == maxRounds with an
+    // empty frontier is still a fixpoint, not an error
+    if (!frontier.isEmpty)
       sys.error(s"seeded closure did not converge in $maxRounds rounds")
     reached
   }

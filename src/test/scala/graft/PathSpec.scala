@@ -117,6 +117,50 @@ class PathSpec extends AnyFunSuite {
     assert(rows.filter(_._2.endsWith("region")).forall(_._3 == "0"))
   }
 
+  test("Closure.fromSeeds walks the full chain from the seed set and terminates on cycles") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L), (12L, 6L))
+      .toDF("src", "dst")
+    val got = graft.ops.Closure.fromSeeds(edges, Seq(12L).toDF("src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((12L, 6L), (12L, 3L), (12L, 1L)))
+    // a seed with no outgoing edge reaches nothing (and must not crash)
+    assert(graft.ops.Closure.fromSeeds(edges, Seq(99L).toDF("src")).isEmpty)
+    // cyclic graph: the anti-join drains the frontier, no livelock
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val gotCyc = graft.ops.Closure.fromSeeds(cyc, Seq(1L).toDF("src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCyc == Set((1L, 2L), (1L, 3L), (1L, 1L)))
+  }
+
+  test("FILTER on the subject seeds the closure but not the edge scan: + form") {
+    // emp 12's ancestors are 6, 3, 1 — a subject filter pushed into the
+    // one-hop edge scan would leave only the direct manager 6
+    val got = TpchLake.run(spark, sf,
+        P + "SELECT ?e ?m WHERE { ?e g:mgr+ ?m . FILTER(?e = 12) }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((12L, 6L), (12L, 3L), (12L, 1L)))
+  }
+
+  test("FILTER on the subject seeds the closure: * form adds the reflexive pair") {
+    val got = TpchLake.run(spark, sf,
+        P + "SELECT ?e ?m WHERE { ?e g:mgr* ?m . FILTER(?e = 12) }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((12L, 12L), (12L, 6L), (12L, 3L), (12L, 1L)))
+  }
+
+  test("VALUES on the subject seeds the closure: + and * forms") {
+    val plus = TpchLake.run(spark, sf,
+        P + "SELECT ?e ?m WHERE { ?e g:mgr+ ?m . VALUES ?e { 12 13 } }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chain = Set(6L, 3L, 1L) // both 12 and 13 sit under emp 6
+    assert(plus == (for (e <- Set(12L, 13L); m <- chain) yield (e, m)))
+    val star = TpchLake.run(spark, sf,
+        P + "SELECT ?e ?m WHERE { ?e g:mgr* ?m . VALUES ?e { 12 13 } }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == plus + ((12L, 12L)) + ((13L, 13L)))
+  }
+
   test("a filter on the closure endpoint applies to reachability, not the one-hop edge") {
     // ?m < 2 keeps only the root among ANCESTORS — if the filter were
     // pushed into the one-hop scan, only emp 2 and 3 (direct reports of

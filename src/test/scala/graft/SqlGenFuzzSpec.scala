@@ -74,7 +74,13 @@ class SqlGenFuzzSpec extends AnyFunSuite {
       slice: Option[(Int, Int)], // limit, offset
       /** render (star, p1) as the alternative path p1|p2 — desugars to
         * UNION branches, exercising both engines' union lowering */
-      altPred: Option[(String, Pred, Pred)] = None)
+      altPred: Option[(String, Pred, Pred)] = None,
+      /** `?c !(g:custNation|g:acctbal) ?nv .` — negated property set
+        * expansion in both engines */
+      negSet: Boolean = false,
+      /** an AVG-per-customer SPARQL 1.1 subquery joined on ?c — the
+        * derived-table lowering in both engines */
+      subquery: Boolean = false)
 
   private def subset[A](xs: Seq[A], min: Int): Gen[Seq[A]] =
     Gen.someOf(xs).map(_.toSeq).retryUntil(_.size >= min).map(s => xs.filter(s.contains))
@@ -178,14 +184,27 @@ class SqlGenFuzzSpec extends AnyFunSuite {
         Gen.frequency(3 -> Gen.const(Option.empty[(String, Pred, Pred)]),
           1 -> Gen.oneOf(altCandidates).map(Option(_)))
       else Gen.const(Option.empty[(String, Pred, Pred)])
+    // negated-set / subquery atoms hang off ?c; kept clear of the
+    // agg/optional/drop/alt interactions so each shape is exercised in
+    // isolation plus the filter/distinct/slice compositions
+    plainC = shape.contains("c") && agg.isEmpty && drop.isEmpty &&
+      optStar.isEmpty && altPred.isEmpty
+    negSet <-
+      if (plainC) Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+      else Gen.const(false)
+    subquery <-
+      if (plainC) Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+      else Gen.const(false)
   } yield Model(stars, optStar, drop, filters, agg, bind, distinct,
-    includeSubject, slice, altPred)
+    includeSubject, slice, altPred, negSet, subquery)
 
   private def selectVars(m: Model): Seq[String] = m.agg match {
     case Some(a) => Seq(a.groupVar, "agg1")
     case None =>
       (if (m.includeSubject) Seq(m.stars.head.subj) else Nil) ++
-        m.stars.flatMap(_.preds.map(_.objVar)) ++ m.bind.map(_.outVar).toSeq
+        m.stars.flatMap(_.preds.map(_.objVar)) ++ m.bind.map(_.outVar).toSeq ++
+        (if (m.negSet) Seq("nv") else Nil) ++
+        (if (m.subquery) Seq("sqv") else Nil)
   }
 
   private def render(m: Model): String = {
@@ -209,6 +228,10 @@ class SqlGenFuzzSpec extends AnyFunSuite {
       if (m.optStar.contains(s.subj)) sb ++= s"  OPTIONAL {\n${renderStar(s)}\n  }\n"
       else sb ++= renderStar(s) + "\n"
     }
+    if (m.negSet) sb ++= "  ?c !(g:custNation|g:acctbal) ?nv .\n"
+    if (m.subquery)
+      sb ++= "  { SELECT ?c (AVG(?tp2) AS ?sqv) WHERE { " +
+        "?o3 g:customer ?c . ?o3 g:totalprice ?tp2 . } GROUP BY ?c }\n"
     for ((kw, subj, preds) <- m.drop) {
       val body = preds.map { case (p, pr) => s"    ?$subj g:$p ?${pr.objVar} ." }
       val filt = preds.collectFirst { case ("totalprice", pr) =>
@@ -250,9 +273,31 @@ class SqlGenFuzzSpec extends AnyFunSuite {
     var checked = 0
     var lowered = 0
     var refused = 0
+    // shape-coverage counters over the LOWERED subset: the combinations
+    // the round briefs called out must actually occur in the 60-model
+    // space, not merely be possible
+    var nDistinctSliced = 0
+    var nNegSet = 0
+    var nSubquery = 0
+    // three canonical models seed the space so the called-out shapes are
+    // covered regardless of what the random seeds happen to produce; the
+    // random tail can still re-hit them in richer compositions
+    val cStar = StarM("c", Nil, custPreds.take(2)) // custName, acctbal
+    val forced = Seq(
+      Model(Seq(cStar), None, None, Nil, None, None, distinct = true,
+        includeSubject = false, slice = Some((7, 3))),
+      Model(Seq(cStar), None, None, Nil, None, None, distinct = false,
+        includeSubject = true, slice = None, negSet = true),
+      Model(Seq(cStar), None, None, Nil, None, None, distinct = false,
+        includeSubject = true, slice = Some((5, 0)), subquery = true))
     while (checked < 60) {
-      val m = genModel.apply(params, seed).getOrElse(sys.error("gen failed"))
-      seed = seed.next
+      val m =
+        if (checked < forced.size) forced(checked)
+        else {
+          val g = genModel.apply(params, seed).getOrElse(sys.error("gen failed"))
+          seed = seed.next
+          g
+        }
       val text = render(m)
       val q = try SparqlParser.parse(text)
       catch { case e: Exception => fail(s"parse failed:\n$text", e) }
@@ -262,6 +307,9 @@ class SqlGenFuzzSpec extends AnyFunSuite {
         case Failure(e) => fail(s"unexpected lowering error for:\n$text", e)
         case Success(_) =>
           lowered += 1
+          if (m.distinct && m.slice.nonEmpty) nDistinctSliced += 1
+          if (m.negSet) nNegSet += 1
+          if (m.subquery) nSubquery += 1
           val a = GraftEngine.executeParsed(spark, q, mappings, config)
           val b = SqlGenExecutor.execute(spark, q, mappings, config)
           assert(a.columns.toSeq == b.columns.toSeq, s"columns differ for:\n$text")
@@ -275,5 +323,9 @@ class SqlGenFuzzSpec extends AnyFunSuite {
     // the generator lives mostly inside the lowered subset: if refusals
     // dominate, the fuzz lost its teeth
     assert(lowered >= 30, s"only $lowered/60 models lowered ($refused refused)")
+    assert(nDistinctSliced >= 1,
+      "no lowered model combined DISTINCT with ORDER BY+LIMIT/OFFSET")
+    assert(nNegSet >= 1, "no lowered model carried a negated property set")
+    assert(nSubquery >= 1, "no lowered model carried a subquery")
   }
 }

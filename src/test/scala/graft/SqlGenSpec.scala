@@ -38,7 +38,10 @@ class SqlGenSpec extends AnyFunSuite {
     "sg13_sqlgen_offset" -> "q28_offset",
     "sg14_sqlgen_not_exists" -> "q38_not_exists",
     "sg15_sqlgen_union" -> "q20_union_branches",
-    "sg16_sqlgen_alt_path" -> "q41_alt_path")
+    "sg16_sqlgen_alt_path" -> "q41_alt_path",
+    "sg17_sqlgen_subquery" -> "q45_subquery",
+    "sg18_sqlgen_negated_set" -> "q47_negated_set",
+    "sg19_sqlgen_subquery_topn" -> "q46_subquery_topn")
 
   // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
   // and leave 0 rows (both engines agree on empty); every other gate must
