@@ -611,7 +611,9 @@ object EngineQueries {
     "sg16_sqlgen_alt_path" -> "q41_alt_path",
     "sg17_sqlgen_subquery" -> "q45_subquery",
     "sg18_sqlgen_negated_set" -> "q47_negated_set",
-    "sg19_sqlgen_subquery_topn" -> "q46_subquery_topn")
+    "sg19_sqlgen_subquery_topn" -> "q46_subquery_topn",
+    "sg20_sqlgen_ask" -> "q35_ask",
+    "sg21_sqlgen_builtins" -> "q33_string_funcs")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

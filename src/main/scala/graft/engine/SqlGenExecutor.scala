@@ -34,14 +34,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * subqueries), UNION branches (positional NULL-padded UNION ALL),
   * SPARQL 1.1 §12 subqueries (recursively lowered derived tables joined
   * USING the shared projected vars), negated property sets (UNION ALL
-  * over the non-excluded mapped predicates), BIND
-  * arithmetic/CONCAT/STR/ABS, GROUP BY/aggregates/HAVING, ORDER BY,
-  * DISTINCT, LIMIT/OFFSET, and the FnO attribute transforms. Not lowered
-  * (the Column engine remains the full-coverage path, exactly as the
-  * reference keeps Spark beside Presto): ASK, CONSTRUCT, DESCRIBE,
-  * SELECT *, p+/p* closures, the SPARQL 1.1 BIND builtins beyond
-  * CONCAT/STR/ABS, inline join TRANSFORMs, non-parquet stores,
-  * streaming.
+  * over the non-excluded mapped predicates), BIND arithmetic and the
+  * SPARQL 1.1 builtin family (CONCAT/STR/ABS/STRLEN/UCASE/LCASE/
+  * CONTAINS/STRSTARTS/STRENDS/SUBSTR/REPLACE/CEIL/FLOOR/ROUND/COALESCE/
+  * IF), GROUP BY/aggregates/HAVING, ORDER BY, DISTINCT, LIMIT/OFFSET,
+  * ASK (non-correlated EXISTS probe), and the FnO attribute transforms.
+  * Not lowered (the Column engine remains the full-coverage path,
+  * exactly as the reference keeps Spark beside Presto): CONSTRUCT,
+  * DESCRIBE, SELECT *, p+/p* closures, inline join TRANSFORMs,
+  * non-parquet stores, streaming.
   */
 object SqlGenExecutor {
 
@@ -64,7 +65,20 @@ object SqlGenExecutor {
 
   def lower(q: ParsedQuery, mappings: MappingsDoc, config: LakeConfig): Lowered = {
     require(q.closures.isEmpty, "p+/p* path closures are not SQL-lowered")
-    require(!q.ask, "ASK is not SQL-lowered")
+    // ASK → a non-correlated EXISTS probe over the body (both target
+    // engines short-circuit it): rewrite as SELECT of the first pattern's
+    // subject var, LIMIT 1, and wrap — one boolean column `ask`, the
+    // same shape the Column engine returns (GraftEngine line ~128)
+    if (q.ask) {
+      val probeVar = q.patterns.headOption.map(_.subject).getOrElse(
+        sys.error("ASK without patterns is not SQL-lowered"))
+      val inner = lower(q.copy(ask = false, selectAll = false,
+        selectItems = Seq(SelectVar(probeVar)), limit = Some(1)),
+        mappings, config)
+      return Lowered(
+        s"SELECT EXISTS (SELECT 1 FROM (${inner.sql}) g_ask) AS ask",
+        inner.tables)
+    }
     require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
     require(q.describe.isEmpty, "DESCRIBE is not SQL-lowered")
     require(q.transforms.isEmpty, "inline join TRANSFORMs are not SQL-lowered")
@@ -354,6 +368,33 @@ object SqlGenExecutor {
         args.map(a => s"CAST(${bindSql(a)} AS STRING)").mkString("(", " || ", ")")
       case BFun("str", Seq(a)) => s"CAST(${bindSql(a)} AS STRING)"
       case BFun("abs", Seq(a)) => s"ABS(${bindSql(a)})"
+      // SPARQL 1.1 builtins (17.4.2/17.4.3), each in a form BOTH target
+      // engines give identical semantics: INSTR>0 for CONTAINS,
+      // LEFT/RIGHT prefix/suffix equality for STRSTARTS/STRENDS (LIKE
+      // would need pattern escaping), CASE for IF. SUBSTR/STRLEN are
+      // 1-based character ops in SPARQL and in both SQL dialects.
+      case BFun("strlen", Seq(a)) => s"LENGTH(${bindSql(a)})"
+      case BFun("ucase", Seq(a)) => s"UPPER(${bindSql(a)})"
+      case BFun("lcase", Seq(a)) => s"LOWER(${bindSql(a)})"
+      case BFun("contains", Seq(a, b)) =>
+        s"(INSTR(${bindSql(a)}, ${bindSql(b)}) > 0)"
+      case BFun("strstarts", Seq(a, b)) =>
+        s"(LEFT(${bindSql(a)}, LENGTH(${bindSql(b)})) = ${bindSql(b)})"
+      case BFun("strends", Seq(a, b)) =>
+        s"(RIGHT(${bindSql(a)}, LENGTH(${bindSql(b)})) = ${bindSql(b)})"
+      case BFun("substr", Seq(a, p)) =>
+        s"SUBSTRING(${bindSql(a)}, ${bindSql(p)})"
+      case BFun("substr", Seq(a, p, l)) =>
+        s"SUBSTRING(${bindSql(a)}, ${bindSql(p)}, ${bindSql(l)})"
+      case BFun("replace", Seq(a, f0, t)) =>
+        s"REPLACE(${bindSql(a)}, ${bindSql(f0)}, ${bindSql(t)})"
+      case BFun("ceil", Seq(a)) => s"CEIL(${bindSql(a)})"
+      case BFun("floor", Seq(a)) => s"FLOOR(${bindSql(a)})"
+      case BFun("round", Seq(a)) => s"ROUND(${bindSql(a)})"
+      case BFun("coalesce", args) if args.nonEmpty =>
+        args.map(bindSql).mkString("COALESCE(", ", ", ")")
+      case BFun("if", Seq(c0, t, f0)) =>
+        s"CASE WHEN ${bindSql(c0)} THEN ${bindSql(t)} ELSE ${bindSql(f0)} END"
       case BFun(f, _) => sys.error(s"BIND function '$f' is not SQL-lowered")
     }
     val bodyBound = q.binds.zipWithIndex.foldLeft(bodyInner) {

@@ -75,20 +75,30 @@ object Closure {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct())
     // round 0: one hop out of the seed set
-    var reached = pin(seeds.select(col("src")).distinct().join(e, Seq("src")))
-    var frontier = reached
+    var frontier = pin(seeds.select(col("src")).distinct().join(e, Seq("src")))
+    // the reached set is the union of the per-round frontiers — DISJOINT
+    // by construction (each frontier is anti-joined against all earlier
+    // ones), so no distinct is needed and, critically, only each round's
+    // NEW pairs are ever materialized: re-checkpointing the accumulated
+    // set every round would cost O(|reached| x depth) total I/O, this
+    // costs O(|closure|). The union of checkpointed leaves stays a flat
+    // plan — no recursive lineage to truncate.
+    var fronts = List(frontier)
+    def reached = fronts.reduce(_.union(_))
+    var drained = frontier.isEmpty
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && !drained) {
       val stepped = frontier.as("f").join(e.as("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst")).distinct()
       // only genuinely new pairs advance — termination on cyclic graphs
       frontier = pin(stepped.join(reached, Seq("src", "dst"), "left_anti"))
-      reached = pin(reached.union(frontier))
+      drained = frontier.isEmpty
+      if (!drained) fronts ::= frontier
       round += 1
     }
     // converged iff the frontier drained — round == maxRounds with an
     // empty frontier is still a fixpoint, not an error
-    if (!frontier.isEmpty)
+    if (!drained)
       sys.error(s"seeded closure did not converge in $maxRounds rounds")
     reached
   }

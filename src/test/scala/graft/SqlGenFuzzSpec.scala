@@ -153,8 +153,8 @@ class SqlGenFuzzSpec extends AnyFunSuite {
         case "concat" if strPreds.nonEmpty =>
           Gen.oneOf(strPreds).map(v =>
             Option(BindM("bv", s"(CONCAT(?${v.objVar}, \"_x\") )", Seq(v.objVar))))
-        case "ucase" if strPreds.nonEmpty => // deliberately NOT lowered:
-          // must surface as a refusal, never a silent wrong lowering
+        case "ucase" if strPreds.nonEmpty => // a SPARQL 1.1 builtin —
+          // lowered since sg21, so the agreement branch exercises it
           Gen.oneOf(strPreds).map(v =>
             Option(BindM("bv", s"(UCASE(?${v.objVar}))", Seq(v.objVar))))
         case _ => Gen.const(Option.empty[BindM])

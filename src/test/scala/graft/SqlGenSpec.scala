@@ -41,7 +41,9 @@ class SqlGenSpec extends AnyFunSuite {
     "sg16_sqlgen_alt_path" -> "q41_alt_path",
     "sg17_sqlgen_subquery" -> "q45_subquery",
     "sg18_sqlgen_negated_set" -> "q47_negated_set",
-    "sg19_sqlgen_subquery_topn" -> "q46_subquery_topn")
+    "sg19_sqlgen_subquery_topn" -> "q46_subquery_topn",
+    "sg20_sqlgen_ask" -> "q35_ask",
+    "sg21_sqlgen_builtins" -> "q33_string_funcs")
 
   // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
   // and leave 0 rows (both engines agree on empty); every other gate must
@@ -109,15 +111,7 @@ class SqlGenSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains(needle), e.getMessage)
     }
-    // BIND arithmetic/concat lowers (sg09/sg10); the SPARQL 1.1 builtins
-    // beyond CONCAT/STR/ABS stay Column-engine only
-    refuse(
-      """SELECT ?ord ?u WHERE {
-        |  ?li g:order ?ord . ?li g:returnflag ?rf .
-        |  BIND(UCASE(?rf) AS ?u)
-        |}""".stripMargin, "ucase")
     refuse("SELECT ?e ?m WHERE { ?e g:mgr+ ?m . }", "closures")
-    refuse("ASK WHERE { ?c g:custName ?n . }", "ASK")
     refuse(
       """CONSTRUCT { ?c g:n ?n . } WHERE { ?c g:custName ?n . }""",
       "CONSTRUCT")
