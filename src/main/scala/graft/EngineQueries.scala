@@ -519,6 +519,14 @@ object EngineQueries {
         |SELECT cl.e AS e, c2.c_name AS mn FROM cl
         |JOIN customer c2 ON cl.m = c2.c_custkey""".stripMargin),
 
+    // SELECT * — every body variable in resolution order (sorted needed
+    // vars): subject id, then the object vars
+    ("q49_select_star",
+      """SELECT * WHERE {
+        |  ?n g:nationName ?nn . ?n g:region ?r .
+        |}""".stripMargin,
+      "SELECT n_nationkey AS n, n_name AS nn, n_regionkey AS r FROM nation"),
+
     // SPARQL 1.1 §9.1 negated property set — ?v ranges over every mapped
     // predicate of the star's source except the excluded ones
     // (string-cast; rdf:type rides the mapping's class, not the expansion)
@@ -613,7 +621,10 @@ object EngineQueries {
     "sg18_sqlgen_negated_set" -> "q47_negated_set",
     "sg19_sqlgen_subquery_topn" -> "q46_subquery_topn",
     "sg20_sqlgen_ask" -> "q35_ask",
-    "sg21_sqlgen_builtins" -> "q33_string_funcs")
+    "sg21_sqlgen_builtins" -> "q33_string_funcs",
+    "sg22_sqlgen_select_star" -> "q49_select_star",
+    "sg23_sqlgen_construct" -> "q40_construct",
+    "sg24_sqlgen_describe" -> "q44_describe")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

@@ -38,11 +38,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SPARQL 1.1 builtin family (CONCAT/STR/ABS/STRLEN/UCASE/LCASE/
   * CONTAINS/STRSTARTS/STRENDS/SUBSTR/REPLACE/CEIL/FLOOR/ROUND/COALESCE/
   * IF), GROUP BY/aggregates/HAVING, ORDER BY, DISTINCT, LIMIT/OFFSET,
-  * ASK (non-correlated EXISTS probe), and the FnO attribute transforms.
-  * Not lowered (the Column engine remains the full-coverage path,
-  * exactly as the reference keeps Spark beside Presto): CONSTRUCT,
-  * DESCRIBE, SELECT *, p+/p* closures, inline join TRANSFORMs,
-  * non-parquet stores, streaming.
+  * ASK (non-correlated EXISTS probe), CONSTRUCT (CTE-shared body, UNION
+  * of template instantiations), DESCRIBE (predicate expansion semi-
+  * joined with the bound-id set), SELECT * (where column order provably
+  * coincides), and the FnO attribute transforms. Not lowered (the
+  * Column engine remains the full-coverage path, exactly as the
+  * reference keeps Spark beside Presto): p+/p* closures, inline join
+  * TRANSFORMs, non-parquet stores, streaming.
   */
 object SqlGenExecutor {
 
@@ -79,8 +81,6 @@ object SqlGenExecutor {
         s"SELECT EXISTS (SELECT 1 FROM (${inner.sql}) g_ask) AS ask",
         inner.tables)
     }
-    require(q.construct.isEmpty, "CONSTRUCT is not SQL-lowered")
-    require(q.describe.isEmpty, "DESCRIBE is not SQL-lowered")
     require(q.transforms.isEmpty, "inline join TRANSFORMs are not SQL-lowered")
 
     val tables = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -118,6 +118,74 @@ object SqlGenExecutor {
           case other => sys.error(s"transform '$other' is not SQL-lowered")
         }
       }
+
+    // ---- CONSTRUCT: instantiate each template triple over the solution
+    // body (recursively lowered with its modifiers intact, shared via a
+    // CTE so neither engine rescans per branch); UNION deduplicates —
+    // a graph is a triple SET. Mirrors GraftEngine's construct branch.
+    if (q.construct.nonEmpty) {
+      val vars = (q.construct.map(_.subject) ++
+        q.construct.collect { case TriplePattern(_, _, ObjVar(v)) => v }).distinct
+      val inner = lower(q.copy(construct = Nil, selectAll = false,
+        selectItems = vars.map(SelectVar(_))), mappings, config)
+      inner.tables.foreach { case (n, p) => tables(n) = p }
+      val branches = q.construct.map { t =>
+        val o = t.obj match {
+          case ObjVar(v) => s"CAST($v AS STRING)"
+          case ObjIri(iri) => litSql(iri)
+          case ObjLit(l) => litSql(l)
+        }
+        s"SELECT CAST(${t.subject} AS STRING) AS s, " +
+          s"${litSql(t.predicate)} AS p, $o AS o FROM g_cons"
+      }
+      return Lowered(
+        s"WITH g_cons AS (${inner.sql}) " + branches.mkString(" UNION "),
+        tables.toSeq)
+    }
+
+    // ---- DESCRIBE ?v: every mapped predicate (plus rdf:type) of the
+    // star's relevant sources, semi-joined (IN subquery) with the
+    // described-id set the body binds — the SQL image of GraftEngine's
+    // describe branch.
+    for (v <- q.describe) {
+      require(q.stars.contains(v),
+        s"DESCRIBE ?$v requires ?$v to be a star subject in the WHERE body")
+      val inner = lower(q.copy(describe = None, selectAll = false,
+        selectItems = Seq(SelectVar(v))), mappings, config)
+      inner.tables.foreach { case (n, p) => tables(n) = p }
+      val patterns = q.stars(v)
+      val preds = patterns.collect {
+        case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
+      }.distinct
+      val classIri = patterns.collectFirst {
+        case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
+      }
+      val relevant = mappings.relevantFor(preds, classIri)
+      require(relevant.nonEmpty, s"no relevant source for DESCRIBE ?$v")
+      val branches = relevant.flatMap { mp =>
+        require(mp.storeType == "parquet",
+          s"store type '${mp.storeType}' is not SQL-lowered (DESCRIBE ?$v)")
+        val tbl = mp.source.split('/').last.stripSuffix(".parquet")
+        tables(tbl) = mp.source
+        val idExpr = fnSql(mp.idAttr, mp.attrTransforms.getOrElse("", Nil))
+        val typeBranch = mp.classIri.map(c =>
+          s"SELECT $idExpr AS sid, ${litSql(TriplePattern.RdfType)} AS p, " +
+            s"${litSql(c)} AS o FROM $tbl")
+        val predBranches = mp.predicateToAttr.toSeq.sortBy(_._1).map {
+          case (p0, attr) =>
+            val e = fnSql(attr, mp.attrTransforms.getOrElse(attr, Nil))
+            s"SELECT $idExpr AS sid, ${litSql(p0)} AS p, " +
+              s"CAST($e AS STRING) AS o FROM $tbl"
+        }
+        typeBranch.toSeq ++ predBranches
+      }
+      return Lowered(
+        s"WITH g_ids AS (SELECT DISTINCT $v AS sid FROM (${inner.sql}) g_d) " +
+          s"SELECT DISTINCT CAST(sid AS STRING) AS s, p, o FROM " +
+          s"(${branches.mkString(" UNION ALL ")}) g_db " +
+          s"WHERE sid IN (SELECT sid FROM g_ids)",
+        tables.toSeq)
+    }
 
     def condSql(col: String, f: FilterCond): String = f.op match {
       case "=" => s"$col = ${litSql(f.value)}"
@@ -333,7 +401,7 @@ object SqlGenExecutor {
     // derived table — and joins the outer body USING the shared projected
     // vars (both target engines coalesce USING keys), CROSS JOIN when
     // none are shared (rare, legal)
-    val (bodyInner, _) = q.subqueries.zipWithIndex
+    val (bodyInner, bodyVars) = q.subqueries.zipWithIndex
       .foldLeft((bodyBase, bodyBaseVars)) { case ((prev, vars), (sub, i)) =>
         val subL = lower(sub.copy(transforms = Nil), mappings, config)
         subL.tables.foreach { case (n, p) => tables(n) = p }
@@ -427,11 +495,22 @@ object SqlGenExecutor {
         case other => sys.error(s"unsupported aggregate '$other'")
       }
     }
-    require(!q.selectAll, "SELECT * is not SQL-lowered (name the variables)")
-    val items = q.selectItems.map {
-      case SelectVar(v) => v
-      case SelectAgg(a) => s"${aggExpr(a)} AS ${a.alias}"
-    }
+    // SELECT *: project the body's variables in the Column engine's
+    // order (sorted resolution, then BIND outputs) so both engines emit
+    // identical column sequences; refused where the engines' column
+    // orders would diverge (subquery USING joins put keys first in SQL,
+    // union branches sort vars here but keep first-branch order there)
+    val items =
+      if (q.selectAll) {
+        require(q.subqueries.isEmpty && q.unionBranches.isEmpty &&
+          q.aggregates.isEmpty,
+          "SELECT * with subqueries/UNION/aggregates is not SQL-lowered " +
+            "(column order diverges) — name the variables")
+        bodyVars ++ q.binds.map(_.outVar)
+      } else q.selectItems.map {
+        case SelectVar(v) => v
+        case SelectAgg(a) => s"${aggExpr(a)} AS ${a.alias}"
+      }
     val distinct = if (q.distinct) "DISTINCT " else ""
     val groupBy =
       if (q.groupBy.nonEmpty) s" GROUP BY ${q.groupBy.mkString(", ")}"
