@@ -4,12 +4,18 @@ on DuckDB and compare it to the gate's independent handwritten oracle —
 the lowering is validated by two SQL engines (Spark SQL via the sg gates,
 DuckDB here) agreeing on the identical string. Usage:
     sbt -batch "runMain graft.tools.SqlGenDump <sfDir> target/sqlgen_dump.json"
-    python3 scripts/check_sqlgen_duckdb.py target/sqlgen_dump.json
+    python3 scripts/check_sqlgen_duckdb.py target/sqlgen_dump.json [<sfDir>]
+The optional sfDir (default /root/testdata/sf0.01) provides the base-table
+views the HANDWRITTEN oracles read; the lowered strings read the dump's
+own table list.
 """
-import sys, json, math
+import sys, json, math, os
 import duckdb
 
 dump = json.load(open(sys.argv[1]))
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+BASE = ("region nation customer supplier part orders lineitem events "
+        "documents embeddings").split()
 
 def norm(v):
     if isinstance(v, float):
@@ -27,8 +33,16 @@ fails = 0
 for name in sorted(dump):
     d = dump[name]
     con = duckdb.connect()
+    for t in BASE:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     for tbl, path in d["tables"].items():
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{path}'")
+        if tbl in BASE:
+            con.execute(f"DROP VIEW {tbl}")
+        # Spark writes directory datasets; DuckDB infers format from the
+        # extension, so extension-less dirs need an explicit glob
+        src = f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) \
+            and not path.endswith(".parquet") else f"'{path}'"
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM {src}")
     try:
         gcols, got = canon(con.sql(d["sql"]))
         ecols, exp = canon(con.sql(d["oracle"]))

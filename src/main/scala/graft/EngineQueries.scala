@@ -624,7 +624,10 @@ object EngineQueries {
     "sg21_sqlgen_builtins" -> "q33_string_funcs",
     "sg22_sqlgen_select_star" -> "q49_select_star",
     "sg23_sqlgen_construct" -> "q40_construct",
-    "sg24_sqlgen_describe" -> "q44_describe")
+    "sg24_sqlgen_describe" -> "q44_describe",
+    "sg25_sqlgen_path_plus" -> "q42_path_plus",
+    "sg26_sqlgen_path_star" -> "q43_path_star",
+    "sg27_sqlgen_path_seeded" -> "q48_path_seeded")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

@@ -41,10 +41,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ASK (non-correlated EXISTS probe), CONSTRUCT (CTE-shared body, UNION
   * of template instantiations), DESCRIBE (predicate expansion semi-
   * joined with the bound-id set), SELECT * (where column order provably
-  * coincides), and the FnO attribute transforms. Not lowered (the
-  * Column engine remains the full-coverage path, exactly as the
-  * reference keeps Spark beside Presto): p+/p* closures, inline join
-  * TRANSFORMs, non-parquet stores, streaming.
+  * coincides), `p+`/`p*` closures (SQL:2016 recursive CTEs — Spark 4's
+  * WITH RECURSIVE and DuckDB evaluate the identical string; DAG inputs,
+  * see [[closureWrap]]), and the FnO attribute transforms. Not lowered
+  * (the Column engine remains the full-coverage path, exactly as the
+  * reference keeps Spark beside Presto): inline join TRANSFORMs,
+  * non-parquet stores, streaming.
   */
 object SqlGenExecutor {
 
@@ -66,7 +68,6 @@ object SqlGenExecutor {
   private val NumericLit = "^-?\\d+(\\.\\d+)?$".r
 
   def lower(q: ParsedQuery, mappings: MappingsDoc, config: LakeConfig): Lowered = {
-    require(q.closures.isEmpty, "p+/p* path closures are not SQL-lowered")
     // ASK → a non-correlated EXISTS probe over the body (both target
     // engines short-circuit it): rewrite as SELECT of the first pattern's
     // subject var, LIMIT 1, and wrap — one boolean column `ask`, the
@@ -200,7 +201,17 @@ object SqlGenExecutor {
     /** One WHERE body (stars → join chain → bare-var resolution) → its
       * resolution SELECT plus the resolved (var, column) list. Called once
       * for a plain query, once per branch for UNION bodies. */
-    def resolvedSql(qb: ParsedQuery): (String, Seq[(String, String)]) = {
+    def resolvedSql(qb0: ParsedQuery): (String, Seq[(String, String)]) = {
+    // FILTER/VALUES on a closure's object var constrain the REACHABLE
+    // endpoint, not the one-hop edge: strip them from the per-star
+    // pushdown and re-apply inside the closure wrapper (the SQL image of
+    // GraftEngine.compileBody's qStar deferral)
+    val closureVars = qb0.closures.map(_.objVar).toSet
+    val deferredFilters = qb0.filters.filter(f => closureVars(f.varName))
+    val deferredValues = qb0.values.filter(v => closureVars(v._1))
+    val qb = if (closureVars.isEmpty) qb0 else qb0.copy(
+      filters = qb0.filters.filterNot(f => closureVars(f.varName)),
+      values = qb0.values.filterNot(v => closureVars(v._1)))
     val starNames = qb.stars.keys.toSeq.sorted
     val dropStars = qb.minusStars ++ qb.existsStars
     val keptNames = starNames.filterNot(dropStars.contains)
@@ -272,15 +283,88 @@ object SqlGenExecutor {
       branches.mkString(" UNION ALL ")
     }
 
+    /** `p+`/`p*` star: replace the one-hop binding column with the
+      * transitive closure, computed as a SQL:2016 recursive CTE over the
+      * UNCONSTRAINED edge scan of the path predicate (SPARQL 1.1 §9.1
+      * constrains a path's endpoints, never its hops — the star's own
+      * filters stay inside `base` and restrict only the start set).
+      * Spark 4 and DuckDB both evaluate the identical string. Spark
+      * allows only UNION ALL in the recursive step, so cycle termination
+      * relies on the graph being a DAG (duplicate PAIRS from diamonds
+      * are removed by the DISTINCT over the CTE before the join); on a
+      * cyclic graph Spark fail-louds at its recursion level limit. The
+      * Column engine ([[graft.ops.Closure]]: anti-join frontier, cycle-
+      * safe, seeded-BFS optimized) remains the robust path — this is the
+      * portable SQL rendering of the same semantics. */
+    def closureWrap(base: String, s: String, cl: PathClosure, i: Int,
+        priorCols: Seq[String]): String = {
+      val sCol = idc(s)
+      val oCol = vc(s, cl.objVar)
+      val baseCols = priorCols.filterNot(_ == oCol)
+      val pats = qb.stars(s)
+      val preds = pats.collect {
+        case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
+      }.distinct
+      val classIri = pats.collectFirst {
+        case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
+      }
+      val edgeBranches = mappings.relevantFor(preds, classIri)
+        .filter(_.predicateToAttr.contains(cl.predicate))
+        .map { mp =>
+          require(mp.storeType == "parquet",
+            s"store type '${mp.storeType}' is not SQL-lowered (path closure on ?$s)")
+          val tbl = mp.source.split('/').last.stripSuffix(".parquet")
+          tables(tbl) = mp.source
+          val idExpr = fnSql(mp.idAttr, mp.attrTransforms.getOrElse("", Nil))
+          val attr = mp.predicateToAttr(cl.predicate)
+          val aExpr = fnSql(attr, mp.attrTransforms.getOrElse(attr, Nil))
+          s"SELECT $idExpr AS src, $aExpr AS dst FROM $tbl"
+        }
+      require(edgeBranches.nonEmpty,
+        s"no relevant source maps the path predicate <${cl.predicate}>")
+      val tag = s"${s}_$i"
+      val qualBase = baseCols.map(c => s"g_cb_$tag.$c").mkString(", ")
+      // `*`: zero hops — (x, x) for every subject of the star
+      val zeroHop =
+        if (cl.reflexive) s" UNION SELECT $sCol AS src, $sCol AS dst FROM g_cb_$tag"
+        else ""
+      val conds = deferredFilters.filter(_.varName == cl.objVar)
+        .map(f => condSql("p.dst", f)) ++
+        deferredValues.filter(_._1 == cl.objVar).map { case (_, vals) =>
+          s"p.dst IN (${vals.map(litSql).mkString(", ")})"
+        }
+      val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      s"(WITH RECURSIVE g_cb_$tag AS " +
+        s"(SELECT DISTINCT ${baseCols.mkString(", ")} FROM $base g_cbs_$tag), " +
+        s"g_ed_$tag AS (SELECT src, dst FROM " +
+        s"(${edgeBranches.mkString(" UNION ALL ")}) g_eb_$tag " +
+        "WHERE src IS NOT NULL AND dst IS NOT NULL), " +
+        s"g_cl_$tag AS (SELECT src, dst FROM g_ed_$tag UNION ALL " +
+        s"SELECT c.src, e.dst FROM g_cl_$tag c JOIN g_ed_$tag e ON c.dst = e.src) " +
+        s"SELECT $qualBase, p.dst AS $oCol FROM g_cb_$tag " +
+        s"JOIN (SELECT DISTINCT src, dst FROM g_cl_$tag$zeroHop) p " +
+        s"ON g_cb_$tag.$sCol = p.src$where)"
+    }
+
     /** Star subquery with any negated-set expansions joined on the star's
       * id column (USING coalesces the key — same inner equi-join as the
-      * engine's `.join(expansion, Seq(sCol))`). */
-    def starSql(s: String): String =
-      qb.negations.filter(_.subjVar == s).zipWithIndex
-        .foldLeft(starSubquery(s)) { case (b, (ng, i)) =>
-          s"(SELECT * FROM $b g_nb_$s$i JOIN (${negationSubquery(ng)}) " +
-            s"g_nx_$s$i USING (${idc(s)}))"
-        }
+      * engine's `.join(expansion, Seq(sCol))`) and any `p+`/`p*` closures
+      * wrapped as recursive CTEs. */
+    def starSql(s: String): String = {
+      var cols = StarSpec.build(qb, s, mappings, needed)
+        .sources.head.cols.map(_.outCol)
+      var sql = starSubquery(s)
+      for ((ng, i) <- qb.negations.filter(_.subjVar == s).zipWithIndex) {
+        sql = s"(SELECT * FROM $sql g_nb_$s$i JOIN (${negationSubquery(ng)}) " +
+          s"g_nx_$s$i USING (${idc(s)}))"
+        cols = cols :+ vc(s, ng.objVar)
+      }
+      for ((cl, i) <- qb.closures.filter(_.subjVar == s).zipWithIndex) {
+        sql = closureWrap(sql, s, cl, i, cols)
+        cols = cols.filterNot(_ == vc(s, cl.objVar)) :+ vc(s, cl.objVar)
+      }
+      sql
+    }
 
     // ---- join chain (textual image of GraftEngine.joinChain) ----------
     val edges = (for {

@@ -46,7 +46,10 @@ class SqlGenSpec extends AnyFunSuite {
     "sg21_sqlgen_builtins" -> "q33_string_funcs",
     "sg22_sqlgen_select_star" -> "q49_select_star",
     "sg23_sqlgen_construct" -> "q40_construct",
-    "sg24_sqlgen_describe" -> "q44_describe")
+    "sg24_sqlgen_describe" -> "q44_describe",
+    "sg25_sqlgen_path_plus" -> "q42_path_plus",
+    "sg26_sqlgen_path_star" -> "q43_path_star",
+    "sg27_sqlgen_path_seeded" -> "q48_path_seeded")
 
   // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
   // and leave 0 rows (both engines agree on empty); every other gate must
@@ -114,7 +117,6 @@ class SqlGenSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains(needle), e.getMessage)
     }
-    refuse("SELECT ?e ?m WHERE { ?e g:mgr+ ?m . }", "closures")
     // SELECT * lowers only where both engines' column orders provably
     // coincide — subquery USING joins reorder keys in SQL
     refuse(
