@@ -35,13 +35,21 @@ for name in sorted(dump):
     con = duckdb.connect()
     for t in BASE:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-    for tbl, path in d["tables"].items():
+    for tbl, ref in d["tables"].items():
         if tbl in BASE:
             con.execute(f"DROP VIEW {tbl}")
-        # Spark writes directory datasets; DuckDB infers format from the
-        # extension, so extension-less dirs need an explicit glob
-        src = f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) \
-            and not path.endswith(".parquet") else f"'{path}'"
+        path, typ = ref["path"], ref.get("type", "parquet")
+        if typ == "csv":
+            # Spark CSV dirs; header from the lake options, types inferred
+            # (the lowered SQL's casts absorb inference differences)
+            hdr = str(ref.get("options", {}).get("header", "false") == "true").lower()
+            src = f"read_csv('{path}/*.csv', header={hdr})"
+        elif os.path.isdir(path) and not path.endswith(".parquet"):
+            # Spark writes directory datasets; DuckDB infers format from
+            # the extension, so extension-less dirs need an explicit glob
+            src = f"read_parquet('{path}/*.parquet')"
+        else:
+            src = f"'{path}'"
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM {src}")
     try:
         gcols, got = canon(con.sql(d["sql"]))

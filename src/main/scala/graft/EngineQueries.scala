@@ -627,7 +627,9 @@ object EngineQueries {
     "sg24_sqlgen_describe" -> "q44_describe",
     "sg25_sqlgen_path_plus" -> "q42_path_plus",
     "sg26_sqlgen_path_star" -> "q43_path_star",
-    "sg27_sqlgen_path_seeded" -> "q48_path_seeded")
+    "sg27_sqlgen_path_seeded" -> "q48_path_seeded",
+    "sg28_sqlgen_transform_join" -> "q11_transform_join",
+    "sg29_sqlgen_union_sources" -> "q10_union_sources")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

@@ -28,7 +28,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   ) g_q [GROUP BY][HAVING][ORDER BY][LIMIT]
   * }}}
   *
-  * SQL-expressible subset: parquet sources (single or unioned per star),
+  * SQL-expressible subset: parquet and csv sources (single or unioned
+  * per star, reader options from the lake config),
   * comparison/LIKE/IN filters, VALUES, inner + OPTIONAL (left) join
   * chains, MINUS and FILTER (NOT) EXISTS (correlated [NOT] EXISTS
   * subqueries), UNION branches (positional NULL-padded UNION ALL),
@@ -43,22 +44,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * joined with the bound-id set), SELECT * (where column order provably
   * coincides), `p+`/`p*` closures (SQL:2016 recursive CTEs — Spark 4's
   * WITH RECURSIVE and DuckDB evaluate the identical string; DAG inputs,
-  * see [[closureWrap]]), and the FnO attribute transforms. Not lowered
-  * (the Column engine remains the full-coverage path, exactly as the
-  * reference keeps Spark beside Presto): inline join TRANSFORMs,
-  * non-parquet stores, streaming.
+  * see [[closureWrap]]), the FnO attribute transforms, and inline join
+  * TRANSFORMs (FK/ID column rewrites with skp filters on the
+  * transformed value). Not lowered (the Column engine remains the
+  * full-coverage path, exactly as the reference keeps Spark beside
+  * Presto): jdbc/rdf/connector stores, streaming.
   */
 object SqlGenExecutor {
 
-  /** Generated SQL + the (view name, parquet path) tables it reads. */
-  final case class Lowered(sql: String, tables: Seq[(String, String)])
+  /** A base table the generated SQL reads: view name, source path, store
+    * type (parquet or csv) and the lake config's reader options. */
+  final case class TableRef(name: String, path: String, storeType: String,
+      options: Map[String, String])
 
-  /** Run the lowered SQL on Spark's own SQL engine over temp views. */
+  /** Generated SQL + the tables it reads. */
+  final case class Lowered(sql: String, tables: Seq[TableRef])
+
+  /** Run the lowered SQL on Spark's own SQL engine over temp views
+    * (loaded through the same [[SourceRegistry]] the Column engine
+    * uses, so reader options cannot drift between engines). */
   def execute(spark: SparkSession, q: ParsedQuery,
       mappings: MappingsDoc, config: LakeConfig): DataFrame = {
     val l = lower(q, mappings, config)
-    for ((name, path) <- l.tables)
-      spark.read.parquet(path).createOrReplaceTempView(name)
+    for (t <- l.tables)
+      SourceRegistry.load(spark,
+        SourceConfig(t.name, t.storeType, t.path, t.options))
+        .createOrReplaceTempView(t.name)
     spark.sql(l.sql)
   }
 
@@ -82,9 +93,19 @@ object SqlGenExecutor {
         s"SELECT EXISTS (SELECT 1 FROM (${inner.sql}) g_ask) AS ask",
         inner.tables)
     }
-    require(q.transforms.isEmpty, "inline join TRANSFORMs are not SQL-lowered")
+    val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableRef]
 
-    val tables = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    /** Register a mapping's source as a named base view. parquet and csv
+      * lower (DuckDB reads both; reader options ride along so Spark's
+      * view matches the Column engine's scan); other stores refuse. */
+    def registerTable(mp: EntityMapping, ctx: String): String = {
+      require(mp.storeType == "parquet" || mp.storeType == "csv",
+        s"store type '${mp.storeType}' is not SQL-lowered ($ctx)")
+      val tbl = mp.source.split('/').last.stripSuffix(".parquet")
+      tables(tbl) = TableRef(tbl, mp.source, mp.storeType,
+        config.optionsFor(mp.source))
+      tbl
+    }
 
     def idc(s: String) = StarCompiler.idCol(s)
     def vc(s: String, v: String) = StarCompiler.varCol(s, v)
@@ -129,7 +150,7 @@ object SqlGenExecutor {
         q.construct.collect { case TriplePattern(_, _, ObjVar(v)) => v }).distinct
       val inner = lower(q.copy(construct = Nil, selectAll = false,
         selectItems = vars.map(SelectVar(_))), mappings, config)
-      inner.tables.foreach { case (n, p) => tables(n) = p }
+      inner.tables.foreach(t => tables(t.name) = t)
       val branches = q.construct.map { t =>
         val o = t.obj match {
           case ObjVar(v) => s"CAST($v AS STRING)"
@@ -141,7 +162,7 @@ object SqlGenExecutor {
       }
       return Lowered(
         s"WITH g_cons AS (${inner.sql}) " + branches.mkString(" UNION "),
-        tables.toSeq)
+        tables.values.toSeq)
     }
 
     // ---- DESCRIBE ?v: every mapped predicate (plus rdf:type) of the
@@ -153,7 +174,7 @@ object SqlGenExecutor {
         s"DESCRIBE ?$v requires ?$v to be a star subject in the WHERE body")
       val inner = lower(q.copy(describe = None, selectAll = false,
         selectItems = Seq(SelectVar(v))), mappings, config)
-      inner.tables.foreach { case (n, p) => tables(n) = p }
+      inner.tables.foreach(t => tables(t.name) = t)
       val patterns = q.stars(v)
       val preds = patterns.collect {
         case TriplePattern(_, p, ObjVar(_)) if p != TriplePattern.RdfType => p
@@ -164,10 +185,7 @@ object SqlGenExecutor {
       val relevant = mappings.relevantFor(preds, classIri)
       require(relevant.nonEmpty, s"no relevant source for DESCRIBE ?$v")
       val branches = relevant.flatMap { mp =>
-        require(mp.storeType == "parquet",
-          s"store type '${mp.storeType}' is not SQL-lowered (DESCRIBE ?$v)")
-        val tbl = mp.source.split('/').last.stripSuffix(".parquet")
-        tables(tbl) = mp.source
+        val tbl = registerTable(mp, s"DESCRIBE ?$v")
         val idExpr = fnSql(mp.idAttr, mp.attrTransforms.getOrElse("", Nil))
         val typeBranch = mp.classIri.map(c =>
           s"SELECT $idExpr AS sid, ${litSql(TriplePattern.RdfType)} AS p, " +
@@ -185,7 +203,7 @@ object SqlGenExecutor {
           s"SELECT DISTINCT CAST(sid AS STRING) AS s, p, o FROM " +
           s"(${branches.mkString(" UNION ALL ")}) g_db " +
           s"WHERE sid IN (SELECT sid FROM g_ids)",
-        tables.toSeq)
+        tables.values.toSeq)
     }
 
     def condSql(col: String, f: FilterCond): String = f.op match {
@@ -226,10 +244,7 @@ object SqlGenExecutor {
       def tx(cs: StarSpec.ColSpec): String = fnSql(cs.attr, cs.fns)
       val selects = spec.sources.map { src =>
         val m = src.mapping
-        require(m.storeType == "parquet",
-          s"store type '${m.storeType}' is not SQL-lowered (star ?$s)")
-        val tbl = m.source.split('/').last.stripSuffix(".parquet")
-        tables(tbl) = m.source
+        val tbl = registerTable(m, s"star ?$s")
         val cols = src.cols.map(cs => s"${tx(cs)} AS ${cs.outCol}")
         // skp(v) row filters on the transformed expression (the engine
         // filters the selected column — same value)
@@ -266,10 +281,7 @@ object SqlGenExecutor {
       val sCol = idc(ng.subjVar)
       val oCol = vc(ng.subjVar, ng.objVar)
       val branches = mappings.relevantFor(preds, classIri).flatMap { mp =>
-        require(mp.storeType == "parquet",
-          s"store type '${mp.storeType}' is not SQL-lowered (negated set on ?${ng.subjVar})")
-        val tbl = mp.source.split('/').last.stripSuffix(".parquet")
-        tables(tbl) = mp.source
+        val tbl = registerTable(mp, s"negated set on ?${ng.subjVar}")
         val idExpr = fnSql(mp.idAttr, mp.attrTransforms.getOrElse("", Nil))
         mp.predicateToAttr.toSeq.sortBy(_._1)
           .filterNot { case (p, _) => ng.excluded.contains(p) }
@@ -311,10 +323,7 @@ object SqlGenExecutor {
       val edgeBranches = mappings.relevantFor(preds, classIri)
         .filter(_.predicateToAttr.contains(cl.predicate))
         .map { mp =>
-          require(mp.storeType == "parquet",
-            s"store type '${mp.storeType}' is not SQL-lowered (path closure on ?$s)")
-          val tbl = mp.source.split('/').last.stripSuffix(".parquet")
-          tables(tbl) = mp.source
+          val tbl = registerTable(mp, s"path closure on ?$s")
           val idExpr = fnSql(mp.idAttr, mp.attrTransforms.getOrElse("", Nil))
           val attr = mp.predicateToAttr(cl.predicate)
           val aExpr = fnSql(attr, mp.attrTransforms.getOrElse(attr, Nil))
@@ -354,6 +363,24 @@ object SqlGenExecutor {
       var cols = StarSpec.build(qb, s, mappings, needed)
         .sources.head.cols.map(_.outCol)
       var sql = starSubquery(s)
+      // inline TRANSFORM(?l?r.side.fns): rewrite this star's FK column
+      // (side 'l') or ID column (side 'r') through the FnO chain, skp
+      // values filtered on the TRANSFORMED value in an outer wrapper
+      // (SQL cannot reference a select alias in its own WHERE) — the
+      // image of StarCompiler.applyInlineTransforms
+      for ((t, i) <- qb.transforms.zipWithIndex
+          if (t.side == 'l' && t.leftVar == s) || (t.side == 'r' && t.rightVar == s)) {
+        val target = if (t.side == 'l') vc(s, t.rightVar) else idc(s)
+        require(cols.contains(target),
+          s"inline TRANSFORM target $target is not projected by star ?$s")
+        val sel = cols.map(c =>
+          if (c == target) s"${fnSql(c, t.fns)} AS $c" else c).mkString(", ")
+        sql = s"(SELECT $sel FROM $sql g_tx_$s$i)"
+        val skips = Transforms.skipValues(t.fns)
+        if (skips.nonEmpty)
+          sql = s"(SELECT * FROM $sql g_txs_$s$i WHERE " +
+            skips.map(v => s"$target <> ${litSql(v)}").mkString(" AND ") + ")"
+      }
       for ((ng, i) <- qb.negations.filter(_.subjVar == s).zipWithIndex) {
         sql = s"(SELECT * FROM $sql g_nb_$s$i JOIN (${negationSubquery(ng)}) " +
           s"g_nx_$s$i USING (${idc(s)}))"
@@ -488,7 +515,7 @@ object SqlGenExecutor {
     val (bodyInner, bodyVars) = q.subqueries.zipWithIndex
       .foldLeft((bodyBase, bodyBaseVars)) { case ((prev, vars), (sub, i)) =>
         val subL = lower(sub.copy(transforms = Nil), mappings, config)
-        subL.tables.foreach { case (n, p) => tables(n) = p }
+        subL.tables.foreach(t => tables(t.name) = t)
         val subVars = sub.selectItems.map {
           case SelectVar(v) => v
           case SelectAgg(a) => a.alias
@@ -618,6 +645,6 @@ object SqlGenExecutor {
 
     val sql = s"SELECT $distinct${items.mkString(", ")} FROM ($bodySql) g_q" +
       groupBy + having + orderBy + limit + offset
-    Lowered(sql, tables.toSeq)
+    Lowered(sql, tables.values.toSeq)
   }
 }

@@ -26,8 +26,12 @@ object SqlGenDump {
     } + "\""
     val entries = graft.EngineQueries.sqlGenLowerings(sfDir).map {
       case (name, l, oracle) =>
-        val tables = l.tables
-          .map { case (t, p) => s"${q(t)}: ${q(p)}" }.mkString("{", ",", "}")
+        val tables = l.tables.map { t =>
+          val opts = t.options.toSeq.sorted
+            .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+          s"${q(t.name)}: {\"path\": ${q(t.path)}, \"type\": ${q(t.storeType)}, " +
+            s"\"options\": $opts}"
+        }.mkString("{", ",", "}")
         s"${q(name)}: {\"sql\": ${q(l.sql)}, \"tables\": $tables, " +
           s"\"oracle\": ${q(oracle)}}"
     }

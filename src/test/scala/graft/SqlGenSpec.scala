@@ -49,7 +49,9 @@ class SqlGenSpec extends AnyFunSuite {
     "sg24_sqlgen_describe" -> "q44_describe",
     "sg25_sqlgen_path_plus" -> "q42_path_plus",
     "sg26_sqlgen_path_star" -> "q43_path_star",
-    "sg27_sqlgen_path_seeded" -> "q48_path_seeded")
+    "sg27_sqlgen_path_seeded" -> "q48_path_seeded",
+    "sg28_sqlgen_transform_join" -> "q11_transform_join",
+    "sg29_sqlgen_union_sources" -> "q10_union_sources")
 
   // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
   // and leave 0 rows (both engines agree on empty); every other gate must
@@ -79,7 +81,7 @@ class SqlGenSpec extends AnyFunSuite {
           |  FILTER(?total > 200000)
           |}""".stripMargin)
     val l = SqlGenExecutor.lower(q, m, c)
-    assert(l.tables.map(_._1).sorted == Seq("customer", "orders"))
+    assert(l.tables.map(_.name).sorted == Seq("customer", "orders"))
     // the filter must sit inside the o star's subquery (before the join),
     // not in the outer query
     val joinIdx = l.sql.indexOf(" JOIN ")
