@@ -328,4 +328,44 @@ class SqlGenFuzzSpec extends AnyFunSuite {
     assert(nNegSet >= 1, "no lowered model carried a negated property set")
     assert(nSubquery >= 1, "no lowered model carried a subquery")
   }
+
+  test("fuzzed closure models: recursive-CTE lowering agrees with the Column engine (20 seeded cases)") {
+    // p+/p* over the derived org hierarchy, composed with subject seeds
+    // (FILTER ?e =), deferred reachable-endpoint filters (FILTER ?m <=),
+    // DISTINCT and deterministic slices — the engine side runs the
+    // anti-join frontier (seeded BFS when the subject is constrained),
+    // the SQL side the recursive CTE; they must agree row-for-row
+    val genC = for {
+      reflexive <- Gen.oneOf(false, true)
+      subjFilter <- Gen.option(Gen.choose(2, 40))
+      objFilter <- Gen.option(Gen.choose(1, 20))
+      distinct <- Gen.oneOf(false, true)
+      slice <- Gen.option(Gen.choose(1, 30))
+    } yield {
+      val op = if (reflexive) "*" else "+"
+      val sb = new StringBuilder(P)
+      sb ++= s"SELECT ${if (distinct) "DISTINCT " else ""}?e ?en ?m WHERE {\n"
+      sb ++= s"  ?e g:mgr$op ?m . ?e g:empName ?en .\n"
+      for (k <- subjFilter) sb ++= s"  FILTER(?e = $k)\n"
+      for (k <- objFilter) sb ++= s"  FILTER(?m <= $k)\n"
+      sb ++= "}\n"
+      for (l <- slice) sb ++= s"ORDER BY ?e ?en ?m\nLIMIT $l\n"
+      sb.toString
+    }
+    val params = Gen.Parameters.default
+    var seed = Seed(20260813L)
+    val (mappings, config) = TpchLake.lake(sf)
+    for (_ <- 1 to 20) {
+      val text = genC.apply(params, seed).getOrElse(sys.error("gen failed"))
+      seed = seed.next
+      val q = SparqlParser.parse(text)
+      val a = GraftEngine.executeParsed(spark, q, mappings, config)
+      val b = SqlGenExecutor.execute(spark, q, mappings, config)
+      assert(a.columns.toSeq == b.columns.toSeq, s"columns differ for:\n$text")
+      val ra = a.collect().map(_.toSeq.map(cell).mkString("|")).sorted.toSeq
+      val rb = b.collect().map(_.toSeq.map(cell).mkString("|")).sorted.toSeq
+      assert(ra == rb,
+        s"rows differ for:\n$text\nengine=${ra.take(5)}\nsqlgen=${rb.take(5)}")
+    }
+  }
 }
