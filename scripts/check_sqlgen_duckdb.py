@@ -44,6 +44,8 @@ for name in sorted(dump):
             # (the lowered SQL's casts absorb inference differences)
             hdr = str(ref.get("options", {}).get("header", "false") == "true").lower()
             src = f"read_csv('{path}/*.csv', header={hdr})"
+        elif typ == "json":
+            src = f"read_json_auto('{path}/*.json')"
         elif os.path.isdir(path) and not path.endswith(".parquet"):
             # Spark writes directory datasets; DuckDB infers format from
             # the extension, so extension-less dirs need an explicit glob

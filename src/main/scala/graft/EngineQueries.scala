@@ -122,6 +122,12 @@ object EngineQueries {
       "SELECT n_name AS uname, n_regionkey AS ureg FROM nation " +
         "UNION ALL SELECT n_name, n_regionkey FROM nation"),
 
+    // §2.1 JSON scan: schema-inferred json source through the same
+    // mapping machinery (derived line-json copy of nation)
+    ("q50_json_source",
+      "SELECT ?jn ?jr WHERE { ?n g:jNationName ?jn . ?n g:jRegion ?jr . }",
+      "SELECT n_name AS jn, n_regionkey AS jr FROM nation"),
+
     // §2.8 inline TRANSFORM: scl on the FK side, toInt on the (string) ID
     // side of a derived CSV with shifted string keys
     ("q11_transform_join",
@@ -629,7 +635,8 @@ object EngineQueries {
     "sg26_sqlgen_path_star" -> "q43_path_star",
     "sg27_sqlgen_path_seeded" -> "q48_path_seeded",
     "sg28_sqlgen_transform_join" -> "q11_transform_join",
-    "sg29_sqlgen_union_sources" -> "q10_union_sources")
+    "sg29_sqlgen_union_sources" -> "q10_union_sources",
+    "sg30_sqlgen_json_source" -> "q50_json_source")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

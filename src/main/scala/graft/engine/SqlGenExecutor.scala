@@ -95,11 +95,12 @@ object SqlGenExecutor {
     }
     val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableRef]
 
-    /** Register a mapping's source as a named base view. parquet and csv
-      * lower (DuckDB reads both; reader options ride along so Spark's
-      * view matches the Column engine's scan); other stores refuse. */
+    /** Register a mapping's source as a named base view. parquet, csv
+      * and json lower (DuckDB reads all three; reader options ride along
+      * so Spark's view matches the Column engine's scan); other stores
+      * refuse. */
     def registerTable(mp: EntityMapping, ctx: String): String = {
-      require(mp.storeType == "parquet" || mp.storeType == "csv",
+      require(Set("parquet", "csv", "json").contains(mp.storeType),
         s"store type '${mp.storeType}' is not SQL-lowered ($ctx)")
       val tbl = mp.source.split('/').last.stripSuffix(".parquet")
       tables(tbl) = TableRef(tbl, mp.source, mp.storeType,

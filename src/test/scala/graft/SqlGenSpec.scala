@@ -51,7 +51,8 @@ class SqlGenSpec extends AnyFunSuite {
     "sg26_sqlgen_path_star" -> "q43_path_star",
     "sg27_sqlgen_path_seeded" -> "q48_path_seeded",
     "sg28_sqlgen_transform_join" -> "q11_transform_join",
-    "sg29_sqlgen_union_sources" -> "q10_union_sources")
+    "sg29_sqlgen_union_sources" -> "q10_union_sources",
+    "sg30_sqlgen_json_source" -> "q50_json_source")
 
   // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
   // and leave 0 rows (both engines agree on empty); every other gate must
