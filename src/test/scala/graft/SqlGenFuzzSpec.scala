@@ -15,7 +15,7 @@ import scala.util.{Failure, Success, Try}
   * executed by Spark SQL) — and must agree row-for-row, or the lowering
   * must refuse explicitly (require/sys.error), never silently mis-lower.
   * This closes the gap the hand-written sg* gate pairs leave: two engines
-  * that agree on 14 curated shapes can still drift on compositions
+  * that agree on 30 curated shapes can still drift on compositions
   * (OPTIONAL+BIND+HAVING+OFFSET interleavings) no curated gate covers.
   *
   * Aggregates over double columns may differ in the last float bits
