@@ -148,6 +148,11 @@ class PlanQualitySpec extends AnyFunSuite {
       li.join(o, col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("sg25: the closure lowering executes as a native UnionLoop, not a fallback") {
+    val p = plan("sg25_sqlgen_path_plus")
+    assert(p.contains("UnionLoop"), s"recursive CTE did not plan as UnionLoop:\n$p")
+  }
+
   test("engine path: a star join over bucketed-layout entities skips both exchanges") {
     import graft.fixtures.TpchLake
     // bucketed twins of customer (by its id) and orders (by its customer

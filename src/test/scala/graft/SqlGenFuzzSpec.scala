@@ -184,11 +184,11 @@ class SqlGenFuzzSpec extends AnyFunSuite {
         Gen.frequency(3 -> Gen.const(Option.empty[(String, Pred, Pred)]),
           1 -> Gen.oneOf(altCandidates).map(Option(_)))
       else Gen.const(Option.empty[(String, Pred, Pred)])
-    // negated-set / subquery atoms hang off ?c; kept clear of the
-    // agg/optional/drop/alt interactions so each shape is exercised in
-    // isolation plus the filter/distinct/slice compositions
-    plainC = shape.contains("c") && agg.isEmpty && drop.isEmpty &&
-      optStar.isEmpty && altPred.isEmpty
+    // negated-set / subquery atoms hang off ?c; they compose with the
+    // OPTIONAL/MINUS/EXISTS/alt-path shapes (both engines apply them
+    // per-branch and pre-join respectively) — only aggregation is
+    // excluded (nv/sqv would need to join the GROUP BY)
+    plainC = shape.contains("c") && agg.isEmpty
     negSet <-
       if (plainC) Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
       else Gen.const(false)
