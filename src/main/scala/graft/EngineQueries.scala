@@ -525,6 +525,26 @@ object EngineQueries {
         |SELECT cl.e AS e, c2.c_name AS mn FROM cl
         |JOIN customer c2 ON cl.m = c2.c_custkey""".stripMargin),
 
+    // object-SEEDED one-or-more path: the FILTER pins the REACHABLE
+    // endpoint to a literal — the engine runs a reverse frontier BFS
+    // from {3} over the flipped edge relation (O(reverse-reachable))
+    // instead of materializing the full closure; emp 3's subtree is
+    // {6,7,12,13,...} and each of those rows pairs with manager 3
+    ("q51_path_object_seeded",
+      """SELECT ?e ?mn WHERE {
+        |  ?e g:mgr+ ?m . ?m g:empName ?mn .
+        |  FILTER(?m = 3)
+        |}""".stripMargin,
+      """WITH RECURSIVE cl AS (
+        |  SELECT c_custkey AS e, c_custkey // 2 AS m FROM customer
+        |    WHERE c_custkey >= 2
+        |  UNION
+        |  SELECT cl.e, c.c_custkey // 2 FROM cl JOIN customer c ON cl.m = c.c_custkey
+        |    WHERE c.c_custkey >= 2
+        |)
+        |SELECT cl.e AS e, c2.c_name AS mn FROM cl
+        |JOIN customer c2 ON cl.m = c2.c_custkey WHERE cl.m = 3""".stripMargin),
+
     // SELECT * — every body variable in resolution order (sorted needed
     // vars): subject id, then the object vars
     ("q49_select_star",
@@ -636,7 +656,8 @@ object EngineQueries {
     "sg27_sqlgen_path_seeded" -> "q48_path_seeded",
     "sg28_sqlgen_transform_join" -> "q11_transform_join",
     "sg29_sqlgen_union_sources" -> "q10_union_sources",
-    "sg30_sqlgen_json_source" -> "q50_json_source")
+    "sg30_sqlgen_json_source" -> "q50_json_source",
+    "sg31_sqlgen_path_object_seeded" -> "q51_path_object_seeded")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

@@ -274,7 +274,24 @@ object GraftEngine {
       val closed =
         if (closureSeeded(q, cl))
           graft.ops.Closure.fromSeeds(edges, base.select(col(sCol).as("src")))
-        else graft.ops.Closure.transitive(edges)
+        else objectSeedLits(q, cl) match {
+          // the REACHABLE endpoint is pinned to literals (= / VALUES):
+          // reverse BFS from those seeds over the flipped edge relation
+          // is O(reverse-reachable), vs materializing the full closure
+          // to keep the pairs ending in a handful of nodes — the mirror
+          // image of the subject-seeded case. Seeds come from the query
+          // literals (cast to the edge type); ALL deferred endpoint
+          // constraints still apply below, so seeding from one
+          // constraint's set stays correct when several are ANDed.
+          case Some(lits) =>
+            import spark.implicits._
+            val seeds = lits.toDF("src")
+              .select(col("src").cast(edges.schema("src").dataType).as("src"))
+            graft.ops.Closure
+              .fromSeeds(edges.select(col("dst").as("src"), col("src").as("dst")), seeds)
+              .select(col("dst").as("src"), col("src").as("dst"))
+          case None => graft.ops.Closure.transitive(edges)
+        }
       val pairs =
         if (!cl.reflexive) closed
         // `*`: zero hops — (x, x) for every subject of the star
@@ -378,6 +395,18 @@ object GraftEngine {
     * full closure. Constraints on the closure's own object var don't
     * count: they are deferred past the closure (they bound the REACHABLE
     * end, not the start). */
+  /** Finite literal seed set for a closure's OBJECT endpoint: an `=`
+    * filter or a VALUES list on the reachable var. One constraint's set
+    * suffices as the seed (constraints are ANDed and all re-apply after
+    * the closure); inequality/regex forms are not enumerable and fall
+    * back to the full closure. */
+  private def objectSeedLits(q: ParsedQuery, cl: PathClosure): Option[Seq[String]] = {
+    val eq = q.filters.collectFirst {
+      case f if f.varName == cl.objVar && f.op == "=" => Seq(f.value)
+    }
+    eq.orElse(q.values.collectFirst { case (v, vals) if v == cl.objVar => vals })
+  }
+
   private def closureSeeded(q: ParsedQuery, cl: PathClosure): Boolean = {
     val deferred = q.closures.filter(_.subjVar == cl.subjVar).map(_.objVar).toSet
     val starVars = q.stars(cl.subjVar).collect {

@@ -161,6 +161,31 @@ class PathSpec extends AnyFunSuite {
     assert(star == plus + ((12L, 12L)) + ((13L, 13L)))
   }
 
+  test("an = / VALUES constraint on the object endpoint runs the reverse BFS") {
+    // descendants of emp 3: exactly the keys whose ancestor chain
+    // k/2, k/4, … passes through 3
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .collect().map(r => r.getLong(0)).toSet
+    def hasAncestor(k: Long, a: Long): Boolean =
+      Iterator.iterate(k / 2)(_ / 2).takeWhile(_ >= 1).contains(a)
+    val expect = names.filter(k => k >= 2 && hasAncestor(k, 3L))
+    val eq = TpchLake.run(spark, sf,
+        P + "SELECT ?e ?m WHERE { ?e g:mgr+ ?m . FILTER(?m = 3) }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eq == expect.map(_ -> 3L))
+    // VALUES form over two seeds
+    val vals = TpchLake.run(spark, sf,
+        P + "SELECT ?e ?m WHERE { ?e g:mgr+ ?m . VALUES ?m { 3 2 } }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect2 = names.filter(k => k >= 2 && hasAncestor(k, 2L)).map(_ -> 2L)
+    assert(vals == expect.map(_ -> 3L) ++ expect2)
+    // * form: the reflexive pair (3,3) joins in through the zero-hop union
+    val star = TpchLake.run(spark, sf,
+        P + "SELECT ?e ?m WHERE { ?e g:mgr* ?m . FILTER(?m = 3) }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == expect.map(_ -> 3L) + ((3L, 3L)))
+  }
+
   test("a filter on the closure endpoint applies to reachability, not the one-hop edge") {
     // ?m < 2 keeps only the root among ANCESTORS — if the filter were
     // pushed into the one-hop scan, only emp 2 and 3 (direct reports of

@@ -52,7 +52,8 @@ class SqlGenSpec extends AnyFunSuite {
     "sg27_sqlgen_path_seeded" -> "q48_path_seeded",
     "sg28_sqlgen_transform_join" -> "q11_transform_join",
     "sg29_sqlgen_union_sources" -> "q10_union_sources",
-    "sg30_sqlgen_json_source" -> "q50_json_source")
+    "sg30_sqlgen_json_source" -> "q50_json_source",
+    "sg31_sqlgen_path_object_seeded" -> "q51_path_object_seeded")
 
   // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
   // and leave 0 rows (both engines agree on empty); every other gate must
