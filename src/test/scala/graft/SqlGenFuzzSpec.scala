@@ -338,7 +338,12 @@ class SqlGenFuzzSpec extends AnyFunSuite {
     val genC = for {
       reflexive <- Gen.oneOf(false, true)
       subjFilter <- Gen.option(Gen.choose(2, 40))
-      objFilter <- Gen.option(Gen.choose(1, 20))
+      // object-endpoint forms cover all three engine plans: <= defers
+      // over the full closure, = runs the reverse BFS, VALUES the
+      // multi-seed reverse BFS; composed with a subject seed the
+      // forward BFS takes precedence and the object form defers
+      objForm <- Gen.oneOf("none", "le", "eq", "values")
+      objK <- Gen.choose(1, 20)
       distinct <- Gen.oneOf(false, true)
       slice <- Gen.option(Gen.choose(1, 30))
     } yield {
@@ -347,7 +352,12 @@ class SqlGenFuzzSpec extends AnyFunSuite {
       sb ++= s"SELECT ${if (distinct) "DISTINCT " else ""}?e ?en ?m WHERE {\n"
       sb ++= s"  ?e g:mgr$op ?m . ?e g:empName ?en .\n"
       for (k <- subjFilter) sb ++= s"  FILTER(?e = $k)\n"
-      for (k <- objFilter) sb ++= s"  FILTER(?m <= $k)\n"
+      objForm match {
+        case "le" => sb ++= s"  FILTER(?m <= $objK)\n"
+        case "eq" => sb ++= s"  FILTER(?m = $objK)\n"
+        case "values" => sb ++= s"  VALUES ?m { $objK ${objK + 1} }\n"
+        case _ => ()
+      }
       sb ++= "}\n"
       for (l <- slice) sb ++= s"ORDER BY ?e ?en ?m\nLIMIT $l\n"
       sb.toString
