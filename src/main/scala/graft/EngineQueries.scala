@@ -270,6 +270,19 @@ object EngineQueries {
         "UNION SELECT CAST(n_nationkey AS VARCHAR), 'http://graft.io/schema/inRegion', " +
         "CAST(n_regionkey AS VARCHAR) FROM nation"),
 
+    // single-template CONSTRUCT whose body has duplicate (subject, object)
+    // solutions (lineitem subjects key on l_orderkey, so a 4-line order
+    // repeats its (order, returnflag) pair): dedup must NOT depend on the
+    // between-branch UNION that a multi-template CONSTRUCT happens to get
+    ("q52_construct_single",
+      """CONSTRUCT {
+        |  ?li g:flagged ?rf .
+        |} WHERE {
+        |  ?li g:order ?ok . ?li g:returnflag ?rf .
+        |}""".stripMargin,
+      "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS s, " +
+        "'http://graft.io/schema/flagged' AS p, l_returnflag AS o FROM lineitem"),
+
     // FILTER EXISTS → left-semi star attachment (solutions kept iff the
     // group matches; the group's star contributes no columns)
     ("q37_exists",
@@ -657,7 +670,8 @@ object EngineQueries {
     "sg28_sqlgen_transform_join" -> "q11_transform_join",
     "sg29_sqlgen_union_sources" -> "q10_union_sources",
     "sg30_sqlgen_json_source" -> "q50_json_source",
-    "sg31_sqlgen_path_object_seeded" -> "q51_path_object_seeded")
+    "sg31_sqlgen_path_object_seeded" -> "q51_path_object_seeded",
+    "sg32_sqlgen_construct_single" -> "q52_construct_single")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

@@ -285,8 +285,11 @@ object GraftEngine {
           // constraint's set stays correct when several are ANDed.
           case Some(lits) =>
             import spark.implicits._
+            // cast to the ORIGINAL dst type: after flipping, the seeds
+            // join against the old dst column — casting to src's type
+            // would rely on implicit join coercion when the two differ
             val seeds = lits.toDF("src")
-              .select(col("src").cast(edges.schema("src").dataType).as("src"))
+              .select(col("src").cast(edges.schema("dst").dataType).as("src"))
             graft.ops.Closure
               .fromSeeds(edges.select(col("dst").as("src"), col("src").as("dst")), seeds)
               .select(col("dst").as("src"), col("src").as("dst"))

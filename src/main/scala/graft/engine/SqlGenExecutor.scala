@@ -102,7 +102,16 @@ object SqlGenExecutor {
     def registerTable(mp: EntityMapping, ctx: String): String = {
       require(Set("parquet", "csv", "json").contains(mp.storeType),
         s"store type '${mp.storeType}' is not SQL-lowered ($ctx)")
-      val tbl = mp.source.split('/').last.stripSuffix(".parquet")
+      // strip any known extension and sanitize to a valid SQL identifier
+      // (a csv/json basename would otherwise emit `FROM nation.csv`)
+      val base = Seq(".parquet", ".csv", ".json")
+        .foldLeft(mp.source.split('/').last)(_.stripSuffix(_))
+      val cleaned = base.replaceAll("[^A-Za-z0-9_]", "_")
+      val tbl = if (cleaned.headOption.exists(_.isDigit)) s"t_$cleaned" else cleaned
+      // two sources sharing a basename would silently collide in the view
+      // map (last path wins → SQL reads the wrong data) — fail loud
+      require(!tables.contains(tbl) || tables(tbl).path == mp.source,
+        s"view name '$tbl' collides: ${tables(tbl).path} vs ${mp.source} ($ctx)")
       tables(tbl) = TableRef(tbl, mp.source, mp.storeType,
         config.optionsFor(mp.source))
       tbl
@@ -161,8 +170,14 @@ object SqlGenExecutor {
         s"SELECT CAST(${t.subject} AS STRING) AS s, " +
           s"${litSql(t.predicate)} AS p, $o AS o FROM g_cons"
       }
+      // dedup must be UNCONDITIONAL: with a single template there is no
+      // UNION to dedup through, yet a graph is a triple SET and the
+      // Column engine always applies .distinct() — wrap the branches in
+      // an explicit SELECT DISTINCT so one- and n-template CONSTRUCTs
+      // agree across engines
       return Lowered(
-        s"WITH g_cons AS (${inner.sql}) " + branches.mkString(" UNION "),
+        s"WITH g_cons AS (${inner.sql}) SELECT DISTINCT * FROM " +
+          s"(${branches.mkString(" UNION ALL ")}) g_consu",
         tables.values.toSeq)
     }
 
