@@ -639,7 +639,11 @@ object EngineQueries {
     * portability). ANSI portability plus row-for-row agreement with the
     * Column engine is separately enforced by SqlGenSpec over every gate
     * pair. */
-  private val sqlGenGates: Seq[(String, String)] = Seq(
+  /** Exposed (package-private) so SqlGenSpec derives its gate pairs from
+    * THIS list and a doc-sync spec pins the documented count to its size
+    * — a new sg gate is auto-covered, never hand-copied (rounds 6–8 each
+    * shipped a stale hand-written copy somewhere). */
+  private[graft] val sqlGenGates: Seq[(String, String)] = Seq(
     "sg01_sqlgen_filter" -> "q02_filter_cmp",
     "sg02_sqlgen_join3" -> "q05_join3",
     "sg03_sqlgen_join4_mod" -> "q06_join4_mod",

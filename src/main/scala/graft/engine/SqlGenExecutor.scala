@@ -60,6 +60,24 @@ object SqlGenExecutor {
   /** Generated SQL + the tables it reads. */
   final case class Lowered(sql: String, tables: Seq[TableRef])
 
+  /** Words that cannot appear as a bare table identifier in the lowered
+    * SQL's two target engines (Spark SQL ANSI mode + DuckDB). The ANSI
+    * SQL:2016 reserved list intersected pragmatically — anything here
+    * gets the t_ prefix. A miss is not silent: the generated statement
+    * fails to parse at execute/oracle time, it never reads wrong data. */
+  private[graft] val SqlReservedWords: Set[String] = Set(
+    "all", "and", "any", "as", "asc", "between", "by", "case", "cast",
+    "check", "collate", "column", "constraint", "create", "cross",
+    "current", "default", "delete", "desc", "describe", "distinct",
+    "drop", "else", "end", "except", "exists", "false", "fetch", "filter",
+    "for", "foreign", "from", "full", "group", "grouping", "having", "in",
+    "inner", "insert", "intersect", "interval", "into", "is", "join",
+    "lateral", "left", "like", "limit", "natural", "not", "null", "offset",
+    "on", "or", "order", "outer", "over", "partition", "primary",
+    "qualify", "references", "right", "rows", "select", "semi", "set",
+    "some", "table", "then", "to", "true", "union", "unique", "update",
+    "user", "using", "values", "when", "where", "window", "with")
+
   /** Run the lowered SQL on Spark's own SQL engine over temp views
     * (loaded through the same [[SourceRegistry]] the Column engine
     * uses, so reader options cannot drift between engines). */
@@ -103,11 +121,19 @@ object SqlGenExecutor {
       require(Set("parquet", "csv", "json").contains(mp.storeType),
         s"store type '${mp.storeType}' is not SQL-lowered ($ctx)")
       // strip any known extension and sanitize to a valid SQL identifier
-      // (a csv/json basename would otherwise emit `FROM nation.csv`)
+      // (a csv/json basename would otherwise emit `FROM nation.csv`);
+      // reserved words get the same t_ prefix as leading digits — a
+      // source named order.parquet must not emit `FROM order`, which
+      // both DuckDB and ANSI-mode Spark SQL reject unquoted (quoting
+      // styles differ across the two target engines, so prefixing is
+      // the portable spelling)
       val base = Seq(".parquet", ".csv", ".json")
         .foldLeft(mp.source.split('/').last)(_.stripSuffix(_))
       val cleaned = base.replaceAll("[^A-Za-z0-9_]", "_")
-      val tbl = if (cleaned.headOption.exists(_.isDigit)) s"t_$cleaned" else cleaned
+      val tbl =
+        if (cleaned.headOption.exists(_.isDigit) ||
+          SqlReservedWords(cleaned.toLowerCase)) s"t_$cleaned"
+        else cleaned
       // two sources sharing a basename would silently collide in the view
       // map (last path wins → SQL reads the wrong data) — fail loud
       require(!tables.contains(tbl) || tables(tbl).path == mp.source,

@@ -161,6 +161,137 @@ case class PlaneSignatures(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Native Catalyst expression selecting, per input vector, the `nProbe`
+  * centroids nearest by cosine — the IVF query-routing step as ONE
+  * codegen'd scalar function. Arguments: (vec array<double>,
+  * centroidsFlat array<double> — the row-major flattened centroid
+  * matrix, dim int, nProbe int); result: array<int> of cluster ids
+  * ordered (cosine desc, id asc).
+  *
+  * Replaces the crossJoin(queries × broadcast centroids) + row_number
+  * window routing, which inflated |q|×nLists rows (each carrying the
+  * full query embedding — ~25 MB shuffled PER QUERY ROW at max auto
+  * knobs, nLists ≤ 4096 × 768-dim doubles) through a window exchange
+  * before any candidate was scored. Here the matrix rides the plan as
+  * one literal (the same bytes the broadcast centroid table shipped,
+  * once per executor via the task binary), the top-nProbe selection is
+  * a bounded insertion pass per row, and routing adds ZERO shuffles —
+  * the explode fans each query out nProbe ways, not nLists.
+  *
+  * Cosine accumulation order matches [[CosineSimilarity]] exactly
+  * (interleaved or not, the per-accumulator addition sequence is
+  * ascending-index over min(|vec|, dim) elements), and selection order
+  * matches `row_number over (cosine desc, cluster asc)` — so routing
+  * decisions are bit-identical to the replaced formulation. */
+case class TopClusters(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_top_clusters"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (arr(first.dataType) && arr(second.dataType) &&
+        third.dataType == IntegerType && fourth.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_top_clusters expects (array<double>, array<double>, int, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType}, ${fourth.dataType})")
+  }
+
+  override def nullSafeEval(vecAny: Any, plAny: Any, dimAny: Any, npAny: Any): Any = {
+    val v = vecAny.asInstanceOf[ArrayData]
+    val pl = plAny.asInstanceOf[ArrayData]
+    val dim = dimAny.asInstanceOf[Int]
+    val nProbe = npAny.asInstanceOf[Int]
+    if (dim <= 0 || nProbe <= 0) return null
+    val nClusters = pl.numElements() / dim
+    val n = math.min(v.numElements(), dim)
+    var nq = 0.0; var i = 0
+    while (i < n) { val x = v.getDouble(i); nq += x * x; i += 1 }
+    val keep = math.min(nProbe, nClusters)
+    val bestCos = new Array[Double](math.max(keep, 1))
+    val bestId = new Array[Int](math.max(keep, 1))
+    var count = 0; var c = 0
+    while (c < nClusters) {
+      val base = c * dim
+      var dot = 0.0; var nc = 0.0; var j = 0
+      while (j < n) {
+        val x = v.getDouble(j); val y = pl.getDouble(base + j)
+        dot += x * y; nc += y * y; j += 1
+      }
+      val cos = if (nq == 0.0 || nc == 0.0) 0.0 else dot / math.sqrt(nq * nc)
+      // bounded insertion, (cos desc, id asc); strict > keeps equal-cos
+      // later (larger) ids after earlier ones — row_number tie order
+      if (count < keep || cos > bestCos(count - 1)) {
+        var pos = if (count < keep) count else keep - 1
+        while (pos > 0 && cos > bestCos(pos - 1)) {
+          bestCos(pos) = bestCos(pos - 1); bestId(pos) = bestId(pos - 1); pos -= 1
+        }
+        bestCos(pos) = cos; bestId(pos) = c
+        if (count < keep) count += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (count == bestId.length) bestId else java.util.Arrays.copyOf(bestId, count))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, pl, dim, np) => {
+      val nClusters = ctx.freshName("nClusters"); val n = ctx.freshName("n")
+      val nq = ctx.freshName("nq"); val i = ctx.freshName("i")
+      val keep = ctx.freshName("keep")
+      val bestCos = ctx.freshName("bestCos"); val bestId = ctx.freshName("bestId")
+      val count = ctx.freshName("count"); val c = ctx.freshName("c")
+      val base = ctx.freshName("base"); val dot = ctx.freshName("dot")
+      val nc = ctx.freshName("nc"); val j = ctx.freshName("j")
+      val cos = ctx.freshName("cos"); val pos = ctx.freshName("pos")
+      s"""
+         |if ($dim <= 0 || $np <= 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $nClusters = $pl.numElements() / $dim;
+         |  int $n = java.lang.Math.min($v.numElements(), $dim);
+         |  double $nq = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { double xq = $v.getDouble($i); $nq += xq * xq; }
+         |  int $keep = java.lang.Math.min($np, $nClusters);
+         |  double[] $bestCos = new double[java.lang.Math.max($keep, 1)];
+         |  int[] $bestId = new int[java.lang.Math.max($keep, 1)];
+         |  int $count = 0;
+         |  for (int $c = 0; $c < $nClusters; $c++) {
+         |    int $base = $c * $dim;
+         |    double $dot = 0.0, $nc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      double xv = $v.getDouble($j);
+         |      double yv = $pl.getDouble($base + $j);
+         |      $dot += xv * yv; $nc += yv * yv;
+         |    }
+         |    double $cos = ($nq == 0.0 || $nc == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nq * $nc);
+         |    if ($count < $keep || $cos > $bestCos[$count - 1]) {
+         |      int $pos = ($count < $keep) ? $count : $keep - 1;
+         |      while ($pos > 0 && $cos > $bestCos[$pos - 1]) {
+         |        $bestCos[$pos] = $bestCos[$pos - 1]; $bestId[$pos] = $bestId[$pos - 1]; $pos--;
+         |      }
+         |      $bestCos[$pos] = $cos; $bestId[$pos] = $c;
+         |      if ($count < $keep) $count++;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    $count == $bestId.length ? $bestId : java.util.Arrays.copyOf($bestId, $count));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 object VectorFunctions {
 
   /** Idempotent per-session registration of ALL native graft functions
@@ -172,6 +303,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_plane_sigs",
       exprs => PlaneSignatures(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_clusters",
+      exprs => TopClusters(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
     HashFunctions.register(spark)
   }
 
@@ -190,5 +324,16 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.{lit, typedLit}
     call_function("graft_plane_sigs", vec.cast("array<double>"),
       typedLit(planes.flatten), lit(rowsPerBand), lit(planes.head.length))
+  }
+
+  /** Per-row top-`nProbe` nearest clusters by cosine (ids ordered cosine
+    * desc, id asc) against the row-major flattened `centroids` matrix —
+    * the IVF routing step with zero shuffles; explode the result to fan
+    * each query out nProbe ways. */
+  def topClusters(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    require(centroids.nonEmpty && centroids.head.nonEmpty, "topClusters needs a non-empty centroid matrix")
+    call_function("graft_top_clusters", vec.cast("array<double>"),
+      typedLit(centroids.flatten), lit(centroids.head.length), lit(nProbe))
   }
 }

@@ -133,12 +133,23 @@ object Similarity {
     * Nothing is collected to the driver and no n×m pair set forms: the
     * join fans each query out to the probed lists only (candidate count ≈
     * nProbe/nLists of the corpus), and the per-query top-k is a window
-    * over that bounded candidate set. Shuffles: one on `cluster` (the
-    * centroid table itself is broadcast — it has `nLists` rows), one for
-    * the per-query window. Approximate: a true neighbor in an unprobed
-    * list is missed — raise nProbe for recall (nProbe = nLists ⇒ exact).
-    * The broadcast path ([[knnJoinBroadcast]]) stays the small-corpus
-    * fast path. Ties break by corpus id, matching knnJoinBroadcast.
+    * over that bounded candidate set.
+    *
+    * Routing is ONE codegen'd scalar expression per query row
+    * ([[graft.functions.TopClusters]]) + explode — fan-out nProbe, not
+    * nLists, and ZERO routing shuffles. The rejected formulation
+    * (crossJoin with the broadcast nLists-row centroid table + a
+    * row_number window) inflated |q|×nLists rows each carrying the full
+    * query embedding — ~25 MB through the window exchange PER QUERY ROW
+    * at max auto knobs (nLists ≤ 4096, 768-dim) before any candidate was
+    * scored; the centroid matrix now rides the plan as one literal (the
+    * same bytes the broadcast table shipped, once per executor).
+    * Shuffles: one on `cluster` for the candidate equi-join, one for the
+    * per-query rank window — and nothing else. Approximate: a true
+    * neighbor in an unprobed list is missed — raise nProbe for recall
+    * (nProbe = nLists ⇒ exact). The broadcast path
+    * ([[knnJoinBroadcast]]) stays the small-corpus fast path. Ties break
+    * by corpus id, matching knnJoinBroadcast.
     *
     * Knobs default to None → [[autoIvfParams]] from the corpus count
     * (nLists ≈ √n, 12.5% probe fraction — bounded candidate volume at any
@@ -160,18 +171,12 @@ object Similarity {
     val nLists = nListsOpt.getOrElse(autoLists)
     val nProbe = nProbeOpt.getOrElse(autoProbe)
     val ivf = buildIvf(corpus, cId, cVec, nLists, seed)
-    val cents = spark.createDataFrame(
-      ivf.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
-      .toDF("cluster", "centroid")
     val q = queries.select(qId.cast("long").as("q_id"), qVec.cast("array<double>").as("qv"))
-    // route: per query, the nProbe nearest centroids (broadcast join —
-    // the centroid side is nLists rows)
-    val routeW = Window.partitionBy(col("q_id"))
-      .orderBy(VectorFunctions.cosine(col("qv"), col("centroid")).desc, col("cluster"))
-    val routed = q.crossJoin(broadcast(cents))
-      .withColumn("crn", row_number().over(routeW))
-      .filter(col("crn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cluster"))
+    // route: per query, the nProbe nearest centroids — one codegen'd
+    // expression + explode, no join and no window (see Scaladoc)
+    val routed = q.select(col("q_id"), col("qv"),
+      explode(VectorFunctions.topClusters(col("qv"),
+        ivf.centroids.map(_.toSeq).toSeq, nProbe)).as("cluster"))
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     routed.join(ivf.assigned, "cluster")

@@ -37,6 +37,42 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(interp.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("TopClusters expression: matches brute cosine ranking, codegen + interpreted") {
+    VectorFunctions.register(spark)
+    // 6 centroids at known angles in 2-D; query = x-axis → nearest by
+    // cosine are the centroids closest in angle, ids break cos ties asc
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0),
+      Seq(-1.0, 0.0), Seq(1.0, -1.0), Seq(2.0, 0.0))
+    def expect(q: Seq[Double], nProbe: Int): Seq[Int] = {
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      cents.zipWithIndex.sortBy { case (c, i) => (-cos(q, c), i) }
+        .take(nProbe).map(_._2)
+    }
+    val queries = Seq(Seq(1.0, 0.0), Seq(0.0, 2.0), Seq(-1.0, -1.0), Seq(0.0, 0.0))
+    val got = queries.toDF("q")
+      .select(VectorFunctions.topClusters(col("q"), cents, nProbe = 3).as("tc"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    queries.zip(got).foreach { case (q, g) => assert(g == expect(q, 3), s"query $q") }
+    // nProbe > nClusters caps at nClusters; nProbe >= nClusters is exact order
+    val all = Seq(Seq(1.0, 0.0)).toDF("q")
+      .select(VectorFunctions.topClusters(col("q"), cents, nProbe = 99).as("tc"))
+      .head().getSeq[Int](0).toSeq
+    assert(all == expect(Seq(1.0, 0.0), cents.length))
+    // interpreted (non-codegen) eval agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val interp = graft.functions.TopClusters(
+      Literal.create(Seq(0.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(cents.flatten, ArrayType(DoubleType)),
+      Literal.create(2, IntegerType), Literal.create(3, IntegerType))
+    assert(interp.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq == expect(Seq(0.0, 2.0), 3))
+  }
+
   test("minhash LSH finds a planted near-duplicate") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val nearDup = base.replace("kappa", "lambda") // small edit

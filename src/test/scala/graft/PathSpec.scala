@@ -186,6 +186,60 @@ class PathSpec extends AnyFunSuite {
     assert(star == expect.map(_ -> 3L) + ((3L, 3L)))
   }
 
+  test("object-seeded p+ over an int-src/string-dst source: types normalize end-to-end") {
+    // the edge SOURCE is heterogeneous — long subject key, STRING manager
+    // column — the shape the round-8 seed-cast hardening was written for.
+    // closureEdges normalizes dst to src's type at construction
+    // (GraftEngine.closureEdges: chains only exist under one key type),
+    // which is ALSO why no spec can fail on the pre-hardening code: after
+    // that normalization edges.schema("dst").dataType ==
+    // edges.schema("src").dataType, so casting object seeds to the dst
+    // type (round 8) and to the src type (before) are provably the same
+    // cast. This case pins the end-to-end contract: string-typed edge
+    // attrs + a numeric literal seed + reverse BFS give exactly the
+    // reverse-reachable set, in the subject key's type.
+    import org.apache.spark.sql.functions.{col, concat_ws, expr, when}
+    val dir = "target/derived/het_lake"
+    val s = spark
+    import s.implicits._
+    (1L to 15L).toDF("h_key")
+      .select(col("h_key"),
+        when(col("h_key") >= 2, expr("cast(cast(h_key / 2 as long) as string)"))
+          .as("h_mgr"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/het_parquet")
+    val mappings =
+      s"""@prefix g: <http://graft.io/schema/>
+         |@prefix rr: <http://www.w3.org/ns/r2rml#>
+         |@prefix rml: <http://semweb.mmlab.be/ns/rml#>
+         |@prefix nosql: <http://purl.org/db/nosql#>
+         |
+         |<#HetMap>
+         |  rml:logicalSource [ rml:source "$dir/het_parquet"; nosql:store nosql:parquet ];
+         |  rr:subjectMap [ rr:template "http://graft.io/het/{h_key}"; rr:class g:Het ];
+         |  rr:predicateObjectMap [ rr:predicate g:hmgr; rr:objectMap [ rml:reference "h_mgr" ] ] .
+         |""".stripMargin
+    val config =
+      s"""{"sources":[{"type":"parquet","options":{},"source":"$dir/het_parquet","entity":"Het"}]}"""
+    // descendants of node 3 in the k -> k/2 tree over 1..15: 6,7,12..15
+    val got = graft.engine.GraftEngine.execute(spark,
+        P + "SELECT ?e ?m WHERE { ?e g:hmgr+ ?m . FILTER(?m = 3) }",
+        mappings, config)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(6L, 7L, 12L, 13L, 14L, 15L).map(_ -> 3L))
+    // mirror shape — STRING subject key, the seed literal must cast to
+    // string and match: same tree with string keys
+    (1L to 15L).toDF("k")
+      .select(concat_ws("", expr("cast(k as string)")).as("h_key"),
+        when(col("k") >= 2, expr("cast(k / 2 as long)")).as("h_mgr"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/het_rev_parquet")
+    val gotRev = graft.engine.GraftEngine.execute(spark,
+        P + "SELECT ?e ?m WHERE { ?e g:hmgr+ ?m . FILTER(?m = 3) }",
+        mappings.replace("het_parquet", "het_rev_parquet"),
+        config.replace("het_parquet", "het_rev_parquet"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotRev == Set("6", "7", "12", "13", "14", "15").map(_ -> "3"))
+  }
+
   test("a filter on the closure endpoint applies to reachability, not the one-hop edge") {
     // ?m < 2 keeps only the root among ANCESTORS — if the filter were
     // pushed into the one-hop scan, only emp 2 and 3 (direct reports of

@@ -206,6 +206,23 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("s05/s08: IVF kNN join routes via codegen'd top-clusters — no routing window or join") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.ops.Similarity.knnJoinIvf(e, e, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), k = 3, nListsOpt = Some(16), nProbeOpt = Some(4))
+    val p = df.queryExecution.executedPlan.toString
+    // the rejected formulation planned crossJoin(broadcast cents) — a
+    // BroadcastNestedLoopJoin inflating |q|×nLists rows — plus a SECOND
+    // window (row_number routing) before the rank window
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"routing degenerated to a product join:\n$p")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONLY the rank window, found $windows:\n$p")
+    assert(p.contains("graft_top_clusters") || p.contains("Generate explode"),
+      s"codegen'd routing explode missing:\n$p")
+  }
+
   test("s01: brute-force top-k has no shuffle exchange") {
     val df = SparkEntry.queries("s01_cosine_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

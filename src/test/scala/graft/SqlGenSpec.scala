@@ -22,38 +22,10 @@ class SqlGenSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private val gatePairs = Seq(
-    "sg01_sqlgen_filter" -> "q02_filter_cmp",
-    "sg02_sqlgen_join3" -> "q05_join3",
-    "sg03_sqlgen_join4_mod" -> "q06_join4_mod",
-    "sg04_sqlgen_agg" -> "q14_agg_join_orderby",
-    "sg05_sqlgen_having" -> "q25_having",
-    "sg06_sqlgen_optional" -> "q19_optional",
-    "sg07_sqlgen_fno" -> "q15_fno_transform",
-    "sg08_sqlgen_in" -> "q32_filter_in",
-    "sg09_sqlgen_bind" -> "q30_bind",
-    "sg10_sqlgen_bind_expr" -> "q31_bind_expr",
-    "sg11_sqlgen_minus" -> "q26_minus",
-    "sg12_sqlgen_exists" -> "q37_exists",
-    "sg13_sqlgen_offset" -> "q28_offset",
-    "sg14_sqlgen_not_exists" -> "q38_not_exists",
-    "sg15_sqlgen_union" -> "q20_union_branches",
-    "sg16_sqlgen_alt_path" -> "q41_alt_path",
-    "sg17_sqlgen_subquery" -> "q45_subquery",
-    "sg18_sqlgen_negated_set" -> "q47_negated_set",
-    "sg19_sqlgen_subquery_topn" -> "q46_subquery_topn",
-    "sg20_sqlgen_ask" -> "q35_ask",
-    "sg21_sqlgen_builtins" -> "q33_string_funcs",
-    "sg22_sqlgen_select_star" -> "q49_select_star",
-    "sg23_sqlgen_construct" -> "q40_construct",
-    "sg24_sqlgen_describe" -> "q44_describe",
-    "sg25_sqlgen_path_plus" -> "q42_path_plus",
-    "sg26_sqlgen_path_star" -> "q43_path_star",
-    "sg27_sqlgen_path_seeded" -> "q48_path_seeded",
-    "sg28_sqlgen_transform_join" -> "q11_transform_join",
-    "sg29_sqlgen_union_sources" -> "q10_union_sources",
-    "sg30_sqlgen_json_source" -> "q50_json_source",
-    "sg31_sqlgen_path_object_seeded" -> "q51_path_object_seeded")
+  // derived from the ONE authoritative gate list (EngineQueries) — a new
+  // sg gate is auto-covered here; rounds 6–8 each shipped a stale
+  // hand-copied variant of this list somewhere
+  private val gatePairs = EngineQueries.sqlGenGates
 
   // gates whose filter thresholds / OFFSET exceed the tiny sf0.001 tables
   // and leave 0 rows (both engines agree on empty); every other gate must
@@ -130,6 +102,75 @@ class SqlGenSpec extends AnyFunSuite {
         |      ?o g:customer ?c . ?o g:totalprice ?tp .
         |    } GROUP BY ?c }
         |}""".stripMargin, "SELECT *")
+  }
+
+  private val FixP = "PREFIX g: <http://graft.io/schema/>\n"
+  private def fixtureMappings(entries: Seq[(String, String, String, String)]): String =
+    s"""@prefix g: <http://graft.io/schema/>
+       |@prefix rr: <http://www.w3.org/ns/r2rml#>
+       |@prefix rml: <http://semweb.mmlab.be/ns/rml#>
+       |@prefix nosql: <http://purl.org/db/nosql#>
+       |
+       |""".stripMargin + entries.map { case (name, src, store, clazz) =>
+      s"""<#${name}Map>
+         |  rml:logicalSource [ rml:source "$src"; nosql:store nosql:$store ];
+         |  rr:subjectMap [ rr:template "http://graft.io/$name/{k}"; rr:class g:$clazz ];
+         |  rr:predicateObjectMap [ rr:predicate g:xv; rr:objectMap [ rml:reference "v" ] ] .
+         |""".stripMargin
+    }.mkString("\n")
+
+  test("a reserved-word basename is t_-prefixed, never emitted as a bare identifier") {
+    val dir = "target/derived/sqlgen_resv"
+    spark.range(3).selectExpr("id as k", "concat('v', id) as v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/order.parquet")
+    val m = graft.mappings.RmlParser.parse(
+      fixtureMappings(Seq(("ord", s"$dir/order.parquet", "parquet", "Ord"))))
+    val c = graft.mappings.ConfigParser.parse(
+      s"""{"sources":[{"type":"parquet","options":{},"source":"$dir/order.parquet","entity":"Ord"}]}""")
+    val q = SparqlParser.parse(FixP + "SELECT ?s ?v WHERE { ?s a g:Ord . ?s g:xv ?v . }")
+    val l = SqlGenExecutor.lower(q, m, c)
+    assert(l.tables.map(_.name) == Seq("t_order"), l.tables.toString)
+    assert(!l.sql.matches("(?is).*\\bFROM\\s+order\\b.*"), l.sql)
+    // and the generated statement actually parses + runs on Spark SQL
+    val rows = SqlGenExecutor.execute(spark, q, m, c)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(rows == Seq("0|v0", "1|v1", "2|v2"))
+  }
+
+  test("two sources sharing a basename refuse loudly instead of colliding in the view map") {
+    // x.csv and x.json both sanitize to view name `x` — pre-require the
+    // second registration silently overwrote the first (last path wins →
+    // the generated SQL reads the WRONG data). lower() must refuse; no
+    // files are needed since registration precedes any read.
+    val m = graft.mappings.RmlParser.parse(fixtureMappings(Seq(
+      ("xa", "target/derived/nowhere_a/x.csv", "csv", "X"),
+      ("xb", "target/derived/nowhere_b/x.json", "json", "X"))))
+    val c = graft.mappings.ConfigParser.parse(
+      """{"sources":[
+        |{"type":"csv","options":{"header":"true"},"source":"target/derived/nowhere_a/x.csv","entity":"X"},
+        |{"type":"json","options":{},"source":"target/derived/nowhere_b/x.json","entity":"X"}]}""".stripMargin)
+    val q = SparqlParser.parse(FixP + "SELECT ?s ?v WHERE { ?s a g:X . ?s g:xv ?v . }")
+    val e = intercept[IllegalArgumentException] { SqlGenExecutor.lower(q, m, c) }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+    assert(e.getMessage.contains("x.csv") && e.getMessage.contains("x.json"), e.getMessage)
+  }
+
+  test("documented sg gate counts match the authoritative gate list (no hand-written drift)") {
+    // rounds 6–8 each needed a dedicated doc-sync commit for a stale
+    // sgNN count; this turns that drift into a red test
+    val n = EngineQueries.sqlGenGates.size
+    assert(gatePairs.size == n) // this spec derives from the same list
+    for (doc <- Seq("COVERAGE.md", "README.md")) {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(doc)), "UTF-8")
+      val ranges = "sg01–sg(\\d+)".r.findAllMatchIn(text).map(_.group(1).toInt).toSeq
+      assert(ranges.nonEmpty, s"$doc no longer states an sg gate range")
+      assert(ranges.forall(_ == n), s"$doc claims sg01–sg${ranges.distinct.mkString("/")} but $n gates exist")
+      for (m <- "(\\d+) gate pairs".r.findAllMatchIn(text))
+        assert(m.group(1).toInt == n, s"$doc claims ${m.group(1)} gate pairs but $n exist")
+      for (m <- "(\\d+)/(\\d+)\\s+agree".r.findAllMatchIn(text))
+        assert(m.group(1).toInt == n, s"$doc claims ${m.group(0)} but $n gates exist")
+    }
   }
 
   test("string literals that merely parse as doubles stay quoted") {
