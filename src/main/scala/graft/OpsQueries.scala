@@ -691,6 +691,28 @@ object OpsQueries {
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumv " +
         "FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey GROUP BY 1"),
 
+    // the SAME sessions through the custom-state surface
+    // (flatMapGroupsWithState): one AvailableNow micro-batch over the
+    // single-file source ⇒ each user's full history in one group call ⇒
+    // must reproduce st02's gaps-and-islands oracle exactly
+    ("st05_sessionize_fmgws",
+      (s, sf) => EventStreams.runSessionizeBatch(s, s"$sf/events.parquet",
+          gapMinutes = 30)
+        .select(col("user_id"), unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"), col("n_events")),
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM m)
+        |SELECT user_id, MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin),
+
     // ---- temporal joins (net-new; Spark has no native operator) --------
     // as-of enrichment: every event gains the user's latest purchase value
     // at or before its timestamp. Engine: union-and-fill (one keyed
@@ -715,7 +737,10 @@ object OpsQueries {
 
     // point-in-interval range join via slot bucketing (never a
     // BroadcastNestedLoopJoin): heavy lineitems land in the order windows
-    // that contain their ship date; oracle is DuckDB's inequality join
+    // that contain their ship date; oracle is DuckDB's inequality join.
+    // Runs the AUTO-slot path (slot = median interval length, here the
+    // median of 1..20 days) — the spelling users should reach for; the
+    // derived value itself is pinned by OpsSpec on a known fixture
     ("ts02_range_count",
       (s, sf) => {
         val pts = s.read.parquet(s"$sf/lineitem.parquet")
@@ -725,7 +750,7 @@ object OpsQueries {
             expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
               .as("o_end"))
         TemporalJoin.intervalJoin(pts, "l_shipdate", ivals,
-            "o_orderdate", "o_end", slotSeconds = 7L * 86400)
+            "o_orderdate", "o_end")
           .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
       },
       """SELECT o_orderkey, count(*) AS cnt
@@ -733,6 +758,27 @@ object OpsQueries {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))
         |GROUP BY o_orderkey""".stripMargin),
+
+    // the hot-key as-of variant ((key, time-slice) windows + carry-in —
+    // the route when one key dominates): same enrichment as ts01, sliced
+    // by day-of-nanos, against the SAME independent DuckDB ASOF oracle —
+    // both formulations must land on identical rows
+    ("ts03_asof_enrich_sliced",
+      (s, sf) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = s.read.parquet(s"$sf/events.parquet")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        TemporalJoin.asofJoinBackwardSliced(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, key = "user_id", ts = "ts", rightVals = Seq("value"),
+          sliceOf = c => floor(c / lit(86400L * 1000000000L)))
+          .select(col("event_id"), col("value").as("last_purchase"))
+      },
+      """SELECT e.event_id, p.value AS last_purchase
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin),
 
     // ---- end-to-end corpus pipeline (the ops compose) -------------------
     // quality+language filter → fuzzy dedup (MinHash pairs → connected

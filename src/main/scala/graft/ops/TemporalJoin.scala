@@ -35,6 +35,16 @@ object TemporalJoin {
     * value. Cost: one hash shuffle on `key` + one sort — the same bill
     * as any keyed window, independent of time-range density.
     *
+    * SKEW EXPOSURE: the window partitions by `key`, so ONE task sorts a
+    * hot key's full history. Spark's window sort is external
+    * (disk-backed) — a hot key costs O(n_hot·log n_hot) time and spill,
+    * never an OOM — but a key holding a large fraction of all rows
+    * serializes that fraction of the work into one task. When one key
+    * dominates (rule of thumb: a key exceeding ~1/numPartitions of all
+    * rows, i.e. whatever makes its single task the stage's tail), route
+    * through [[asofJoinBackwardSliced]]: same semantics, hot keys split
+    * across time slices (spec-verified equal on a 50%-hot-key fixture).
+    *
     * Note: a NULL in a right value column is indistinguishable from
     * "no newer state" (ignoreNulls skips it) — encode deletions
     * explicitly if they matter. */
@@ -61,6 +71,75 @@ object TemporalJoin {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv_$c").as(c)): _*)
   }
 
+  /** [[asofJoinBackward]] with the hot-key story: identical semantics,
+    * but the heavy window partitions by (key, time-slice) instead of key
+    * alone, so a key holding half the corpus spreads over all its slices'
+    * tasks instead of serializing into one. `sliceOf` buckets a ts value
+    * into a slice id (monotone in ts — e.g. `c => floor(c / hourNanos)`
+    * for numeric-nanos columns); pick a span yielding 10s–1000s of
+    * slices over the hot key's time range.
+    *
+    * Two passes replace the single per-key window:
+    *  1. in-slice fill — the base union-and-fill window, partitioned by
+    *     (key, slice): each left row gets the latest right value within
+    *     its OWN slice;
+    *  2. carry-in — per (key, slice), the last non-null right value of
+    *     the slice (an aggregate, map-side combinable), then a per-key
+    *     window over the SLICE table (rows = #slices per key, thousands
+    *     at most — the hot key's millions of rows never pass through a
+    *     per-key exchange) computes what each slice inherits from
+    *     strictly-earlier slices; left rows unfilled after pass 1
+    *     coalesce to their slice's carry-in.
+    *
+    * Ties at a slice boundary are safe: a right row AT a left row's ts
+    * shares its slice (sliceOf is a function of ts), so inclusivity is
+    * decided inside pass 1 exactly as in the base window. */
+  def asofJoinBackwardSliced(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVals: Seq[String], sliceOf: Column => Column): DataFrame = {
+    require(rightVals.nonEmpty, "asofJoinBackwardSliced needs at least one right value column")
+    val leftCols = left.columns.toSeq
+    val lAligned = rightVals.foldLeft(left.withColumn("__side", lit(1))) {
+      (d, c) => d.withColumn(s"__rv_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val rAligned = leftCols.filterNot(c => c == key || c == ts)
+      .foldLeft(right.select(
+        col(key) +: col(ts) +: rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+        .withColumn("__side", lit(0))) {
+        (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val u = lAligned.unionByName(rAligned)
+      .withColumn("__slice", sliceOf(col(ts)))
+    // pass 1: the base fill, but partitioned by (key, slice) — the hot
+    // key's rows hash across its slices
+    val wIn = Window.partitionBy(col(key), col("__slice"))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filledIn = rightVals.foldLeft(u) {
+      (d, c) => d.withColumn(s"__rv_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(wIn))
+    }
+    // pass 2: per (key, slice) the last non-null right value — max_by
+    // keyed on ts-where-value-is-non-null, so a trailing null value falls
+    // back to the newest non-null exactly like the base ignoreNulls fill
+    // (ties at equal ts fall to either row, the same unspecified-order
+    // contract the base window has) — then the carry from
+    // strictly-earlier slices over the tiny per-key slice table
+    val slAggs = rightVals.map(c =>
+      max_by(col(s"__rv_$c"), when(col(s"__rv_$c").isNotNull, col(ts))).as(s"__sl_$c"))
+    val sliceLast = u.filter(col("__side") === 0)
+      .groupBy(col(key), col("__slice"))
+      .agg(slAggs.head, slAggs.tail: _*)
+    val allSlices = u.select(col(key), col("__slice")).distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allSlices.join(sliceLast, Seq(key, "__slice"), "left")
+      .select(Seq(col(key), col("__slice")) ++ rightVals.map(c =>
+        last(col(s"__sl_$c"), ignoreNulls = true).over(wCarry).as(s"__ci_$c")): _*)
+    filledIn.filter(col("__side") === 1)
+      .join(carry, Seq(key, "__slice"), "left")
+      .select(leftCols.map(col) ++ rightVals.map(c =>
+        coalesce(col(s"__rv_$c"), col(s"__ci_$c")).as(c)): _*)
+  }
+
   /** Inner join of points to the intervals containing them
     * (`start <= pt <= end`, both ends inclusive). `ptTs`/`startTs`/`endTs`
     * are timestamp (or numeric-seconds) columns; `slotSeconds` is the
@@ -68,6 +147,35 @@ object TemporalJoin {
     * replication factor per interval is ⌈len/slot⌉+1, while a too-coarse
     * slot packs many candidates into one bucket before the exact filter.
     * Output has the columns of both inputs (caller renames collisions). */
+  /** Median interval length in seconds — the slot granularity
+    * [[intervalJoin]] derives when the caller passes no knob. One cheap
+    * aggregate pass over (start, end) only (column-pruned scan; at
+    * 100 TB this is metadata-scale next to the join it sizes).
+    * approx_percentile's default accuracy pins the estimate within
+    * 1/10000 of rank — any slot within ~2× of the true median keeps the
+    * replication factor ⌈len/slot⌉+1 ≈ 2; exactness is not needed.
+    * Fails loud on an empty/all-null intervals input: there is no
+    * defensible slot to invent, and a default would silently mis-size
+    * every later run that hits the same path with real data. */
+  def autoSlotSeconds(intervals: DataFrame, startTs: String, endTs: String): Long = {
+    val med = intervals
+      .select((col(endTs).cast("timestamp").cast("long") -
+        col(startTs).cast("timestamp").cast("long")).as("len"))
+      .agg(approx_percentile(col("len"), lit(0.5), lit(10000)).as("m"))
+      .head().get(0)
+    require(med != null,
+      "autoSlotSeconds: intervals input has no non-null (start, end) rows")
+    math.max(1L, med.asInstanceOf[Long])
+  }
+
+  /** [[intervalJoin]] with the slot auto-derived as the median interval
+    * length ([[autoSlotSeconds]]) — the spelling to use unless a
+    * workload-specific slot has been measured. */
+  def intervalJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
+      startTs: String, endTs: String): DataFrame =
+    intervalJoin(points, ptTs, intervals, startTs, endTs,
+      autoSlotSeconds(intervals, startTs, endTs))
+
   def intervalJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
       startTs: String, endTs: String, slotSeconds: Long): DataFrame = {
     require(slotSeconds > 0, "slotSeconds must be positive")

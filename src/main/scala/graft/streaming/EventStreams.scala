@@ -78,6 +78,19 @@ object EventStreams {
     runToMemory(spark, hourlyStats(streamEvents(spark, parquetPath)),
       s"graft_hourly_${math.abs(parquetPath.hashCode)}", "complete")
 
+  /** [[sessionize]] (the flatMapGroupsWithState custom-state surface) run
+    * as a real streaming query over the events parquet file. A
+    * single-file source under AvailableNow is ONE micro-batch (same
+    * reasoning as the st03 dedup gate), so every user's events arrive in
+    * one group call and the emitted sessions equal the batch
+    * gaps-and-islands result — which is exactly what the st05 gate pins
+    * against the st02 oracle. */
+  def runSessionizeBatch(spark: SparkSession, parquetPath: String,
+      gapMinutes: Int): DataFrame =
+    runToMemory(spark,
+      sessionize(streamEvents(spark, parquetPath), gapMinutes),
+      s"graft_sess_${math.abs(parquetPath.hashCode)}", "append")
+
   /** Stream-static enrichment (the standard streaming ingest shape): the
     * event stream joins a static dimension table, then aggregates per
     * dimension attribute. Spark plans the static side as a broadcast
@@ -154,18 +167,24 @@ object EventStreams {
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    // gap comparisons in MICROSECONDS (the events table's native
+    // precision, and what sessionizeBatch/the st02+st05 oracles use) —
+    // Timestamp.getTime alone truncates to ms and mis-classifies gaps
+    // that straddle the threshold by under a millisecond
+    def tsUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val typed = events.select(col("user_id"), col("ts"), col("event_type")).as[Event]
     // batch path: sort per user in-state; streaming path would use timeouts
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Event], Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
-          val evs = it.toList.sortBy(_.ts.getTime)
+          val evs = it.toList.sortBy(e => tsUs(e.ts))
           val sessions = scala.collection.mutable.ListBuffer.empty[Session]
           var cur = List.empty[Event]
           for (e <- evs) {
-            if (cur.nonEmpty && e.ts.getTime - cur.last.ts.getTime > gapMs) {
+            if (cur.nonEmpty && tsUs(e.ts) - tsUs(cur.last.ts) > gapUs) {
               sessions += Session(uid, cur.head.ts, cur.last.ts, cur.size.toLong)
               cur = List(e)
             } else cur = cur :+ e

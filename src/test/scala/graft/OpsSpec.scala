@@ -216,6 +216,63 @@ class OpsSpec extends AnyFunSuite {
     assert(got == naive && got > 0)
   }
 
+  test("sliced as-of join equals the base as-of on a 50%-hot-key fixture, and splits the hot key") {
+    // 40k left rows: user 7 holds HALF of them (the skew shape the base
+    // per-key window serializes into one task); right rows every ~50
+    // ticks, value null on every 5th right row to exercise the
+    // ignoreNulls carry
+    val left = spark.range(0, 40000, 1, 8)
+      .selectExpr("id AS row_id",
+        "CASE WHEN id % 2 = 0 THEN 7L ELSE id % 40 END AS k",
+        "CAST(id * 13 % 100000 AS LONG) AS ts")
+    val right = spark.range(0, 2000, 1, 4)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN 7L ELSE id % 40 END AS k",
+        "CAST(id * 50 % 100000 AS LONG) AS ts",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+        .toMap
+    val base = canon(graft.ops.TemporalJoin.asofJoinBackward(
+      left, right, key = "k", ts = "ts", rightVals = Seq("v")))
+    // slice ticks into ~20 buckets of 5000
+    val sliced = graft.ops.TemporalJoin.asofJoinBackwardSliced(
+      left, right, key = "k", ts = "ts", rightVals = Seq("v"),
+      sliceOf = c => floor(c / 5000L))
+    assert(canon(sliced) == base)
+    // the skew story itself: the heavy window's shuffle key is
+    // (k, __slice), so the hot key's rows split across its slices — the
+    // max (k, slice) group is a fraction of the hot key's row count
+    val hotRows = left.filter(col("k") === 7).count()
+    val maxSliceGroup = left.withColumn("__slice", floor(col("ts") / 5000L))
+      .groupBy("k", "__slice").count().agg(max("count")).head().getLong(0)
+    assert(hotRows >= 20000 && maxSliceGroup <= hotRows / 10,
+      s"hot key not split: $maxSliceGroup of $hotRows in one group")
+    // and the physical plan's big exchange partitions by BOTH columns
+    val p = sliced.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(k#\\d+L?, __slice".r.findFirstIn(p).isDefined,
+      s"heavy window not (key, slice)-partitioned:\n$p")
+  }
+
+  test("autoSlotSeconds derives the median interval length; auto path equals explicit") {
+    // 7 intervals with second-lengths 10,10,10,50,50,100,100 → median 50
+    val iv = Seq((0L, 10L), (100L, 110L), (200L, 210L), (300L, 350L),
+      (400L, 450L), (500L, 600L), (700L, 800L))
+      .toDF("s", "e")
+    assert(graft.ops.TemporalJoin.autoSlotSeconds(iv, "s", "e") == 50L)
+    val pts = Seq(5L, 105L, 340L, 555L, 999L).toDF("p")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("p", "s", "e").collect().map(_.toSeq).toSet
+    val auto = canon(graft.ops.TemporalJoin.intervalJoin(pts, "p", iv, "s", "e"))
+    val explicit = canon(graft.ops.TemporalJoin.intervalJoin(pts, "p", iv, "s", "e", 50L))
+    assert(auto == explicit && auto.nonEmpty)
+    // empty/all-null intervals refuse loudly — no invented default slot
+    val none = intercept[IllegalArgumentException] {
+      graft.ops.TemporalJoin.autoSlotSeconds(iv.filter(col("s") < 0), "s", "e")
+    }
+    assert(none.getMessage.contains("no non-null"))
+  }
+
   test("salted skew join equals the plain equi-join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
     val o = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_totalprice")

@@ -44,6 +44,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q06_join4_mod").contains("TakeOrderedAndProject"))
   }
 
+  test("q06: small dimension stars broadcast — every star join is a BroadcastHashJoin") {
+    // the 4-star chain joins lineitem against three dimension-sized stars;
+    // under AQE with default thresholds all three must plan as broadcast
+    // joins (a sort-merge here would shuffle the fact side three times)
+    val p = plan("q06_join4_mod")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected 3 broadcast star joins, found $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension star fell back to sort-merge:\n$p")
+  }
+
   test("q22: timestamp filter pushed to the orders scan") {
     val p = plan("q22_date_filter")
     assert(p.contains("GreaterThanOrEqual(o_orderdate,"), s"no timestamp pushdown in:\n$p")

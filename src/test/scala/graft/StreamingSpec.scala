@@ -95,4 +95,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids == Seq(10L, 11L, 12L))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionize under AvailableNow equals the batch window plan") {
+    // the st05 gate's in-repo twin: one micro-batch over the single-file
+    // source means every user's history reaches one group call, so the
+    // custom-state path must reproduce the gaps-and-islands result row
+    // for row — including sub-millisecond gap boundaries (the events
+    // table carries microsecond noise; ms-truncated comparisons diverge)
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), unix_micros(col("start")).as("s"),
+          unix_micros(col("end")).as("e"), col("n_events"))
+        .collect().map(_.toSeq).toSet
+    val streamed = canon(EventStreams.runSessionizeBatch(
+      spark, s"$sf/events.parquet", gapMinutes = 30))
+    val batch = canon(EventStreams.sessionizeBatch(
+      EventStreams.readEvents(spark, s"$sf/events.parquet"), gapMinutes = 30))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
