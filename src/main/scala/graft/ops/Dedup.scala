@@ -365,13 +365,23 @@ object Dedup {
   /** Embedding near-dups: exact cosine ≥ threshold over candidate pairs,
     * using the codegen'd [[graft.functions.CosineSimilarity]] inner loop.
     *
-    * Default mode is banded random-hyperplane LSH — the 100 TB contract:
-    * each vector gets `bands` small signatures (one per band of
-    * `rowsPerBand` hyperplanes); candidates are pairs colliding in ≥1
-    * band, verified with exact cosine. Pair recall for a pair at angle θ
-    * is 1−(1−p^r)^b with p = 1−θ/π; the 32×4 default gives >0.99 at
-    * cosine 0.45 and ~1 above 0.7. Candidate volume is per-bucket, never
-    * n².
+    * Default mode is banded random-hyperplane LSH: each vector gets
+    * `bands` small signatures (one per band of `rowsPerBand`
+    * hyperplanes); candidates are pairs colliding in ≥1 band, verified
+    * with exact cosine. Pair recall for a pair at angle θ is 1−(1−p^r)^b
+    * with p = 1−θ/π; the 32×4 default gives >0.99 at cosine 0.45 and ~1
+    * above 0.7.
+    *
+    * THE FIXED 32×4 DEFAULT IS A RECALL-FIRST CONFIGURATION, NOT THE
+    * SCALE PATH: a 4-plane band has 16 possible signatures, so a RANDOM
+    * (cosine ≈ 0) pair collides in ≥1 of 32 bands with probability
+    * 1−(15/16)³² ≈ 0.87 — the candidate set approaches all-pairs at any
+    * n (measured: the sf1→sf5 scale smoke fits t ∝ n^1.85 on d07).
+    * That is the right trade for the exactness gates (where the oracle
+    * demands every qualifying pair) and for bounded corpora; for
+    * corpus-scale runs derive (bands, rowsPerBand) from
+    * [[autoLshParams]], which bounds random-pair candidates to O(n) and
+    * refuses thresholds where banding cannot be selective.
     *
     * `exact = true` switches to brute all-pairs (sid < sid cross join) —
     * exact recall, O(n²) cost: verification/oracle mode for bounded
@@ -427,5 +437,48 @@ object Dedup {
     // LSH mode scores a pair once per colliding band — dedupe the
     // surviving (small) pair set; exact mode emits each pair once
     if (exact) scored else scored.distinct()
+  }
+
+  /** Scale-aware LSH knobs for [[embeddingNearDups]]: the (bands,
+    * rowsPerBand) pair that holds expected RANDOM-pair candidates to
+    * ≈`candidatesPerRow`·n while keeping per-pair recall ≥ `targetRecall`
+    * AT the threshold (recall is higher above it). Derivation, from
+    * collision probability p = 1−acos(threshold)/π per plane:
+    *  - selectivity: a random pair (p₀ = 1/2) must collide rarely —
+    *    n·b·2^−r ≤ candidatesPerRow fixes r ≈ log₂(n·b/c);
+    *  - recall: 1−(1−p^r)^b ≥ targetRecall fixes b ≈
+    *    ln(1−recall)/ln(1−p^r);
+    * the two couple through b, so iterate the pair to a fixpoint (r
+    * moves logarithmically in b — three rounds settle it).
+    *
+    * REFUSES (require) when no configuration under `maxPlanes` total
+    * hyperplanes achieves both — which happens exactly when the
+    * threshold sits too close to random (e.g. cosine 0.45 at n = 10⁵:
+    * p = 0.65 vs p₀ = 0.5 is too narrow a gap for sign-bit banding).
+    * That refusal is the honest contract: at such thresholds the
+    * qualifying pair set itself is typically Ω(n²) on clustered data,
+    * and the caller should route through IVF/cluster dedup
+    * ([[Similarity.buildIvf]], [[fuzzyDedupCorpus]]) or explicit
+    * `exact = true` on a bounded input instead of silently burning an
+    * all-pairs pass. */
+  def autoLshParams(n: Long, threshold: Double, targetRecall: Double = 0.9,
+      candidatesPerRow: Int = 32, maxPlanes: Int = 8192): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall must be in (0,1), got $targetRecall")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    var b = 32; var r = 4
+    for (_ <- 1 to 3) {
+      r = math.max(4, math.ceil(
+        math.log(n.toDouble * b / candidatesPerRow) / math.log(2)).toInt)
+      val pr = math.pow(p, r)
+      require(pr > 1e-12 && math.log1p(-pr) < 0,
+        s"autoLshParams: threshold $threshold indistinguishable from random at n=$n")
+      b = math.max(8, math.ceil(math.log(1 - targetRecall) / math.log1p(-pr)).toInt)
+    }
+    require(b * r <= maxPlanes,
+      f"autoLshParams: no selective banding at threshold=$threshold%.2f, n=$n " +
+        f"(needs $b bands × $r planes > $maxPlanes); the qualifying pair set at " +
+        "this threshold is likely Ω(n²) — use IVF routing, fuzzyDedupCorpus, or exact mode")
+    (b, r)
   }
 }

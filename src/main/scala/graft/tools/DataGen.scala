@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * embeddings are a 50-center mixture (center + 30% noise), the
   * clustered shape real corpora have.
   *
-  * Usage: runMain graft.tools.DataGen [outDir] [scale]
+  * Usage: runMain graft.tools.DataGen [outDir] [scale] [tables]
   *   outDir default /root/repo/localdata/sf1, scale default 1.0
-  *   (scale multiplies row counts; 1.0 = sf1).
+  *   (scale multiplies row counts; 1.0 = sf1); tables is an optional
+  *   comma-separated subset (e.g. "documents,embeddings" for the
+  *   sf2–sf5 corpus-pipeline scale smoke — generating 30M-row lineitem
+  *   tables the smoke never reads would dominate its cost).
   */
 object DataGen {
 
@@ -47,6 +50,8 @@ object DataGen {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/root/repo/localdata/sf1")
     val scale = args.drop(1).headOption.map(_.toDouble).getOrElse(1.0)
+    val only: Option[Set[String]] =
+      args.drop(2).headOption.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SRC_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -58,10 +63,11 @@ object DataGen {
     spark.sparkContext.setLogLevel("WARN")
     def n(base: Long) = math.max(1L, (base * scale).toLong)
 
-    def write(df: DataFrame, table: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table.parquet")
-      println(s"wrote $table")
-    }
+    def write(df: => DataFrame, table: String): Unit =
+      if (only.forall(_.contains(table))) {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table.parquet")
+        println(s"wrote $table")
+      } else println(s"skipped $table (not in tables filter)")
     def ids(count: Long, parts: Int = 32) =
       spark.range(0, count, 1, parts).select(col("id"))
 

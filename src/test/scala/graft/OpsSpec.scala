@@ -216,6 +216,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got == naive && got > 0)
   }
 
+  test("autoLshParams: recall holds, random candidates stay O(n), near-random thresholds refuse") {
+    // production near-dup regime: threshold 0.8, 100k vectors
+    val (b, r) = Dedup.autoLshParams(100000L, 0.8, targetRecall = 0.9)
+    val p = 1.0 - math.acos(0.8) / math.Pi
+    // recall at the threshold meets the target by construction
+    assert(1 - math.pow(1 - math.pow(p, r), b) >= 0.9, s"recall with ($b,$r)")
+    // expected random-pair candidates per row bounded (2× slack for the
+    // ceil rounding in the fixpoint)
+    assert(100000.0 * b * math.pow(2, -r) <= 64, s"selectivity with ($b,$r)")
+    assert(b * r <= 8192)
+    // near-random threshold (the d05/d07 gate fixture regime): banding
+    // cannot be selective — refuse with the routing advice, never burn a
+    // silent all-pairs pass
+    val e = intercept[IllegalArgumentException] { Dedup.autoLshParams(100000L, 0.45) }
+    assert(e.getMessage.contains("IVF"), e.getMessage)
+    // auto knobs drive the operator end-to-end: a planted near-dup pair
+    // (cosine ≈ 1) among scattered vectors survives; everything is
+    // seeded, so this outcome is deterministic
+    val n = 400
+    val base = spark.range(0, n, 1, 4).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        (pmod(xxhash64(lit("al"), col("id"), i), lit(2001)).cast("double") / 1000.0 - 1.0))
+        .as("embedding"))
+    val planted = base.filter(col("vec_id") === 7)
+      .select((col("vec_id") + n).as("vec_id"),
+        transform(col("embedding"), x => x * 1.01 + 0.001).as("embedding"))
+    val all = base.unionByName(planted)
+    val (ab, ar) = Dedup.autoLshParams(n + 1L, 0.9)
+    val pairs = Dedup.embeddingNearDups(all, col("vec_id"), col("embedding"),
+        threshold = 0.9, bands = ab, rowsPerBand = ar)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, (7 + n).toLong)), s"planted pair missed: $pairs")
+  }
+
   test("sliced as-of join equals the base as-of on a 50%-hot-key fixture, and splits the hot key") {
     // 40k left rows: user 7 holds HALF of them (the skew shape the base
     // per-key window serializes into one task); right rows every ~50
