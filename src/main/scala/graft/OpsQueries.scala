@@ -230,6 +230,28 @@ object OpsQueries {
         |JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0) e ON a.sh = e.sh
         |WHERE a.doc_id % 50 <> 0""".stripMargin),
 
+    // the Bloom-bitset decontamination path (no join at all: the train
+    // scan probes a plan-literal full-width double-hashing bitset of the
+    // eval shingle hashes). One-sided: contaminated docs are never
+    // missed, so the gate shares d09's exact oracle — green iff the
+    // fpp=1e-9 bitset flags ZERO false positives on this fixture, which
+    // the hash compare itself proves (deterministic: bitset contents are
+    // a pure function of the data; expected FPs here ≈ 2.5e-4)
+    ("d10_decontaminate_bloom",
+      (s, sf) => {
+        val d = docs(s, sf)
+        Dedup.contaminatedBloom(
+          d.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 4)
+      },
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |          FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([ array_to_string(toks[i:i+3], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-2, 2)) ])) AS sh FROM t)
+        |SELECT DISTINCT a.doc_id FROM sh a
+        |JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0) e ON a.sh = e.sh
+        |WHERE a.doc_id % 50 <> 0""".stripMargin),
+
     // ---- similarity search ---------------------------------------------
     ("s01_cosine_topk",
       (s, sf) => Similarity.bruteForceTopK(

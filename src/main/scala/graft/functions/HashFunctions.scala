@@ -431,6 +431,12 @@ object HashFunctions {
       "graft_word_shingles", exprs => WordShingles(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_prefix_by_hash", exprs => PrefixByHash(exprs.head, exprs(1)), "built-in")
+    // full-width double-hashing Bloom probe (scan-side membership filter
+    // against a plan-literal bitset — see BloomSet for why spark-sketch's
+    // 32-bit-floored filter is not used here)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomSetContains(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 
   /** ppjoin hash-order prefix column (per-row native selection, no

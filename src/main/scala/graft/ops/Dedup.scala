@@ -350,6 +350,52 @@ object Dedup {
       .select(col("doc_id")).distinct()
   }
 
+  /** [[contaminated]] with the eval set as a BLOOM BITSET instead of a
+    * broadcast hash table — the 100 TB spelling of decontamination. The
+    * distinct eval shingle hashes build a full-width double-hashing
+    * bitset ([[graft.functions.BloomSet]], sized at `fpp`); the train
+    * side then filters inside its scan stage with a codegen'd probe
+    * against the bitset riding the plan as one binary literal. NO join
+    * operator at all — where [[contaminated]] builds a broadcast hash
+    * relation of every distinct eval shingle STRING (gigabytes at a
+    * large eval suite), the bitset is ~1.44·n·log₂(1/fpp) BITS (≈ 4.8 MB
+    * for 10⁶ shingles at 1e-8), and the probe is one splitmix64 remix +
+    * k bit tests per shingle.
+    *
+    * Approximate by construction, ONE-SIDED: contaminated docs are NEVER
+    * missed (the safe direction for decontamination); an uncontaminated
+    * doc is falsely flagged with probability ≈ `fpp` per distinct train
+    * shingle. The default 1e-9 puts the expected false flags of a 10⁸-
+    * shingle corpus below 0.1 — and unlike spark-sketch's filter, whose
+    * 32-bit hashing floors the real rate near 3e-6 no matter the bits
+    * (measured, `graft.tools.BloomProbe`), the full-width construction
+    * actually delivers it.
+    *
+    * The eval hash set is collected to the driver to build the bitset —
+    * bounded by the decontamination premise itself (an eval/benchmark
+    * suite, not a corpus; 10⁷ shingles = 80 MB), the same boundedness
+    * class as [[graft.ops.Similarity.knnJoinBroadcast]]'s corpus. */
+  def contaminatedBloom(train: DataFrame, trainId: Column, trainText: Column,
+      eval: DataFrame, evalText: Column, n: Int, fpp: Double = 1e-9): DataFrame = {
+    require(fpp > 0 && fpp < 0.1, s"fpp must be in (0, 0.1), got $fpp")
+    val spark = train.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val hashes = eval
+      .select(explode(wordShingles(evalText, n)).as("sh"))
+      .select(xxhash64(col("sh")).as("h")).distinct()
+      .as[Long].collect()
+    val nItems = math.max(1L, hashes.length.toLong)
+    val m = graft.functions.BloomSet.optimalNumBits(nItems, fpp)
+    val k = graft.functions.BloomSet.optimalNumProbes(nItems, m)
+    val bits = graft.functions.BloomSet.build(hashes, m, k)
+    train
+      .select(trainId.as("doc_id"), explode(wordShingles(trainText, n)).as("sh"))
+      .filter(call_function("graft_bloom_contains",
+        lit(bits), xxhash64(col("sh")), lit(k)))
+      .select(col("doc_id")).distinct()
+  }
+
   /** End-to-end fuzzy corpus dedup: MinHash near-dup pairs → connected
     * components → keep one document per cluster (the minimum id). Returns
     * the surviving rows of `df`. */

@@ -216,6 +216,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got == naive && got > 0)
   }
 
+  test("bloom decontamination equals the join variant, flags planted contamination, and plans joinless") {
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val evalDocs = Seq((1000L, boiler), (1001L, "completely different eval text here"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $boiler suffix words"),       // contaminated (shares 4-grams)
+      (2L, "an unrelated training document about spark"),
+      (3L, "another clean doc with no overlap at all"),
+      (4L, s"$boiler"))                                  // contaminated (exact boilerplate)
+      .toDF("doc_id", "text")
+    val viaJoin = Dedup.contaminated(train, col("doc_id"), col("text"),
+      evalDocs, col("text"), n = 4).as[Long].collect().toSet
+    val bloom = Dedup.contaminatedBloom(train, col("doc_id"), col("text"),
+      evalDocs, col("text"), n = 4)
+    assert(bloom.as[Long].collect().toSet == viaJoin)
+    assert(viaJoin == Set(1L, 4L))
+    // the scale property: NO join operator — the probe is a codegen'd
+    // filter against a plan-literal sketch inside the train scan stage
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"bloom path still joins:\n$p")
+    assert(p.contains("graft_bloom_contains"), s"bitset probe missing:\n$p")
+    // and on the real documents table both variants agree end-to-end
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Dedup.contaminated(d.filter(col("doc_id") % 50 =!= 0), col("doc_id"),
+      col("text"), d.filter(col("doc_id") % 50 === 0), col("text"), n = 4)
+      .as[Long].collect().toSet
+    val b = Dedup.contaminatedBloom(d.filter(col("doc_id") % 50 =!= 0), col("doc_id"),
+      col("text"), d.filter(col("doc_id") % 50 === 0), col("text"), n = 4)
+      .as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("autoLshParams: recall holds, random candidates stay O(n), near-random thresholds refuse") {
     // production near-dup regime: threshold 0.8, 100k vectors
     val (b, r) = Dedup.autoLshParams(100000L, 0.8, targetRecall = 0.9)

@@ -171,6 +171,16 @@ class SqlGenSpec extends AnyFunSuite {
       for (m <- "(\\d+)/(\\d+)\\s+agree".r.findAllMatchIn(text))
         assert(m.group(1).toInt == n, s"$doc claims ${m.group(0)} but $n gates exist")
     }
+    // same guard for the driver-gate total README cites
+    val q = SparkEntry.queries.size
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    for (m <- "(\\d+) operator-coverage entries".r.findAllMatchIn(readme))
+      assert(m.group(1).toInt == q, s"README claims ${m.group(0)} but SparkEntry.queries has $q")
+    // the spec total is runtime-generated (one suite loops test(s"...")),
+    // so README deliberately does not hand-write that number
+    assert(!"(\\d+) specs".r.findFirstIn(readme).isDefined,
+      "README hand-writes a spec count again — keep it derived or absent")
   }
 
   test("string literals that merely parse as doubles stay quoted") {
