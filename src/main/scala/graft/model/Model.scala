@@ -64,11 +64,25 @@ final case class BFun(name: String, args: Seq[BindExpr]) extends BindExpr
 
 final case class BindSpec(outVar: String, expr: BindExpr)
 
-/** One `?s p+ ?o` / `?s p* ?o` arbitrary-length path: the engine closes
-  * the (subject, object) one-hop relation transitively; `reflexive` adds
-  * the zero-hop (x, x) pair for every subject of the star (`*`). */
+/** Length modifier of a property path (SPARQL 1.1 §9.1): `+` one or
+  * more, `*` zero or more, `?` zero or one. */
+sealed trait PathMod
+object PathMod {
+  case object OneOrMore extends PathMod
+  case object ZeroOrMore extends PathMod
+  case object ZeroOrOne extends PathMod
+}
+
+/** One `?s p+ ?o` / `?s p* ?o` / `?s p? ?o` variable-length path. The
+  * engine replaces the star's one-hop (subject, object) binding with the
+  * pairs the modifier denotes: `transitive` closes the relation
+  * (`+`/`*`) vs keeps the single hop (`?`); `reflexive` adds the
+  * zero-hop (x, x) pair for every subject of the star (`*`/`?`). */
 final case class PathClosure(subjVar: String, predicate: String,
-    objVar: String, reflexive: Boolean)
+    objVar: String, mod: PathMod) {
+  def reflexive: Boolean = mod != PathMod.OneOrMore
+  def transitive: Boolean = mod != PathMod.ZeroOrOne
+}
 
 /** One `?s !p ?o` / `?s !(p1|p2) ?o` negated property set (SPARQL 1.1
   * §9.1): ?o ranges over the values of every MAPPED predicate of the

@@ -130,7 +130,10 @@ object SparqlParser {
       else if (c == '?') {
         var j = i + 1
         while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
-        toks += Var(s.substring(i + 1, j)); i = j
+        // a bare '?' (no name chars after it) is the zero-or-one path
+        // modifier, not a variable
+        if (j == i + 1) { toks += Sym("?"); i = j }
+        else { toks += Var(s.substring(i + 1, j)); i = j }
       } else if (c == '<' && {
         // '<' opens an IRI only if a '>' follows with no whitespace between;
         // otherwise it is the comparison operator (FILTER(?x < 5))
@@ -574,11 +577,11 @@ object SparqlParser {
       val v = s"__path$pathCounter"; pathCounter += 1; v
     }
 
-    /** One path element: ([^]pred[+|*]) → (iri, inverse, modifier) where
-      * modifier is None / Some(false)=`+` / Some(true)=`*`. The tokenizer
-      * folds a trailing `+` into a qname word; after an `<iri>` form it
-      * surfaces as a standalone `Word("+")`. */
-    private type PathElem = (String, Boolean, Option[Boolean])
+    /** One path element: ([^]pred[+|*|?]) → (iri, inverse, modifier). The
+      * tokenizer folds a trailing `+` into a qname word; after an `<iri>`
+      * form it surfaces as a standalone `Word("+")`; `*` and `?` are
+      * always standalone `Sym`s. */
+    private type PathElem = (String, Boolean, Option[PathMod])
 
     /** Triples-block parser. `altsInto`/`closuresInto` are present only for
       * the top-level WHERE body: path alternatives (`p1|p2`) collect the
