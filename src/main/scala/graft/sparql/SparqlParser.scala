@@ -597,10 +597,10 @@ object SparqlParser {
       val Var(subj) = next(): @unchecked
       var more = true
       while (more) {
-        def predToken(): (String, Option[Boolean]) = next() match {
+        def predToken(): (String, Option[PathMod]) = next() match {
           case Word("a") => (TriplePattern.RdfType, None)
           case Word(q) if q.length > 1 && q.endsWith("+") =>
-            (expandQName(q.dropRight(1), prefixes), Some(false))
+            (expandQName(q.dropRight(1), prefixes), Some(PathMod.OneOrMore))
           case Word(q) => (expandQName(q, prefixes), None)
           case Iri(iri) if iri == TriplePattern.RdfType => (TriplePattern.RdfType, None)
           case Iri(iri) => (iri, None)
@@ -638,8 +638,9 @@ object SparqlParser {
           if (inv) next()
           var (pred, mod) = predToken()
           if (mod.isEmpty) peek match {
-            case Some(Sym("*")) => next(); mod = Some(true)
-            case Some(Word("+")) => next(); mod = Some(false)
+            case Some(Sym("*")) => next(); mod = Some(PathMod.ZeroOrMore)
+            case Some(Sym("?")) => next(); mod = Some(PathMod.ZeroOrOne)
+            case Some(Word("+")) => next(); mod = Some(PathMod.OneOrMore)
             case _ => ()
           }
           (pred, inv, mod)
