@@ -558,6 +558,18 @@ object EngineQueries {
         |SELECT cl.e AS e, c2.c_name AS mn FROM cl
         |JOIN customer c2 ON cl.m = c2.c_custkey WHERE cl.m = 3""".stripMargin),
 
+    // SPARQL 1.1 §9.1 zero-or-one path p? — NO closure: exactly the
+    // one-hop pairs plus each subject paired with itself. The oracle has
+    // no recursive CTE at all, so a p* fallback (multi-hop pairs, e.g.
+    // (4,1) via 4→2→1) hash-mismatches — pins the round-9 advice defect
+    // where the parser accepted `?` but both engines answered p*.
+    ("q53_path_zeroone",
+      """SELECT ?e ?m WHERE {
+        |  ?e g:mgr? ?m .
+        |}""".stripMargin,
+      """SELECT c_custkey AS e, c_custkey // 2 AS m FROM customer WHERE c_custkey >= 2
+        |UNION ALL SELECT c_custkey AS e, c_custkey AS m FROM customer""".stripMargin),
+
     // SELECT * — every body variable in resolution order (sorted needed
     // vars): subject id, then the object vars
     ("q49_select_star",
@@ -675,7 +687,8 @@ object EngineQueries {
     "sg29_sqlgen_union_sources" -> "q10_union_sources",
     "sg30_sqlgen_json_source" -> "q50_json_source",
     "sg31_sqlgen_path_object_seeded" -> "q51_path_object_seeded",
-    "sg32_sqlgen_construct_single" -> "q52_construct_single")
+    "sg32_sqlgen_construct_single" -> "q52_construct_single",
+    "sg33_sqlgen_path_zeroone" -> "q53_path_zeroone")
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }

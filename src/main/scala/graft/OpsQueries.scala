@@ -739,12 +739,13 @@ object OpsQueries {
     // as-of enrichment: every event gains the user's latest purchase value
     // at or before its timestamp. Engine: union-and-fill (one keyed
     // shuffle + sort); oracle: DuckDB's native ASOF LEFT JOIN — two
-    // independent as-of implementations must agree. Timestamps stay raw
-    // int64 nanos Spark-side (full precision, no µs truncation).
+    // independent as-of implementations must agree. Event time goes
+    // through the schema-adaptive normalizer (nanos-long / TIMESTAMP /
+    // TIMESTAMP_NTZ all land on µs TimestampType — the as-of only orders
+    // and compares ts, so precision loss beyond µs cannot occur here).
     ("ts01_asof_enrich",
       (s, sf) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = s.read.parquet(s"$sf/events.parquet")
+        val ev = EventStreams.readEvents(s, s"$sf/events.parquet")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), col("value"))
         TemporalJoin.asofJoinBackward(
@@ -783,18 +784,18 @@ object OpsQueries {
 
     // the hot-key as-of variant ((key, time-slice) windows + carry-in —
     // the route when one key dominates): same enrichment as ts01, sliced
-    // by day-of-nanos, against the SAME independent DuckDB ASOF oracle —
-    // both formulations must land on identical rows
+    // by day (unix_micros of the normalized event time — dtype-agnostic),
+    // against the SAME independent DuckDB ASOF oracle — both
+    // formulations must land on identical rows
     ("ts03_asof_enrich_sliced",
       (s, sf) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = s.read.parquet(s"$sf/events.parquet")
+        val ev = EventStreams.readEvents(s, s"$sf/events.parquet")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), col("value"))
         TemporalJoin.asofJoinBackwardSliced(
           ev.select(col("event_id"), col("user_id"), col("ts")),
           purchases, key = "user_id", ts = "ts", rightVals = Seq("value"),
-          sliceOf = c => floor(c / lit(86400L * 1000000000L)))
+          sliceOf = c => floor(unix_micros(c) / lit(86400L * 1000000L)))
           .select(col("event_id"), col("value").as("last_purchase"))
       },
       """SELECT e.event_id, p.value AS last_purchase

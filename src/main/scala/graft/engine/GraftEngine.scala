@@ -272,7 +272,14 @@ object GraftEngine {
       val base = (if (base0.columns.contains(oCol)) base0.drop(oCol) else base0).distinct()
       val edges = closureEdges(spark, q, cl, mappings, config)
       val closed =
-        if (closureSeeded(q, cl))
+        if (!cl.transitive) // `p?`: zero-or-one hop — the one-hop edge
+          // set exactly (zero-hop pairs join below via `reflexive`); no
+          // closure walk, and the rejoin on sCol restricts to the star's
+          // subjects. Null endpoints (subjects with no edge) are dropped
+          // here the same way Closure.transitive drops them — a null dst
+          // is "no hop", not a pair.
+          edges.filter(col("src").isNotNull && col("dst").isNotNull)
+        else if (closureSeeded(q, cl))
           graft.ops.Closure.fromSeeds(edges, base.select(col(sCol).as("src")))
         else objectSeedLits(q, cl) match {
           // the REACHABLE endpoint is pinned to literals (= / VALUES):

@@ -385,15 +385,21 @@ object SqlGenExecutor {
           s"p.dst IN (${vals.map(litSql).mkString(", ")})"
         }
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      // `p?` (ZeroOrOne) needs no recursion: pairs = one-hop edges (+ the
+      // zero-hop branch). `p+`/`p*` walk the recursive CTE.
+      val clCte =
+        if (!cl.transitive) ""
+        else s", g_cl_$tag AS (SELECT src, dst FROM g_ed_$tag UNION ALL " +
+          s"SELECT c.src, e.dst FROM g_cl_$tag c JOIN g_ed_$tag e ON c.dst = e.src)"
+      val pairSrc = if (cl.transitive) s"g_cl_$tag" else s"g_ed_$tag"
       s"(WITH RECURSIVE g_cb_$tag AS " +
         s"(SELECT DISTINCT ${baseCols.mkString(", ")} FROM $base g_cbs_$tag), " +
         s"g_ed_$tag AS (SELECT src, dst FROM " +
         s"(${edgeBranches.mkString(" UNION ALL ")}) g_eb_$tag " +
-        "WHERE src IS NOT NULL AND dst IS NOT NULL), " +
-        s"g_cl_$tag AS (SELECT src, dst FROM g_ed_$tag UNION ALL " +
-        s"SELECT c.src, e.dst FROM g_cl_$tag c JOIN g_ed_$tag e ON c.dst = e.src) " +
-        s"SELECT $qualBase, p.dst AS $oCol FROM g_cb_$tag " +
-        s"JOIN (SELECT DISTINCT src, dst FROM g_cl_$tag$zeroHop) p " +
+        "WHERE src IS NOT NULL AND dst IS NOT NULL)" +
+        clCte +
+        s" SELECT $qualBase, p.dst AS $oCol FROM g_cb_$tag " +
+        s"JOIN (SELECT DISTINCT src, dst FROM $pairSrc$zeroHop) p " +
         s"ON g_cb_$tag.$sCol = p.src$where)"
     }
 

@@ -170,7 +170,12 @@ object TemporalJoin {
 
   /** [[intervalJoin]] with the slot auto-derived as the median interval
     * length ([[autoSlotSeconds]]) — the spelling to use unless a
-    * workload-specific slot has been measured. */
+    * workload-specific slot has been measured. Cost of the default:
+    * on the ts02 gate at sf1 the auto slot (median order-window length)
+    * measured ~1.6× a hand-tuned 7-day slot (33 s vs 21 s, COVERAGE.md
+    * Bench notes) — acceptable as a default, but pass an explicit
+    * `slotSeconds` when the workload's interval-length distribution has
+    * been profiled. */
   def intervalJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
       startTs: String, endTs: String): DataFrame =
     intervalJoin(points, ptTs, intervals, startTs, endTs,

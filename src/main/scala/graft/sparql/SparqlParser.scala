@@ -607,7 +607,7 @@ object SparqlParser {
           case t => sys.error(s"expected predicate, got $t")
         }
         // property paths (SPARQL 1.1 §9.1): sequences p1/p2/..., inverse
-        // elements ^p, alternatives p1|p2, arbitrary length p+/p*, and
+        // elements ^p, alternatives p1|p2, arbitrary length p+/p*, zero-or-one p?, and
         // negated sets !p / !(p1|p2). Sequences/inverses desugar to
         // chained triples over fresh intermediate variables; alternatives
         // desugar to UNION branches; +/* become PathClosure specs the
@@ -620,7 +620,7 @@ object SparqlParser {
           val excluded = Seq.newBuilder[String]
           def one(): Unit = {
             val (p, mod) = predToken()
-            require(mod.isEmpty, "+/* modifiers inside a negated set are not supported")
+            require(mod.isEmpty, "+/*/? modifiers inside a negated set are not supported")
             excluded += p
           }
           if (peek.contains(Sym("("))) {
@@ -685,7 +685,7 @@ object SparqlParser {
           require(altsInto.isDefined,
             "path alternatives (p1|p2) are supported in the top-level WHERE body only")
           require(altChains.forall(_.forall(_._3.isEmpty)),
-            "+/* modifiers inside path alternatives are not supported")
+            "+/*/? modifiers inside path alternatives are not supported")
           altsInto.get += altChains.map { ch =>
             val b = Seq.newBuilder[TriplePattern]
             desugarChain(ch, b)
@@ -695,15 +695,15 @@ object SparqlParser {
           val ch = altChains.head
           if (ch.exists(_._3.isDefined)) {
             require(ch.size == 1 && !ch.head._2,
-              "+/* path modifiers are supported on a single forward predicate only")
+              "+/*/? path modifiers are supported on a single forward predicate only")
             require(closuresInto.isDefined,
-              "p+/p* paths are supported in the top-level WHERE body only")
-            val (p, _, Some(reflexive)) = ch.head: @unchecked
+              "p+/p*/p? paths are supported in the top-level WHERE body only")
+            val (p, _, Some(mod)) = ch.head: @unchecked
             obj match {
               case ObjVar(o) =>
                 out += TriplePattern(subj, p, ObjVar(o))
-                closuresInto.get += PathClosure(subj, p, o, reflexive)
-              case t => sys.error(s"p+/p* path needs a variable object, got $t")
+                closuresInto.get += PathClosure(subj, p, o, mod)
+              case t => sys.error(s"p+/p*/p? path needs a variable object, got $t")
             }
           } else desugarChain(ch, out)
         }

@@ -23,21 +23,41 @@ object EventStreams {
         (floor(sum(col("value")) * 100 + 0.5) / 100).as("sumv"))
       .select(col("w.start").cast("long").as("bucket"), col("etype"), col("n"), col("sumv"))
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default: read nanos as long, convert to microsecond
-    * timestamps (same truncation DuckDB applies for comparisons). */
-  def readEvents(spark: SparkSession, parquetPath: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(parquetPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalize an event-time column to session-tz TimestampType (µs
+    * precision) regardless of the physical shape the parquet writer
+    * chose. Three shapes occur in the wild (and the testdata has shipped
+    * two of them across rounds):
+    *  - INT64 TIMESTAMP(NANOS) read as LongType via
+    *    `spark.sql.legacy.parquet.nanosAsLong` → truncate to µs;
+    *  - TIMESTAMP(MICROS, adjusted) → TimestampType, pass through;
+    *  - TIMESTAMP(MICROS, NTZ) → TimestampNTZType, cast (value-preserving
+    *    under the UTC session tz every graft entry point pins).
+    * Anything else fails loud — a silent mis-read here corrupts every
+    * downstream watermark/window. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case TimestampType => df
+      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case other => sys.error(
+        s"graft: unsupported dtype $other for event-time column `$tsCol` " +
+          "(expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
 
-  /** Run [[hourlyStats]] as a real streaming query over the parquet file
-    * (file source → memory sink, complete mode), block until all available
-    * data is processed, and return the result table. */
+  /** Read the events table with `ts` normalized ([[normalizeTs]]). The
+    * nanosAsLong conf only affects TIMESTAMP(NANOS) files; it is a no-op
+    * for the µs shapes. */
+  def readEvents(spark: SparkSession, parquetPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(parquetPath))
+  }
+
   /** File-source stream over a single parquet file (the source monitors a
     * directory; expose the file through a derived symlink dir) with the
-    * nanos→µs timestamp conversion applied. */
+    * [[normalizeTs]] event-time normalization applied. */
   private def streamEvents(spark: SparkSession, parquetPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(parquetPath).schema
@@ -51,8 +71,7 @@ object EventStreams {
     val link = dir.resolve("part-0.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(parquetPath))
-    spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
   }
 
   /** Run a streaming plan to completion over the events file and return

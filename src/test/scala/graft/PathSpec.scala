@@ -3,6 +3,7 @@ package graft
 import graft.fixtures.TpchLake
 import graft.sparql.SparqlParser
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SPARQL 1.1 property paths: alternatives (`p1|p2` → UNION branches),
@@ -40,7 +41,7 @@ class PathSpec extends AnyFunSuite {
 
   test("p+ / p* record closure specs; modifiers are rejected inside groups") {
     val q = SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e g:mgr+ ?m . }")
-    assert(q.closures == Seq(graft.model.PathClosure("e", TpchLake.NS + "mgr", "m", reflexive = false)))
+    assert(q.closures == Seq(graft.model.PathClosure("e", TpchLake.NS + "mgr", "m", graft.model.PathMod.OneOrMore)))
     val q2 = SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e g:mgr* ?m . }")
     assert(q2.closures.head.reflexive)
     intercept[RuntimeException] {
@@ -49,6 +50,24 @@ class PathSpec extends AnyFunSuite {
     intercept[RuntimeException] { // modifier on a sequence path
       SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e g:mgr/g:mgr+ ?m . }")
     }
+  }
+
+  test("p? records a ZeroOrOne closure; bare ? is not confused with ?var") {
+    val q = SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e g:mgr? ?m . }")
+    assert(q.closures == Seq(graft.model.PathClosure("e", TpchLake.NS + "mgr", "m",
+      graft.model.PathMod.ZeroOrOne)))
+    val cl = q.closures.head
+    assert(cl.reflexive && !cl.transitive)
+  }
+
+  test("q53_path_zeroone excludes multi-hop pairs (p? is not p*)") {
+    val rows = SparkEntry.queries("q53_path_zeroone")(spark, sf)
+    // emp 4's ancestors under p* are 2 AND 1; p? must keep only the
+    // one-hop manager 2 (plus the reflexive pair 4-4)
+    val m4 = rows.filter(col("e") === 4).select("m").collect().map(_.getLong(0)).toSet
+    assert(m4 == Set(2L, 4L))
+    val star = SparkEntry.queries("q43_path_star")(spark, sf)
+    assert(rows.count() < star.count())
   }
 
   test("q41_alt_path equals the two-branch union") {
