@@ -330,13 +330,13 @@ class SqlGenFuzzSpec extends AnyFunSuite {
   }
 
   test("fuzzed closure models: recursive-CTE lowering agrees with the Column engine (20 seeded cases)") {
-    // p+/p* over the derived org hierarchy, composed with subject seeds
+    // p+/p*/p? over the derived org hierarchy, composed with subject seeds
     // (FILTER ?e =), deferred reachable-endpoint filters (FILTER ?m <=),
     // DISTINCT and deterministic slices — the engine side runs the
     // anti-join frontier (seeded BFS when the subject is constrained),
     // the SQL side the recursive CTE; they must agree row-for-row
     val genC = for {
-      reflexive <- Gen.oneOf(false, true)
+      op <- Gen.oneOf("+", "*", "?")
       subjFilter <- Gen.option(Gen.choose(2, 40))
       // object-endpoint forms cover all three engine plans: <= defers
       // over the full closure, = runs the reverse BFS, VALUES the
@@ -347,7 +347,6 @@ class SqlGenFuzzSpec extends AnyFunSuite {
       distinct <- Gen.oneOf(false, true)
       slice <- Gen.option(Gen.choose(1, 30))
     } yield {
-      val op = if (reflexive) "*" else "+"
       val sb = new StringBuilder(P)
       sb ++= s"SELECT ${if (distinct) "DISTINCT " else ""}?e ?en ?m WHERE {\n"
       sb ++= s"  ?e g:mgr$op ?m . ?e g:empName ?en .\n"

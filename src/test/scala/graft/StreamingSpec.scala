@@ -114,4 +114,27 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.readEvents(spark, s"$sf/events.parquet"), gapMinutes = 30))
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("normalizeTs maps all three physical ts shapes to the same TimestampType values") {
+    // round-9 regression class: the testdata's events.ts silently changed
+    // from INT64 TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) and every
+    // streaming gate threw. The reader contract is: long-nanos,
+    // TIMESTAMP, and TIMESTAMP_NTZ all land on identical µs-precision
+    // TimestampType values; anything else fails loud.
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.TimestampType
+    val us = 1704103200123456L // 2024-01-01 10:00:00.123456 UTC, µs
+    val asLong = spark.range(1).select(expr(s"${us}L * 1000").as("ts")) // nanos
+    val asTs = spark.range(1).select(expr(s"timestamp_micros(${us}L)").as("ts"))
+    val asNtz = spark.range(1).select(
+      expr(s"cast(timestamp_micros(${us}L) as timestamp_ntz)").as("ts"))
+    val outs = Seq(asLong, asTs, asNtz).map(EventStreams.normalizeTs(_))
+    for (o <- outs) {
+      assert(o.schema("ts").dataType == TimestampType)
+      assert(o.select(unix_micros(col("ts"))).head().getLong(0) == us)
+    }
+    val bad = spark.range(1).select(col("id").cast("string").as("ts"))
+    val e = intercept[RuntimeException](EventStreams.normalizeTs(bad))
+    assert(e.getMessage.contains("unsupported dtype"))
+  }
 }
