@@ -252,6 +252,54 @@ object OpsQueries {
         |JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0) e ON a.sh = e.sh
         |WHERE a.doc_id % 50 <> 0""".stripMargin),
 
+    // contamination REPORT: per contaminated train doc the distinct-
+    // shingle total, the hit count against the eval split, and the
+    // overlap fraction — the drop-vs-trim decision numbers. One keyed
+    // shuffle (map-side combined) + the same broadcast eval set as d09.
+    ("d11_contamination_report",
+      (s, sf) => {
+        val d = docs(s, sf)
+        Dedup.contaminationReport(
+          d.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 4)
+      },
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |          FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([ array_to_string(toks[i:i+3], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-2, 2)) ])) AS sh FROM t),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT a.doc_id, count(*) AS n_hits FROM sh a JOIN ev USING (sh)
+        |         WHERE a.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT h.doc_id, t.n_shingles, h.n_hits,
+        |       h.n_hits::DOUBLE / t.n_shingles AS frac
+        |FROM hits h JOIN tot t USING (doc_id)""".stripMargin),
+
+    // the ZERO-shuffle spelling: per-doc hit counts fold inside the scan
+    // via a higher-order aggregate probing the plan-literal Bloom bitset
+    // (no explode, no join, no exchange). One-sided like d10 — n_hits
+    // can only overcount at ≈fpp per shingle, so sharing d11's exact
+    // oracle is green iff the 1e-9 bitset flags ZERO false probes on
+    // this fixture (expected FPs ≈ 2.5e-4; the hash compare proves it)
+    ("d12_contamination_report_bloom",
+      (s, sf) => {
+        val d = docs(s, sf)
+        Dedup.contaminationReportBloom(
+          d.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 4)
+      },
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |          FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([ array_to_string(toks[i:i+3], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-2, 2)) ])) AS sh FROM t),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT a.doc_id, count(*) AS n_hits FROM sh a JOIN ev USING (sh)
+        |         WHERE a.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT h.doc_id, t.n_shingles, h.n_hits,
+        |       h.n_hits::DOUBLE / t.n_shingles AS frac
+        |FROM hits h JOIN tot t USING (doc_id)""".stripMargin),
+
     // ---- similarity search ---------------------------------------------
     ("s01_cosine_topk",
       (s, sf) => Similarity.bruteForceTopK(

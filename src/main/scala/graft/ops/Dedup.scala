@@ -396,6 +396,65 @@ object Dedup {
       .select(col("doc_id")).distinct()
   }
 
+  /** Per-document contamination REPORT — not just the boolean flag of
+    * [[contaminated]] but (n_shingles, n_hits, frac) per contaminated
+    * train doc: the numbers a pipeline needs to decide drop vs trim vs
+    * keep (e.g. "drop above 5% overlap, flag above 0.1%"). Cost shape:
+    * the eval shingle set broadcasts exactly as in [[contaminated]];
+    * the train side explodes its (already distinct) shingles, tags hits
+    * via the broadcast left join, and ONE keyed shuffle with map-side
+    * combine folds everything back to a single row per contaminated doc
+    * — the exploded rows never cross the wire unreduced. */
+  def contaminationReport(train: DataFrame, trainId: Column, trainText: Column,
+      eval: DataFrame, evalText: Column, n: Int): DataFrame = {
+    val evalShingles = eval
+      .select(explode(wordShingles(evalText, n)).as("sh")).distinct()
+      .withColumn("__hit", lit(1L))
+    train
+      .select(trainId.as("doc_id"), wordShingles(trainText, n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        explode(col("shs")).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .withColumn("frac", col("n_hits").cast("double") / col("n_shingles"))
+  }
+
+  /** [[contaminationReport]] through the Bloom bitset — ZERO shuffles:
+    * the per-doc hit count folds inside the scan stage via a
+    * higher-order `aggregate` over the shingle array probing the
+    * plan-literal bitset ([[graft.functions.BloomSet]]), so each train
+    * row produces its report row in place — no explode, no join, no
+    * aggregation exchange. Same one-sided error as [[contaminatedBloom]]:
+    * n_hits can only OVERcount (by ≈ fpp per distinct shingle), so no
+    * contaminated doc is missed and no true hit is dropped. */
+  def contaminationReportBloom(train: DataFrame, trainId: Column,
+      trainText: Column, eval: DataFrame, evalText: Column, n: Int,
+      fpp: Double = 1e-9): DataFrame = {
+    require(fpp > 0 && fpp < 0.1, s"fpp must be in (0, 0.1), got $fpp")
+    val spark = train.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val hashes = eval
+      .select(explode(wordShingles(evalText, n)).as("sh"))
+      .select(xxhash64(col("sh")).as("h")).distinct()
+      .as[Long].collect()
+    val nItems = math.max(1L, hashes.length.toLong)
+    val m = graft.functions.BloomSet.optimalNumBits(nItems, fpp)
+    val k = graft.functions.BloomSet.optimalNumProbes(nItems, m)
+    val bits = graft.functions.BloomSet.build(hashes, m, k)
+    train
+      .select(trainId.as("doc_id"), wordShingles(trainText, n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        aggregate(col("shs"), lit(0L), (acc, sh) =>
+          acc + when(call_function("graft_bloom_contains",
+            lit(bits), xxhash64(sh), lit(k)), 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .withColumn("frac", col("n_hits").cast("double") / col("n_shingles"))
+  }
+
   /** End-to-end fuzzy corpus dedup: MinHash near-dup pairs → connected
     * components → keep one document per cluster (the minimum id). Returns
     * the surviving rows of `df`. */

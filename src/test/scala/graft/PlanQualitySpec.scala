@@ -108,6 +108,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(globalSorts <= 1, s"corpus-wide global sort in:\n$p")
   }
 
+  test("d12: bloom contamination report folds in the scan — zero exchanges, no join") {
+    val p = plan("d12_contamination_report_bloom")
+    // the per-doc hit count is a higher-order aggregate probing the
+    // plan-literal bitset: scan → filter → project, nothing else
+    assert(!p.contains("Exchange"), s"bloom report shuffled:\n$p")
+    assert(!p.contains("Join"), s"bloom report joined:\n$p")
+  }
+
   test("ts02: interval join plans as an equi-join on the slot, never a nested loop") {
     val p = plan("ts02_range_count")
     assert(!p.contains("BroadcastNestedLoopJoin"),
