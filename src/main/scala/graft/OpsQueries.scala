@@ -300,6 +300,31 @@ object OpsQueries {
         |       h.n_hits::DOUBLE / t.n_shingles AS frac
         |FROM hits h JOIN tot t USING (doc_id)""".stripMargin),
 
+    // CORPUS-level overlap: one row of (n_a, n_b, n_inter, n_union,
+    // jaccard) over the two splits' distinct shingle sets — "how much
+    // of corpus B is already in corpus A". One shingle-keyed shuffle
+    // with map-side combine; never a join. Oracle: DuckDB full-join of
+    // the two distinct sets.
+    ("d13_corpus_overlap",
+      (s, sf) => {
+        val d = docs(s, sf)
+        Dedup.corpusOverlap(
+          d.filter(col("doc_id") % 50 =!= 0), col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 4)
+      },
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |          FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([ array_to_string(toks[i:i+3], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-2, 2)) ])) AS sh FROM t),
+        |a AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 <> 0),
+        |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |m AS (SELECT (a.sh IS NOT NULL)::BIGINT AS in_a,
+        |             (b.sh IS NOT NULL)::BIGINT AS in_b
+        |      FROM a FULL JOIN b ON a.sh = b.sh)
+        |SELECT sum(in_a) AS n_a, sum(in_b) AS n_b, sum(in_a * in_b) AS n_inter,
+        |       count(*) AS n_union,
+        |       sum(in_a * in_b)::DOUBLE / count(*) AS jaccard FROM m""".stripMargin),
+
     // ---- similarity search ---------------------------------------------
     ("s01_cosine_topk",
       (s, sf) => Similarity.bruteForceTopK(

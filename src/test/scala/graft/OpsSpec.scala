@@ -248,6 +248,31 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("KMV shingle sketch: exact when the union fits k, within RMSE bounds when sampled") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val (a, b) = (d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0))
+    val exact = Dedup.corpusOverlap(a, col("text"), b, col("text"), n = 4)
+      .select(col("jaccard")).head().getDouble(0)
+    // big k: the union fits the sketch, so the estimate IS the exact value
+    val kBig = 1 << 20
+    val estExact = Dedup.kmvJaccard(
+      Dedup.shingleSketch(a, col("text"), 4, kBig),
+      Dedup.shingleSketch(b, col("text"), 4, kBig), kBig)
+    assert(math.abs(estExact - exact) < 1e-12,
+      s"exact-regime sketch drifted: $estExact vs $exact")
+    // small k: a genuine sample — deterministic (hash order), bounded by
+    // ~3 RMSE = 3/sqrt(k) around the exact value
+    val k = 256
+    val est = Dedup.kmvJaccard(
+      Dedup.shingleSketch(a, col("text"), 4, k),
+      Dedup.shingleSketch(b, col("text"), 4, k), k)
+    assert(math.abs(est - exact) <= 3.0 / math.sqrt(k),
+      s"sampled estimate $est vs exact $exact beyond 3/sqrt($k)")
+    // degenerate regimes: disjoint corpora and identical corpora
+    assert(Dedup.kmvJaccard(Array(1L, 2L), Array(3L, 4L), 16) == 0.0)
+    assert(Dedup.kmvJaccard(Array(1L, 2L), Array(1L, 2L), 16) == 1.0)
+  }
+
   test("autoLshParams: recall holds, random candidates stay O(n), near-random thresholds refuse") {
     // production near-dup regime: threshold 0.8, 100k vectors
     val (b, r) = Dedup.autoLshParams(100000L, 0.8, targetRecall = 0.9)
