@@ -65,12 +65,22 @@ object EventStreams {
     // dir (library code must not write into a source checkout)
     val baseDir = spark.conf.getOption("graft.stream.stageDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_stream")
-    val dir = java.nio.file.Paths.get(
-      s"$baseDir/${new java.io.File(parquetPath).getParentFile.getName}/events_stream")
+    // keyed by the ABSOLUTE path (not the parent dir's basename — two
+    // lakes both named "sf1" under different roots would share a staging
+    // dir and the first-created symlink would win for both)
+    val abs = new java.io.File(parquetPath).getAbsolutePath
+    val key = f"${abs.hashCode & 0x7fffffff}%08x"
+    val dir = java.nio.file.Paths.get(s"$baseDir/$key/events_stream")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("part-0.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(parquetPath))
+    import java.nio.file.{Files, LinkOption, Paths}
+    // a dangling link (target regenerated/removed) reads as not-exists
+    // under follow semantics but still blocks createSymbolicLink —
+    // remove it rather than throw FileAlreadyExists
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) && !Files.exists(link))
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, Paths.get(abs))
     normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
   }
 
