@@ -183,6 +183,34 @@ class SqlGenSpec extends AnyFunSuite {
       "README hand-writes a spec count again — keep it derived or absent")
   }
 
+  test("an sg gate self-provisions derived fixtures from a fresh target dir") {
+    // Root cause of sg27's five-round absence from the driver artifacts:
+    // the sg closures never called ensureDerived, so they only worked if a
+    // Column-engine gate (which does) happened to iterate earlier in
+    // SparkEntry.queries' hash-arbitrary order. sg27 hashes before ALL of
+    // them, so on a fresh clone (empty target/derived) it threw
+    // PATH_NOT_FOUND on org_parquet and Verify wrote no row for it — while
+    // its identical twin sg34, hashed later, passed. Reproduce the
+    // fresh-start condition: a lake dir under a label whose derived
+    // fixtures are wiped, then the sg gate alone must succeed.
+    val label = "sf-fresh-sg"
+    val freshDir = new java.io.File(s"/root/repo/target/$label")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+        f.listFiles().foreach(rmTree)
+      f.delete()
+    }
+    rmTree(freshDir)
+    rmTree(new java.io.File(s"/root/repo/target/derived/$label"))
+    freshDir.mkdirs()
+    for (entry <- new java.io.File(sf).listFiles())
+      java.nio.file.Files.createSymbolicLink(
+        new java.io.File(freshDir, entry.getName).toPath, entry.toPath)
+    val rows = SparkEntry.queries("sg27_sqlgen_path_seeded")(
+      spark, freshDir.getAbsolutePath).collect()
+    assert(rows.nonEmpty, "sg27 must self-provision org_parquet and answer")
+  }
+
   test("string literals that merely parse as doubles stay quoted") {
     val (m, c) = TpchLake.lake(sf)
     def lowered(value: String): String =
