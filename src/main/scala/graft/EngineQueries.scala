@@ -688,15 +688,11 @@ object EngineQueries {
     "sg30_sqlgen_json_source" -> "q50_json_source",
     "sg31_sqlgen_path_object_seeded" -> "q51_path_object_seeded",
     "sg32_sqlgen_construct_single" -> "q52_construct_single",
-    "sg33_sqlgen_path_zeroone" -> "q53_path_zeroone",
-    // DIAGNOSTIC TWIN of sg27 (same query, same oracle, different name):
-    // sg27 has been absent from every driver CORRECTNESS artifact since
-    // round 5 while q48 — identical shape and oracle — always lands, and
-    // sg27 passes the local DuckDB check every round. If sg34 lands next
-    // round while sg27 stays missing, the driver drops the NAME; if both
-    // vanish, it drops something about the duplicated pair. Remove once
-    // the root cause is known.
-    "sg34_sqlgen_path_seeded_twin" -> "q48_path_seeded")
+    "sg33_sqlgen_path_zeroone" -> "q53_path_zeroone")
+  // (the round-10 sg34 diagnostic twin of sg27 is retired: the absence is
+  // root-caused — sg gates never self-provisioned the derived fixtures and
+  // sg27 iterates before every gate that does, so fresh-target runs threw
+  // PATH_NOT_FOUND; see sqlgenRun and SqlGenSpec's fresh-target test)
 
   private def oracleOf(name: String): String =
     suite.collectFirst { case (`name`, _, oracle) => oracle }
