@@ -627,6 +627,49 @@ object OpsQueries {
         |  floor(coalesce(top_raw, 0) * 10000 + 0.5) / 10000 AS top_bigram_frac
         |FROM d LEFT JOIN tp ON d.doc_id = tp.doc_id""".stripMargin),
 
+    // Gopher quality rules over text with a deterministic planted tail
+    // (doc_id mod 3 picks bullet-lines / symbol-lines / nothing): the
+    // synthetic corpus is clean word-salad, so planting in the query
+    // itself exercises the bullet, ellipsis and symbol rules on real rows
+    // in BOTH engines (same trick as t07). Flags compare on the 4-dp
+    // rounded metrics, so pass/fail is bit-stable cross-engine.
+    ("t12_gopher_quality",
+      (s, sf) => TextOps.gopherQuality(
+        docs(s, sf).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n• planted bullet\nplain tail..."))
+            .when(col("doc_id") % 3 === 1,
+              lit("\n# symbols ## here\nok line"))
+            .otherwise(lit(""))).as("text")),
+        col("doc_id"), col("text")),
+      """WITH base AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10)||'• planted bullet'||chr(10)||'plain tail...'
+        |         WHEN doc_id % 3 = 1 THEN chr(10)||'# symbols ## here'||chr(10)||'ok line'
+        |         ELSE '' END AS t FROM documents),
+        |m AS (SELECT doc_id, t,
+        |    CASE WHEN trim(t)='' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(lower(trim(t)),'\s+') END AS toks,
+        |    string_split(t, chr(10)) AS lns FROM base),
+        |r AS (SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    floor((CASE WHEN len(toks)=0 THEN 0 ELSE
+        |      list_sum(list_transform(toks, x -> len(x)))::DOUBLE/len(toks) END)*10000+0.5)/10000 AS mean_wlen,
+        |    floor((CASE WHEN len(toks)=0 THEN 0 ELSE
+        |      (len(t)-len(replace(replace(t,'#',''),'…','')))::DOUBLE/len(toks) END)*10000+0.5)/10000 AS symbol_ratio,
+        |    floor((CASE WHEN len(toks)=0 THEN 0 ELSE
+        |      len(list_filter(toks, x -> regexp_matches(x,'[a-z]')))::DOUBLE/len(toks) END)*10000+0.5)/10000 AS alpha_frac,
+        |    floor(len(list_filter(lns, l -> regexp_matches(l,'^\s*[-*•]')))::DOUBLE/len(lns)*10000+0.5)/10000 AS bullet_frac,
+        |    floor(len(list_filter(lns, l -> regexp_matches(l,'(\.\.\.|…)\s*$')))::DOUBLE/len(lns)*10000+0.5)/10000 AS ellipsis_frac,
+        |    len(list_distinct(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))) AS n_stop_distinct
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac,
+        |  bullet_frac, ellipsis_frac, n_stop_distinct,
+        |  (n_words >= 10 AND mean_wlen BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND n_stop_distinct >= 2) AS gopher_pass
+        |FROM r""".stripMargin),
+
     // sketch gates: the oracle pins the EXACT value (computed by both
     // engines independently) plus a measured-error verdict on the sketch
     // — HLL++/GK are deterministic, so the verdict is reproducible

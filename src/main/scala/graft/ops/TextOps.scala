@@ -156,6 +156,50 @@ object TextOps {
         (floor(coalesce(col("top_raw"), lit(0.0)) * 10000 + 0.5) / 10000).as("top_bigram_frac"))
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, appendix A1.1
+    * — the public rule family used by most LLM corpus pipelines): word
+    * count, mean word length, symbol-to-word ratio (#/…), fraction of
+    * words with an alphabetic character, fraction of lines starting with
+    * a bullet / ending with an ellipsis, distinct stopword hits, and the
+    * conjunctive pass flag. Every metric is a per-row codegen'd Column —
+    * no UDF, no shuffle — so the full rule pass over a 100 TB corpus is
+    * scan-bound and pipelines into the same stage as the parquet read.
+    * Metrics are 4-dp rounded BEFORE the flag comparisons so the
+    * pass/fail decision is bit-stable across engines; thresholds are
+    * parameters (defaults scaled to be discriminative on short docs —
+    * production corpora would use Gopher's 50-word minimum). */
+  def gopherQuality(df: DataFrame, id: Column, text: Column,
+      minWords: Int = 10, meanWlenRange: (Double, Double) = (3.0, 10.0),
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minDistinctStop: Int = 2): DataFrame = {
+    val toks = tokens(text)
+    val ntok = size(toks)
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val meanW = when(ntok === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / ntok)
+    val nsym = length(text) - length(translate(text, "#…", ""))
+    val symR = when(ntok === 0, 0.0).otherwise(nsym.cast("double") / ntok)
+    val alphaF = when(ntok === 0, 0.0).otherwise(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / ntok)
+    val lns = split(text, "\n")
+    val bulletF = size(filter(lns, l => l.rlike("^\\s*[-*•]"))).cast("double") / size(lns)
+    val ellF = size(filter(lns, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / size(lns)
+    val nstopD = size(array_distinct(filter(toks, t => t.isin(Stopwords: _*))))
+    df.select(id.as("doc_id"), ntok.as("n_words"), r4(meanW).as("mean_wlen"),
+        r4(symR).as("symbol_ratio"), r4(alphaF).as("alpha_frac"),
+        r4(bulletF).as("bullet_frac"), r4(ellF).as("ellipsis_frac"),
+        nstopD.as("n_stop_distinct"))
+      .withColumn("gopher_pass",
+        col("n_words") >= minWords &&
+          col("mean_wlen").between(meanWlenRange._1, meanWlenRange._2) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("n_stop_distinct") >= minDistinctStop)
+  }
+
   /** Polynomial rolling hash of the normalized text (base 257 mod 2^31−1)
     * — the streaming-friendly fingerprint for shingling/windowed hashing.
     * One codegen'd byte loop ([[graft.functions.PolyHash]]); bit-identical

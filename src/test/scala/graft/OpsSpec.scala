@@ -754,6 +754,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == (0.0, 0.0))
   }
 
+  test("gopherQuality: planted rule violations flip exactly their metric and the pass flag") {
+    val docs = Seq(
+      // clean: 12 plain words incl. two distinct stopwords → passes
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      // bullet-heavy: 3 of 4 lines start with a bullet → bullet_frac 0.75
+      (2L, "the list of items\n• one thing\n- another thing\n* third thing is here"),
+      // symbol-laden: many # per word → symbol_ratio over the 0.1 cap
+      (3L, "the ## tag # of ## a # tagged ## doc # with # many ## hashes #"),
+      // ellipsis lines: both lines trail off → ellipsis_frac 1.0
+      (4L, "the start of a thought...\nand of another one…"),
+      // too short + no second stopword
+      (5L, "tiny doc"),
+      (6L, "")) // empty: all-zero metrics, fails
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("gopher_pass"))
+    assert(got(2L).getAs[Double]("bullet_frac") == 0.75)
+    assert(got(2L).getAs[Boolean]("gopher_pass"),
+      "bullet_frac 0.75 is under the 0.9 default cap — doc 2 still passes")
+    assert(got(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(3L).getAs[Boolean]("gopher_pass"))
+    assert(got(4L).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(!got(4L).getAs[Boolean]("gopher_pass"))
+    assert(got(5L).getAs[Int]("n_words") == 2)
+    assert(!got(5L).getAs[Boolean]("gopher_pass"))
+    assert(got(6L).getAs[Int]("n_words") == 0)
+    assert(!got(6L).getAs[Boolean]("gopher_pass"))
+    // mean word length lands in the plausible band on real words
+    assert(got(1L).getAs[Double]("mean_wlen") > 3.0 &&
+      got(1L).getAs[Double]("mean_wlen") < 10.0)
+  }
+
   test("sketches: HLL term cardinality tracks exact; GK quantiles exact at full accuracy") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (exact, approx) = TextOps.distinctTermStats(docs, col("text"))

@@ -97,6 +97,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!scanLine.contains("text"), s"sampling read doc text: $scanLine")
   }
 
+  test("t12: gopher quality rules are one scan stage — zero exchanges") {
+    val p = plan("t12_gopher_quality")
+    assert(!p.contains("Exchange"), s"quality rules shuffled:\n$p")
+  }
+
   test("p02: shard packing broadcasts the bucket offsets, windows stay bucket-partitioned") {
     val p = plan("p02_pack_shards")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
