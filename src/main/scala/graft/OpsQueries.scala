@@ -851,6 +851,22 @@ object OpsQueries {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin),
 
+    // watermarked stream-stream SELF-join (attribution): views paired
+    // with same-user purchases within 30 minutes after them. Both sides
+    // are the one file-source stream filtered by type; the two-sided
+    // time bound + watermarks give Spark a state-expiry proof, so join
+    // state stays bounded on an unbounded stream. Oracle: the plain
+    // batch inequality self-join.
+    ("st06_stream_stream_join",
+      (s, sf) => EventStreams.runAttributionBatch(s, s"$sf/events.parquet",
+        windowMinutes = 30),
+      """SELECT a.event_id AS view_id, a.user_id, b.event_id AS purchase_id,
+        |  epoch_us(a.ts) AS view_us, epoch_us(b.ts) AS purchase_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin),
+
     // ---- temporal joins (net-new; Spark has no native operator) --------
     // as-of enrichment: every event gains the user's latest purchase value
     // at or before its timestamp. Engine: union-and-fill (one keyed

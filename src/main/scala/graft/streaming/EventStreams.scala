@@ -148,6 +148,47 @@ object EventStreams {
       s"graft_enrich_${math.abs(parquetPath.hashCode)}", "complete")
   }
 
+  /** Watermarked stream-stream interval join (the attribution shape):
+    * each `leftType` event pairs with the same user's `rightType` events
+    * in `[l_ts, l_ts + windowMinutes]`. Both inputs carry watermarks and
+    * the join condition bounds BOTH event times, so Spark derives a state
+    * expiry for each side — buffered rows are dropped once the other
+    * side's watermark passes the window, keeping join state
+    * O(rows inside window + delay) regardless of stream length. This is
+    * the canonical stream-stream join contract: without the two
+    * watermarks + two-sided time bound the state grows without bound and
+    * a 100 TB stream eventually OOMs every executor. Inner join → append
+    * mode; results emit as soon as both sides arrive. */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+      windowMinutes: Int, delay: String = "1 hour"): DataFrame = {
+    val l = left
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", delay)
+    val r = right
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", delay)
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("view_id"), col("user_id"), col("purchase_id"),
+        unix_micros(col("l_ts")).as("view_us"),
+        unix_micros(col("r_ts")).as("purchase_us"))
+  }
+
+  /** [[attributionJoin]] run as a real stream-stream self-join over the
+    * events parquet file: views joined to purchases of the same user
+    * within the window. Both sides read the SAME file-source stream
+    * (stream-stream self-join), filtered by event type. */
+  def runAttributionBatch(spark: SparkSession, parquetPath: String,
+      windowMinutes: Int): DataFrame = {
+    val ev = streamEvents(spark, parquetPath)
+    runToMemory(spark,
+      attributionJoin(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), windowMinutes),
+      s"graft_attr_${math.abs(parquetPath.hashCode)}", "append")
+  }
+
   /** Streaming exact dedup: drops rows whose key was already seen, with
     * state bounded by the watermark (duplicates arriving later than the
     * watermark delay may pass — the deliberate state/recall trade every

@@ -115,6 +115,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream attribution join pairs within the window; expired state drops late matches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = EventStreams.attributionJoin(
+      lms.toDF().toDF("event_id", "user_id", "ts"),
+      rms.toDF().toDF("event_id", "user_id", "ts"),
+      windowMinutes = 30, delay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrtest")
+      .outputMode("append").start()
+    try {
+      // view at 00:00 (user 1); purchases at 00:10 (inside the 30-min
+      // window) and 01:30 (outside) — only the first pairs
+      lms.addData((100L, 1L, ts(0, 0)))
+      rms.addData((200L, 1L, ts(0, 10)), (201L, 1L, ts(1, 30)))
+      q.processAllAvailable()
+      val got = spark.table("attrtest").select("view_id", "purchase_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 200L)))
+      // advance both watermarks to ~02:50 — far past the view's state
+      // lifetime (l_ts + 30-min window + 10-min delay = 00:40)
+      lms.addData((101L, 9L, ts(3, 0)))
+      rms.addData((202L, 9L, ts(3, 0)))
+      q.processAllAvailable()
+      // a late purchase inside the ORIGINAL window arrives after the view
+      // row's join state expired — bounded state means no pair can form
+      rms.addData((203L, 1L, ts(0, 20)))
+      q.processAllAvailable()
+      val late = spark.table("attrtest").select("purchase_id").as[Long].collect().toSet
+      assert(late.contains(202L), "in-window same-batch pair must emit")
+      assert(!late.contains(203L), "late purchase joined expired view state")
+    } finally q.stop()
+  }
+
   test("normalizeTs maps all three physical ts shapes to the same TimestampType values") {
     // round-9 regression class: the testdata's events.ts silently changed
     // from INT64 TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) and every
