@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashLanes, PlaneSignatures, PolyHash, PrefixByHash, WordShingles}
+import graft.functions.{CosineSimilarity, DeflateSize, MinHashLanes, PlaneSignatures, PolyHash, PrefixByHash, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_prefix_by_hash",
         "_FUNC_(array<string>, prefLen) - ppjoin prefix under (xxhash64, value) order"),
       (es: Seq[Expression]) => PrefixByHash(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_deflate_size"),
+      info("graft_deflate_size",
+        "_FUNC_(text) - raw-deflate byte count (compressibility quality signal)"),
+      (es: Seq[Expression]) => DeflateSize(es.head)))
   }
 }

@@ -670,6 +670,29 @@ object OpsQueries {
         |   AND n_stop_distinct >= 2) AS gopher_pass
         |FROM r""".stripMargin),
 
+    // compressibility signal: zlib byte counts are deterministic within
+    // a JVM but not a cross-engine contract (DuckDB has no SQL deflate),
+    // so the gate emits PROPERTY verdicts the oracle can state a priori
+    // (t09-style): the ratio is positive and bounded, doubling the text
+    // must compress the second copy almost entirely (self-similarity),
+    // and a constant run of the same length must compress below the
+    // word-salad text. The exact n_bytes column keeps one hard equality.
+    ("t13_compression_ratio",
+      (s, sf) => {
+        import graft.functions.HashFunctions.deflateSize
+        val ratio = TextOps.compressionRatio(col("text"))
+        docs(s, sf).filter(length(col("text")) > 0).select(
+          col("doc_id"), octet_length(col("text")).as("n_bytes"),
+          (ratio > 0.0 && ratio <= 1.1).as("bounded"),
+          (deflateSize(concat(col("text"), col("text"))) <
+            deflateSize(col("text")) * 2).as("dup_shrinks"),
+          (deflateSize(repeat(lit("x"), length(col("text")).cast("int"))) <
+            deflateSize(col("text"))).as("const_smaller"))
+      },
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+        "true AS bounded, true AS dup_shrinks, true AS const_smaller " +
+        "FROM documents WHERE len(text) > 0"),
+
     // sketch gates: the oracle pins the EXACT value (computed by both
     // engines independently) plus a measured-error verdict on the sketch
     // — HLL++/GK are deterministic, so the verdict is reproducible

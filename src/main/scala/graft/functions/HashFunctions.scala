@@ -437,6 +437,8 @@ object HashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",
       exprs => BloomSetContains(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deflate_size", exprs => DeflateSize(exprs.head), "built-in")
   }
 
   /** ppjoin hash-order prefix column (per-row native selection, no
@@ -470,5 +472,11 @@ object HashFunctions {
   def polyHash(s: Column, base: Long, mod: Long): Column = {
     scala.util.Try(register(SparkSession.active))
     call_function("graft_polyhash", s, lit(base), lit(mod))
+  }
+
+  /** Deflated byte count column (compressibility quality signal). */
+  def deflateSize(s: Column): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_deflate_size", s)
   }
 }

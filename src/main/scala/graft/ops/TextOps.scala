@@ -200,6 +200,21 @@ object TextOps {
           col("n_stop_distinct") >= minDistinctStop)
   }
 
+  /** Compressibility quality signal: raw-deflate size over UTF-8 byte
+    * length, 4-dp rounded (empty text → 0). Boilerplate/templated spam
+    * compresses far below prose; high-entropy noise sits near (or just
+    * above) 1. One codegen'd static call per row into a thread-local
+    * native deflater ([[graft.functions.DeflateWorker]]) — no per-row
+    * allocation, no shuffle; the corpus pass is scan-bound. zlib byte
+    * counts are deterministic within a JVM but not a cross-engine
+    * contract, so gates assert ratio properties, not exact bytes. */
+  def compressionRatio(text: Column): Column = {
+    val nbytes = octet_length(text)
+    when(nbytes === 0, 0.0).otherwise(
+      floor(graft.functions.HashFunctions.deflateSize(text).cast("double")
+        / nbytes * 10000 + 0.5) / 10000)
+  }
+
   /** Polynomial rolling hash of the normalized text (base 257 mod 2^31−1)
     * — the streaming-friendly fingerprint for shingling/windowed hashing.
     * One codegen'd byte loop ([[graft.functions.PolyHash]]); bit-identical

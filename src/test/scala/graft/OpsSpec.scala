@@ -787,6 +787,32 @@ class OpsSpec extends AnyFunSuite {
       got(1L).getAs[Double]("mean_wlen") < 10.0)
   }
 
+  test("compressionRatio: deflate sizes match a reference deflater; ratios order by entropy") {
+    import graft.functions.HashFunctions.deflateSize
+    // reference raw-deflate byte count, computed with the JDK API directly
+    def ref(s: String): Int = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      d.end(); total
+    }
+    val rep = "spam ham " * 200
+    val salad = (1 to 400).map(i => s"w${i * 2654435761L % 997}").mkString(" ")
+    val rows = Seq((1L, rep), (2L, salad), (3L, ""))
+      .toDF("id", "t")
+      .select(col("id"), deflateSize(col("t")).as("dsz"),
+        TextOps.compressionRatio(col("t")).as("ratio"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 == ref(rep), "expression must equal the JDK deflater")
+    assert(rows(2L)._1 == ref(salad))
+    assert(rows(3L)._2 == 0.0, "empty text ratio is 0 by definition")
+    assert(rows(1L)._2 < 0.1, s"repetitive text must compress hard: ${rows(1L)._2}")
+    assert(rows(1L)._2 < rows(2L)._2, "higher-entropy text must compress less")
+    assert(rows(2L)._2 > 0.0 && rows(2L)._2 <= 1.1)
+  }
+
   test("sketches: HLL term cardinality tracks exact; GK quantiles exact at full accuracy") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (exact, approx) = TextOps.distinctTermStats(docs, col("text"))
