@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DeflateSize, MinHashLanes, PlaneSignatures, PolyHash, PrefixByHash, WordShingles}
+import graft.functions.{CosineSimilarity, DeflateSize, MinHashLanes, PlaneSignatures, PolyHash, PqAdc, PqEncode, PrefixByHash, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_prefix_by_hash",
         "_FUNC_(array<string>, prefLen) - ppjoin prefix under (xxhash64, value) order"),
       (es: Seq[Expression]) => PrefixByHash(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode",
+        "_FUNC_(vec, codebooksFlat, dsub, k) - product-quantization codes"),
+      (es: Seq[Expression]) => PqEncode(es.head, es(1), es(2), es(3))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
+      info("graft_pq_adc",
+        "_FUNC_(codes, lutFlat, k) - asymmetric-distance score over PQ codes"),
+      (es: Seq[Expression]) => PqAdc(es.head, es(1), es(2))))
     ext.injectFunction((FunctionIdentifier("graft_deflate_size"),
       info("graft_deflate_size",
         "_FUNC_(text) - raw-deflate byte count (compressibility quality signal)"),

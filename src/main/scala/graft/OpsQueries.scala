@@ -445,6 +445,31 @@ object OpsQueries {
       },
       "SELECT 3 AS k, 90 AS floor_pct, true AS recall_floor_met"),
 
+    // product-quantization ANN: ADC scan over the compact codes + exact
+    // re-rank, gated on EXACT equality with s01's brute-force DuckDB
+    // oracle — the compression path must reproduce the full-precision
+    // answer, not just a recall floor. rerank = corpus/3 is GATE
+    // CALIBRATION for this near-random fixture (PQ's hardest regime:
+    // probed max ADC rank of a true top-10 neighbor is n/4.6 at sf0.001,
+    // n/26 at sf0.01, n/13 at sf0.1 — deterministic, seeded), not an
+    // operator default; on clustered corpus shapes the spec holds full
+    // recall at rerank = corpus/20 (2× the cluster size — the tie class
+    // ADC cannot split).
+    ("s09_pq_topk",
+      (s, sf) => {
+        val e = emb(s, sf).filter(col("vec_id") =!= 0)
+        val idx = Similarity.buildPq(e, col("vec_id"), col("embedding"),
+          m = 16, kCode = 16)
+        val rerank = math.max(150, (e.count() / 3).toInt)
+        idx.topK(queryVec(s, sf), k = 10, rerank = rerank)
+          .select(col("vec_id"), round(col("cosine"), 3).as("cos3"))
+      },
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 3) AS cos3
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin),
+
     // ---- cluster dedup (pairs → components → canonical survivors) -------
     // near-dup similarity is pairwise; dedup policy is per transitive
     // closure. The Spark side runs MinHash-LSH pairs (≡ the exact pair

@@ -306,6 +306,11 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_clusters",
       exprs => TopClusters(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      exprs => PqEncode(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc", exprs => PqAdc(exprs.head, exprs(1), exprs(2)), "built-in")
     HashFunctions.register(spark)
   }
 
@@ -335,5 +340,21 @@ object VectorFunctions {
     require(centroids.nonEmpty && centroids.head.nonEmpty, "topClusters needs a non-empty centroid matrix")
     call_function("graft_top_clusters", vec.cast("array<double>"),
       typedLit(centroids.flatten), lit(centroids.head.length), lit(nProbe))
+  }
+
+  /** PQ codes column: per subspace, the nearest (L2) codebook centroid
+    * id. `codebooksFlat` is subspace-major, then centroid-major, each
+    * centroid `dsub` doubles (a plan literal). */
+  def pqEncode(vec: Column, codebooksFlat: Seq[Double], dsub: Int, k: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    call_function("graft_pq_encode", vec.cast("array<double>"),
+      typedLit(codebooksFlat), lit(dsub), lit(k))
+  }
+
+  /** Asymmetric-distance score column over PQ codes: `m` table lookups
+    * per row against the query-specific `lutFlat` (m×k, plan literal). */
+  def pqAdc(codes: Column, lutFlat: Seq[Double], k: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    call_function("graft_pq_adc", codes, typedLit(lutFlat), lit(k))
   }
 }

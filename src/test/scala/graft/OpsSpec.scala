@@ -787,6 +787,69 @@ class OpsSpec extends AnyFunSuite {
       got(1L).getAs[Double]("mean_wlen") < 10.0)
   }
 
+  test("PQ index: codes compress, ADC+re-rank equals brute force, clustered recall full at tight rerank") {
+    import graft.ops.Similarity
+    // near-random fixture (hardest PQ regime): with the gate's calibrated
+    // rerank, PQ + exact re-rank must reproduce brute force exactly
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toSeq
+    val idx = Similarity.buildPq(corpus, col("vec_id"), col("embedding"), m = 16, kCode = 16)
+    // the codes frame carries m ints per row — the compressed representation
+    assert(idx.codes.select(size(col("codes"))).head().getInt(0) == 16)
+    assert(idx.codes.select(max(flatten(array(col("codes"))))).head()
+      .getSeq[Int](0).forall(c => c >= 0 && c < 16))
+    val got = idx.topK(qv, k = 10, rerank = (corpus.count() / 3).toInt)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"), qv, 10)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(got == want, "PQ + re-rank must equal brute force, same order, same cosines")
+    // clustered (real-corpus-shaped) fixture: full recall@10 at
+    // rerank = 2× the ~50-member cluster size (corpus/20) — the regime
+    // where PQ's byte reduction pays. rerank below the cluster size
+    // CANNOT be exact here: all same-center members quantize to
+    // near-identical codes, so ADC ties across the cluster and the true
+    // top-10 (decided by the noise PQ quantizes away) spreads anywhere
+    // inside it — re-rank must cover the tie class.
+    val ce = OpsQueries.clusteredEmb(spark)
+    val cCorpus = ce.filter(col("vec_id") =!= 0)
+    val cq = OpsQueries.clusteredQueryVec(spark)
+    val cIdx = Similarity.buildPq(cCorpus, col("vec_id"), col("embedding"), m = 8, kCode = 16)
+    val cGot = cIdx.topK(cq, k = 10, rerank = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val cWant = Similarity.bruteForceTopK(cCorpus, col("vec_id"), col("embedding"), cq, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(cGot == cWant, s"clustered recall@10 must be full at rerank 100: got ${(cGot & cWant).size}/10")
+  }
+
+  test("PqEncode/PqAdc: ragged and corrupt inputs null out; ADC equals explicit table sum") {
+    import graft.functions.VectorFunctions.{pqAdc, pqEncode}
+    // 2 subspaces of 2 dims, 2 centroids each: codebook chosen so codes
+    // are unambiguous; ADC must equal the hand-computed lookup sum
+    val cb = Seq(0.0, 0.0, 1.0, 1.0, /* s0: c0=(0,0) c1=(1,1) */
+      2.0, 2.0, 3.0, 3.0 /* s1: c0=(2,2) c1=(3,3) */ )
+    val rows = Seq(
+      (1L, Seq(0.1, -0.1, 2.9, 3.2)), // codes (0, 1)
+      (2L, Seq(1.2, 0.8, 1.9, 2.1)), // codes (1, 0)
+      (3L, Seq(1.0, 1.0, 1.0))) // ragged: 3 dims for m·dsub=4 → NULL
+      .toDF("id", "v")
+    val enc = rows.select(col("id"), pqEncode(col("v"), cb, 2, 2).as("codes"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq)).toMap
+    assert(enc(1L).contains(Seq(0, 1)))
+    assert(enc(2L).contains(Seq(1, 0)))
+    assert(enc(3L).isEmpty, "ragged vector must encode to NULL")
+    val lut = Seq(10.0, 20.0, 30.0, 40.0) // s0: [10,20], s1: [30,40]
+    val adc = Seq((1L, Seq(0, 1)), (2L, Seq(1, 0)), (3L, Seq(0, 5)))
+      .toDF("id", "codes")
+      .select(col("id"), pqAdc(col("codes"), lut, 2).as("adc"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(adc(1L).contains(10.0 + 40.0))
+    assert(adc(2L).contains(20.0 + 30.0))
+    assert(adc(3L).isEmpty, "out-of-range code must score NULL, not read a neighbor's entry")
+  }
+
   test("compressionRatio: deflate sizes match a reference deflater; ratios order by entropy") {
     import graft.functions.HashFunctions.deflateSize
     // reference raw-deflate byte count, computed with the JDK API directly

@@ -247,6 +247,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"codegen'd routing explode missing:\n$p")
   }
 
+  test("s09: PQ ADC scan is codes-only TakeOrdered; re-rank joins broadcast, no shuffle") {
+    val p = plan("s09_pq_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC candidate selection must be a per-partition heap top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"re-rank must broadcast the tiny candidate set:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PQ query path must not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-rank degraded to a sort-merge join:\n$p")
+  }
+
   test("s01: brute-force top-k has no shuffle exchange") {
     val df = SparkEntry.queries("s01_cosine_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
