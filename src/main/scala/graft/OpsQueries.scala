@@ -501,6 +501,61 @@ object OpsQueries {
         |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b)
         |SELECT id AS doc_id, MIN(l) AS canonical FROM r GROUP BY id""".stripMargin),
 
+    // paragraph-level exact dedup: the fixture docs are single-line, so
+    // the gate builds multi-paragraph documents in the query itself —
+    // two text slices plus a boilerplate footer planted TWICE per doc
+    // (exercising within-doc and cross-doc dedup at once). Only the
+    // lowest-doc_id instance of the footer survives corpus-wide; slice
+    // paragraphs dedup wherever the word-salad happens to repeat, and
+    // the oracle re-derives the identical first-occurrence relation.
+    ("d15_dedup_paragraphs",
+      (s, sf) => Dedup.dedupParagraphs(
+        docs(s, sf).select(col("doc_id"), concat_ws("\n",
+          substring(col("text"), 1, 40), lit("COMMON FOOTER LINE ALPHA"),
+          substring(col("text"), 41, 40), lit("COMMON FOOTER LINE ALPHA"))
+          .as("text")),
+        col("doc_id"), col("text")),
+      """WITH base AS (SELECT doc_id,
+        |    substr(text, 1, 40) || chr(10) || 'COMMON FOOTER LINE ALPHA' || chr(10) ||
+        |    substr(text, 41, 40) || chr(10) || 'COMMON FOOTER LINE ALPHA' AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    unnest([{'pos': i, 'para': lns[i]} FOR i IN range(1, len(lns)+1)],
+        |           recursive := true)
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS lns FROM base)),
+        |r AS (SELECT doc_id, pos, para, lower(trim(para)) AS norm,
+        |    ROW_NUMBER() OVER (PARTITION BY lower(trim(para))
+        |                       ORDER BY doc_id, pos) AS rn FROM p)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM r WHERE len(norm) < 5 OR rn = 1
+        |GROUP BY doc_id""".stripMargin),
+
+    // SemDeDup: the embeddings fixture is near-random (max natural cosine
+    // ~0.5), so the gate PLANTS one near-duplicate per vector in the
+    // query itself — a copy at vec_id+100000 with a deterministic ±0.2%
+    // per-dim relative perturbation (seeded integer arithmetic). Planted
+    // pairs sit at cosine ≥ 0.999998 — same k-means cluster by
+    // construction (centroid distances differ by at most the
+    // perturbation) — and every cross pair is ≤ ~0.5, far under the 0.99
+    // threshold. The expected survivor set is therefore EXACTLY the
+    // original ids, which the oracle states without needing the
+    // perturbation formula: a missed pair, dropped singleton, or wrong
+    // per-component representative each breaks the equality.
+    ("d14_semdedup",
+      (s, sf) => {
+        val e = emb(s, sf).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val perturbed = e.select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i0) =>
+            x * (lit(1.0) + ((col("vec_id") * 131 + (i0 + 1) * 773) % 1000 - 500)
+              .cast("double") * lit(4e-6))).as("embedding"))
+        val n = e.count()
+        Dedup.semDedup(e.union(perturbed), col("vec_id"), col("embedding"),
+          nClusters = math.max(20, (n / 250).toInt), threshold = 0.99)
+          .select(col("vec_id"))
+      },
+      "SELECT vec_id FROM embeddings"),
+
     // end-to-end fuzzy corpus dedup: one surviving row per cluster
     ("c02_fuzzy_dedup",
       (s, sf) => Dedup.fuzzyDedupCorpus(docs(s, sf), col("doc_id"), col("text"),
@@ -536,6 +591,29 @@ object OpsQueries {
         "string_split('mix1:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)), " +
         "(a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk FROM documents) " +
         "WHERE bk < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END"),
+
+    // data mixing: per-source token budgets → derived integer keep-rate
+    // thresholds (floor division, bit-identical cross-engine) → the same
+    // portable hash-bucket keep/drop as p01. src1's budget exceeds its
+    // availability (rate clamps to 1), src0/src3 sample down, every
+    // unbudgeted source drops entirely.
+    ("p03_token_mixture",
+      (s, sf) => graft.ops.Pipeline.mixByTokenBudget(docs(s, sf), col("doc_id"),
+        col("source"), TextOps.tokenCount(col("text")),
+        Map("src0" -> 600L, "src1" -> 100000L, "src3" -> 300L), salt = "mix2")
+        .select(col("doc_id"), col("source")),
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN trim(text)='' THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok,
+        |    list_reduce(list_prepend(7::BIGINT, list_transform(
+        |      string_split('mix2:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
+        |  FROM documents),
+        |s AS (SELECT source, SUM(ntok) AS tot FROM t GROUP BY source)
+        |SELECT doc_id, source FROM t JOIN s USING (source)
+        |WHERE bk < least(10000,
+        |  (CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 100000
+        |               WHEN 'src3' THEN 300 ELSE 0 END) * 10000 // tot)""".stripMargin),
 
     // two-level prefix sum ≡ the oracle's single global window
     ("p02_pack_shards",

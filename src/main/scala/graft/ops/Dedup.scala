@@ -528,6 +528,84 @@ object Dedup {
       .drop("node")
   }
 
+  /** Paragraph-level exact dedup (the exact-substring regime of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", at paragraph granularity — the form most public corpus
+    * pipelines ship): split each document on newlines, keep only the
+    * FIRST occurrence (by (doc_id, position) order) of each normalized
+    * paragraph corpus-wide, and reassemble documents from their
+    * surviving paragraphs in original order. Boilerplate that repeats
+    * across documents (footers, nav bars, license blocks) disappears
+    * from every document but its first.
+    *
+    * Paragraphs shorter than `minChars` after normalization always
+    * survive — deduping "" or "---" globally would strip formatting, not
+    * boilerplate. Returns (doc_id, text); a document whose every
+    * paragraph first occurred elsewhere drops out entirely.
+    *
+    * Scale shape: posexplode (no shuffle) → first-occurrence window
+    * keyed by the paragraph hash (one shuffle, hash-distributed — a
+    * boilerplate paragraph repeated 10⁹× lands in ONE task's sort, which
+    * is why the key is the 64-bit hash and the carried payload is just
+    * (doc_id, pos, text)) → reassembly agg keyed by doc_id (second
+    * shuffle, map-side combined). Two keyed shuffles total, both on
+    * high-cardinality keys. */
+  def dedupParagraphs(df: DataFrame, id: Column, text: Column,
+      minChars: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("pos", "para")))
+      .withColumn("norm", normText(col("para")))
+    val firstWin = Window.partitionBy(col("norm"))
+      .orderBy(col("doc_id"), col("pos"))
+    val kept = paras
+      .withColumn("rn",
+        when(length(col("norm")) < minChars, lit(1L))
+          .otherwise(row_number().over(firstWin).cast("long")))
+      .filter(col("rn") === 1L)
+    kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("para")))).as("ps"))
+      .select(col("doc_id"),
+        array_join(transform(col("ps"), p => p.getField("para")), "\n").as("text"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup at the
+    * embedding level — cluster the corpus, form candidate pairs only
+    * WITHIN a cluster, verify with exact cosine ≥ `threshold`, close
+    * transitively, keep the minimum id per duplicate set. Returns the
+    * surviving (id) rows joined back to `df`.
+    *
+    * Scale shape: clustering reuses the IVF k-means build (seeded,
+    * sample-able); the within-cluster self-join is ONE shuffle keyed on
+    * the cluster id and costs Σᵢ cᵢ² pairs — at 100 TB pick
+    * `nClusters ≈ n / targetClusterSize` so per-cluster pair work stays
+    * bounded and the whole pass is linear-ish in n (the paper's regime:
+    * tens of thousands of clusters over billions of embeddings).
+    * Approximate by construction: a near-dup pair split across two
+    * clusters is missed — the trade that makes semantic dedup tractable
+    * where all-pairs cosine is n². Near-identical vectors land in the
+    * same cluster (their centroid distances differ by at most the
+    * perturbation), so recall loss concentrates on BORDERLINE pairs near
+    * the threshold, not on the near-exact duplicates the operator
+    * exists to drop. */
+  def semDedup(df: DataFrame, id: Column, vec: Column, nClusters: Int,
+      threshold: Double, seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val ivf = Similarity.buildIvf(df, id, vec, nClusters, seed)
+    val a = ivf.assigned.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = ivf.assigned.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = connectedComponents(pairs, col("id_a"), col("id_b"),
+      ivf.assigned, col("vec_id"))
+    df.join(clusters.filter(col("node") === col("label")).select(col("node")),
+      id === col("node"))
+      .drop("node")
+  }
+
   /** Embedding near-dups: exact cosine ≥ threshold over candidate pairs,
     * using the codegen'd [[graft.functions.CosineSimilarity]] inner loop.
     *

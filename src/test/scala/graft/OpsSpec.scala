@@ -823,6 +823,63 @@ class OpsSpec extends AnyFunSuite {
     assert(cGot == cWant, s"clustered recall@10 must be full at rerank 100: got ${(cGot & cWant).size}/10")
   }
 
+  test("dedupParagraphs: first occurrence wins, short lines always survive, emptied docs drop") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "Alpha beta\nFOOTER\n--\nunique one"),
+      (2L, "FOOTER\ngamma delta\n--"), // FOOTER already in doc 1; "--" is short
+      (3L, "alpha beta")) // case-normalized dup of doc 1's first paragraph
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "Alpha beta\nFOOTER\n--\nunique one",
+      "first occurrences keep their original (un-normalized) text and order")
+    assert(got(2L) == "gamma delta\n--",
+      "cross-doc dup drops; sub-minChars separator survives everywhere")
+    assert(!got.contains(3L), "a doc whose every paragraph occurred earlier drops out")
+  }
+
+  test("mixByTokenBudget: rates derive from availability, clamp at 1, unbudgeted sources drop") {
+    import graft.ops.Pipeline
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("source"), lit(100L).as("ntok"))
+    def mix(d: org.apache.spark.sql.DataFrame) =
+      Pipeline.mixByTokenBudget(d, col("doc_id"), col("source"), col("ntok"),
+        Map("s0" -> 100000L, "s1" -> 12500L, "s2" -> 0L), "t")
+    val out = mix(df)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("s0") == 250, "budget above availability keeps everything")
+    assert(!counts.contains("s2"), "zero budget drops the source")
+    assert(!counts.contains("s3"), "unbudgeted source drops")
+    assert(math.abs(counts("s1") - 125) <= 25,
+      s"half budget keeps ~half the docs: ${counts.get("s1")}")
+    // partition-layout independence: the keep set is a pure function of id
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = mix(df.repartition(7)).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("semDedup: planted near-dups drop to their min id, singletons survive, clusters bound pairs") {
+    import graft.ops.Dedup
+    // clustered corpus + an exact copy of every 10th vector at id+10000
+    // and a tiny-perturbation copy of every 25th at id+20000
+    val ce = OpsQueries.clusteredEmb(spark, n = 500, dim = 16, centers = 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dup = ce.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val near = ce.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.0005).as("embedding"))
+    val universe = ce.union(dup).union(near)
+    val kept = Dedup.semDedup(universe, col("vec_id"), col("embedding"),
+      nClusters = 10, threshold = 0.999).select("vec_id").as[Long].collect().toSet
+    // scaling a vector preserves cosine exactly, so both planted families
+    // pair with their original at cosine ~1 ≥ 0.999; natural same-center
+    // pairs sit near 0.94 and must NOT merge at this threshold
+    assert(kept == ce.select("vec_id").as[Long].collect().toSet,
+      "survivors must be exactly the original ids")
+  }
+
   test("PqEncode/PqAdc: ragged and corrupt inputs null out; ADC equals explicit table sum") {
     import graft.functions.VectorFunctions.{pqAdc, pqEncode}
     // 2 subspaces of 2 dims, 2 centroids each: codebook chosen so codes

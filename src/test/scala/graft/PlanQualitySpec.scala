@@ -97,6 +97,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!scanLine.contains("text"), s"sampling read doc text: $scanLine")
   }
 
+  test("p03: mixture sampling shuffles only the per-source partial aggregates") {
+    val p = plan("p03_token_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"availability thresholds must broadcast back:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1,
+      s"corpus stream must stay filter-only ($shuffles hash exchanges):\n$p")
+  }
+
   test("t12: gopher quality rules are one scan stage — zero exchanges") {
     val p = plan("t12_gopher_quality")
     assert(!p.contains("Exchange"), s"quality rules shuffled:\n$p")
