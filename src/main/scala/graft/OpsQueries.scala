@@ -1137,6 +1137,71 @@ object OpsQueries {
         |    / 1500) AS BIGINT) AS shard
         |FROM n""".stripMargin),
 
+    // the round-11 op family composed end-to-end: Gopher rule filter →
+    // paragraph-level first-occurrence dedup → token-budget mixture →
+    // shard packing, re-derived as ONE DuckDB statement (gates the
+    // composition: each stage's output is the next stage's input, so a
+    // row leaking through any stage shifts every downstream shard id)
+    ("e02_training_mix_pipeline",
+      (s, sf) => {
+        val d0 = docs(s, sf)
+        val passed = TextOps.gopherQuality(d0, col("doc_id"), col("text"))
+          .filter(col("gopher_pass")).select("doc_id")
+        val deduped = Dedup.dedupParagraphs(d0.join(passed, "doc_id"),
+            col("doc_id"), col("text"))
+          .join(d0.select(col("doc_id"), col("source")), "doc_id")
+        val mixed = graft.ops.Pipeline.mixByTokenBudget(deduped, col("doc_id"),
+          col("source"), TextOps.tokenCount(col("text")),
+          Map("src0" -> 10000L, "src1" -> 250L, "src2" -> 100L, "src3" -> 50L),
+          salt = "e02")
+        graft.ops.Pipeline.packByTokenBudget(mixed, col("doc_id"),
+          TextOps.tokenCount(col("text")), budget = 1000, bucketWidth = 64)
+      },
+      """WITH g AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      len(toks) AS n_words,
+        |      floor((CASE WHEN len(toks)=0 THEN 0 ELSE
+        |        list_sum(list_transform(toks, x -> len(x)))::DOUBLE/len(toks) END)*10000+0.5)/10000 AS mean_wlen,
+        |      floor((CASE WHEN len(toks)=0 THEN 0 ELSE
+        |        (len(text)-len(replace(replace(text,'#',''),'…','')))::DOUBLE/len(toks) END)*10000+0.5)/10000 AS symbol_ratio,
+        |      floor((CASE WHEN len(toks)=0 THEN 0 ELSE
+        |        len(list_filter(toks, x -> regexp_matches(x,'[a-z]')))::DOUBLE/len(toks) END)*10000+0.5)/10000 AS alpha_frac,
+        |      floor(len(list_filter(lns, l -> regexp_matches(l,'^\s*[-*•]')))::DOUBLE/len(lns)*10000+0.5)/10000 AS bullet_frac,
+        |      floor(len(list_filter(lns, l -> regexp_matches(l,'(\.\.\.|…)\s*$')))::DOUBLE/len(lns)*10000+0.5)/10000 AS ellipsis_frac,
+        |      len(list_distinct(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))) AS n_stop
+        |    FROM (SELECT doc_id, source, text,
+        |            CASE WHEN trim(text)='' THEN []::VARCHAR[]
+        |                 ELSE string_split_regex(lower(trim(text)),'\s+') END AS toks,
+        |            string_split(text, chr(10)) AS lns
+        |          FROM documents))
+        |  WHERE n_words >= 10 AND mean_wlen BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND n_stop >= 2),
+        |d AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text, len(lower(trim(text))) AS nl,
+        |      ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+        |    FROM g)
+        |  WHERE nl < 5 OR rn = 1),
+        |t AS (SELECT doc_id, source,
+        |    CASE WHEN trim(text)='' THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok,
+        |    list_reduce(list_prepend(7::BIGINT, list_transform(
+        |      string_split('e02:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
+        |  FROM d),
+        |s AS (SELECT source, SUM(ntok) AS tot FROM t GROUP BY source),
+        |m AS (SELECT t.doc_id, t.ntok FROM t JOIN s USING (source)
+        |  WHERE bk < least(10000,
+        |    (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 250
+        |                 WHEN 'src2' THEN 100 WHEN 'src3' THEN 50
+        |                 ELSE 0 END) * 10000 // tot))
+        |SELECT doc_id, ntok,
+        |  CAST(floor((SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok)
+        |    / 1000) AS BIGINT) AS shard
+        |FROM m""".stripMargin),
+
     // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
     ("nt01_ingest",
       (s, sf) => {

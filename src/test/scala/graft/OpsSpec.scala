@@ -685,6 +685,12 @@ class OpsSpec extends AnyFunSuite {
         .head().getSeq[Long](0).length == 4)
       assert(s2.sql("SELECT graft_prefix_by_hash(array('x','y','z'), 2)")
         .head().getSeq[String](0).length == 2)
+      assert(s2.sql("SELECT graft_deflate_size('aaaaaaaaaaaaaaaaaaaaaaaa')")
+        .head().getInt(0) < 24, "repetitive text must deflate below its length")
+      assert(s2.sql("SELECT graft_pq_encode(array(0.1d,0.1d), array(0d,0d,1d,1d), 2, 2)")
+        .head().getSeq[Int](0) == Seq(0))
+      assert(s2.sql("SELECT graft_pq_adc(array(1), array(10d,20d), 2)")
+        .head().getDouble(0) == 20.0)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
