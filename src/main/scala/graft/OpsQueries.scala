@@ -993,6 +993,31 @@ object OpsQueries {
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin),
 
+    // left-outer stream-stream join: unmatched views emit a NULL
+    // purchase only when the watermark passes their window (state expiry
+    // IS the emission trigger), so views near the stream's end stay
+    // buffered forever — the oracle states that cutoff explicitly:
+    // global watermark = least(max view ts, max purchase ts) − the
+    // 1-hour delay, and a view emits iff its 30-minute window closed
+    // before it. The AvailableNow run's trailing no-data micro-batch is
+    // what flushes the expired state.
+    ("st07_stream_stream_outer",
+      (s, sf) => EventStreams.runAttributionOuterBatch(s, s"$sf/events.parquet",
+        windowMinutes = 30),
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type='view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+        |mx AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p)) AS m),
+        |j AS (SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id,
+        |        epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
+        |      FROM v JOIN p ON v.user_id = p.user_id
+        |       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+        |SELECT view_id, user_id, purchase_id, view_us, purchase_us FROM j
+        |UNION ALL
+        |SELECT v.event_id, v.user_id, NULL, epoch_us(v.ts), NULL
+        |FROM v, mx
+        |WHERE v.event_id NOT IN (SELECT view_id FROM j)
+        |  AND v.ts + INTERVAL 30 MINUTE < mx.m - INTERVAL 60 MINUTE""".stripMargin),
+
     // ---- temporal joins (net-new; Spark has no native operator) --------
     // as-of enrichment: every event gains the user's latest purchase value
     // at or before its timestamp. Engine: union-and-fill (one keyed

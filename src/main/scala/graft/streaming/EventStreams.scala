@@ -176,6 +176,42 @@ object EventStreams {
         unix_micros(col("r_ts")).as("purchase_us"))
   }
 
+  /** Left-outer variant of [[attributionJoin]]: unmatched views emit a
+    * NULL purchase — but only once the watermark passes their window's
+    * end (state expiry is the emission trigger; until then Spark cannot
+    * know no purchase is coming). Views whose window has NOT fully
+    * passed the final watermark when the stream ends stay buffered and
+    * never emit — the fundamental streaming-outer-join contract, which
+    * the st07 gate's oracle states explicitly via the same cutoff
+    * (global watermark = min of both sides' max event time, minus the
+    * delay). */
+  def attributionJoinOuter(left: DataFrame, right: DataFrame,
+      windowMinutes: Int, delay: String = "1 hour"): DataFrame = {
+    val l = left
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", delay)
+    val r = right
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", delay)
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("view_id"), col("user_id"), col("purchase_id"),
+        unix_micros(col("l_ts")).as("view_us"),
+        unix_micros(col("r_ts")).as("purchase_us"))
+  }
+
+  def runAttributionOuterBatch(spark: SparkSession, parquetPath: String,
+      windowMinutes: Int): DataFrame = {
+    val ev = streamEvents(spark, parquetPath)
+    runToMemory(spark,
+      attributionJoinOuter(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), windowMinutes),
+      s"graft_attro_${math.abs(parquetPath.hashCode)}", "append")
+  }
+
   /** [[attributionJoin]] run as a real stream-stream self-join over the
     * events parquet file: views joined to purchases of the same user
     * within the window. Both sides read the SAME file-source stream

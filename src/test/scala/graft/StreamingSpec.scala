@@ -150,6 +150,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: nulls emit only at state expiry, tail views stay buffered") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = EventStreams.attributionJoinOuter(
+      lms.toDF().toDF("event_id", "user_id", "ts"),
+      rms.toDF().toDF("event_id", "user_id", "ts"),
+      windowMinutes = 30, delay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrouter")
+      .outputMode("append").start()
+    try {
+      // matched view (00:00 → purchase 00:10) and unmatched view (00:05)
+      lms.addData((100L, 1L, ts(0, 0)), (101L, 2L, ts(0, 5)))
+      rms.addData((200L, 1L, ts(0, 10)))
+      q.processAllAvailable()
+      def rows() = spark.table("attrouter")
+        .select("view_id", "purchase_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      // the unmatched view must NOT have emitted yet: a null result
+      // before its window passes would be retracted by a later purchase
+      val early = rows()
+      assert(early.get(100L).flatten.contains(200L))
+      assert(!early.contains(101L),
+        "null must not emit while a matching purchase could still arrive")
+      // advance both watermarks past 00:05 + 30 min + 10 min delay
+      lms.addData((102L, 9L, ts(2, 0)))
+      rms.addData((201L, 9L, ts(2, 0)))
+      q.processAllAvailable()
+      val late = rows()
+      assert(late.get(101L).exists(_.isEmpty),
+        "expired unmatched view emits exactly one null row")
+      // the 02:00 view pairs inner; its own null can never ALSO appear
+      assert(late.get(102L).flatten.contains(201L))
+    } finally q.stop()
+  }
+
   test("normalizeTs maps all three physical ts shapes to the same TimestampType values") {
     // round-9 regression class: the testdata's events.ts silently changed
     // from INT64 TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) and every
