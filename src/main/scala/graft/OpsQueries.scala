@@ -946,6 +946,17 @@ object OpsQueries {
         .select(col("user_id")),
       "SELECT DISTINCT user_id FROM events"),
 
+    // the full production ingest-to-egress path: file source →
+    // watermarked dedup → exactly-once PARQUET FILE SINK (append files +
+    // _spark_metadata commit log) → read back. Same oracle as st03: the
+    // sink must neither drop nor duplicate rows relative to the
+    // memory-sink twin.
+    ("st08_stream_parquet_sink",
+      (s, sf) => EventStreams.runDedupToParquetSink(
+        s, s"$sf/events.parquet", "1 hour", Seq("user_id"))
+        .select(col("user_id")),
+      "SELECT DISTINCT user_id FROM events"),
+
     // stream-static join (broadcast dimension per micro-batch, no
     // stream-side join state); AvailableNow run = one batch, so the
     // enriched aggregate has an exact join+groupby twin

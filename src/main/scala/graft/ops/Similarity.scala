@@ -308,6 +308,36 @@ object Similarity {
     PqIndex(codesDf, normed.select(col("vec_id"), col("v")), codebooks, dsub, kCode)
   }
 
+  /** Persist a PQ index: the compact codes and the full-precision
+    * vectors as parquet tables, the codebooks (tiny — m·k·dsub doubles)
+    * as one parquet table of (subspace, centroid, values). Build-once /
+    * query-many is the whole point of an ANN index at 100 TB: the build
+    * pays m k-means fits and one encode pass; every later job loads the
+    * codes table (1–3% of the corpus bytes) and queries immediately. */
+  def savePq(idx: PqIndex, dir: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    idx.vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    idx.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "centroid", "values")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a PQ index written by [[savePq]]. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    import spark.implicits._
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace"), col("centroid"), col("values"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val codebooks = books.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3.toArray).toArray
+    }.toArray
+    PqIndex(spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/vectors"),
+      codebooks, codebooks.head.head.length, codebooks.head.length)
+  }
+
   /** LSH-bucketed ANN: restrict the scan to buckets within `probeHamming`
     * of the query's bucket (multi-probe), then exact cosine top-k inside.
     * Recall < 1 by construction; raise numPlanes/probeHamming to trade

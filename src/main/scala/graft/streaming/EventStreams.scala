@@ -95,6 +95,45 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Run a streaming plan to a PARQUET FILE SINK — the production egress
+    * shape: append-mode files plus the `_spark_metadata` commit log that
+    * makes the write exactly-once (a re-run against the same checkpoint
+    * reprocesses nothing; readers see only committed files). Both the
+    * output and checkpoint dirs are wiped first so each invocation is a
+    * fresh, deterministic run. Returns the read-back result. */
+  def runToParquetSink(spark: SparkSession, plan: DataFrame,
+      outDir: String, checkpointDir: String): DataFrame = {
+    def rm(p: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        f.delete()
+      }
+      val f = new java.io.File(p)
+      if (f.exists()) walk(f)
+    }
+    rm(outDir); rm(checkpointDir)
+    val q = plan.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** [[streamingDedup]] streamed into a parquet file sink and read back
+    * (file source → watermarked dedup → exactly-once file sink: the
+    * full production ingest-to-egress path in one gate). */
+  def runDedupToParquetSink(spark: SparkSession, parquetPath: String,
+      delay: String, keys: Seq[String]): DataFrame = {
+    val base = spark.conf.getOption("graft.stream.stageDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_stream")
+    val key = f"${new java.io.File(parquetPath).getAbsolutePath.hashCode & 0x7fffffff}%08x"
+    runToParquetSink(spark,
+      streamingDedup(streamEvents(spark, parquetPath), "ts", delay, keys),
+      s"$base/$key/dedup_sink_out", s"$base/$key/dedup_sink_ckpt")
+  }
+
   /** [[streamingDedup]] run as a real streaming query over the events
     * parquet file; returns the surviving rows. */
   def runStreamingDedupBatch(spark: SparkSession, parquetPath: String,

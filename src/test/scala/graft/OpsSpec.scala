@@ -886,6 +886,24 @@ class OpsSpec extends AnyFunSuite {
       "survivors must be exactly the original ids")
   }
 
+  test("PQ index round-trips through parquet: loaded index answers identically") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toSeq
+    val idx = Similarity.buildPq(corpus, col("vec_id"), col("embedding"), m = 8, kCode = 16)
+    val dir = "/root/repo/target/pq_roundtrip"
+    Similarity.savePq(idx, dir)
+    val loaded = Similarity.loadPq(spark, dir)
+    assert(loaded.dsub == idx.dsub && loaded.kCode == idx.kCode)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, "codebooks must round-trip exactly")
+    val a = idx.topK(qv, k = 5, rerank = 100).collect().map(_.toSeq).toSeq
+    val b = loaded.topK(qv, k = 5, rerank = 100).collect().map(_.toSeq).toSeq
+    assert(a == b, "a loaded index must answer bit-identically to the built one")
+  }
+
   test("PqEncode/PqAdc: ragged and corrupt inputs null out; ADC equals explicit table sum") {
     import graft.functions.VectorFunctions.{pqAdc, pqEncode}
     // 2 subspaces of 2 dims, 2 centroids each: codebook chosen so codes
