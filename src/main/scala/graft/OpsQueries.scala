@@ -470,6 +470,25 @@ object OpsQueries {
         |ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
         |LIMIT 10""".stripMargin),
 
+    // int8 scalar-quantized scan + exact re-rank: per-component
+    // quantization error ≤ 1/254 after L2 normalization, so the true
+    // top-10 sit inside the top-`rerank` int8 candidates by a wide
+    // margin and the re-ranked result must EQUAL the exact oracle (same
+    // gate shape as s09, with no index build at all)
+    ("s10_sq8_topk",
+      (s, sf) => {
+        val e = emb(s, sf).filter(col("vec_id") =!= 0)
+        val rerank = math.max(150, (e.count() / 3).toInt)
+        Similarity.sq8TopK(e, col("vec_id"), col("embedding"),
+          queryVec(s, sf), k = 10, rerank = rerank)
+          .select(col("vec_id"), round(col("cosine"), 3).as("cos3"))
+      },
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 3) AS cos3
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin),
+
     // ---- cluster dedup (pairs → components → canonical survivors) -------
     // near-dup similarity is pairwise; dedup policy is per transitive
     // closure. The Spark side runs MinHash-LSH pairs (≡ the exact pair
@@ -795,6 +814,87 @@ object OpsQueries {
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
         "true AS bounded, true AS dup_shrinks, true AS const_smaller " +
         "FROM documents WHERE len(text) > 0"),
+
+    // C4 line-level cleaning: plant a 4-cycle of boilerplate/prose lines
+    // so every rule (terminal punctuation, min words, banned phrase,
+    // brace) fires both ways; the oracle recomputes each line verdict
+    // independently in DuckDB
+    ("t14_c4_line_clean",
+      (s, sf) => TextOps.c4LineClean(
+        docs(s, sf).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nKeep this planted prose line today.\nshort no."))
+            .when(col("doc_id") % 4 === 1,
+              lit("\nvar x = {javascript:1};\nAnother good line stays right here!"))
+            .when(col("doc_id") % 4 === 2,
+              lit("\nlorem ipsum dolor sit amet.\nThis cookie banner must go away now."))
+            .otherwise(lit("\nno terminal punctuation here"))).as("text")),
+        col("doc_id"), col("text"), minLineWords = 3, minKeptLines = 1),
+      """WITH base AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10)||'Keep this planted prose line today.'||chr(10)||'short no.'
+        |         WHEN doc_id % 4 = 1 THEN chr(10)||'var x = {javascript:1};'||chr(10)||'Another good line stays right here!'
+        |         WHEN doc_id % 4 = 2 THEN chr(10)||'lorem ipsum dolor sit amet.'||chr(10)||'This cookie banner must go away now.'
+        |         ELSE chr(10)||'no terminal punctuation here' END AS t FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS lns FROM base),
+        |k AS (SELECT doc_id, len(lns) AS n_lines,
+        |    list_filter(lns, x -> regexp_matches(x, '[.!?"]\s*$')
+        |      AND (CASE WHEN trim(x)='' THEN 0
+        |           ELSE len(string_split_regex(trim(x),'\s+')) END) >= 3
+        |      AND NOT contains(lower(x), '{')
+        |      AND NOT contains(lower(x), 'javascript')
+        |      AND NOT contains(lower(x), 'lorem ipsum')
+        |      AND NOT contains(lower(x), 'cookie')) AS kept
+        |  FROM l)
+        |SELECT doc_id, n_lines, len(kept) AS n_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  len(kept) >= 1 AS c4_keep FROM k""".stripMargin),
+
+    // hashed-feature linear classifier: weights derive from a closed-form
+    // slot formula so the DuckDB oracle can recompute the EXACT margin
+    // (fold order and hash both portable); `exp` is not a cross-engine
+    // bit contract, so the gate pins margin + sign, not the sigmoid
+    ("t15_quality_classifier",
+      (s, sf) => {
+        val weights = Seq.tabulate(64)(j => (((j * 37 + 11) % 21) - 10) / 10.0)
+        docs(s, sf).select(col("doc_id"),
+          (floor(TextOps.hashedLinearMargin(col("text"), weights, bias = -0.5)
+            * 10000 + 0.5) / 10000).as("margin"))
+          .withColumn("label", col("margin") > 0)
+      },
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(lower(trim(text)),'\s+') END AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    floor(list_reduce(list_prepend(-0.5::DOUBLE, list_transform(toks, tok ->
+        |      ((((list_reduce(list_prepend(7::BIGINT, list_transform(
+        |            string_split(tok,''), c -> ord(c)::BIGINT)),
+        |          (a, c) -> (a * 257 + c) % 2147483647) % 64) * 37 + 11) % 21 - 10) / 10.0))),
+        |      (a, w) -> a + w) * 10000 + 0.5) / 10000 AS margin
+        |  FROM t)
+        |SELECT doc_id, margin, margin > 0 AS label FROM m""".stripMargin),
+
+    // quality-weighted importance resampling: keep-probability = the t02
+    // quality score; the oracle recomputes score, bucket, and threshold
+    ("p04_weighted_sample",
+      (s, sf) => graft.ops.Pipeline.weightedSample(docs(s, sf), col("doc_id"),
+        TextOps.qualityScore(col("text")), salt = "qw1")
+        .select(col("doc_id"), col("lang")),
+      """WITH q AS (SELECT doc_id, lang,
+        |  floor((
+        |    0.4 * (CASE WHEN ntok=0 THEN 0 ELSE nstop::DOUBLE/ntok END)
+        |  + 0.3 * least(ntok/100.0, 1.0)
+        |  + 0.3 * (1.0 - CASE WHEN len(text)=0 THEN 0 ELSE npunct::DOUBLE/len(text) END)) * 10000 + 0.5) / 10000 AS quality,
+        |  list_reduce(list_prepend(7::BIGINT, list_transform(
+        |    string_split('qw1:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
+        |FROM (SELECT doc_id, lang, text,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is'))) END AS nstop,
+        |  len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS npunct
+        |FROM documents))
+        |SELECT doc_id, lang FROM q WHERE bk < floor(quality * 10000)""".stripMargin),
 
     // sketch gates: the oracle pins the EXACT value (computed by both
     // engines independently) plus a measured-error verdict on the sketch

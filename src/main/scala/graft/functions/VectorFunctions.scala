@@ -311,6 +311,10 @@ object VectorFunctions {
       exprs => PqEncode(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_adc", exprs => PqAdc(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8_encode", exprs => Sq8Encode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8_dot", exprs => Sq8Dot(exprs.head, exprs(1)), "built-in")
     HashFunctions.register(spark)
   }
 
@@ -356,5 +360,19 @@ object VectorFunctions {
   def pqAdc(codes: Column, lutFlat: Seq[Double], k: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedLit}
     call_function("graft_pq_adc", codes, typedLit(lutFlat), lit(k))
+  }
+
+  /** Int8 scalar-quantized codes column (L2-normalize then round each
+    * component to a signed byte at scale 127): one byte per dimension,
+    * BinaryType — the bandwidth lever for brute-force scans. */
+  def sq8Encode(vec: Column): Column =
+    call_function("graft_sq8_encode", vec.cast("array<double>"))
+
+  /** Asymmetric int8 score column: full-precision `query` (plan literal)
+    * against [[sq8Encode]] byte codes — approximates cosine of the
+    * original vectors. */
+  def sq8Dot(codes: Column, query: Seq[Double]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function("graft_sq8_dot", codes, typedLit(query))
   }
 }

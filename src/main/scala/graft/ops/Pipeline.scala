@@ -51,6 +51,20 @@ object Pipeline {
     df.filter(deterministicBucket(id, salt) < threshold)
   }
 
+  /** Importance resampling by a per-row weight in [0,1] (quality-score
+    * resampling — keep good documents with high probability, bad ones
+    * rarely, instead of a hard threshold): keep iff
+    * bucket(id) < floor(weight·10000). The weight column must itself be
+    * a deterministic expression (e.g. [[TextOps.qualityScore]], a
+    * 4-dp-rounded classifier margin) for the draw to stay auditable —
+    * the decision is then bit-identical cross-engine, like every other
+    * sampler here. One codegen'd filter in the scan stage; zero
+    * shuffles at any scale. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      salt: String): DataFrame =
+    df.filter(deterministicBucket(id, salt) <
+      floor(weight * 10000).cast("long"))
+
   /** Token-budget mixture sampling — the "data mixing" step of a
     * pretraining pipeline: each source (web / code / books / …) gets a
     * TOKEN budget, and the operator derives the per-source keep rate

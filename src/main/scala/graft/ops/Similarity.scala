@@ -338,6 +338,34 @@ object Similarity {
       codebooks, codebooks.head.head.length, codebooks.head.length)
   }
 
+  /** Int8 scalar-quantized top-k: one [[graft.functions.Sq8Encode]] pass
+    * turns the corpus into byte codes (8× smaller than array<double> —
+    * at 100 TB the brute scan is bandwidth-bound, so the codes scan is
+    * ~8× faster with no index build at all), then an asymmetric
+    * full-precision-query × int8-corpus dot ranks candidates and the top
+    * `rerank` get an exact cosine re-rank. Index-free counterpart of the
+    * PQ path: encode inline (or persist the codes table once and scan it
+    * forever — it IS a plain parquet column). Plan: codes-only
+    * TakeOrdered scan + broadcast re-rank join, zero shuffles. */
+  def sq8TopK(df: DataFrame, id: Column, vec: Column, query: Seq[Double],
+      k: Int, rerank: Int): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      if (n == 0) query else query.map(_ / n)
+    }
+    val base = df.select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"))
+    val cand = base
+      .select(col("vec_id"), VectorFunctions.sq8Dot(
+        VectorFunctions.sq8Encode(col("v")), qn).as("sq8"))
+      .orderBy(col("sq8").desc, col("vec_id"))
+      .limit(rerank)
+    base.join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), VectorFunctions.cosine(col("v"), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: restrict the scan to buckets within `probeHamming`
     * of the query's bucket (multi-probe), then exact cosine top-k inside.
     * Recall < 1 by construction; raise numPlanes/probeHamming to trade

@@ -221,4 +221,58 @@ object TextOps {
     * to the HOF `aggregate(transform(split(...)))` formulation. */
   def rollingHash(text: Column): Column =
     graft.functions.HashFunctions.polyHash(Dedup.normText(text), 257, 2147483647L)
+
+  /** C4-style line-level boilerplate cleaning (Raffel et al. 2020 §2.2 —
+    * the public rule family behind C4/mC4): a line survives iff it ends
+    * in terminal punctuation, has at least `minLineWords` words, and
+    * contains none of the `banned` phrases (case-insensitive) nor a curly
+    * brace (the "code/JSON leaked into prose" tell). Emits the cleaned
+    * text (kept lines re-joined), per-doc line counts, and a document
+    * keep flag (≥ `minKeptLines` surviving lines). Entirely array-HOF
+    * Columns over one `split(text, "\n")` — no UDF, no shuffle, no
+    * explode — so the 100 TB cleaning pass is scan-bound and fuses into
+    * the parquet read's codegen stage. */
+  def c4LineClean(df: DataFrame, id: Column, text: Column,
+      minLineWords: Int = 3, minKeptLines: Int = 2,
+      banned: Seq[String] = Seq("javascript", "lorem ipsum", "cookie")): DataFrame = {
+    val lns = split(text, "\n")
+    def words(l: Column): Column =
+      when(length(trim(l)) === 0, 0).otherwise(size(split(trim(l), "\\s+")))
+    def keepLine(l: Column): Column = {
+      val lower = org.apache.spark.sql.functions.lower(l)
+      l.rlike("[.!?\"]\\s*$") &&
+        words(l) >= minLineWords &&
+        !lower.contains("{") &&
+        banned.map(b => !lower.contains(b)).reduce(_ && _)
+    }
+    val kept = filter(lns, keepLine _)
+    df.select(id.as("doc_id"),
+        size(lns).as("n_lines"), size(kept).as("n_kept"),
+        array_join(kept, "\n").as("clean_text"))
+      .withColumn("c4_keep", col("n_kept") >= minKeptLines)
+  }
+
+  /** Hashed-feature linear text classifier (the fastText / Vowpal-Wabbit
+    * family every production quality filter uses): each token is hashed
+    * into one of `weights.length` slots with the portable polynomial
+    * hash, and the document margin is `bias + Σ weights(h(tok))`. The
+    * weight vector rides the plan as a LITERAL array — a trained model of
+    * any dimension ships inside the expression tree, broadcast free, and
+    * the whole scoring pass is one codegen'd fold per row (no UDF, no
+    * shuffle, no model join): at 100 TB the classifier adds zero stages
+    * to the scan. Margin-fold order is left-to-right over the token list,
+    * so the IEEE double sum is bit-reproducible cross-engine. */
+  def hashedLinearMargin(text: Column, weights: Seq[Double], bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "hashedLinearMargin: empty weight vector")
+    val w = typedLit(weights)
+    val slot = (t: Column) =>
+      graft.functions.HashFunctions.polyHash(t, 257, 2147483647L) % weights.length
+    aggregate(tokens(text), lit(bias),
+      (acc, t) => acc + element_at(w, (slot(t) + 1).cast("int")))
+  }
+
+  /** Logistic probability of a margin: 1/(1+e^−z). `exp` is not a
+    * bit-level cross-engine contract — gate on the margin, use the
+    * probability for thresholding in application code. */
+  def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 }

@@ -1046,4 +1046,108 @@ class OpsSpec extends AnyFunSuite {
     val (nl, np) = Similarity.autoIvfParams(150L)
     assert(np.toDouble / nl <= 0.25)
   }
+
+  test("Sq8 encode/dot: bounded quantization error, parity, ragged input → NULL") {
+    VectorFunctions.register(spark)
+    import graft.functions.{Sq8Encode, Sq8Dot}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    // asymmetric int8 score vs exact cosine: error ≤ dim · (1/254) per
+    // unit-query component in the worst case; empirically far below —
+    // assert a loose 0.05 absolute bound on real vectors
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val qn = { val n = math.sqrt(q.map(x => x * x).sum); q.map(_ / n) }
+    val errs = emb.select(
+      graft.functions.VectorFunctions.cosine(col("embedding"), typedLit(q)).as("exact"),
+      graft.functions.VectorFunctions.sq8Dot(
+        graft.functions.VectorFunctions.sq8Encode(col("embedding")), qn).as("approx"))
+      .select(abs(col("exact") - col("approx"))).collect().map(_.getDouble(0))
+    assert(errs.max < 0.05, s"max int8 quantization error ${errs.max}")
+    // interpreted eval parity with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val v = Literal.create(Seq(3.0, 4.0), ArrayType(DoubleType))
+    val codes = Sq8Encode(v).eval(null).asInstanceOf[Array[Byte]]
+    assert(codes.toSeq == Seq[Byte]((0.6 * 127).round.toByte, (0.8 * 127).round.toByte))
+    val dot = Sq8Dot(Literal.create(codes, org.apache.spark.sql.types.BinaryType),
+      Literal.create(Seq(0.6, 0.8), ArrayType(DoubleType))).eval(null).asInstanceOf[Double]
+    assert(math.abs(dot - 1.0) < 0.01)
+    // ragged: 2-dim codes against 3-dim query
+    assert(Sq8Dot(Literal.create(codes, org.apache.spark.sql.types.BinaryType),
+      Literal.create(Seq(1.0, 0.0, 0.0), ArrayType(DoubleType))).eval(null) == null)
+    // zero vector encodes to zero bytes, not NaN
+    assert(Sq8Encode(Literal.create(Seq(0.0, 0.0), ArrayType(DoubleType)))
+      .eval(null).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](0, 0))
+  }
+
+  test("sq8TopK at full rerank equals brute-force exact top-k") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val n = corpus.count().toInt
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), round(col("cosine"), 6)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = canon(Similarity.bruteForceTopK(corpus, col("vec_id"),
+      col("embedding"), q, k = 10))
+    val sq8 = canon(Similarity.sq8TopK(corpus, col("vec_id"),
+      col("embedding"), q, k = 10, rerank = n))
+    assert(sq8 == exact)
+  }
+
+  test("c4LineClean: each rule fires independently; clean text re-joins kept lines") {
+    val docs = Seq(
+      (1L, "Good prose line stays here.\nshort no.\nvar x = {bad};\n" +
+        "Uses javascript so it goes.\nlorem ipsum dolor sit amet.\n" +
+        "Accept our cookie policy now.\nno terminal punctuation here\n" +
+        "Ends with a question mark?\nQuoted line ends right.\""),
+      (2L, "nothing survives this one"))
+      .toDF("doc_id", "text")
+    val out = TextOps.c4LineClean(docs, col("doc_id"), col("text"),
+      minLineWords = 3, minKeptLines = 2)
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_lines") == 9)
+    assert(r1.getAs[Int]("n_kept") == 3)
+    assert(r1.getAs[String]("clean_text") ==
+      "Good prose line stays here.\nEnds with a question mark?\nQuoted line ends right.\"")
+    assert(r1.getAs[Boolean]("c4_keep"))
+    val r2 = out(1)
+    assert(r2.getAs[Int]("n_kept") == 0 && !r2.getAs[Boolean]("c4_keep") &&
+      r2.getAs[String]("clean_text") == "")
+  }
+
+  test("hashedLinearMargin: matches a hand fold; empty text yields the bias") {
+    // 64 distinct weights: "alpha"→slot 25, "beta"→slot 49 (no collision)
+    val w = Seq.tabulate(64)(j => j * 0.5 - 2.0)
+    val df = Seq((1L, "alpha beta alpha"), (2L, "  ")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextOps.hashedLinearMargin(col("text"), w, bias = 0.25).as("z"))
+      .orderBy("doc_id").collect()
+    // compute via the engine itself on single tokens to avoid re-deriving
+    // the UTF-8 char-code walk: margin(text) must equal
+    // bias + Σ margin(token) − n·bias by linearity of the fold
+    val single = Seq("alpha", "beta").toDF("t")
+      .select(col("t"), TextOps.hashedLinearMargin(col("t"), w, bias = 0.0).as("z"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0).getDouble(1) -
+      (0.25 + 2 * single("alpha") + single("beta"))) < 1e-12)
+    assert(got(1).getDouble(1) == 0.25)
+    // weights and token hashing actually discriminate
+    assert(single("alpha") != single("beta"))
+  }
+
+  test("weightedSample: weight 0 drops all, 1 keeps all, keep-set is monotone in weight") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    def ids(w: Double) = graft.ops.Pipeline.weightedSample(
+      df, col("doc_id"), lit(w), salt = "ws").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(0.0).isEmpty)
+    assert(ids(1.0).size == df.count())
+    val half = ids(0.5); val quarter = ids(0.25)
+    assert(quarter.subsetOf(half))
+    // deterministic across repeated evaluation
+    assert(ids(0.5) == half)
+  }
 }

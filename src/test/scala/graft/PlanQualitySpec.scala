@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, least, greatest, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the physical-plan properties that matter at 100 TB: filters
@@ -109,6 +110,24 @@ class PlanQualitySpec extends AnyFunSuite {
   test("t12: gopher quality rules are one scan stage — zero exchanges") {
     val p = plan("t12_gopher_quality")
     assert(!p.contains("Exchange"), s"quality rules shuffled:\n$p")
+  }
+
+  test("t14/t15/p04: clean + classify + resample all fuse into the scan stage — zero exchanges") {
+    for (name <- Seq("t14_c4_line_clean", "t15_quality_classifier", "p04_weighted_sample")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffled:\n$p")
+    }
+    // and the three compose into one still-shuffle-free pipeline stage
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = Seq.tabulate(64)(j => (((j * 37 + 11) % 21) - 10) / 10.0)
+    val cleaned = graft.ops.TextOps.c4LineClean(docs, col("doc_id"), col("text"))
+      .filter(col("c4_keep"))
+      .withColumn("margin", graft.ops.TextOps.hashedLinearMargin(col("clean_text"), w))
+      .filter(col("margin") > -5)
+    val sampled = graft.ops.Pipeline.weightedSample(cleaned, col("doc_id"),
+      least(greatest((col("margin") + 5) / 10, lit(0.0)), lit(1.0)), salt = "pq")
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"composed pipeline shuffled:\n$p")
   }
 
   test("p02: shard packing broadcasts the bucket offsets, windows stay bucket-partitioned") {
@@ -264,6 +283,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"re-rank must broadcast the tiny candidate set:\n$p")
     assert(!p.contains("Exchange hashpartitioning"),
       s"PQ query path must not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-rank degraded to a sort-merge join:\n$p")
+  }
+
+  test("s10: SQ8 scan is TakeOrdered over byte codes; re-rank broadcasts, no shuffle") {
+    val p = plan("s10_sq8_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"int8 candidate selection must be a per-partition heap top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"re-rank must broadcast the tiny candidate set:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"SQ8 query path must not shuffle the corpus:\n$p")
     assert(!p.contains("SortMergeJoin"), s"re-rank degraded to a sort-merge join:\n$p")
   }
 
