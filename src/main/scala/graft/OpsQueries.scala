@@ -896,6 +896,57 @@ object OpsQueries {
         |FROM documents))
         |SELECT doc_id, lang FROM q WHERE bk < floor(quality * 10000)""".stripMargin),
 
+    // TF-IDF top terms: score rounded to 4dp BEFORE ranking so the
+    // ordering is an equality-class rank both engines reproduce (2·ln10
+    // vs ln100 can differ in the last bit across libm implementations);
+    // the oracle re-derives tf, df and the rounded score in DuckDB
+    ("t16_tfidf_topk",
+      (s, sf) => TextOps.tfIdfTopTerms(docs(s, sf), col("doc_id"), col("text"), k = 3),
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+        |    FROM documents WHERE trim(text) <> '')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    floor(tf * ln((n + 1.0) / (df + 1.0)) * 10000 + 0.5) / 10000 AS score
+        |  FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM scored)
+        |SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 3""".stripMargin),
+
+    // interval × interval overlap join: order windows vs shipment
+    // windows, count of overlapping shipment windows per order — the
+    // slot dedup (first shared slot) must make the slotted equi-join
+    // land on EXACTLY the inequality-join pairs DuckDB computes
+    ("ts04_interval_overlap",
+      (s, sf) => {
+        val ow = s.read.parquet(s"$sf/orders.parquet")
+          .filter(col("o_orderkey") % 19 === 0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
+              .as("o_end"))
+        val sw = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            expr("timestampadd(DAY, CAST(l_linenumber * 3 AS INT), l_shipdate)")
+              .as("l_end"))
+        TemporalJoin.intervalOverlapJoin(ow, "o_orderdate", "o_end",
+            sw, "l_shipdate", "l_end")
+          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+      },
+      """SELECT o_orderkey, count(*) AS cnt
+        |FROM (SELECT o_orderkey, o_orderdate,
+        |        o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT)) AS o_end
+        |      FROM orders WHERE o_orderkey % 19 = 0) o
+        |JOIN (SELECT l_shipdate,
+        |        l_shipdate + to_days(CAST(l_linenumber * 3 AS INT)) AS l_end
+        |      FROM lineitem WHERE l_quantity >= 48) l
+        |  ON o.o_orderdate <= l.l_end AND l.l_shipdate <= o.o_end
+        |GROUP BY o_orderkey""".stripMargin),
+
     // sketch gates: the oracle pins the EXACT value (computed by both
     // engines independently) plus a measured-error verdict on the sketch
     // — HLL++/GK are deterministic, so the verdict is reproducible

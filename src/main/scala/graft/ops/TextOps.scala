@@ -275,4 +275,33 @@ object TextOps {
     * bit-level cross-engine contract — gate on the margin, use the
     * probability for thresholding in application code. */
   def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Per-document top-`k` terms by TF-IDF (smoothed: tf · ln((N+1)/(df+1)))
+    * — the classic keyword/feature-extraction pass. The score is 4-dp
+    * rounded BEFORE ranking (ties broken by term asc): mathematically
+    * equal scores reached through different ln() call sequences — e.g.
+    * 2·ln(10) vs ln(100) — can differ in the last bit across engines,
+    * and rounding first collapses those to one equality class so the
+    * ranking is reproducible cross-engine.
+    *
+    * Plan at 100 TB: explode → map-side-combined (doc,term) count (the
+    * one corpus-sized shuffle), doc-frequency aggregated FROM those
+    * pairs (distinct-pair-sized, far below corpus bytes), a term-keyed
+    * join of pair counts with df, and a doc-keyed window over ≤ |doc
+    * vocab| rows per doc — every post-explode stage operates on pair
+    * counts, never on raw text. */
+  def tfIdfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("score", floor(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0))
+        * 10000 + 0.5) / 10000)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

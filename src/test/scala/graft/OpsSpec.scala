@@ -1096,6 +1096,45 @@ class OpsSpec extends AnyFunSuite {
     assert(sq8 == exact)
   }
 
+  test("intervalOverlapJoin: equals the naive inequality join; multi-slot pairs emit once") {
+    import graft.ops.TemporalJoin
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // left windows span many 1-day slots; (1,10) × (2,20) share slots
+    // 2..10 — the first-shared-slot rule must emit that pair exactly once
+    val left = Seq((1L, ts(1), ts(10)), (2L, ts(5), ts(6)), (3L, ts(25), ts(26)))
+      .toDF("l_id", "l_s", "l_e")
+    val right = Seq((10L, ts(2), ts(20)), (20L, ts(9), ts(12)), (30L, ts(24), ts(24)))
+      .toDF("r_id", "r_s", "r_e")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = canon(left.crossJoin(right)
+      .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e")))
+    val slotted = canon(TemporalJoin.intervalOverlapJoin(
+      left, "l_s", "l_e", right, "r_s", "r_e", slotSeconds = 86400))
+    assert(slotted == naive)
+    assert(slotted.size == naive.size, "slot replication must not duplicate pairs")
+    // auto slot (max of the two medians) lands on the same pair set
+    val auto = canon(TemporalJoin.intervalOverlapJoin(
+      left, "l_s", "l_e", right, "r_s", "r_e"))
+    assert(auto == naive)
+  }
+
+  test("tfIdfTopTerms: rare terms outrank common ones; rounded-score ranking") {
+    val docs = Seq(
+      (1L, "apple apple banana zebra"),
+      (2L, "apple banana banana"),
+      (3L, "apple cherry")).toDF("doc_id", "text")
+    val out = TextOps.tfIdfTopTerms(docs, col("doc_id"), col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSet
+    // doc 1: apple tf=2 df=3 → 2·ln(4/4)=0; zebra/banana tf=1, df 1 vs 2
+    // → zebra (ln 2) and banana (ln 4/3) outrank apple (0)
+    assert(d1 == Set(("zebra", 1L, 1L), ("banana", 1L, 2L)))
+    // every doc contributes at most k rows
+    assert(out.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
   test("c4LineClean: each rule fires independently; clean text re-joins kept lines") {
     val docs = Seq(
       (1L, "Good prose line stays here.\nshort no.\nvar x = {bad};\n" +

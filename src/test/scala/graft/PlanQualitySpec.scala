@@ -156,6 +156,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("__slot"), s"slot bucketing missing:\n$p")
   }
 
+  test("ts04: interval-overlap join is a slot equi-join, never a nested loop") {
+    val p = plan("ts04_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join degenerated to an all-pairs plan:\n$p")
+    assert(p.contains("__slot"), s"slot bucketing missing:\n$p")
+  }
+
   test("ts01: as-of join is one keyed window, not a range join") {
     val p = plan("ts01_asof_enrich")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
