@@ -1108,6 +1108,56 @@ object OpsQueries {
         .select(col("user_id")),
       "SELECT DISTINCT user_id FROM events"),
 
+    // the corpus-filter pipeline (C4 clean → hashed classifier) run as a
+    // REAL streaming query: every operator is a stateless per-row
+    // Column, so the streaming result must be row-identical to the
+    // batch derivation the oracle does — the property that lets one
+    // filter codebase serve backfill and live ingest without drift.
+    // Same planted 4-cycle as t14 (the raw synthetic text has no
+    // newline/punctuation structure for the rules to grip)
+    ("st09_stream_corpus_filter",
+      (s, sf) => {
+        val weights = Seq.tabulate(64)(j => (((j * 37 + 11) % 21) - 10) / 10.0)
+        graft.streaming.CorpusStreams.runFilterBatch(
+          s, s"$sf/documents.parquet", weights, bias = -0.5,
+          prep = d => d.select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              lit("\nKeep this planted prose line today.\nshort no."))
+              .when(col("doc_id") % 4 === 1,
+                lit("\nvar x = {javascript:1};\nAnother good line stays right here!"))
+              .when(col("doc_id") % 4 === 2,
+                lit("\nlorem ipsum dolor sit amet.\nThis cookie banner must go away now."))
+              .otherwise(lit("\nno terminal punctuation here"))).as("text")))
+      },
+      """WITH base AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10)||'Keep this planted prose line today.'||chr(10)||'short no.'
+        |         WHEN doc_id % 4 = 1 THEN chr(10)||'var x = {javascript:1};'||chr(10)||'Another good line stays right here!'
+        |         WHEN doc_id % 4 = 2 THEN chr(10)||'lorem ipsum dolor sit amet.'||chr(10)||'This cookie banner must go away now.'
+        |         ELSE chr(10)||'no terminal punctuation here' END AS t FROM documents),
+        |k AS (SELECT doc_id,
+        |    list_filter(string_split(t, chr(10)), x -> regexp_matches(x, '[.!?"]\s*$')
+        |      AND (CASE WHEN trim(x)='' THEN 0
+        |           ELSE len(string_split_regex(trim(x),'\s+')) END) >= 3
+        |      AND NOT contains(lower(x), '{')
+        |      AND NOT contains(lower(x), 'javascript')
+        |      AND NOT contains(lower(x), 'lorem ipsum')
+        |      AND NOT contains(lower(x), 'cookie')) AS kept
+        |  FROM base),
+        |c AS (SELECT doc_id, len(kept) AS n_kept,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS ct
+        |  FROM k WHERE len(kept) >= 1),
+        |t AS (SELECT doc_id, n_kept,
+        |    CASE WHEN trim(ct)='' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(lower(trim(ct)),'\s+') END AS toks
+        |  FROM c)
+        |SELECT doc_id, n_kept,
+        |  floor(list_reduce(list_prepend(-0.5::DOUBLE, list_transform(toks, tok ->
+        |    ((((list_reduce(list_prepend(7::BIGINT, list_transform(
+        |          string_split(tok,''), c -> ord(c)::BIGINT)),
+        |        (a, c) -> (a * 257 + c) % 2147483647) % 64) * 37 + 11) % 21 - 10) / 10.0))),
+        |    (a, w) -> a + w) * 10000 + 0.5) / 10000 AS margin
+        |FROM t""".stripMargin),
+
     // stream-static join (broadcast dimension per micro-batch, no
     // stream-side join state); AvailableNow run = one batch, so the
     // enriched aggregate has an exact join+groupby twin

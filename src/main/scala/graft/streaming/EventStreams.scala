@@ -60,9 +60,17 @@ object EventStreams {
     * [[normalizeTs]] event-time normalization applied. */
   private def streamEvents(spark: SparkSession, parquetPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(streamParquet(spark, parquetPath, "events_stream"))
+  }
+
+  /** File-source stream over one parquet file: the source monitors a
+    * directory, so the file is exposed through a per-path staged symlink
+    * dir (configurable base via `graft.stream.stageDir`, defaulting to
+    * the JVM temp dir — library code must not write into a source
+    * checkout). Works for ANY table, not just events. */
+  def streamParquet(spark: SparkSession, parquetPath: String,
+      label: String): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    // stream-source staging dir: configurable, defaults to the JVM temp
-    // dir (library code must not write into a source checkout)
     val baseDir = spark.conf.getOption("graft.stream.stageDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_stream")
     // keyed by the ABSOLUTE path (not the parent dir's basename — two
@@ -70,7 +78,7 @@ object EventStreams {
     // dir and the first-created symlink would win for both)
     val abs = new java.io.File(parquetPath).getAbsolutePath
     val key = f"${abs.hashCode & 0x7fffffff}%08x"
-    val dir = java.nio.file.Paths.get(s"$baseDir/$key/events_stream")
+    val dir = java.nio.file.Paths.get(s"$baseDir/$key/$label")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("part-0.parquet")
     import java.nio.file.{Files, LinkOption, Paths}
@@ -81,12 +89,12 @@ object EventStreams {
       Files.delete(link)
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       Files.createSymbolicLink(link, Paths.get(abs))
-    normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
+    spark.readStream.schema(schema).parquet(dir.toString)
   }
 
   /** Run a streaming plan to completion over the events file and return
     * the collected result table (memory sink). */
-  private def runToMemory(spark: SparkSession, plan: DataFrame, name: String,
+  private[streaming] def runToMemory(spark: SparkSession, plan: DataFrame, name: String,
       mode: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     val q = plan.writeStream.format("memory").queryName(name).outputMode(mode)
