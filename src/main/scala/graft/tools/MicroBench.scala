@@ -17,7 +17,10 @@ object MicroBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args) {
-      val fn = SparkEntry.queries(name)
+      // benchQueries, not queries: MicroBench exists to explain Bench
+      // numbers, so it must time the same per-query unit (the ANN
+      // overrides time one operator invocation, not the recall harness)
+      val fn = SparkEntry.benchQueries(name)
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

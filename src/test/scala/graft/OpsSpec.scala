@@ -1080,6 +1080,23 @@ class OpsSpec extends AnyFunSuite {
       .eval(null).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](0, 0))
   }
 
+  test("Sq8 index save/load roundtrip answers identically to the inline path") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val inline = canon(Similarity.sq8TopK(corpus, col("vec_id"),
+      col("embedding"), q, k = 5, rerank = 50))
+    val built = Similarity.buildSq8(corpus, col("vec_id"), col("embedding"))
+    assert(canon(built.topK(q, k = 5, rerank = 50)) == inline)
+    val dir = "/root/repo/target/derived/spec_sq8"
+    Similarity.saveSq8(built, dir)
+    val loaded = Similarity.loadSq8(spark, dir, corpus, col("vec_id"), col("embedding"))
+    assert(canon(loaded.topK(q, k = 5, rerank = 50)) == inline)
+  }
+
   test("sq8TopK at full rerank equals brute-force exact top-k") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
     val q = emb.filter(col("vec_id") === 0)
@@ -1094,6 +1111,10 @@ class OpsSpec extends AnyFunSuite {
     val sq8 = canon(Similarity.sq8TopK(corpus, col("vec_id"),
       col("embedding"), q, k = 10, rerank = n))
     assert(sq8 == exact)
+    // the ε-band self-sizing path is exact WITHOUT any rerank knob
+    val banded = canon(Similarity.buildSq8(corpus, col("vec_id"), col("embedding"))
+      .topKExact(q, k = 10))
+    assert(banded == exact)
   }
 
   test("intervalOverlapJoin: equals the naive inequality join; multi-slot pairs emit once") {
