@@ -894,6 +894,33 @@ object OpsQueries {
         |FROM documents))
         |SELECT doc_id, lang FROM q WHERE bk < floor(quality * 10000)""".stripMargin),
 
+    // train→deploy closure: fit a logistic regression on hashed
+    // bag-of-words counts (same PolyHash slots as the scorer), deploy
+    // the learned weights as the plan-literal fold, and verify (a) the
+    // model actually learned the planted separation and (b) the deployed
+    // codegen'd margin equals the slot-count dot product formulation —
+    // training isn't cross-engine reproducible (LBFGS), so the oracle is
+    // a property verdict (t09/t13 style) plus the hard row count
+    ("t17_classifier_train",
+      (s, sf) => {
+        val base = docs(s, sf).select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 2 === 0,
+            lit(" excellent wonderful refined insightful"))
+            .otherwise(lit(" spam junk clickbait scam"))).as("text"),
+          (col("doc_id") % 2 === 0).cast("int").as("label"))
+        val m = graft.ops.Classifier.fitQualityClassifier(base, col("text"), col("label"))
+        val alt = aggregate(
+          zip_with(graft.ops.Classifier.slotCounts(col("text"), m.weights.length),
+            typedLit(m.weights), (c, w) => c * w),
+          lit(m.bias), (acc, x) => acc + x)
+        base.select(col("label"), m.margin(col("text")).as("margin"), alt.as("alt"))
+          .agg(count(lit(1)).as("n"),
+            (avg((when(col("margin") > 0, 1).otherwise(0) === col("label"))
+              .cast("double")) >= lit(0.95)).as("learned"),
+            (max(abs(col("margin") - col("alt"))) < 1e-9).as("deploy_consistent"))
+      },
+      "SELECT count(*) AS n, true AS learned, true AS deploy_consistent FROM documents"),
+
     // TF-IDF top terms: score rounded to 4dp BEFORE ranking so the
     // ordering is an equality-class rank both engines reproduce (2·ln10
     // vs ln100 can differ in the last bit across libm implementations);

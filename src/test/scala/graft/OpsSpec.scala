@@ -1198,6 +1198,28 @@ class OpsSpec extends AnyFunSuite {
     assert(single("alpha") != single("beta"))
   }
 
+  test("fitQualityClassifier: learns planted separation; deployed fold equals the model") {
+    import graft.ops.Classifier
+    val docs = (0 until 80).map { i =>
+      if (i % 2 == 0) (i.toLong, s"doc $i great excellent wonderful", 1)
+      else (i.toLong, s"doc $i spam junk clickbait", 0)
+    }.toDF("doc_id", "text", "label")
+    val m = Classifier.fitQualityClassifier(docs, col("text"), col("label"), dim = 32)
+    val scored = docs.select(col("label"), m.margin(col("text")).as("z")).collect()
+    assert(scored.forall(r => (r.getDouble(1) > 0) == (r.getInt(0) == 1)),
+      "planted separation not learned")
+    // deployed per-token fold == slot-count dot product (same hash map)
+    val alt = aggregate(
+      zip_with(Classifier.slotCounts(col("text"), m.weights.length),
+        typedLit(m.weights), (c, w) => c * w),
+      lit(m.bias), (acc, x) => acc + x)
+    val maxDiff = docs.select(max(abs(m.margin(col("text")) - alt))).head().getDouble(0)
+    assert(maxDiff < 1e-9, s"deployed fold drifted from the model: $maxDiff")
+    // deterministic refit: same data, same weights
+    val m2 = Classifier.fitQualityClassifier(docs, col("text"), col("label"), dim = 32)
+    assert(m2.weights == m.weights && m2.bias == m.bias)
+  }
+
   test("weightedSample: weight 0 drops all, 1 keeps all, keep-set is monotone in weight") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     def ids(w: Double) = graft.ops.Pipeline.weightedSample(
