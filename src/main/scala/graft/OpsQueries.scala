@@ -1042,6 +1042,32 @@ object OpsQueries {
         |  CAST(1 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin),
 
+    // REAL batch resize: every fixture image scaled to 8×8 RGB and
+    // re-decoded — the oracle states the post-resize metadata from
+    // doc_id alone (a stub or a pass-through cannot pass; the re-decode
+    // proves the output bytes are a valid PNG of the target size)
+    ("mm04_image_resize",
+      (s, sf) => Multimodal.decodeMeta(Multimodal.resizeImages(
+        Multimodal.imagesFromDocuments(docs(s, sf)), w = 8, h = 8))
+        .toDF().select(col("media_id"), col("width"), col("height"),
+          col("channels"), (col("n_bytes") > 0).as("has_bytes")),
+      """SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+        |  true AS has_bytes
+        |FROM documents""".stripMargin),
+
+    // perceptual-hash image near-dup: noise images planted in
+    // byte-identical groups (id mod 50); banded 16-bit chunks of the
+    // 64-bit aHash make the candidate join bucket-sized, and the exact
+    // pair set must equal the group relation — cross-group noise hashes
+    // differ in ~32 bits, so a ≤3-bit false pair would fail the gate
+    ("mm05_image_phash_dups",
+      (s, sf) => Multimodal.imageNearDups(Multimodal.aHash64(
+        Multimodal.noiseImagesGrouped(docs(s, sf), groups = 50)), maxHamming = 3),
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50""".stripMargin),
+
     // ---- window functions (net-new vs reference §2.5) -------------------
     ("w01_topn_per_group",
       (s, sf) => {

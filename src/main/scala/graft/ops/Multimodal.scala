@@ -156,6 +156,132 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"))
   }
 
+  /** Batch image RESIZE (real): ImageIO decode → area-averaging scale →
+    * PNG re-encode, one decoder/encoder per partition batch — the
+    * thumbnailing / model-input-normalization step of a multimodal
+    * pipeline. Output records are TYPE_INT_RGB PNGs of exactly (w, h);
+    * non-image payloads are dropped (a resize of undecodable bytes has
+    * no defensible output). Scan-shaped: no shuffle, no driver data. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(rec => ImageCodec.isImage(rec.content)).map { rec =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.content))
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.drawImage(src.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
+          0, 0, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        MediaRecord(rec.media_id, "image", bos.toByteArray)
+      }
+    }
+  }
+
+  /** 64-bit average-hash perceptual fingerprint (the classic aHash):
+    * decode, 8×8 block-mean gray pooling, bit j = block j brighter than
+    * the image mean. Brightness-shift-tolerant, byte-exact deterministic
+    * (block means are integer-summed, no float pooling, no Graphics2D
+    * resampling in the loop). Non-image payloads are dropped. */
+  def aHash64(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(rec => ImageCodec.isImage(rec.content)).map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.content))
+        val (iw, ih) = (img.getWidth, img.getHeight)
+        val means = new Array[Long](64)
+        var b = 0
+        while (b < 64) {
+          val bx = b % 8; val by = b / 8
+          val x0 = bx * iw / 8; val x1 = math.max(x0 + 1, (bx + 1) * iw / 8)
+          val y0 = by * ih / 8; val y1 = math.max(y0 + 1, (by + 1) * ih / 8)
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < ih && y < y1) {
+            var x = x0
+            while (x < iw && x < x1) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          means(b) = if (n == 0) 0L else sum / n
+          b += 1
+        }
+        val overall = means.sum / 64
+        var hash = 0L; b = 0
+        while (b < 64) { if (means(b) > overall) hash |= (1L << b); b += 1 }
+        (rec.media_id, hash)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs by perceptual hash: the 64-bit aHash is
+    * banded into 4 × 16-bit chunks — two hashes within Hamming distance
+    * ≤ 3 MUST agree on at least one chunk (pigeonhole), so the candidate
+    * join is 4 small equi-joins on (chunk, key), never all-pairs; the
+    * exact `bit_count(xor)` predicate verifies inside the bucket. The
+    * image analogue of the SimHash text path, sharing its scale
+    * contract: candidates ∝ colliding buckets, not n². */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to distance 3")
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("band"), shiftright(col("ahash"), c * 16)
+          .bitwiseAND(0xffff).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("ahash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("ahash").as("h_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("ahash").as("h_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Deterministic NOISE-image table with planted duplicate groups:
+    * every doc with the same `id mod groups` gets a byte-identical PNG
+    * (dims and pixels derive from the group seed alone; pixel =
+    * xor-mixed hash of (x, y, seed), so DIFFERENT groups differ in ~32
+    * of 64 aHash bits — gradient fixtures would not, aHash being
+    * brightness-shift-invariant by design). */
+  def noiseImagesGrouped(docs: DataFrame, groups: Int): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    import java.awt.image.BufferedImage
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = id % groups
+        val w = (16 + seed % 16).toInt
+        val h = (16 + (seed * 5) % 16).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // full-avalanche mix — a plain xor of products reduces to a
+            // per-image constant-byte xor, which aHash (brightness-shift
+            // tolerant) cannot distinguish across groups
+            val m0 = x * 73856093L + y * 19349663L + seed * 83492791L
+            val m1 = (m0 ^ (m0 >>> 33)) * 0x9E3779B97F4A7C15L
+            val v = ((m1 ^ (m1 >>> 29)) >>> 56).toInt & 0xff
+            img.setRGB(x, y, (0xff << 24) | (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image", bos.toByteArray)
+      }
+    }
+  }
+
   /** Build a deterministic media table from the `documents` test table
     * (text bytes as payload) — the fixture used by tests and the oracle. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {

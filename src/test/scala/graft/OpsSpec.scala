@@ -163,6 +163,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeImages + aHash: resize is a valid 8x8 PNG; aHash separates noise groups") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val resized = Multimodal.decodeMeta(Multimodal.resizeImages(
+      Multimodal.imagesFromDocuments(docs), w = 8, h = 8)).collect()
+    assert(resized.length == 20)
+    assert(resized.forall(m => m.width == 8 && m.height == 8 && m.channels == 3))
+    // non-image payloads (text bytes) are dropped, not stubbed
+    val nonImg = Multimodal.resizeImages(
+      Multimodal.mediaFromDocuments(docs), w = 8, h = 8).count()
+    assert(nonImg == 0)
+    // identical group → identical hash; different groups → far hashes
+    val hashes = Multimodal.aHash64(Multimodal.noiseImagesGrouped(docs, groups = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byGroup = hashes.groupBy(_._1 % 4).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byGroup.values.forall(_.length == 1), "same-group images must hash equal")
+    val distinctHashes = byGroup.values.map(_.head).toSeq
+    for (Seq(a, b) <- distinctHashes.combinations(2))
+      assert(java.lang.Long.bitCount(a ^ b) > 3,
+        f"cross-group hashes too close: $a%x vs $b%x")
+  }
+
   test("ImageIO round-trip: PNG decodes losslessly to the generator's pixels") {
     import java.awt.image.BufferedImage
     // gray PNG: band 0 must reproduce pixel(x,y) = (x*31+y*17+seed)%256
