@@ -921,6 +921,35 @@ object OpsQueries {
       },
       "SELECT count(*) AS n, true AS learned, true AS deploy_consistent FROM documents"),
 
+    // CCNet-style bigram-LM quality score (self-scored): per-bigram
+    // ln-probs are 4-dp rounded then summed as DECIMAL so the mean is
+    // order-independent and cross-engine exact; the oracle re-fits the
+    // same add-α LM and re-derives every doc's mean log prob
+    ("t18_bigram_logprob",
+      (s, sf) => TextOps.bigramLogProb(docs(s, sf), col("doc_id"), col("text")),
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+        |  FROM toks WHERE len(tk) >= 2),
+        |pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (
+        |  SELECT unnest(tk) AS t FROM toks)),
+        |lp AS (SELECT doc_id,
+        |    CAST(floor(ln((c12 + 0.1) / (c1 + 0.1 * v)) * 10000 + 0.5) / 10000
+        |      AS DECIMAL(28,4)) AS lp4
+        |  FROM pairs JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp4) AS sum4
+        |  FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN agg.n_bigrams IS NULL THEN 0.0
+        |       ELSE floor(CAST(sum4 AS DOUBLE) / agg.n_bigrams * 10000 + 0.5) / 10000
+        |  END AS avg_logprob
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin),
+
     // TF-IDF top terms: score rounded to 4dp BEFORE ranking so the
     // ordering is an equality-class rank both engines reproduce (2·ln10
     // vs ln100 can differ in the last bit across libm implementations);

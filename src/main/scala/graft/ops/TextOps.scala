@@ -276,6 +276,66 @@ object TextOps {
     * probability for thresholding in application code. */
   def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
+  /** CCNet-style language-model quality scoring: a bigram LM with add-α
+    * smoothing is fit on `reference` (conditional P(w₂|w₁) =
+    * (c(w₁,w₂)+α)/(c(w₁)+α·V)), and each document scores the MEAN LOG
+    * PROBABILITY of its bigrams under that LM — low scores mark
+    * out-of-distribution text (the perplexity filter every web-corpus
+    * pipeline runs; CCNet, Wenzek et al. 2020). Defaults to self-scoring
+    * (reference = the corpus itself).
+    *
+    * Determinism: a float sum over shuffled bigram rows is
+    * order-dependent, so each bigram's ln-prob is 4-dp rounded and
+    * summed as DECIMAL (exact, order-independent — the a01 trick);
+    * the mean then rounds once more. Cross-engine ln() last-bit
+    * differences are absorbed by the per-term rounding.
+    *
+    * Plan at 100 TB: reference bigram/unigram counts are map-side
+    * combined aggregates (pair-sized); documents explode to bigrams
+    * once, join the LM tables on (w₁,w₂)/(w₁) — skew-splittable hash
+    * joins — and re-aggregate per doc. Nothing but pair counts ever
+    * shuffles. */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column,
+      alpha: Double = 0.1, reference: Option[DataFrame] = None,
+      refText: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ref = reference.getOrElse(df)
+    def bigrams(d: DataFrame, idc: Column, t: Column) = {
+      val toks = tokens(t)
+      d.select(idc.as("doc_id"),
+          when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
+              struct(element_at(toks, i + 1).as("w1"),
+                element_at(toks, i + 2).as("w2")))).as("bgs"))
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    }
+    val refBg = bigrams(ref, lit(0L), refText)
+    val c12 = refBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = ref.select(explode(tokens(refText)).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val docBg = bigrams(df, id, text)
+    val lp = docBg
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .select(col("doc_id"),
+        // unseen w1 (possible when reference ≠ corpus) → c1 = 0: the
+        // smoothed backoff α/(α·V) still applies
+        (floor(log((coalesce(col("c12"), lit(0L)) + alpha) /
+          (coalesce(col("c1"), lit(0L)) + alpha * v)) * 10000 + 0.5) / 10000)
+          .cast(DecimalType(28, 4)).as("lp4"))
+    df.select(id.as("doc_id")).join(
+        lp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp4")).as("sum4")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, 0.0)
+          .otherwise(floor(col("sum4").cast("double") / col("n_bigrams")
+            * 10000 + 0.5) / 10000).as("avg_logprob"))
+  }
+
   /** Per-document top-`k` terms by TF-IDF (smoothed: tf · ln((N+1)/(df+1)))
     * — the classic keyword/feature-extraction pass. The score is 4-dp
     * rounded BEFORE ranking (ties broken by term asc): mathematically
