@@ -1097,6 +1097,20 @@ object OpsQueries {
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50""".stripMargin),
 
+    // Z-order (Morton) clustering value: the write-side layout lever —
+    // the oracle recomputes the exact bit interleave with integer
+    // arithmetic, so a shifted bit or swapped dimension cannot pass
+    ("l01_zorder_values",
+      (s, sf) => s.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"),
+          graft.ops.Layout.zValue(col("o_custkey"), col("o_orderkey") % 1024,
+            bits = 16).as("z")),
+      """SELECT o_orderkey, list_sum(list_transform(range(0, 16), i ->
+        |    ((o_custkey // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i)) +
+        |    (((o_orderkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i+1))))
+        |  AS z
+        |FROM orders""".stripMargin),
+
     // ---- window functions (net-new vs reference §2.5) -------------------
     ("w01_topn_per_group",
       (s, sf) => {

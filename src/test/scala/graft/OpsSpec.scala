@@ -1178,6 +1178,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("zorder: partition z-ranges are disjoint; one-dim filters touch fewer partitions") {
+    import graft.ops.Layout
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), (col("o_orderkey") % 1024).as("y"))
+    // interleave round-trips: bit i of x at position 2i, y at 2i+1
+    val z5 = Layout.zValue(lit(5L), lit(3L), bits = 4)
+    //   x=0101 → bits 0,4 ; y=0011 → bits 1,3  ⇒ z = 1+2+8+16 = 27
+    assert(orders.select(z5).head().getLong(0) == 27L)
+    val parted = Layout.zorder(orders, col("o_custkey"), col("y"), numPartitions = 8)
+      .withColumn("z", Layout.zValue(col("o_custkey"), col("y")))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val ranges = parted.groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    for (Seq(a, b) <- ranges.toSeq.sliding(2))
+      assert(a._2 <= b._1, s"overlapping z-ranges $a $b")
+    // a filter on y ALONE: an x-sorted layout scatters matches across
+    // partitions; the z-order layout concentrates them
+    def touched(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .filter(col("y") < 32).select("pid").distinct().count()
+    val xSorted = orders.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+    val zTouched = touched(parted)
+    val xTouched = touched(xSorted)
+    assert(zTouched < xTouched,
+      s"z-order layout must localize the y-filter: z=$zTouched vs x-sorted=$xTouched")
+  }
+
   test("c4LineClean: each rule fires independently; clean text re-joins kept lines") {
     val docs = Seq(
       (1L, "Good prose line stays here.\nshort no.\nvar x = {bad};\n" +
