@@ -921,6 +921,41 @@ object OpsQueries {
       },
       "SELECT count(*) AS n, true AS learned, true AS deploy_consistent FROM documents"),
 
+    // intra-doc repeated-line removal: plant a repeated line (and one
+    // unique line) per doc; first occurrence survives, order preserved
+    ("t19_dedup_lines_in_doc",
+      (s, sf) => TextOps.dedupLinesInDoc(
+        docs(s, sf).select(col("doc_id"), concat(
+          lit("repeat me\n"), col("text"), lit("\nrepeat me\nunique tail "),
+          col("doc_id"), lit("\nrepeat me")).as("text")),
+        col("doc_id"), col("text")),
+      """WITH base AS (SELECT doc_id,
+        |    'repeat me' || chr(10) || text || chr(10) || 'repeat me' || chr(10) ||
+        |    'unique tail ' || doc_id || chr(10) || 'repeat me' AS t FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS lns FROM base),
+        |k AS (SELECT doc_id, len(lns) AS n_lines,
+        |    list_filter(lns, (x, i) ->
+        |      NOT list_contains(lns[1:i-1], x)) AS kept
+        |  FROM l)
+        |SELECT doc_id, n_lines, len(kept) AS n_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS dedup_text FROM k""".stripMargin),
+
+    // per-group contribution cap (the C4 max-pages-per-domain rule):
+    // salted-hash selection order, id tiebreak — DuckDB re-derives the
+    // exact surviving rows with the same window
+    ("p05_cap_per_group",
+      (s, sf) => graft.ops.Pipeline.capPerGroup(docs(s, sf), col("doc_id"),
+        col("source"), k = 10, salt = "cap1")
+        .select(col("doc_id"), col("source")),
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      list_reduce(list_prepend(7::BIGINT, list_transform(
+        |        string_split('cap1:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |        (a, c) -> (a * 257 + c) % 2147483647) % 10000, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin),
+
     // CCNet-style bigram-LM quality score (self-scored): per-bigram
     // ln-probs are 4-dp rounded then summed as DECIMAL so the mean is
     // order-independent and cross-engine exact; the oracle re-fits the

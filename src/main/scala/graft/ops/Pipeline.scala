@@ -65,6 +65,26 @@ object Pipeline {
     df.filter(deterministicBucket(id, salt) <
       floor(weight * 10000).cast("long"))
 
+  /** Per-group contribution cap: keep at most `k` rows per group (the
+    * C4 "max N pages per domain" rule — one hot domain must not swamp
+    * the mixture). Selection is by salted-hash order with the id as
+    * tiebreak, so WHICH k rows survive is deterministic, engine- and
+    * partitioning-independent, and changes with the salt (a fresh draw,
+    * not "first k in file order" — file order is an accident of the
+    * writer). One group-keyed window; for pathologically hot groups the
+    * per-group sort is the cost, bounded by the group's row count —
+    * the same skew profile as any per-group top-k (see w02's bounded
+    * TopK aggregator for the O(k)-state alternative). */
+  def capPerGroup(df: DataFrame, id: Column, group: Column, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    df.withColumn("__bk", deterministicBucket(id, salt))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(group).orderBy(col("__bk"), id)))
+      .filter(col("__rn") <= k)
+      .drop("__bk", "__rn")
+  }
+
   /** Token-budget mixture sampling — the "data mixing" step of a
     * pretraining pipeline: each source (web / code / books / …) gets a
     * TOKEN budget, and the operator derives the per-source keep rate

@@ -276,6 +276,22 @@ object TextOps {
     * probability for thresholding in application code. */
   def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
+  /** Intra-document repeated-line removal: keep only the FIRST
+    * occurrence of each line (order preserved) — the within-doc
+    * complement of the cross-corpus paragraph dedup, catching templated
+    * repetition (headers, nav bars, chorus spam) inside one document.
+    * Pure HOF: for each index i, the line survives iff no earlier index
+    * holds the same line — O(lines²) per doc on an array that lives in
+    * one row, zero shuffle, fused into the scan. */
+  def dedupLinesInDoc(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val lns = split(text, "\n")
+    val kept = filter(lns, (l, i) =>
+      size(filter(slice(lns, lit(1), i), prev => prev === l)) === 0)
+    df.select(id.as("doc_id"),
+      size(lns).as("n_lines"), size(kept).as("n_kept"),
+      array_join(kept, "\n").as("dedup_text"))
+  }
+
   /** CCNet-style language-model quality scoring: a bigram LM with add-α
     * smoothing is fit on `reference` (conditional P(w₂|w₁) =
     * (c(w₁,w₂)+α)/(c(w₁)+α·V)), and each document scores the MEAN LOG

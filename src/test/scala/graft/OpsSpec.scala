@@ -1270,6 +1270,28 @@ class OpsSpec extends AnyFunSuite {
     assert(m2.weights == m.weights && m2.bias == m.bias)
   }
 
+  test("dedupLinesInDoc keeps first occurrences in order; capPerGroup binds and is salt-stable") {
+    val d = Seq((1L, "a\nb\na\nc\nb\na"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.dedupLinesInDoc(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("dedup_text") == "a\nb\nc" &&
+      out(0).getAs[Int]("n_lines") == 6 && out(0).getAs[Int]("n_kept") == 3)
+    assert(out(1).getAs[String]("dedup_text") == "x")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def capped(k: Int, salt: String) = graft.ops.Pipeline.capPerGroup(
+      docs, col("doc_id"), col("source"), k, salt)
+    val c = capped(3, "s1")
+    val sizes = c.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 3) && sizes.nonEmpty)
+    // deterministic: same salt → same rows; different salt → (almost
+    // surely) a different draw
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(capped(3, "s1")) == ids(c))
+    assert(ids(capped(3, "s2")) != ids(c))
+  }
+
   test("weightedSample: weight 0 drops all, 1 keeps all, keep-set is monotone in weight") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     def ids(w: Double) = graft.ops.Pipeline.weightedSample(
