@@ -921,6 +921,71 @@ object OpsQueries {
       },
       "SELECT count(*) AS n, true AS learned, true AS deploy_consistent FROM documents"),
 
+    // end-to-end curation pipeline over the ROUND-10 op family: C4 line
+    // clean → intra-doc line dedup → classifier-margin filter → per-
+    // source contribution cap. ONE DuckDB statement re-derives all four
+    // stages — each stage feeds the next, so a row leaking through any
+    // stage perturbs the final capped draw (the e01/e02 composition
+    // pattern). The %4==0 branch plants a DUPLICATED kept line so the
+    // dedup stage provably bites before the margin is computed.
+    ("e03_curation_pipeline",
+      (s, sf) => {
+        val w = Seq.tabulate(64)(j => (((j * 37 + 11) % 21) - 10) / 10.0)
+        val base = docs(s, sf).select(col("doc_id"), col("source"), concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nGood planted line stays here.\nGood planted line stays here.\nshort no."))
+            .when(col("doc_id") % 4 === 1,
+              lit("\nvar x = {javascript:1};\nAnother good line stays right here!"))
+            .otherwise(lit("\nno terminal punctuation here"))).as("text"))
+        val c4 = TextOps.c4LineClean(base, col("doc_id"), col("text"),
+          minLineWords = 3, minKeptLines = 1).filter(col("c4_keep"))
+        val dd = TextOps.dedupLinesInDoc(c4, col("doc_id"), col("clean_text"))
+        val scored = dd.withColumn("margin",
+          floor(TextOps.hashedLinearMargin(col("dedup_text"), w, bias = -0.5)
+            * 10000 + 0.5) / 10000)
+          .filter(col("margin") > -3)
+        val withSrc = scored.join(base.select(col("doc_id"), col("source")), "doc_id")
+        graft.ops.Pipeline.capPerGroup(withSrc, col("doc_id"), col("source"),
+            k = 5, salt = "e3")
+          .select(col("doc_id"), col("source"), col("n_kept"), col("margin"))
+      },
+      """WITH base AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10)||'Good planted line stays here.'||chr(10)||'Good planted line stays here.'||chr(10)||'short no.'
+        |         WHEN doc_id % 4 = 1 THEN chr(10)||'var x = {javascript:1};'||chr(10)||'Another good line stays right here!'
+        |         ELSE chr(10)||'no terminal punctuation here' END AS t FROM documents),
+        |c4 AS (SELECT doc_id, source,
+        |    list_filter(string_split(t, chr(10)), x -> regexp_matches(x, '[.!?"]\s*$')
+        |      AND (CASE WHEN trim(x)='' THEN 0
+        |           ELSE len(string_split_regex(trim(x),'\s+')) END) >= 3
+        |      AND NOT contains(lower(x), '{')
+        |      AND NOT contains(lower(x), 'javascript')
+        |      AND NOT contains(lower(x), 'lorem ipsum')
+        |      AND NOT contains(lower(x), 'cookie')) AS kept
+        |  FROM base),
+        |surv AS (SELECT doc_id, source, kept FROM c4 WHERE len(kept) >= 1),
+        |dd AS (SELECT doc_id, source,
+        |    list_filter(kept, (x, i) -> NOT list_contains(kept[1:i-1], x)) AS ded
+        |  FROM surv),
+        |txt AS (SELECT doc_id, source, len(ded) AS n_kept,
+        |    coalesce(array_to_string(ded, chr(10)), '') AS dt FROM dd),
+        |m AS (SELECT doc_id, source, n_kept,
+        |    floor(list_reduce(list_prepend(-0.5::DOUBLE, list_transform(
+        |      CASE WHEN trim(dt)='' THEN []::VARCHAR[]
+        |           ELSE string_split_regex(lower(trim(dt)),'\s+') END, tok ->
+        |      ((((list_reduce(list_prepend(7::BIGINT, list_transform(
+        |            string_split(tok,''), c -> ord(c)::BIGINT)),
+        |          (a, c) -> (a * 257 + c) % 2147483647) % 64) * 37 + 11) % 21 - 10) / 10.0))),
+        |      (a, w) -> a + w) * 10000 + 0.5) / 10000 AS margin
+        |  FROM txt),
+        |f AS (SELECT * FROM m WHERE margin > -3),
+        |r AS (SELECT doc_id, source, n_kept, margin, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      list_reduce(list_prepend(7::BIGINT, list_transform(
+        |        string_split('e3:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |        (a, c) -> (a * 257 + c) % 2147483647) % 10000, doc_id) AS rn
+        |  FROM f)
+        |SELECT doc_id, source, n_kept, margin FROM r WHERE rn <= 5""".stripMargin),
+
     // intra-doc repeated-line removal: plant a repeated line (and one
     // unique line) per doc; first occurrence survives, order preserved
     ("t19_dedup_lines_in_doc",

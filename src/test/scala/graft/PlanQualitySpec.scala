@@ -156,6 +156,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("__slot"), s"slot bucketing missing:\n$p")
   }
 
+  test("t16/t18: corpus-statistics joins stay hash joins over pair counts, never nested loops") {
+    for (name <- Seq("t16_tfidf_topk", "t18_bigram_logprob")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name degenerated to an all-pairs join:\n$p")
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"$name lost map-side partial aggregation:\n$p")
+    }
+  }
+
   test("ts04: interval-overlap join is a slot equi-join, never a nested loop") {
     val p = plan("ts04_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
