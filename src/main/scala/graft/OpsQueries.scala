@@ -1302,6 +1302,26 @@ object OpsQueries {
         .select(col("user_id")),
       "SELECT DISTINCT user_id FROM events"),
 
+    // streaming → JDBC UPSERT egress (foreachBatch DELETE+INSERT per
+    // key, transactional per partition): run the SAME streaming query
+    // TWICE against a real Derby database — the second run replays the
+    // source from a fresh checkpoint and the upsert must CONVERGE to
+    // identical table state (at-least-once delivery + idempotent upsert
+    // = effectively-once), which the batch oracle then pins exactly
+    ("st10_stream_jdbc_upsert",
+      (s, sf) => {
+        val url = "jdbc:derby:memory:graftdb;create=true"
+        val table = "EV_UPSERT_" +
+          new java.io.File(sf).getName.replaceAll("[^A-Za-z0-9]", "_").toUpperCase
+        graft.streaming.JdbcUpsertSink.runEventCountsToJdbc(s, s"$sf/events.parquet", url, table)
+        graft.streaming.JdbcUpsertSink.runEventCountsToJdbc(s, s"$sf/events.parquet", url, table)
+          .select(col("user_id"), col("n"),
+            col("sumv").cast("double").as("sumv"))
+      },
+      "SELECT user_id, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumv " +
+        "FROM events GROUP BY user_id"),
+
     // the corpus-filter pipeline (C4 clean → hashed classifier) run as a
     // REAL streaming query: every operator is a stateless per-row
     // Column, so the streaming result must be row-identical to the

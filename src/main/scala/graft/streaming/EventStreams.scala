@@ -63,6 +63,11 @@ object EventStreams {
     normalizeTs(streamParquet(spark, parquetPath, "events_stream"))
   }
 
+  /** Public readStream over the events table (ts normalized) — for
+    * callers composing their own streaming plans/sinks. */
+  def readEventsStream(spark: SparkSession, parquetPath: String): DataFrame =
+    streamEvents(spark, parquetPath)
+
   /** File-source stream over one parquet file: the source monitors a
     * directory, so the file is exposed through a per-path staged symlink
     * dir (configurable base via `graft.stream.stageDir`, defaulting to

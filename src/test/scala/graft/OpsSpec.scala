@@ -1270,6 +1270,20 @@ class OpsSpec extends AnyFunSuite {
     assert(m2.weights == m.weights && m2.bias == m.bias)
   }
 
+  test("JdbcUpsertSink: second upsert of a key replaces the row, new keys append") {
+    import graft.streaming.JdbcUpsertSink
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val t = "UPSERT_SPEC"
+    val df1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    JdbcUpsertSink.ensureTable(url, t, df1.schema)
+    JdbcUpsertSink.upsertBatch(df1, url, t, Seq("k"))
+    JdbcUpsertSink.upsertBatch(Seq((1L, 11.0), (3L, 30.0)).toDF("k", "v"), url, t, Seq("k"))
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", t)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order; capPerGroup binds and is salt-stable") {
     val d = Seq((1L, "a\nb\na\nc\nb\na"), (2L, "x")).toDF("doc_id", "text")
     val out = TextOps.dedupLinesInDoc(d, col("doc_id"), col("text"))
