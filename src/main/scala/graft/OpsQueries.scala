@@ -147,6 +147,31 @@ object OpsQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE jaccard >= 0.8""".stripMargin),
 
+    // EXACT shared-substring detection (Lee et al. 2022): a verbatim
+    // 10-word sentence planted in every doc_id%7==0 doc yields 3 fully
+    // internal 8-grams per planted doc (boundary 8-grams mix in
+    // doc-specific words); the pair relation with distinct-shared-span
+    // counts must equal DuckDB's exact list_intersect derivation
+    ("d16_shared_spans",
+      (s, sf) => Dedup.sharedSpanPairs(
+        docs(s, sf).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nthe quick brown fox jumps over the lazy dog again"))
+            .otherwise(lit(""))).as("text")),
+        col("doc_id"), col("text"), n = 8),
+      """WITH base AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10)||'the quick brown fox jumps over the lazy dog again'
+        |         ELSE '' END AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:least(i+7, len(toks))], ' ')
+        |    FOR i IN range(1, greatest(len(toks)-6, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(t)), '\s+') toks FROM base))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.ws, b.ws)) AS n_shared
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE n_shared >= 1""".stripMargin),
+
     // LSH candidates + exact verification ⇒ same rows as the exact oracle
     // (recall at j≥0.8 with 16×4 bands is 1-(1-j⁴)¹⁶ > 1-10⁻⁸)
     ("d03_minhash_lsh",

@@ -516,6 +516,32 @@ object Dedup {
     union.count(h => aSet(h) && bSet(h)).toDouble / union.length
   }
 
+  /** EXACT shared-substring detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": verbatim n-token
+    * spans shared across documents — the signal their suffix-array
+    * pipeline extracts, here as a distributed span-hash join): every
+    * distinct word n-gram per doc keys a (doc, span) relation; spans
+    * seen in 2..`maxDocsPerSpan` docs generate pairs, aggregated to
+    * (id_a, id_b, n_shared) counts of distinct shared spans. The join
+    * key is `xxhash64(span)` (64-bit; 2⁻⁶⁴-scale collisions accepted at
+    * corpus scale), spans above `maxDocsPerSpan` are dropped BEFORE the
+    * pair join — a boilerplate span in a million docs would otherwise
+    * fan out 10¹² pairs; the cap keeps candidates ∝ output, the same
+    * guard as d02's rarity prefix. */
+  def sharedSpanPairs(df: DataFrame, id: Column, text: Column, n: Int = 8,
+      maxDocsPerSpan: Int = 1000): DataFrame = {
+    val sh = df.select(id.as("doc_id"), explode(wordShingles(text, n)).as("sp"))
+      .select(col("doc_id"), xxhash64(col("sp")).as("h")).distinct()
+    val ok = sh.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs").between(2, maxDocsPerSpan))
+      .select(col("h"))
+    val cand = sh.join(ok, "h")
+    val a = cand.select(col("h"), col("doc_id").as("id_a"))
+    val b = cand.select(col("h"), col("doc_id").as("id_b"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** End-to-end fuzzy corpus dedup: MinHash near-dup pairs → connected
     * components → keep one document per cluster (the minimum id). Returns
     * the surviving rows of `df`. */

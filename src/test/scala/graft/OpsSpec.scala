@@ -1270,6 +1270,26 @@ class OpsSpec extends AnyFunSuite {
     assert(m2.weights == m.weights && m2.bias == m.bias)
   }
 
+  test("sharedSpanPairs: counts distinct shared spans; viral spans drop at the cap") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa YY"),
+      (3L, "totally different words with no overlap at all here now"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sharedSpanPairs(d, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // docs 1/2/4 share the 10-word run → 3 internal 8-grams each pair
+    assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs((1L, 2L)) == 3)
+    // 1 and 4 are identical: all 3 distinct 8-grams shared
+    assert(pairs((1L, 4L)) == 3)
+    // cap: the same span in 3 docs disappears when maxDocsPerSpan = 2
+    val capped = Dedup.sharedSpanPairs(d, col("doc_id"), col("text"),
+      n = 8, maxDocsPerSpan = 2)
+    assert(capped.count() == 0)
+  }
+
   test("JdbcUpsertSink: second upsert of a key replaces the row, new keys append") {
     import graft.streaming.JdbcUpsertSink
     val url = "jdbc:derby:memory:graftdb;create=true"
