@@ -919,6 +919,57 @@ object OpsQueries {
         |FROM documents))
         |SELECT doc_id, lang FROM q WHERE bk < floor(quality * 10000)""".stripMargin),
 
+    // multi-granularity aggregation (ROLLUP): per-(source,lang) token
+    // totals plus per-source and grand totals in ONE pass — Catalyst
+    // expands the grouping sets and the partial aggregation is still
+    // map-side combined; DuckDB states the same result via ROLLUP
+    ("a02_rollup_tokens",
+      (s, sf) => docs(s, sf)
+        .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).as("ntok"))
+        .rollup(col("source"), col("lang"))
+        .agg(sum(col("ntok")).as("tok_total"), count(lit(1)).as("n_docs"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("tok_total"), col("n_docs")),
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |  sum(ntok) AS tok_total, count(*) AS n_docs
+        |FROM (SELECT source, lang,
+        |  CASE WHEN trim(text)='' THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
+        |  FROM documents)
+        |GROUP BY ROLLUP(source, lang)""".stripMargin),
+
+    // curriculum bucketing: quality-score deciles — the stage-ordering
+    // step of curriculum training (feed high-quality deciles
+    // later/earlier). Decile membership is rank-based over the total
+    // order (score, doc_id), so both engines agree; the Spark side uses
+    // the distributed two-level ntile (Pipeline.ntileByScore), NOT a
+    // single-partition global window — spec-asserted identical
+    ("w03_quality_deciles",
+      (s, sf) => graft.ops.Pipeline.ntileByScore(
+          docs(s, sf).select(col("doc_id"),
+            TextOps.qualityScore(col("text")).as("q")),
+          col("doc_id"), col("q"), k = 10)
+        .groupBy(col("tile").as("decile"))
+        .agg(count(lit(1)).as("n"),
+          (floor(min(col("score")) * 10000 + 0.5) / 10000).as("q_min"),
+          (floor(max(col("score")) * 10000 + 0.5) / 10000).as("q_max")),
+      """WITH q AS (SELECT doc_id, floor((
+        |    0.4 * (CASE WHEN ntok=0 THEN 0 ELSE nstop::DOUBLE/ntok END)
+        |  + 0.3 * least(ntok/100.0, 1.0)
+        |  + 0.3 * (1.0 - CASE WHEN len(text)=0 THEN 0 ELSE npunct::DOUBLE/len(text) END)) * 10000 + 0.5) / 10000 AS q
+        |FROM (SELECT doc_id, text,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is'))) END AS nstop,
+        |  len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS npunct
+        |FROM documents)),
+        |d AS (SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile FROM q)
+        |SELECT decile, count(*) AS n,
+        |  floor(min(q) * 10000 + 0.5) / 10000 AS q_min,
+        |  floor(max(q) * 10000 + 0.5) / 10000 AS q_max
+        |FROM d GROUP BY decile""".stripMargin),
+
     // train→deploy closure: fit a logistic regression on hashed
     // bag-of-words counts (same PolyHash slots as the scorer), deploy
     // the learned weights as the plan-literal fold, and verify (a) the

@@ -148,4 +148,47 @@ object Pipeline {
       .select(col("doc_id"), col("ntok"),
         floor((col("off") + col("cum_in") - col("ntok")) / budget).cast("long").as("shard"))
   }
+
+  /** Distributed ntile over a global (score, id) order — curriculum
+    * bucketing without the single-partition sort a bare
+    * `ntile(k).over(Window.orderBy(...))` plans. Same two-level scheme
+    * as [[packByTokenBudget]]: rows range-bucket by `floor(score *
+    * buckets)` (order-contiguous, and score ties never straddle a
+    * bucket, so per-bucket row_number + a broadcast bucket-offset table
+    * reconstructs the EXACT global rank), then the ntile bucket is
+    * computed from (rank, n, k) in closed form — SQL ntile hands the
+    * first `n mod k` tiles one extra row each. Bit-identical to the
+    * global-window formulation (spec-asserted).
+    *
+    * Skew note: a score distribution concentrated in few value buckets
+    * degrades toward the global sort; `buckets` trades offset-table
+    * size against per-bucket width (default 1000 keeps the offset table
+    * trivially broadcastable at any corpus size).
+    *
+    * Output: (id, score, tile). */
+  def ntileByScore(df: DataFrame, id: Column, score: Column, k: Int,
+      buckets: Int = 1000): DataFrame = {
+    require(k > 0 && buckets > 0, "k and buckets must be positive")
+    val base = df.select(id.as("id"), score.cast("double").as("q"))
+      .withColumn("bkt", floor(col("q") * buckets).cast("long"))
+    val inBucket = Window.partitionBy(col("bkt")).orderBy(col("q"), col("id"))
+    val ranked = base.withColumn("rn", row_number().over(inBucket))
+    val acrossBuckets = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .select(col("bkt"), coalesce(sum(col("cnt")).over(acrossBuckets), lit(0L)).as("off"))
+    val total = base.agg(count(lit(1)).as("n"))
+    val rank = (col("off") + col("rn")).as("rank")
+    val r = col("rank"); val n = col("n")
+    val small = n.divide(k).cast("long")        // floor(n / k) rows per late tile
+    val rem = n.mod(k)                          // first `rem` tiles get one extra
+    val cut = (small + 1) * rem                 // ranks 1..cut live in the big tiles
+    ranked.join(broadcast(offsets), "bkt").crossJoin(broadcast(total))
+      .select(col("id"), col("q"), rank, n)
+      .withColumn("tile",
+        when(lit(0) === rem, ((r - 1) / small).cast("int") + 1)
+          .when(r <= cut, ((r - 1) / (small + 1)).cast("int") + 1)
+          .otherwise((rem + (r - cut - 1) / small).cast("int") + 1))
+      .select(col("id"), col("q").as("score"), col("tile"))
+  }
 }

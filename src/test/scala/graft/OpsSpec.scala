@@ -1041,6 +1041,29 @@ class OpsSpec extends AnyFunSuite {
     assert(shardTotals.values.forall(_ <= 500 + maxDoc))
   }
 
+  test("ntileByScore: two-level rank equals the global-window ntile, any n mod k") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Int)].collect().toSet
+    // n mod k = 0 and != 0, plus tile counts k < n and k > available buckets
+    for (k <- Seq(10, 7); limit <- Seq(500, 493)) {
+      val scored = docs.limit(limit)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      val dist = canon(graft.ops.Pipeline.ntileByScore(
+        scored, col("doc_id"), col("q"), k))
+      val global = canon(scored.select(col("doc_id"), col("q"),
+        ntile(k).over(Window.orderBy(col("q"), col("doc_id"))).as("tile")))
+      assert(dist == global, s"k=$k limit=$limit")
+    }
+    // n < k: first n tiles get one row each (the small-divisor edge)
+    val tiny = docs.limit(4)
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+    val tiles = graft.ops.Pipeline.ntileByScore(tiny, col("doc_id"), col("q"), 10)
+      .select("tile").as[Int].collect().sorted
+    assert(tiles.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("IVF kNN join with full probe equals the broadcast-exact join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200).cache()
     def canon(df: org.apache.spark.sql.DataFrame) =
