@@ -970,6 +970,78 @@ object OpsQueries {
         |  floor(max(q) * 10000 + 0.5) / 10000 AS q_max
         |FROM d GROUP BY decile""".stripMargin),
 
+    // pivot: the source×language token matrix (one row per source, one
+    // column per language) — the corpus-composition report every mixture
+    // design starts from. The language domain is pinned explicitly, so
+    // the plan is ONE shuffle (no distinct-values discovery job) and the
+    // output schema is static; DuckDB states it as conditional aggregation
+    ("a03_pivot_tokens",
+      (s, sf) => docs(s, sf)
+        .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).as("ntok"))
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum(col("ntok"))),
+      """SELECT source,
+        |  sum(ntok) FILTER (lang='de') AS de, sum(ntok) FILTER (lang='en') AS en,
+        |  sum(ntok) FILTER (lang='es') AS es, sum(ntok) FILTER (lang='fr') AS fr,
+        |  sum(ntok) FILTER (lang='zh') AS zh
+        |FROM (SELECT source, lang,
+        |  CASE WHEN trim(text)='' THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
+        |  FROM documents)
+        |GROUP BY source""".stripMargin),
+
+    // per-key time-series featurization: inter-event gap, short moving
+    // average, and event ordinal per user — the feature columns a
+    // behavioral model trains on. All windows partition by user_id (the
+    // natural shuffle key; no global sort anywhere) over the total order
+    // (ts, event_id), so both engines see identical frames
+    ("ts05_event_features",
+      (s, sf) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        EventStreams.readEvents(s, s"$sf/events.parquet")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("mov4", floor(avg(col("value")).over(
+            w.rowsBetween(-3, Window.currentRow)) * 10000 + 0.5) / 10000)
+          .withColumn("ordinal", row_number().over(w))
+          .select(col("event_id"), col("user_id"), col("gap_us"), col("mov4"), col("ordinal"))
+      },
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+        |  floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS mov4,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ordinal
+        |FROM events""".stripMargin),
+
+    // skew-salted shuffle join: lineitem→orders on the order key with the
+    // probe side salted and the build side replicated ×8 (Joins
+    // .saltedEquiJoin) — result must equal the plain join, which is
+    // exactly what the oracle states. The aggregate keeps the gate's
+    // output small; the salt spreading itself is spec-asserted
+    // row-identical to the unsalted join
+    ("j01_salted_join",
+      (s, sf) => {
+        val li = s.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount"))
+        val ord = s.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.ops.Joins.saltedEquiJoin(li, ord, "okey",
+            xxhash64(col("okey"), col("l_linenumber")), salts = 8)
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("double").as("revenue"))
+      },
+      "SELECT o_orderpriority AS prio, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+
     // train→deploy closure: fit a logistic regression on hashed
     // bag-of-words counts (same PolyHash slots as the scorer), deploy
     // the learned weights as the plan-literal fold, and verify (a) the

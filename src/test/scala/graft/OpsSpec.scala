@@ -1041,6 +1041,26 @@ class OpsSpec extends AnyFunSuite {
     assert(shardTotals.values.forall(_ <= 500 + maxDoc))
   }
 
+  test("saltedEquiJoin: row-identical to the plain join, spreads a hot key") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("okey", "l_linenumber", "l_quantity", "o_orderpriority")
+        .as[(Long, Long, Double, String)].collect().sorted.toSeq
+    val salted = canon(graft.ops.Joins.saltedEquiJoin(li, ord, "okey",
+      xxhash64(col("okey"), col("l_linenumber")), salts = 8))
+    assert(salted == canon(li.join(ord, "okey")))
+    // the salt actually spreads: a key's probe rows land in >1 salt bucket
+    val spread = li.withColumn("s",
+        pmod(xxhash64(lit("saltj"), xxhash64(col("okey"), col("l_linenumber"))), lit(8)))
+      .groupBy("okey").agg(countDistinct(col("s")).as("nsalts"), count(lit(1)).as("n"))
+      .filter(col("n") >= 4).agg(min(col("nsalts")), avg(col("nsalts")))
+      .as[(Long, Double)].head()
+    assert(spread._2 > 2.0, s"salts did not spread: $spread")
+  }
+
   test("ntileByScore: two-level rank equals the global-window ntile, any n mod k") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet(s"$sf/documents.parquet")
