@@ -970,6 +970,19 @@ object OpsQueries {
         |  floor(max(q) * 10000 + 0.5) / 10000 AS q_max
         |FROM d GROUP BY decile""".stripMargin),
 
+    // Count-Min-Sketch heavy hitters: one mergeable ~1 MB counter grid
+    // over every token instance, probed for the exact top-20 terms; the
+    // verdict column pins the CMS overcount guarantee
+    // (true ≤ est ≤ true + eps·N) — deterministic for the fixed seed,
+    // same pinned-measured-error shape as t09/t10
+    ("t20_cms_heavy_hitters",
+      (s, sf) => TextOps.cmsHeavyHitters(docs(s, sf), col("text"), k = 20),
+      """SELECT term, n_true, true AS within_bound FROM (
+        |  SELECT term, count(*) AS n_true FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+        |    FROM documents WHERE trim(text)<>'')
+        |  GROUP BY term ORDER BY n_true DESC, term ASC LIMIT 20)""".stripMargin),
+
     // pivot: the source×language token matrix (one row per source, one
     // column per language) — the corpus-composition report every mixture
     // design starts from. The language domain is pinned explicitly, so
@@ -1041,6 +1054,50 @@ object OpsQueries {
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+
+    // link-graph authority: simplified PageRank (3 fixed iterations, no
+    // dangling-mass redistribution) over the part→supplier→nation
+    // two-hop graph; id spaces offset so the graph is genuinely layered
+    // and rank mass visibly propagates two hops. Ranks rounded to 8
+    // decimals BEFORE the top-20 selection so both engines pick and
+    // order the same rows; DuckDB restates the iteration as three
+    // unrolled CTE steps
+    ("g01_pagerank",
+      (s, sf) => {
+        val ps = s.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        val sn = s.read.parquet(s"$sf/supplier.parquet")
+          .select((col("s_suppkey") + 1000000L).as("src"), (col("s_nationkey") + 2000000L).as("dst"))
+        graft.ops.Graph.pageRank(ps.unionByName(sn), col("src"), col("dst"),
+            iterations = 3)
+          .select(col("node"), (floor(col("rank") * 100000000.0 + 0.5) / 100000000.0).as("rank"))
+          .orderBy(col("rank").desc, col("node").asc).limit(20)
+      },
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        |  UNION
+        |  SELECT s_suppkey + 1000000, s_nationkey + 2000000 FROM supplier),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |p AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |od AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1.0/(SELECT n FROM p) AS rank FROM nodes),
+        |r1 AS (SELECT nodes.node, 0.15/(SELECT n FROM p) + 0.85*coalesce(c.contrib, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+        |         FROM e JOIN od ON e.src=od.src JOIN r0 r ON r.node=e.src
+        |         GROUP BY e.dst) c ON nodes.node=c.node),
+        |r2 AS (SELECT nodes.node, 0.15/(SELECT n FROM p) + 0.85*coalesce(c.contrib, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+        |         FROM e JOIN od ON e.src=od.src JOIN r1 r ON r.node=e.src
+        |         GROUP BY e.dst) c ON nodes.node=c.node),
+        |r3 AS (SELECT nodes.node, 0.15/(SELECT n FROM p) + 0.85*coalesce(c.contrib, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+        |         FROM e JOIN od ON e.src=od.src JOIN r2 r ON r.node=e.src
+        |         GROUP BY e.dst) c ON nodes.node=c.node)
+        |SELECT node, floor(rank*100000000 + 0.5)/100000000 AS rank
+        |FROM r3 ORDER BY 2 DESC, node LIMIT 20""".stripMargin),
 
     // train→deploy closure: fit a logistic regression on hashed
     // bag-of-words counts (same PolyHash slots as the scorer), deploy

@@ -380,4 +380,40 @@ object TextOps {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Count-Min-Sketch heavy-hitter verification: build ONE mergeable CMS
+    * over every token instance (Spark's codegen'd `count_min_sketch`
+    * aggregate — fixed `ceil(2/eps) × ceil(ln(1/(1-confidence)))`
+    * counter grid per partition, merged by counter-wise addition, so the
+    * corpus pass is scan-bound with ~1 MB of state at the defaults no
+    * matter the corpus size), then probe it for the exact top-k terms
+    * and emit the CMS guarantee as a verdict column:
+    * `true_count ≤ estimate ≤ true_count + eps·N` (N = total token
+    * instances). Deterministic for a fixed seed. The k-row probe happens
+    * driver-side on the single merged sketch — result-sized, not a
+    * distributed-work collect.
+    *
+    * Output: (term, n_true, within_bound). */
+  def cmsHeavyHitters(df: DataFrame, text: Column, k: Int,
+      eps: Double = 1e-4, confidence: Double = 0.999,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    val terms = df.select(explode(tokens(text)).as("term"))
+    val (sketchBytes, total) = {
+      val r = terms.agg(
+        expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, $seed)").as("cms"),
+        count(lit(1)).as("n")).head()
+      (r.getAs[Array[Byte]](0), r.getLong(1))
+    }
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(sketchBytes)
+    val slack = math.ceil(eps * total).toLong
+    val top = terms.groupBy(col("term")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("term").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    top.toSeq.map { case (t, n) =>
+      val est = cms.estimateCount(t)
+      (t, n, est >= n && est <= n + slack)
+    }.toDF("term", "n_true", "within_bound")
+  }
 }

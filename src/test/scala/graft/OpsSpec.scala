@@ -1041,6 +1041,22 @@ class OpsSpec extends AnyFunSuite {
     assert(shardTotals.values.forall(_ <= 500 + maxDoc))
   }
 
+  test("pageRank: source-only nodes keep base rank, mass flows two hops, absorbed not lost") {
+    import spark.implicits._
+    // chain a→b→c plus a second feeder d→b: after 2+ iterations c holds
+    // mass that travelled two hops; a and d (no in-edges) sit at base
+    val edges = Seq((1L, 2L), (4L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = graft.ops.Graph.pageRank(edges, col("src"), col("dst"), iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val n = 4.0; val base = 0.15 / n
+    assert(math.abs(r(1L) - base) < 1e-12 && math.abs(r(4L) - base) < 1e-12)
+    // b gets both feeders' full rank (outdeg 1 each); c gets b's rank
+    assert(math.abs(r(2L) - (base + 0.85 * (r(1L) + r(4L)))) < 1e-12)
+    assert(r(3L) > r(2L) * 0.5 && r(3L) > base) // two-hop mass arrived
+    // simplified model: total mass ≤ 1 (dangling absorption, never creation)
+    assert(r.values.sum <= 1.0 + 1e-9)
+  }
+
   test("saltedEquiJoin: row-identical to the plain join, spreads a hot key") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
