@@ -1055,6 +1055,45 @@ object OpsQueries {
         "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
 
+    // strict ordered funnel signup→view→purchase: each step's qualifying
+    // time is a window min over ONE user partitioning (one Exchange for
+    // the whole funnel, no per-step self-joins); DuckDB restates it as a
+    // chained conditional-min CTE — same strict-after semantics
+    ("f01_funnel",
+      // restricted to the first 36 h so the funnel discriminates (over
+      // the full month every user completes every step — 150/150/150)
+      (s, sf) => graft.ops.EventAnalytics.funnel(
+        EventStreams.readEvents(s, s"$sf/events.parquet")
+          .filter(col("ts") < lit("2024-01-02 12:00:00").cast("timestamp")),
+        col("user_id"), col("event_type"), col("ts"),
+        Seq("signup", "view", "purchase")),
+      """WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00'),
+        |s1 AS (SELECT user_id, min(ts) FILTER (WHERE event_type='signup') AS t1
+        |           FROM ev GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.user_id=s1.user_id
+        |       WHERE e.event_type='view' AND s1.t1 IS NOT NULL AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 ON e.user_id=s2.user_id
+        |       WHERE e.event_type='purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT 1 AS step, 'signup' AS step_name, (SELECT count(t1) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin),
+
+    // day-grain cohort retention at +7 days: cohort = first-activity day
+    // (window min over the same user partitioning), retained = active
+    // again exactly a week later; the log collapses to distinct
+    // (user, day) pairs before any shuffle-heavy step
+    ("f02_retention",
+      (s, sf) => graft.ops.EventAnalytics.retention(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("user_id"), col("ts"), offsetDays = 7),
+      """WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |c AS (SELECT user_id, min(day) OVER (PARTITION BY user_id) AS cohort, day FROM d),
+        |u AS (SELECT user_id, min(cohort) AS cohort_day,
+        |        bool_or(day = cohort + 7) AS retained FROM c GROUP BY user_id)
+        |SELECT cohort_day, count(*) AS n_users,
+        |  count(*) FILTER (retained) AS n_retained
+        |FROM u GROUP BY cohort_day""".stripMargin),
+
     // link-graph authority: simplified PageRank (3 fixed iterations, no
     // dangling-mass redistribution) over the part→supplier→nation
     // two-hop graph; id spaces offset so the graph is genuinely layered

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event analytics: ordered funnels and cohort retention. Both are
+  * one-Exchange plans — every per-user computation rides a single
+  * hash-partition by the user key, so at 100 TB the cost is one shuffle
+  * of the event log (plus the scan), never a per-step self-join. */
+object EventAnalytics {
+
+  /** Strict ordered funnel: for each user, step i counts only if an event
+    * of `steps(i)` occurred strictly AFTER the user's qualifying time for
+    * step i-1 (first match, earliest-first). All steps are window minima
+    * over ONE partitioning of the log by user — step i's qualifying time
+    * is a per-user constant column the next window min conditions on, so
+    * Catalyst stacks the Window operators over a single Exchange.
+    *
+    * Output: one row per step — (step index 1-based, step name, number of
+    * users whose funnel reached it). */
+  def funnel(events: DataFrame, userId: Column, eventType: Column,
+      ts: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("__uid"))
+    val base = events.select(userId.as("__uid"), eventType.as("__et"), ts.as("__ts"))
+    val withTimes = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond = if (i == 0) col("__et") === step
+        else col("__et") === step && col("__ts") > col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(cond, col("__ts"))).over(w))
+    }
+    val perUser = withTimes.groupBy(col("__uid"))
+      .agg(steps.indices.map(i => max(col(s"__t$i")).as(s"t$i")).head,
+        steps.indices.map(i => max(col(s"__t$i")).as(s"t$i")).tail: _*)
+    val counts = perUser.agg(
+      count(col("t0")).as("c0"),
+      steps.indices.tail.map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    counts.select(steps.indices.map(i =>
+        struct(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          col(s"c$i").as("n_users")).as(s"s$i")): _*)
+      .select(explode(array(steps.indices.map(i => col(s"s$i")): _*)).as("s"))
+      .select(col("s.step"), col("s.step_name"), col("s.n_users"))
+  }
+
+  /** Day-grain cohort retention: users cohort by their first-activity
+    * day; for each cohort day, how many distinct users were active again
+    * exactly `offsetDays` later. Both the cohort assignment (a window min
+    * over user) and the offset-day membership ride the same user
+    * partitioning; the final aggregate shuffles the per-(user, day)
+    * distinct set, already a tiny fraction of the log.
+    *
+    * Output: (cohort_day DATE, n_users, n_retained). */
+  def retention(events: DataFrame, userId: Column, ts: Column,
+      offsetDays: Int): DataFrame = {
+    val w = Window.partitionBy(col("__uid"))
+    val days = events.select(userId.as("__uid"), to_date(ts).as("__day")).distinct()
+      .withColumn("__cohort", min(col("__day")).over(w))
+    val perUser = days.groupBy(col("__uid")).agg(
+      first(col("__cohort")).as("cohort_day"),
+      max(col("__day") === date_add(col("__cohort"), offsetDays)).as("retained"))
+    perUser.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("retained"), 1)).as("n_retained"))
+  }
+}

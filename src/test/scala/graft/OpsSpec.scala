@@ -1041,6 +1041,28 @@ class OpsSpec extends AnyFunSuite {
     assert(shardTotals.values.forall(_ <= 500 + maxDoc))
   }
 
+  test("funnel: strictly ordered — out-of-order steps do not count") {
+    import spark.implicits._
+    // u1 completes in order; u2's only view precedes its signup; u3's
+    // only purchase precedes its qualifying view
+    val ev = Seq(
+      (1L, "signup", 1L), (1L, "view", 2L), (1L, "purchase", 3L),
+      (2L, "view", 1L), (2L, "signup", 2L), (2L, "purchase", 3L),
+      (3L, "signup", 1L), (3L, "purchase", 2L), (3L, "view", 3L)
+    ).toDF("u", "et", "t").select(col("u"), col("et"),
+      timestamp_micros(col("t")).as("ts"))
+    val out = graft.ops.EventAnalytics.funnel(ev, col("u"), col("et"), col("ts"),
+        Seq("signup", "view", "purchase"))
+      .select("step", "n_users").as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+    // one Exchange for all per-user steps: the stacked windows and the
+    // per-user aggregate reuse a single hash partitioning by user
+    val p = graft.ops.EventAnalytics.funnel(ev, col("u"), col("et"), col("ts"),
+      Seq("signup", "view", "purchase")).queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"funnel should shuffle the log once, found $hashEx:\n$p")
+  }
+
   test("pageRank: source-only nodes keep base rank, mass flows two hops, absorbed not lost") {
     import spark.implicits._
     // chain a→b→c plus a second feeder d→b: after 2+ iterations c holds
