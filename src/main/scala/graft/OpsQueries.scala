@@ -983,6 +983,56 @@ object OpsQueries {
         |    FROM documents WHERE trim(text)<>'')
         |  GROUP BY term ORDER BY n_true DESC, term ASC LIMIT 20)""".stripMargin),
 
+    // snapshot diff via ONE full-outer join on doc_id (the join type no
+    // other gate exercises) with payloads pre-hashed to 8 bytes so the
+    // shuffle is id-width; snapshots derived deterministically from the
+    // documents table (10% removed, 10% added, 10% text-modified)
+    ("e04_snapshot_diff",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val snapA = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        val snapB = d.filter(pmod(col("doc_id"), lit(10)) =!= 1)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 2, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        graft.ops.Pipeline.snapshotDiff(snapA, snapB, col("doc_id"), col("text"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      },
+      """WITH snap_a AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |snap_b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 1),
+        |j AS (SELECT CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |                  WHEN a.doc_id IS NULL THEN 'added'
+        |                  WHEN a.text <> b.text THEN 'changed'
+        |                  ELSE 'same' END AS status
+        |      FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id)
+        |SELECT status, count(*) AS n FROM j GROUP BY status""".stripMargin),
+
+    // CUBE + grouping_id: all four (source, lang) granularities in one
+    // pass, with the grouping bitmask distinguishing "subtotal row" from
+    // a hypothetical real NULL group — the correct mechanism the rollup
+    // gate's coalesce('ALL') sidesteps. Identical bitmask semantics in
+    // both engines
+    ("a04_cube_tokens",
+      (s, sf) => docs(s, sf)
+        .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).as("ntok"))
+        .cube(col("source"), col("lang"))
+        .agg(grouping_id(col("source"), col("lang")).as("gid"),
+          sum(col("ntok")).as("tok_total"), count(lit(1)).as("n_docs"))
+        .select(coalesce(col("source"), lit("-")).as("source"),
+          coalesce(col("lang"), lit("-")).as("lang"),
+          col("gid"), col("tok_total"), col("n_docs")),
+      """SELECT coalesce(source, '-') AS source, coalesce(lang, '-') AS lang,
+        |  GROUPING(source, lang) AS gid,
+        |  sum(ntok) AS tok_total, count(*) AS n_docs
+        |FROM (SELECT source, lang,
+        |  CASE WHEN trim(text)='' THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
+        |  FROM documents)
+        |GROUP BY CUBE(source, lang)""".stripMargin),
+
     // pivot: the source×language token matrix (one row per source, one
     // column per language) — the corpus-composition report every mixture
     // design starts from. The language domain is pinned explicitly, so

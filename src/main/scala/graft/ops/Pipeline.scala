@@ -149,6 +149,29 @@ object Pipeline {
         floor((col("off") + col("cum_in") - col("ntok")) / budget).cast("long").as("shard"))
   }
 
+  /** Corpus snapshot diff: classify every id across two snapshots as
+    * added / removed / changed / same via ONE full-outer join on the id.
+    * The payload is reduced to a 64-bit hash BEFORE the join, so the
+    * shuffle carries (id, 8 bytes) per side instead of the documents
+    * themselves — at corpus scale the diff costs two scans plus an
+    * id-width shuffle. A hash collision reports a changed row as `same`
+    * with probability 2^-64 per id; acceptable for reporting, use a
+    * payload-equality recheck of the `same` class if bit-exactness is
+    * ever load-bearing.
+    *
+    * Output: (id, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      id: Column, payload: Column): DataFrame = {
+    val a = oldDf.select(id.as("id"), xxhash64(payload).as("h_old"))
+    val b = newDf.select(id.as("id"), xxhash64(payload).as("h_new"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_new").isNull, "removed")
+          .when(col("h_old").isNull, "added")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("same").as("status"))
+  }
+
   /** Distributed ntile over a global (score, id) order — curriculum
     * bucketing without the single-partition sort a bare
     * `ntile(k).over(Window.orderBy(...))` plans. Same two-level scheme
