@@ -192,26 +192,34 @@ object Pipeline {
   def ntileByScore(df: DataFrame, id: Column, score: Column, k: Int,
       buckets: Int = 1000): DataFrame = {
     require(k > 0 && buckets > 0, "k and buckets must be positive")
+    val spark = df.sparkSession
     val base = df.select(id.as("id"), score.cast("double").as("q"))
       .withColumn("bkt", floor(col("q") * buckets).cast("long"))
+    // bucket-count pass: the aggregate is ≤ buckets+1 rows, so it is
+    // collected once and the offset table + total row count re-enter the
+    // plan as literals — no single-partition window, no third corpus
+    // scan for the total. Two corpus scans overall (counts + ranks);
+    // persist `base`'s narrow projection upstream to make it one.
+    val counts = base.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (bkt, cnt) =>
+      val off = acc; acc += cnt; (bkt, off)
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("bkt", "off")
     val inBucket = Window.partitionBy(col("bkt")).orderBy(col("q"), col("id"))
     val ranked = base.withColumn("rn", row_number().over(inBucket))
-    val acrossBuckets = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
-      .select(col("bkt"), coalesce(sum(col("cnt")).over(acrossBuckets), lit(0L)).as("off"))
-    val total = base.agg(count(lit(1)).as("n"))
-    val rank = (col("off") + col("rn")).as("rank")
-    val r = col("rank"); val n = col("n")
-    val small = n.divide(k).cast("long")        // floor(n / k) rows per late tile
-    val rem = n.mod(k)                          // first `rem` tiles get one extra
-    val cut = (small + 1) * rem                 // ranks 1..cut live in the big tiles
-    ranked.join(broadcast(offsets), "bkt").crossJoin(broadcast(total))
-      .select(col("id"), col("q"), rank, n)
-      .withColumn("tile",
-        when(lit(0) === rem, ((r - 1) / small).cast("int") + 1)
-          .when(r <= cut, ((r - 1) / (small + 1)).cast("int") + 1)
-          .otherwise((rem + (r - cut - 1) / small).cast("int") + 1))
-      .select(col("id"), col("q").as("score"), col("tile"))
+    val small = n / k                    // floor(n / k) rows per late tile
+    val rem = n % k                      // first `rem` tiles get one extra
+    val cut = (small + 1) * rem          // ranks 1..cut live in the big tiles
+    val r = col("off") + col("rn")
+    val tile =
+      if (rem == 0) ((r - 1) / small).cast("int") + 1
+      else when(r <= cut, ((r - 1) / (small + 1)).cast("int") + 1)
+        .otherwise((lit(rem) + (r - cut - 1) / small).cast("int") + 1)
+    ranked.join(broadcast(offDf), "bkt")
+      .select(col("id"), col("q").as("score"), tile.as("tile"))
   }
 }
