@@ -44,20 +44,21 @@ object EventAnalytics {
 
   /** Day-grain cohort retention: users cohort by their first-activity
     * day; for each cohort day, how many distinct users were active again
-    * exactly `offsetDays` later. Both the cohort assignment (a window min
-    * over user) and the offset-day membership ride the same user
-    * partitioning; the final aggregate shuffles the per-(user, day)
-    * distinct set, already a tiny fraction of the log.
+    * exactly `offsetDays` later. ONE shuffle of the log: the per-user
+    * stage aggregates a `collect_set` of active days — bounded by the
+    * calendar span, not the event count, and deduplicated map-side by
+    * the partial aggregate — then cohort = the set's min and retention
+    * is a set-membership test; the final cohort-day aggregate handles
+    * rows numbering one per user.
     *
     * Output: (cohort_day DATE, n_users, n_retained). */
   def retention(events: DataFrame, userId: Column, ts: Column,
       offsetDays: Int): DataFrame = {
-    val w = Window.partitionBy(col("__uid"))
-    val days = events.select(userId.as("__uid"), to_date(ts).as("__day")).distinct()
-      .withColumn("__cohort", min(col("__day")).over(w))
-    val perUser = days.groupBy(col("__uid")).agg(
-      first(col("__cohort")).as("cohort_day"),
-      max(col("__day") === date_add(col("__cohort"), offsetDays)).as("retained"))
+    val perUser = events.select(userId.as("__uid"), to_date(ts).as("__day"))
+      .groupBy(col("__uid")).agg(collect_set(col("__day")).as("__days"))
+      .select(array_min(col("__days")).as("cohort_day"),
+        array_contains(col("__days"),
+          date_add(array_min(col("__days")), offsetDays)).as("retained"))
     perUser.groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("n_users"),
         count(when(col("retained"), 1)).as("n_retained"))
