@@ -1010,6 +1010,67 @@ object OpsQueries {
         |      FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id)
         |SELECT status, count(*) AS n FROM j GROUP BY status""".stripMargin),
 
+    // incremental maintenance: carry forward cached quality scores for
+    // unchanged docs, recompute ONLY the snapshot diff's added/changed
+    // set, and pin the union equal to a full recompute of the new
+    // snapshot (the oracle). At corpus scale this is the difference
+    // between scoring 100 TB nightly and scoring the ~1% that moved;
+    // correctness rests on snapshotDiff's id-hash classes (collision
+    // caveat documented there)
+    ("e05_incremental_scores",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val snapA = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        val snapB = d.filter(pmod(col("doc_id"), lit(10)) =!= 1)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 2, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        val cached = snapA.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+        val diff = graft.ops.Pipeline.snapshotDiff(snapA, snapB, col("doc_id"), col("text"))
+        val carried = cached.join(
+          diff.filter(col("status") === "same").select(col("id").as("doc_id")),
+          "doc_id")
+        val recomputed = snapB.join(
+            diff.filter(col("status").isin("added", "changed")).select(col("id").as("doc_id")),
+            "doc_id")
+          .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+        carried.unionByName(recomputed)
+      },
+      """SELECT doc_id, floor((
+        |    0.4 * (CASE WHEN ntok=0 THEN 0 ELSE nstop::DOUBLE/ntok END)
+        |  + 0.3 * least(ntok/100.0, 1.0)
+        |  + 0.3 * (1.0 - CASE WHEN len(text)=0 THEN 0 ELSE npunct::DOUBLE/len(text) END)) * 10000 + 0.5) / 10000 AS q
+        |FROM (SELECT doc_id, text,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is'))) END AS nstop,
+        |  len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS npunct
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 10 <> 1))""".stripMargin),
+
+    // per-user event bigrams: consecutive event-type pairs in (ts,
+    // event_id) order — the transition counts a behavior model trains
+    // on; lead() over the one user partitioning, then a count by pair
+    ("f03_event_bigrams",
+      (s, sf) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        EventStreams.readEvents(s, s"$sf/events.parquet")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      """SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM (SELECT event_type, lead(event_type, 1) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |      FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type""".stripMargin),
+
     // CUBE + grouping_id: all four (source, lang) granularities in one
     // pass, with the grouping bitmask distinguishing "subtotal row" from
     // a hypothetical real NULL group — the correct mechanism the rollup
