@@ -983,6 +983,46 @@ object OpsQueries {
         |    FROM documents WHERE trim(text)<>'')
         |  GROUP BY term ORDER BY n_true DESC, term ASC LIMIT 20)""".stripMargin),
 
+    // per-group exact quantiles: the token-length distribution per
+    // source (p50/p90, linearly interpolated) — the per-source
+    // profiling step before mixture design; Spark `percentile` and
+    // DuckDB `quantile_cont` share the p·(n−1) interpolation rule
+    ("a05_group_quantiles",
+      (s, sf) => docs(s, sf)
+        .select(col("source"), TextOps.tokenCount(col("text")).cast("double").as("ntok"))
+        .groupBy(col("source"))
+        .agg(expr("percentile(ntok, array(0.5D, 0.9D))").as("qs"))
+        .select(col("source"),
+          (floor(element_at(col("qs"), 1) * 10000 + 0.5) / 10000).as("p50"),
+          (floor(element_at(col("qs"), 2) * 10000 + 0.5) / 10000).as("p90")),
+      """SELECT source,
+        |  floor(quantile_cont(ntok, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        |  floor(quantile_cont(ntok, 0.9) * 10000 + 0.5) / 10000 AS p90
+        |FROM (SELECT source,
+        |  (CASE WHEN trim(text)='' THEN 0
+        |        ELSE len(string_split_regex(lower(trim(text)),'\s+')) END)::DOUBLE AS ntok
+        |  FROM documents)
+        |GROUP BY source""".stripMargin),
+
+    // URL canonicalization: synthesize a messy per-doc URL (mixed-case
+    // host, tracking query), canonicalize with Spark's codegen'd
+    // parse_url (lowercased host + path, query stripped), aggregate per
+    // host — the canonical-URL dedup prelude; DuckDB restates the
+    // extraction with regexes
+    ("d17_url_canonical",
+      (s, sf) => docs(s, sf)
+        .select(concat(lit("https://"), upper(col("source")), lit(".Example.COM/d/"),
+          col("doc_id"), lit("?utm_source="), col("lang")).as("url"))
+        .select(concat(lower(parse_url(col("url"), lit("HOST"))),
+          parse_url(col("url"), lit("PATH"))).as("canonical"))
+        .groupBy(regexp_extract(col("canonical"), "^([^/]+)", 1).as("host"))
+        .agg(count(lit(1)).as("n_docs")),
+      """SELECT lower(regexp_extract(url, 'https?://([^/?]+)', 1)) AS host,
+        |  count(*) AS n_docs
+        |FROM (SELECT 'https://' || upper(source) || '.Example.COM/d/' || doc_id
+        |        || '?utm_source=' || lang AS url FROM documents)
+        |GROUP BY 1""".stripMargin),
+
     // snapshot diff via ONE full-outer join on doc_id (the join type no
     // other gate exercises) with payloads pre-hashed to 8 bytes so the
     // shuffle is id-width; snapshots derived deterministically from the
