@@ -983,6 +983,22 @@ object OpsQueries {
         |    FROM documents WHERE trim(text)<>'')
         |  GROUP BY term ORDER BY n_true DESC, term ASC LIMIT 20)""".stripMargin),
 
+    // Unicode NFC normalization (native codegen'd expression — Spark has
+    // no built-in normalizer; mixed composed/decomposed encodings defeat
+    // exact dedup): every doc gets a decomposed " cafe"+U+0301 suffix and
+    // the gate pins the composed form cross-engine (char count drops by
+    // one and the composed é lands in the 5-char tail); DuckDB's
+    // nfc_normalize is the oracle
+    ("t21_nfc_normalize",
+      (s, sf) => docs(s, sf)
+        .select(col("doc_id"), graft.functions.HashFunctions.nfcNormalize(
+          concat(col("text"), lit(" cafe\u0301"))).as("norm"))
+        .select(col("doc_id"), length(col("norm")).as("n_chars_nfc"),
+          expr("right(norm, 5)").as("tail")),
+      """SELECT doc_id, len(n) AS n_chars_nfc, right(n, 5) AS tail
+        |FROM (SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) AS n
+        |      FROM documents)""".stripMargin),
+
     // per-group exact quantiles: the token-length distribution per
     // source (p50/p90, linearly interpolated) — the per-source
     // profiling step before mixture design; Spark `percentile` and

@@ -439,6 +439,15 @@ object HashFunctions {
       exprs => BloomSetContains(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_size", exprs => DeflateSize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+  }
+
+  /** Unicode NFC normalization column (native, ASCII fast path); caller
+    * must hold a session with [[VectorFunctions.register]] invoked. */
+  def nfcNormalize(text: Column): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_nfc", text)
   }
 
   /** ppjoin hash-order prefix column (per-row native selection, no

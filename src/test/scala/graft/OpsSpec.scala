@@ -1041,6 +1041,21 @@ class OpsSpec extends AnyFunSuite {
     assert(shardTotals.values.forall(_ <= 500 + maxDoc))
   }
 
+  test("graft_nfc: composes decomposed forms, ASCII passes through, idempotent") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301"   // e + combining acute (U+0301)
+    val composed = "caf\u00e9"       // precomposed é
+    val rows = Seq(decomposed, composed, "plain ascii", "")
+      .toDF("s")
+      .select(col("s"), graft.functions.HashFunctions.nfcNormalize(col("s")).as("n"))
+      .as[(String, String)].collect().toMap
+    assert(rows(decomposed) == composed)
+    assert(rows(composed) == composed)
+    assert(rows("plain ascii") == "plain ascii" && rows("") == "")
+    // NFC unifies the two encodings for exact dedup
+    assert(rows(decomposed) == rows(composed))
+  }
+
   test("funnel: strictly ordered — out-of-order steps do not count") {
     import spark.implicits._
     // u1 completes in order; u2's only view precedes its signup; u3's
