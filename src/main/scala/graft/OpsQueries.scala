@@ -983,6 +983,31 @@ object OpsQueries {
         |    FROM documents WHERE trim(text)<>'')
         |  GROUP BY term ORDER BY n_true DESC, term ASC LIMIT 20)""".stripMargin),
 
+    // incremental dedup maintenance: the corpus splits into a base (80%)
+    // and an arrival batch (20%); the base's own MinHash run plus the
+    // incremental arrival probe (cost ∝ batch, never corpus² — the
+    // banded bucket table is the persistable index) must together equal
+    // the FULL-corpus exact-Jaccard oracle, i.e. d03's oracle verbatim
+    ("e06_incremental_dedup",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val base = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val arrivals = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        Dedup.minHashNearDups(base, col("doc_id"), col("text"),
+            n = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+          .unionByName(Dedup.minHashNearDupsIncremental(base, arrivals,
+            col("doc_id"), col("text"), n = 3, threshold = 0.8)
+            .select(col("id_a"), col("id_b")))
+      },
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8""".stripMargin),
+
     // Unicode NFC normalization (native codegen'd expression — Spark has
     // no built-in normalizer; mixed composed/decomposed encodings defeat
     // exact dedup): every doc gets a decomposed " cafe"+U+0301 suffix and

@@ -1041,6 +1041,23 @@ class OpsSpec extends AnyFunSuite {
     assert(shardTotals.values.forall(_ <= 500 + maxDoc))
   }
 
+  test("incremental MinHash: base pairs + arrival probe partition the full pair set") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val base = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val arrivals = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = pairs(Dedup.minHashNearDups(d, col("doc_id"), col("text"), 3, 0.8))
+    val basePairs = pairs(Dedup.minHashNearDups(base, col("doc_id"), col("text"), 3, 0.8))
+    val incr = pairs(Dedup.minHashNearDupsIncremental(base, arrivals,
+      col("doc_id"), col("text"), 3, 0.8))
+    assert((basePairs intersect incr).isEmpty,
+      "incremental pairs must all involve an arrival")
+    assert(incr.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 })
+    assert((basePairs union incr) == full, "partition must reconstruct the full run")
+    assert(incr.nonEmpty, "fixture must exercise the incremental path")
+  }
+
   test("graft_nfc: composes decomposed forms, ASCII passes through, idempotent") {
     import spark.implicits._
     val decomposed = "cafe\u0301"   // e + combining acute (U+0301)
