@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TemporalJoin, TextOps}
+import graft.ops.{Dedup, EventAnalytics, Multimodal, Pipeline, Retrieval, Similarity, TemporalJoin, TextOps}
 import graft.sources.NtSource
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -2088,6 +2088,131 @@ object OpsQueries {
         |  CAST(floor((SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok)
         |    / 1000) AS BIGINT) AS shard
         |FROM m""".stripMargin),
+
+    // ---- keyword retrieval ----------------------------------------------
+    // BM25 over every matching doc (no top-k cut in the gate: a rank
+    // boundary between near-equal floats is not a cross-engine contract,
+    // the full score relation is). Per-term contributions are 4-dp
+    // decimals summed order-independently, like t18.
+    ("b01_bm25_scores",
+      (s, sf) => Retrieval.bm25Scores(docs(s, sf), col("doc_id"), col("text"),
+        Seq("spark", "vector", "stream")),
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(lower(trim(text)),'\s+') END AS tk
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |    SUM(len(tk))::DOUBLE / count(*) AS avgdl FROM toks),
+        |tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, unnest(tk) AS t, len(tk)::DOUBLE AS dl FROM toks)
+        |  WHERE t IN ('spark','vector','stream') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(floor(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st))))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(28,4)) AS s4
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, floor(CAST(SUM(s4) AS DOUBLE) * 10000 + 0.5) / 10000 AS bm25
+        |FROM sc GROUP BY doc_id""".stripMargin),
+
+    // build the inverted index (grouped, doc_id-sorted posting arrays),
+    // then probe two terms back out to flat postings — the round trip is
+    // what the oracle can restate
+    ("b02_inverted_postings",
+      (s, sf) => Retrieval.probePostings(
+        Retrieval.invertedIndex(docs(s, sf), col("doc_id"), col("text")),
+        Seq("vector", "stream")),
+      """SELECT t AS term, doc_id, count(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),'\s+')) AS t
+        |      FROM documents WHERE trim(text) <> '')
+        |WHERE t IN ('vector','stream') GROUP BY 1, 2""".stripMargin),
+
+    // ---- link-graph triangles -------------------------------------------
+    // co-occurrence graph: parts sharing an order; per-node triangle
+    // counts via degree-ordered orientation (wedge work Θ(m^1.5) bound)
+    ("g02_triangle_counts",
+      (s, sf) => {
+        val li = s.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.select(col("ok"), col("pk").as("p1"))
+          .join(li.select(col("ok"), col("pk").as("p2")), "ok")
+          .filter(col("p1") < col("p2"))
+        graft.ops.Graph.triangleCounts(pairs, col("p1"), col("p2"))
+      },
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_tri
+        |FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node""".stripMargin),
+
+    // ---- time-grid resample + forward fill ------------------------------
+    ("ts06_resample_ffill",
+      (s, sf) => EventAnalytics.resampleFfill(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("user_id"), col("ts"), col("value"), col("event_id"),
+        stepSeconds = 3600L),
+      """WITH ev AS (SELECT user_id, ts, value, event_id,
+        |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket
+        |  FROM events),
+        |pb AS (SELECT user_id, bucket, value FROM (
+        |    SELECT user_id, bucket, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+        |  FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |        FROM ev GROUP BY 1)),
+        |f AS (SELECT g.user_id, g.bucket, pb.value AS v
+        |  FROM grid g LEFT JOIN pb USING (user_id, bucket))
+        |SELECT user_id AS key, make_timestamp(bucket * 3600000000) AS grid_ts,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS value,
+        |  v IS NOT NULL AS observed
+        |FROM f""".stripMargin),
+
+    // ---- per-group winsorization ----------------------------------------
+    ("w04_winsorize",
+      (s, sf) => Pipeline.winsorize(
+        docs(s, sf).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("double").as("ntok")),
+        col("source"), col("ntok"), lo = 0.05, hi = 0.95),
+      """WITH t AS (SELECT doc_id, source,
+        |    (CASE WHEN trim(text)='' THEN 0
+        |          ELSE len(string_split_regex(lower(trim(text)),'\s+')) END)::DOUBLE AS ntok
+        |  FROM documents),
+        |q AS (SELECT source, quantile_cont(ntok, 0.05) AS qlo,
+        |    quantile_cont(ntok, 0.95) AS qhi FROM t GROUP BY source)
+        |SELECT doc_id, t.source, ntok,
+        |  floor(least(greatest(ntok, qlo), qhi) * 10000 + 0.5) / 10000 AS clipped
+        |FROM t JOIN q USING (source)""".stripMargin),
+
+    // ---- global dense dictionary (surrogate keys / vocabulary) ----------
+    ("p06_dict_encode",
+      (s, sf) => {
+        val p = s.read.parquet(s"$sf/part.parquet")
+        val dict = Pipeline.dictionary(p, col("p_name"))
+        Pipeline.dictEncode(p, col("p_name"), dict, as = "name_id")
+          .select(col("p_partkey"), col("p_name"), col("name_id"))
+      },
+      """WITH d AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS id
+        |  FROM (SELECT DISTINCT p_name AS value FROM part))
+        |SELECT p_partkey, p_name, d.id AS name_id
+        |FROM part JOIN d ON p_name = d.value""".stripMargin),
+
+    // ---- deterministic train/val/test split -----------------------------
+    ("p07_hash_split",
+      (s, sf) => Pipeline.hashSplit(docs(s, sf).select(col("doc_id")),
+        col("doc_id"), salt = "split1",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
+      """SELECT doc_id, CASE WHEN bk < 9000 THEN 'train'
+        |    WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  list_reduce(list_prepend(7::BIGINT, list_transform(
+        |    string_split('split1:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
+        |  FROM documents)""".stripMargin),
 
     // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
     ("nt01_ingest",

@@ -63,4 +63,56 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"),
         count(when(col("retained"), 1)).as("n_retained"))
   }
+
+  /** Resample an irregular per-key event stream onto a regular time grid
+    * with forward fill — the feature-store alignment step (join "latest
+    * sensor/price/score as of each hour" without a per-grid-point as-of
+    * join). Each key's grid spans its own [min, max] observation window
+    * at `step` seconds starting from the epoch-aligned truncation of the
+    * first event.
+    *
+    * Plan: ONE shuffle of the log by key. Per (key, bucket) the last
+    * observation is picked by a row_number window (ordered by ts then
+    * `tieBreak` — deterministic under equal timestamps); the grid is a
+    * `sequence` explode off the per-key min/max aggregate (grid rows,
+    * not event rows); the forward fill is a `last(ignoreNulls)` running
+    * window over the grid — all three stages share the key partitioning,
+    * so Catalyst plans a single Exchange. Grid size is bounded by
+    * span/step per key, independent of event volume.
+    *
+    * Output: (key, grid_ts, value, observed) — `value` null only before
+    * a key's first observation (impossible here since grids start at an
+    * observation), `observed` true on buckets with a real event. */
+  def resampleFfill(events: DataFrame, key: Column, ts: Column, value: Column,
+      tieBreak: Column, stepSeconds: Long = 3600L): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val step = lit(stepSeconds)
+    // epoch-aligned bucket index of each event
+    // the ONE corpus shuffle: everything downstream — the per-bucket pick
+    // window (clustered on (k, bucket) ⊇ k), the per-key grid aggregate,
+    // the grid⋈pick join, and the fill window — is satisfied by this
+    // k-partitioning, so Catalyst inserts no further Exchange (spec-
+    // guarded; AQE dedups the two consumers into a ReusedExchange)
+    val base = events.select(key.as("k"), ts.as("ts"), value.as("v"),
+        tieBreak.as("tb"))
+      .withColumn("bucket", floor(unix_micros(col("ts")) / (step * 1000000L)))
+      .repartition(col("k"))
+    val wPick = Window.partitionBy(col("k"), col("bucket"))
+      .orderBy(col("ts").desc, col("tb").desc)
+    val perBucket = base
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("bucket"), col("v"))
+    val grid = base.groupBy(col("k"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val wFill = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("k", "bucket"), "left")
+      .select(col("k"), col("bucket"), col("v"))
+      .withColumn("value", last(col("v"), ignoreNulls = true).over(wFill))
+      .select(col("k").as("key"),
+        timestamp_micros(col("bucket") * step * 1000000L).as("grid_ts"),
+        col("value"), col("v").isNotNull.as("observed"))
+  }
 }

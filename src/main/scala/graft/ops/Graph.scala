@@ -53,4 +53,54 @@ object Graph {
     nodes.unpersist(); ew.unpersist()
     ranks
   }
+
+  /** Per-node triangle counts over an undirected graph (edges given in
+    * either direction; self-loops and duplicates dropped). Triangles are
+    * the local-clustering signal — in a link graph they separate organic
+    * neighborhoods from link farms (spam scores à la TrustRank use them).
+    *
+    * Scale shape: the classic degree-ordered orientation (node iterator
+    * of Schank/Wagner; the MapReduce form is Suri/Vassilvitskii 2011).
+    * Each undirected edge is oriented from the endpoint with the LOWER
+    * (degree, id) rank to the higher, so every wedge is enumerated at
+    * exactly one apex and — the load-balancing point — a hub of degree d
+    * has out-degree O(√m) after orientation, which bounds the wedge
+    * explosion at Θ(m^1.5) total work regardless of skew. Wedge closure
+    * is one self-join on the apex plus one semi-ish join against the
+    * oriented edge set; all shuffles carry (long, long) pairs only.
+    *
+    * Output: (node, n_tri) for nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edges.select(
+        least(src.cast("long"), dst.cast("long")).as("u"),
+        greatest(src.cast("long"), dst.cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("node")).union(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lower rank → higher rank
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at apex a: (x, y) both out-neighbors, canonicalized x < y by
+    // id so the closing edge {x,y} can be probed directly against the
+    // already-canonical (u < v) undirected edge set
+    val e1 = oriented.select(col("a"), col("b").as("x"))
+    val e2 = oriented.select(col("a"), col("b").as("y"))
+    val wedges = e1.join(e2, "a").filter(col("x") < col("y"))
+    val tris = wedges.join(und,
+      col("x") === col("u") && col("y") === col("v"), "leftsemi")
+      .select(col("a"), col("x"), col("y"))
+    val out = tris.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint() // eager: materialize before releasing the cache
+    oriented.unpersist(); und.unpersist()
+    out
+  }
 }

@@ -222,4 +222,86 @@ object Pipeline {
     ranked.join(broadcast(offDf), "bkt")
       .select(col("id"), col("q").as("score"), tile.as("tile"))
   }
+
+  /** Deterministic train/val/test assignment from the same portable
+    * hash bucket as [[sampleDeterministic]]: `fractions` are cumulative
+    * slice widths in bucket space (e.g. 0.9/0.05/0.05). Hash-based
+    * splits are the only ones that survive a 100 TB pipeline's re-runs
+    * and incremental appends — a row's split never depends on what
+    * other rows exist, so yesterday's train doc cannot migrate into
+    * tomorrow's held-out set. Zero shuffles: one codegen'd CASE in the
+    * scan stage.
+    *
+    * Output: the input columns + `split`. */
+  def hashSplit(df: DataFrame, id: Column, salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 10000).toInt)
+    val bucket = deterministicBucket(id, salt)
+    val split = fractions.init.zip(cuts.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), cut), els) =>
+        when(bucket < cut, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", split)
+  }
+
+  /** Per-group winsorization: clip `value` to its group's [lo, hi]
+    * exact quantiles (linear interpolation, the quantile_cont contract).
+    * The outlier-taming normalizer before loss-weighting or length
+    * curricula. The quantile pass aggregates to one row per group —
+    * broadcastable at any corpus size when groups are bounded (langs,
+    * sources); at 100 TB swap the exact `percentile` for
+    * `approx_percentile` with the same plan shape (the exact twin is
+    * what a verifying engine can restate).
+    *
+    * Output: the input columns + `clipped` (4-dp rounded — the clip
+    * boundaries are interpolated floats, the interior values pass
+    * through the same rounding for one uniform contract). */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantile range [$lo, $hi]")
+    val base = df.withColumn("__g", group).withColumn("__v", value.cast("double"))
+    val qs = base.groupBy(col("__g"))
+      .agg(expr(s"percentile(__v, array(${lo}D, ${hi}D))").as("__q"))
+      .select(col("__g"), element_at(col("__q"), 1).as("__qlo"),
+        element_at(col("__q"), 2).as("__qhi"))
+    base.join(broadcast(qs), "__g")
+      .withColumn("clipped",
+        floor(least(greatest(col("__v"), col("__qlo")), col("__qhi")) * 10000 + 0.5) / 10000)
+      .drop("__g", "__v", "__qlo", "__qhi")
+  }
+
+  /** Global dense dictionary over the distinct values of a column,
+    * ids 0..n−1 in value sort order — surrogate-key/vocabulary
+    * construction (string keys → fixed-width ints before a 100 TB
+    * shuffle pays string bytes). `row_number` over a global ORDER BY
+    * would funnel the dictionary through one partition; instead the
+    * sorted distinct values are range-partitioned (the sort's exchange)
+    * and `zipWithIndex` assigns contiguous ids from per-partition
+    * offsets — one count job, no single-partition stage, deterministic.
+    *
+    * Output: (value, id). */
+  def dictionary(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(value.cast("string").as("value"))
+      .filter(col("value").isNotNull).distinct().orderBy(col("value"))
+    val indexed = sorted.rdd.map(_.getString(0)).zipWithIndex()
+    import spark.implicits._
+    indexed.toDF("value", "id")
+  }
+
+  /** Encode a column through a dictionary built by [[dictionary]]:
+    * joins on the raw value and substitutes the dense id. The join is
+    * marked broadcast — vocabularies and key domains are MB-scale next
+    * to a corpus; drop the hint for a billion-key domain and let AQE
+    * pick the strategy. */
+  def dictEncode(df: DataFrame, value: Column, dict: DataFrame,
+      as: String = "value_id"): DataFrame =
+    df.withColumn("__raw", value.cast("string"))
+      .join(broadcast(dict.select(col("value").as("__raw"), col("id").as(as))),
+        Seq("__raw"), "left")
+      .drop("__raw")
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Keyword retrieval over a document corpus: inverted-index construction
+  * and BM25 scoring (Robertson/Spärck Jones; the Okapi k1/b form). In a
+  * training-data pipeline this is the seed-expansion / targeted-harvest
+  * primitive: "give me the documents that look like this query" over
+  * billions of rows, where a full-text engine is unavailable and the
+  * corpus lives in parquet.
+  *
+  * Scale shape: every stage operates on (doc, term) COUNT pairs, never
+  * on raw text past the first scan. The query-term filter is applied to
+  * the exploded token stream inside the scan stage (a 3-term query
+  * discards ~all token instances before the first exchange), so the one
+  * corpus-sized cost is the scan itself; the aggregations that follow
+  * see only query-term instances. Corpus statistics (N, Σdl) ride the
+  * plan as literals from a single separate aggregate pass. */
+object Retrieval {
+
+  /** Inverted index: one row per distinct term — document frequency,
+    * total term frequency, and the posting list as a doc_id-sorted
+    * array of (doc_id, tf) structs. Postings for web-scale corpora are
+    * the classic skewed aggregation: the groupBy shuffles pair COUNTS
+    * (bounded by Σ|doc vocab|, far below corpus bytes) and a stopword
+    * term's posting array is the one per-key hotspot — cap it with
+    * `maxPostings` (0 = unlimited) the way production indexes impose
+    * posting budgets. */
+  def invertedIndex(df: DataFrame, id: Column, text: Column,
+      maxPostings: Int = 0): DataFrame = {
+    val tf = df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val grouped = tf.groupBy(col("term")).agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).as("total_tf"),
+      sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+    if (maxPostings > 0)
+      grouped.withColumn("postings", slice(col("postings"), 1, maxPostings))
+    else grouped
+  }
+
+  /** Probe an inverted index for `terms`: back to flat (term, doc_id, tf)
+    * postings. At scale the term predicate is a tiny IN-list pushed to
+    * the index's parquet scan — the read is |postings of the queried
+    * terms|, not the corpus. */
+  def probePostings(index: DataFrame, terms: Seq[String]): DataFrame =
+    index.filter(col("term").isin(terms: _*))
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+
+  /** BM25 scores for every document matching ≥1 query term.
+    *
+    * score(d) = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)), df = docs containing t,
+    * dl = |tokens(d)|, avgdl = Σdl/N over the whole corpus.
+    *
+    * Per-term contributions are rounded to 4 dp and summed as decimals,
+    * so the document score is independent of Spark's (and any verifying
+    * engine's) float-summation order — the same cross-engine contract as
+    * [[TextOps.bigramLogProb]]. Output: (doc_id, bm25). */
+  def bm25Scores(df: DataFrame, id: Column, text: Column, query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(id.as("doc_id"), TextOps.tokens(text).as("tk"))
+    // one corpus pass for the two global stats; exact integer sum, so the
+    // avgdl division is the same double on every engine
+    val statsRow = toks.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("sumdl")).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
+    // explode + query filter inside the scan stage; dl rides along
+    val pairs = toks.select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(query: _*))
+    val tf = pairs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfc = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .select(col("doc_id"),
+        (floor(idf * tfc * 10000 + 0.5) / 10000).cast(DecimalType(28, 4)).as("s4"))
+      .groupBy(col("doc_id")).agg(sum(col("s4")).as("sum4"))
+      .select(col("doc_id"),
+        (floor(col("sum4").cast("double") * 10000 + 0.5) / 10000).as("bm25"))
+  }
+
+  /** Top-`k` BM25 retrieval (deterministic: ties broken by doc_id). Plans
+    * as TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def bm25TopK(df: DataFrame, id: Column, text: Column, query: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(df, id, text, query, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+}

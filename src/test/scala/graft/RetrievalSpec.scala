@@ -1,0 +1,187 @@
+package graft
+
+import graft.ops.{EventAnalytics, Graph, Pipeline, Retrieval}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 corpus-pipeline additions: BM25 retrieval + inverted index,
+  * triangle counting, time-grid resample/ffill, winsorization, dense
+  * dictionaries, and the deterministic train/val/test split. */
+class RetrievalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---- BM25 -------------------------------------------------------------
+
+  test("bm25Scores matches the hand-computed Okapi formula on a tiny corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+    val got = Retrieval.bm25Scores(docs, col("doc_id"), col("text"), Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference computation, independent of the op's column expressions
+    val n = 3.0; val avgdl = (3.0 + 2.0 + 3.0) / 3.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def tfc(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val expected = Map(
+      1L -> r4(r4(idf(2) * tfc(2, 3)) + r4(idf(2) * tfc(1, 3))), // a:2, b:1
+      2L -> r4(r4(idf(2) * tfc(1, 2))),                          // a:1
+      3L -> r4(r4(idf(2) * tfc(3, 3))))                          // b:3
+    assert(got == expected)
+  }
+
+  test("bm25TopK is deterministic and plans as TakeOrderedAndProject") {
+    val docs = (1L to 50L).map(i => (i, s"a ${"b " * (i % 5).toInt}")).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(docs, col("doc_id"), col("text"), Seq("b"), k = 5)
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = top.collect()
+    assert(rows.length == 5)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("bm25 document-frequency join broadcasts; no sort-merge join in the plan") {
+    val docs = (1L to 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val p = Retrieval.bm25Scores(docs, col("doc_id"), col("text"), Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  // ---- inverted index ----------------------------------------------------
+
+  test("invertedIndex postings are doc_id-sorted, df/total_tf consistent, cap works") {
+    val docs = Seq((3L, "x y x"), (1L, "x"), (2L, "y x")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[org.apache.spark.sql.Row](3).map(p => (p.getLong(0), p.getLong(1)))))
+      .sortBy(_._1)
+    assert(idx.map(_._1).toSeq == Seq("x", "y"))
+    val x = idx(0)
+    assert(x._2 == 3 && x._3 == 4) // df=3 docs, total_tf=4 instances
+    assert(x._4 == Seq((1L, 1L), (2L, 1L), (3L, 2L))) // sorted by doc_id
+    val capped = Retrieval.invertedIndex(docs, col("doc_id"), col("text"),
+      maxPostings = 2).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](3).size).toMap
+    assert(capped("x") == 2 && capped("y") == 2)
+  }
+
+  test("probePostings round-trips the index back to flat (term, doc_id, tf)") {
+    val docs = Seq((1L, "x y"), (2L, "y y")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, col("doc_id"), col("text"))
+    val got = Retrieval.probePostings(idx, Seq("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("y", 1L, 1L), ("y", 2L, 2L)))
+  }
+
+  // ---- triangles ---------------------------------------------------------
+
+  test("triangleCounts: planted triangle + tail; duplicates, reversals, self-loops ignored") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), // triangle
+      (3L, 4L), (4L, 5L),                         // tail, no triangle
+      (2L, 1L), (1L, 1L), (1L, 2L))               // reversal, self-loop, dup
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(edges, col("s"), col("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts on K5: every node sits in C(4,2)=6 triangles") {
+    val nodes = 1L to 5L
+    val edges = (for (u <- nodes; v <- nodes if u < v) yield (u, v)).toDF("s", "d")
+    val got = Graph.triangleCounts(edges, col("s"), col("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == nodes.map(_ -> 6L).toMap)
+  }
+
+  // ---- resample + ffill --------------------------------------------------
+
+  test("resampleFfill fills gaps forward, flags observed buckets, breaks ts ties deterministically") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:20:00") // same bucket, later
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 02:30:00")
+    val ev = Seq(("a", t0, 1.0, 10L), ("a", t1, 2.0, 11L), ("a", t1, 99.0, 12L),
+      ("a", t2, 3.0, 13L)).toDF("k", "ts", "v", "id")
+    val got = EventAnalytics.resampleFfill(ev, col("k"), col("ts"), col("v"),
+        col("id"), stepSeconds = 3600L)
+      .orderBy(col("grid_ts")).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == 3) // buckets 00:00, 01:00, 02:00
+    assert(got(0) == ("2024-01-01 00:00:00.0", 99.0, true)) // tie → max tieBreak
+    assert(got(1) == ("2024-01-01 01:00:00.0", 99.0, false)) // forward-filled
+    assert(got(2) == ("2024-01-01 02:00:00.0", 3.0, true))
+  }
+
+  test("resampleFfill plans exactly one real Exchange (the key repartition)") {
+    val ev = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0, 1L))
+      .toDF("k", "ts", "v", "id")
+    val plan = EventAnalytics.resampleFfill(ev, col("k"), col("ts"), col("v"),
+      col("id")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val reused = plan.contains("ReusedExchange")
+    assert(exchanges <= (if (reused) 1 else 2),
+      s"resample shuffles more than the one key partition:\n$plan")
+  }
+
+  // ---- winsorize ---------------------------------------------------------
+
+  test("winsorize clips to exact interpolated group quantiles") {
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "x")
+    val got = Pipeline.winsorize(df, col("grp"), col("x"), lo = 0.05, hi = 0.95)
+      .select(col("x"), col("clipped")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // percentile over 1..20: p05 = 1.95, p95 = 19.05 (linear interpolation)
+    assert(got(1.0) == 1.95 && got(20.0) == 19.05)
+    assert(got(10.0) == 10.0 && got(2.0) == 2.0 && got(19.0) == 19.0)
+  }
+
+  // ---- dictionary --------------------------------------------------------
+
+  test("dictionary assigns dense 0-based ids in value order; encode joins them back") {
+    val df = Seq("pear", "apple", "pear", "fig", null).toDF("w")
+    val dict = Pipeline.dictionary(df, col("w"))
+    val d = dict.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("apple" -> 0L, "fig" -> 1L, "pear" -> 2L))
+    val enc = Pipeline.dictEncode(df, col("w"), dict).collect()
+      .map(r => Option(r.getString(0)) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(enc == Set(Some("pear") -> 2L, Some("apple") -> 0L,
+      Some("fig") -> 1L, None -> -1L))
+  }
+
+  test("dictionary ids stay dense and ordered across many partitions") {
+    val df = spark.range(1000).select(concat(lit("v"),
+      format_string("%04d", (col("id") * 7919) % 1000)).as("w")).repartition(8)
+    val d = Pipeline.dictionary(df, col("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._2)
+    assert(d.length == 1000)
+    assert(d.map(_._2).toSeq == (0L until 1000L))
+    assert(d.map(_._1).toSeq == d.map(_._1).sorted.toSeq)
+  }
+
+  // ---- hash split --------------------------------------------------------
+
+  test("hashSplit: stable under subsetting, fractions validated, proportions sane") {
+    val df = spark.range(2000).select(col("id"))
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val full = Pipeline.hashSplit(df, col("id"), "s1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1700 && counts("val") > 50 && counts("test") > 50)
+    // a row's split must not depend on what other rows exist
+    val sub = Pipeline.hashSplit(df.filter(col("id") % 3 === 0), col("id"), "s1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (id, s) => full(id) == s })
+    intercept[IllegalArgumentException] {
+      Pipeline.hashSplit(df, col("id"), "s1", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+}
