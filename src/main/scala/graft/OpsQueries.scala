@@ -2219,6 +2219,31 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- mergeable HLL roll-up ------------------------------------------
+    // per-flag distinct-order sketches + union roll-up: every estimate —
+    // including the unioned one, which answers from the composite
+    // estimator rather than a direct sketch's HIP accumulator — must sit
+    // within the 3·RSE DataSketches bound of its exact twin; property
+    // verdicts beside the exact counts, the t09/t13 shape (DuckDB cannot
+    // re-derive a DataSketches estimate, but it can re-derive the exact
+    // counts and assert the claims)
+    ("t22_hll_rollup",
+      (s, sf) => {
+        val li = s.read.parquet(s"$sf/lineitem.parquet")
+        val bound = 3 * graft.ops.Sketches.hllRse(12)
+        graft.ops.Sketches.hllRollup(li, col("l_returnflag"), col("l_orderkey"))
+          .select(col("scope"), col("n_exact"),
+            (abs(col("est") - col("n_exact"))
+              <= col("n_exact") * bound + 1).as("est_ok"),
+            coalesce(abs(col("est_direct") - col("n_exact"))
+              <= col("n_exact") * bound + 1, lit(true)).as("merge_ok"))
+      },
+      """SELECT l_returnflag AS scope, count(DISTINCT l_orderkey) AS n_exact,
+        |  TRUE AS est_ok, TRUE AS merge_ok FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT '__ALL__', count(DISTINCT l_orderkey), TRUE, TRUE
+        |FROM lineitem""".stripMargin),
+
     // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
     ("nt01_ingest",
       (s, sf) => {

@@ -167,6 +167,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(d.map(_._1).toSeq == d.map(_._1).sorted.toSeq)
   }
 
+  // ---- HLL roll-up -------------------------------------------------------
+
+  test("hllRollup: small groups estimate exactly; union equals the direct sketch") {
+    val df = Seq((1, "g1"), (2, "g1"), (2, "g1"), (3, "g2"), (4, "g2"), (1, "g2"))
+      .toDF("x", "g")
+    val r = graft.ops.Sketches.hllRollup(df, col("g"), col("x")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("g1").getLong(1) == 2 && r("g1").getLong(2) == 2)
+    assert(r("g2").getLong(1) == 3 && r("g2").getLong(2) == 3)
+    val all = r("__ALL__")
+    assert(all.getLong(1) == 4)                 // exact distinct over union
+    assert(all.getLong(2) == 4 && all.getLong(3) == 4) // sparse regime: exact
+  }
+
+  test("hllRollup: merged and direct estimates both within bounds at estimation-mode cardinalities") {
+    val df = spark.range(200000)
+      .select((col("id") % 3).cast("string").as("g"), (col("id") % 60000).as("x"))
+    val all = graft.ops.Sketches.hllRollup(df, col("g"), col("x"), lgK = 12)
+      .filter(col("scope") === "__ALL__").head()
+    val (exact, est, direct) = (all.getLong(1), all.getLong(2), all.getLong(3))
+    val bound = exact * 3 * graft.ops.Sketches.hllRse(12) + 1
+    // merged answers from the composite estimator, direct from HIP — they
+    // may differ by a few counts but both must honor the sketch bound
+    assert(math.abs(est - exact) <= bound, s"merged $est vs exact $exact")
+    assert(math.abs(direct - exact) <= bound, s"direct $direct vs exact $exact")
+  }
+
   // ---- hash split --------------------------------------------------------
 
   test("hashSplit: stable under subsetting, fractions validated, proportions sane") {
