@@ -2219,6 +2219,26 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- streaming near-dup detection -----------------------------------
+    // MinHash-LSH as a REAL streaming query: state keyed by (band, bhash),
+    // each arrival pairs against all prior bucket members. One file = one
+    // micro-batch under AvailableNow, and the bucketing is bit-identical
+    // to the batch path, so the exact-verified pairs must equal d03's
+    // all-pairs Jaccard oracle verbatim (recall argument = d03's:
+    // 1-(1-j⁴)¹⁶ > 1-10⁻⁸ at j ≥ 0.8). Cross-batch state is spec-covered.
+    ("st11_stream_neardup",
+      (s, sf) => graft.streaming.CorpusStreams
+        .runNearDupBatch(s, s"$sf/documents.parquet", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b")),
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8""".stripMargin),
+
     // ---- mergeable HLL roll-up ------------------------------------------
     // per-flag distinct-order sketches + union roll-up: every estimate —
     // including the unioned one, which answers from the composite

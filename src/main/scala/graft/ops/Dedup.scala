@@ -264,6 +264,25 @@ object Dedup {
     verifyJaccard(cands, shBase.unionByName(shNew), threshold)
   }
 
+  /** Public (sid, band, bhash) LSH bucket rows straight from raw text —
+    * the stateless prefix of the MinHash pipeline (shingle → signature →
+    * band hash is per-row Column work, no shuffle), exposed so a
+    * STREAMING plan can key its state store by (band, bhash) with the
+    * exact same bucketing the batch path joins on
+    * ([[graft.streaming.CorpusStreams.nearDupCandidatesPlan]]). */
+  def lshBucketRows(df: DataFrame, id: Column, text: Column, n: Int,
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    bandedTable(df.select(id.as("sid"),
+        minHashSignature(wordShingles(text, n), numHashes).as("sig")),
+      bands, numHashes / bands)
+
+  /** Exact-Jaccard verification of an externally produced candidate-pair
+    * set (id_a, id_b) against the corpus — the confirm step shared by
+    * the batch and streaming LSH paths. */
+  def verifyCandidatePairs(cands: DataFrame, df: DataFrame, id: Column,
+      text: Column, n: Int, threshold: Double): DataFrame =
+    verifyJaccard(cands, shingled(df, id, text, n), threshold)
+
   /** Cross-engine-reproducible 62-bit token hash: two independent
     * polynomial hashes over the char codes (base 31 mod 1e9+7 in the high
     * 32 bits, base 131 mod 998244353 in the low). Unlike xxhash64 this is

@@ -209,4 +209,48 @@ class StreamingSpec extends AnyFunSuite {
     val e = intercept[RuntimeException](EventStreams.normalizeTs(bad))
     assert(e.getMessage.contains("unsupported dtype"))
   }
+
+  test("streaming near-dup pairs a late arrival against state from earlier micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.CorpusStreams.nearDupCandidatesPlan(docs, n = 3)
+      .writeStream.format("memory").queryName("nd_state").outputMode("append").start()
+    try {
+      val dup = "the quick brown fox jumps over the lazy dog tonight again"
+      ms.addData((1L, dup),
+        (2L, "spark executors shuffle partitions across the cluster memory fabric"))
+      q.processAllAvailable()
+      assert(spark.table("nd_state").collect().isEmpty) // nothing similar yet
+      ms.addData((3L, dup)) // near-dup of doc 1, LATER micro-batch
+      q.processAllAvailable()
+      val pairs = spark.table("nd_state").select("id_a", "id_b")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L)), s"got $pairs")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup hot-bucket cap: beyond maxBucket new members neither pair nor enter state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.CorpusStreams
+      .nearDupCandidatesPlan(docs, n = 3, maxBucket = 2)
+      .writeStream.format("memory").queryName("nd_cap").outputMode("append").start()
+    try {
+      val dup = "one single template sentence repeated across every document here"
+      ms.addData((1L, dup), (2L, dup), (3L, dup))
+      q.processAllAvailable()
+      val b1 = spark.table("nd_cap").select("id_a", "id_b")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(b1 == Set((1L, 2L)), s"cap at 2 must admit only docs 1 and 2: $b1")
+      ms.addData((4L, dup)) // bucket already full: no pairs, no state growth
+      q.processAllAvailable()
+      val b2 = spark.table("nd_cap").select("id_a", "id_b")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(b2 == Set((1L, 2L)), s"full bucket must not admit doc 4: $b2")
+    } finally q.stop()
+  }
 }
