@@ -2219,6 +2219,57 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- personalized PageRank ------------------------------------------
+    // teleport restricted to a 3-part seed set over the same part→supp→
+    // nation graph as g01: rank becomes proximity-to-seeds (seed-list
+    // expansion); nodes unreachable from every seed rank exactly 0. The
+    // oracle replicates the teleport arithmetic op-for-op ((1.0-0.85)/3
+    // in IEEE order) and rounds 8-dp BEFORE the top-20, like g01.
+    ("g03_ppr_seeds",
+      (s, sf) => {
+        val ps = s.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        val sn = s.read.parquet(s"$sf/supplier.parquet")
+          .select((col("s_suppkey") + 1000000L).as("src"), (col("s_nationkey") + 2000000L).as("dst"))
+        graft.ops.Graph.pageRank(ps.unionByName(sn), col("src"), col("dst"),
+            iterations = 3, seeds = Seq(1L, 2L, 3L))
+          .select(col("node"), (floor(col("rank") * 100000000.0 + 0.5) / 100000000.0).as("rank"))
+          .filter(col("rank") > 0)
+          .orderBy(col("rank").desc, col("node").asc).limit(20)
+      },
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        |  UNION
+        |  SELECT s_suppkey + 1000000, s_nationkey + 2000000 FROM supplier),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CASE WHEN node IN (1,2,3)
+        |       THEN 1.0/CAST(3 AS DOUBLE) ELSE 0.0 END AS rank FROM nodes),
+        |r1 AS (SELECT nodes.node, CASE WHEN nodes.node IN (1,2,3)
+        |         THEN (1.0-0.85)/CAST(3 AS DOUBLE) ELSE 0.0 END
+        |         + 0.85*coalesce(c.contrib, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+        |         FROM e JOIN od ON e.src=od.src JOIN r0 r ON r.node=e.src
+        |         GROUP BY e.dst) c ON nodes.node=c.node),
+        |r2 AS (SELECT nodes.node, CASE WHEN nodes.node IN (1,2,3)
+        |         THEN (1.0-0.85)/CAST(3 AS DOUBLE) ELSE 0.0 END
+        |         + 0.85*coalesce(c.contrib, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+        |         FROM e JOIN od ON e.src=od.src JOIN r1 r ON r.node=e.src
+        |         GROUP BY e.dst) c ON nodes.node=c.node),
+        |r3 AS (SELECT nodes.node, CASE WHEN nodes.node IN (1,2,3)
+        |         THEN (1.0-0.85)/CAST(3 AS DOUBLE) ELSE 0.0 END
+        |         + 0.85*coalesce(c.contrib, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank/od.outdeg) AS contrib
+        |         FROM e JOIN od ON e.src=od.src JOIN r2 r ON r.node=e.src
+        |         GROUP BY e.dst) c ON nodes.node=c.node)
+        |SELECT node, rank FROM (
+        |  SELECT node, floor(rank*100000000 + 0.5)/100000000 AS rank FROM r3)
+        |WHERE rank > 0 ORDER BY 2 DESC, node LIMIT 20""".stripMargin),
+
     // ---- streaming near-dup detection -----------------------------------
     // MinHash-LSH as a REAL streaming query: state keyed by (band, bhash),
     // each arrival pairs against all prior bucket members. One file = one

@@ -18,6 +18,13 @@ object Graph {
     * aggregate per iteration than the redistributing variant, and the
     * variant any SQL engine can restate for verification).
     *
+    * `seeds` non-empty switches to PERSONALIZED PageRank: teleport mass
+    * lands uniformly on the seed set instead of all nodes (and ranks
+    * start there), so rank measures proximity to the seeds — the
+    * seed-list-expansion / topic-crawl primitive (nodes unreachable from
+    * every seed rank exactly 0). Same plan shape: the teleport vector is
+    * an `isin` CASE, no extra join.
+    *
     * Scale shape: edges are deduplicated, joined once with out-degrees,
     * hash-partitioned by `src` and persisted — every iteration then
     * reuses that layout for its rank join (shuffle only on the
@@ -28,7 +35,8 @@ object Graph {
     *
     * Output: (node, rank), unnormalized ranks of the simplified model. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      seeds: Seq[Long] = Nil): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .distinct()
@@ -39,8 +47,16 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ew = e.join(outdeg, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = lit((1.0 - damping) / n)
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    // teleport mass per node: uniform, or concentrated on the seed set
+    val (base, init) =
+      if (seeds.isEmpty)
+        (lit((1.0 - damping) / n), lit(1.0 / n))
+      else {
+        val onSeed = col("node").isin(seeds: _*)
+        (when(onSeed, lit((1.0 - damping) / seeds.size)).otherwise(lit(0.0)),
+          when(onSeed, lit(1.0 / seeds.size)).otherwise(lit(0.0)))
+      }
+    var ranks = nodes.select(col("node"), init.as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = ew.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))

@@ -1111,6 +1111,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r.values.sum <= 1.0 + 1e-9)
   }
 
+  test("personalized pageRank: teleport concentrates on seeds; unreachable nodes rank 0") {
+    import spark.implicits._
+    // chain 1→2→3 reachable from seed 1; island 4→5 unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val r = graft.ops.Graph.pageRank(edges, col("src"), col("dst"),
+        iterations = 3, seeds = Seq(1L))
+      .as[(Long, Double)].collect().toMap
+    assert(r(4L) == 0.0 && r(5L) == 0.0) // no teleport, no inflow: exactly 0
+    val base = 1.0 - 0.85 // full teleport mass on the single seed
+    assert(math.abs(r(1L) - base) < 1e-12)
+    assert(math.abs(r(2L) - 0.85 * base) < 1e-12) // seed's rank flows one hop
+    assert(r(3L) > 0 && r.values.sum <= 1.0 + 1e-9)
+    // empty seeds stays the uniform variant (g01 path unchanged)
+    val u = graft.ops.Graph.pageRank(edges, col("src"), col("dst"), iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(u(4L) > 0.0)
+  }
+
   test("saltedEquiJoin: row-identical to the plain join, spreads a hot key") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
