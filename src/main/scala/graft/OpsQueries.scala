@@ -2219,6 +2219,28 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- fixed-context sequence packing ---------------------------------
+    // the LLM pretraining layout: docs concatenated in doc_id order, cut
+    // into 256-token examples, docs SPLITTING across window boundaries;
+    // each row is one fragment with its in-doc span and in-example offset
+    ("p08_pack_sequences",
+      (s, sf) => Pipeline.packFixedWindows(docs(s, sf), col("doc_id"),
+        TextOps.tokenCount(col("text")), contextLen = 256, bucketWidth = 64),
+      """WITH t AS (SELECT doc_id, ntok,
+        |    CAST(SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok
+        |         AS BIGINT) AS gstart
+        |  FROM (SELECT doc_id, CASE WHEN trim(text)='' THEN 0
+        |        ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
+        |        FROM documents)),
+        |f AS (SELECT doc_id, ntok, gstart,
+        |    unnest(generate_series(gstart // 256, (gstart + ntok - 1) // 256)) AS example_id
+        |  FROM t WHERE ntok > 0)
+        |SELECT doc_id, example_id,
+        |  greatest(0, example_id * 256 - gstart) AS start_tok,
+        |  least(ntok, (example_id + 1) * 256 - gstart) AS end_tok,
+        |  greatest(0, gstart - example_id * 256) AS off_in_ex
+        |FROM f""".stripMargin),
+
     // ---- personalized PageRank ------------------------------------------
     // teleport restricted to a 3-part seed set over the same part→supp→
     // nation graph as g01: rank becomes proximity-to-seeds (seed-list

@@ -135,6 +135,18 @@ object Pipeline {
   def packByTokenBudget(df: DataFrame, id: Column, tokenCount: Column,
       budget: Long, bucketWidth: Long = 1L << 20): DataFrame = {
     require(budget > 0 && bucketWidth > 0, "budget and bucketWidth must be positive")
+    tokenOffsets(df, id, tokenCount, bucketWidth)
+      .select(col("doc_id"), col("ntok"),
+        floor(col("gstart") / budget).cast("long").as("shard"))
+  }
+
+  /** Global token offset per doc in doc_id order — the two-level prefix
+    * scan shared by the packers: per-bucket running sums under a
+    * partitioned window plus a broadcast bucket-offset table, so there
+    * is no global single-task sort at any corpus size.
+    * Output: (doc_id, ntok, gstart). */
+  private def tokenOffsets(df: DataFrame, id: Column, tokenCount: Column,
+      bucketWidth: Long): DataFrame = {
     val base = df.select(id.as("doc_id"), tokenCount.cast("long").as("ntok"),
       floor(id / bucketWidth).cast("long").as("bkt"))
     val inBucket = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
@@ -146,7 +158,39 @@ object Pipeline {
       .select(col("bkt"), coalesce(sum(col("tot")).over(acrossBuckets), lit(0L)).as("off"))
     withCum.join(broadcast(offsets), "bkt")
       .select(col("doc_id"), col("ntok"),
-        floor((col("off") + col("cum_in") - col("ntok")) / budget).cast("long").as("shard"))
+        (col("off") + col("cum_in") - col("ntok")).as("gstart"))
+  }
+
+  /** Fixed-context-window sequence packing — the LLM pretraining layout:
+    * the token stream (docs concatenated in doc_id order) is cut into
+    * examples of exactly `contextLen` tokens, and docs SPLIT across
+    * window boundaries (unlike [[packByTokenBudget]]'s soft shards).
+    * Each output row is one doc fragment: which example it lands in,
+    * which token span of the doc it carries, and where in the example it
+    * starts — everything a writer needs to emit packed examples with
+    * correct attention-mask/document-boundary bookkeeping.
+    *
+    * Same scale shape as the shard packer (two-level prefix scan, no
+    * global sort); the fragment fan-out adds ≤ 1 + ntok/contextLen rows
+    * per doc via a `sequence` explode — proportional to output, with no
+    * shuffle after the offset join.
+    *
+    * Output: (doc_id, example_id, start_tok, end_tok, off_in_ex),
+    * fragment = doc tokens [start_tok, end_tok) placed at off_in_ex. */
+  def packFixedWindows(df: DataFrame, id: Column, tokenCount: Column,
+      contextLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(contextLen > 0 && bucketWidth > 0,
+      "contextLen and bucketWidth must be positive")
+    tokenOffsets(df, id, tokenCount, bucketWidth)
+      .filter(col("ntok") > 0)
+      .select(col("doc_id"), col("ntok"), col("gstart"),
+        explode(sequence(floor(col("gstart") / contextLen).cast("long"),
+          floor((col("gstart") + col("ntok") - 1) / contextLen).cast("long")))
+          .as("example_id"))
+      .select(col("doc_id"), col("example_id"),
+        greatest(lit(0L), col("example_id") * contextLen - col("gstart")).as("start_tok"),
+        least(col("ntok"), (col("example_id") + 1) * contextLen - col("gstart")).as("end_tok"),
+        greatest(lit(0L), col("gstart") - col("example_id") * contextLen).as("off_in_ex"))
   }
 
   /** Corpus snapshot diff: classify every id across two snapshots as

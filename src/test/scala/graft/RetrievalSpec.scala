@@ -194,6 +194,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(direct - exact) <= bound, s"direct $direct vs exact $exact")
   }
 
+  // ---- fixed-window packing ----------------------------------------------
+
+  test("packFixedWindows splits docs across context boundaries with exact spans") {
+    // token stream: doc1 [0,10) | doc2 [10,16) | doc3 [16,30); C = 8 →
+    // examples: e0 [0,8) e1 [8,16) e2 [16,24) e3 [24,30)
+    val df = Seq((1L, 10L), (2L, 6L), (3L, 14L)).toDF("doc_id", "ntok")
+    val got = graft.ops.Pipeline.packFixedWindows(df, col("doc_id"), col("ntok"),
+        contextLen = 8, bucketWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val expected = Set(
+      (1L, 0L, 0L, 8L, 0L),   // doc1 fills e0
+      (1L, 1L, 8L, 10L, 0L),  // doc1 tail opens e1
+      (2L, 1L, 0L, 6L, 2L),   // doc2 entirely inside e1 at offset 2
+      (3L, 2L, 0L, 8L, 0L),   // doc3 fills e2
+      (3L, 3L, 8L, 14L, 0L))  // doc3 tail opens e3 (ragged final example)
+    assert(got == expected)
+    // every fragment length positive; every non-final example exactly full
+    val perExample = got.toSeq.groupBy(_._2).view
+      .mapValues(_.map(f => f._4 - f._3).sum).toMap
+    assert(perExample(0L) == 8 && perExample(1L) == 8 && perExample(2L) == 8)
+    assert(perExample(3L) == 6)
+    // zero-token docs produce no fragments
+    val z = graft.ops.Pipeline.packFixedWindows(
+      Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "ntok"),
+      col("doc_id"), col("ntok"), contextLen = 8)
+    assert(z.collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   // ---- hash split --------------------------------------------------------
 
   test("hashSplit: stable under subsetting, fractions validated, proportions sane") {
