@@ -2219,6 +2219,33 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- semantic (embedding-space) decontamination ---------------------
+    // corpus split 10/1 into train/eval on vec_id % 11; train vectors
+    // whose max cosine against the eval matrix reaches 0.35 are flagged
+    // with their nearest eval id — one codegen'd TopClusters scan (the
+    // eval matrix is a plan literal; no corpus shuffle), DuckDB
+    // re-derives the argmax + threshold from the full cross product
+    ("d19_semantic_decontam",
+      (s, sf) => {
+        val all = emb(s, sf)
+        Dedup.semanticDecontam(
+            all.filter(col("vec_id") % 11 =!= 0), col("vec_id"), col("embedding"),
+            all.filter(col("vec_id") % 11 === 0), col("vec_id"), col("embedding"),
+            threshold = 0.35)
+          .select(col("vec_id"), col("eval_id"),
+            round(col("cosine"), 3).as("cos3"))
+      },
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 11 = 0),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 11 <> 0),
+        |m AS (SELECT c.vec_id, e.vec_id AS eval_id,
+        |    list_cosine_similarity(c.embedding, e.embedding) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, e.embedding) DESC,
+        |               e.vec_id ASC) AS rn
+        |  FROM c CROSS JOIN e)
+        |SELECT vec_id, eval_id, ROUND(cos, 3) AS cos3
+        |FROM m WHERE rn = 1 AND cos >= 0.35""".stripMargin),
+
     // ---- fixed-context sequence packing ---------------------------------
     // the LLM pretraining layout: docs concatenated in doc_id order, cut
     // into 256-token examples, docs SPLITTING across window boundaries;

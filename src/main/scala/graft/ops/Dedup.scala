@@ -283,6 +283,48 @@ object Dedup {
       text: Column, n: Int, threshold: Double): DataFrame =
     verifyJaccard(cands, shingled(df, id, text, n), threshold)
 
+  /** SEMANTIC decontamination: flag corpus vectors whose max cosine
+    * against an eval/benchmark embedding set reaches `threshold` — the
+    * embedding-space complement of the n-gram [[contaminated]] family
+    * (paraphrased benchmark leakage that shares no 13-gram).
+    *
+    * Scale shape: eval sets are result-sized by definition (a benchmark
+    * is 10²–10⁵ items), so the eval matrix is collected once and rides
+    * the plan AS A LITERAL — the corpus pass is one codegen'd
+    * [[graft.functions.TopClusters]] scan (nearest eval per row, zero
+    * shuffles, the IVF-routing primitive reused), followed by a
+    * broadcast join against the eval-id table only to attach the match
+    * id and exact cosine. No corpus-sized shuffle anywhere; cost is
+    * |corpus|·|eval|·dim multiply-adds inside whole-stage codegen.
+    *
+    * Output: (vec_id, eval_id, cosine) for contaminated rows only —
+    * eval_id is the nearest eval vector (ties by eval position asc). */
+  def semanticDecontam(corpus: DataFrame, id: Column, vec: Column,
+      evalSet: DataFrame, evalId: Column, evalVec: Column,
+      threshold: Double): DataFrame = {
+    val evals = evalSet
+      .select(evalId.cast("long").as("eid"), evalVec.cast("array<double>").as("ev"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(evals.nonEmpty, "semanticDecontam needs a non-empty eval set")
+    val matrix = evals.map(_._2.toSeq).toSeq
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    // position order == eval-id order, so TopClusters' (cos desc, id asc)
+    // tie-break is an (cos desc, eval_id asc) tie-break
+    val idx = evals.zipWithIndex
+      .map { case ((eid, ev), pos) => (pos, eid, ev) }.toSeq
+      .toDF("__pos", "eval_id", "__ev")
+    corpus.select(id.as("vec_id"), vec.cast("array<double>").as("__cv"))
+      .withColumn("__pos", element_at(
+        graft.functions.VectorFunctions.topClusters(col("__cv"), matrix, 1), 1))
+      .join(broadcast(idx), "__pos")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("__cv"), col("__ev")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id"), col("eval_id"), col("cosine"))
+  }
+
   /** Cross-engine-reproducible 62-bit token hash: two independent
     * polynomial hashes over the char codes (base 31 mod 1e9+7 in the high
     * 32 bits, base 131 mod 998244353 in the low). Unlike xxhash64 this is

@@ -167,6 +167,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(d.map(_._1).toSeq == d.map(_._1).sorted.toSeq)
   }
 
+  // ---- semantic decontamination ------------------------------------------
+
+  test("semanticDecontam flags a perturbed eval vector, ignores orthogonal ones, shuffles nothing") {
+    import graft.ops.Dedup
+    val ev = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (200L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),  // near eval 100 → flagged
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),  // orthogonal to both → clean
+      (3L, Seq(0.1f, 0.95f, 0.0f, 0.0f))) // near eval 200 → flagged
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontam(corpus, col("vec_id"), col("embedding"),
+      ev, col("vec_id"), col("embedding"), threshold = 0.8)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 100L), (3L, 200L)))
+    // the corpus pass is scan + literal-matrix expression + broadcast
+    // join — no corpus-sized shuffle anywhere
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   // ---- HLL roll-up -------------------------------------------------------
 
   test("hllRollup: small groups estimate exactly; union equals the direct sketch") {
