@@ -2219,6 +2219,48 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- n-gram LM counts ------------------------------------------------
+    // corpus-wide bigram INSTANCE counts with minimum support — the KenLM
+    // first-pass table; instances, not per-doc-distinct shingles
+    ("t23_ngram_counts",
+      (s, sf) => TextOps.ngramCounts(docs(s, sf), col("text"), n = 2,
+        minCount = 25),
+      """SELECT g AS ngram, count(*) AS cnt FROM (
+        |  SELECT unnest([ toks[i] || ' ' || toks[i+1]
+        |      FOR i IN range(1, greatest(len(toks), 2)) ]) AS g
+        |  FROM (SELECT string_split_regex(lower(trim(text)),'\s+') AS toks
+        |        FROM documents WHERE trim(text) <> ''))
+        |GROUP BY g HAVING count(*) >= 25""".stripMargin),
+
+    // ---- shingle containment (quote/excerpt detection) ------------------
+    // asymmetric |A∩B|/min(|A|,|B|): a planted 12-token excerpt of every
+    // doc_id%13==0 document has containment 1.0 against its source while
+    // its Jaccard is ~0.03 — the relation the jaccard gates miss
+    ("d20_containment",
+      (s, sf) => {
+        val base = docs(s, sf).select(col("doc_id"), col("text"))
+        val excerpts = base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 12)).as("text"))
+        Dedup.containmentPairs(base.unionByName(excerpts), col("doc_id"),
+          col("text"), n = 3, threshold = 0.9)
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(string_split_regex(lower(trim(text)),'\s+')[1:12], ' ')
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |sh AS (SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM base))
+        |SELECT id_a, id_b, n_shared, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.ws, b.ws)) AS n_shared,
+        |    floor(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / least(len(a.ws), len(b.ws)) * 10000 + 0.5) / 10000 AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE containment >= 0.9""".stripMargin),
+
     // ---- semantic (embedding-space) decontamination ---------------------
     // corpus split 10/1 into train/eval on vec_id % 11; train vectors
     // whose max cosine against the eval matrix reaches 0.35 are flagged

@@ -644,6 +644,42 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs:
+    * |A∩B| / min(|A|,|B|) ≥ threshold — quote/excerpt/subset detection,
+    * the relation Jaccard structurally misses (a 12-word excerpt of a
+    * 400-word document has containment 1.0 and Jaccard ≈ 0.03).
+    *
+    * Same candidate discipline as [[sharedSpanPairs]]: shingles hashed
+    * to 64 bits, shingles in more than `maxDocsPerShingle` docs dropped
+    * BEFORE the pair join (boilerplate would fan out quadratically), the
+    * pair aggregation counts shared shingles, and sizes join in at
+    * pair-count granularity. Exactness caveat: a 2⁻⁶⁴ hash collision can
+    * overcount one shared shingle — the [[Pipeline.snapshotDiff]]-class
+    * tradeoff, documented there.
+    *
+    * Output: (id_a, id_b, n_shared, containment 4-dp), id_a < id_b. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double, maxDocsPerShingle: Int = 1000): DataFrame = {
+    val base = df.select(id.as("sid"), wordShingles(text, n).as("shingles"))
+    val sizes = base.select(col("sid"), size(col("shingles")).as("nsh"))
+    val sh = base.select(col("sid"), explode(col("shingles")).as("sp"))
+      .select(col("sid"), xxhash64(col("sp")).as("h"))
+    val ok = sh.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs").between(2, maxDocsPerShingle))
+      .select(col("h"))
+    val cand = sh.join(ok, "h")
+    cand.select(col("h"), col("sid").as("id_a"))
+      .join(cand.select(col("h"), col("sid").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("sid").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(sizes.select(col("sid").as("id_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("containment",
+        floor(col("n_shared") / least(col("na"), col("nb")) * 10000 + 0.5) / 10000)
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
+  }
+
   /** End-to-end fuzzy corpus dedup: MinHash near-dup pairs → connected
     * components → keep one document per cluster (the minimum id). Returns
     * the surviving rows of `df`. */

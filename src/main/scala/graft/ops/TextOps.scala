@@ -80,6 +80,31 @@ object TextOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
 
+  /** Corpus-wide n-gram INSTANCE counts with minimum support — the
+    * count-collection step of n-gram LM training (KenLM's first pass)
+    * and the raw material for collocation mining. Unlike
+    * [[documentFrequency]] (distinct-per-doc) this counts every
+    * occurrence; unlike [[graft.ops.Dedup]]'s shingles the grams are NOT
+    * per-doc-deduplicated. One explode → map-side-combined count — the
+    * single corpus-sized shuffle carries (gram, partial count) pairs —
+    * and the support filter prunes the long singleton tail before any
+    * further stage sees it.
+    *
+    * Output: (ngram, cnt), cnt ≥ minCount. */
+  def ngramCounts(df: DataFrame, text: Column, n: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val toks = tokens(text)
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    df.select(explode(grams).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Corpus vocabulary cardinality, exact and sketched side by side:
     * `n_terms` via a real distinct aggregation, `n_terms_approx` via
     * HyperLogLog++ (`approx_count_distinct`, deterministic — no RNG).

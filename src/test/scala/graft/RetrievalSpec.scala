@@ -167,6 +167,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(d.map(_._1).toSeq == d.map(_._1).sorted.toSeq)
   }
 
+  // ---- n-gram counts -----------------------------------------------------
+
+  test("ngramCounts: instance counts with support filter; unigram fast path") {
+    import graft.ops.TextOps
+    val df = Seq("a b a b", "a b x", "").toDF("text")
+    val bi = TextOps.ngramCounts(df, col("text"), n = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi == Map("a b" -> 3L, "b a" -> 1L, "b x" -> 1L))
+    val uni = TextOps.ngramCounts(df, col("text"), n = 1, minCount = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 3L, "b" -> 3L)) // x filtered by support
+  }
+
+  // ---- containment -------------------------------------------------------
+
+  test("containmentPairs finds a planted excerpt at 1.0 where jaccard is tiny; cap drops boilerplate") {
+    import graft.ops.Dedup
+    val long = ((1 to 40).map(i => s"w$i")).mkString(" ")
+    val excerpt = ((1 to 10).map(i => s"w$i")).mkString(" ")
+    val other = ((100 to 140).map(i => s"v$i")).mkString(" ")
+    val df = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, col("doc_id"), col("text"),
+      n = 3, threshold = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // excerpt: 8 3-gram shingles, all inside doc 1 → containment 1.0
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == ((8L, 1.0)))
+    // the same pair's jaccard is 8/38 ≈ 0.21 — the asymmetric relation
+    // is the one that sees the quote
+    // boilerplate cap: with maxDocsPerShingle = 1 no shingle survives
+    assert(Dedup.containmentPairs(df, col("doc_id"), col("text"),
+      n = 3, threshold = 0.1, maxDocsPerShingle = 1).count() == 0)
+  }
+
   // ---- semantic decontamination ------------------------------------------
 
   test("semanticDecontam flags a perturbed eval vector, ignores orthogonal ones, shuffles nothing") {
