@@ -2219,6 +2219,72 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- MERGE upsert (lake maintenance) --------------------------------
+    // CDC batch → next snapshot: updates on every 7th doc, of which the
+    // %3==0 subset are DELETES (removed outright, not re-inserted); one
+    // anti join on the key set + union, nothing else touches base bytes
+    ("e07_merge_upsert",
+      (s, sf) => {
+        val d = docs(s, sf).select(col("doc_id"), col("text"))
+        val updates = d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" u2")).as("text"),
+            (col("doc_id") % 3 === 0).as("del"))
+        graft.ops.LakeOps.mergeUpsert(d, updates, "doc_id", Some("del"))
+      },
+      """WITH u AS (SELECT doc_id, text || ' u2' AS text, doc_id % 3 = 0 AS del
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM u)
+        |UNION ALL
+        |SELECT doc_id, text FROM u WHERE NOT del""".stripMargin),
+
+    // ---- SCD2 dimension merge -------------------------------------------
+    // type-2 history: changed payloads close the current row at the
+    // change date and open a new one; identical payloads are no-ops;
+    // unknown keys insert. History rows pass through without joining.
+    ("e08_scd2_merge",
+      (s, sf) => {
+        val c = s.read.parquet(s"$sf/customer.parquet")
+        val current = c.select(col("c_custkey").as("k"),
+          col("c_nationkey").as("nat"),
+          to_date(lit("2020-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val hist = c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("k"),
+            ((col("c_nationkey") + 24) % 25).as("nat"),
+            to_date(lit("2019-01-01")).as("valid_from"),
+            to_date(lit("2020-01-01")).as("valid_to"))
+        val changes = c.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey").as("k"), ((col("c_nationkey") + 1) % 25).as("nat"))
+          .unionByName(c.filter(col("c_custkey") % 5 === 1)
+            .select(col("c_custkey").as("k"), col("c_nationkey").as("nat")))
+          .unionByName(c.filter(col("c_custkey") % 100 === 0)
+            .select((col("c_custkey") + 1000000L).as("k"), lit(7).as("nat")))
+        graft.ops.LakeOps.scd2Merge(hist.unionByName(current), changes, "k",
+          Seq("nat"), to_date(lit("2024-06-01")))
+      },
+      """WITH cur AS (SELECT c_custkey AS k, c_nationkey AS nat,
+        |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM customer),
+        |hist AS (SELECT c_custkey AS k, (c_nationkey + 24) % 25 AS nat,
+        |    DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |ch AS (SELECT c_custkey AS k, (c_nationkey + 1) % 25 AS nat
+        |    FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 5 = 1
+        |  UNION ALL SELECT c_custkey + 1000000, 7 FROM customer WHERE c_custkey % 100 = 0),
+        |eff AS (SELECT ch.k, ch.nat FROM ch JOIN cur ON ch.k = cur.k AND ch.nat <> cur.nat)
+        |SELECT k, nat, valid_from, valid_to FROM hist
+        |UNION ALL
+        |SELECT cur.k, cur.nat, cur.valid_from,
+        |  CASE WHEN eff.k IS NOT NULL THEN DATE '2024-06-01' ELSE NULL END
+        |FROM cur LEFT JOIN eff ON cur.k = eff.k
+        |UNION ALL
+        |SELECT k, nat, DATE '2024-06-01', NULL FROM eff
+        |UNION ALL
+        |SELECT ch.k, ch.nat, DATE '2024-06-01', NULL FROM ch
+        |WHERE ch.k NOT IN (SELECT k FROM cur)""".stripMargin),
+
     // ---- n-gram LM counts ------------------------------------------------
     // corpus-wide bigram INSTANCE counts with minimum support — the KenLM
     // first-pass table; instances, not per-doc-distinct shingles

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lake-maintenance operators: the MERGE-INTO / dimension-history
+  * primitives a parquet lake needs without a table format's transaction
+  * log. They complement the incremental family (snapshotDiff,
+  * incremental scores/dedup): those compute WHAT changed; these apply
+  * changes to produce the next snapshot. */
+object LakeOps {
+
+  /** MERGE upsert: next snapshot = update rows (minus deletes) plus
+    * every base row whose key is untouched. The canonical
+    * write-side compaction of a CDC/nightly batch into a snapshot —
+    * rewritten wholesale here because plain parquet has no row-level
+    * delete; pair with partition pruning upstream to rewrite only
+    * touched partitions.
+    *
+    * Plan: ONE anti join of the base on the update key set (AQE
+    * broadcasts it when the batch is small — the usual case) plus a
+    * union; nothing else touches the base bytes. `deletedCol`, if
+    * given, names a boolean column in `updates`: true rows delete the
+    * key outright (they are removed from the output and do not
+    * re-insert).
+    *
+    * Output: the base schema (updates must carry the same columns,
+    * plus the optional flag). */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keyName: String,
+      deletedCol: Option[String] = None): DataFrame = {
+    val upserts = deletedCol match {
+      case Some(c) => updates.filter(!col(c)).drop(c)
+      case None => updates
+    }
+    require(upserts.columns.sorted.sameElements(base.columns.sorted),
+      s"update schema ${upserts.columns.mkString(",")} must match base ${base.columns.mkString(",")}")
+    val touched = updates.select(col(keyName)).distinct()
+    base.join(touched, Seq(keyName), "left_anti")
+      .unionByName(upserts.select(base.columns.map(col): _*))
+  }
+
+  /** Type-2 slowly-changing-dimension merge: apply a change batch to a
+    * dimension with (key, payload…, valid_from, valid_to) history rows
+    * (current row ⇔ valid_to IS NULL). A change whose payload differs
+    * from the key's current row CLOSES that row at the change timestamp
+    * and opens a new current row; an identical payload is a no-op; a
+    * key with no current row inserts one. At most one change per key
+    * per batch (the CDC-compacted shape — enforce upstream with a
+    * window or [[TemporalJoin]]'s as-of pick).
+    *
+    * Plan: history rows pass through untouched (they never join);
+    * current rows take ONE left join against the key-distinct batch.
+    * Cost ∝ current-row count + batch, never the history depth — at
+    * 100 TB partition the dimension by is-current so closed history
+    * bytes are not even scanned.
+    *
+    * Output: the input schema; row count grows by exactly the number of
+    * effective (differing or new-key) changes. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, keyName: String,
+      payloadCols: Seq[String], changeTs: Column): DataFrame = {
+    require(payloadCols.nonEmpty, "scd2Merge needs at least one payload column")
+    val pay = payloadCols.map(col)
+    val ch = changes.select((col(keyName) +: payloadCols.map(c => col(c).as(s"__n_$c")))
+      :+ changeTs.as("__ts"): _*)
+    val history = dim.filter(col("valid_to").isNotNull)
+    val current = dim.filter(col("valid_to").isNull)
+    val joined = current.join(ch, Seq(keyName), "left")
+    val differs = payloadCols.map(c => col(s"__n_$c") =!= col(c))
+      .reduce(_ || _)
+    val effective = col("__ts").isNotNull && differs
+    // current rows: closed at the change ts when an effective change hits
+    val adjusted = joined.select((col(keyName) +: pay :+ col("valid_from") :+
+      when(effective, col("__ts")).otherwise(col("valid_to")).as("valid_to")): _*)
+    // new current versions for effective changes on existing keys
+    val reopened = joined.filter(effective)
+      .select((col(keyName) +: payloadCols.map(c => col(s"__n_$c").as(c)) :+
+        col("__ts").as("valid_from") :+ lit(null).cast(dim.schema("valid_to").dataType).as("valid_to")): _*)
+    // brand-new keys open their first row
+    val fresh = ch.join(current.select(col(keyName)), Seq(keyName), "left_anti")
+      .select((col(keyName) +: payloadCols.map(c => col(s"__n_$c").as(c)) :+
+        col("__ts").as("valid_from") :+ lit(null).cast(dim.schema("valid_to").dataType).as("valid_to")): _*)
+    history.select(dim.columns.map(col): _*)
+      .unionByName(adjusted.select(dim.columns.map(col): _*))
+      .unionByName(reopened.select(dim.columns.map(col): _*))
+      .unionByName(fresh.select(dim.columns.map(col): _*))
+  }
+}

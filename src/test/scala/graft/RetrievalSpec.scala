@@ -167,6 +167,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(d.map(_._1).toSeq == d.map(_._1).sorted.toSeq)
   }
 
+  // ---- lake maintenance --------------------------------------------------
+
+  test("mergeUpsert applies updates, deletes keys outright, rejects schema drift") {
+    import graft.ops.LakeOps
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val ups = Seq((2L, "b2", false), (3L, "x", true), (4L, "d", false))
+      .toDF("k", "v", "del")
+    val got = LakeOps.mergeUpsert(base, ups, "k", Some("del")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d")) // 3 deleted
+    intercept[IllegalArgumentException] {
+      LakeOps.mergeUpsert(base, ups.withColumnRenamed("v", "w"), "k", Some("del"))
+    }
+  }
+
+  test("scd2Merge closes changed rows, no-ops identical payloads, inserts new keys, keeps history") {
+    import graft.ops.LakeOps
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      (1L, 10, d("2019-01-01"), Option(d("2020-01-01"))), // closed history
+      (1L, 11, d("2020-01-01"), None),                    // current, will change
+      (2L, 20, d("2020-01-01"), None))                    // current, no-op change
+      .toDF("k", "nat", "valid_from", "valid_to")
+    val ch = Seq((1L, 12), (2L, 20), (9L, 77)).toDF("k", "nat")
+    val got = LakeOps.scd2Merge(dim, ch, "k", Seq("nat"),
+        to_date(lit("2024-06-01"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, 10, "2019-01-01", Some("2020-01-01")), // history untouched
+      (1L, 11, "2020-01-01", Some("2024-06-01")), // closed at change ts
+      (1L, 12, "2024-06-01", None),               // reopened with new payload
+      (2L, 20, "2020-01-01", None),               // identical payload: no-op
+      (9L, 77, "2024-06-01", None)))              // brand-new key
+  }
+
   // ---- n-gram counts -----------------------------------------------------
 
   test("ngramCounts: instance counts with support filter; unigram fast path") {
