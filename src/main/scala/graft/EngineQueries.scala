@@ -570,6 +570,24 @@ object EngineQueries {
       """SELECT c_custkey AS e, c_custkey // 2 AS m FROM customer WHERE c_custkey >= 2
         |UNION ALL SELECT c_custkey AS e, c_custkey AS m FROM customer""".stripMargin),
 
+    // parenthesized sequence group under a modifier (SPARQL 1.1 §9.1
+    // path grammar): `(mgr/mgr)+` walks EVEN-length management chains —
+    // the composite hop is k → k//4 (both single hops must exist, so
+    // k ≥ 4), closed transitively; excludes every odd-hop ancestor q42
+    // returns
+    ("q54_path_seq_plus",
+      """SELECT ?e ?m WHERE {
+        |  ?e (g:mgr/g:mgr)+ ?m .
+        |}""".stripMargin,
+      """WITH RECURSIVE ed AS (
+        |  SELECT c_custkey AS e, c_custkey // 4 AS m FROM customer WHERE c_custkey >= 4
+        |), cl AS (
+        |  SELECT e, m FROM ed
+        |  UNION
+        |  SELECT cl.e, ed.m FROM cl JOIN ed ON cl.m = ed.e
+        |)
+        |SELECT e, m FROM cl""".stripMargin),
+
     // SELECT * — every body variable in resolution order (sorted needed
     // vars): subject id, then the object vars
     ("q49_select_star",
@@ -688,7 +706,8 @@ object EngineQueries {
     "sg30_sqlgen_json_source" -> "q50_json_source",
     "sg31_sqlgen_path_object_seeded" -> "q51_path_object_seeded",
     "sg32_sqlgen_construct_single" -> "q52_construct_single",
-    "sg33_sqlgen_path_zeroone" -> "q53_path_zeroone")
+    "sg33_sqlgen_path_zeroone" -> "q53_path_zeroone",
+    "sg34_sqlgen_path_group" -> "q54_path_seq_plus")
   // (the round-10 sg34 diagnostic twin of sg27 is retired: the absence is
   // root-caused — sg gates never self-provisioned the derived fixtures and
   // sg27 iterates before every gate that does, so fresh-target runs threw

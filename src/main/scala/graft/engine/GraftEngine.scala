@@ -383,20 +383,41 @@ object GraftEngine {
     val classIri = pats.collectFirst {
       case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
     }
-    val branches = mappings.relevantFor(preds, classIri)
-      .filter(_.predicateToAttr.contains(cl.predicate))
+    val head = predEdges(spark, cl.predicate,
+      mappings.relevantFor(preds, classIri), config)
+    // composite group (p1/p2/…): the closed "edge" is the hop chain —
+    // one inner join per extra predicate, each hop drawn from EVERY
+    // source mapping it (intermediate hops may live in entities the
+    // star's own sources don't cover)
+    cl.morePredicates.foldLeft(head) { (acc, p) =>
+      // rename the probe side before joining: the hops usually scan the
+      // SAME source, and fresh projection attrs sidestep self-join
+      // column ambiguity
+      val nxt = predEdges(spark, p, mappings.relevantFor(Seq(p), None), config)
+        .select(col("src").as("__hs"), col("dst").as("__hd"))
+      acc.join(nxt, col("dst") === col("__hs"))
+        .select(col("src"), col("__hd").as("dst"))
+    }
+  }
+
+  /** One predicate's (src, dst) edge scan over the given candidate
+    * mappings, transforms applied, dst cast to src's type. */
+  private def predEdges(spark: SparkSession, predicate: String,
+      candidates: Seq[graft.model.EntityMapping], config: LakeConfig): DataFrame = {
+    val branches = candidates
+      .filter(_.predicateToAttr.contains(predicate))
       .map { mp =>
         val raw = StarCompiler.loadSource(spark, mp, config)
         def rendered(attr: String, fns: Seq[TransformFn]): Column =
           if (fns.isEmpty) col(attr) else Transforms(col(attr), fns)
-        val attr = mp.predicateToAttr(cl.predicate)
+        val attr = mp.predicateToAttr(predicate)
         val sel = raw.select(
           rendered(mp.idAttr, mp.attrTransforms.getOrElse("", Nil)).as("src"),
           rendered(attr, mp.attrTransforms.getOrElse(attr, Nil)).as("dst"))
         sel.select(col("src"), col("dst").cast(sel.schema("src").dataType).as("dst"))
       }
     require(branches.nonEmpty,
-      s"no relevant source maps the path predicate <${cl.predicate}>")
+      s"no relevant source maps the path predicate <$predicate>")
     branches.reduce(_.unionByName(_))
   }
 

@@ -362,18 +362,38 @@ object SqlGenExecutor {
       val classIri = pats.collectFirst {
         case TriplePattern(_, TriplePattern.RdfType, ObjIri(c)) => c
       }
-      val edgeBranches = mappings.relevantFor(preds, classIri)
-        .filter(_.predicateToAttr.contains(cl.predicate))
-        .map { mp =>
+      def predBranches(p: String,
+          candidates: Seq[graft.model.EntityMapping]): Seq[String] = {
+        val bs = candidates.filter(_.predicateToAttr.contains(p)).map { mp =>
           val tbl = registerTable(mp, s"path closure on ?$s")
           val idExpr = fnSql(mp.idAttr, mp.attrTransforms.getOrElse("", Nil))
-          val attr = mp.predicateToAttr(cl.predicate)
+          val attr = mp.predicateToAttr(p)
           val aExpr = fnSql(attr, mp.attrTransforms.getOrElse(attr, Nil))
           s"SELECT $idExpr AS src, $aExpr AS dst FROM $tbl"
         }
-      require(edgeBranches.nonEmpty,
-        s"no relevant source maps the path predicate <${cl.predicate}>")
+        require(bs.nonEmpty, s"no relevant source maps the path predicate <$p>")
+        bs
+      }
+      val edgeBranches = predBranches(cl.predicate,
+        mappings.relevantFor(preds, classIri))
       val tag = s"${s}_$i"
+      // composite group (p1/p2/…): the edge CTE is the hop join chain —
+      // h0 ⋈ h1 ⋈ … on dst = src, each hop drawn from every source
+      // mapping its predicate (same derivation as the Column engine)
+      val edgeSelect =
+        if (cl.morePredicates.isEmpty)
+          s"SELECT src, dst FROM (${edgeBranches.mkString(" UNION ALL ")}) g_eb_$tag"
+        else {
+          val hops = edgeBranches +: cl.morePredicates.map(p =>
+            predBranches(p, mappings.relevantFor(Seq(p), None)))
+          val froms = hops.zipWithIndex.map { case (bs, j) =>
+            s"(${bs.mkString(" UNION ALL ")}) h${j}_$tag"
+          }
+          val joins = (1 until hops.size).map(j =>
+            s" JOIN ${froms(j)} ON h${j - 1}_$tag.dst = h${j}_$tag.src").mkString
+          s"SELECT h0_$tag.src AS src, h${hops.size - 1}_$tag.dst AS dst " +
+            s"FROM ${froms.head}$joins"
+        }
       val qualBase = baseCols.map(c => s"g_cb_$tag.$c").mkString(", ")
       // `*`: zero hops — (x, x) for every subject of the star
       val zeroHop =
@@ -394,8 +414,7 @@ object SqlGenExecutor {
       val pairSrc = if (cl.transitive) s"g_cl_$tag" else s"g_ed_$tag"
       s"(WITH RECURSIVE g_cb_$tag AS " +
         s"(SELECT DISTINCT ${baseCols.mkString(", ")} FROM $base g_cbs_$tag), " +
-        s"g_ed_$tag AS (SELECT src, dst FROM " +
-        s"(${edgeBranches.mkString(" UNION ALL ")}) g_eb_$tag " +
+        s"g_ed_$tag AS (SELECT src, dst FROM ($edgeSelect) g_ee_$tag " +
         "WHERE src IS NOT NULL AND dst IS NOT NULL)" +
         clCte +
         s" SELECT $qualBase, p.dst AS $oCol FROM g_cb_$tag " +

@@ -77,11 +77,18 @@ object PathMod {
   * engine replaces the star's one-hop (subject, object) binding with the
   * pairs the modifier denotes: `transitive` closes the relation
   * (`+`/`*`) vs keeps the single hop (`?`); `reflexive` adds the
-  * zero-hop (x, x) pair for every subject of the star (`*`/`?`). */
+  * zero-hop (x, x) pair for every subject of the star (`*`/`?`).
+  *
+  * `morePredicates` non-empty means a parenthesized SEQUENCE group
+  * `?s (p1/p2/…)+ ?o`: the closed relation's single "edge" is the
+  * composite hop p1∘p2∘… (one join chain), and the modifier applies to
+  * that composite — `(mgr/mgr)+` walks even-length management chains. */
 final case class PathClosure(subjVar: String, predicate: String,
-    objVar: String, mod: PathMod) {
+    objVar: String, mod: PathMod, morePredicates: Seq[String] = Nil) {
   def reflexive: Boolean = mod != PathMod.OneOrMore
   def transitive: Boolean = mod != PathMod.ZeroOrOne
+  /** All hop predicates of the (possibly composite) edge, in order. */
+  def predicates: Seq[String] = predicate +: morePredicates
 }
 
 /** One `?s !p ?o` / `?s !(p1|p2) ?o` negated property set (SPARQL 1.1

@@ -632,6 +632,39 @@ object SparqlParser {
             case Var(v) => negationsInto.get += NegatedPath(subj, excluded.result(), v)
             case t => sys.error(s"negated property set needs a variable object, got $t")
           }
+        } else if (peek.contains(Sym("("))) {
+          // parenthesized SEQUENCE group with a length modifier:
+          // `?s (p1/p2/…)+ ?o` (also `*` / `?`) — the closure's single
+          // "edge" is the composite hop p1∘p2∘…; forward predicates only
+          next()
+          val groupPreds = Seq.newBuilder[String]
+          def onePred(): Unit = {
+            val (p, m) = predToken()
+            require(m.isEmpty && p != TriplePattern.RdfType,
+              "a modified path group takes plain forward predicates only")
+            groupPreds += p
+          }
+          onePred()
+          while (peek.contains(Sym("/"))) { next(); onePred() }
+          expectSym(")")
+          val mod = next() match {
+            case Word("+") => PathMod.OneOrMore
+            case Sym("*") => PathMod.ZeroOrMore
+            case Sym("?") => PathMod.ZeroOrOne
+            case t => sys.error(s"a parenthesized path group needs a +/*/? modifier, got $t")
+          }
+          require(closuresInto.isDefined,
+            "(p1/p2)+ paths are supported in the top-level WHERE body only")
+          val preds = groupPreds.result()
+          next() match {
+            case Var(o) =>
+              // the head predicate carries the star membership; the
+              // engine replaces the binding with the closed pairs
+              out += TriplePattern(subj, preds.head, ObjVar(o))
+              closuresInto.get += PathClosure(subj, preds.head, o, mod,
+                morePredicates = preds.tail)
+            case t => sys.error(s"(p1/p2)+ path needs a variable object, got $t")
+          }
         } else {
         def pathElem(): PathElem = {
           val inv = peek.contains(Sym("^"))

@@ -60,6 +60,32 @@ class PathSpec extends AnyFunSuite {
     assert(cl.reflexive && !cl.transitive)
   }
 
+  test("(p1/p2)+ parses as a composite-hop closure; malformed groups are rejected") {
+    val q = SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e (g:mgr/g:mgr)+ ?m . }")
+    assert(q.closures == Seq(graft.model.PathClosure("e", TpchLake.NS + "mgr", "m",
+      graft.model.PathMod.OneOrMore, morePredicates = Seq(TpchLake.NS + "mgr"))))
+    assert(q.closures.head.predicates.size == 2)
+    val qz = SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e (g:mgr/g:mgr)? ?m . }")
+    assert(qz.closures.head.mod == graft.model.PathMod.ZeroOrOne)
+    intercept[RuntimeException] { // modifier inside the group
+      SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e (g:mgr+/g:mgr)+ ?m . }")
+    }
+    intercept[RuntimeException] { // group without a modifier
+      SparqlParser.parse(P + "SELECT ?e ?m WHERE { ?e (g:mgr/g:mgr) ?m . }")
+    }
+  }
+
+  test("q54 walks even-length chains only — a strict subset of q42's full closure") {
+    val even = SparkEntry.queries("q54_path_seq_plus")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = SparkEntry.queries("q42_path_plus")(spark, sf) // (e, mgr NAME)
+    // emp 8's ancestors: p+ gives 4, 2, 1; (mgr/mgr)+ must give exactly 2
+    assert(even.filter(_._1 == 8L).map(_._2) == Set(2L))
+    // emp 16: even hops land on 4 and 1
+    assert(even.filter(_._1 == 16L).map(_._2) == Set(4L, 1L))
+    assert(even.size < all.count())
+  }
+
   test("q53_path_zeroone excludes multi-hop pairs (p? is not p*)") {
     val rows = SparkEntry.queries("q53_path_zeroone")(spark, sf)
     // emp 4's ancestors under p* are 2 AND 1; p? must keep only the
