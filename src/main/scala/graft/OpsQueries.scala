@@ -2219,6 +2219,19 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- PCM audio frame analysis ---------------------------------------
+    // REAL s16le decode: payload bytes encode a closed-form sample stream
+    // from doc_id; the gate decodes the BYTES and the oracle restates
+    // every sample from the formula — a wrong-endian/wrong-sign decode
+    // cannot pass (the mm03 image-decode pattern, for audio)
+    ("mm06_audio_frames",
+      (s, sf) => Multimodal.audioFrames(
+        Multimodal.audioFromDocuments(docs(s, sf)), frameLen = 16),
+      """SELECT doc_id AS media_id, i // 16 AS frame_idx,
+        |  count(*) AS n_samples, SUM(abs(((doc_id*31 + i*7919) % 65536) - 32768)) AS sum_abs
+        |FROM (SELECT doc_id, unnest(range(0, 64 + doc_id % 128)) AS i FROM documents)
+        |GROUP BY 1, 2""".stripMargin),
+
     // ---- MERGE upsert (lake maintenance) --------------------------------
     // CDC batch → next snapshot: updates on every 7th doc, of which the
     // %3==0 subset are DELETES (removed outright, not re-inserted); one

@@ -282,6 +282,54 @@ object Multimodal {
     }
   }
 
+  /** Deterministic s16le PCM audio table from `documents`: per doc,
+    * 64 + id%128 samples with sample(i) = ((id·31 + i·7919) mod 65536) −
+    * 32768, serialized little-endian — closed-form from doc_id so a SQL
+    * oracle can state every decoded sample without seeing the bytes (the
+    * mm03 pattern: a wrong-endian or wrong-sign decode cannot pass). */
+  def audioFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 128).toInt
+        val buf = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          buf.putShort((((id * 31 + i * 7919L) % 65536L) - 32768L).toShort)
+          i += 1
+        }
+        MediaRecord(id, "audio", buf.array())
+      }
+    }
+  }
+
+  /** REAL PCM frame analysis: decode s16le bytes back to samples (one
+    * ByteBuffer view per record, inside the per-partition batch — the
+    * same executor-side contract as the image codecs), window into
+    * `frameLen`-sample frames, and aggregate per-frame sample count +
+    * absolute amplitude sum. Integer arithmetic end to end, so the
+    * result is exactly restatable by an oracle. The per-sample explode
+    * shuffles (media, frame) pair aggregates only — map-side combined.
+    *
+    * Output: (media_id, frame_idx, n_samples, sum_abs). */
+  def audioFrames(media: Dataset[MediaRecord], frameLen: Int): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        val buf = java.nio.ByteBuffer.wrap(rec.content)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = rec.content.length / 2
+        (0 until n).iterator.map { i =>
+          (rec.media_id, i / frameLen, math.abs(buf.getShort(i * 2).toLong))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "abs_s")
+      .groupBy(col("media_id"), col("frame_idx"))
+      .agg(count(lit(1)).as("n_samples"), sum(col("abs_s")).as("sum_abs"))
+  }
+
   /** Build a deterministic media table from the `documents` test table
     * (text bytes as payload) — the fixture used by tests and the oracle. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {

@@ -167,6 +167,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(d.map(_._1).toSeq == d.map(_._1).sorted.toSeq)
   }
 
+  // ---- PCM audio ---------------------------------------------------------
+
+  test("audioFrames decodes s16le bytes exactly: closed-form samples, ragged tail frame") {
+    import graft.ops.Multimodal
+    val docs = Seq(1L, 65L).toDF("doc_id")
+    val got = Multimodal.audioFrames(Multimodal.audioFromDocuments(docs), frameLen = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    def sample(id: Long, i: Int): Long = ((id * 31 + i * 7919L) % 65536L) - 32768L
+    // doc 1: 65 samples → frames 0..4, last frame 1 sample
+    val n1 = 64 + 1 % 128
+    assert(n1 == 65)
+    for (f <- 0 to 4) {
+      val idxs = (f * 16 until math.min((f + 1) * 16, 65))
+      val expect = (idxs.size.toLong, idxs.map(i => math.abs(sample(1L, i))).sum)
+      assert(got((1L, f)) == expect, s"frame $f")
+    }
+    assert(got((1L, 4))._1 == 1) // ragged tail
+    // doc 65: 129 samples → 9 frames
+    assert(got.keys.count(_._1 == 65L) == 9)
+  }
+
   // ---- lake maintenance --------------------------------------------------
 
   test("mergeUpsert applies updates, deletes keys outright, rejects schema drift") {
