@@ -337,6 +337,9 @@ class SqlGenFuzzSpec extends AnyFunSuite {
     // the SQL side the recursive CTE; they must agree row-for-row
     val genC = for {
       op <- Gen.oneOf("+", "*", "?")
+      // half the draws close over the composite (mgr/mgr) group instead
+      // of the single predicate — both engines must agree there too
+      grouped <- Gen.oneOf(false, true)
       subjFilter <- Gen.option(Gen.choose(2, 40))
       // object-endpoint forms cover all three engine plans: <= defers
       // over the full closure, = runs the reverse BFS, VALUES the
@@ -349,7 +352,8 @@ class SqlGenFuzzSpec extends AnyFunSuite {
     } yield {
       val sb = new StringBuilder(P)
       sb ++= s"SELECT ${if (distinct) "DISTINCT " else ""}?e ?en ?m WHERE {\n"
-      sb ++= s"  ?e g:mgr$op ?m . ?e g:empName ?en .\n"
+      val path = if (grouped) s"(g:mgr/g:mgr)$op" else s"g:mgr$op"
+      sb ++= s"  ?e $path ?m . ?e g:empName ?en .\n"
       for (k <- subjFilter) sb ++= s"  FILTER(?e = $k)\n"
       objForm match {
         case "le" => sb ++= s"  FILTER(?m <= $objK)\n"
