@@ -2219,6 +2219,45 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- leakage-safe train/test split ----------------------------------
+    // split assigned by NEAR-DUP CLUSTER label, not doc id: every member
+    // of a cluster lands in the same slice, so no near-duplicate pair
+    // straddles train and held-out — the contamination a per-doc split
+    // produces whenever dedup is lenient. Oracle = c01's cluster CTE +
+    // the portable hash on the canonical label.
+    ("p09_split_leakage_safe",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val clusters = Dedup.connectedComponents(
+          Dedup.minHashNearDups(d, col("doc_id"), col("text"), n = 3, threshold = 0.8),
+          col("id_a"), col("id_b"), d, col("doc_id"))
+          .select(col("node").as("doc_id"), col("label").as("grp"))
+        Pipeline.splitByGroup(clusters, col("grp"), salt = "sp9",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      },
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |      / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+        |r(id, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b),
+        |cl AS (SELECT id AS doc_id, MIN(l) AS grp FROM r GROUP BY id)
+        |SELECT doc_id, grp, CASE WHEN bk < 9000 THEN 'train'
+        |    WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, grp,
+        |  list_reduce(list_prepend(7::BIGINT, list_transform(
+        |    string_split('sp9:' || grp::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
+        |  FROM cl)""".stripMargin),
+
     // ---- PCM audio frame analysis ---------------------------------------
     // REAL s16le decode: payload bytes encode a closed-form sample stream
     // from doc_id; the gate decodes the BYTES and the oracle restates

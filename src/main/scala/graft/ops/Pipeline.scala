@@ -292,6 +292,18 @@ object Pipeline {
     df.withColumn("split", split)
   }
 
+  /** Leakage-safe split: [[hashSplit]] keyed by a GROUP column — e.g.
+    * the near-dup cluster label from
+    * [[graft.ops.Dedup.connectedComponents]] or a URL domain — so every
+    * member of a group lands in the SAME slice and no near-duplicate
+    * pair can straddle train and held-out (the contamination mode a
+    * per-document split silently produces whenever dedup is inexact or
+    * intentionally lenient). Same zero-shuffle, append-stable hash
+    * contract. */
+  def splitByGroup(df: DataFrame, group: Column, salt: String,
+      fractions: Seq[(String, Double)]): DataFrame =
+    hashSplit(df, group, salt, fractions)
+
   /** Per-group winsorization: clip `value` to its group's [lo, hi]
     * exact quantiles (linear interpolation, the quantile_cont contract).
     * The outlier-taming normalizer before loss-weighting or length

@@ -338,6 +338,25 @@ class RetrievalSpec extends AnyFunSuite {
 
   // ---- hash split --------------------------------------------------------
 
+  test("splitByGroup co-assigns every group member; a per-doc split would not") {
+    import graft.ops.Pipeline
+    // 10 clusters of 4 docs each; ids spread across the hash's prefix
+    // blocks (the polynomial hash is linear in trailing chars, so
+    // CONSECUTIVE ids share a split — spread ids exercise real mixing)
+    val df = spark.range(40).select(((col("id") * 104729) % 100000).as("id"),
+      (col("id") / 4).cast("long").as("grp"))
+    val fr = Seq("train" -> 0.5, "test" -> 0.5)
+    val byGroup = Pipeline.splitByGroup(df, col("grp"), "s2", fr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // all members of a group share the split
+    for ((_, rows) <- byGroup.groupBy(_._2))
+      assert(rows.map(_._3).distinct.length == 1)
+    // contrast: the per-doc split separates at least one group's members
+    val byDoc = Pipeline.hashSplit(df, col("id"), "s2", fr)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(byDoc.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1))
+  }
+
   test("hashSplit: stable under subsetting, fractions validated, proportions sane") {
     val df = spark.range(2000).select(col("id"))
     val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
