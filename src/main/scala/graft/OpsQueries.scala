@@ -1698,6 +1698,17 @@ object OpsQueries {
         "event_type AS etype, COUNT(*) AS n, floor(SUM(value) * 100 + 0.5) / 100 AS sumv " +
         "FROM events GROUP BY 1, 2"),
 
+    // streaming distinct counting: exact distinct aggregation is ILLEGAL
+    // in Structured Streaming (unbounded per-window value state), so the
+    // HLL++ sketch is the streamed form; the gate joins the real
+    // streaming query's estimates against the batch exact twin and pins
+    // the 3·rsd bound (t09/t22's measured-error shape, in a stream)
+    ("st12_stream_distinct_users",
+      (s, sf) => EventStreams.runHourlyDistinctBatch(s, s"$sf/events.parquet"),
+      """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,
+        |  count(DISTINCT user_id) AS n_exact, TRUE AS est_ok
+        |FROM events GROUP BY 1""".stripMargin),
+
     // batch sessionize is a pure gaps-and-islands window plan, so the
     // DuckDB twin is the same plan; timestamps compared at µs precision
     ("st02_sessionize",

@@ -23,6 +23,37 @@ object EventStreams {
         (floor(sum(col("value")) * 100 + 0.5) / 100).as("sumv"))
       .select(col("w.start").cast("long").as("bucket"), col("etype"), col("n"), col("sumv"))
 
+  /** Watermarked hourly DISTINCT-user estimate. Structured Streaming
+    * PROHIBITS exact distinct aggregation (unbounded per-window value
+    * state); the HLL++ sketch (`approx_count_distinct`, deterministic,
+    * fixed kilobytes of mergeable state per window) is the form that
+    * streams — the same exact-vs-sketch contract as the batch t09/t22
+    * gates, surfaced where the exact twin is not merely expensive but
+    * ILLEGAL. Output: (bucket, n_approx). */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("n_approx"))
+      .select(col("w.start").cast("long").as("bucket"), col("n_approx"))
+
+  /** [[hourlyDistinctUsers]] as a real streaming query joined against
+    * the batch exact twin: (bucket, n_exact, est_ok) where est_ok pins
+    * the sketch inside 3·rsd of exact (HLL++ default rsd 0.05). */
+  def runHourlyDistinctBatch(spark: SparkSession, parquetPath: String): DataFrame = {
+    val st = runToMemory(spark,
+      hourlyDistinctUsers(streamEvents(spark, parquetPath)),
+      s"graft_hdu_${math.abs(parquetPath.hashCode)}", "complete")
+    val ex = readEvents(spark, parquetPath)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(col("w.start").cast("long").as("bucket"), col("n_exact"))
+    st.join(ex, "bucket")
+      .select(col("bucket"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact"))
+          <= col("n_exact") * (3 * 0.05) + 1).as("est_ok"))
+  }
+
   /** Normalize an event-time column to session-tz TimestampType (µs
     * precision) regardless of the physical shape the parquet writer
     * chose. Three shapes occur in the wild (and the testdata has shipped

@@ -210,6 +210,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported dtype"))
   }
 
+  test("streaming distinct-user sketch merges across micro-batches; duplicates don't inflate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = ms.toDF().toDF("ts", "user_id")
+    val q = EventStreams.hourlyDistinctUsers(events).writeStream
+      .format("memory").queryName("hdu_test").outputMode("complete").start()
+    try {
+      ms.addData((ts(0, 5), 1L), (ts(0, 10), 2L), (ts(0, 15), 1L))
+      q.processAllAvailable()
+      ms.addData((ts(0, 20), 2L), (ts(0, 25), 3L)) // user 2 repeats cross-batch
+      q.processAllAvailable()
+      val got = spark.table("hdu_test").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // 3 distinct users in hour 0; HLL++ is exact at this cardinality,
+      // and the cross-batch repeat of user 2 must not inflate the count
+      assert(got(ts(0).getTime / 1000) == 3L, s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming near-dup pairs a late arrival against state from earlier micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
