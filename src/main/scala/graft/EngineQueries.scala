@@ -128,6 +128,13 @@ object EngineQueries {
       "SELECT ?jn ?jr WHERE { ?n g:jNationName ?jn . ?n g:jRegion ?jr . }",
       "SELECT n_name AS jn, n_regionkey AS jr FROM nation"),
 
+    // ORC source (Spark-core columnar twin of parquet; DuckDB cannot
+    // read ORC so this stays a Column-engine gate, like rdf/jdbc —
+    // the oracle states the rows from the parquet original)
+    ("q55_orc_source",
+      "SELECT ?orcn ?orcr WHERE { ?n g:oNationName ?orcn . ?n g:oRegion ?orcr . }",
+      "SELECT n_name AS orcn, n_regionkey AS orcr FROM nation"),
+
     // §2.8 inline TRANSFORM: scl on the FK side, toInt on the (string) ID
     // side of a derived CSV with shifted string keys
     ("q11_transform_join",

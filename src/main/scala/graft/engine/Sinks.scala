@@ -29,6 +29,9 @@ object Sinks {
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  def orc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   def jdbc(df: DataFrame, url: String, table: String, options: Map[String, String] = Map.empty,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.format("jdbc").options(options)

@@ -41,6 +41,9 @@ object SourceRegistry {
       case None => spark.read.options(sparkOpts(sc.options)).parquet(sc.source)
     }),
     "json" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).json(sc.source)),
+    // ORC ships in Spark core (vectorized reader + pushdown like
+    // parquet); columnar twin for lakes standardized on ORC
+    "orc" -> ((spark, sc) => spark.read.options(sparkOpts(sc.options)).orc(sc.source)),
     "jdbc" -> ((spark, sc) => spark.read.format("jdbc").options(sc.options).load()),
     // RDF N-Triples: one wide typed table per rdf:type class (reference
     // SparkExecutor.scala:101-104 → NTtoDF; class from source options)

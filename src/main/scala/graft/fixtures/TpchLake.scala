@@ -112,6 +112,12 @@ object TpchLake {
        |  rr:predicateObjectMap [ rr:predicate g:jNationName; rr:objectMap [ rml:reference "n_name" ] ];
        |  rr:predicateObjectMap [ rr:predicate g:jRegion; rr:objectMap [ rml:reference "n_regionkey" ] ] .
        |
+       |<#NationOrcMap>
+       |  rml:logicalSource [ rml:source "$d/nation_orc"; nosql:store nosql:orc ];
+       |  rr:subjectMap [ rr:template "http://graft.io/nation/{n_nationkey}" ];
+       |  rr:predicateObjectMap [ rr:predicate g:oNationName; rr:objectMap [ rml:reference "n_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate g:oRegion; rr:objectMap [ rml:reference "n_regionkey" ] ] .
+       |
        |<#PartShiftedMap>
        |  rml:logicalSource [ rml:source "$d/part_shifted_csv"; nosql:store nosql:csv ];
        |  rr:subjectMap [ rr:template "http://graft.io/partshift/{p_partkey_s}" ];
@@ -214,7 +220,8 @@ object TpchLake {
     val csvEntries = Seq(
       s"""{"type":"csv","options":{"header":"true","inferSchema":"true"},"source":"$d/nation_csv","entity":"NationAllCsv"}""",
       s"""{"type":"csv","options":{"header":"true"},"source":"$d/part_shifted_csv","entity":"PartShifted"}""",
-      s"""{"type":"json","options":{},"source":"$d/nation_json","entity":"NationJson"}""")
+      s"""{"type":"json","options":{},"source":"$d/nation_json","entity":"NationJson"}""",
+      s"""{"type":"orc","options":{},"source":"$d/nation_orc","entity":"NationOrc"}""")
     val rdfEntry =
       s"""{"type":"rdf","options":{"class":"${NS}Nation"},"source":"$d/nation_nt","entity":"NationNt"}"""
     val jdbcEntry =
@@ -233,6 +240,8 @@ object TpchLake {
       .csv(s"$d/nation_csv")
     spark.read.parquet(s"$sfDir/nation.parquet")
       .coalesce(1).write.mode(SaveMode.Ignore).json(s"$d/nation_json")
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .coalesce(1).write.mode(SaveMode.Ignore).orc(s"$d/nation_orc")
     spark.read.parquet(s"$sfDir/part.parquet")
       .select((col("p_partkey") + lit(1000000L)).cast("string").as("p_partkey_s"),
         col("p_name"))
