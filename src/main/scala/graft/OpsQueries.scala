@@ -2230,6 +2230,26 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- per-group z-score normalization --------------------------------
+    // μ/σ from exact integer moment sums (Σx, Σx²), so the floats are a
+    // fixed expression over exact inputs — order-independent, restatable
+    ("w05_zscore",
+      (s, sf) => Pipeline.zscoreByGroup(
+        docs(s, sf).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok")),
+        col("source"), col("ntok")),
+      """WITH t AS (SELECT doc_id, source,
+        |    (CASE WHEN trim(text)='' THEN 0
+        |          ELSE len(string_split_regex(lower(trim(text)),'\s+')) END) AS ntok
+        |  FROM documents),
+        |q AS (SELECT source, count(*)::DOUBLE AS n, SUM(ntok)::DOUBLE AS s,
+        |    SUM(ntok*ntok)::DOUBLE AS ss FROM t GROUP BY source)
+        |SELECT doc_id, t.source, ntok,
+        |  CASE WHEN n > 1 AND (ss - s*s/n)/(n-1) > 0
+        |       THEN floor((ntok - s/n) / sqrt((ss - s*s/n)/(n-1)) * 10000 + 0.5)/10000
+        |       ELSE NULL END AS z
+        |FROM t JOIN q USING (source)""".stripMargin),
+
     // ---- leakage-safe train/test split ----------------------------------
     // split assigned by NEAR-DUP CLUSTER label, not doc id: every member
     // of a cluster lands in the same slice, so no near-duplicate pair

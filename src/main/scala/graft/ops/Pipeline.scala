@@ -330,6 +330,34 @@ object Pipeline {
       .drop("__g", "__v", "__qlo", "__qhi")
   }
 
+  /** Per-group z-score normalization of an INTEGER-valued column (token
+    * counts, byte lengths): z = (x − μ)/σ with μ, σ derived from the
+    * exact integer sums Σx and Σx² — one map-side-combined aggregate per
+    * group, broadcast back. Using the moment sums instead of a
+    * `stddev` aggregate is what makes the result float-order-INDEPENDENT
+    * (integer sums are exact in any order; the float ops that follow are
+    * a fixed expression over exact inputs), hence restatable by any
+    * verifying engine and stable across partitionings — the same
+    * determinism contract as every sampler here.
+    *
+    * Output: the input columns + `z` (4-dp). Groups with fewer than two
+    * rows or zero variance get null z. */
+  def zscoreByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.withColumn("__g", group).withColumn("__v", value.cast("long"))
+    val m = base.groupBy(col("__g")).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__v")).cast("double").as("__s"),
+      sum(col("__v") * col("__v")).cast("double").as("__ss"))
+    val variance = (col("__ss") - col("__s") * col("__s") / col("__n")) /
+      (col("__n") - 1)
+    base.join(broadcast(m), "__g")
+      .withColumn("z",
+        when(col("__n") > 1 && variance > 0,
+          floor((col("__v") - col("__s") / col("__n")) / sqrt(variance)
+            * 10000 + 0.5) / 10000))
+      .drop("__g", "__v", "__n", "__s", "__ss")
+  }
+
   /** Global dense dictionary over the distinct values of a column,
     * ids 0..n−1 in value sort order — surrogate-key/vocabulary
     * construction (string keys → fixed-width ints before a 100 TB

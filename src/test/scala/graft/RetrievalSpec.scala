@@ -144,6 +144,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(10.0) == 10.0 && got(2.0) == 2.0 && got(19.0) == 19.0)
   }
 
+  // ---- z-score -----------------------------------------------------------
+
+  test("zscoreByGroup: exact-moment z; degenerate groups null out; partitioning-independent") {
+    import graft.ops.Pipeline
+    val df = Seq(("a", 2L), ("a", 4L), ("a", 6L), ("b", 5L), ("c", 7L), ("c", 7L))
+      .toDF("g", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pipeline.zscoreByGroup(d, col("g"), col("x")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val got = run(df)
+    // group a: μ=4, σ=2 → z ∈ {−1, 0, 1}
+    assert(got(("a", 2L)) == Some(-1.0) && got(("a", 4L)) == Some(0.0)
+      && got(("a", 6L)) == Some(1.0))
+    assert(got(("b", 5L)).isEmpty)       // n < 2
+    assert(got(("c", 7L)).isEmpty)       // zero variance
+    assert(run(df.repartition(7)) == got) // order/partitioning-independent
+  }
+
   // ---- dictionary --------------------------------------------------------
 
   test("dictionary assigns dense 0-based ids in value order; encode joins them back") {
