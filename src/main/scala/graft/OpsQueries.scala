@@ -2230,6 +2230,37 @@ object OpsQueries {
         |    (a, c) -> (a * 257 + c) % 2147483647) % 10000 AS bk
         |  FROM documents)""".stripMargin),
 
+    // ---- hourly volume anomaly scores -----------------------------------
+    // each hour's per-type count z-scored against the trailing 24 hours
+    // over DENSIFIED buckets (zero hours are observations); exact-moment
+    // window sums make z restatable — ROWS BETWEEN 24 PRECEDING AND 1
+    // PRECEDING in DuckDB is the identical frame
+    ("ts07_hourly_anomalies",
+      (s, sf) => {
+        val ev = EventStreams.readEvents(s, s"$sf/events.parquet")
+        EventAnalytics.hourlyAnomalies(ev, col("ts"), col("event_type"))
+      },
+      """WITH b AS (SELECT event_type AS etype,
+        |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket
+        |  FROM events),
+        |c AS (SELECT etype, bucket, count(*) AS c0 FROM b GROUP BY 1, 2),
+        |g AS (SELECT etype, unnest(generate_series(b0, b1)) AS bucket
+        |  FROM (SELECT etype, min(bucket) AS b0, max(bucket) AS b1
+        |        FROM c GROUP BY 1)),
+        |d AS (SELECT g.etype, g.bucket, coalesce(c.c0, 0) AS cc
+        |  FROM g LEFT JOIN c USING (etype, bucket)),
+        |wv AS (SELECT etype, bucket, cc,
+        |    count(*) OVER tw AS n, SUM(cc) OVER tw AS s, SUM(cc*cc) OVER tw AS ss
+        |  FROM d WINDOW tw AS (PARTITION BY etype ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT etype, bucket, cc AS n_events,
+        |  CASE WHEN n = 24 AND (ss::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)/(n::DOUBLE - 1) > 0
+        |       THEN floor((cc - s::DOUBLE/n::DOUBLE)
+        |         / sqrt((ss::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)/(n::DOUBLE - 1))
+        |         * 10000 + 0.5) / 10000
+        |       ELSE NULL END AS z
+        |FROM wv""".stripMargin),
+
     // ---- per-group z-score normalization --------------------------------
     // μ/σ from exact integer moment sums (Σx, Σx²), so the floats are a
     // fixed expression over exact inputs — order-independent, restatable

@@ -64,6 +64,45 @@ object EventAnalytics {
         count(when(col("retained"), 1)).as("n_retained"))
   }
 
+  /** Hourly event-volume anomaly scores per type: each hour's count is
+    * z-scored against the TRAILING `window` hours — the
+    * data-quality/incident monitor over an ingest log (a collapsed
+    * source or a crawler loop shows up as |z| spikes). Hour buckets are
+    * DENSIFIED per type over the type's own [min, max] span (a zero
+    * hour is a real observation — skipping it biases μ and hides
+    * outages), and μ/σ come from exact integer Σc and Σc² window sums —
+    * the [[graft.ops.Pipeline.zscoreByGroup]] determinism contract on a
+    * rolling frame.
+    *
+    * Plan: one count aggregate, a grid explode off per-type min/max,
+    * and two windows sharing the type partitioning. Grid rows are
+    * span/hour per type, independent of event volume.
+    *
+    * Output: (etype, bucket, n_events, z) — z null until a full
+    * trailing window exists or when the window has zero variance. */
+  def hourlyAnomalies(events: DataFrame, ts: Column, eventType: Column,
+      window: Int = 24): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val b = events.select(eventType.as("etype"),
+      floor(unix_micros(ts) / 3600000000L).as("bucket"))
+    val counts = b.groupBy(col("etype"), col("bucket"))
+      .agg(count(lit(1)).as("c0"))
+    val grid = counts.groupBy(col("etype"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("etype"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val dense = grid.join(counts, Seq("etype", "bucket"), "left")
+      .select(col("etype"), col("bucket"), coalesce(col("c0"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("etype")).orderBy(col("bucket"))
+      .rowsBetween(-window, -1)
+    val n = count(lit(1)).over(w).cast("double")
+    val s = sum(col("c")).over(w).cast("double")
+    val ss = sum(col("c") * col("c")).over(w).cast("double")
+    val variance = (ss - s * s / n) / (n - 1)
+    dense.select(col("etype"), col("bucket"), col("c").as("n_events"),
+      when(n === window && variance > 0,
+        floor((col("c") - s / n) / sqrt(variance) * 10000 + 0.5) / 10000).as("z"))
+  }
+
   /** Resample an irregular per-key event stream onto a regular time grid
     * with forward fill — the feature-store alignment step (join "latest
     * sensor/price/score as of each hour" without a per-grid-point as-of

@@ -144,6 +144,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(10.0) == 10.0 && got(2.0) == 2.0 && got(19.0) == 19.0)
   }
 
+  // ---- hourly anomalies --------------------------------------------------
+
+  test("hourlyAnomalies flags a planted spike; zero hours densify into the trailing stats") {
+    import graft.ops.EventAnalytics
+    def t(h: Int, m: Int = 0) = java.sql.Timestamp.from(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").toInstant
+        .plusSeconds(h * 3600L + m * 60L))
+    // steady 2 events/hour for hours 0..23 — except hour 5 is EMPTY
+    // (densified zero) — then a 40-event spike at hour 24
+    val rows = (0 to 23).filterNot(_ == 5).flatMap(h =>
+      Seq((t(h, 1), "x"), (t(h, 2), "x"))) ++
+      (1 to 40).map(m => (t(24, m), "x"))
+    val got = EventAnalytics.hourlyAnomalies(rows.toDF("ts", "etype"),
+        col("ts"), col("etype"), window = 24)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 3600000L
+    assert(got(h0 + 5)._1 == 0)              // densified zero hour exists
+    assert(got(h0)._2.isEmpty)               // no trailing window yet
+    val (spikeN, spikeZ) = got(h0 + 24)
+    assert(spikeN == 40 && spikeZ.exists(_ > 10.0), s"spike z = $spikeZ")
+    // exact expectation: trailing counts are 23×2 and 1×0 → μ = 46/24,
+    // σ² = (Σc²·n − (Σc)²)/(n(n−1)) ... restate the op's own formula
+    val (n, s, ss) = (24.0, 46.0, 92.0)
+    val z = math.floor((40 - s / n) / math.sqrt((ss - s * s / n) / (n - 1))
+      * 10000 + 0.5) / 10000
+    assert(spikeZ.contains(z))
+  }
+
   // ---- z-score -----------------------------------------------------------
 
   test("zscoreByGroup: exact-moment z; degenerate groups null out; partitioning-independent") {
