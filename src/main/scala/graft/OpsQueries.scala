@@ -2261,6 +2261,34 @@ object OpsQueries {
         |       ELSE NULL END AS z
         |FROM wv""".stripMargin),
 
+    // ---- STREAMING anomaly detection ------------------------------------
+    // the fMGWS custom-state twin of ts07 (rolling windows don't stream;
+    // per-type bucket→count maps do — state ∝ hour span, not volume);
+    // single-file AvailableNow = one batch, so the real streaming query
+    // must equal the batch operator and shares ts07's DuckDB oracle
+    ("st13_stream_anomalies",
+      (s, sf) => EventStreams.runStreamingAnomaliesBatch(s, s"$sf/events.parquet"),
+      """WITH b AS (SELECT event_type AS etype,
+        |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket
+        |  FROM events),
+        |c AS (SELECT etype, bucket, count(*) AS c0 FROM b GROUP BY 1, 2),
+        |g AS (SELECT etype, unnest(generate_series(b0, b1)) AS bucket
+        |  FROM (SELECT etype, min(bucket) AS b0, max(bucket) AS b1
+        |        FROM c GROUP BY 1)),
+        |d AS (SELECT g.etype, g.bucket, coalesce(c.c0, 0) AS cc
+        |  FROM g LEFT JOIN c USING (etype, bucket)),
+        |wv AS (SELECT etype, bucket, cc,
+        |    count(*) OVER tw AS n, SUM(cc) OVER tw AS s, SUM(cc*cc) OVER tw AS ss
+        |  FROM d WINDOW tw AS (PARTITION BY etype ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT etype, bucket, cc AS n_events,
+        |  CASE WHEN n = 24 AND (ss::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)/(n::DOUBLE - 1) > 0
+        |       THEN floor((cc - s::DOUBLE/n::DOUBLE)
+        |         / sqrt((ss::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)/(n::DOUBLE - 1))
+        |         * 10000 + 0.5) / 10000
+        |       ELSE NULL END AS z
+        |FROM wv""".stripMargin),
+
     // ---- per-group z-score normalization --------------------------------
     // μ/σ from exact integer moment sums (Σx, Σx²), so the floats are a
     // fixed expression over exact inputs — order-independent, restatable

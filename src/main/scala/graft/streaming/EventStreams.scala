@@ -54,6 +54,67 @@ object EventStreams {
           <= col("n_exact") * (3 * 0.05) + 1).as("est_ok"))
   }
 
+  final case class HourlyAnom(etype: String, bucket: Long, n_events: Long,
+      z: Option[Double])
+
+  /** STREAMING twin of [[graft.ops.EventAnalytics.hourlyAnomalies]]:
+    * per-type hourly counts held as custom `flatMapGroupsWithState`
+    * state (a bucket→count map — state ∝ the type's hour SPAN, not its
+    * event volume), with each trigger re-emitting the type's densified
+    * trailing-window z table over all counts seen so far. Arbitrary
+    * window functions don't stream, and chaining a streaming aggregate
+    * into a second stateful operator is restricted — the custom-state
+    * formulation is how rolling anomaly detection runs on a live
+    * stream. Re-emission semantics: downstream keeps the LATEST row per
+    * (etype, bucket) (under an AvailableNow single-file source there is
+    * one batch and the output equals the batch operator exactly — the
+    * st13 gate); for indefinite streams add a timeout that finalizes
+    * buckets past the watermark, as [[sessionize]] documents. */
+  def streamingAnomalies(events: DataFrame, window: Int = 24): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val b = events.select(col("event_type").as("etype"),
+      floor(unix_micros(col("ts")) / 3600000000L).as("bucket")).as[(String, Long)]
+    b.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], HourlyAnom](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, it: Iterator[(String, Long)], state: GroupState[Map[Long, Long]]) =>
+          val counts = it.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+            case (m, (_, bk)) => m.updated(bk, m.getOrElse(bk, 0L) + 1L)
+          }
+          state.update(counts)
+          if (counts.isEmpty) Iterator.empty
+          else {
+            val (b0, b1) = (counts.keys.min, counts.keys.max)
+            val dense = (b0 to b1).map(k => counts.getOrElse(k, 0L)).toArray
+            dense.indices.iterator.map { i =>
+              val lo = i - window
+              val z =
+                if (lo < 0) None
+                else {
+                  val win = dense.slice(lo, i)
+                  val n = window.toDouble
+                  val s = win.map(_.toDouble).sum
+                  val ss = win.map(c => c.toDouble * c).sum
+                  val variance = (ss - s * s / n) / (n - 1)
+                  if (variance > 0)
+                    Some(math.floor((dense(i) - s / n) / math.sqrt(variance)
+                      * 10000 + 0.5) / 10000)
+                  else None
+                }
+              HourlyAnom(etype, b0 + i, dense(i), z)
+            }
+          }
+      }.toDF()
+  }
+
+  /** [[streamingAnomalies]] as a real AvailableNow streaming query —
+    * one file, one batch, output equal to the batch operator. */
+  def runStreamingAnomaliesBatch(spark: SparkSession, parquetPath: String,
+      window: Int = 24): DataFrame =
+    runToMemory(spark, streamingAnomalies(streamEvents(spark, parquetPath), window),
+      s"graft_anom_${math.abs(parquetPath.hashCode)}", "append")
+
   /** Normalize an event-time column to session-tz TimestampType (µs
     * precision) regardless of the physical shape the parquet writer
     * chose. Three shapes occur in the wild (and the testdata has shipped

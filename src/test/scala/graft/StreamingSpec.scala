@@ -230,6 +230,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomalies: cross-batch state; latest emission equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val events = ms.toDF().toDF("ts", "event_type")
+    val q = EventStreams.streamingAnomalies(events, window = 3).writeStream
+      .format("memory").queryName("anom_test").outputMode("append").start()
+    try {
+      // batch 1: hours 0..2, one event each
+      ms.addData((ts(0, 1), "x"), (ts(1, 1), "x"), (ts(2, 1), "x"))
+      q.processAllAvailable()
+      // batch 2: hour 3 gets a 5-event spike — its trailing window spans
+      // BATCH-1 state
+      ms.addData((1 to 5).map(m => (ts(3, m), "x")): _*)
+      q.processAllAvailable()
+      val latest = spark.table("anom_test")
+        .groupBy(org.apache.spark.sql.functions.col("etype"),
+          org.apache.spark.sql.functions.col("bucket"))
+        .agg(org.apache.spark.sql.functions.last(
+            org.apache.spark.sql.functions.col("n_events")).as("n"),
+          org.apache.spark.sql.functions.last(
+            org.apache.spark.sql.functions.col("z")).as("z"))
+        .collect().map(r => r.getLong(1) -> (r.getLong(2), Option(r.get(3)))).toMap
+      val h0 = ts(0).getTime / 3600000L
+      assert(latest(h0 + 3)._1 == 5)
+      // trailing counts (1,1,1): zero variance → z null by contract; the
+      // batch operator on the SAME data must agree row-for-row
+      val batch = graft.ops.EventAnalytics.hourlyAnomalies(
+        (Seq((ts(0, 1), "x"), (ts(1, 1), "x"), (ts(2, 1), "x")) ++
+          (1 to 5).map(m => (ts(3, m), "x"))).toDF("ts", "event_type"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"), window = 3)
+        .collect().map(r => r.getLong(1) -> (r.getLong(2), Option(r.get(3)))).toMap
+      assert(latest == batch, s"stream $latest vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming near-dup pairs a late arrival against state from earlier micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
