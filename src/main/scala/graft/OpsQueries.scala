@@ -2138,6 +2138,42 @@ object OpsQueries {
         |      FROM documents WHERE trim(text) <> '')
         |WHERE t IN ('vector','stream') GROUP BY 1, 2""".stripMargin),
 
+    // batch retrieval: top-15 per query for a 3-query table in ONE corpus
+    // pass (broadcast query terms; global df computed once); rank on the
+    // ROUNDED score with doc_id ties — reproducible cross-engine (t16)
+    ("b03_bm25_batch",
+      (s, sf) => {
+        import s.implicits._
+        val queries = Seq((1, "spark"), (1, "vector"), (2, "stream"),
+          (2, "table"), (3, "slow"), (3, "fast")).toDF("qid", "term")
+        Retrieval.bm25BatchTopK(docs(s, sf), col("doc_id"), col("text"),
+          queries, k = 15)
+      },
+      """WITH qt(qid, term) AS (VALUES (1,'spark'),(1,'vector'),(2,'stream'),
+        |    (2,'table'),(3,'slow'),(3,'fast')),
+        |toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(lower(trim(text)),'\s+') END AS tk
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |    SUM(len(tk))::DOUBLE / count(*) AS avgdl FROM toks),
+        |tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, unnest(tk) AS t, len(tk)::DOUBLE AS dl FROM toks)
+        |  WHERE t IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, term,
+        |    CAST(floor(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st))))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(28,4)) AS s4
+        |  FROM tf JOIN dfq USING (term)),
+        |qs AS (SELECT qid, doc_id,
+        |    floor(CAST(SUM(s4) AS DOUBLE) * 10000 + 0.5) / 10000 AS bm25
+        |  FROM sc JOIN qt USING (term) GROUP BY 1, 2)
+        |SELECT qid, doc_id, bm25, rank FROM (
+        |  SELECT qid, doc_id, bm25, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+        |  FROM qs) WHERE rank <= 15""".stripMargin),
+
     // ---- link-graph triangles -------------------------------------------
     // co-occurrence graph: parts sharing an order; per-node triangle
     // counts via degree-ordered orientation (wedge work Θ(m^1.5) bound).

@@ -93,4 +93,44 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25Scores(df, id, text, query, k1, b)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+
+  /** BATCH BM25: top-`k` documents for EVERY query in a query table —
+    * the seed-query harvest shape (thousands of topic queries sweeping
+    * one corpus pass, not one query per scan). `queries` is (qid, term)
+    * pairs, result-sized by definition, so it rides broadcast joins:
+    * ONE corpus scan feeds a semi-join on the distinct term set, term
+    * statistics (df) are computed once globally, and the per-(query,
+    * doc) fan-out is bounded by matches, never |corpus|·|queries|.
+    * Ranking runs per qid on the 4-dp-ROUNDED score (ties by doc_id) —
+    * the t16 trick that keeps rank reproducible cross-engine.
+    *
+    * Output: (qid, doc_id, bm25, rank), rank ≤ k. */
+  def bm25BatchTopK(df: DataFrame, id: Column, text: Column,
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("qid"), col("term")).distinct()
+    val toks = df.select(id.as("doc_id"), TextOps.tokens(text).as("tk"))
+    val statsRow = toks.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("sumdl")).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val pairs = toks.select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .join(broadcast(q.select(col("term")).distinct()), Seq("term"), "leftsemi")
+    val tf = pairs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfc = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .select(col("doc_id"), col("term"),
+        (floor(idf * tfc * 10000 + 0.5) / 10000).cast(DecimalType(28, 4)).as("s4"))
+      .join(broadcast(q), "term")
+      .groupBy(col("qid"), col("doc_id")).agg(sum(col("s4")).as("sum4"))
+      .select(col("qid"), col("doc_id"),
+        (floor(col("sum4").cast("double") * 10000 + 0.5) / 10000).as("bm25"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+  }
 }

@@ -57,6 +57,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
   }
 
+  test("bm25BatchTopK: per-query ranks agree with single-query scoring; broadcast-only joins") {
+    val docs = Seq((1L, "a a b"), (2L, "a c c"), (3L, "b b c"), (4L, "d d"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10, "a"), (10, "b"), (20, "c")).toDF("qid", "term")
+    val batch = Retrieval.bm25BatchTopK(docs, col("doc_id"), col("text"),
+      queries, k = 2)
+    val rows = batch.collect()
+      .map(r => (r.getInt(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    // each query's ranked docs must equal the single-query path's scores
+    for ((qid, terms) <- Seq(10 -> Seq("a", "b"), 20 -> Seq("c"))) {
+      val single = Retrieval.bm25Scores(docs, col("doc_id"), col("text"), terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for (rk <- 1 to 2) {
+        val (docId, score) = rows((qid, rk))
+        assert(single(docId) == score, s"qid $qid rank $rk")
+      }
+      val (top, _) = rows((qid, 1))
+      assert(single(top) == single.values.max)
+    }
+    // query table and term stats are result-sized: no sort-merge join
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
   // ---- inverted index ----------------------------------------------------
 
   test("invertedIndex postings are doc_id-sorted, df/total_tf consistent, cap works") {
