@@ -2463,6 +2463,26 @@ object OpsQueries {
         |SELECT ch.k, ch.nat, DATE '2024-06-01', NULL FROM ch
         |WHERE ch.k NOT IN (SELECT k FROM cur)""".stripMargin),
 
+    // ---- charset profile -------------------------------------------------
+    // encoding-health signal over text with PLANTED non-ASCII suffixes
+    // (every 9th doc gets "é漢字" appended — the fixture corpus is pure
+    // ASCII, so unplanted ratios would not discriminate)
+    ("t24_charset_profile",
+      (s, sf) => docs(s, sf)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" é漢字")).otherwise(lit(""))).as("t"))
+        .select(col("doc_id"),
+          TextOps.charsetProfile(col("t")).as("p"))
+        .select(col("doc_id"), col("p.ascii_ratio"), col("p.alpha_ratio")),
+      """SELECT doc_id,
+        |  floor(length(regexp_replace(t, '[^\x00-\x7F]', '', 'g'))::DOUBLE
+        |    / length(t) * 10000 + 0.5) / 10000 AS ascii_ratio,
+        |  floor(length(regexp_replace(lower(t), '[^a-z]', '', 'g'))::DOUBLE
+        |    / length(t) * 10000 + 0.5) / 10000 AS alpha_ratio
+        |FROM (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' é漢字' ELSE '' END AS t
+        |  FROM documents) WHERE length(t) > 0""".stripMargin),
+
     // ---- n-gram LM counts ------------------------------------------------
     // corpus-wide bigram INSTANCE counts with minimum support — the KenLM
     // first-pass table; instances, not per-doc-distinct shingles

@@ -80,6 +80,20 @@ object TextOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
 
+  /** Per-document charset profile: fraction of ASCII and of lowercase
+    * alphabetic characters — the cheap encoding-health / language-prior
+    * signal (mojibake and binary-spill pages crater ascii_ratio long
+    * before a language model sees them). Pure codegen'd regexp counts,
+    * zero shuffle; 4-dp rounded, null for empty text. */
+  def charsetProfile(text: Column): Column = {
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val n = length(text).cast("double")
+    val ascii = length(regexp_replace(text, "[^\\x00-\\x7F]", "")).cast("double")
+    val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+    when(n > 0, struct(r4(ascii / n).as("ascii_ratio"),
+      r4(alpha / n).as("alpha_ratio")))
+  }
+
   /** Corpus-wide n-gram INSTANCE counts with minimum support — the
     * count-collection step of n-gram LM training (KenLM's first pass)
     * and the raw material for collocation mining. Unlike

@@ -296,6 +296,18 @@ class RetrievalSpec extends AnyFunSuite {
       (9L, 77, "2024-06-01", None)))              // brand-new key
   }
 
+  // ---- charset profile ---------------------------------------------------
+
+  test("charsetProfile: ASCII and alpha fractions; empty text nulls out") {
+    import graft.ops.TextOps
+    val df = Seq("abc d1", "ab漢字", "").toDF("t")
+      .select(TextOps.charsetProfile(col("t")).as("p"))
+      .select(col("p.ascii_ratio"), col("p.alpha_ratio")).collect()
+    assert(df(0).getDouble(0) == 1.0 && df(0).getDouble(1) == 0.6667) // "abcd" of 6
+    assert(df(1).getDouble(0) == 0.5 && df(1).getDouble(1) == 0.5)    // 2 of 4
+    assert(df(2).isNullAt(0) && df(2).isNullAt(1))
+  }
+
   // ---- n-gram counts -----------------------------------------------------
 
   test("ngramCounts: instance counts with support filter; unigram fast path") {
