@@ -2,7 +2,9 @@
 """Local stand-in for the driver's correctness gate: reads Verify's output
 parquet per query + oracle_sql.json, runs the oracle in DuckDB against the
 testdata tables, and compares (schema by sorted column names, values by
-sorted-row hash with float rounding). Usage:
+sorted-row hash with float rounding, and RESULT TYPES per column — the
+driver's hash is type-sensitive, so an uncast DuckDB SUM returning HUGEINT
+against Spark's BIGINT is a FAIL here even when every value agrees). Usage:
     python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, math
@@ -33,6 +35,27 @@ def canon(rows, cols):
     out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
     return out
 
+def typeclass(t):
+    """Collapse DuckDB type names into the classes the driver's typed hash
+    actually distinguishes (calibrated against CORRECTNESS_r10): integer
+    widths <=64-bit all land in pandas int64 (same hash), FLOAT/DOUBLE/
+    DECIMAL all land in float dtypes that the driver rounds identically —
+    but HUGEINT (int128) is converted to float64 by duckdb's .df(), so an
+    uncast integer SUM hashes as '123.0' vs Spark's '123' and FAILS. Flag
+    that class (and any int-vs-float / kind mismatch); tolerate width-only
+    diffs inside a class."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT<=64"
+    if s in ("FLOAT", "REAL", "DOUBLE") or s.startswith("DECIMAL"):
+        return "FLOATISH"
+    if s == "HUGEINT":
+        return "HUGEINT(int128->float64 in pandas: cast the oracle!)"
+    if s.startswith("STRUCT") or s.endswith("[]"):
+        return s  # nested: exact
+    return {"TEXT": "VARCHAR"}.get(s, s)
+
 fails = 0
 for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -51,8 +74,17 @@ for name in sorted(oracle):
         exp = canon(exp_rel.fetchall(), exp_cols)
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
+    got_types = {c: typeclass(t) for c, t in zip(got_cols, got_rel.types)}
+    exp_types = {c: typeclass(t) for c, t in zip(exp_cols, exp_rel.types)}
+    type_diffs = [(c, got_types[c], exp_types[c])
+                  for c in sorted(set(got_types) & set(exp_types))
+                  if got_types[c] != exp_types[c]]
     if sorted(got_cols) != sorted(exp_cols):
         print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}"); fails += 1
+    elif type_diffs:
+        print(f"FAIL {name}: result-type mismatch (driver hash is typed): " +
+              ", ".join(f"{c}: spark={a} oracle={b}" for c, a, b in type_diffs))
+        fails += 1
     elif got != exp:
         print(f"FAIL {name}: {len(got)} rows vs {len(exp)}; first diff:")
         for a, b in zip(got, exp):

@@ -346,7 +346,8 @@ object OpsQueries {
         |m AS (SELECT (a.sh IS NOT NULL)::BIGINT AS in_a,
         |             (b.sh IS NOT NULL)::BIGINT AS in_b
         |      FROM a FULL JOIN b ON a.sh = b.sh)
-        |SELECT sum(in_a) AS n_a, sum(in_b) AS n_b, sum(in_a * in_b) AS n_inter,
+        |SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+        |       sum(in_a * in_b)::BIGINT AS n_inter,
         |       count(*) AS n_union,
         |       sum(in_a * in_b)::DOUBLE / count(*) AS jaccard FROM m""".stripMargin),
 
@@ -932,7 +933,7 @@ object OpsQueries {
           coalesce(col("lang"), lit("ALL")).as("lang"),
           col("tok_total"), col("n_docs")),
       """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
-        |  sum(ntok) AS tok_total, count(*) AS n_docs
+        |  sum(ntok)::BIGINT AS tok_total, count(*) AS n_docs
         |FROM (SELECT source, lang,
         |  CASE WHEN trim(text)='' THEN 0
         |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
@@ -1168,7 +1169,7 @@ object OpsQueries {
           col("gid"), col("tok_total"), col("n_docs")),
       """SELECT coalesce(source, '-') AS source, coalesce(lang, '-') AS lang,
         |  GROUPING(source, lang) AS gid,
-        |  sum(ntok) AS tok_total, count(*) AS n_docs
+        |  sum(ntok)::BIGINT AS tok_total, count(*) AS n_docs
         |FROM (SELECT source, lang,
         |  CASE WHEN trim(text)='' THEN 0
         |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
@@ -1187,9 +1188,11 @@ object OpsQueries {
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .agg(sum(col("ntok"))),
       """SELECT source,
-        |  sum(ntok) FILTER (lang='de') AS de, sum(ntok) FILTER (lang='en') AS en,
-        |  sum(ntok) FILTER (lang='es') AS es, sum(ntok) FILTER (lang='fr') AS fr,
-        |  sum(ntok) FILTER (lang='zh') AS zh
+        |  (sum(ntok) FILTER (lang='de'))::BIGINT AS de,
+        |  (sum(ntok) FILTER (lang='en'))::BIGINT AS en,
+        |  (sum(ntok) FILTER (lang='es'))::BIGINT AS es,
+        |  (sum(ntok) FILTER (lang='fr'))::BIGINT AS fr,
+        |  (sum(ntok) FILTER (lang='zh'))::BIGINT AS zh
         |FROM (SELECT source, lang,
         |  CASE WHEN trim(text)='' THEN 0
         |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
@@ -1643,7 +1646,7 @@ object OpsQueries {
             bits = 16).as("z")),
       """SELECT o_orderkey, list_sum(list_transform(range(0, 16), i ->
         |    ((o_custkey // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i)) +
-        |    (((o_orderkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i+1))))
+        |    (((o_orderkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i+1))))::BIGINT
         |  AS z
         |FROM orders""".stripMargin),
 
@@ -2392,8 +2395,9 @@ object OpsQueries {
     ("mm06_audio_frames",
       (s, sf) => Multimodal.audioFrames(
         Multimodal.audioFromDocuments(docs(s, sf)), frameLen = 16),
-      """SELECT doc_id AS media_id, i // 16 AS frame_idx,
-        |  count(*) AS n_samples, SUM(abs(((doc_id*31 + i*7919) % 65536) - 32768)) AS sum_abs
+      """SELECT doc_id AS media_id, (i // 16)::INTEGER AS frame_idx,
+        |  count(*) AS n_samples,
+        |  SUM(abs(((doc_id*31 + i*7919) % 65536) - 32768))::BIGINT AS sum_abs
         |FROM (SELECT doc_id, unnest(range(0, 64 + doc_id % 128)) AS i FROM documents)
         |GROUP BY 1, 2""".stripMargin),
 
