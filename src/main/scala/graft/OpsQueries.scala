@@ -195,14 +195,16 @@ object OpsQueries {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
 
-    // banded-LSH default mode (the 100 TB contract) against the same
-    // exact all-pairs oracle as d05: at 32×4 bands the per-pair recall at
-    // cosine ≥ 0.45 exceeds 0.998, and on this (seeded, deterministic)
+    // banded-LSH mode with the EXPLICIT recall-first 32×4 knobs against
+    // the same exact all-pairs oracle as d05: at 32×4 the per-pair recall
+    // at cosine ≥ 0.45 exceeds 0.998, and on this (seeded, deterministic)
     // data the candidate set covers every qualifying pair — so bucketed
-    // output ≡ exact output, a measured-recall-is-1 gate
+    // output ≡ exact output, a measured-recall-is-1 gate. (The no-knob
+    // default derives scale-safe knobs via autoLshParams and REFUSES
+    // 0.45 as indistinguishable-from-random — spec-asserted.)
     ("d07_embed_neardup_lsh",
       (s, sf) => Dedup.embeddingNearDups(emb(s, sf), col("vec_id"), col("embedding"),
-        threshold = 0.45)
+        threshold = 0.45, bands = 32, rowsPerBand = 4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3")),
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos3 " +

@@ -661,12 +661,21 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double, maxDocsPerShingle: Int = 1000): DataFrame = {
     val base = df.select(id.as("sid"), wordShingles(text, n).as("shingles"))
-    val sizes = base.select(col("sid"), size(col("shingles")).as("nsh"))
     val sh = base.select(col("sid"), explode(col("shingles")).as("sp"))
       .select(col("sid"), xxhash64(col("sp")).as("h"))
-    val ok = sh.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs").between(2, maxDocsPerShingle))
-      .select(col("h"))
+    val byH = sh.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    // pair candidates: shared (ndocs >= 2, pure optimization — singleton
+    // shingles cannot contribute to n_shared) and under the boilerplate cap
+    val ok = byH.filter(col("ndocs").between(2, maxDocsPerShingle)).select(col("h"))
+    // sizes over the SAME cap-filtered universe as n_shared: counting
+    // na/nb on the raw universe while n_shared excludes capped-hot
+    // shingles biases containment downward whenever a genuinely shared
+    // shingle is corpus-hot. Singletons stay in the denominator (they
+    // are in the metric's universe, just never shared), so on a corpus
+    // with no shingle over the cap this is exactly the uncapped metric.
+    val sizes = sh
+      .join(byH.filter(col("ndocs") <= maxDocsPerShingle).select(col("h")), "h")
+      .groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
     val cand = sh.join(ok, "h")
     cand.select(col("h"), col("sid").as("id_a"))
       .join(cand.select(col("h"), col("sid").as("id_b")), Seq("h"))
@@ -780,23 +789,26 @@ object Dedup {
     * with p = 1−θ/π; the 32×4 default gives >0.99 at cosine 0.45 and ~1
     * above 0.7.
     *
-    * THE FIXED 32×4 DEFAULT IS A RECALL-FIRST CONFIGURATION, NOT THE
-    * SCALE PATH: a 4-plane band has 16 possible signatures, so a RANDOM
-    * (cosine ≈ 0) pair collides in ≥1 of 32 bands with probability
-    * 1−(15/16)³² ≈ 0.87 — the candidate set approaches all-pairs at any
-    * n (measured: the sf1→sf5 scale smoke fits t ∝ n^1.85 on d07).
-    * That is the right trade for the exactness gates (where the oracle
-    * demands every qualifying pair) and for bounded corpora; for
-    * corpus-scale runs derive (bands, rowsPerBand) from
-    * [[autoLshParams]], which bounds random-pair candidates to O(n) and
-    * refuses thresholds where banding cannot be selective.
+    * KNOB DEFAULTS ARE THE SCALE PATH: when the caller passes no
+    * explicit (bands, rowsPerBand), they are derived per-corpus via
+    * [[autoLshParams]] from (n, threshold) — bounding expected
+    * random-pair candidates to O(n) and REFUSING thresholds where
+    * sign-bit banding cannot be selective (route those through
+    * [[semDedup]]/[[fuzzyDedupCorpus]] or explicit knobs/exact mode).
+    * Passing explicit knobs opts into a fixed configuration: e.g. the
+    * recall-first 32×4 the d07 exactness gate uses, where a 4-plane
+    * band has 16 signatures so a RANDOM pair collides in ≥1 of 32
+    * bands with probability 1−(15/16)³² ≈ 0.87 — near-all-pairs
+    * candidates at any n (measured t ∝ n^1.85 on d07), the right trade
+    * only when the oracle demands every qualifying pair on a bounded
+    * corpus.
     *
     * `exact = true` switches to brute all-pairs (sid < sid cross join) —
     * exact recall, O(n²) cost: verification/oracle mode for bounded
     * inputs only. */
   def embeddingNearDups(df: DataFrame, id: Column, vec: Column,
       threshold: Double, exact: Boolean = false,
-      bands: Int = 32, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+      bands: Int = 0, rowsPerBand: Int = 0, seed: Long = 42L): DataFrame = {
     VectorFunctions.register(df.sparkSession)
     // pre-cast once and widen partitions: the pair join multiplies every
     // per-row cost by n, and a single-partition left side serializes the
@@ -816,11 +828,16 @@ object Dedup {
         // a first-row sample — the first row could be a ragged outlier,
         // which would null out the whole corpus's signatures). Rows of any
         // other length get NULL signatures and drop out of candidate
-        // generation (see PlaneSignatures).
-        val dim = cached.groupBy(size(col("v")).as("d")).count()
-          .orderBy(desc("count"), asc("d")).head().getInt(0)
-        val planes = Similarity.randomPlanes(bands * rowsPerBand, dim, seed)
-        val bandSigs = Similarity.bandSignatures(col("v"), planes, rowsPerBand)
+        // generation (see PlaneSignatures). The same tiny grouped result
+        // also yields n for the knob auto-derivation — no extra pass.
+        val lenCounts = cached.groupBy(size(col("v")).as("d")).count().collect()
+        val dim = lenCounts.maxBy(r => (r.getLong(1), -r.getInt(0))).getInt(0)
+        val n = lenCounts.map(_.getLong(1)).sum
+        val (b, rpb) =
+          if (bands > 0 && rowsPerBand > 0) (bands, rowsPerBand)
+          else autoLshParams(n, threshold)
+        val planes = Similarity.randomPlanes(b * rpb, dim, seed)
+        val bandSigs = Similarity.bandSignatures(col("v"), planes, rpb)
         // vectors ride along into the band buckets so the cosine verify
         // runs INSIDE the band join (codegen, scan-side). The alternative
         // — distinct the candidate id-pairs first, then re-fetch both

@@ -52,6 +52,14 @@ object Graph {
       if (seeds.isEmpty)
         (lit((1.0 - damping) / n), lit(1.0 / n))
       else {
+        // a seed absent from the node set would silently drop its 1/|S|
+        // share of the teleport mass (isin never matches) — refuse loudly
+        val present = nodes.filter(col("node").isin(seeds: _*))
+          .select(col("node")).collect().map(_.getLong(0)).toSet
+        val absent = seeds.filterNot(present)
+        require(absent.isEmpty,
+          s"pageRank: seed(s) ${absent.mkString(",")} are not nodes of the " +
+            "edge-derived graph — their teleport mass would be dropped")
         val onSeed = col("node").isin(seeds: _*)
         (when(onSeed, lit((1.0 - damping) / seeds.size)).otherwise(lit(0.0)),
           when(onSeed, lit(1.0 / seeds.size)).otherwise(lit(0.0)))

@@ -28,8 +28,11 @@ object LakeOps {
     * plus the optional flag). */
   def mergeUpsert(base: DataFrame, updates: DataFrame, keyName: String,
       deletedCol: Option[String] = None): DataFrame = {
+    // a NULL delete flag is "not a delete": without the coalesce the
+    // filter drops NULL-flag rows from re-insertion while their keys
+    // stay in `touched`, silently removing the base row
     val upserts = deletedCol match {
-      case Some(c) => updates.filter(!col(c)).drop(c)
+      case Some(c) => updates.filter(!coalesce(col(c), lit(false))).drop(c)
       case None => updates
     }
     require(upserts.columns.sorted.sameElements(base.columns.sorted),
@@ -65,7 +68,10 @@ object LakeOps {
     val history = dim.filter(col("valid_to").isNotNull)
     val current = dim.filter(col("valid_to").isNull)
     val joined = current.join(ch, Seq(keyName), "left")
-    val differs = payloadCols.map(c => col(s"__n_$c") =!= col(c))
+    // null-safe compare: a change that sets a payload column to NULL (or
+    // replaces a NULL current value) must still register as a change —
+    // `=!=` would yield NULL there and the row would silently no-op
+    val differs = payloadCols.map(c => !(col(s"__n_$c") <=> col(c)))
       .reduce(_ || _)
     val effective = col("__ts").isNotNull && differs
     // current rows: closed at the change ts when an effective change hits

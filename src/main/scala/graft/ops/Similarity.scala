@@ -91,12 +91,25 @@ object Similarity {
     * materializes and sorts n·m rows). mapPartitions is justified here
     * (preference order (d)): the per-row bounded-heap loop has no
     * DataFrame expression form that avoids the n×m intermediate.
-    * For corpora too large to broadcast, use [[buildIvf]]/[[annTopK]]
-    * per side instead. Ties break by corpus id. */
+    *
+    * This is the SMALL-CORPUS variant by contract: the corpus is
+    * collected to the driver and broadcast, so it REFUSES corpora above
+    * `maxCorpusRows` (default 500k rows ≈ 400 MB at dim 100 doubles)
+    * instead of silently OOMing the driver — route big corpora through
+    * [[knnJoinIvfAuto]] (or [[buildIvf]]/[[annTopK]] per side). The
+    * bound is probed with a limit-scan, not a full count. Ties break by
+    * corpus id. */
   def knnJoinBroadcast(queries: DataFrame, corpus: DataFrame,
-      qId: Column, qVec: Column, cId: Column, cVec: Column, k: Int): DataFrame = {
+      qId: Column, qVec: Column, cId: Column, cVec: Column, k: Int,
+      maxCorpusRows: Int = 500000): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val probed = corpus.select(cId.cast("long").as("cid")).limit(maxCorpusRows + 1).count()
+    require(probed <= maxCorpusRows,
+      s"knnJoinBroadcast: corpus exceeds $maxCorpusRows rows — it is collected " +
+        "to the driver and broadcast, which does not scale; use " +
+        "Similarity.knnJoinIvfAuto (IVF-routed, no driver collect) for large corpora, " +
+        "or raise maxCorpusRows explicitly if the driver can hold it")
     val corpusLocal: Array[(Long, Array[Double])] =
       corpus.select(cId.cast("long"), cVec.cast("array<double>"))
         .as[(Long, Seq[Double])].collect().map { case (i, v) => (i, v.toArray) }

@@ -43,7 +43,13 @@ object JdbcUpsertSink {
   }
 
   /** Upsert one (batch) DataFrame: per partition, one transaction of
-    * JDBC-batched DELETE-by-key + INSERT. */
+    * JDBC-batched DELETE-by-key + INSERT.
+    *
+    * SINGLE-WRITER BY DESIGN here: embedded Derby's page-level locks
+    * deadlock under concurrent DELETE+INSERT writers even on disjoint
+    * keys, so the (output-sized) delta is coalesced to one partition. A
+    * row-locking server RDBMS (Postgres/MySQL) can parallelize this to N
+    * writer partitions split by disjoint key ranges. */
   def upsertBatch(df: DataFrame, url: String, table: String,
       keyCols: Seq[String]): Unit = {
     val schema = df.schema

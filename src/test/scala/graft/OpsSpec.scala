@@ -141,6 +141,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("knnJoinBroadcast refuses an oversized corpus instead of collecting it") {
+    val big = spark.range(5000).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(0.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.knnJoinBroadcast(big.limit(3), big,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 2, maxCorpusRows = 1000)
+    }
+    assert(e.getMessage.contains("knnJoinIvfAuto"))
+    // raising the bound explicitly opts back in
+    assert(graft.ops.Similarity.knnJoinBroadcast(big.limit(3), big,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      k = 2, maxCorpusRows = 5000).count() == 6)
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val df = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("id", "text")
     val h = df.select(col("id"), TextOps.rollingHash(col("text")).as("h"))
@@ -576,16 +591,42 @@ class OpsSpec extends AnyFunSuite {
     assert(vRarity == vHash)
   }
 
-  test("bucketed embedding near-dup (default) equals exact mode on the test corpus") {
+  test("bucketed embedding near-dup (explicit 32x4) equals exact mode on the test corpus") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val exact = canon(Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
       threshold = 0.45, exact = true))
     val lsh = canon(Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
-      threshold = 0.45))
+      threshold = 0.45, bands = 32, rowsPerBand = 4))
     assert(exact.nonEmpty)
     assert(lsh == exact) // 32×4 banding: per-pair recall >0.998 at cos≥0.45
+  }
+
+  test("embeddingNearDups default knobs are autoLshParams-derived: selective at 0.9, refuses near-random") {
+    // default call (no knobs) on a clustered fixture: planted near-identical
+    // pair found, proving the derived banding is in the default path and
+    // recall holds where banding is selective
+    val n = 2000
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 8).map(j =>
+        sin(col("id") * (j * 104729 + 13)).cast("double")): _*).as("embedding"))
+    val planted = base.filter(col("vec_id") === 7)
+      .select((col("vec_id") + n).as("vec_id"),
+        transform(col("embedding"), x => x * 1.01 + 0.0001).as("embedding"))
+    val pairs = Dedup.embeddingNearDups(base.unionByName(planted),
+        col("vec_id"), col("embedding"), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, (7 + n).toLong)), s"planted pair missed: $pairs")
+    // and at a threshold too close to random for sign-bit banding, the
+    // default call REFUSES loudly (32x4 would silently go near-quadratic)
+    val big = spark.range(100000).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(0.0), lit(0.0), lit(0.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(big, col("vec_id"), col("embedding"),
+        threshold = 0.45).count()
+    }
+    assert(e.getMessage.contains("no selective banding"))
   }
 
   test("MinHashLanes expression is bit-identical to the HOF transform/array_min form") {
@@ -1127,6 +1168,13 @@ class OpsSpec extends AnyFunSuite {
     val u = graft.ops.Graph.pageRank(edges, col("src"), col("dst"), iterations = 1)
       .as[(Long, Double)].collect().toMap
     assert(u(4L) > 0.0)
+    // a seed absent from the graph would silently lose its teleport
+    // share — must refuse loudly instead
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Graph.pageRank(edges, col("src"), col("dst"),
+        iterations = 1, seeds = Seq(1L, 99L))
+    }
+    assert(e.getMessage.contains("99"))
   }
 
   test("saltedEquiJoin: row-identical to the plain join, spreads a hot key") {

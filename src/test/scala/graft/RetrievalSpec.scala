@@ -275,6 +275,38 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeUpsert: NULL delete flag means upsert, not silent delete") {
+    import graft.ops.LakeOps
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val ups = Seq((1L, "a2", Option.empty[Boolean]), (2L, "x", Some(true)))
+      .toDF("k", "v", "del")
+    val got = LakeOps.mergeUpsert(base, ups, "k", Some("del")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2")) // 1 upserted despite NULL flag; 2 deleted
+  }
+
+  test("scd2Merge: NULL payloads register as changes (null-safe compare)") {
+    import graft.ops.LakeOps
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      (1L, Option(10), d("2020-01-01"), Option.empty[java.sql.Date]), // 10 -> NULL
+      (2L, Option.empty[Int], d("2020-01-01"), Option.empty[java.sql.Date]), // NULL -> 5
+      (3L, Option.empty[Int], d("2020-01-01"), Option.empty[java.sql.Date])) // NULL -> NULL no-op
+      .toDF("k", "nat", "valid_from", "valid_to")
+    val ch = Seq((1L, Option.empty[Int]), (2L, Option(5)), (3L, Option.empty[Int]))
+      .toDF("k", "nat")
+    val got = LakeOps.scd2Merge(dim, ch, "k", Seq("nat"),
+        to_date(lit("2024-06-01"))).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, Some(10), "2020-01-01", Some("2024-06-01")), // closed: 10 -> NULL IS a change
+      (1L, None, "2024-06-01", None),
+      (2L, None, "2020-01-01", Some("2024-06-01")),     // closed: NULL -> 5 IS a change
+      (2L, Some(5), "2024-06-01", None),
+      (3L, None, "2020-01-01", None)))                  // NULL -> NULL: no-op
+  }
+
   test("scd2Merge closes changed rows, no-ops identical payloads, inserts new keys, keeps history") {
     import graft.ops.LakeOps
     def d(s: String) = java.sql.Date.valueOf(s)
@@ -340,6 +372,27 @@ class RetrievalSpec extends AnyFunSuite {
     // boilerplate cap: with maxDocsPerShingle = 1 no shingle survives
     assert(Dedup.containmentPairs(df, col("doc_id"), col("text"),
       n = 3, threshold = 0.1, maxDocsPerShingle = 1).count() == 0)
+  }
+
+  test("containmentPairs: sizes use the cap-filtered universe, so a hot shared shingle does not bias the metric down") {
+    import graft.ops.Dedup
+    // hot boilerplate H in 10 docs (over the cap of 5); docs 1 and 2 also
+    // share phrase P, and doc 1 contains everything doc 2 has plus filler.
+    // On the capped universe doc 2's surviving shingles are ALL inside
+    // doc 1 → containment must be exactly 1.0. Sizing na/nb over the RAW
+    // universe (the old bug) would count doc 2's dropped H-shingles in
+    // the denominator and report < 1.0.
+    val hot = (1 to 10).map(i => s"h$i").mkString(" ")
+    val phrase = (1 to 12).map(i => s"p$i").mkString(" ")
+    val filler = (1 to 10).map(i => s"f$i").mkString(" ")
+    val rows = Seq((1L, s"$hot $phrase $filler"), (2L, s"$hot $phrase")) ++
+      (3L to 10L).map(i => (i, s"$hot junk${i}a junk${i}b junk${i}c"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5, maxDocsPerShingle = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    assert(got((1L, 2L)) == 1.0, s"hot-shingle bias: ${got((1L, 2L))}")
   }
 
   // ---- semantic decontamination ------------------------------------------
