@@ -1652,6 +1652,38 @@ object OpsQueries {
         |  AS z
         |FROM orders""".stripMargin),
 
+    // OPTIMIZE/compaction: a 40-file small-file-debris fixture
+    // (self-provisioned, idempotent) rewritten toward bytes/5-sized
+    // files with ZERO shuffle — Layout.compact makes Spark's own
+    // FilePartition planner do the bin-packing and writes one file per
+    // bin. Content equality is stated exactly by the oracle (count +
+    // id/length checksums restate the documents table); the layout claim
+    // rides as a property verdict computed from the REAL compacted
+    // output's _metadata.file_path listing: file count at least halved
+    // and consistent with the driver-side stats.
+    ("l02_compact_small_files",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val in = s"/root/repo/target/derived/$label/compact_in"
+        val out = s"/root/repo/target/derived/$label/compact_out"
+        if (!new java.io.File(s"$in/_SUCCESS").exists())
+          docs(s, sf).repartition(40).write.mode("overwrite").parquet(in)
+        val inBytes = new java.io.File(in).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        val st = graft.ops.Layout.compact(s, in, out,
+          targetFileBytes = math.max(1L << 16, inBytes / 5))
+        val nFiles = countDistinct(col("_metadata.file_path"))
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("len_sum"),
+          (nFiles === lit(st.filesAfter) && nFiles <= lit(st.filesBefore / 2) &&
+            lit(st.filesAfter >= 1)).as("compacted_ok"))
+      },
+      """SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+        |  sum(len(text))::BIGINT AS len_sum, true AS compacted_ok
+        |FROM documents""".stripMargin),
+
     // ---- window functions (net-new vs reference §2.5) -------------------
     ("w01_topn_per_group",
       (s, sf) => {

@@ -41,4 +41,67 @@ object Layout {
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /** Per-side stats of a [[compact]] run (driver-side file LISTING only —
+    * one entry per file, the same bounded metadata Delta's OPTIMIZE
+    * reads; no data bytes touch the driver). */
+  final case class CompactionStats(filesBefore: Long, bytesBefore: Long,
+      filesAfter: Long, bytesAfter: Long)
+
+  /** OPTIMIZE (file compaction): rewrite a parquet directory so files
+    * land near `targetFileBytes` — the bin-packing half of Delta/Iceberg
+    * OPTIMIZE next to [[zorder]]'s clustering half. Small-file debris is
+    * the natural end state of streaming ingest and frequent MERGEs, and
+    * at 100 TB it kills scans twice: task-count explosion (one task per
+    * tiny split) and footer/open overhead per file.
+    *
+    * Spark-first, ZERO-SHUFFLE plan: the packing IS the scan. Setting
+    * `spark.sql.files.maxPartitionBytes = targetFileBytes` with
+    * `openCostInBytes = 0` for the read makes Spark's own
+    * FilePartition planner greedy-bin-pack the input files into
+    * ~target-sized read splits; writing without any repartition emits
+    * exactly one output file per split. Many-small-files → merged bins;
+    * an oversize file → SPLIT at row-group boundaries (parquet is
+    * splittable) — both directions converge on the target with no
+    * exchange, no sort, no driver data path. (Compressed input bytes
+    * stand in for output size — the Delta heuristic; codecs match so the
+    * estimate is tight.) The confs are set only for the duration of the
+    * action and restored after.
+    *
+    * Content-preserving by construction: the job is scan → write with no
+    * transformation. Row ORDER across files changes (that is the point);
+    * pair with [[zorder]] first when scan locality on keys matters. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inputDir: String,
+      outputDir: String, targetFileBytes: Long): CompactionStats = {
+    require(targetFileBytes >= (1L << 16),
+      s"targetFileBytes $targetFileBytes is below 64 KiB — compacting to " +
+        "files smaller than a parquet footer's working set makes scans worse")
+    def listStats(dir: String): (Long, Long) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L; var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+      }
+      (n, bytes)
+    }
+    val (nBefore, bBefore) = listStats(inputDir)
+    require(nBefore > 0, s"compact: no parquet files under $inputDir")
+    val conf = spark.conf
+    val oldMax = conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.read.parquet(inputDir).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outputDir)
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
+    val (nAfter, bAfter) = listStats(outputDir)
+    CompactionStats(nBefore, bBefore, nAfter, bAfter)
+  }
 }

@@ -1385,6 +1385,49 @@ class OpsSpec extends AnyFunSuite {
       s"z-order layout must localize the y-filter: z=$zTouched vs x-sorted=$xTouched")
   }
 
+  test("compact: merges small-file debris toward the target, preserves rows, restores confs") {
+    import graft.ops.Layout
+    val base = "target/derived/spec_compact"
+    val in = s"$base/in"; val out = s"$base/out"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    li.repartition(24).write.mode("overwrite").parquet(in)
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val st = Layout.compact(spark, in, out, math.max(1L << 16, inBytes / 4))
+    // stats reflect the real listings and the debris actually merged
+    assert(st.filesBefore == 24 && st.filesAfter >= 1 && st.filesAfter <= 8,
+      s"unexpected compaction shape: $st")
+    // content-preserving: exact multiset of rows
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(canon(spark.read.parquet(out)) == canon(li))
+    // session confs restored even though the write succeeded
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") == oldMax)
+    assert(spark.conf.get("spark.sql.files.openCostInBytes") == oldCost)
+    // the other direction: one oversize file gets SPLIT toward the
+    // target — possible only at row-group granularity, so write the
+    // fixture with small row groups (as a genuinely big file would have
+    // many target-sized ones)
+    val one = s"$base/one"; val oneOut = s"$base/oneOut"
+    li.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 32 * 1024).parquet(one)
+    val oneBytes = new java.io.File(one).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    if (oneBytes >= 2 * (1L << 16)) { // enough data for >=2 target bins
+      val st2 = Layout.compact(spark, one, oneOut,
+        math.max(1L << 16, oneBytes / 3))
+      assert(st2.filesBefore == 1 && st2.filesAfter >= 2, s"no split: $st2")
+      assert(canon(spark.read.parquet(oneOut)) == canon(li))
+    }
+    // a sub-64KiB target is a misconfiguration, not a layout
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, in, out, 1024L)
+    }
+  }
+
   test("c4LineClean: each rule fires independently; clean text re-joins kept lines") {
     val docs = Seq(
       (1L, "Good prose line stays here.\nshort no.\nvar x = {bad};\n" +
