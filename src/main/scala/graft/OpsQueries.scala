@@ -515,6 +515,27 @@ object OpsQueries {
         |ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
         |LIMIT 10""".stripMargin),
 
+    // embedding-space outlier report: the 20 vectors least aligned with
+    // the corpus centroid — the cleaning pass that catches corrupted
+    // encodes before they poison an index. Centroid = one per-position
+    // map-side-combined mean re-entered as a plan literal; ranking is on
+    // the 4-dp-rounded cosine (+ id tiebreak) so float-sum last-bit noise
+    // cannot reorder either engine. DuckDB rebuilds the same centroid
+    // with a position cross-join and ranks identically
+    ("s11_embed_outliers",
+      (s, sf) => Similarity.embeddingOutliers(
+        emb(s, sf), col("vec_id"), col("embedding"), k = 20),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT max(len(v)) AS nd FROM e),
+        |g AS (SELECT unnest(range(1, (SELECT nd FROM d) + 1)) AS i),
+        |pos AS (SELECT i, avg(v[i]) AS m FROM e, g GROUP BY i),
+        |cent AS (SELECT list(m ORDER BY i) AS c FROM pos)
+        |SELECT vec_id,
+        |  floor(list_cosine_similarity(v, (SELECT c FROM cent)) * 10000 + 0.5) / 10000 AS cos4
+        |FROM e
+        |ORDER BY cos4 ASC, vec_id
+        |LIMIT 20""".stripMargin),
+
     // ---- cluster dedup (pairs → components → canonical survivors) -------
     // near-dup similarity is pairwise; dedup policy is per transitive
     // closure. The Spark side runs MinHash-LSH pairs (≡ the exact pair
@@ -1201,6 +1222,30 @@ object OpsQueries {
         |  FROM documents)
         |GROUP BY source""".stripMargin),
 
+    // UNPIVOT (melt): the inverse reshape of a03 — wide per-language
+    // token columns back to long (source, lang, tok_total) rows, the
+    // reshape every per-slice report/mixture config round-trips through.
+    // Catalyst's Expand node emits all five rows per input in one pass
+    // (no per-column union); absent combos (NULL cells) are dropped
+    // explicitly so the result equals the plain long-form aggregation,
+    // which is exactly what the oracle states
+    ("a06_unpivot_tokens",
+      (s, sf) => docs(s, sf)
+        .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).as("ntok"))
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum(col("ntok")))
+        .unpivot(Array(col("source")),
+          Array(col("de"), col("en"), col("es"), col("fr"), col("zh")),
+          "lang", "tok_total")
+        .filter(col("tok_total").isNotNull),
+      """SELECT source, lang, sum(ntok)::BIGINT AS tok_total
+        |FROM (SELECT source, lang,
+        |  CASE WHEN trim(text)='' THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
+        |  FROM documents WHERE lang IN ('de','en','es','fr','zh'))
+        |GROUP BY source, lang""".stripMargin),
+
     // per-key time-series featurization: inter-event gap, short moving
     // average, and event ordinal per user — the feature columns a
     // behavioral model trains on. All windows partition by user_id (the
@@ -1683,6 +1728,28 @@ object OpsQueries {
       """SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
         |  sum(len(text))::BIGINT AS len_sum, true AS compacted_ok
         |FROM documents""".stripMargin),
+
+    // hive-partitioned lake round-trip + pruned read: documents written
+    // one directory per lang (self-provisioned, idempotent), then read
+    // back filtered to one partition — the partition column must be
+    // reconstructed from the directory name and the content must equal
+    // the WHERE-filtered table exactly. The pruning itself (reader never
+    // lists or opens the other lang directories — PartitionFilters in
+    // the scan, before any I/O) is plan-guarded in PlanQualitySpec.
+    ("l03_partitioned_lake",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = s"/root/repo/target/derived/$label/lake_by_lang"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists())
+          graft.ops.Layout.writePartitioned(docs(s, sf), dir, Seq("lang"))
+        s.read.parquet(dir).filter(col("lang") === "en")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text")).cast("long")).as("len_sum"))
+      },
+      """SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+        |  sum(len(text))::BIGINT AS len_sum
+        |FROM documents WHERE lang = 'en' GROUP BY lang""".stripMargin),
 
     // ---- window functions (net-new vs reference §2.5) -------------------
     ("w01_topn_per_group",

@@ -42,6 +42,21 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
 
+  /** Hive-partitioned lake write: one directory per distinct value tuple
+    * of `partitionCols` (`dir/lang=en/...`), the FIRST layout lever at
+    * 100 TB — a reader filtering on a partition column never opens, lists
+    * into, or footers the other directories (partition pruning happens in
+    * the file index, before any I/O). Choose low-cardinality columns the
+    * workload actually filters on (lang, source, date); high-cardinality
+    * partitioning recreates the small-file debris [[compact]] exists to
+    * fix. Pruning is plan-guarded in PlanQualitySpec (PartitionFilters
+    * reaches the scan). */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    df.write.partitionBy(partitionCols: _*)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Per-side stats of a [[compact]] run (driver-side file LISTING only —
     * one entry per file, the same bounded metadata Delta's OPTIMIZE
     * reads; no data bytes touch the driver). */

@@ -474,4 +474,39 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Embedding-space outlier report: the `k` vectors least aligned with
+    * the corpus centroid — the corpus-cleaning pass that surfaces
+    * corrupted encodes, wrong-modality rows, and off-manifold garbage
+    * before they poison ANN indexes or contrastive training batches.
+    *
+    * Plan: the centroid is ONE map-side-combined per-position mean
+    * (posexplode → groupBy(position) — dim·numPartitions combiner rows
+    * cross the wire, never n·dim), collected as `dim` doubles (bounded
+    * metadata) and re-entered as a plan literal; the scoring pass is a
+    * codegen'd cosine in the scan stage feeding TakeOrderedAndProject.
+    * Two scans, zero wide shuffles, k rows to the driver.
+    *
+    * Ranking uses the 4-dp-rounded cosine with the id as tiebreak so the
+    * order is reproducible cross-engine (float-sum last-bit noise cannot
+    * reorder equal-rounded rows). The centroid is built from (and scores
+    * apply to) the corpus's MAJORITY vector length; rows of any other
+    * length score NULL and sort first — a wrong-length embedding IS the
+    * most extreme outlier, not a prefix-cosine accident. */
+  def embeddingOutliers(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val base = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    val lenCounts = base.groupBy(size(col("v")).as("d")).count().collect()
+    val dim = lenCounts.maxBy(r => (r.getLong(1), -r.getInt(0))).getInt(0)
+    val centroid = base.filter(size(col("v")) === dim)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("m"))
+      .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
+    base.select(col("vec_id"),
+        when(size(col("v")) === dim,
+          floor(VectorFunctions.cosine(col("v"), typedLit(centroid)) * 10000 + 0.5) / 10000)
+          .as("cos4"))
+      .orderBy(col("cos4").asc_nulls_first, col("vec_id"))
+      .limit(k)
+  }
 }

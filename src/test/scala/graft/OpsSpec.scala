@@ -141,6 +141,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("embeddingOutliers: opposite-direction vector ranks first; ragged row is the extreme outlier") {
+    import graft.ops.Similarity
+    // 50 vectors clustered near (1, eps); one planted opposite; one ragged
+    val base = spark.range(50).select((col("id") + 10).as("vec_id"),
+      array(lit(1.0), (col("id") % 7) / 100.0).as("embedding"))
+    val planted = Seq((1L, Seq(-1.0, 0.0)), (2L, Seq(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutliers(base.unionByName(planted),
+      col("vec_id"), col("embedding"), k = 3).collect()
+    // ragged row: NULL cosine, sorts first — the most extreme outlier
+    assert(got(0).getLong(0) == 2L && got(0).isNullAt(1))
+    // then the opposite-direction vector (cosine ≈ -1)
+    assert(got(1).getLong(0) == 1L && got(1).getDouble(1) < -0.9)
+    // the cluster members score near 1 and stay out of the report
+    assert(got(2).getDouble(1) < 1.0)
+  }
+
   test("knnJoinBroadcast refuses an oversized corpus instead of collecting it") {
     val big = spark.range(5000).select(col("id").as("vec_id"),
       array(lit(1.0), lit(0.0)).as("embedding"))

@@ -130,6 +130,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"composed pipeline shuffled:\n$p")
   }
 
+  test("l03: lang filter reaches the partitioned scan as a PartitionFilter (pruned before I/O)") {
+    val df = SparkEntry.queries("l03_partitioned_lake")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the filter must appear in PartitionFilters (file-index pruning, no
+    // directory even listed), NOT merely as a post-scan data filter
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("lang") && scanLine.contains("= en"),
+      s"lang=en not pruned at the file index:\n$p")
+    // and only the en directory's files are selected for the scan
+    // (unwrap AQE: AdaptiveSparkPlanExec hides its subtree from collect)
+    val files = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten.flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      s"non-pruned files selected: ${files.filterNot(_.contains("lang=en")).take(3)}")
+  }
+
+  test("s11: outlier scoring is scan + TakeOrderedAndProject, no wide exchange of the corpus") {
+    val df = SparkEntry.queries("s11_embed_outliers")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k plan:\n$p")
+  }
+
   test("p02: shard packing broadcasts the bucket offsets, windows stay bucket-partitioned") {
     val p = plan("p02_pack_shards")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
