@@ -1751,6 +1751,37 @@ object OpsQueries {
         |  sum(len(text))::BIGINT AS len_sum
         |FROM documents WHERE lang = 'en' GROUP BY lang""".stripMargin),
 
+    // schema evolution on read: two partition batches written with
+    // DIFFERENT schemas (batch 2 adds the lang column), read back with
+    // mergeSchema — the union schema applies, pre-evolution rows are
+    // NULL for the new column, and nothing is rewritten (evolution is a
+    // read-side contract, the parquet-lake form of ALTER TABLE ADD
+    // COLUMN). Footer-schema merging touches one footer per FILE, never
+    // data bytes.
+    ("l04_schema_evolution",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = s"/root/repo/target/derived/$label/evolving_lake"
+        if (!new java.io.File(s"$dir/batch=2/_SUCCESS").exists()) {
+          docs(s, sf).filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(s"$dir/batch=1")
+          docs(s, sf).filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .write.mode("overwrite").parquet(s"$dir/batch=2")
+        }
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n_docs"), count(col("lang")).as("n_lang"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      """SELECT 1 AS batch, count(*) AS n_docs, 0::BIGINT AS n_lang,
+        |  sum(doc_id)::BIGINT AS id_sum
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), count(lang), sum(doc_id)::BIGINT
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin),
+
     // ---- window functions (net-new vs reference §2.5) -------------------
     ("w01_topn_per_group",
       (s, sf) => {
@@ -2229,6 +2260,53 @@ object OpsQueries {
         |  FROM tf JOIN dfq USING (term))
         |SELECT doc_id, floor(CAST(SUM(s4) AS DOUBLE) * 10000 + 0.5) / 10000 AS bm25
         |FROM sc GROUP BY doc_id""".stripMargin),
+
+    // hybrid retrieval: RRF fusion of the BM25 keyword ranking and the
+    // embedding-cosine ranking (top-50 each side, 1/(60+rank), absent
+    // side contributes 0). Everything after the two retrieval passes is
+    // result-sized (≤100 rows); ranks are assigned on 4-dp-rounded
+    // scores with id tiebreaks so the fused score is reproducible
+    // cross-engine. The oracle restates BOTH rankings (the b01 BM25
+    // derivation + the s01 cosine scan) and the fusion arithmetic
+    ("b04_hybrid_rrf",
+      (s, sf) => Retrieval.hybridTopK(
+        docs(s, sf), col("doc_id"), col("text"),
+        emb(s, sf), col("vec_id"), col("embedding"),
+        Seq("spark", "vector", "stream"), queryVec(s, sf), k = 20),
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(lower(trim(text)),'\s+') END AS tk
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |    SUM(len(tk))::DOUBLE / count(*) AS avgdl FROM toks),
+        |tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, unnest(tk) AS t, len(tk)::DOUBLE AS dl FROM toks)
+        |  WHERE t IN ('spark','vector','stream') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(floor(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st))))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(28,4)) AS s4
+        |  FROM tf JOIN dfq USING (term)),
+        |bm AS (SELECT doc_id, floor(CAST(SUM(s4) AS DOUBLE) * 10000 + 0.5) / 10000 AS bm25
+        |  FROM sc GROUP BY doc_id),
+        |lex0 AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM lex0),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |sem0 AS (SELECT vec_id,
+        |    list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS c
+        |  FROM embeddings ORDER BY c DESC, vec_id LIMIT 50),
+        |sem AS (SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY floor(c*10000+0.5)/10000 DESC, vec_id) AS r_sem
+        |  FROM sem0),
+        |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem
+        |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id,
+        |  floor((coalesce(1::DOUBLE/(60+r_lex), 0) + coalesce(1::DOUBLE/(60+r_sem), 0))
+        |    * 1000000 + 0.5) / 1000000 AS rrf6,
+        |  r_lex, r_sem
+        |FROM f ORDER BY rrf6 DESC, doc_id LIMIT 20""".stripMargin),
 
     // build the inverted index (grouped, doc_id-sorted posting arrays),
     // then probe two terms back out to flat postings — the round trip is

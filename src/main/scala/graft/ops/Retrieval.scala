@@ -133,4 +133,43 @@ object Retrieval {
         Window.partitionBy(col("qid")).orderBy(col("bm25").desc, col("doc_id").asc)))
       .filter(col("rank") <= k)
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack & Clarke
+    * 2009) of the BM25 keyword ranking and the embedding-cosine ranking
+    * for one query — the curation-harvest shape where neither keywords
+    * nor embeddings alone find the right documents. Each side
+    * contributes 1/(rrfK + rank) for its top `nPerSide`; a document
+    * absent from a side contributes 0 there. Fusion needs only the two
+    * result lists (≤ nPerSide rows each), so everything after the two
+    * retrieval passes is result-sized: the rank windows and the
+    * full-outer fuse join run on ≤ 2·nPerSide rows — the single
+    * partition they plan into IS the bounded driver-adjacent work, not a
+    * corpus shuffle. Ranks are assigned on the 4-dp-ROUNDED scores with
+    * id tiebreaks (the t16/b03 contract) so rank — and therefore the
+    * fused score — is reproducible cross-engine.
+    *
+    * Output: (doc_id, rrf6, r_lex, r_sem), top `k` by fused score. */
+  def hybridTopK(docs: DataFrame, id: Column, text: Column,
+      embs: DataFrame, eId: Column, eVec: Column,
+      queryTerms: Seq[String], queryVec: Seq[Double], k: Int,
+      nPerSide: Int = 50, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, id, text, queryTerms, nPerSide)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = Similarity.bruteForceTopK(embs, eId, eVec, queryVec, nPerSide)
+      .withColumn("cos4", floor(col("cosine") * 10000 + 0.5) / 10000)
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("cos4").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (floor((coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0))) * 1000000 + 0.5)
+          / 1000000).as("rrf6"),
+        col("r_lex"), col("r_sem"))
+      .orderBy(col("rrf6").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }
