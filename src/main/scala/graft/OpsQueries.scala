@@ -2666,6 +2666,18 @@ object OpsQueries {
         |    CASE WHEN doc_id % 9 = 0 THEN ' é漢字' ELSE '' END AS t
         |  FROM documents) WHERE length(t) > 0""".stripMargin),
 
+    // ---- BPE merge learning ----------------------------------------------
+    // tokenizer training where the corpus lives: 6 greedy merges over the
+    // distinct-word frequency table (Sennrich et al. 2016), ties broken by
+    // (count DESC, pair ASC) so the sequence is a pure function of the
+    // corpus. The oracle re-derives EVERY merge independently: k unrolled
+    // CTE stages, each computing the argmax pair and applying the merge
+    // with a boundary-preserving double-space string replace whose
+    // left-to-right non-overlapping semantics equal BPE's greedy fold
+    ("t25_bpe_merges",
+      (s, sf) => graft.ops.Bpe.learnMerges(docs(s, sf), col("text"), numMerges = 6),
+      bpeOracleSql(6)),
+
     // ---- n-gram LM counts ------------------------------------------------
     // corpus-wide bigram INSTANCE counts with minimum support — the KenLM
     // first-pass table; instances, not per-doc-distinct shingles
@@ -2919,6 +2931,33 @@ object OpsQueries {
         .topKExact(queryVec(s, sf), k = 10)
     }),
   )
+
+  /** DuckDB twin of [[graft.ops.Bpe.learnMerges]]: `k` unrolled stages.
+    * Words ride as double-space-joined symbol strings ("  a  b  "), so
+    * `replace(s, ' l  r ', ' lr ')` — plain left-to-right non-overlapping
+    * replace — implements exactly BPE's greedy merge fold: the pattern
+    * consumes one space of each double separator, leaving the boundary
+    * intact for a chained disjoint merge ("a a a a" → "aa aa") while an
+    * overlapping reuse stays blocked ("a a a" → "aa a"). */
+  private def bpeOracleSql(k: Int): String = {
+    val stages = (0 until k).map { i =>
+      s"""p$i AS (SELECT u.l AS l, u.r AS r, sum(cnt)::BIGINT AS pc
+         |  FROM (SELECT cnt, string_split(trim(s, ' '), '  ') AS sy FROM r$i) t,
+         |       unnest([{'l': sy[j], 'r': sy[j+1]} FOR j IN range(1, len(sy))]) AS q(u)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |r${i + 1} AS (SELECT cnt, replace(s, ' ' || b$i.l || '  ' || b$i.r || ' ',
+         |    ' ' || b$i.l || b$i.r || ' ') AS s FROM r$i, b$i)""".stripMargin
+    }
+    val unions = (0 until k).map(i =>
+      s"SELECT ${i + 1} AS rank, l AS lhs, r AS rhs, pc AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    """WITH w0 AS (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)),'\s+')) AS w
+      |    FROM documents WHERE trim(text) <> '') GROUP BY w),
+      |r0 AS (SELECT cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM w0),
+      |""".stripMargin + stages.mkString(",\n") + "\n" + unions
+  }
 
   /** Deterministic NT file derived from the nation table (idempotent). */
   private def ntFixture(s: SparkSession, sf: String): String =

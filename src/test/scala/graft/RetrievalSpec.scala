@@ -509,4 +509,37 @@ class RetrievalSpec extends AnyFunSuite {
       Pipeline.hashSplit(df, col("id"), "s1", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  // ---- BPE merge learning ------------------------------------------------
+
+  test("BPE applyMerge is greedy left-to-right with overlap handling") {
+    import graft.ops.Bpe
+    val df = Seq(Seq("a", "a", "a", "a"), Seq("a", "a", "a"),
+      Seq("b", "a", "a"), Seq("a"), Seq[String]())
+      .toDF("syms")
+    val got = df.select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("aa", "aa"), Seq("aa", "a"),
+      Seq("b", "aa"), Seq("a"), Seq()))
+  }
+
+  test("BPE learnMerges reproduces the hand-computed merge sequence; encode applies it") {
+    import graft.ops.Bpe
+    // "aaab"x3, "ab"x2: pair counts iter1 (a,a)=6 > (a,b)=5 -> merge (a,a)
+    // iter2 on [aa,a,b]x3 + [a,b]x2: (a,b)=5 > (aa,a)=3 -> merge (a,b)
+    // iter3 on [aa,ab]x3 + [ab]x2: (aa,ab)=3 -> merge (aa,ab)
+    val docs = Seq("aaab ab aaab", "aaab ab").toDF("text")
+    val merges = Bpe.learnMerges(docs, col("text"), numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+    // early stop: a corpus of single chars has no pairs after 1 merge
+    val tiny = Seq("aa aa").toDF("text")
+    assert(Bpe.learnMerges(tiny, col("text"), numMerges = 5).count() == 1)
+    // encode replays the merge table in rank order
+    val table = Bpe.learnMerges(docs, col("text"), numMerges = 2)
+    val enc = Bpe.encode(Seq("aaab ab ba").toDF("text"), col("text"), table)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(enc == Seq("aa", "ab", "ab", "b", "a"))
+  }
 }
