@@ -1751,6 +1751,55 @@ object OpsQueries {
         |  sum(len(text))::BIGINT AS len_sum
         |FROM documents WHERE lang = 'en' GROUP BY lang""".stripMargin),
 
+    // plain-parquet TIME TRAVEL: a CDC ledger (base + 2 ordered batches,
+    // self-provisioned) answered as-of both points by folding mergeUpsert
+    // over the first k batches — Delta's versioned read re-expressed for
+    // a bare lake where history IS the retained batch files. The oracle
+    // replays both snapshots symbolically (batch 1: %7 updates with %3
+    // deletes; batch 2: %11 updates with %5 deletes plus new keys)
+    ("l05_time_travel",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = s"/root/repo/target/derived/$label/cdc_ledger"
+        if (!new java.io.File(s"$dir/batch=2/_SUCCESS").exists()) {
+          val d = docs(s, sf).select(col("doc_id"), col("text"))
+          d.write.mode("overwrite").parquet(s"$dir/base")
+          d.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), concat(col("text"), lit(" u1")).as("text"),
+              (col("doc_id") % 3 === 0).as("del"))
+            .write.mode("overwrite").parquet(s"$dir/batch=1")
+          d.filter(col("doc_id") % 11 === 0)
+            .select(col("doc_id"), concat(col("text"), lit(" u2")).as("text"),
+              (col("doc_id") % 5 === 0).as("del"))
+            .unionByName(d.filter(col("doc_id") % 97 === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                lit("new doc").as("text"), lit(false).as("del")))
+            .write.mode("overwrite").parquet(s"$dir/batch=2")
+        }
+        (1 to 2).map { k =>
+          graft.ops.LakeOps.snapshotAsOf(s, dir, k, "doc_id", Some("del"))
+            .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+              sum(length(col("text")).cast("long")).as("len_sum"))
+            .select(lit(k).as("asof"), col("n"), col("id_sum"), col("len_sum"))
+        }.reduce(_ unionByName _)
+      },
+      """WITH b1 AS (SELECT doc_id, text || ' u1' AS text, doc_id % 3 = 0 AS del
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |s1 AS (SELECT doc_id, text FROM documents
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM b1)
+        |  UNION ALL SELECT doc_id, text FROM b1 WHERE NOT del),
+        |b2 AS (SELECT doc_id, text || ' u2' AS text, doc_id % 5 = 0 AS del
+        |    FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 1000000, 'new doc', false
+        |    FROM documents WHERE doc_id % 97 = 0),
+        |s2 AS (SELECT doc_id, text FROM s1
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM b2)
+        |  UNION ALL SELECT doc_id, text FROM b2 WHERE NOT del)
+        |SELECT 1 AS asof, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+        |  sum(len(text))::BIGINT AS len_sum FROM s1
+        |UNION ALL
+        |SELECT 2, count(*), sum(doc_id)::BIGINT, sum(len(text))::BIGINT FROM s2""".stripMargin),
+
     // schema evolution on read: two partition batches written with
     // DIFFERENT schemas (batch 2 adds the lang column), read back with
     // mergeSchema — the union schema applies, pre-evolution rows are
@@ -2665,6 +2714,66 @@ object OpsQueries {
         |FROM (SELECT doc_id, text ||
         |    CASE WHEN doc_id % 9 = 0 THEN ' é漢字' ELSE '' END AS t
         |  FROM documents) WHERE length(t) > 0""".stripMargin),
+
+    // ---- distribution drift ----------------------------------------------
+    // per-source unigram drift: total-variation distance between each
+    // source's token distribution and the rest of the corpus — the
+    // mixture-audit statistic, smoothing-free unlike KL. The absent-term
+    // mass folds into 1 − Σ_present q, so cost is Σ per-slice vocab with
+    // NO slice×vocab cross join; per-term sums are 10-dp decimals
+    // (order-independent), restated op-for-op by the oracle
+    ("t26_tvd_drift",
+      (s, sf) => TextOps.distributionDrift(docs(s, sf), col("source"), col("text")),
+      """WITH pairs AS (SELECT source AS slice,
+        |    unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |sc AS (SELECT slice, term, count(*) AS c FROM pairs GROUP BY 1, 2),
+        |sn AS (SELECT slice, sum(c)::BIGINT AS n_slice FROM sc GROUP BY 1),
+        |tg AS (SELECT term, sum(c)::BIGINT AS c_glob FROM sc GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM sc),
+        |j AS (SELECT sc.slice,
+        |    CAST(floor(abs(sc.c::DOUBLE / sn.n_slice::DOUBLE
+        |      - (tg.c_glob - sc.c)::DOUBLE / ((SELECT n FROM tot) - sn.n_slice)::DOUBLE)
+        |      * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10)) AS ad,
+        |    CAST(floor((tg.c_glob - sc.c)::DOUBLE
+        |      / ((SELECT n FROM tot) - sn.n_slice)::DOUBLE
+        |      * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10)) AS qd
+        |  FROM sc JOIN sn USING (slice) JOIN tg USING (term)
+        |  WHERE sn.n_slice < (SELECT n FROM tot))
+        |SELECT slice, count(*) AS n_terms,
+        |  floor((CAST(sum(ad) AS DOUBLE) + 1.0 - CAST(sum(qd) AS DOUBLE)) / 2.0
+        |    * 1000000 + 0.5) / 1000000 AS tvd6
+        |FROM j GROUP BY slice""".stripMargin),
+
+    // ---- dataset profiling -----------------------------------------------
+    // ANALYZE TABLE in one scan: all measures for all three columns in a
+    // single aggregate (multi-distinct via Expand), reshaped result-side
+    // to one row per column; the double column is canonicalized to
+    // DECIMAL(18,2) so min/max stringify identically on both engines
+    ("a07_profile",
+      (s, sf) => graft.ops.Profile.profile(
+        s.read.parquet(s"$sf/orders.parquet"),
+        Seq(
+          "o_custkey" -> col("o_custkey"),
+          "o_orderpriority" -> col("o_orderpriority"),
+          "o_totalprice" -> col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))),
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_custkey) AS n_null,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  min(o_custkey)::VARCHAR AS min_s, max(o_custkey)::VARCHAR AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice::DECIMAL(18,2)),
+        |  min(o_totalprice::DECIMAL(18,2))::VARCHAR,
+        |  max(o_totalprice::DECIMAL(18,2))::VARCHAR
+        |FROM orders""".stripMargin),
 
     // ---- BPE merge learning ----------------------------------------------
     // tokenizer training where the corpus lives: 6 greedy merges over the

@@ -42,6 +42,27 @@ object LakeOps {
       .unionByName(upserts.select(base.columns.map(col): _*))
   }
 
+  /** Plain-parquet TIME TRAVEL over a CDC ledger: `dir/base` is the
+    * oldest full snapshot, `dir/batch=i` (i = 1..) are ordered CDC
+    * batches in [[mergeUpsert]]'s shape (key + payload + optional delete
+    * flag). `snapshotAsOf(k)` folds the first `k` batches over the base —
+    * the as-of read a table format answers from its log, re-expressed
+    * for a bare parquet lake where history IS the retained batch files.
+    *
+    * Cost: k chained anti-joins, each ∝ current + batch (AQE broadcasts
+    * result-sized batches). At 100 TB keep the fold short by periodically
+    * compacting the ledger — rewrite `base` as `snapshotAsOf(latest)`
+    * ([[Layout.compact]] pass) and drop the folded batches; time travel
+    * depth then bounds k, exactly the checkpoint-vs-log trade every
+    * table format makes. */
+  def snapshotAsOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, keyName: String, deletedCol: Option[String] = None): DataFrame = {
+    require(k >= 0, "snapshot index must be >= 0")
+    (1 to k).foldLeft(spark.read.parquet(s"$dir/base")) { (snap, i) =>
+      mergeUpsert(snap, spark.read.parquet(s"$dir/batch=$i"), keyName, deletedCol)
+    }
+  }
+
   /** Type-2 slowly-changing-dimension merge: apply a change batch to a
     * dimension with (key, payload…, valid_from, valid_to) history rows
     * (current row ⇔ valid_to IS NULL). A change whose payload differs

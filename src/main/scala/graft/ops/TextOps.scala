@@ -455,4 +455,47 @@ object TextOps {
       (t, n, est >= n && est <= n + slack)
     }.toDF("term", "n_true", "within_bound")
   }
+
+  /** Unigram-distribution drift per corpus slice: total-variation
+    * distance between a slice's token distribution P and the
+    * rest-of-corpus distribution Q — the mixture-audit statistic
+    * ("which source stopped looking like the corpus?") that needs no
+    * smoothing knobs, unlike KL.
+    *
+    * TVD = ½·Σ_t |p_t − q_t| over the whole vocabulary, but summing only
+    * slice-PRESENT terms: for t absent from the slice |0 − q_t| = q_t,
+    * and Σ_{t∉slice} q_t = 1 − Σ_{t∈slice} q_t — so
+    * TVD = ½·(Σ_{t∈slice} |p−q| + 1 − Σ_{t∈slice} q), no slice×vocab
+    * cross join, cost ∝ Σ per-slice vocab. All inputs are exact integer
+    * counts; p, q and |p−q| are single IEEE ops on them, and both
+    * per-term sums are 10-dp-floored decimals — order-independent and
+    * bit-restatable by any engine (the b01/t18 contract).
+    *
+    * Output: (slice, n_terms, tvd6). Slices that are the whole corpus
+    * (rest empty) are dropped — drift against nothing is undefined. */
+  def distributionDrift(df: DataFrame, slice: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = df.select(slice.as("slice"), explode(tokens(text)).as("term"))
+    val sc = pairs.groupBy(col("slice"), col("term")).agg(count(lit(1)).as("c"))
+      .persist()
+    val sliceN = sc.groupBy(col("slice")).agg(sum(col("c")).as("n_slice"))
+    val termG = sc.groupBy(col("term")).agg(sum(col("c")).as("c_glob"))
+    val totalN = sc.agg(sum(col("c"))).head().getLong(0)
+    val p = col("c").cast("double") / col("n_slice").cast("double")
+    val q = (col("c_glob") - col("c")).cast("double") /
+      (lit(totalN) - col("n_slice")).cast("double")
+    val d10 = (c: Column) => (floor(c * 1e10 + 0.5) / 1e10).cast(DecimalType(38, 10))
+    val out = sc
+      .join(broadcast(sliceN), "slice")
+      .join(termG, "term")
+      .filter(col("n_slice") < totalN)
+      .select(col("slice"), d10(abs(p - q)).as("ad"), d10(q).as("qd"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("ad")).as("sum_ad"), sum(col("qd")).as("sum_qd"))
+      .select(col("slice"), col("n_terms"),
+        (floor((col("sum_ad").cast("double") + 1.0 - col("sum_qd").cast("double"))
+          / 2.0 * 1000000 + 0.5) / 1000000).as("tvd6"))
+    out
+  }
 }

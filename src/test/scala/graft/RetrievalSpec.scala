@@ -510,6 +510,58 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- distribution drift ------------------------------------------------
+
+  test("distributionDrift: disjoint-vocab slice nears TVD 1, clone slices near 0, equals brute full-vocab sum") {
+    import graft.ops.TextOps
+    // slices A and B share a distribution; slice C is disjoint vocabulary
+    val docs = Seq(
+      ("A", "x y x y z"), ("B", "x y x y z"), ("C", "q r q r qq")).toDF("src", "text")
+    val got = TextOps.distributionDrift(docs, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("C") == 1.0) // no shared term with the rest: TVD exactly 1
+    // brute-force check of the absent-mass folding on slice A (rest = B+C):
+    // vocab = {x,y,z,q,r,qq}; P_A = (2/5, 2/5, 1/5, 0, 0, 0),
+    // Q_rest = (2/10,2/10,1/10,2/10,2/10,1/10); TVD = 0.5*(0.2+0.2+0.1+0.5)
+    assert(math.abs(got("A") - 0.5) < 1e-9, s"A: ${got("A")}")
+    // identical distributions (no disjoint third slice): drift exactly 0
+    val clones = Seq(("A", "x y x y z"), ("B", "x y x y z")).toDF("src", "text")
+    val g2 = TextOps.distributionDrift(clones, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(g2("A") == 0.0 && g2("B") == 0.0, s"clones drifted: $g2")
+  }
+
+  // ---- dataset profiling -------------------------------------------------
+
+  test("profile: one row per column with null/distinct/min/max; single scan") {
+    import graft.ops.Profile
+    val df = Seq((Some(3L), Some("b")), (None, Some("a")), (Some(3L), None),
+      (Some(1L), Some("b"))).toDF("k", "s")
+    val got = Profile.profile(df, Seq("k" -> col("k"), "s" -> col("s")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("k") == ((4L, 1L, 2L, "1", "3")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  // ---- time travel -------------------------------------------------------
+
+  test("snapshotAsOf: k=0 is the base; later batches override earlier; deletes stick") {
+    import graft.ops.LakeOps
+    val dir = "target/derived/spec_ledger"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    base.write.mode("overwrite").parquet(s"$dir/base")
+    Seq((1L, "a1", false), (2L, "x", true)).toDF("k", "v", "del")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    Seq((1L, "a2", false), (4L, "d", false)).toDF("k", "v", "del")
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    def snap(k: Int) = LakeOps.snapshotAsOf(spark, dir, k, "k", Some("del"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap(0) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(snap(1) == Map(1L -> "a1", 3L -> "c"))          // 2 deleted
+    assert(snap(2) == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // batch2 wins on 1
+  }
+
   // ---- BPE merge learning ------------------------------------------------
 
   test("BPE applyMerge is greedy left-to-right with overlap handling") {
