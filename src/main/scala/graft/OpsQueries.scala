@@ -2576,6 +2576,37 @@ object OpsQueries {
         |       ELSE NULL END AS z
         |FROM t JOIN q USING (source)""".stripMargin),
 
+    // time-RANGE window frames (vs the ROWS frames of ts05): trailing
+    // 1-hour count + average per user — "events in the last hour", the
+    // frame type rows-offsets cannot express (gaps and ties change the
+    // row span). The average is derived from an EXACT integer window sum
+    // (value scaled to cents with an identical floor on both engines) so
+    // the result is frame-sum-order independent — the w05 determinism
+    // contract applied to a moving frame
+    ("w06_range_frame",
+      (s, sf) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, Window.currentRow)
+        EventStreams.readEvents(s, s"$sf/events.parquet")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_cents", sum(col("cents")).over(w))
+          .select(col("event_id"), col("user_id"), col("n_1h"),
+            (floor(col("sum_cents") / (col("n_1h") * 100.0) * 10000 + 0.5) / 10000)
+              .as("avg1h"))
+      },
+      """SELECT event_id, user_id, n_1h,
+        |  floor(sum_cents::DOUBLE / (n_1h * 100.0) * 10000 + 0.5) / 10000 AS avg1h
+        |FROM (SELECT event_id, user_id,
+        |    count(*) OVER w AS n_1h,
+        |    sum(floor(value * 100 + 0.5)::BIGINT) OVER w AS sum_cents
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))""".stripMargin),
+
     // ---- leakage-safe train/test split ----------------------------------
     // split assigned by NEAR-DUP CLUSTER label, not doc id: every member
     // of a cluster lands in the same slice, so no near-duplicate pair
@@ -2628,6 +2659,24 @@ object OpsQueries {
         |  SUM(abs(((doc_id*31 + i*7919) % 65536) - 32768))::BIGINT AS sum_abs
         |FROM (SELECT doc_id, unnest(range(0, 64 + doc_id % 128)) AS i FROM documents)
         |GROUP BY 1, 2""".stripMargin),
+
+    // segment-change detection over the REAL decoded PCM frames: frames
+    // whose amplitude sum jumps > 40000 against the previous frame —
+    // keyframe/onset selection as a window over the frame table (rows ∝
+    // frames, never samples). Integer arithmetic end to end; the oracle
+    // restates every sample, frame sum, and LAG diff from the formula
+    ("mm07_audio_onsets",
+      (s, sf) => Multimodal.audioOnsets(Multimodal.audioFrames(
+        Multimodal.audioFromDocuments(docs(s, sf)), frameLen = 16),
+        threshold = 40000L),
+      """WITH fr AS (SELECT doc_id AS media_id, (i // 16)::INTEGER AS frame_idx,
+        |    SUM(abs(((doc_id*31 + i*7919) % 65536) - 32768))::BIGINT AS sa
+        |  FROM (SELECT doc_id, unnest(range(0, 64 + doc_id % 128)) AS i FROM documents)
+        |  GROUP BY 1, 2),
+        |d AS (SELECT media_id, frame_idx,
+        |    sa - lag(sa) OVER (PARTITION BY media_id ORDER BY frame_idx) AS jump
+        |  FROM fr)
+        |SELECT media_id, frame_idx, jump FROM d WHERE abs(jump) > 40000""".stripMargin),
 
     // ---- MERGE upsert (lake maintenance) --------------------------------
     // CDC batch → next snapshot: updates on every 7th doc, of which the
@@ -2928,6 +2977,21 @@ object OpsQueries {
         |SELECT node, rank FROM (
         |  SELECT node, floor(rank*100000000 + 0.5)/100000000 AS rank FROM r3)
         |WHERE rank > 0 ORDER BY 2 DESC, node LIMIT 20""".stripMargin),
+
+    // item co-occurrence ("frequently bought together"): part pairs
+    // sharing ≥2 orders, from the (order, part) bipartite relation. The
+    // in-group pair explosion is capped per group before the self-join
+    // (the containment-cap discipline — a viral group dominates the pair
+    // space with the least signal per pair); DuckDB restates the exact
+    // self-join + HAVING
+    ("g04_copurchase_pairs",
+      (s, sf) => graft.ops.Graph.coOccurrencePairs(
+        s.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey"), col("l_partkey"), minShared = 2),
+      """WITH e AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem)
+        |SELECT a.i AS i_a, b.i AS i_b, count(*) AS n_shared
+        |FROM e a JOIN e b ON a.g = b.g AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
 
     // ---- streaming near-dup detection -----------------------------------
     // MinHash-LSH as a REAL streaming query: state keyed by (band, bhash),

@@ -127,4 +127,32 @@ object Graph {
     oriented.unpersist(); und.unpersist()
     out
   }
+
+  /** Item co-occurrence pairs over a (group, item) relation: pairs of
+    * items appearing together in at least `minShared` groups — the
+    * "frequently bought together" / co-citation primitive (market-basket
+    * pairs, link prediction by common neighbors in the bipartite graph).
+    *
+    * Scale shape: the pair explosion inside a group is quadratic in the
+    * group's item count, so groups above `maxItemsPerGroup` are dropped
+    * BEFORE the self-join — the [[graft.ops.Dedup.containmentPairs]] cap
+    * discipline (a viral group would dominate the pair space AND carry
+    * the least signal per pair, the same argument as boilerplate
+    * shingles). All shuffles carry (group, item) id pairs and pair
+    * counts only.
+    *
+    * Output: (i_a, i_b, n_shared), i_a < i_b. */
+  def coOccurrencePairs(df: DataFrame, group: Column, item: Column,
+      minShared: Long, maxItemsPerGroup: Int = 10000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val e = df.select(group.as("g"), item.as("i")).distinct()
+    val ok = e.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, maxItemsPerGroup)).select(col("g"))
+    val c = e.join(ok, "g")
+    c.select(col("g"), col("i").as("i_a"))
+      .join(c.select(col("g"), col("i").as("i_b")), Seq("g"))
+      .filter(col("i_a") < col("i_b"))
+      .groupBy(col("i_a"), col("i_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -330,6 +330,24 @@ object Multimodal {
       .agg(count(lit(1)).as("n_samples"), sum(col("abs_s")).as("sum_abs"))
   }
 
+  /** Segment-change (onset) detection over [[audioFrames]] output: frames
+    * whose absolute-amplitude sum jumps by more than `threshold` against
+    * the previous frame of the same media — the keyframe/segmentation
+    * primitive (scene cuts for video frame metrics, onsets for audio).
+    * One media-keyed window over the already frame-sized table (rows ∝
+    * frames, never samples); integer arithmetic end to end, so an oracle
+    * can restate every jump exactly. First frames have no predecessor
+    * and never fire. Output: (media_id, frame_idx, jump). */
+  def audioOnsets(frames: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold >= 0, "threshold must be >= 0")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("jump", col("sum_abs") - lag(col("sum_abs"), 1).over(w))
+      .filter(abs(col("jump")) > threshold)
+      .select(col("media_id"), col("frame_idx"), col("jump"))
+  }
+
   /** Build a deterministic media table from the `documents` test table
     * (text bytes as payload) — the fixture used by tests and the oracle. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {

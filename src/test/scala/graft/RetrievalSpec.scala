@@ -562,6 +562,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(snap(2) == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // batch2 wins on 1
   }
 
+  // ---- co-occurrence / onsets --------------------------------------------
+
+  test("coOccurrencePairs: hand counts, dedup within group, viral-group cap") {
+    import graft.ops.Graph
+    // groups: g1={1,2,3}, g2={1,2}, g3={1,2} (with a duplicate row), g4={9}
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 2L), (4L, 9L)).toDF("g", "i")
+    val got = Graph.coOccurrencePairs(df, col("g"), col("i"), minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 3L)) // (1,3),(2,3) appear once: filtered
+    // cap: the 3-item group is dropped before the pair join
+    val capped = Graph.coOccurrencePairs(df, col("g"), col("i"),
+      minShared = 2, maxItemsPerGroup = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 2L))
+  }
+
+  test("audioOnsets: fires on |jump| > threshold, first frame never fires") {
+    import graft.ops.Multimodal
+    val frames = Seq((1L, 0, 100L), (1L, 1, 100L), (1L, 2, 500L), (1L, 3, 90L),
+      (2L, 0, 9999L)).toDF("media_id", "frame_idx", "sum_abs")
+    val got = Multimodal.audioOnsets(frames, threshold = 300L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2, 400L), (1L, 3, -410L)))
+  }
+
   // ---- BPE merge learning ------------------------------------------------
 
   test("BPE applyMerge is greedy left-to-right with overlap handling") {
