@@ -2607,6 +2607,46 @@ object OpsQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))""".stripMargin),
 
+    // native event-time sessionization in BATCH: Spark's session_window
+    // (merge events within a 30-minute gap; session end = last event +
+    // gap, half-open [start, end)) — the API twin of st02's stateful
+    // streaming sessionizer. DuckDB restates it as gaps-and-islands:
+    // break on diff >= gap, cumulative break sum = session id
+    ("ts08_session_window",
+      (s, sf) => EventStreams.readEvents(s, s"$sf/events.parquet")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events")),
+      """WITH o AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin),
+
+    // JSON property extraction: the semi-structured column every event
+    // pipeline carries — get_json_object path extraction (codegen'd,
+    // scan-stage) aggregated per type; DuckDB extracts the same path
+    // with its JSON operators
+    ("q56_json_props",
+      (s, sf) => EventStreams.readEvents(s, s"$sf/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max")),
+      """SELECT event_type, count(k) AS n, sum(k)::BIGINT AS k_sum,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type, CAST(props::JSON->>'k' AS BIGINT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin),
+
     // ---- leakage-safe train/test split ----------------------------------
     // split assigned by NEAR-DUP CLUSTER label, not doc id: every member
     // of a cluster lands in the same slice, so no near-duplicate pair
