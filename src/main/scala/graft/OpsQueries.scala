@@ -2804,6 +2804,53 @@ object OpsQueries {
         |    CASE WHEN doc_id % 9 = 0 THEN ' é漢字' ELSE '' END AS t
         |  FROM documents) WHERE length(t) > 0""".stripMargin),
 
+    // correlation from EXACT integer moments: Pearson corr of quantity vs
+    // price (cents) per return flag, computed from decimal-summed
+    // Σx Σy Σxy Σx² Σy² — order-independent where a native corr()
+    // aggregate is not (both engines stream partial moments in their own
+    // order); the final formula is one identical double expression over
+    // identical exact inputs
+    ("a08_corr_moments",
+      (s, sf) => {
+        val li = s.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_returnflag").as("flag"),
+            floor(col("l_quantity") + 0.5).cast("long").as("x"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+        val m = li.groupBy(col("flag")).agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("y"))).as("sxy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("y") * col("y"))).as("syy"))
+        val nD = col("n").cast("double")
+        val cov = nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val vx = nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val vy = nD * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        m.select(col("flag"), col("n"),
+          (floor(cov / sqrt(vx * vy) * 1000000 + 0.5) / 1000000).as("corr6"))
+      },
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |    floor(l_quantity + 0.5)::BIGINT AS x,
+        |    floor(l_extendedprice * 100 + 0.5)::BIGINT AS y
+        |  FROM lineitem),
+        |m AS (SELECT flag, count(*) AS n,
+        |    sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+        |    sum((x*y)::DECIMAL(38,0)) AS sxy,
+        |    sum((x*x)::DECIMAL(38,0)) AS sxx,
+        |    sum((y*y)::DECIMAL(38,0)) AS syy
+        |  FROM t GROUP BY flag)
+        |SELECT flag, n,
+        |  floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS corr6
+        |FROM m""".stripMargin),
+
     // ---- distribution drift ----------------------------------------------
     // per-source unigram drift: total-variation distance between each
     // source's token distribution and the rest of the corpus — the
@@ -2875,6 +2922,21 @@ object OpsQueries {
     ("t25_bpe_merges",
       (s, sf) => graft.ops.Bpe.learnMerges(docs(s, sf), col("text"), numMerges = 6),
       bpeOracleSql(6)),
+
+    // ...and the tokenizer APPLIED corpus-wide: encode every document
+    // with the learned 6-merge table (the collected merge list replays
+    // as a scan-stage fold chain) and count subwords per doc. The oracle
+    // reuses the merge-stage derivation — its final CTE holds every
+    // distinct word's fully merged form — and joins word instances back
+    // per document, so a drifted merge order or a wrong greedy fold
+    // breaks thousands of per-doc counts
+    ("t27_bpe_encode",
+      (s, sf) => {
+        val table = graft.ops.Bpe.learnMerges(docs(s, sf), col("text"), numMerges = 6)
+        graft.ops.Bpe.encode(docs(s, sf), col("text"), table)
+          .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe"))
+      },
+      bpeEncodeOracleSql(6)),
 
     // ---- n-gram LM counts ------------------------------------------------
     // corpus-wide bigram INSTANCE counts with minimum support — the KenLM
@@ -3159,7 +3221,7 @@ object OpsQueries {
          |       unnest([{'l': sy[j], 'r': sy[j+1]} FOR j IN range(1, len(sy))]) AS q(u)
          |  GROUP BY 1, 2),
          |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
-         |r${i + 1} AS (SELECT cnt, replace(s, ' ' || b$i.l || '  ' || b$i.r || ' ',
+         |r${i + 1} AS (SELECT w, cnt, replace(s, ' ' || b$i.l || '  ' || b$i.r || ' ',
          |    ' ' || b$i.l || b$i.r || ' ') AS s FROM r$i, b$i)""".stripMargin
     }
     val unions = (0 until k).map(i =>
@@ -3168,8 +3230,24 @@ object OpsQueries {
     """WITH w0 AS (SELECT w, count(*) AS cnt FROM (
       |    SELECT unnest(string_split_regex(lower(trim(text)),'\s+')) AS w
       |    FROM documents WHERE trim(text) <> '') GROUP BY w),
-      |r0 AS (SELECT cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM w0),
+      |r0 AS (SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM w0),
       |""".stripMargin + stages.mkString(",\n") + "\n" + unions
+  }
+
+  /** DuckDB twin of [[graft.ops.Bpe.encode]] at corpus scale: reuse the
+    * k merge stages (the final r_k CTE holds every distinct word's fully
+    * merged symbol string), join word INSTANCES per doc back to it, and
+    * count subword tokens per document. Empty-text docs encode to 0. */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val full = bpeOracleSql(k)
+    val body = full.substring(0, full.indexOf("\nSELECT 1 AS rank"))
+    body + s""",
+      |dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),'\\s+')) AS w
+      |  FROM documents WHERE trim(text) <> ''),
+      |pd AS (SELECT dw.doc_id, sum(len(string_split(trim(r$k.s, ' '), '  '))) AS n
+      |  FROM dw JOIN r$k USING (w) GROUP BY dw.doc_id)
+      |SELECT d.doc_id, coalesce(pd.n, 0)::BIGINT AS n_bpe
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
   }
 
   /** Deterministic NT file derived from the nation table (idempotent). */
