@@ -567,6 +567,53 @@ object OpsQueries {
         |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b)
         |SELECT id AS doc_id, MIN(l) AS canonical FROM r GROUP BY id""".stripMargin),
 
+    // leakage-AWARE negative sampling: k=3 deterministic contrastive
+    // negatives per doc, drawn by the portable hash over a dense id
+    // dictionary and EXCLUDING the anchor's near-dup cluster (c01's
+    // labeling — a near-duplicate "negative" is the classic contrastive
+    // bug). The oracle composes three proven fragments: the c01
+    // recursive-CTE clustering, the p06 row_number dictionary, and the
+    // p01 portable polyhash — and re-derives the exact draws
+    ("p10_negative_samples",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val clusters = Dedup.connectedComponents(
+          Dedup.minHashNearDups(d, col("doc_id"), col("text"), n = 3, threshold = 0.8),
+          col("id_a"), col("id_b"), d, col("doc_id"))
+        graft.ops.Pipeline.negativeSamples(clusters, col("node"), col("label"),
+          k = 3, salt = "neg1")
+      },
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |      / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+        |r(id, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b),
+        |cl AS (SELECT id AS doc_id, MIN(l) AS canonical FROM r GROUP BY id),
+        |b AS (SELECT doc_id::VARCHAR AS aid, canonical::VARCHAR AS acl FROM cl),
+        |dict AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS idx
+        |         FROM (SELECT DISTINCT doc_id::VARCHAR AS value FROM documents)),
+        |nn AS (SELECT count(*) AS n FROM dict),
+        |tries AS (SELECT aid, acl, j,
+        |    list_reduce(list_prepend(7::BIGINT, list_transform(
+        |      string_split('neg1:' || aid || ':' || j::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 2147483647) % (SELECT n FROM nn) AS idx
+        |  FROM b, (SELECT unnest(range(1, 7)) AS j) g),
+        |cand AS (SELECT t.aid, t.j, d.value AS nid, b2.acl AS ncl, t.acl AS acl
+        |  FROM tries t JOIN dict d ON t.idx = d.idx JOIN b b2 ON b2.aid = d.value)
+        |SELECT aid AS id, row_number() OVER (PARTITION BY aid ORDER BY j) AS rank,
+        |  nid AS neg_id
+        |FROM cand WHERE nid <> aid AND ncl <> acl
+        |QUALIFY rank <= 3""".stripMargin),
+
     // paragraph-level exact dedup: the fixture docs are single-line, so
     // the gate builds multi-paragraph documents in the query itself —
     // two text slices plus a boilerplate footer planted TWICE per doc
@@ -2631,6 +2678,24 @@ object OpsQueries {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    // ...and the same sessionization as a REAL streaming query (state
+    // store, AvailableNow, complete mode so tail sessions emit): the
+    // streaming session_window state machine must land on exactly the
+    // batch gaps-and-islands result — ts08's oracle verbatim
+    ("st14_stream_sessions",
+      (s, sf) => EventStreams.runSessionWindowBatch(s, s"$sf/events.parquet"),
+      """WITH o AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin),
+
     // JSON property extraction: the semi-structured column every event
     // pipeline carries — get_json_object path extraction (codegen'd,
     // scan-stage) aggregated per type; DuckDB extracts the same path
@@ -2937,6 +3002,43 @@ object OpsQueries {
           .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe"))
       },
       bpeEncodeOracleSql(6)),
+
+    // suffix-stripping stemmer (Porter-lite): stems that consolidate ≥2
+    // distinct surface terms, with term and instance counts — the
+    // vocabulary-consolidation report retrieval/drift statistics run on.
+    // Suffix variants are PLANTED on every 4th doc (t24's pattern — the
+    // fixture vocabulary is singular-only, so unplanted nothing would
+    // consolidate); both engines apply the identical anchored-regex chain
+    ("t28_stem_groups",
+      (s, sf) => docs(s, sf)
+        .select(concat(col("text"), when(col("doc_id") % 4 === 0,
+          lit(" joins rows filtering filtered tables scans")).otherwise(lit("")))
+          .as("t"))
+        .select(explode(TextOps.tokens(col("t"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .select(TextOps.stemLite(col("term")).as("stem"), col("term"), col("cnt"))
+        .groupBy(col("stem"))
+        .agg(countDistinct(col("term")).as("n_terms"),
+          sum(col("cnt")).as("n_instances"), min(col("term")).as("first_term"))
+        .filter(col("n_terms") >= 2),
+      """WITH tc AS (SELECT t AS term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(tx)),'\s+')) AS t
+        |    FROM (SELECT text || CASE WHEN doc_id % 4 = 0
+        |        THEN ' joins rows filtering filtered tables scans' ELSE '' END AS tx
+        |      FROM documents)
+        |    WHERE trim(tx) <> '') GROUP BY 1),
+        |st AS (SELECT regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(term, 'sses$', 'ss'),
+        |        'ies$', 'i'),
+        |      '([^s])s$', '\1'),
+        |    '([a-z]{3,})ing$', '\1'),
+        |  '([a-z]{3,})ed$', '\1') AS stem, term, cnt FROM tc)
+        |SELECT stem, count(DISTINCT term) AS n_terms,
+        |  sum(cnt)::BIGINT AS n_instances, min(term) AS first_term
+        |FROM st GROUP BY stem HAVING count(DISTINCT term) >= 2""".stripMargin),
 
     // ---- n-gram LM counts ------------------------------------------------
     // corpus-wide bigram INSTANCE counts with minimum support — the KenLM

@@ -377,6 +377,50 @@ object Pipeline {
     indexed.toDF("value", "id")
   }
 
+  /** Deterministic LEAKAGE-AWARE negative sampling for contrastive
+    * training: for each anchor row, `k` pseudo-random negatives drawn by
+    * the portable salted hash, EXCLUDING the anchor itself and anything
+    * in the anchor's near-dup cluster — a near-duplicate "negative"
+    * teaches the model to push near-identical texts apart, the classic
+    * contrastive-data bug; pair with [[Dedup.connectedComponents]] (or
+    * any cluster assignment) for the `cluster` column.
+    *
+    * Mechanism, linear in n: the id domain gets a dense index
+    * ([[dictionary]]); each anchor proposes `k · oversample` candidate
+    * indexes as `polyHash(salt:id:j) mod n` (no RNG — any engine
+    * re-derives the exact draw, re-runs are identical), joins them back
+    * to ids and cluster labels through broadcast, filters self/cluster
+    * hits, and keeps the first `k` by draw order. Sampling is WITH
+    * replacement (a duplicate draw stays, deterministically); an anchor
+    * inside a cluster covering most of the corpus may yield fewer than
+    * `k`.
+    *
+    * Output: (id, rank, neg_id), rank 1..k, ids as strings (the
+    * dictionary's canonical key form). */
+  def negativeSamples(df: DataFrame, id: Column, cluster: Column, k: Int,
+      salt: String, oversample: Int = 2): DataFrame = {
+    require(k >= 1 && oversample >= 1, "k and oversample must be >= 1")
+    val base = df.select(id.cast("string").as("aid"), cluster.cast("string").as("acl"))
+    val dict = dictionary(df, id)
+    val n = dict.count()
+    require(n > 1, "negativeSamples needs at least two distinct ids")
+    val tries = base.select(col("aid"), col("acl"),
+        explode(sequence(lit(1), lit(k * oversample))).as("j"))
+      .withColumn("idx", pmod(graft.functions.HashFunctions.polyHash(
+        concat(lit(salt + ":"), col("aid"), lit(":"), col("j").cast("string")),
+        257L, 2147483647L), lit(n)))
+    // no broadcast hints: the dictionary and cluster tables are id-domain-
+    // sized (≫ MB at corpus scale) — AQE picks broadcast when they fit
+    val w = Window.partitionBy(col("aid")).orderBy(col("j"))
+    tries
+      .join(dict.select(col("id").as("idx"), col("value").as("nid")), "idx")
+      .join(base.select(col("aid").as("nid"), col("acl").as("ncl")), "nid")
+      .filter(col("nid") =!= col("aid") && col("ncl") =!= col("acl"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("aid").as("id"), col("rank"), col("nid").as("neg_id"))
+  }
+
   /** Encode a column through a dictionary built by [[dictionary]]:
     * joins on the raw value and substitutes the dense id. The join is
     * marked broadcast — vocabularies and key domains are MB-scale next

@@ -456,6 +456,21 @@ object TextOps {
     }.toDF("term", "n_true", "within_bound")
   }
 
+  /** Suffix-stripping stemmer (Porter-LITE, deliberately tiny): the five
+    * highest-yield English suffix rules applied in order — sses→ss,
+    * ies→i, drop plural s (not after s), and ing/ed off stems ≥3 chars.
+    * A heuristic vocabulary consolidator for retrieval/drift statistics,
+    * NOT a linguistics claim — rules are plain anchored regexes chosen
+    * to behave identically under Java regex and RE2, so an oracle can
+    * restate them verbatim. Pure codegen'd scan-stage expression. */
+  def stemLite(term: Column): Column = {
+    val r1 = regexp_replace(term, "sses$", "ss")
+    val r2 = regexp_replace(r1, "ies$", "i")
+    val r3 = regexp_replace(r2, "([^s])s$", "$1")
+    val r4 = regexp_replace(r3, "([a-z]{3,})ing$", "$1")
+    regexp_replace(r4, "([a-z]{3,})ed$", "$1")
+  }
+
   /** Unigram-distribution drift per corpus slice: total-variation
     * distance between a slice's token distribution P and the
     * rest-of-corpus distribution Q — the mixture-audit statistic

@@ -54,6 +54,31 @@ object EventStreams {
           <= col("n_exact") * (3 * 0.05) + 1).as("est_ok"))
   }
 
+  /** STREAMING native session_window: event-time sessions (30-minute
+    * merge gap) per user — the built-in API form of sessionization (vs
+    * [[sessionize]]'s custom `flatMapGroupsWithState` form; both exist
+    * because the API form is one line but fixes the semantics, while
+    * custom state lets you attach arbitrary per-session payloads). The
+    * watermark bounds session state on an indefinite stream: a session
+    * whose gap has passed the watermark can never grow and its state is
+    * evicted after emission. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** [[sessionWindows]] as a real streaming query over the events file
+    * (AvailableNow, complete mode so the tail sessions the final
+    * watermark has not closed still emit — the choice that makes the
+    * result equal the batch ts08 twin exactly). */
+  def runSessionWindowBatch(spark: SparkSession, parquetPath: String): DataFrame =
+    runToMemory(spark,
+      sessionWindows(streamEvents(spark, parquetPath)),
+      s"graft_ssw_${math.abs(parquetPath.hashCode)}", "complete")
+
   final case class HourlyAnom(etype: String, bucket: Long, n_events: Long,
       z: Option[Double])
 

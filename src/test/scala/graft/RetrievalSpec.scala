@@ -562,6 +562,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(snap(2) == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // batch2 wins on 1
   }
 
+  // ---- negative sampling -------------------------------------------------
+
+  test("negativeSamples: deterministic, excludes self and the anchor's cluster, honors k") {
+    import graft.ops.Pipeline
+    // ids 1..10; 1,2,3 share a cluster (label 1); rest singleton
+    val cl = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 9L, 10L -> 10L)
+      .toDF("node", "label")
+    def run() = Pipeline.negativeSamples(cl, col("node"), col("label"),
+      k = 2, salt = "s1").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val got = run()
+    assert(got == run()) // re-run identical: no RNG
+    // no self-negatives, no within-cluster negatives
+    val clusterOf = cl.collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    got.foreach { case (a, _, n) =>
+      assert(a != n, s"self negative: $a")
+      assert(clusterOf(a) != clusterOf(n), s"cluster leak: $a -> $n")
+    }
+    // every anchor gets at most k, ranks start at 1
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.values.forall(_.size <= 2))
+    assert(byAnchor.values.forall(_.map(_._2).min == 1))
+    intercept[IllegalArgumentException] {
+      Pipeline.negativeSamples(cl.limit(1), col("node"), col("label"), 2, "s1")
+    }
+  }
+
+  // ---- stemming ------------------------------------------------------------
+
+  test("stemLite applies the five suffix rules in order; non-matching terms pass through") {
+    import graft.ops.TextOps
+    val got = Seq("classes", "queries", "tables", "pass", "filtering",
+      "filtered", "sing", "bed", "join")
+      .toDF("t").select(TextOps.stemLite(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("class", "queri", "table", "pass", "filter",
+      "filter", "sing", "bed", "join"))
+  }
+
   // ---- co-occurrence / onsets --------------------------------------------
 
   test("coOccurrencePairs: hand counts, dedup within group, viral-group cap") {
