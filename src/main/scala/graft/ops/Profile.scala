@@ -30,15 +30,19 @@ object Profile {
         min(c).cast("string").as(s"__mn_$name"),
         max(c).cast("string").as(s"__mx_$name"))
     }
-    val aggRow = df.agg(measures.head, measures.tail: _*).cache()
-    specs.map { case (name, _) =>
-      aggRow.select(
-        lit(name).as("col_name"),
-        col("__n").as("n_rows"),
-        col(s"__nn_$name").as("n_null"),
-        col(s"__nd_$name").as("n_distinct"),
-        col(s"__mn_$name").as("min_s"),
-        col(s"__mx_$name").as("max_s"))
-    }.reduce(_ unionByName _)
+    val aggRow = df.agg(measures.head, measures.tail: _*)
+    // reshape with ONE stack generator over the single aggregate row —
+    // a per-column union would re-plan (and re-print) the scan subtree
+    // per branch; stack keeps the whole profile a single-subtree plan
+    // with exactly one scan
+    val stacked = specs.flatMap { case (name, _) =>
+      Seq(lit(name), col(s"__nn_$name"), col(s"__nd_$name"),
+        col(s"__mn_$name"), col(s"__mx_$name"))
+    }
+    aggRow.select(col("__n").as("n_rows"),
+        stack((lit(specs.size) +: stacked): _*)
+          .as(Seq("col_name", "n_null", "n_distinct", "min_s", "max_s")))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
   }
 }

@@ -156,6 +156,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k plan:\n$p")
   }
 
+  test("a07: profile computes all columns' measures in ONE scan of orders") {
+    val df = SparkEntry.queries("a07_profile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet"))
+    assert(scans == 1, s"expected one orders scan, found $scans:\n$p")
+  }
+
+  test("t26/p10: drift and negative sampling plan without cartesian products") {
+    for (name <- Seq("t26_tvd_drift", "p10_negative_samples")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a cross product:\n$p")
+    }
+  }
+
   test("p02: shard packing broadcasts the bucket offsets, windows stay bucket-partitioned") {
     val p = plan("p02_pack_shards")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
