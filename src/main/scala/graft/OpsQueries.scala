@@ -515,6 +515,22 @@ object OpsQueries {
         |ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
         |LIMIT 10""".stripMargin),
 
+    // metadata-FILTERED vector search: top-10 cosine among label=2
+    // vectors only — PRE-filter semantics (the predicate cuts the
+    // corpus before scoring, so the result is full whenever k matches
+    // exist; post-filtering an ANN result under-fills). The label
+    // predicate reaches the parquet scan (plan-guarded)
+    ("s12_filtered_ann",
+      (s, sf) => Similarity.filteredTopK(
+        emb(s, sf).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        col("label") === 2, queryVec(s, sf), k = 10)
+        .select(col("vec_id"), round(col("cosine"), 3).as("cos3")),
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 3) AS cos3
+        |FROM embeddings WHERE vec_id <> 0 AND label = 2
+        |ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin),
+
     // embedding-space outlier report: the 20 vectors least aligned with
     // the corpus centroid — the cleaning pass that catches corrupted
     // encodes before they poison an index. Centroid = one per-position
@@ -1797,6 +1813,61 @@ object OpsQueries {
       """SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
         |  sum(len(text))::BIGINT AS len_sum
         |FROM documents WHERE lang = 'en' GROUP BY lang""".stripMargin),
+
+    // raw text-file ingestion (the most common corpus wire format):
+    // one "id<TAB>text" line per doc written once, read back through
+    // spark.read.text and re-parsed — the line-oriented path every web
+    // dump/JSONL-adjacent pipeline starts from. Aggregates must equal
+    // the source table exactly
+    ("q57_text_lines",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = s"/root/repo/target/derived/$label/text_lines"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists())
+          docs(s, sf).select(concat(col("doc_id").cast("string"), lit("\t"),
+              col("text")).as("value"))
+            .coalesce(1).write.mode("overwrite").text(dir)
+        s.read.text(dir)
+          .select(split(col("value"), "\t", 2).as("p"))
+          .select(col("p").getItem(0).cast("long").as("doc_id"),
+            col("p").getItem(1).as("text"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text")).cast("long")).as("len_sum"))
+      },
+      """SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+        |  sum(len(text))::BIGINT AS len_sum FROM documents""".stripMargin),
+
+    // object-store media ingestion: spark.read.format("binaryFile") over
+    // a directory of per-doc .bin payloads (provisioned once,
+    // driver-side, bounded to 20 files) — the (path, content) ingestion
+    // shape every multimodal pipeline starts from. The gate decodes the
+    // bytes back and verifies content equality against the source table
+    // (text_match must be true for every row), plus the byte length
+    ("mm08_binaryfile_ingest",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = new java.io.File(s"/root/repo/target/derived/$label/bin_media")
+        if (!new java.io.File(dir, "_DONE").exists()) {
+          dir.mkdirs()
+          docs(s, sf).filter(col("doc_id") < 20)
+            .select(col("doc_id"), col("text")).collect().foreach { r =>
+              java.nio.file.Files.write(dir.toPath.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+                r.getString(1).getBytes("UTF-8"))
+            }
+          java.nio.file.Files.write(dir.toPath.resolve("_DONE"), Array.empty[Byte])
+        }
+        val bin = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin").load(dir.getAbsolutePath)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            decode(col("content"), "UTF-8").as("decoded"))
+        bin.join(docs(s, sf).select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id"), col("n_bytes"),
+            (col("decoded") === col("text")).as("text_match"))
+      },
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, true AS text_match
+        |FROM documents WHERE doc_id < 20""".stripMargin),
 
     // plain-parquet TIME TRAVEL: a CDC ledger (base + 2 ordered batches,
     // self-provisioned) answered as-of both points by folding mergeUpsert

@@ -475,6 +475,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED exact vector search: cosine top-k restricted to
+    * rows matching `pred` — the "hybrid filter" every vector store
+    * grows (lang = 'en', source = X, date range…). PRE-filter
+    * semantics deliberately: the predicate cuts the corpus BEFORE
+    * scoring, so the result always has k rows when k matches exist;
+    * post-filtering an ANN result under-fills whenever the filter is
+    * selective (the classic filtered-ANN bug). The filter is a plain
+    * scan predicate — Catalyst pushes it to the parquet reader
+    * (plan-guarded), so cost is ∝ the filtered subset, and for an
+    * indexed corpus the same predicate composes with [[IvfIndex]] by
+    * filtering `assigned` before [[IvfIndex.topK]]'s probe. */
+  def filteredTopK(df: DataFrame, id: Column, vec: Column, pred: Column,
+      query: Seq[Double], k: Int): DataFrame =
+    bruteForceTopK(df.filter(pred), id, vec, query, k)
+
   /** Embedding-space outlier report: the `k` vectors least aligned with
     * the corpus centroid — the corpus-cleaning pass that surfaces
     * corrupted encodes, wrong-modality rows, and off-manifold garbage

@@ -150,6 +150,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"non-pruned files selected: ${files.filterNot(_.contains("lang=en")).take(3)}")
   }
 
+  test("s12: the metadata filter of filtered ANN reaches the parquet scan") {
+    val p = plan("s12_filtered_ann")
+    assert(p.contains("EqualTo(label,2)"), s"label pushdown missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("s11: outlier scoring is scan + TakeOrderedAndProject, no wide exchange of the corpus") {
     val df = SparkEntry.queries("s11_embed_outliers")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
