@@ -2873,6 +2873,27 @@ object OpsQueries {
         |UNION ALL
         |SELECT doc_id, text FROM u WHERE NOT del""".stripMargin),
 
+    // GDPR erasure end-to-end: a delete list (every 13th doc) applied
+    // through mergeUpsert, then the derived inverted index REBUILT from
+    // the erased snapshot and probed — the compliance requirement is
+    // that erasure propagates through derived structures, not just the
+    // base table. The oracle restates the probe over the erased corpus;
+    // a surviving posting from a deleted doc breaks the row set
+    ("e09_erasure_propagation",
+      (s, sf) => {
+        val d = docs(s, sf).select(col("doc_id"), col("text"))
+        val dels = d.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), col("text"), lit(true).as("del"))
+        val erased = graft.ops.LakeOps.mergeUpsert(d, dels, "doc_id", Some("del"))
+        Retrieval.probePostings(
+          Retrieval.invertedIndex(erased, col("doc_id"), col("text")),
+          Seq("vector", "stream"))
+      },
+      """SELECT t AS term, doc_id, count(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),'\s+')) AS t
+        |      FROM documents WHERE trim(text) <> '' AND doc_id % 13 <> 0)
+        |WHERE t IN ('vector','stream') GROUP BY 1, 2""".stripMargin),
+
     // ---- SCD2 dimension merge -------------------------------------------
     // type-2 history: changed payloads close the current row at the
     // change date and open a new one; identical payloads are no-ops;

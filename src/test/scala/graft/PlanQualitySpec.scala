@@ -151,6 +151,10 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("s12: the metadata filter of filtered ANN reaches the parquet scan") {
+    // another suite may have cached the embeddings table in this shared
+    // session — the scan would resolve to an InMemoryRelation and the
+    // parquet PushedFilters line would not exist to assert on
+    spark.catalog.clearCache()
     val p = plan("s12_filtered_ann")
     assert(p.contains("EqualTo(label,2)"), s"label pushdown missing:\n$p")
     assert(p.contains("TakeOrderedAndProject"))
