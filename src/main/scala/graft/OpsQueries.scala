@@ -1814,6 +1814,28 @@ object OpsQueries {
         |  sum(len(text))::BIGINT AS len_sum
         |FROM documents WHERE lang = 'en' GROUP BY lang""".stripMargin),
 
+    // nested-struct schema pruning: events rewritten with a struct
+    // column (self-provisioned), then read selecting only ONE subfield —
+    // the scan must read meta.user_id alone, not the whole struct
+    // (plan-guarded ReadSchema): at 100 TB a metadata struct with a
+    // dozen heavy fields would otherwise be fully materialized for a
+    // one-field query
+    ("q58_nested_pruning",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = s"/root/repo/target/derived/$label/nested_events"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists())
+          EventStreams.readEvents(s, s"$sf/events.parquet")
+            .select(col("event_id"),
+              struct(col("user_id"), col("event_type"), col("value")).as("meta"))
+            .write.mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
+          .groupBy(col("meta.user_id").as("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      },
+      """SELECT user_id, count(*) AS n, sum(event_id)::BIGINT AS id_sum
+        |FROM events GROUP BY user_id""".stripMargin),
+
     // raw text-file ingestion (the most common corpus wire format):
     // one "id<TAB>text" line per doc written once, read back through
     // spark.read.text and re-parsed — the line-oriented path every web
@@ -2960,6 +2982,34 @@ object OpsQueries {
         |FROM (SELECT doc_id, text ||
         |    CASE WHEN doc_id % 9 = 0 THEN ' é漢字' ELSE '' END AS t
         |  FROM documents) WHERE length(t) > 0""".stripMargin),
+
+    // inline pipeline observability (the Observation API): quality
+    // metrics collected DURING a pipeline action — no second scan, no
+    // separate metrics job; the accumulator rides the existing pass,
+    // which is how a 100 TB job affords its own health counters. The
+    // observed values are re-entered as a single literal row and must
+    // equal the oracle's direct aggregation
+    ("a09_observe_metrics",
+      (s, sf) => {
+        val obs = org.apache.spark.sql.Observation(s"q_${System.nanoTime()}")
+        val pipeline = docs(s, sf)
+          .observe(obs, count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+            count(when(trim(col("text")) === "", lit(1))).as("n_empty"))
+          .filter(trim(col("text")) =!= "")
+        pipeline.write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_docs").asInstanceOf[Long], m("n_tokens").asInstanceOf[Long],
+          m("n_empty").asInstanceOf[Long]))
+          .toDF("n_docs", "n_tokens", "n_empty")
+      },
+      """SELECT count(*) AS n_docs,
+        |  sum(CASE WHEN trim(text)='' THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)),'\s+')) END)::BIGINT
+        |    AS n_tokens,
+        |  count(CASE WHEN trim(text)='' THEN 1 END) AS n_empty
+        |FROM documents""".stripMargin),
 
     // correlation from EXACT integer moments: Pearson corr of quantity vs
     // price (cents) per return flag, computed from decimal-summed

@@ -160,6 +160,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q58: nested schema pruning — the scan reads meta.user_id only, not the whole struct") {
+    val df = SparkEntry.queries("q58_nested_pruning")(spark, sf)
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(l => l.contains("nested_events") && l.contains("ReadSchema"))
+      .getOrElse("")
+    assert(scanLine.contains("user_id"), s"no pruned read: $scanLine")
+    assert(!scanLine.contains("event_type") && !scanLine.contains("value"),
+      s"whole struct read for a one-field query: $scanLine")
+  }
+
   test("s11: outlier scoring is scan + TakeOrderedAndProject, no wide exchange of the corpus") {
     val df = SparkEntry.queries("s11_embed_outliers")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
