@@ -63,6 +63,37 @@ object LakeOps {
     }
   }
 
+  /** LEDGER COMPACTION — the checkpoint half of [[snapshotAsOf]]'s
+    * checkpoint-vs-log trade: materialize the fold of batches 1..`upTo`
+    * as the new `base`, drop the folded batch dirs, and renumber the
+    * remaining batches to start at 1. Time travel BEFORE the compaction
+    * point is given up (exactly Delta's VACUUM/checkpoint semantics);
+    * everything after replays as before with a shorter fold. The swap
+    * is write-new → delete-old → rename, not atomic — run it from the
+    * single maintenance writer that owns the lake (the same ownership
+    * [[graft.streaming.JdbcUpsertSink.upsertBatch]] documents). */
+  def compactLedger(spark: org.apache.spark.sql.SparkSession, dir: String,
+      upTo: Int, keyName: String, deletedCol: Option[String] = None): Unit = {
+    require(upTo >= 1, "upTo must be >= 1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    require(fs.exists(p(s"batch=$upTo")), s"ledger has no batch=$upTo under $dir")
+    snapshotAsOf(spark, dir, upTo, keyName, deletedCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/base_compacting")
+    fs.delete(p("base"), true)
+    fs.rename(p("base_compacting"), p("base"))
+    (1 to upTo).foreach(i => fs.delete(p(s"batch=$i"), true))
+    // renumber the tail so the ledger is contiguous from 1 again
+    var j = upTo + 1
+    var k = 1
+    while (fs.exists(p(s"batch=$j"))) {
+      fs.rename(p(s"batch=$j"), p(s"batch=$k"))
+      j += 1; k += 1
+    }
+  }
+
   /** Type-2 slowly-changing-dimension merge: apply a change batch to a
     * dimension with (key, payload…, valid_from, valid_to) history rows
     * (current row ⇔ valid_to IS NULL). A change whose payload differs

@@ -562,6 +562,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(snap(2) == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // batch2 wins on 1
   }
 
+  test("compactLedger folds the prefix into base and renumbers the tail") {
+    import graft.ops.LakeOps
+    val dir = "target/derived/spec_ledger_compact"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    Seq((1L, "a1", false), (2L, "x", true)).toDF("k", "v", "del")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    Seq((1L, "a2", false), (4L, "d", false)).toDF("k", "v", "del")
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    Seq((5L, "e", false), (3L, "x", true)).toDF("k", "v", "del")
+      .write.mode("overwrite").parquet(s"$dir/batch=3")
+    def snap(k: Int) = LakeOps.snapshotAsOf(spark, dir, k, "k", Some("del"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before2 = snap(2); val before3 = snap(3)
+    LakeOps.compactLedger(spark, dir, upTo = 2, "k", Some("del"))
+    // the new base IS the old as-of(2); the old batch 3 is now batch 1
+    assert(snap(0) == before2)
+    assert(snap(1) == before3)
+    assert(!new java.io.File(s"$dir/batch=2").exists())
+    intercept[IllegalArgumentException] {
+      LakeOps.compactLedger(spark, dir, upTo = 9, "k", Some("del"))
+    }
+  }
+
   // ---- negative sampling -------------------------------------------------
 
   test("negativeSamples: deterministic, excludes self and the anchor's cluster, honors k") {
