@@ -2747,6 +2747,27 @@ object OpsQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))""".stripMargin),
 
+    // per-user interval-UNION coverage: total wall-clock covered by the
+    // union of [ts, ts+10min) activity intervals — naive duration sums
+    // double-count overlaps. Gaps-and-islands with a running-max-end
+    // break condition, one user-keyed shuffle, integer micros end to end
+    ("ts09_interval_union",
+      (s, sf) => EventAnalytics.intervalUnionLength(
+        EventStreams.readEvents(s, s"$sf/events.parquet")
+          .select(col("user_id"), unix_micros(col("ts")).as("s0"),
+            (unix_micros(col("ts")) + 600000000L).as("e0")),
+        col("user_id"), col("s0"), col("e0")),
+      """WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 600000000 AS e FROM events),
+        |o AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
+        |i AS (SELECT k, s, e, sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM o),
+        |g AS (SELECT k, island, max(e) - min(s) AS len FROM i GROUP BY 1, 2)
+        |SELECT k AS key, count(*) AS n_islands, sum(len)::BIGINT AS covered
+        |FROM g GROUP BY k""".stripMargin),
+
     // native event-time sessionization in BATCH: Spark's session_window
     // (merge events within a 30-minute gap; session end = last event +
     // gap, half-open [start, end)) — the API twin of st02's stateful
@@ -3117,6 +3138,27 @@ object OpsQueries {
         |  min(o_totalprice::DECIMAL(18,2))::VARCHAR,
         |  max(o_totalprice::DECIMAL(18,2))::VARCHAR
         |FROM orders""".stripMargin),
+
+    // edit-distance-1 term pairs via deletion-neighborhood blocking
+    // (FastSS): typos PLANTED on every 6th doc pair up with their clean
+    // forms through shared deletion keys — cost ∝ Σ term length, never
+    // vocab² — then exact levenshtein verifies. The oracle brutes the
+    // full vocab² levenshtein relation, so a missed or phantom pair
+    // cannot pass
+    ("t29_typo_pairs",
+      (s, sf) => Dedup.typoPairs(
+        docs(s, sf).select(concat(col("text"), when(col("doc_id") % 6 === 0,
+            lit(" joiin haash roww")).otherwise(lit(""))).as("t"))
+          .select(explode(TextOps.tokens(col("t"))).as("term")),
+        col("term")),
+      """WITH v AS (SELECT DISTINCT t FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(tx)),'\s+')) AS t
+        |    FROM (SELECT text || CASE WHEN doc_id % 6 = 0
+        |        THEN ' joiin haash roww' ELSE '' END AS tx FROM documents)
+        |    WHERE trim(tx) <> ''))
+        |SELECT a.t AS term_a, b.t AS term_b
+        |FROM v a JOIN v b ON a.t < b.t
+        |WHERE levenshtein(a.t, b.t) <= 1""".stripMargin),
 
     // ---- BPE merge learning ----------------------------------------------
     // tokenizer training where the corpus lives: 6 greedy merges over the

@@ -864,6 +864,28 @@ object Dedup {
     if (exact) scored else scored.distinct()
   }
 
+  /** Edit-distance-1 term pairs over a vocabulary via DELETION-
+    * NEIGHBORHOOD blocking (FastSS): every term keys on itself plus each
+    * single-character deletion; two terms within edit distance 1 share
+    * at least one key (equal deletions cover substitutions, the term
+    * itself covers the insert/delete cases), so candidates come from a
+    * key-grouped self-join — cost ∝ Σ term-length, never vocab² — and
+    * are verified with the exact codegen'd `levenshtein`. The typo-
+    * clustering primitive for query normalization and OCR cleanup.
+    * Output: (term_a, term_b) with distance ≤ 1, term_a < term_b. */
+  def typoPairs(vocab: DataFrame, term: Column): DataFrame = {
+    val t = vocab.select(term.as("t")).distinct()
+    val keyed = t.select(col("t"), explode(concat(array(col("t")),
+      transform(sequence(lit(0), length(col("t")) - 1),
+        i => concat(col("t").substr(lit(1), i),
+          col("t").substr(i + 2, length(col("t")))))))
+      .as("k")).distinct()
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("term_a"), col("b.t").as("term_b")).distinct()
+      .filter(levenshtein(col("term_a"), col("term_b")) <= 1)
+  }
+
   /** Scale-aware LSH knobs for [[embeddingNearDups]]: the (bands,
     * rowsPerBand) pair that holds expected RANDOM-pair candidates to
     * ≈`candidatesPerRow`·n while keeping per-pair recall ≥ `targetRecall`

@@ -154,4 +154,31 @@ object EventAnalytics {
         timestamp_micros(col("bucket") * step * 1000000L).as("grid_ts"),
         col("value"), col("v").isNotNull.as("observed"))
   }
+
+  /** Per-key UNION length of (possibly overlapping) intervals — "how
+    * much wall-clock was this user actually active", where naively
+    * summing durations double-counts overlaps. Classic gaps-and-islands:
+    * an interval starts a new island when its start exceeds the running
+    * max end of everything before it (per key, start-ordered); island
+    * length = max(end) − min(start); the answer is the per-key island
+    * sum. Two windows and one aggregate, all partitioned by the key —
+    * ONE shuffle, integer (micros) arithmetic end to end. Intervals are
+    * half-open [start, end); a touching pair (end == next start) merges,
+    * matching the half-open reading that they tile without a gap. */
+  def intervalUnionLength(df: DataFrame, key: Column, start: Column,
+      end: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    val base = df.select(key.as("k"), start.cast("long").as("s"), end.cast("long").as("e"))
+    base
+      .withColumn("prevMaxE", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newIsland",
+        when(col("prevMaxE").isNull || col("s") > col("prevMaxE"), 1).otherwise(0))
+      .withColumn("island", sum(col("newIsland")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg((max(col("e")) - min(col("s"))).as("len"))
+      .groupBy(col("k").as("key"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered"))
+  }
 }

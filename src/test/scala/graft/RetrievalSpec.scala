@@ -586,6 +586,35 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- typo pairs / interval union ----------------------------------------
+
+  test("typoPairs: substitution, insertion, deletion all pair; distance-2 rejected") {
+    import graft.ops.Dedup
+    val v = Seq("hash", "hesh", "hashh", "has", "table", "tible", "xyzzy")
+      .toDF("term")
+    val got = Dedup.typoPairs(v, col("term"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("hash", "hesh"),    // substitution
+      ("hash", "hashh"),   // insertion
+      ("has", "hash"),     // deletion
+      ("table", "tible"))) // d2 combos (has/hesh, hesh/hashh, xyzzy/*) rejected
+  }
+
+  test("intervalUnionLength: overlaps merge, touching intervals merge, disjoint count") {
+    import graft.ops.EventAnalytics
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),   // overlap -> [0,20)
+      (1L, 20L, 30L),                 // touching -> merges (half-open)
+      (1L, 50L, 60L),                 // disjoint island
+      (2L, 0L, 100L), (2L, 10L, 20L)) // contained interval
+      .toDF("u", "s", "e")
+    val got = EventAnalytics.intervalUnionLength(iv, col("u"), col("s"), col("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 40L))) // [0,30) + [50,60)
+    assert(got(2L) == ((1L, 100L)))
+  }
+
   // ---- negative sampling -------------------------------------------------
 
   test("negativeSamples: deterministic, excludes self and the anchor's cluster, honors k") {
