@@ -583,6 +583,46 @@ object OpsQueries {
         |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b)
         |SELECT id AS doc_id, MIN(l) AS canonical FROM r GROUP BY id""".stripMargin),
 
+    // semi-supervised label propagation: labels on the 10% doc subset
+    // propagate to every member of the doc's near-dup cluster by
+    // majority vote (ties → smallest label; unlabeled clusters NULL) —
+    // the step that turns a 1% labeling budget into corpus-wide labels,
+    // sound because near-duplicates share the label by construction
+    ("c03_label_propagation",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val clusters = Dedup.connectedComponents(
+          Dedup.minHashNearDups(d, col("doc_id"), col("text"), n = 3, threshold = 0.8),
+          col("id_a"), col("id_b"), d, col("doc_id"))
+        Dedup.propagateLabels(clusters, col("node"), col("label"),
+          d.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"))
+      },
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |      / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+        |r(id, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b),
+        |cl AS (SELECT id AS doc_id, MIN(l) AS canonical FROM r GROUP BY id),
+        |lb AS (SELECT doc_id, lang AS lab FROM documents WHERE doc_id % 10 = 0),
+        |votes AS (SELECT cl.canonical AS c, lb.lab, count(*) AS n
+        |  FROM cl JOIN lb USING (doc_id) GROUP BY 1, 2),
+        |win AS (SELECT c, lab, n FROM (SELECT c, lab, n,
+        |    row_number() OVER (PARTITION BY c ORDER BY n DESC, lab) AS rk FROM votes)
+        |  WHERE rk = 1)
+        |SELECT cl.doc_id AS id, cl.canonical AS cluster, win.lab AS label,
+        |  win.n::BIGINT AS n_votes
+        |FROM cl LEFT JOIN win ON cl.canonical = win.c""".stripMargin),
+
     // leakage-AWARE negative sampling: k=3 deterministic contrastive
     // negatives per doc, drawn by the portable hash over a dense id
     // dictionary and EXCLUDING the anchor's near-dup cluster (c01's

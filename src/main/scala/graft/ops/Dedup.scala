@@ -864,6 +864,33 @@ object Dedup {
     if (exact) scored else scored.distinct()
   }
 
+  /** Majority-label propagation over near-dup clusters: given labels on
+    * a SUBSET of documents (human review, a trusted classifier), assign
+    * every cluster its labeled members' majority label (ties → smallest
+    * label; wholly unlabeled clusters stay NULL) and propagate it to
+    * every member — the semi-supervised step that turns a 1% labeling
+    * budget into corpus-wide quality/topic labels, sound exactly because
+    * near-duplicates share the label by construction.
+    *
+    * Plan: one (cluster, label) count aggregate over the labeled subset,
+    * a per-cluster argmax (window over cluster — rows ∝ distinct labels
+    * per cluster), one join back to members. All keyed on the cluster
+    * id. Output: (id, cluster, label, n_votes — NULL for unlabeled
+    * clusters). */
+  def propagateLabels(clusters: DataFrame, id: Column, cluster: Column,
+      labels: DataFrame, lId: Column, lLabel: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mem = clusters.select(id.as("id"), cluster.as("cl"))
+    val votes = mem.join(labels.select(lId.as("id"), lLabel.as("lab")), "id")
+      .groupBy(col("cl"), col("lab")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cl")).orderBy(col("n").desc, col("lab").asc)
+    val winner = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cl"), col("lab").as("label"), col("n").as("n_votes"))
+    mem.join(winner, Seq("cl"), "left")
+      .select(col("id"), col("cl").as("cluster"), col("label"), col("n_votes"))
+  }
+
   /** Edit-distance-1 term pairs over a vocabulary via DELETION-
     * NEIGHBORHOOD blocking (FastSS): every term keys on itself plus each
     * single-character deletion; two terms within edit distance 1 share

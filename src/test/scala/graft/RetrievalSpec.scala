@@ -586,6 +586,24 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- label propagation ---------------------------------------------------
+
+  test("propagateLabels: majority wins, ties break to smallest label, unlabeled clusters NULL") {
+    import graft.ops.Dedup
+    // cluster 1 = {1,2,3} labels: a,a,b -> a; cluster 2 = {4,5} labels b,a -> tie -> a
+    // cluster 3 = {6} unlabeled -> NULL
+    val clusters = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 3L)
+      .toDF("node", "cl")
+    val labels = Seq(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b", 5L -> "a")
+      .toDF("id", "lab")
+    val got = Dedup.propagateLabels(clusters, col("node"), col("cl"),
+        labels, col("id"), col("lab"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
+    assert(got == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> Some("a"),
+      4L -> Some("a"), 5L -> Some("a"), 6L -> None))
+  }
+
   // ---- typo pairs / interval union ----------------------------------------
 
   test("typoPairs: substitution, insertion, deletion all pair; distance-2 rejected") {
