@@ -833,6 +833,30 @@ object OpsQueries {
         |  len(list_filter(toks, x -> x IN ('el','los','las','y','es','uno','una'))) AS es
         |FROM (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS toks FROM documents)))""".stripMargin),
 
+    // label-quality audit: the confusion matrix between the table's lang
+    // column and the n-gram language-ID prediction — the agreement check
+    // run before TRUSTING either signal for mixture design. Composes the
+    // t03 heuristic; one (lang, pred) aggregate
+    ("t30_lang_confusion",
+      (s, sf) => docs(s, sf)
+        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")),
+      """SELECT lang, CASE
+        |  WHEN en = best AND best > 0 THEN 'en'
+        |  WHEN de = best AND best > 0 THEN 'de'
+        |  WHEN fr = best AND best > 0 THEN 'fr'
+        |  WHEN es = best AND best > 0 THEN 'es'
+        |  ELSE 'und' END AS pred_lang, count(*) AS n
+        |FROM (SELECT lang, en, de, fr, es, greatest(en, de, fr, es) AS best
+        |FROM (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','y','es','uno','una'))) AS es
+        |FROM (SELECT lang, string_split_regex(lower(trim(text)),'\s+') AS toks FROM documents)))
+        |GROUP BY 1, 2""".stripMargin),
+
     ("t06_doc_freq",
       (s, sf) => TextOps.documentFrequency(docs(s, sf), col("text")),
       "SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, unnest(" +
@@ -1301,6 +1325,30 @@ object OpsQueries {
         |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
         |  FROM documents)
         |GROUP BY CUBE(source, lang)""".stripMargin),
+
+    // explicit GROUPING SETS: the NON-hierarchical granularity list
+    // ((source), (lang), ()) that ROLLUP/CUBE cannot express — per-source
+    // totals, per-language totals, and the grand total in ONE pass (no
+    // per-set re-aggregation union); grouping_id disambiguates set
+    // membership exactly as in a04
+    ("a10_grouping_sets",
+      (s, sf) => docs(s, sf)
+        .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).as("ntok"))
+        .groupingSets(Seq(Seq(col("source")), Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(grouping_id(col("source"), col("lang")).as("gid"),
+          sum(col("ntok")).as("tok_total"), count(lit(1)).as("n_docs"))
+        .select(coalesce(col("source"), lit("-")).as("source"),
+          coalesce(col("lang"), lit("-")).as("lang"),
+          col("gid"), col("tok_total"), col("n_docs")),
+      """SELECT coalesce(source, '-') AS source, coalesce(lang, '-') AS lang,
+        |  GROUPING(source, lang) AS gid,
+        |  sum(ntok)::BIGINT AS tok_total, count(*) AS n_docs
+        |FROM (SELECT source, lang,
+        |  CASE WHEN trim(text)='' THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
+        |  FROM documents)
+        |GROUP BY GROUPING SETS ((source), (lang), ())""".stripMargin),
 
     // pivot: the source×language token matrix (one row per source, one
     // column per language) — the corpus-composition report every mixture
