@@ -3521,7 +3521,66 @@ object OpsQueries {
         NtSource.read(s, path, "http://graft.io/schema/Nation")
           .select(col("name"), col("regionkey"))
       },
-      "SELECT n_name AS name, n_regionkey AS regionkey FROM nation"))
+      "SELECT n_name AS name, n_regionkey AS regionkey FROM nation"),
+
+    // ---- data-quality constraint suite (Deequ-style admission gate) -----
+    // a full declarative check suite — completeness, key uniqueness,
+    // range/domain/regex conformance, volume floor — priced at ONE scan +
+    // a 1-row reduce (the mixed distinct agg plans a single expand);
+    // DuckDB restates each metric as a conditional aggregate and the
+    // report as a UNION ALL of constant-shaped rows
+    ("dq01_constraint_report",
+      (s, sf) => graft.ops.Checks.report(
+        s.read.parquet(s"$sf/orders.parquet"), Seq(
+          graft.ops.Checks.NotNull("o_custkey"),
+          graft.ops.Checks.Unique("o_orderkey"),
+          graft.ops.Checks.InRange("o_totalprice", 0.0, 300000.0),
+          graft.ops.Checks.InSet("o_orderstatus", Seq("O", "F")),
+          graft.ops.Checks.MatchesRegex("o_orderpriority", "^[1-3]-"),
+          graft.ops.Checks.MinRows(1000L))),
+      """WITH m AS (SELECT count(*) AS n,
+        |  count(o_custkey) AS nn_cust,
+        |  count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+        |  sum(CASE WHEN o_totalprice IS NOT NULL
+        |        AND (o_totalprice < 0 OR o_totalprice > 300000)
+        |      THEN 1 ELSE 0 END)::BIGINT AS v_price,
+        |  sum(CASE WHEN o_orderstatus IS NOT NULL
+        |        AND o_orderstatus NOT IN ('O','F')
+        |      THEN 1 ELSE 0 END)::BIGINT AS v_status,
+        |  sum(CASE WHEN o_orderpriority IS NOT NULL
+        |        AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |      THEN 1 ELSE 0 END)::BIGINT AS v_prio
+        |  FROM orders)
+        |SELECT 'not_null' AS "check", 'o_custkey' AS target,
+        |  floor(nn_cust/n*10000+0.5)/10000 AS metric,
+        |  n - nn_cust AS violations, nn_cust = n AS passed FROM m
+        |UNION ALL SELECT 'unique', 'o_orderkey',
+        |  floor(nd_key/nn_key*10000+0.5)/10000, nn_key - nd_key,
+        |  nd_key = nn_key FROM m
+        |UNION ALL SELECT 'in_range', 'o_totalprice:[0.0,300000.0]',
+        |  floor((n - v_price)/n*10000+0.5)/10000, v_price, v_price = 0 FROM m
+        |UNION ALL SELECT 'in_set', 'o_orderstatus:{O,F}',
+        |  floor((n - v_status)/n*10000+0.5)/10000, v_status, v_status = 0 FROM m
+        |UNION ALL SELECT 'matches_regex', 'o_orderpriority:^[1-3]-',
+        |  floor((n - v_prio)/n*10000+0.5)/10000, v_prio, v_prio = 0 FROM m
+        |UNION ALL SELECT 'min_rows', '>=1000', n::DOUBLE,
+        |  greatest(0, 1000 - n), n >= 1000 FROM m""".stripMargin),
+
+    // row-level quarantine extraction for the constraints dq01 flags red:
+    // one scan building a per-row array of failed checks, exploded —
+    // the clean-row fast path is a codegen'd filter that materializes
+    // nothing
+    ("dq02_violating_rows",
+      (s, sf) => graft.ops.Checks.violations(
+        s.read.parquet(s"$sf/orders.parquet"), col("o_orderkey"), Seq(
+          graft.ops.Checks.InRange("o_totalprice", 0.0, 300000.0),
+          graft.ops.Checks.InSet("o_orderstatus", Seq("O", "F")))),
+      """SELECT o_orderkey AS row_id, 'in_range' AS "check",
+        |  'o_totalprice:[0.0,300000.0]' AS target
+        |FROM orders WHERE o_totalprice < 0 OR o_totalprice > 300000
+        |UNION ALL
+        |SELECT o_orderkey, 'in_set', 'o_orderstatus:{O,F}'
+        |FROM orders WHERE o_orderstatus NOT IN ('O','F')""".stripMargin))
 
   /** Rows-only entries — empty since round 2: every op in this suite now
     * carries a hard DuckDB oracle (exact twin, portable-hash twin, or a
