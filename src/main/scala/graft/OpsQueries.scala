@@ -3469,6 +3469,73 @@ object OpsQueries {
         |FROM e a JOIN e b ON a.g = b.g AND a.i < b.i
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
 
+    // degree distribution of the layered g01 link graph: the first
+    // diagnostic on any graph input (tail shape, hub detection); the
+    // histogram is count-of-counts so the result is max-degree-bounded
+    ("g05_degree_histogram",
+      (s, sf) => {
+        val ps = s.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        val sn = s.read.parquet(s"$sf/supplier.parquet")
+          .select((col("s_suppkey") + 1000000L).as("src"), (col("s_nationkey") + 2000000L).as("dst"))
+        graft.ops.Graph.degreeHistogram(ps.unionByName(sn), col("src"), col("dst"))
+      },
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        |  UNION
+        |  SELECT s_suppkey + 1000000, s_nationkey + 2000000 FROM supplier),
+        |o AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS idg FROM e GROUP BY 1),
+        |d AS (SELECT coalesce(o.od, 0) AS out_deg, coalesce(i.idg, 0) AS in_deg
+        |      FROM o FULL OUTER JOIN i ON o.node = i.node)
+        |SELECT out_deg, in_deg, count(*) AS n_nodes FROM d GROUP BY 1, 2""".stripMargin),
+
+    // bounded-hop BFS over the 4-layer part→supplier→nation→region graph:
+    // hop-0 seeds, frontier-only joins per round; DuckDB restates it as
+    // k unrolled visited-excluding CTE steps
+    ("g06_khop_distance",
+      (s, sf) => {
+        val ps = s.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        val sn = s.read.parquet(s"$sf/supplier.parquet")
+          .select((col("s_suppkey") + 1000000L).as("src"), (col("s_nationkey") + 2000000L).as("dst"))
+        val nr = s.read.parquet(s"$sf/nation.parquet")
+          .select((col("n_nationkey") + 2000000L).as("src"), (col("n_regionkey") + 3000000L).as("dst"))
+        graft.ops.Graph.kHopDistance(ps.unionByName(sn).unionByName(nr),
+          col("src"), col("dst"), seeds = Seq(1L, 2L, 3L), maxHops = 3)
+      },
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        |  UNION
+        |  SELECT s_suppkey + 1000000, s_nationkey + 2000000 FROM supplier
+        |  UNION
+        |  SELECT n_nationkey + 2000000, n_regionkey + 3000000 FROM nation),
+        |h0 AS (SELECT unnest([1, 2, 3])::BIGINT AS node, 0 AS hops),
+        |h1 AS (SELECT DISTINCT e.dst AS node, 1 AS hops FROM e JOIN h0 ON e.src = h0.node
+        |       WHERE e.dst NOT IN (SELECT node FROM h0)),
+        |h2 AS (SELECT DISTINCT e.dst AS node, 2 AS hops FROM e JOIN h1 ON e.src = h1.node
+        |       WHERE e.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)),
+        |h3 AS (SELECT DISTINCT e.dst AS node, 3 AS hops FROM e JOIN h2 ON e.src = h2.node
+        |       WHERE e.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1
+        |                           UNION ALL SELECT node FROM h2))
+        |SELECT node, hops FROM h0 UNION ALL SELECT * FROM h1
+        |UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3""".stripMargin),
+
+    // popularity-corrected co-purchase: cosine over the g04 pair table —
+    // the "also bought" score that doesn't just surface bestsellers
+    ("g07_item_cosine",
+      (s, sf) => graft.ops.Graph.itemCosine(
+        s.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey"), col("l_partkey"), minShared = 2),
+      """WITH e AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |f AS (SELECT i, count(*) AS nf FROM e GROUP BY 1),
+        |p AS (SELECT a.i AS i_a, b.i AS i_b, count(*) AS n_shared
+        |      FROM e a JOIN e b ON a.g = b.g AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT i_a, i_b, n_shared,
+        |  floor(n_shared / sqrt(fa.nf * fb.nf) * 10000 + 0.5) / 10000 AS cosine
+        |FROM p JOIN f fa ON p.i_a = fa.i JOIN f fb ON p.i_b = fb.i""".stripMargin),
+
     // ---- streaming near-dup detection -----------------------------------
     // MinHash-LSH as a REAL streaming query: state keyed by (band, bhash),
     // each arrival pairs against all prior bucket members. One file = one

@@ -142,6 +142,91 @@ object Graph {
     * counts only.
     *
     * Output: (i_a, i_b, n_shared), i_a < i_b. */
+  /** Degree distribution of a directed graph: one row per observed
+    * (out_degree count / in-degree count) value — the first diagnostic
+    * on any link/co-occurrence graph (power-law tail? hub explosion
+    * that will skew every downstream join?).
+    *
+    * Scale shape: dedup edges, two map-side-combined degree counts, a
+    * full outer merge on node, then a count-of-counts — every shuffle
+    * carries (long, long). The histogram is at most max-degree rows, so
+    * the final agg is tiny regardless of graph size.
+    * Output: (out_deg, in_deg, n_nodes) — nodes bucketed by their
+    * exact (out, in) degree pair. */
+  def degreeHistogram(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .distinct()
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .groupBy(col("out_deg"), col("in_deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Bounded-hop BFS: minimum hop distance (≤ maxHops) from a seed set,
+    * following edges src→dst. The reachability/expansion primitive —
+    * "everything within 3 clicks of these pages", crawl frontier
+    * sizing, taint propagation over a derivation graph.
+    *
+    * Scale shape: classic frontier BFS — iteration i joins ONLY the
+    * hop-(i−1) frontier (not the whole visited set) against the edge
+    * list, then an anti-join drops already-visited nodes, so per-round
+    * work is proportional to the frontier, not the graph. The visited
+    * set is localCheckpoint'ed per round (constant-size plan, no
+    * lineage blow-up — the [[pageRank]] idiom). Terminates early when a
+    * frontier empties. Output: (node, hops), hops ∈ [0, maxHops],
+    * seeds at 0. */
+  def kHopDistance(edges: DataFrame, src: Column, dst: Column,
+      seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty, "empty seed set")
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.distinct.toDF("node")
+      .select(col("node"), lit(0).as("hops")).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .union(frontier.select(col("node"), lit(hop).as("hops")))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Item–item cosine similarity from co-occurrence ("users who bought
+    * X also bought Y", corrected for popularity): sim(a,b) =
+    * |groups(a) ∩ groups(b)| / √(|groups(a)|·|groups(b)|). The raw
+    * [[coOccurrencePairs]] count over-ranks universally-popular items;
+    * the cosine denominator is what turns it into a similarity.
+    *
+    * Scale shape: the pair join is [[coOccurrencePairs]]' (group-size
+    * capped against hot-group wedge explosion); item frequencies are
+    * one extra map-side-combined count joined onto the — already
+    * minShared-pruned — pair table. Scores floor-rounded to 4 dp for
+    * cross-engine bit-stability. */
+  def itemCosine(df: DataFrame, group: Column, item: Column,
+      minShared: Long, maxItemsPerGroup: Int = 10000): DataFrame = {
+    val e = df.select(group.as("g"), item.as("i")).distinct()
+    val freq = e.groupBy(col("i")).agg(count(lit(1)).as("nf"))
+    coOccurrencePairs(df, group, item, minShared, maxItemsPerGroup)
+      .join(freq.select(col("i").as("i_a"), col("nf").as("na")), "i_a")
+      .join(freq.select(col("i").as("i_b"), col("nf").as("nb")), "i_b")
+      .select(col("i_a"), col("i_b"), col("n_shared"),
+        (floor(col("n_shared") / sqrt(col("na") * col("nb")) * 10000 + 0.5)
+          / 10000).as("cosine"))
+  }
+
   def coOccurrencePairs(df: DataFrame, group: Column, item: Column,
       minShared: Long, maxItemsPerGroup: Int = 10000): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")

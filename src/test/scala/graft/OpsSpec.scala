@@ -1153,6 +1153,49 @@ class OpsSpec extends AnyFunSuite {
     assert(hashEx == 1, s"funnel should shuffle the log once, found $hashEx:\n$p")
   }
 
+  test("degreeHistogram: hand-built graph, dedup, zero-sides via full outer") {
+    import spark.implicits._
+    // 1→2 (dup), 1→3, 2→3: node 1 = (2 out, 0 in), 2 = (1, 1), 3 = (0, 2)
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val h = graft.ops.Graph.degreeHistogram(edges, col("s"), col("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(h == Set((2L, 0L, 1L), (1L, 1L, 1L), (0L, 2L, 1L)))
+  }
+
+  test("kHopDistance: min hop wins, frontier excludes visited, early stop past depth") {
+    import spark.implicits._
+    // diamond 1→2→4, 1→3→4 plus long way 4→5; 2 also →5 directly
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (2L, 5L))
+      .toDF("s", "d")
+    val r = graft.ops.Graph.kHopDistance(edges, col("s"), col("d"),
+      seeds = Seq(1L), maxHops = 3).as[(Long, Int)].collect().toMap
+    // 5 is reachable at hop 2 via 2→5 — the hop-3 path must NOT override
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2))
+    // maxHops larger than the graph's depth: early termination, same result
+    val r2 = graft.ops.Graph.kHopDistance(edges, col("s"), col("d"),
+      seeds = Seq(1L), maxHops = 10).as[(Long, Int)].collect().toMap
+    assert(r2 == r)
+    // a seed is hop 0 even when it also appears downstream
+    val r3 = graft.ops.Graph.kHopDistance(edges, col("s"), col("d"),
+      seeds = Seq(1L, 4L), maxHops = 2).as[(Long, Int)].collect().toMap
+    assert(r3(4L) == 0 && r3(5L) == 1)
+  }
+
+  test("itemCosine: popularity correction demotes the bestseller pair") {
+    import spark.implicits._
+    // items 10,11 co-occur twice and are rare (freq 2 each) -> cosine 1.0;
+    // 20 is in every group, 21 in two -> shared 2 but cosine 2/sqrt(4*2)
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 20L), (2L, 10L), (2L, 11L),
+      (2L, 20L), (3L, 20L), (3L, 21L), (4L, 20L), (4L, 21L)).toDF("g", "i")
+    val r = graft.ops.Graph.itemCosine(df, col("g"), col("i"), minShared = 2)
+      .select(col("i_a"), col("i_b"), col("cosine"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(r((10L, 11L)) == 1.0)
+    assert(r((20L, 21L)) == math.floor(2.0 / math.sqrt(4.0 * 2.0) * 10000 + 0.5) / 10000)
+    assert(r((10L, 20L)) == math.floor(2.0 / math.sqrt(2.0 * 4.0) * 10000 + 0.5) / 10000)
+    assert(r((10L, 11L)) > r((20L, 21L)))
+  }
+
   test("pageRank: source-only nodes keep base rank, mass flows two hops, absorbed not lost") {
     import spark.implicits._
     // chain a→b→c plus a second feeder d→b: after 2+ iterations c holds
