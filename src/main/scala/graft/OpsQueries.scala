@@ -3536,6 +3536,23 @@ object OpsQueries {
         |  floor(n_shared / sqrt(fa.nf * fb.nf) * 10000 + 0.5) / 10000 AS cosine
         |FROM p JOIN f fa ON p.i_a = fa.i JOIN f fb ON p.i_b = fb.i""".stripMargin),
 
+    // record linkage: prefix-blocked Jaro-Winkler pairs over the DISTINCT
+    // part-name domain — the native codegen'd scorer
+    // (graft.functions.JaroWinklerSim) against DuckDB's built-in
+    // jaro_winkler_similarity, two independent implementations of the
+    // same definition agreeing pair-for-pair (4-dp-rounded before the
+    // threshold so keep/drop never rides a ulp)
+    ("er01_jw_linkage",
+      (s, sf) => graft.ops.Linkage.jwPairs(
+        s.read.parquet(s"$sf/part.parquet"), col("p_name"),
+        n => substring(n, 1, 2), threshold = 0.85),
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        |b AS (SELECT name, left(name, 2) AS blk FROM n)
+        |SELECT a.name AS name_a, c.name AS name_b,
+        |  floor(jaro_winkler_similarity(a.name, c.name) * 10000 + 0.5) / 10000 AS jw
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        |WHERE floor(jaro_winkler_similarity(a.name, c.name) * 10000 + 0.5) / 10000 >= 0.85""".stripMargin),
+
     // ---- streaming near-dup detection -----------------------------------
     // MinHash-LSH as a REAL streaming query: state keyed by (band, bhash),
     // each arrival pairs against all prior bucket members. One file = one

@@ -441,6 +441,16 @@ object HashFunctions {
       "graft_deflate_size", exprs => DeflateSize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => JaroWinklerSim(exprs.head, exprs(1)), "built-in")
+  }
+
+  /** Jaro-Winkler similarity column (record-linkage scorer; DuckDB
+    * `jaro_winkler_similarity` parity — see [[StringSimilarityWorker]]). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_jaro_winkler", a, b)
   }
 
   /** Unicode NFC normalization column (native, ASCII fast path); caller

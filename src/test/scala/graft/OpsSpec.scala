@@ -1153,6 +1153,44 @@ class OpsSpec extends AnyFunSuite {
     assert(hashEx == 1, s"funnel should shuffle the log once, found $hashEx:\n$p")
   }
 
+  test("jaroWinkler expression: textbook values, DuckDB edge semantics, codegen path") {
+    import spark.implicits._
+    val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""),
+      ("abc", ""), ("crate", "trace"), ("abc", "abc"), ("ab", "ba"))
+      .toDF("a", "b")
+      .select(graft.functions.HashFunctions.jaroWinkler(col("a"), col("b")).as("jw"))
+    val r = df.as[Double].collect()
+    assert(math.abs(r(0) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(r(1) - 0.8133333333333332) < 1e-9)
+    assert(r(2) == 0.0) // DuckDB parity: both-empty is 0, not 1
+    assert(r(3) == 0.0)
+    assert(math.abs(r(4) - 0.7333333333333333) < 1e-12) // jaro ≤ boost? no: > .7 but prefix 0
+    assert(r(5) == 1.0)
+    assert(r(6) == 0.0) // window 0: only same-position chars can match
+    // whole-stage codegen must survive the custom expression (a local
+    // relation folds eagerly, so probe over a range scan)
+    val probe = spark.range(2).select(graft.functions.HashFunctions
+      .jaroWinkler(concat(lit("abc"), col("id")), lit("abc0")).as("jw"))
+    assert(probe.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+    assert(probe.as[Double].collect().exists(_ == 1.0))
+  }
+
+  test("jwPairs: blocking bounds candidates, threshold rounds before compare") {
+    import spark.implicits._
+    val df = Seq("jonathan smith", "jonathon smith", "jon smith",
+      "bob jones", "bob james", "zz top").toDF("n")
+    val r = graft.ops.Linkage.jwPairs(df, col("n"), c => substring(c, 1, 2),
+        threshold = 0.9)
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2)).toSet
+    assert(r.contains(("jonathan smith", "jonathon smith")))
+    // cross-block pair never scored even though similar
+    assert(!r.exists(p => p._1.startsWith("bob") && p._2.startsWith("jo")))
+    // zz top has no block partner
+    assert(!r.exists(p => p._1 == "zz top" || p._2 == "zz top"))
+  }
+
   test("degreeHistogram: hand-built graph, dedup, zero-sides via full outer") {
     import spark.implicits._
     // 1→2 (dup), 1→3, 2→3: node 1 = (2 out, 0 in), 2 = (1, 1), 3 = (0, 2)
