@@ -1487,6 +1487,41 @@ object OpsQueries {
         |  count(*) FILTER (retained) AS n_retained
         |FROM u GROUP BY cohort_day""".stripMargin),
 
+    // RFM quartile segmentation: deterministic ntile (entity id as the
+    // final tie-break in every ordering — ntile ties are otherwise
+    // engine-placement-dependent) over decimal-exact monetary sums
+    ("f04_rfm",
+      (s, sf) => graft.ops.EventAnalytics.rfm(
+        s.read.parquet(s"$sf/orders.parquet"),
+        col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+        asOf = "2001-09-01"),
+      """WITH per AS (SELECT o_custkey AS cust,
+        |    date_diff('day', max(o_orderdate::DATE), DATE '2001-09-01') AS rec_days,
+        |    count(*) AS freq, sum(o_totalprice::DECIMAL(18,2)) AS monetary
+        |  FROM orders GROUP BY 1)
+        |SELECT cust, rec_days, freq, monetary,
+        |  ntile(4) OVER (ORDER BY rec_days DESC, cust ASC) AS r,
+        |  ntile(4) OVER (ORDER BY freq ASC, cust ASC) AS f,
+        |  ntile(4) OVER (ORDER BY monetary ASC, cust ASC) AS m
+        |FROM per""".stripMargin),
+
+    // per-user inter-event gaps: lag deltas under a fully tie-broken
+    // ordering (ts, then event id — sub-second collisions exist in the
+    // log), truncating-seconds arithmetic on both sides
+    ("f05_event_gaps",
+      (s, sf) => graft.ops.EventAnalytics.eventGaps(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("user_id"), col("ts"), col("event_id")),
+      """WITH g AS (SELECT user_id,
+        |    date_diff('second',
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+        |      ts) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  floor(sum(gap) / count(*) * 10000 + 0.5) / 10000 AS avg_gap_s,
+        |  max(gap)::BIGINT AS max_gap_s
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin),
+
     // link-graph authority: simplified PageRank (3 fixed iterations, no
     // dangling-mass redistribution) over the part→supplier→nation
     // two-hop graph; id spaces offset so the graph is genuinely layered
@@ -3597,6 +3632,27 @@ object OpsQueries {
         |UNION ALL
         |SELECT '__ALL__', count(DISTINCT l_orderkey), TRUE, TRUE
         |FROM lineitem""".stripMargin),
+
+    // vocabulary coverage cutoff: smallest frequency-ranked vocab
+    // covering ≥95% of token mass — the tokenizer-budget number; the
+    // cumulative window runs over the VOCAB-sized term table, and the
+    // (cnt DESC, term ASC) rank order makes the cutoff a pure corpus
+    // function; windowed BIGINT sums cast (DuckDB window SUM → HUGEINT)
+    ("t31_vocab_coverage",
+      (s, sf) => TextOps.vocabCoverage(docs(s, sf), col("text"), coverage = 0.95),
+      """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+        |            FROM documents WHERE trim(text) <> ''),
+        |c AS (SELECT term, count(*) AS cnt FROM w0 GROUP BY 1),
+        |r AS (SELECT
+        |    (sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+        |    row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk,
+        |    (sum(cnt) OVER ())::BIGINT AS total, count(*) OVER () AS nterms
+        |  FROM c)
+        |SELECT min(total) AS total_tokens, min(nterms) AS n_terms,
+        |  min(rk) AS cover_size,
+        |  floor(min_by(cum, rk) / min(total) * 10000 + 0.5) / 10000 AS actual_coverage
+        |FROM r WHERE cum >= ceil(total * 0.95)""".stripMargin),
 
     // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
     ("nt01_ingest",

@@ -64,6 +64,62 @@ object EventAnalytics {
         count(when(col("retained"), 1)).as("n_retained"))
   }
 
+  /** RFM segmentation: recency / frequency / monetary quartile scores
+    * per customer — the classic behavioral segmentation (and, in a
+    * data-curation setting, the shape of any "score entities by how
+    * recently/often/heavily they appear" roll-up).
+    *
+    * Determinism: every `ntile` ordering carries the entity id as the
+    * final tie-break (ntile ties are otherwise engine-placement-
+    * dependent), and monetary sums in DECIMAL(18,2) so the total is
+    * addition-order-independent. Scale shape: one map-side-combined
+    * per-entity aggregate, then three entity-sized window passes; at
+    * true scale swap ntile for percentile_approx thresholds
+    * (mergeable, no global sort) — the quartile boundaries are the only
+    * global state.
+    *
+    * Output: (cust, rec_days, freq, monetary, r, f, m). Higher score =
+    * better (more recent / more orders / more spend). */
+  def rfm(orders: DataFrame, custId: Column, orderTs: Column,
+      amount: Column, asOf: String, buckets: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders.select(custId.as("cust"), orderTs.as("__ts"),
+        amount.cast("decimal(18,2)").as("__amt"))
+      .groupBy(col("cust"))
+      .agg(datediff(lit(asOf).cast("date"), max(to_date(col("__ts"))))
+          .as("rec_days"),
+        count(lit(1)).as("freq"), sum(col("__amt")).as("monetary"))
+    per.select(col("cust"), col("rec_days"), col("freq"), col("monetary"),
+      ntile(buckets).over(Window.orderBy(col("rec_days").desc, col("cust").asc))
+        .as("r"),
+      ntile(buckets).over(Window.orderBy(col("freq").asc, col("cust").asc))
+        .as("f"),
+      ntile(buckets).over(Window.orderBy(col("monetary").asc, col("cust").asc))
+        .as("m"))
+  }
+
+  /** Per-user inter-event gap statistics: lag-based deltas over each
+    * user's event sequence (ts, then event id as the deterministic
+    * tie-break for simultaneous events), aggregated to
+    * (n_gaps, avg_gap_s 4 dp, max_gap_s) per user. The engagement-decay
+    * / session-design diagnostic; one shuffle on the user partitioning,
+    * gap math inside the window stage. */
+  def eventGaps(events: DataFrame, userId: Column, ts: Column,
+      eventId: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t").asc, col("__e").asc)
+    events.select(userId.as("__u"), ts.as("__t"), eventId.as("__e"))
+      .select(col("__u"),
+        (unix_timestamp(col("__t")) - unix_timestamp(lag(col("__t"), 1).over(w)))
+          .as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("__u").as("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (floor(sum(col("gap")) / count(lit(1)) * 10000 + 0.5) / 10000)
+          .as("avg_gap_s"),
+        max(col("gap")).as("max_gap_s"))
+  }
+
   /** Hourly event-volume anomaly scores per type: each hour's count is
     * z-scored against the TRAILING `window` hours — the
     * data-quality/incident monitor over an ingest log (a collapsed

@@ -132,6 +132,46 @@ object TextOps {
       .agg(count_distinct(col("term")).as("n_terms"),
         approx_count_distinct(col("term"), rsd).as("n_terms_approx"))
 
+  /** Vocabulary coverage cutoff: the smallest frequency-ranked
+    * vocabulary covering ≥ `coverage` of total token mass — the
+    * tokenizer-budget / OOV-rate planning number (a 32k vocab covering
+    * 99.5% of mass means 1 in 200 tokens falls back to bytes).
+    *
+    * Rank order is (count DESC, term ASC) — fully deterministic under
+    * ties, so the cutoff is a pure corpus function. Scale shape: the
+    * token explode collapses to the VOCABULARY-sized term table via one
+    * map-side-combined count; the cumulative sum then runs over terms,
+    * not tokens (the BPE distinct-word argument). The single-partition
+    * window over the vocabulary is the documented trade: at web scale
+    * (10⁸ raw terms) pre-prune the singleton tail with a support filter
+    * first — singletons can never be part of a ≤99.9% covering prefix
+    * unless the target needs them, in which case the window cost is the
+    * answer's cost.
+    *
+    * Output: one row (total_tokens, n_terms, cover_size,
+    * actual_coverage 4 dp). */
+  def vocabCoverage(df: DataFrame, text: Column, coverage: Double): DataFrame = {
+    require(coverage > 0 && coverage <= 1, s"coverage out of (0,1]: $coverage")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(text)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val ordered = Window.orderBy(col("cnt").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(sum(col("cnt")).over(ordered).as("cum"),
+        row_number().over(ordered).as("rk"),
+        sum(col("cnt")).over(whole).as("total"),
+        count(lit(1)).over(whole).as("nterms"))
+      .filter(col("cum") >= ceil(col("total") * coverage))
+      .agg(min(col("total")).as("total_tokens"),
+        min(col("nterms")).as("n_terms"),
+        min(col("rk")).as("cover_size"),
+        (floor(min_by(col("cum"), col("rk")) / min(col("total")) * 10000 + 0.5)
+          / 10000).as("actual_coverage"))
+  }
+
   /** Document-length distribution quantiles, exact (`percentile`, full
     * sort semantics) and sketched (`percentile_approx`, Greenwald-Khanna
     * — bounded state, one pass, mergeable across partitions: the 100 TB

@@ -1153,6 +1153,58 @@ class OpsSpec extends AnyFunSuite {
     assert(hashEx == 1, s"funnel should shuffle the log once, found $hashEx:\n$p")
   }
 
+  test("vocabCoverage: hand-computed cutoff, tie order, full coverage") {
+    import spark.implicits._
+    val df = Seq("a a a b b c").toDF("text")
+    // counts a:3 b:2 c:1, total 6; 0.8 → target ceil(4.8)=5 → {a,b}
+    val r = graft.ops.TextOps.vocabCoverage(df, col("text"), 0.8)
+      .as[(Long, Long, Int, Double)].head()
+    assert(r == ((6L, 3L, 2, math.floor(5.0 / 6.0 * 10000 + 0.5) / 10000)))
+    val full = graft.ops.TextOps.vocabCoverage(df, col("text"), 1.0)
+      .as[(Long, Long, Int, Double)].head()
+    assert(full == ((6L, 3L, 3, 1.0)))
+    // tie between equal counts resolves term-ascending: "b b a a c" at
+    // 0.5 must pick {a} (ceil(2.5)=3 needs 2 terms? no: a=2 < 3 → 2 terms)
+    val tie = graft.ops.TextOps.vocabCoverage(Seq("b b a a c").toDF("text"),
+      col("text"), 0.4).as[(Long, Long, Int, Double)].head()
+    assert(tie._3 == 1) // ceil(0.4*5)=2 = count of 'a' alone (tie → a first)
+  }
+
+  test("rfm: quartile direction — recent/frequent/heavy spenders score 4") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "2001-08-30", 100.0), // recent, 1 order, low spend
+      (2L, "2001-01-01", 500.0), (2L, "2001-02-01", 500.0),
+      (3L, "2000-06-01", 50.0),
+      (4L, "1999-01-01", 10.0), (4L, "1999-02-01", 10.0), (4L, "1999-03-01", 10.0)
+    ).toDF("c", "d", "amt").select(col("c"), col("d").cast("timestamp").as("d"), col("amt"))
+    val r = graft.ops.EventAnalytics.rfm(orders, col("c"), col("d"), col("amt"),
+        asOf = "2001-09-01")
+      .select(col("cust"), col("r"), col("f"), col("m"))
+      .as[(Long, Int, Int, Int)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(1L)._1 == 4) // most recent
+    assert(r(4L)._1 == 1) // oldest
+    assert(r(4L)._2 == 4) // most orders (3)
+    assert(r(2L)._3 == 4) // highest spend (1000)
+    assert(r(3L)._3 == 2 || r(3L)._3 == 1) // low spender in a low quartile
+  }
+
+  test("eventGaps: lag deltas per user, tie-broken by event id") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:00:00"), (2L, 10L, "2024-01-01 00:00:10"),
+      (3L, 10L, "2024-01-01 00:00:40"), (4L, 20L, "2024-01-01 00:00:00"),
+      // same ts for user 30: order by event_id ⇒ gap 0 then 5
+      (5L, 30L, "2024-01-01 00:01:00"), (6L, 30L, "2024-01-01 00:01:00"),
+      (7L, 30L, "2024-01-01 00:01:05")
+    ).toDF("e", "u", "t").select(col("e"), col("u"), col("t").cast("timestamp").as("t"))
+    val r = graft.ops.EventAnalytics.eventGaps(ev, col("u"), col("t"), col("e"))
+      .as[(Long, Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(10L) == ((2L, 20.0, 30L)))
+    assert(!r.contains(20L)) // single event: no gaps
+    assert(r(30L) == ((2L, 2.5, 5L)))
+  }
+
   test("jaroWinkler expression: textbook values, DuckDB edge semantics, codegen path") {
     import spark.implicits._
     val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""),
