@@ -3633,6 +3633,38 @@ object OpsQueries {
         |SELECT '__ALL__', count(DISTINCT l_orderkey), TRUE, TRUE
         |FROM lineitem""".stripMargin),
 
+    // ---- privacy / release governance -----------------------------------
+    // k-anonymity risk report: QI cells re-identifiable by linkage
+    ("pr01_k_anonymity",
+      (s, sf) => graft.ops.Privacy.kAnonymityReport(
+        s.read.parquet(s"$sf/customer.parquet"),
+        Seq(col("c_nationkey"), col("c_mktsegment")), k = 10),
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin),
+
+    // suppression to k-anonymity: the released row set after dropping
+    // every sub-k QI cell (one window-count filter, one shuffle)
+    ("pr02_suppress_to_k",
+      (s, sf) => graft.ops.Privacy.suppressSmallGroups(
+          s.read.parquet(s"$sf/customer.parquet"),
+          Seq(col("c_nationkey"), col("c_mktsegment")), k = 10)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+      """SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+        |QUALIFY count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) >= 10""".stripMargin),
+
+    // l-diversity: k-anonymous cells can still leak a sensitive
+    // attribute when every member shares it — here the account-balance
+    // sign (49 leaking cells at sf0.01)
+    ("pr03_l_diversity",
+      (s, sf) => graft.ops.Privacy.lDiversityReport(
+        s.read.parquet(s"$sf/customer.parquet"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        col("c_acctbal") < 0, l = 2),
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+        |  count(DISTINCT c_acctbal < 0) AS n_distinct_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT c_acctbal < 0) < 2""".stripMargin),
+
     // vocabulary coverage cutoff: smallest frequency-ranked vocab
     // covering ≥95% of token mass — the tokenizer-budget number; the
     // cumulative window runs over the VOCAB-sized term table, and the

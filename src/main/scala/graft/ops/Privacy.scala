@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy/governance operators beyond row erasure (the e09 GDPR gate):
+  * re-identification risk measurement and suppression for releasing
+  * aggregate or row-level extracts of a corpus.
+  *
+  * k-anonymity: a quasi-identifier (QI) combination held by fewer than
+  * k rows re-identifies its holders by linkage. l-diversity: a QI group
+  * whose SENSITIVE attribute takes < l distinct values discloses that
+  * attribute even at k-anonymous sizes (everyone in the cell shares
+  * it). Both are one map-side-combined aggregate over the QI key — the
+  * report is cell-count-bounded, never row-bounded; suppression is one
+  * window-count filter on the same partitioning (one shuffle total). */
+object Privacy {
+
+  /** QI cells with fewer than `k` rows: (qi..., n_rows). Empty result =
+    * the release is k-anonymous on these QIs. */
+  def kAnonymityReport(df: DataFrame, qis: Seq[Column], k: Int): DataFrame = {
+    require(qis.nonEmpty && k >= 2, s"need QIs and k >= 2 (k=$k)")
+    df.groupBy(qis: _*).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
+  }
+
+  /** Suppression to k-anonymity: drop every row whose QI cell is
+    * smaller than `k` (the minimal-distortion release: no
+    * generalization hierarchy needed, at the cost of the suppressed
+    * tail). One shuffle — the window count rides the QI partitioning. */
+  def suppressSmallGroups(df: DataFrame, qis: Seq[Column], k: Int): DataFrame = {
+    require(qis.nonEmpty && k >= 2, s"need QIs and k >= 2 (k=$k)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qis: _*)
+    df.withColumn("__cell_n", count(lit(1)).over(w))
+      .filter(col("__cell_n") >= k)
+      .drop("__cell_n")
+  }
+
+  /** QI cells whose sensitive attribute shows fewer than `l` distinct
+    * values: (qi..., n_rows, n_distinct_sensitive). These cells leak
+    * the attribute by membership alone. */
+  def lDiversityReport(df: DataFrame, qis: Seq[Column], sensitive: Column,
+      l: Int): DataFrame = {
+    require(qis.nonEmpty && l >= 2, s"need QIs and l >= 2 (l=$l)")
+    df.groupBy(qis: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(sensitive).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") < l)
+  }
+}

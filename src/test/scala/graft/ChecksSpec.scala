@@ -74,4 +74,30 @@ class ChecksSpec extends AnyFunSuite {
   test("report refuses an empty constraint list") {
     intercept[IllegalArgumentException] { Checks.report(fixture, Seq.empty) }
   }
+
+  test("privacy: k-anonymity report, suppression keeps exactly the >=k cells, l-diversity") {
+    import graft.ops.Privacy
+    val df = Seq(
+      ("us", "a", 1.0), ("us", "a", -1.0), ("us", "a", 2.0), // cell of 3, mixed sign
+      ("de", "b", 5.0), ("de", "b", 6.0),                    // cell of 2, all positive
+      ("fr", "c", 9.0)                                       // singleton
+    ).toDF("country", "seg", "bal")
+    val qis = Seq(col("country"), col("seg"))
+    val rep = Privacy.kAnonymityReport(df, qis, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rep == Set(("de", "b", 2L), ("fr", "c", 1L)))
+    val kept = Privacy.suppressSmallGroups(df, qis, k = 3)
+      .select(col("country")).as[String].collect()
+    assert(kept.toSeq == Seq("us", "us", "us"))
+    // suppression preserves the full row (no dropped payload columns)
+    assert(Privacy.suppressSmallGroups(df, qis, 3).columns.toSeq ==
+      Seq("country", "seg", "bal"))
+    val ld = Privacy.lDiversityReport(df, qis, col("bal") < 0, l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // us cell has both signs → diverse; de and fr leak the sign
+    assert(ld == Set(("de", "b"), ("fr", "c")))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityReport(df, qis, k = 1)
+    }
+  }
 }
