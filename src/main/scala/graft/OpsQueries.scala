@@ -3633,6 +3633,20 @@ object OpsQueries {
         |SELECT '__ALL__', count(DISTINCT l_orderkey), TRUE, TRUE
         |FROM lineitem""".stripMargin),
 
+    // per-label embedding centroids: 4-dp floor-round BEFORE the
+    // DECIMAL(28,4) sum (the t18/b01 order-independence recipe) — a
+    // float centroid averaged in shuffle order is not reproducible
+    ("s13_label_centroids",
+      (s, sf) => graft.ops.Similarity.labelCentroids(
+        emb(s, sf), col("label"), col("embedding")),
+      """WITH x AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+        |SELECT label, pos,
+        |  floor(sum(((floor(v::DOUBLE * 10000 + 0.5) / 10000)
+        |      ::DECIMAL(28,4)))::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS mean_v,
+        |  count(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin),
+
     // ---- privacy / release governance -----------------------------------
     // k-anonymity risk report: QI cells re-identifiable by linkage
     ("pr01_k_anonymity",

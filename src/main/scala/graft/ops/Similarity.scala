@@ -524,4 +524,29 @@ object Similarity {
       .orderBy(col("cos4").asc_nulls_first, col("vec_id"))
       .limit(k)
   }
+
+  /** Per-label centroid components: the class prototype a nearest-
+    * centroid classifier / semdedup cluster summary / drift monitor
+    * starts from. Long form (label, pos, mean_v, n) — the assembled
+    * array is one `collect_list` away, but the long form is what every
+    * downstream per-dimension comparison consumes.
+    *
+    * Determinism: components are 4-dp floor-rounded BEFORE a
+    * DECIMAL(28,4) sum (the t18/b01 recipe), so the mean is
+    * addition-order-independent — a float centroid averaged in shuffle
+    * order is NOT reproducible across engines or even across runs.
+    * Scale shape: one posexplode (rows × dim, the unavoidable fan-out)
+    * into a map-side-combined (label, pos) aggregate; output is
+    * labels × dim. */
+  def labelCentroids(df: DataFrame, label: Column, vec: Column): DataFrame =
+    df.select(label.as("label"), posexplode(vec.cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum((floor(col("v") * 10000 + 0.5) / 10000).cast("decimal(28,4)"))
+          .as("__s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (floor(col("__s").cast("double") / col("n") * 10000 + 0.5) / 10000)
+          .as("mean_v"),
+        col("n"))
 }

@@ -1153,6 +1153,23 @@ class OpsSpec extends AnyFunSuite {
     assert(hashEx == 1, s"funnel should shuffle the log once, found $hashEx:\n$p")
   }
 
+  test("labelCentroids: hand-computed means, 4dp-before-sum determinism") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)), (2, Seq(0.5f, 0.25f)))
+      .toDF("label", "emb")
+    val r = graft.ops.Similarity.labelCentroids(df, col("label"), col("emb"))
+      .as[(Int, Int, Double, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(r((1, 0)) == ((2.0, 2L)) && r((1, 1)) == ((3.0, 2L)))
+    assert(r((2, 0)) == ((0.5, 1L)) && r((2, 1)) == ((0.25, 1L)))
+    // sub-4dp component noise must not leak into the mean: 0.00004999
+    // rounds to 0.0 before summing
+    val tiny = Seq((9, Seq(0.00004999f))).toDF("label", "emb")
+    val t0 = graft.ops.Similarity.labelCentroids(tiny, col("label"), col("emb"))
+      .as[(Int, Int, Double, Long)].head()
+    assert(t0._3 == 0.0)
+  }
+
   test("vocabCoverage: hand-computed cutoff, tie order, full coverage") {
     import spark.implicits._
     val df = Seq("a a a b b c").toDF("text")
