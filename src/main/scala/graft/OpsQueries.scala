@@ -3647,6 +3647,33 @@ object OpsQueries {
         |  count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin),
 
+    // nearest-centroid confusion matrix: centroids ride the plan as a
+    // literal (labels×dim, result-sized), the corpus pass is one
+    // codegen'd scan with a sequential left-fold d² per label —
+    // bit-identical to DuckDB's list_reduce — and the only shuffle is
+    // the labels²-bounded confusion aggregate
+    ("s14_nearest_centroid",
+      (s, sf) => graft.ops.Similarity.nearestCentroidConfusion(
+        emb(s, sf), col("label"), col("embedding")),
+      """WITH x AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |  floor(sum(((floor(v::DOUBLE * 10000 + 0.5) / 10000)
+        |      ::DECIMAL(28,4)))::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS mean_v
+        |  FROM x GROUP BY 1, 2),
+        |ca AS (SELECT label AS clabel, list(mean_v ORDER BY pos) AS cvec
+        |       FROM cent GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label AS label_true, c.clabel,
+        |  floor(list_reduce(list_prepend(0.0,
+        |      [ (z[1] - z[2]) * (z[1] - z[2])
+        |        FOR z IN list_zip(e.embedding::DOUBLE[], c.cvec) ]),
+        |    (acc, dd) -> acc + dd) * 10000 + 0.5) / 10000 AS d2
+        |  FROM embeddings e, ca c),
+        |p AS (SELECT vec_id, label_true, clabel AS label_pred FROM d
+        |      QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY d2, clabel) = 1)
+        |SELECT label_true, label_pred, count(*) AS n FROM p GROUP BY 1, 2""".stripMargin),
+
     // ---- privacy / release governance -----------------------------------
     // k-anonymity risk report: QI cells re-identifiable by linkage
     ("pr01_k_anonymity",

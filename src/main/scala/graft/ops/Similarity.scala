@@ -549,4 +549,39 @@ object Similarity {
         (floor(col("__s").cast("double") / col("n") * 10000 + 0.5) / 10000)
           .as("mean_v"),
         col("n"))
+
+  /** Nearest-centroid classification quality: assign every vector to
+    * its closest [[labelCentroids]] prototype (squared-Euclidean, 4-dp
+    * floor-rounded, ties to the lowest label) and emit the confusion
+    * matrix (label_true, label_pred, n) — the label-noise / cluster-
+    * purity diagnostic a semdedup or relabeling pass starts from.
+    *
+    * Scale shape: centroids are labels×dim (result-sized by
+    * definition), so they ride the plan as a LITERAL — the corpus pass
+    * is ONE codegen'd scan computing a per-label fold (`zip_with` +
+    * sequential `aggregate`, bit-identical to any engine's left fold),
+    * no join, and the only shuffle is the labels²-bounded confusion
+    * aggregate. The d19 semanticDecontam discipline. */
+  def nearestCentroidConfusion(df: DataFrame, label: Column, vec: Column): DataFrame = {
+    val cents: Seq[(Int, Seq[Double])] =
+      labelCentroids(df, label, vec)
+        .select(col("label").cast("int"), col("pos"), col("mean_v"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }.toSeq.sortBy(_._1)
+    require(cents.nonEmpty, "no labels")
+    val v = vec.cast("array<double>")
+    val candidates = cents.map { case (l, c) =>
+      val d2 = aggregate(
+        zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct((floor(d2 * 10000 + 0.5) / 10000).as("d2"), lit(l).as("l"))
+    }
+    df.select(label.as("label_true"),
+        array_min(array(candidates: _*)).getField("l").as("label_pred"))
+      .groupBy(col("label_true"), col("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }
