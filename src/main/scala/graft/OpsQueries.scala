@@ -3647,6 +3647,17 @@ object OpsQueries {
         |  count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin),
 
+    // streaming observability: observe() metrics aggregated inside the
+    // ingest scan itself (zero extra passes), read from the progress
+    // stream and summed across micro-batches — the streaming twin of
+    // the a09 batch Observation gate
+    ("st15_stream_observe",
+      (s, sf) => graft.streaming.EventStreams
+        .runObservedQuality(s, s"$sf/events.parquet"),
+      """SELECT count(*) AS n_rows, count(user_id) AS n_user,
+        |  (sum(CASE WHEN value > 75.0 THEN 1 ELSE 0 END))::BIGINT AS n_high
+        |FROM events""".stripMargin),
+
     // nearest-centroid confusion matrix: centroids ride the plan as a
     // literal (labels×dim, result-sized), the corpus pass is one
     // codegen'd scan with a sequential left-fold d² per label —

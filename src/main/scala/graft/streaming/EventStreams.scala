@@ -469,4 +469,35 @@ object EventStreams {
           sessions.iterator
       }.toDF()
   }
+
+  /** Streaming observability — the streaming twin of the a09 batch
+    * Observation gate: `observe` attaches per-micro-batch quality
+    * metrics (row count, user_id completeness, out-of-range count) to a
+    * running ingest query at ZERO extra passes (the metrics are
+    * aggregated inside the existing scan), and the monitor reads them
+    * from the progress stream. This is how a 100 TB/day ingest watches
+    * its own health without a second job. Returns the run-total metric
+    * row summed across micro-batches. */
+  def runObservedQuality(spark: SparkSession, parquetPath: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_obs_${math.abs(parquetPath.hashCode)}"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val plan = streamParquet(spark, parquetPath, "obsq")
+      .observe("dq",
+        count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("n_user"),
+        sum(when(col("value") > 75.0, 1L).otherwise(0L)).as("n_high"))
+      .select(lit(1).as("one"))
+    val q = plan.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val totals = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("dq")))
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_user"),
+        r.getAs[Long]("n_high")))
+    val (nr, nu, nh) = totals.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
+      (a + x, b + y, c + z)
+    }
+    Seq((nr, nu, nh)).toDF("n_rows", "n_user", "n_high")
+  }
 }
