@@ -3647,6 +3647,62 @@ object OpsQueries {
         |  count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin),
 
+    // last-touch attribution: window max over a CASE, strictly-prior
+    // frame (UNBOUNDED..1 PRECEDING) so a simultaneous touch never
+    // self-attributes; no self-join
+    ("f06_last_touch",
+      (s, sf) => graft.ops.EventAnalytics.lastTouchAttribution(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        convType = "purchase", touchType = "view"),
+      """SELECT user_id, event_id AS conv_event_id, ts AS conv_ts, touch_ts,
+        |  date_diff('second', touch_ts, ts) AS gap_s
+        |FROM (SELECT *, max(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin),
+
+    // deterministic A-Res weighted reservoir: k per source, priority
+    // u^(1/w) from the portable polyhash, 6-dp-rounded before ranking
+    // (pow's last ulp is not portable across libm implementations)
+    ("p11_weighted_reservoir",
+      (s, sf) => graft.ops.Pipeline.weightedReservoirPerGroup(
+        docs(s, sf), col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")), k = 5, salt = "res1"),
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS ntok,
+        |    (list_reduce(list_prepend(7::BIGINT, list_transform(
+        |      string_split('res1:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 2147483647) % 10000)::DOUBLE AS bk
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, ntok,
+        |    floor(pow((bk + 0.5) / 10000.0, 1.0 / greatest(ntok::DOUBLE, 1.0))
+        |      * 1000000 + 0.5) / 1000000 AS pr FROM t)
+        |SELECT source AS "group", doc_id AS id, ntok AS weight, rn AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY pr DESC, doc_id ASC) AS rn FROM p)
+        |WHERE rn <= 5""".stripMargin),
+
+    // overlapping chunking (the RAG chunker): sequence explode ∝ output,
+    // zero shuffles, never crosses doc boundaries
+    ("p12_chunk_overlap",
+      (s, sf) => graft.ops.Pipeline.chunkWithOverlap(
+        docs(s, sf), col("doc_id"), TextOps.tokenCount(col("text")),
+        window = 64, stride = 48),
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n, unnest(range(0,
+        |    greatest(ceil((n - 64) / 48.0), 0)::BIGINT + 1)) AS chunk_idx
+        |  FROM t WHERE n > 0)
+        |SELECT doc_id AS id, chunk_idx, chunk_idx * 48 AS start_tok,
+        |  least(chunk_idx * 48 + 64, n) AS end_tok,
+        |  least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS n_tok
+        |FROM c""".stripMargin),
+
     // streaming observability: observe() metrics aggregated inside the
     // ingest scan itself (zero extra passes), read from the progress
     // stream and summed across micro-batches — the streaming twin of

@@ -120,6 +120,30 @@ object EventAnalytics {
         max(col("gap")).as("max_gap_s"))
   }
 
+  /** Last-touch attribution: each conversion event joined to the most
+    * recent PRIOR touch event of the same user (strictly before —
+    * `rowsBetween(…, -1)` — so a simultaneous touch/conversion pair
+    * never self-attributes). One shuffle on the user partitioning; the
+    * window max over a CASE is the whole mechanism, no self-join.
+    * Output: (user_id, conv_event_id, conv_ts, touch_ts, gap_s) with
+    * NULL touch for unattributed conversions. */
+  def lastTouchAttribution(events: DataFrame, userId: Column, eventType: Column,
+      ts: Column, eventId: Column, convType: String, touchType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col("__e").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(userId.as("__u"), eventType.as("__ty"), ts.as("__t"),
+        eventId.as("__e"))
+      .withColumn("touch_ts",
+        max(when(col("__ty") === touchType, col("__t"))).over(w))
+      .filter(col("__ty") === convType)
+      .select(col("__u").as("user_id"), col("__e").as("conv_event_id"),
+        col("__t").as("conv_ts"), col("touch_ts"),
+        (unix_timestamp(col("__t")) - unix_timestamp(col("touch_ts")))
+          .as("gap_s"))
+  }
+
   /** Hourly event-volume anomaly scores per type: each hour's count is
     * z-scored against the TRAILING `window` hours — the
     * data-quality/incident monitor over an ingest log (a collapsed

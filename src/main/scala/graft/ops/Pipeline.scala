@@ -432,4 +432,59 @@ object Pipeline {
       .join(broadcast(dict.select(col("value").as("__raw"), col("id").as(as))),
         Seq("__raw"), "left")
       .drop("__raw")
+
+  /** Deterministic weighted reservoir sample of `k` rows per group
+    * (Efraimidis-Spirtsis A-Res): priority = u^(1/w) with u derived
+    * from the portable [[deterministicBucket]] hash — no RNG state, so
+    * the draw is reproducible and auditable cross-engine like every
+    * other sampling decision here. Higher weight → higher expected
+    * priority → more likely into the reservoir, the exact A-Res
+    * inclusion law. Priorities are 6-dp floor-rounded BEFORE ranking
+    * (pow's last ulp is not portable across libm implementations) with
+    * the id as final tie-break. One shuffle (the per-group top-k
+    * window); swap in [[graft.functions.TopKAggregator]] for bounded
+    * state at extreme group cardinality skew.
+    * Output: (group, id, weight, rank), rank 1..k. */
+  def weightedReservoirPerGroup(df: DataFrame, id: Column, group: Column,
+      weight: Column, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (deterministicBucket(id, salt).cast("double") + 0.5) / 10000.0
+    val w = greatest(weight.cast("double"), lit(1.0))
+    val pr = floor(pow(u, lit(1.0) / w) * 1000000 + 0.5) / 1000000
+    val win = Window.partitionBy(col("__g"))
+      .orderBy(col("__pr").desc, col("__id").asc)
+    df.select(group.as("__g"), id.as("__id"), weight.as("__w"), pr.as("__pr"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("__g").as("group"), col("__id").as("id"),
+        col("__w").as("weight"), col("rank"))
+  }
+
+  /** Overlapping fixed-window chunking of each document's token stream
+    * — the RAG / embedding-input chunker (vs [[packFixedWindows]],
+    * which packs MULTIPLE docs into exact-length training examples;
+    * this SPLITS single docs with overlap and never crosses doc
+    * boundaries). Chunk i of a doc with n tokens covers
+    * [i·stride, min(i·stride + window, n)); starts are 0, stride,
+    * 2·stride, … while start < n, and a final fully-contained window
+    * is not re-emitted (start ≤ n − window bounds the last index when
+    * n > window). Zero-token docs drop. Fan-out is one `sequence`
+    * explode ∝ output chunks; no shuffle at all.
+    * Output: (id, chunk_idx, start_tok, end_tok, n_tok). */
+  def chunkWithOverlap(df: DataFrame, id: Column, tokenCount: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window: window=$window stride=$stride")
+    val n = tokenCount.cast("long")
+    val lastIdx = greatest(ceil((n - window).cast("double") / stride), lit(0.0))
+      .cast("long")
+    df.select(id.as("id"), n.as("__n"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .filter(col("__n") > 0)
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + window, col("__n")).as("end_tok"))
+      .withColumn("n_tok", col("end_tok") - col("start_tok"))
+  }
 }

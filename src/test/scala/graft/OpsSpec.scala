@@ -1170,6 +1170,58 @@ class OpsSpec extends AnyFunSuite {
     assert(t0._3 == 0.0)
   }
 
+  test("lastTouchAttribution: strictly-prior frame, simultaneous rows, unattributed") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "view", "2024-01-01 00:00:00"),
+      (2L, 10L, "purchase", "2024-01-01 00:00:10"),
+      (3L, 10L, "view", "2024-01-01 00:00:20"),
+      // same ts as the view above, later event id → the view IS prior
+      (4L, 10L, "purchase", "2024-01-01 00:00:20"),
+      (5L, 20L, "purchase", "2024-01-01 00:00:05") // no prior view
+    ).toDF("e", "u", "ty", "t")
+      .select(col("e"), col("u"), col("ty"), col("t").cast("timestamp").as("t"))
+    val r = graft.ops.EventAnalytics.lastTouchAttribution(ev, col("u"), col("ty"),
+        col("t"), col("e"), "purchase", "view")
+      .select(col("conv_event_id"), col("gap_s"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(r(2L) == Some(10L))
+    assert(r(4L) == Some(0L)) // simultaneous view with earlier id attributes
+    assert(r(5L) == None)
+  }
+
+  test("weightedReservoirPerGroup: k bound, dense ranks, determinism, weight pull") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong * 104729 % 100000, if (i % 2 == 0) "a" else "b",
+      if (i == 2) 1000000L else 1L)).toDF("id", "g", "w")
+    val s1 = graft.ops.Pipeline.weightedReservoirPerGroup(df, col("id"), col("g"),
+      col("w"), k = 3, salt = "t").as[(String, Long, Long, Int)].collect().sortBy(x => (x._1, x._4))
+    val s2 = graft.ops.Pipeline.weightedReservoirPerGroup(df, col("id"), col("g"),
+      col("w"), k = 3, salt = "t").as[(String, Long, Long, Int)].collect().sortBy(x => (x._1, x._4))
+    assert(s1.toSeq == s2.toSeq) // deterministic
+    assert(s1.count(_._1 == "a") == 3 && s1.count(_._1 == "b") == 3)
+    assert(s1.filter(_._1 == "a").map(_._4).toSeq == Seq(1, 2, 3))
+    // the w=1e6 row's priority ≈ u^(1e-6) ≈ 1 → must be in the reservoir
+    assert(s1.exists(x => x._3 == 1000000L))
+  }
+
+  test("chunkWithOverlap: spans, last-window containment, empty docs drop") {
+    import spark.implicits._
+    val df = Seq((1L, 100L), (2L, 10L), (3L, 64L), (4L, 65L), (5L, 0L))
+      .toDF("id", "n")
+    val r = graft.ops.Pipeline.chunkWithOverlap(df, col("id"), col("n"), 64, 48)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    assert(r(1L) == Seq((0L, 64L), (48L, 100L)))
+    assert(r(2L) == Seq((0L, 10L)))
+    assert(r(3L) == Seq((0L, 64L)))   // exact fit: one chunk only
+    assert(r(4L) == Seq((0L, 64L), (48L, 65L)))
+    assert(!r.contains(5L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Pipeline.chunkWithOverlap(df, col("id"), col("n"), 32, 48)
+    }
+  }
+
   test("nearestCentroidConfusion: separated clusters go diagonal, ties to lower label") {
     import spark.implicits._
     val df = Seq((1, Seq(0.0f, 0.0f)), (1, Seq(0.2f, 0.0f)),
