@@ -3647,6 +3647,47 @@ object OpsQueries {
         |  count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin),
 
+    // per-type daily trend by exact-INTEGER OLS moments: Σx Σy Σxy Σx²
+    // are all integer sums — exact in any order, no decimals needed —
+    // and the only float ops are two final divisions on identical inputs
+    ("ts10_daily_trend",
+      (s, sf) => graft.ops.EventAnalytics.dailyTrend(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("ts"), col("event_type")),
+      """WITH d AS (SELECT event_type AS etype,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT etype, count(*) AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx FROM d GROUP BY 1)
+        |SELECT etype, n,
+        |  floor((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+        |    * 1000000 + 0.5) / 1000000 AS slope,
+        |  floor((sy * sxx - sx * sxy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+        |    * 1000000 + 0.5) / 1000000 AS intercept
+        |FROM m""".stripMargin),
+
+    // truncated EWMA of daily volumes: the α(1−α)^i coefficients are
+    // computed once driver-side and planted as literals into BOTH plans
+    // (pow's last ulp is not libm-portable), and the sum is an explicit
+    // fixed-order lag chain — identical IEEE expression in both engines
+    ("ts11_ewma_daily",
+      (s, sf) => graft.ops.EventAnalytics.ewmaDaily(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("ts"), col("event_type"), alpha = 0.3, horizon = 14),
+      {
+        val terms = graft.ops.EventAnalytics.ewmaCoefs(0.3, 14).zipWithIndex
+          .map { case (c, i) =>
+            s"($c::DOUBLE) * coalesce(lag(y, $i) OVER w, 0)::DOUBLE"
+          }.mkString("\n    + ")
+        s"""WITH d AS (SELECT event_type AS etype, ts::DATE AS day, count(*) AS y
+           |  FROM events GROUP BY 1, 2)
+           |SELECT etype, day,
+           |  floor(($terms) * 1000000 + 0.5) / 1000000 AS ewma
+           |FROM d WINDOW w AS (PARTITION BY etype ORDER BY day ASC)""".stripMargin
+      }),
+
     // last-touch attribution: window max over a CASE, strictly-prior
     // frame (UNBOUNDED..1 PRECEDING) so a simultaneous touch never
     // self-attributes; no self-join

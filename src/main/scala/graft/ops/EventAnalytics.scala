@@ -120,6 +120,68 @@ object EventAnalytics {
         max(col("gap")).as("max_gap_s"))
   }
 
+  /** Per-type daily-volume trend line by exact-integer OLS: slope and
+    * intercept computed from Σx, Σy, Σxy, Σx² where x = day index and
+    * y = the day's event count — ALL integer sums, so the moments are
+    * exact in any summation order (the a08 exact-moment discipline with
+    * no decimals needed at all); the only float ops are two final
+    * divisions on identical inputs, 6-dp floor-rounded. One count
+    * aggregate + one per-type reduce; output is one row per type. */
+  def dailyTrend(events: DataFrame, ts: Column, eventType: Column,
+      epoch: String = "2024-01-01"): DataFrame = {
+    val daily = events
+      .select(eventType.as("etype"), to_date(ts).as("__day"))
+      .groupBy(col("etype"), col("__day")).agg(count(lit(1)).as("y"))
+      .select(col("etype"),
+        datediff(col("__day"), lit(epoch).cast("date")).cast("long").as("x"),
+        col("y"))
+    def r6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    daily.groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("etype"), col("n"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("intercept"))
+  }
+
+  /** Truncated EWMA smoothing of per-type daily volumes: the smoothed
+    * series every capacity forecast / anomaly baseline starts from.
+    * ewma(d) = Σ_{i=0..horizon−1} α(1−α)^i · y(d−i), the
+    * exponentially-weighted moving average truncated at `horizon`
+    * observed days (missing history contributes 0).
+    *
+    * Determinism: the α(1−α)^i coefficients are computed ONCE driver-
+    * side and planted as literals (also into the oracle text — pow's
+    * last ulp is not portable), and the sum is an explicit fixed-order
+    * chain of `horizon` lag terms, so both engines execute the
+    * identical IEEE expression. Lags ride one per-type window
+    * partitioning; 6-dp floor-rounded output. */
+  def ewmaDaily(events: DataFrame, ts: Column, eventType: Column,
+      alpha: Double, horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    require(horizon >= 1 && horizon <= 64, s"horizon out of [1,64]: $horizon")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(eventType.as("etype"), to_date(ts).as("day"))
+      .groupBy(col("etype"), col("day")).agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("etype")).orderBy(col("day").asc)
+    val terms = ewmaCoefs(alpha, horizon).zipWithIndex.map { case (c, i) =>
+      lit(c) * coalesce(lag(col("y"), i).over(w), lit(0L)).cast("double")
+    }
+    daily.select(col("etype"), col("day"),
+      (floor(terms.reduceLeft(_ + _) * 1000000 + 0.5) / 1000000).as("ewma"))
+  }
+
+  /** The literal EWMA coefficients — shared with the oracle text so
+    * both engines multiply bit-identical constants. */
+  def ewmaCoefs(alpha: Double, horizon: Int): Seq[Double] =
+    (0 until horizon).map(i => alpha * math.pow(1 - alpha, i))
+
   /** Last-touch attribution: each conversion event joined to the most
     * recent PRIOR touch event of the same user (strictly before —
     * `rowsBetween(…, -1)` — so a simultaneous touch/conversion pair

@@ -1170,6 +1170,33 @@ class OpsSpec extends AnyFunSuite {
     assert(t0._3 == 0.0)
   }
 
+  test("dailyTrend: hand-computed OLS on a perfect line and a flat series") {
+    import spark.implicits._
+    // type a: y = 2x + 3 exactly (days 0..2 → 3,5,7 events); type b flat 4
+    val rows = Seq.tabulate(3) { d => ("a", d, 3 + 2 * d) } ++ Seq(("b", 0, 4), ("b", 1, 4))
+    val ev = rows.flatMap { case (ty, d, cnt) =>
+      (1 to cnt).map(i => (ty, f"2024-01-${d + 1}%02d 00:0$i:00"))
+    }.toDF("ty", "t").select(col("ty"), col("t").cast("timestamp").as("t"))
+    val r = graft.ops.EventAnalytics.dailyTrend(ev, col("t"), col("ty"))
+      .as[(String, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r("a") == (("a", 3L, 2.0, 3.0)))
+    assert(r("b") == (("b", 2L, 0.0, 4.0)))
+  }
+
+  test("ewmaDaily: coefficients weight the lag chain, missing history is zero") {
+    import spark.implicits._
+    val ev = Seq(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:01:00"),
+      ("a", "2024-01-02 00:00:00"))
+      .toDF("ty", "t").select(col("ty"), col("t").cast("timestamp").as("t"))
+    val r = graft.ops.EventAnalytics.ewmaDaily(ev, col("t"), col("ty"),
+        alpha = 0.5, horizon = 3)
+      .select(col("ewma")).as[Double].collect().sorted.toSeq
+    // day1 y=2: 0.5*2 = 1.0; day2 y=1: 0.5*1 + 0.25*2 = 1.0
+    assert(r == Seq(1.0, 1.0))
+    val coefs = graft.ops.EventAnalytics.ewmaCoefs(0.5, 3)
+    assert(coefs == Seq(0.5, 0.25, 0.125))
+  }
+
   test("lastTouchAttribution: strictly-prior frame, simultaneous rows, unattributed") {
     import spark.implicits._
     val ev = Seq(
