@@ -2063,6 +2063,30 @@ object OpsQueries {
         |UNION ALL
         |SELECT 2, count(*), sum(doc_id)::BIGINT, sum(len(text))::BIGINT FROM s2""".stripMargin),
 
+    // manifest data skipping: per-file min/max stats collected at write
+    // time, a selective range scan planned ONLY over the files whose
+    // stat interval intersects — the Delta/Iceberg file-skipping half,
+    // on a bare parquet lake. Self-provisioned range-clustered fixture;
+    // correctness oracle = the plain filtered scan (predicate re-applied
+    // exactly, so pruning can only skip, never change results), plus a
+    // property verdict that pruning actually engaged
+    ("l06_stats_skipping",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = s"/root/repo/target/derived/$label/stats_lake"
+        if (!new java.io.File(s"${dir}_manifest/_SUCCESS").exists())
+          graft.ops.Layout.writeWithManifest(s,
+            docs(s, sf).repartitionByRange(8, col("doc_id")), dir, "doc_id")
+        val (df, ps) = graft.ops.Layout.scanPruned(s, dir, "doc_id", 100L, 149L)
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("len_sum"),
+          (lit(ps.filesRead) >= 1L && lit(ps.filesRead) < lit(ps.filesTotal))
+            .as("pruned_ok"))
+      },
+      """SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+        |  sum(len(text))::BIGINT AS len_sum, true AS pruned_ok
+        |FROM documents WHERE doc_id BETWEEN 100 AND 149""".stripMargin),
+
     // schema evolution on read: two partition batches written with
     // DIFFERENT schemas (batch 2 adds the lang column), read back with
     // mergeSchema — the union schema applies, pre-evolution rows are
@@ -3834,6 +3858,37 @@ object OpsQueries {
         |  min(rk) AS cover_size,
         |  floor(min_by(cum, rk) / min(total) * 10000 + 0.5) / 10000 AS actual_coverage
         |FROM r WHERE cum >= ceil(total * 0.95)""".stripMargin),
+
+    // HTML → text extraction (the WARC→WET step): script/style/comment
+    // subtrees dropped BEFORE tag-stripping (their bodies contain bare
+    // '<'), entities decoded &amp;-last, whitespace collapsed. The
+    // fixture wraps each doc in a deterministic HTML shell (attributes,
+    // entities, a script with a bare '<') and the oracle restates the
+    // identical RE2-compatible regex chain on the same shell
+    ("t32_html_strip",
+      (s, sf) => TextOps.stripHtml(
+        docs(s, sf).select(col("doc_id"), concat(
+          lit("<html><head><style>p{color:#333}</style><!-- nav --></head>" +
+            "<body><div id=\"d"), col("doc_id"), lit("\" class='x'><p>"),
+          col("text"),
+          lit("</p><br/><span>&amp;copy; 2024 &lt;Corp&gt; &quot;A&quot;" +
+            "&nbsp;B&#39;s</span><script type=\"text/javascript\">" +
+            "var x = 1 < 2;</script></div></body></html>")).as("html")),
+        col("doc_id"), col("html")),
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p{color:#333}</style><!-- nav --></head><body><div id="d'
+        |    || doc_id || '" class=''x''><p>' || text
+        |    || '</p><br/><span>&amp;copy; 2024 &lt;Corp&gt; &quot;A&quot;&nbsp;B&#39;s</span><script type="text/javascript">var x = 1 < 2;</script></div></body></html>'
+        |    AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)[ \t\n\r\f]*>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |  '&nbsp;', ' '), '&amp;', '&') AS t FROM s3)
+        |SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS text
+        |FROM s4""".stripMargin),
 
     // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
     ("nt01_ingest",

@@ -119,4 +119,50 @@ object Layout {
     val (nAfter, bAfter) = listStats(outputDir)
     CompactionStats(nBefore, bBefore, nAfter, bAfter)
   }
+
+  /** File-skipping outcome of a [[scanPruned]]: how many data files the
+    * manifest ruled out before the scan was planned. */
+  final case class PruneStats(filesTotal: Long, filesRead: Long)
+
+  /** Write `df` to `dir` plus a per-file min/max manifest for `statCol`
+    * at `dir`_manifest — the data-skipping half of a Delta/Iceberg
+    * table, re-expressed for a bare parquet lake. The manifest build
+    * scans ONLY the stat column (column pruning: footer + one column's
+    * pages), grouped by `_metadata.file_path`, and the manifest itself
+    * is one row per FILE — at 100 TB with 1 GB files that is ~100 k rows,
+    * metadata-sized. Pair with `repartitionByRange` on the stat column at
+    * write time so file ranges are disjoint and skipping is sharp. */
+  def writeWithManifest(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, dir: String, statCol: String): Unit = {
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("file_path"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dir + "_manifest")
+  }
+
+  /** Manifest-pruned range scan: read only the files whose [min,max]
+    * stat interval intersects [lo,hi], then apply the exact predicate.
+    * The manifest filter happens BEFORE scan planning, so skipped files
+    * are never opened (vs parquet row-group stats, which still pay
+    * per-file open+footer) — at 100 TB a selective range touches a few
+    * files instead of listing-and-opening all of them. The collect is
+    * manifest-sized (one row per surviving file — the same bounded
+    * metadata a Delta/Iceberg planner reads); results are identical to
+    * a full filtered scan because the predicate is re-applied exactly. */
+  def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+      statCol: String, lo: Long, hi: Long): (DataFrame, PruneStats) = {
+    require(lo <= hi, s"empty stat range [$lo,$hi]")
+    val man = spark.read.parquet(dir + "_manifest")
+    val keep = man.filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select(col("file_path")).collect().map(_.getString(0))
+    val total = man.count()
+    val pred = col(statCol) >= lo && col(statCol) <= hi
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).filter(pred).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*).filter(pred)
+    (df, PruneStats(total, keep.length))
+  }
 }

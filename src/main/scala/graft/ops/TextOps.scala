@@ -553,4 +553,32 @@ object TextOps {
           / 2.0 * 1000000 + 0.5) / 1000000).as("tvd6"))
     out
   }
+
+  /** HTML → text extraction: the first transform of any web-crawl corpus
+    * pass (the CommonCrawl WARC→WET step). Drops `<script>`/`<style>`
+    * subtrees and comments FIRST (their bodies may contain bare `<` that
+    * tag-stripping would otherwise mis-eat), then strips remaining tags,
+    * decodes the six ubiquitous entities (`&amp;` last, per the spec, so
+    * `&amp;lt;` yields the literal `&lt;`), and collapses whitespace
+    * runs to single spaces.
+    *
+    * Pure codegen'd `regexp_replace`/`replace` chain — scan-stage at
+    * 100 TB. Patterns are RE2-compatible (no lookaround/backreferences,
+    * explicit `[ \t\n\r\f]` class instead of `\s` whose definition
+    * differs between Java and RE2), so an oracle engine restates the
+    * identical pipeline. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)[ \\t\\n\\r\\f]*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** [[htmlToText]] over a corpus: (doc_id, text) of the extracted prose. */
+  def stripHtml(df: DataFrame, id: Column, html: Column): DataFrame =
+    df.select(id.as("doc_id"), htmlToText(html).as("text"))
 }

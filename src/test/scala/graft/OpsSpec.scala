@@ -1690,6 +1690,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlToText: blocks drop before tags, entities decode amp-last, whitespace collapses") {
+    import graft.ops.TextOps
+    val df = Seq(
+      // bare '<' inside script must not derail tag stripping
+      (1L, "<div><p>Hello</p><script>if (1 < 2) { x(); }</script><b>world</b></div>"),
+      // style + comment subtrees vanish entirely
+      (2L, "<style>p { color: red }</style><!-- secret --><p>kept</p>"),
+      // &amp;lt; decodes to the LITERAL '&lt;', not '<'
+      (3L, "a &amp;lt; b &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      // newlines/tabs collapse to single spaces, ends trimmed
+      (4L, "  <p>one\n\ttwo</p>  "))
+      .toDF("doc_id", "html")
+    val r = TextOps.stripHtml(df, col("doc_id"), col("html"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "Hello world")
+    assert(r(2L) == "kept")
+    assert(r(3L) == "a &lt; b <i> \"q\" 's' end")
+    assert(r(4L) == "one two")
+  }
+
+  test("scanPruned: skips non-intersecting files, result equals the full filtered scan") {
+    import graft.ops.Layout
+    val base = "target/derived/spec_statslake"
+    val d = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    Layout.writeWithManifest(spark, d.repartitionByRange(10, col("k")), base, "k")
+    val (df, ps) = Layout.scanPruned(spark, base, "k", 250L, 260L)
+    assert(ps.filesTotal == 10 && ps.filesRead <= 2 && ps.filesRead >= 1,
+      s"range-clustered files should prune sharply: $ps")
+    val got = df.select(col("k"), col("v")).as[(Long, Long)].collect().sorted.toSeq
+    val want = (250L to 260L).map(k => (k, k * 3))
+    assert(got == want)
+    // an empty-intersection range reads zero files but keeps the schema
+    val (empty, ps0) = Layout.scanPruned(spark, base, "k", 5000L, 6000L)
+    assert(ps0.filesRead == 0 && empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("k", "v"))
+    intercept[IllegalArgumentException] { Layout.scanPruned(spark, base, "k", 10L, 5L) }
+  }
+
   test("c4LineClean: each rule fires independently; clean text re-joins kept lines") {
     val docs = Seq(
       (1L, "Good prose line stays here.\nshort no.\nvar x = {bad};\n" +
