@@ -1350,6 +1350,31 @@ object OpsQueries {
         |  FROM documents)
         |GROUP BY GROUPING SETS ((source), (lang), ())""".stripMargin),
 
+    // chi-squared independence of lang × source: exact integer cell
+    // counts, expected/contribution doubles from the SAME 6-dp-rounded
+    // inputs on both engines, statistic = order-independent
+    // DECIMAL(38,6) sum of rounded contributions (t18/b01 recipe)
+    ("a11_chi2_independence",
+      (s, sf) => graft.ops.Profile.chi2Independence(
+        docs(s, sf), col("lang"), col("source")),
+      """WITH c AS (SELECT lang AS a, source AS b, count(*) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(obs)::BIGINT AS n, count(DISTINCT a) AS na,
+        |    count(DISTINCT b) AS nb FROM c),
+        |e AS (SELECT a, b, obs,
+        |    ((na - 1) * (nb - 1))::BIGINT AS dof,
+        |    floor(ra::DOUBLE * cb::DOUBLE / n::DOUBLE * 1000000 + 0.5)
+        |      / 1000000 AS exp6
+        |  FROM (SELECT a, b, obs,
+        |      (sum(obs) OVER (PARTITION BY a))::BIGINT AS ra,
+        |      (sum(obs) OVER (PARTITION BY b))::BIGINT AS cb FROM c), t),
+        |x AS (SELECT a, b, obs, dof, exp6,
+        |    floor((obs::DOUBLE - exp6) * (obs::DOUBLE - exp6) / exp6
+        |      * 1000000 + 0.5) / 1000000 AS contrib6 FROM e)
+        |SELECT a, b, obs, dof, exp6, contrib6,
+        |  (SELECT sum(contrib6::DECIMAL(38,6)) FROM x) AS chi2 FROM x"""
+        .stripMargin),
+
     // pivot: the source×language token matrix (one row per source, one
     // column per language) — the corpus-composition report every mixture
     // design starts from. The language domain is pinned explicitly, so
@@ -3711,6 +3736,36 @@ object OpsQueries {
            |  floor(($terms) * 1000000 + 0.5) / 1000000 AS ewma
            |FROM d WINDOW w AS (PARTITION BY etype ORDER BY day ASC)""".stripMargin
       }),
+
+    // CUSUM mean-shift alarms over densified daily volumes in EXACT
+    // integer arithmetic: S_i = max(0,S_{i-1}+x−μ−k) rewritten as
+    // prefix−running-min, scaled by n_days to clear the rational mean —
+    // no float anywhere, so the oracle restates it bit-for-bit
+    // (windowed BIGINT sums cast — DuckDB window SUM → HUGEINT)
+    ("ts12_cusum_shift",
+      (s, sf) => graft.ops.EventAnalytics.cusumShift(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("ts"), col("event_type"), k = 0L, h = 10L),
+      """WITH b AS (SELECT event_type AS etype, ts::DATE AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+        |g AS (SELECT etype,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT DISTINCT etype FROM b), sp),
+        |d AS (SELECT g.etype, g.day, coalesce(b.x, 0)::BIGINT AS x
+        |  FROM g LEFT JOIN b ON b.etype = g.etype AND b.day = g.day),
+        |t AS (SELECT etype, count(*) AS n, sum(x)::BIGINT AS tx FROM d GROUP BY 1),
+        |p AS (SELECT d.etype, d.day, d.x, t.n,
+        |    t.n * (sum(d.x) OVER (PARTITION BY d.etype ORDER BY d.day
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT
+        |    - (row_number() OVER (PARTITION BY d.etype ORDER BY d.day))::BIGINT
+        |      * (t.tx + 0 * t.n) AS pp
+        |  FROM d JOIN t USING (etype)),
+        |s AS (SELECT etype, day, x, n,
+        |    pp - least(0, min(pp) OVER (PARTITION BY etype ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING)) AS s_scaled FROM p)
+        |SELECT etype, day, x, s_scaled::BIGINT AS s_scaled,
+        |  s_scaled > 10 * n AS alarm FROM s""".stripMargin),
 
     // last-touch attribution: window max over a CASE, strictly-prior
     // frame (UNBOUNDED..1 PRECEDING) so a simultaneous touch never

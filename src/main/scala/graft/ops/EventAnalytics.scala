@@ -182,6 +182,49 @@ object EventAnalytics {
   def ewmaCoefs(alpha: Double, horizon: Int): Seq[Double] =
     (0 until horizon).map(i => alpha * math.pow(1 - alpha, i))
 
+  /** CUSUM mean-shift detection on per-type daily volumes, in EXACT
+    * integer arithmetic: the recurrence S_i = max(0, S_{i−1} + x_i − μ − k)
+    * has the closed form S_i = P_i − min_{j≤i} P_j (P = prefix sums of
+    * the deviations, P_0 = 0), and scaling every term by n_days clears
+    * the rational mean μ = total/n — so `s_scaled` = n·S_i is a pure
+    * integer window computation (prefix sum + running min), restatable
+    * bit-exactly by any engine with no float anywhere. Alarm when the
+    * cumulative excess S_i exceeds `h` counts (s_scaled > h·n).
+    *
+    * Days are densified over the GLOBAL [min,max] span (a silent day is
+    * an observation of 0 — precisely what a volume-drop alarm must see).
+    * One shuffle to daily counts, windows ride one per-type
+    * partitioning; the dense grid is span-bounded (3650 rows per type
+    * per decade), never event-bounded. `k` is the integer per-day
+    * allowance (0 = plain CUSUM against the mean). */
+  def cusumShift(events: DataFrame, ts: Column, eventType: Column,
+      k: Long = 0L, h: Long = 10L): DataFrame = {
+    require(k >= 0, s"negative allowance k=$k")
+    require(h >= 1, s"alarm threshold h must be >= 1, got $h")
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events.select(eventType.as("etype"), to_date(ts).as("day"))
+      .groupBy(col("etype"), col("day")).agg(count(lit(1)).as("x"))
+    val span = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = byDay.select(col("etype")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("etype"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(byDay, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val tot = dense.groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("tx"))
+    val w = Window.partitionBy(col("etype")).orderBy(col("day").asc)
+    val wi = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = dense.join(broadcast(tot), "etype")
+      .withColumn("pp",
+        col("n") * sum(col("x")).over(wi)
+          - row_number().over(w).cast("long") * (col("tx") + lit(k) * col("n")))
+    p.select(col("etype"), col("day"), col("x"),
+      (col("pp") - least(lit(0L), min(col("pp")).over(wi))).as("s_scaled"),
+      ((col("pp") - least(lit(0L), min(col("pp")).over(wi))) > lit(h) * col("n"))
+        .as("alarm"))
+  }
+
   /** Last-touch attribution: each conversion event joined to the most
     * recent PRIOR touch event of the same user (strictly before —
     * `rowsBetween(…, -1)` — so a simultaneous touch/conversion pair

@@ -45,4 +45,43 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** Pearson chi-squared independence test between two CATEGORICAL
+    * columns — the "is the lang mix the same across sources?" audit that
+    * decides whether a corpus can be mixture-weighted per-source or the
+    * cells have to be balanced jointly.
+    *
+    * One scan to the cell table (|A|·|B| rows — categorical by contract,
+    * so cells are metadata-sized and every subsequent join broadcasts);
+    * observed counts are exact longs, expected = row·col/N and each
+    * cell's (o−e)²/e are computed double from the SAME 6-dp-rounded
+    * inputs on every engine, and the statistic is the order-independent
+    * DECIMAL(38,6) sum of rounded contributions (the t18/b01 recipe).
+    * Output: one row per cell (obs, exp6, contrib6) with the global dof
+    * and chi² repeated — a report table, bounded by the category
+    * product. */
+  def chi2Independence(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val r6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val dec6 = (c: Column) => c.cast(
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6))
+    val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("obs")).as("ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("obs")).as("cb"))
+    val tot = cells.agg(sum(col("obs")).as("n"),
+      countDistinct(col("a")).as("na"), countDistinct(col("b")).as("nb"))
+    val contrib = cells
+      .join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("obs"),
+        ((col("na") - 1) * (col("nb") - 1)).as("dof"),
+        r6(col("ra").cast("double") * col("cb").cast("double")
+          / col("n").cast("double")).as("exp6"))
+      .select(col("a"), col("b"), col("obs"), col("dof"), col("exp6"),
+        r6((col("obs").cast("double") - col("exp6"))
+          * (col("obs").cast("double") - col("exp6")) / col("exp6"))
+          .as("contrib6"))
+    val chi = contrib.agg(sum(dec6(col("contrib6"))).as("chi2"))
+    contrib.crossJoin(broadcast(chi))
+  }
 }

@@ -1197,6 +1197,40 @@ class OpsSpec extends AnyFunSuite {
     assert(coefs == Seq(0.5, 0.25, 0.125))
   }
 
+  test("chi2Independence: hand-computed 2x2 table") {
+    import spark.implicits._
+    // cells: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30 → every expected = 20,
+    // every contribution = (10)^2/20 = 5, chi2 = 20, dof = 1
+    val rows = Seq(("x", "p", 30), ("x", "q", 10), ("y", "p", 10), ("y", "q", 30))
+      .flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }
+    val r = graft.ops.Profile.chi2Independence(
+        rows.toDF("a", "b"), col("a"), col("b"))
+      .select(col("a"), col("b"), col("obs"), col("dof"), col("exp6"),
+        col("contrib6"), col("chi2").cast("double"))
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(r.size == 4)
+    assert(r.forall(t => t._4 == 1L && t._5 == 20.0 && t._6 == 5.0 && t._7 == 20.0))
+    assert(r.map(_._3) == Seq(30L, 10L, 10L, 30L))
+  }
+
+  test("cusumShift: densified gap day counts as zero; alarm fires past the threshold") {
+    import spark.implicits._
+    // days 1..3 with counts 2, (silent), 4: n=3, total=6 → scaled prefix
+    // P' = 0, −6, 0; running-min clamp gives S' = 0, 0, 6; h=1 ⇒ only
+    // the last day alarms (6 > 1·3)
+    val ev = (Seq.fill(2)("2024-01-01 08:00:00") ++ Seq.fill(4)("2024-01-03 08:00:00"))
+      .map(("a", _)).toDF("ty", "t")
+      .select(col("ty"), col("t").cast("timestamp").as("t"))
+    val r = graft.ops.EventAnalytics.cusumShift(ev, col("t"), col("ty"), k = 0L, h = 1L)
+      .select(col("day").cast("string"), col("x"), col("s_scaled"), col("alarm"))
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      ("2024-01-01", 2L, 0L, false),
+      ("2024-01-02", 0L, 0L, false),
+      ("2024-01-03", 4L, 6L, true)))
+  }
+
   test("lastTouchAttribution: strictly-prior frame, simultaneous rows, unattributed") {
     import spark.implicits._
     val ev = Seq(
