@@ -1372,7 +1372,7 @@ object OpsQueries {
         |    floor((obs::DOUBLE - exp6) * (obs::DOUBLE - exp6) / exp6
         |      * 1000000 + 0.5) / 1000000 AS contrib6 FROM e)
         |SELECT a, b, obs, dof, exp6, contrib6,
-        |  (SELECT sum(contrib6::DECIMAL(38,6)) FROM x) AS chi2 FROM x"""
+        |  (SELECT sum(contrib6::DECIMAL(38,6))::DOUBLE FROM x) AS chi2 FROM x"""
         .stripMargin),
 
     // pivot: the source×language token matrix (one row per source, one
@@ -1524,10 +1524,10 @@ object OpsQueries {
         |    date_diff('day', max(o_orderdate::DATE), DATE '2001-09-01') AS rec_days,
         |    count(*) AS freq, sum(o_totalprice::DECIMAL(18,2)) AS monetary
         |  FROM orders GROUP BY 1)
-        |SELECT cust, rec_days, freq, monetary,
+        |SELECT cust, rec_days, freq, per.monetary::DOUBLE AS monetary,
         |  ntile(4) OVER (ORDER BY rec_days DESC, cust ASC) AS r,
         |  ntile(4) OVER (ORDER BY freq ASC, cust ASC) AS f,
-        |  ntile(4) OVER (ORDER BY monetary ASC, cust ASC) AS m
+        |  ntile(4) OVER (ORDER BY per.monetary ASC, cust ASC) AS m
         |FROM per""".stripMargin),
 
     // per-user inter-event gaps: lag deltas under a fully tie-broken
@@ -3798,8 +3798,9 @@ object OpsQueries {
         |      (a, c) -> (a * 257 + c) % 2147483647) % 10000)::DOUBLE AS bk
         |  FROM documents),
         |p AS (SELECT doc_id, source, ntok,
-        |    floor(pow((bk + 0.5) / 10000.0, 1.0 / greatest(ntok::DOUBLE, 1.0))
-        |      * 1000000 + 0.5) / 1000000 AS pr FROM t)
+        |    CASE WHEN ntok <= 0 THEN 0.0
+        |         ELSE floor(pow((bk + 0.5) / 10000.0, 1.0 / ntok::DOUBLE)
+        |           * 1000000 + 0.5) / 1000000 END AS pr FROM t)
         |SELECT source AS "group", doc_id AS id, ntok AS weight, rn AS rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY source
         |        ORDER BY pr DESC, doc_id ASC) AS rn FROM p)

@@ -10,7 +10,11 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default matches the DRIVER's local[32]: rounds 10-11 both shipped a
+    // red that only reproduced at high core counts (split sizing depends
+    // on defaultParallelism) because local verification ran at 4 CPUs.
+    // Override with SPARK_GRAFT_CPUS for quick low-core debug runs.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

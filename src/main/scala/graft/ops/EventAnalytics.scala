@@ -72,7 +72,9 @@ object EventAnalytics {
     * Determinism: every `ntile` ordering carries the entity id as the
     * final tie-break (ntile ties are otherwise engine-placement-
     * dependent), and monetary sums in DECIMAL(18,2) so the total is
-    * addition-order-independent. Scale shape: one map-side-combined
+    * addition-order-independent (the ntile ordering keys on the exact
+    * decimal; only the OUTPUT column is cast to double, the portable
+    * cross-engine representation). Scale shape: one map-side-combined
     * per-entity aggregate, then three entity-sized window passes; at
     * true scale swap ntile for percentile_approx thresholds
     * (mergeable, no global sort) — the quartile boundaries are the only
@@ -89,7 +91,8 @@ object EventAnalytics {
       .agg(datediff(lit(asOf).cast("date"), max(to_date(col("__ts"))))
           .as("rec_days"),
         count(lit(1)).as("freq"), sum(col("__amt")).as("monetary"))
-    per.select(col("cust"), col("rec_days"), col("freq"), col("monetary"),
+    per.select(col("cust"), col("rec_days"), col("freq"),
+      col("monetary").cast("double").as("monetary"),
       ntile(buckets).over(Window.orderBy(col("rec_days").desc, col("cust").asc))
         .as("r"),
       ntile(buckets).over(Window.orderBy(col("freq").asc, col("cust").asc))

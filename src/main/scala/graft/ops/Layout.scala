@@ -107,14 +107,30 @@ object Layout {
     val conf = spark.conf
     val oldMax = conf.get("spark.sql.files.maxPartitionBytes")
     val oldCost = conf.get("spark.sql.files.openCostInBytes")
+    // Spark's actual split size is min(maxPartitionBytes,
+    // max(openCostInBytes, totalBytes / minPartitionNum)), and
+    // minPartitionNum defaults to the core count — so without pinning it
+    // a wide driver (local[32] on a small table, or a 1000-core cluster
+    // on a medium one) silently shrinks splits to totalBytes/cores and
+    // compaction degenerates to one-file-per-input-file. Pin it to 1 so
+    // the output layout is a pure function of targetFileBytes, never of
+    // cluster width — an OPTIMIZE whose file sizes depend on how many
+    // cores ran it is wrong at any scale.
+    val minNumKey = "spark.sql.files.minPartitionNum"
+    val oldMinNum = conf.getOption(minNumKey)
     try {
       conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
       conf.set("spark.sql.files.openCostInBytes", "0")
+      conf.set(minNumKey, "1")
       spark.read.parquet(inputDir).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outputDir)
     } finally {
       conf.set("spark.sql.files.maxPartitionBytes", oldMax)
       conf.set("spark.sql.files.openCostInBytes", oldCost)
+      oldMinNum match {
+        case Some(v) => conf.set(minNumKey, v)
+        case None    => conf.unset(minNumKey)
+      }
     }
     val (nAfter, bAfter) = listStats(outputDir)
     CompactionStats(nBefore, bBefore, nAfter, bAfter)

@@ -439,7 +439,11 @@ object Pipeline {
     * the draw is reproducible and auditable cross-engine like every
     * other sampling decision here. Higher weight → higher expected
     * priority → more likely into the reservoir, the exact A-Res
-    * inclusion law. Priorities are 6-dp floor-rounded BEFORE ranking
+    * inclusion law — honored for ALL positive weights including
+    * fractional ones (u^(1/w) with the true w); non-positive weights
+    * get priority 0 exactly, the w→0+ limit of u^(1/w), so zero-weight
+    * rows fill the reservoir only when nothing positive competes.
+    * Priorities are 6-dp floor-rounded BEFORE ranking
     * (pow's last ulp is not portable across libm implementations) with
     * the id as final tie-break. One shuffle (the per-group top-k
     * window); swap in [[graft.functions.TopKAggregator]] for bounded
@@ -450,8 +454,9 @@ object Pipeline {
     require(k >= 1, s"k must be >= 1: $k")
     import org.apache.spark.sql.expressions.Window
     val u = (deterministicBucket(id, salt).cast("double") + 0.5) / 10000.0
-    val w = greatest(weight.cast("double"), lit(1.0))
-    val pr = floor(pow(u, lit(1.0) / w) * 1000000 + 0.5) / 1000000
+    val w = weight.cast("double")
+    val pr = when(w <= 0.0, lit(0.0))
+      .otherwise(floor(pow(u, lit(1.0) / w) * 1000000 + 0.5) / 1000000)
     val win = Window.partitionBy(col("__g"))
       .orderBy(col("__pr").desc, col("__id").asc)
     df.select(group.as("__g"), id.as("__id"), weight.as("__w"), pr.as("__pr"))

@@ -56,7 +56,9 @@ object Profile {
     * observed counts are exact longs, expected = row·col/N and each
     * cell's (o−e)²/e are computed double from the SAME 6-dp-rounded
     * inputs on every engine, and the statistic is the order-independent
-    * DECIMAL(38,6) sum of rounded contributions (the t18/b01 recipe).
+    * DECIMAL(38,6) sum of rounded contributions (the t18/b01 recipe),
+    * cast to double only in the OUTPUT column — raw decimals are not a
+    * portable cross-engine result representation.
     * Output: one row per cell (obs, exp6, contrib6) with the global dof
     * and chi² repeated — a report table, bounded by the category
     * product. */
@@ -81,7 +83,7 @@ object Profile {
         r6((col("obs").cast("double") - col("exp6"))
           * (col("obs").cast("double") - col("exp6")) / col("exp6"))
           .as("contrib6"))
-    val chi = contrib.agg(sum(dec6(col("contrib6"))).as("chi2"))
+    val chi = contrib.agg(sum(dec6(col("contrib6"))).cast("double").as("chi2"))
     contrib.crossJoin(broadcast(chi))
   }
 }

@@ -477,9 +477,19 @@ object EventStreams {
     * aggregated inside the existing scan), and the monitor reads them
     * from the progress stream. This is how a 100 TB/day ingest watches
     * its own health without a second job. Returns the run-total metric
-    * row summed across micro-batches. */
+    * row summed across micro-batches.
+    *
+    * Metrics are accumulated by a [[StreamingQueryListener]] as each
+    * micro-batch's progress event fires, NOT read from
+    * `q.recentProgress` after termination — that is a bounded ring
+    * buffer (`spark.sql.streaming.numRecentProgressUpdates`, default
+    * 100), so a run with more micro-batches would silently drop the
+    * earliest batches from a "run-total". The listener sees every
+    * event; the post-termination sleep below drains the async listener
+    * bus before the totals are read. */
   def runObservedQuality(spark: SparkSession, parquetPath: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
     val name = s"graft_obs_${math.abs(parquetPath.hashCode)}"
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     val plan = streamParquet(spark, parquetPath, "obsq")
@@ -488,16 +498,39 @@ object EventStreams {
         count(col("user_id")).as("n_user"),
         sum(when(col("value") > 75.0, 1L).otherwise(0L)).as("n_high"))
       .select(lit(1).as("one"))
-    val q = plan.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val totals = q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get("dq")))
-      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_user"),
-        r.getAs[Long]("n_high")))
-    val (nr, nu, nh) = totals.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
-      (a + x, b + y, c + z)
+    val nr = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nu = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nh = new java.util.concurrent.atomic.AtomicLong(0L)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var qid: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      // match on the (unique, pre-start) query NAME, not the id — the id
+      // is only known after start() returns, and the async bus can
+      // deliver the first progress event before that assignment runs
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == name)
+          Option(e.progress.observedMetrics.get("dq")).foreach { r =>
+            nr.addAndGet(r.getAs[Long]("n_rows"))
+            nu.addAndGet(r.getAs[Long]("n_user"))
+            nh.addAndGet(r.getAs[Long]("n_high"))
+          }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) done.countDown()
     }
-    Seq((nr, nu, nh)).toDF("n_rows", "n_user", "n_high")
+    spark.streams.addListener(listener)
+    try {
+      val q = plan.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      qid = q.id
+      q.awaitTermination()
+      // the listener bus is async; wait for the terminated event so every
+      // progress event (they precede it in bus order) has been consumed
+      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    } finally spark.streams.removeListener(listener)
+    Seq((nr.get(), nu.get(), nh.get())).toDF("n_rows", "n_user", "n_high")
   }
 }

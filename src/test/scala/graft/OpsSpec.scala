@@ -1724,6 +1724,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: output layout is independent of cluster width (minPartitionNum pinned)") {
+    // The r11 red gate: Spark's split size is min(maxPartitionBytes,
+    // max(openCostInBytes, totalBytes / minPartitionNum)), and
+    // minPartitionNum defaults to the core count — on a wide driver
+    // (local[32]+) the sf0.01 fixture's splits shrank to ~5 KB and
+    // compaction degenerated to one-file-per-input-file. The suite JVM
+    // has 4 cores, so reproduce the wide-cluster condition through the
+    // conf Spark actually reads: minPartitionNum=64 ≙ a 64-core session.
+    import graft.ops.Layout
+    val base = "target/derived/spec_compact_wide"
+    val in = s"$base/in"; val out = s"$base/out"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    li.repartition(24).write.mode("overwrite").parquet(in)
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    spark.conf.set("spark.sql.files.minPartitionNum", "64")
+    try {
+      val st = Layout.compact(spark, in, out, math.max(1L << 16, inBytes / 4))
+      // unpinned, 64-way splitting would emit ~24 files (one per input);
+      // pinned, the layout is the same pure function of target size as
+      // the narrow-session run in the spec above
+      assert(st.filesBefore == 24 && st.filesAfter >= 1 && st.filesAfter <= 8,
+        s"compaction must not depend on session width: $st")
+      // and the caller's wide-cluster conf survives the call
+      assert(spark.conf.get("spark.sql.files.minPartitionNum") == "64")
+    } finally spark.conf.unset("spark.sql.files.minPartitionNum")
+  }
+
   test("htmlToText: blocks drop before tags, entities decode amp-last, whitespace collapses") {
     import graft.ops.TextOps
     val df = Seq(
