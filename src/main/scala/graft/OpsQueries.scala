@@ -531,6 +531,26 @@ object OpsQueries {
         |ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
         |LIMIT 10""".stripMargin),
 
+    // Matryoshka funnel retrieval: cheap prefix-dims cosine pass keeps 60
+    // candidates, exact full-width re-rank returns 10 — both stages
+    // top-k scans with id tie-breaks, restated stage-for-stage by DuckDB
+    ("s16_matryoshka_topk",
+      (s, sf) => Similarity.matryoshkaTopK(
+        emb(s, sf).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        queryVec(s, sf), mDims = 8, rerank = 60, k = 10)
+        .select(col("vec_id"), round(col("cosine"), 3).as("cos3")),
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |pre AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+        |    list_cosine_similarity((embedding::DOUBLE[])[1:8],
+        |      (SELECT qv[1:8] FROM q)) AS pc
+        |  FROM embeddings WHERE vec_id <> 0),
+        |cand AS (SELECT vec_id, ev FROM pre ORDER BY pc DESC, vec_id LIMIT 60)
+        |SELECT vec_id,
+        |  ROUND(list_cosine_similarity(ev, (SELECT qv FROM q)), 3) AS cos3
+        |FROM cand
+        |ORDER BY list_cosine_similarity(ev, (SELECT qv FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin),
+
     // embedding-space outlier report: the 20 vectors least aligned with
     // the corpus centroid — the cleaning pass that catches corrupted
     // encodes before they poison an index. Centroid = one per-position
@@ -3620,6 +3640,24 @@ object OpsQueries {
         |  floor(n_shared / sqrt(fa.nf * fb.nf) * 10000 + 0.5) / 10000 AS cosine
         |FROM p JOIN f fa ON p.i_a = fa.i JOIN f fb ON p.i_b = fb.i""".stripMargin),
 
+    // Adamic-Adar link prediction on the co-purchase incidence list:
+    // shared small orders score high, hub orders low; per-group 1/ln(sz)
+    // rounded 6dp then decimal-summed per pair (order-independent)
+    ("g08_adamic_adar",
+      (s, sf) => graft.ops.Graph.adamicAdar(
+        s.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey"), col("l_partkey"), minShared = 2),
+      """WITH e AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |gw AS (SELECT g, floor(1.0 / ln(sz) * 1000000 + 0.5) / 1000000 AS w6
+        |  FROM (SELECT g, count(*) AS sz FROM e GROUP BY g)
+        |  WHERE sz BETWEEN 2 AND 10000),
+        |c AS (SELECT e.g, e.i, w6 FROM e JOIN gw USING (g)),
+        |p AS (SELECT a.i AS i_a, b.i AS i_b, count(*) AS n_shared,
+        |    sum(a.w6::DECIMAL(28,6)) AS aa
+        |  FROM c a JOIN c b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT i_a, i_b, n_shared, aa::DOUBLE AS aa6 FROM p""".stripMargin),
+
     // record linkage: prefix-blocked Jaro-Winkler pairs over the DISTINCT
     // part-name domain — the native codegen'd scorer
     // (graft.functions.JaroWinklerSim) against DuckDB's built-in
@@ -3824,6 +3862,73 @@ object OpsQueries {
         |  least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS n_tok
         |FROM c""".stripMargin),
 
+    // temperature-scaled mixture weights (w ∝ p^alpha): the multi-source
+    // sampling-rate computation of multilingual training mixes; rounded
+    // p^alpha values sum as DECIMAL so the normalizer is order-independent
+    ("p13_temperature_mix",
+      (s, sf) => graft.ops.Pipeline.temperatureMixture(
+        docs(s, sf), col("source"), alpha = 0.5),
+      """WITH c AS (SELECT source AS "group", count(*) AS n_docs
+        |    FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs)::BIGINT AS n FROM c),
+        |s AS (SELECT "group", n_docs,
+        |    floor(n_docs::DOUBLE / n::DOUBLE * 1000000 + 0.5) / 1000000 AS p6
+        |  FROM c, t),
+        |s2 AS (SELECT *, floor(pow(p6, 0.5) * 1000000 + 0.5) / 1000000 AS pa
+        |  FROM s),
+        |z AS (SELECT sum(pa::DECIMAL(28,6)) AS z FROM s2)
+        |SELECT "group", n_docs, p6,
+        |  floor(pa / z::DOUBLE * 1000000 + 0.5) / 1000000 AS w6
+        |FROM s2, z""".stripMargin),
+
+    // first-order Markov transition matrix over per-user event-type
+    // sequences: one lead window (ts, event_id tie-break) + a cell-table
+    // aggregate; probabilities are exact-integer ratios floored at 6 dp
+    ("f07_markov",
+      (s, sf) => graft.ops.EventAnalytics.transitionMatrix(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE
+        |    * 1000000 + 0.5) / 1000000 AS p6
+        |FROM c""".stripMargin),
+
+    // autocorrelation of daily event volume at lags 1..7 (weekly
+    // seasonality detector): complete day grid with hard zeros, Pearson r
+    // per lag from exact decimal-summed integer moments (a08 recipe)
+    ("ts13_acf_daily",
+      (s, sf) => graft.ops.EventAnalytics.dailyVolumeAcf(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("ts"), maxLag = 7),
+      """WITH daily AS (SELECT ts::DATE AS day, count(*) AS v
+        |    FROM events GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |    AS day FROM span),
+        |series AS (SELECT day, coalesce(v, 0)::BIGINT AS v
+        |  FROM grid LEFT JOIN daily USING (day)),
+        |lags AS (SELECT unnest(range(1, 8))::INT AS lag),
+        |pr AS (SELECT lag, a.v AS x, b.v AS y
+        |  FROM series a, lags, series b WHERE b.day = a.day + lag),
+        |m AS (SELECT lag, count(*) AS n_pairs,
+        |    sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+        |    sum((x*y)::DECIMAL(38,0)) AS sxy,
+        |    sum((x*x)::DECIMAL(38,0)) AS sxx,
+        |    sum((y*y)::DECIMAL(38,0)) AS syy
+        |  FROM pr GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  floor((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS corr6
+        |FROM m""".stripMargin),
+
     // streaming observability: observe() metrics aggregated inside the
     // ingest scan itself (zero extra passes), read from the progress
     // stream and summed across micro-batches — the streaming twin of
@@ -3945,6 +4050,25 @@ object OpsQueries {
         |  '&nbsp;', ' '), '&amp;', '&') AS t FROM s3)
         |SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS text
         |FROM s4""".stripMargin),
+
+    // sentence segmentation stats (readability / fragment detection):
+    // split on [.!?]+ runs, empty-trim segments are not sentences, avg
+    // tokens per sentence from exact integer totals
+    ("t33_sentence_stats",
+      (s, sf) => TextOps.sentenceStats(docs(s, sf), col("doc_id"), col("text")),
+      """WITH s AS (SELECT doc_id,
+        |    [x FOR x IN list_transform(
+        |      string_split_regex(text, '[.!?]+'), y -> trim(y)) IF x <> ''] AS segs
+        |  FROM documents),
+        |t AS (SELECT doc_id, len(segs) AS n_sent,
+        |    coalesce(list_sum(list_transform(segs,
+        |      u -> len(string_split_regex(u, '\s+')))), 0)::BIGINT AS n_tok
+        |  FROM s)
+        |SELECT doc_id, n_sent, n_tok,
+        |  CASE WHEN n_sent = 0 THEN 0.0
+        |       ELSE floor(n_tok::DOUBLE / n_sent::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS avg4
+        |FROM t""".stripMargin),
 
     // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
     ("nt01_ingest",

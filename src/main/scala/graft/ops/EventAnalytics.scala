@@ -369,4 +369,79 @@ object EventAnalytics {
       .groupBy(col("k").as("key"))
       .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered"))
   }
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: count of each (from_type, to_type) adjacency plus the
+    * row-normalized transition probability — the behavioral model behind
+    * next-action prediction and anomalous-flow detection.
+    *
+    * Shape at scale: adjacent pairs come from ONE `lead` window over the
+    * log's per-user partitioning (fully tie-broken: ts, then event id),
+    * then the pair aggregate map-side-combines down to |types|² cells —
+    * metadata-sized however large the log — so the normalizing window
+    * over `from_type` runs on the cell table, not the log. p6 is the
+    * floor-6dp double of n/row_total: exact integers in, one identical
+    * double expression out on every engine. */
+  def transitionMatrix(events: DataFrame, userId: Column, eventType: Column,
+      ts: Column, eventId: Column): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t").asc, col("__e").asc)
+    val pairs = events
+      .select(userId.as("__u"), eventType.as("from_type"),
+        ts.as("__t"), eventId.as("__e"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cells = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = Window.partitionBy(col("from_type"))
+    cells.select(col("from_type"), col("to_type"), col("n"),
+      (floor(col("n").cast("double") / sum(col("n")).over(rowTot).cast("double")
+        * 1000000 + 0.5) / 1000000).as("p6"))
+  }
+
+  /** Autocorrelation of the daily event volume at lags 1..`maxLag` —
+    * the seasonality detector (a weekly cycle shows as a peak at lag 7).
+    * The series is the COMPLETE day grid over the observed span with
+    * absent days as hard zeros (an absent day is a real 0-volume
+    * observation; skipping it would splice non-adjacent days together).
+    *
+    * Scale shape: the log collapses to day-level counts first (map-side
+    * combine; the series is span-sized, i.e. metadata next to the log),
+    * so the lag self-join and everything after it runs on ≤ a few
+    * thousand rows regardless of input volume. Each lag's Pearson r
+    * comes from EXACT integer moments (decimal-summed Σx Σy Σxy Σx² Σy²
+    * — the a08 recipe), so the result is addition-order-independent;
+    * the only float math is one identical final expression per lag.
+    * Output: (lag, n_pairs, corr6). */
+  def dailyVolumeAcf(events: DataFrame, ts: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val daily = events.select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("v"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+    val lags = events.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val dec = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+    val m = series.select(col("day").as("dx"), col("v").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(series.select(col("day").as("dy"), col("v").as("y")),
+        date_add(col("dx"), col("lag")) === col("dy"))
+      .groupBy(col("lag")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("y") * col("y"))).as("syy"))
+    val nD = col("n_pairs").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("lag"), col("n_pairs"),
+      (floor(cov / sqrt(vx * vy) * 1000000 + 0.5) / 1000000).as("corr6"))
+  }
 }

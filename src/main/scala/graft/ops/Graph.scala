@@ -227,6 +227,45 @@ object Graph {
           / 10000).as("cosine"))
   }
 
+  /** Adamic-Adar link-prediction scores over a bipartite co-occurrence
+    * graph: for items a, b the score is Σ over shared groups g of
+    * 1/ln(|g|) — a shared SMALL group (two parts in a 3-line order) is
+    * strong evidence of affinity, a shared hub group is weak evidence.
+    * The classic common-neighbor weighting, stated on the group-item
+    * incidence list so no item×item adjacency ever materializes.
+    *
+    * Scale shape: same capped pair expansion as [[coOccurrencePairs]]
+    * (groups above `maxItemsPerGroup` are excluded — their quadratic
+    * fan-out would dominate cost while contributing the LEAST signal
+    * per pair, the standard link-prediction blocking rule). Each
+    * group's 1/ln(sz) is 6-dp floor-rounded BEFORE the per-pair sum and
+    * summed as DECIMAL(28,6), so the score is addition-order-independent
+    * and cross-engine exact; the output casts it to double (the portable
+    * representation).
+    * Output: (i_a, i_b, n_shared, aa6) for pairs with n_shared ≥
+    * minShared. */
+  def adamicAdar(df: DataFrame, group: Column, item: Column,
+      minShared: Long, maxItemsPerGroup: Int = 10000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val e = df.select(group.as("g"), item.as("i")).distinct()
+    val gw = e.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, maxItemsPerGroup))
+      .select(col("g"),
+        (floor(lit(1.0) / log(col("sz").cast("double")) * 1000000 + 0.5)
+          / 1000000).cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))
+          .as("w6"))
+    val c = e.join(gw, "g")
+    c.select(col("g"), col("i").as("i_a"), col("w6"))
+      .join(c.select(col("g"), col("i").as("i_b")), Seq("g"))
+      .filter(col("i_a") < col("i_b"))
+      .groupBy(col("i_a"), col("i_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("w6")).as("__aa"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("i_a"), col("i_b"), col("n_shared"),
+        col("__aa").cast("double").as("aa6"))
+  }
+
   def coOccurrencePairs(df: DataFrame, group: Column, item: Column,
       minShared: Long, maxItemsPerGroup: Int = 10000): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")

@@ -492,4 +492,37 @@ object Pipeline {
         least(col("chunk_idx") * stride + window, col("__n")).as("end_tok"))
       .withColumn("n_tok", col("end_tok") - col("start_tok"))
   }
+
+  /** Temperature-scaled mixture weights: the multi-source sampling-rate
+    * computation behind multilingual / multi-domain training mixes
+    * (sample source i with probability ∝ p_i^alpha, where p_i is its
+    * natural share — alpha < 1 upweights the tail, alpha = 1 keeps the
+    * natural mix, alpha = 0 is uniform).
+    *
+    * Cross-engine exactness: p6 and each source's p^alpha are 6-dp
+    * floor-rounded doubles computed from exact counts; the normalizer
+    * sums the ROUNDED values as DECIMAL(28,6) (order-independent — a
+    * double sum over sources would depend on reduce order), and w6 is
+    * one final double division. Cost: one map-side-combined count per
+    * source + two broadcast 1-row joins; the group table is
+    * domain-sized, never corpus-sized.
+    * Output: (group, n_docs, p6, w6), Σ w6 ≈ 1. */
+  def temperatureMixture(df: DataFrame, group: Column,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0,1] (1 = natural mix, 0 = uniform): $alpha")
+    val r6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val dec6 = (c: Column) => c.cast(
+      org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))
+    val counts = df.groupBy(group.as("group")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__n"))
+    val scaled = counts.crossJoin(broadcast(tot))
+      .select(col("group"), col("n_docs"),
+        r6(col("n_docs").cast("double") / col("__n").cast("double")).as("p6"))
+      .withColumn("__pa", r6(pow(col("p6"), lit(alpha))))
+    val z = scaled.agg(sum(dec6(col("__pa"))).as("__z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col("group"), col("n_docs"), col("p6"),
+        r6(col("__pa") / col("__z").cast("double")).as("w6"))
+  }
 }

@@ -41,6 +41,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka (MRL) funnel retrieval: score the corpus on the FIRST
+    * `mDims` dimensions only (the cheap pass — an MRL-trained embedding
+    * front-loads information, so the prefix cosine is a high-recall
+    * proxy), keep the `rerank` best candidates, then re-rank those with
+    * the full-width exact cosine. The standard two-stage ANN funnel
+    * without any index to build or maintain.
+    *
+    * Scale shape: the wide pass touches only an `mDims`-slice of each
+    * vector (at mDims = d/4 that is 4× less arithmetic and — with the
+    * embedding stored dimension-sliced — 4× less I/O); the exact pass is
+    * rerank-sized, not corpus-sized. Both stages are scans + top-k
+    * (TakeOrderedAndProject), no shuffle of the corpus. Determinism:
+    * both stages tie-break on id.
+    * Output: top `k` (vec_id, cosine), full-width scores. */
+  def matryoshkaTopK(df: DataFrame, id: Column, vec: Column,
+      query: Seq[Double], mDims: Int, rerank: Int, k: Int): DataFrame = {
+    require(mDims >= 1 && mDims < query.length,
+      s"mDims must be in [1, dim): $mDims vs dim ${query.length}")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    VectorFunctions.register(df.sparkSession)
+    val cands = df.select(id.as("vec_id"), vec.cast("array<double>").as("__v"))
+      .withColumn("__pc", VectorFunctions.cosine(
+        slice(col("__v"), 1, mDims), typedLit(query.take(mDims))))
+      .orderBy(col("__pc").desc, col("vec_id"))
+      .limit(rerank)
+    cands.select(col("vec_id"),
+        VectorFunctions.cosine(col("__v"), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: k-means centroids over the corpus; each
     * vector is assigned to its nearest centroid's partition list. Queries
     * probe only the `nProbe` nearest centroids' lists. The index is built

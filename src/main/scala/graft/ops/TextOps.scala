@@ -23,6 +23,30 @@ object TextOps {
     aggregate(tokens(text), lit(0),
       (acc, t) => acc + greatest(ceil(length(t) / 4.0).cast("int"), lit(1)))
 
+  /** Per-document sentence segmentation statistics: sentence count and
+    * mean tokens per sentence — the readability / fragment-detection
+    * signal quality filters threshold on (a "document" of 40 one-word
+    * sentences is list debris; one 4000-token sentence is extraction
+    * failure). Sentences split on runs of terminal punctuation
+    * ([.!?]+); segments that trim to empty (trailing terminator, bare
+    * punctuation) are not sentences. A doc with no terminator is one
+    * sentence. Pure scan-stage per-row array math — no shuffle, no
+    * joins; the token total is an exact integer so avg4 is one
+    * identical double expression per row on every engine.
+    * Output: (doc_id, n_sent, n_tok, avg4). */
+  def sentenceStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val segs = filter(transform(split(text, "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val out = df.select(id.as("doc_id"), segs.as("__segs"))
+      .select(col("doc_id"), size(col("__segs")).as("n_sent"),
+        aggregate(col("__segs"), lit(0L),
+          (acc, s) => acc + size(split(s, "\\s+"))).as("n_tok"))
+    out.select(col("doc_id"), col("n_sent"), col("n_tok"),
+      when(col("n_sent") === 0, lit(0.0))
+        .otherwise(floor(col("n_tok").cast("double")
+          / col("n_sent").cast("double") * 10000 + 0.5) / 10000).as("avg4"))
+  }
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   def stopwordCount(text: Column): Column =
