@@ -1960,6 +1960,40 @@ object OpsQueries {
         |  sum(len(text))::BIGINT AS len_sum, true AS compacted_ok
         |FROM documents""".stripMargin),
 
+    // VACUUM of a manifest-tracked lake dir: planted orphan debris
+    // (byte-copies of a live file under unreferenced names — exactly the
+    // failed-writer leftovers) is deleted by metadata only; the
+    // read-back count proves live data intact AND that the orphans are
+    // gone (they would double-count rows on this directory scan)
+    ("l07_vacuum_orphans",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = s"/root/repo/target/derived/$label/vacuum_tbl"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+        // fresh fixture every run — vacuum mutates the directory
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        graft.ops.Layout.writeWithManifest(s,
+          docs(s, sf).repartition(4), dir, "doc_id")
+        val liveFile = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+        for (i <- 1 to 2)
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new org.apache.hadoop.fs.Path(liveFile.getPath),
+            fs, new org.apache.hadoop.fs.Path(s"$dir/orphan_$i.parquet"),
+            false, hconf)
+        val st = graft.ops.Layout.vacuum(s, dir)
+        s.read.parquet(dir).agg(
+          count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          lit(st.filesBefore).as("files_before"),
+          lit(st.filesLive).as("files_live"),
+          lit(st.filesRemoved).as("files_removed"))
+      },
+      """SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+        |  6::BIGINT AS files_before, 4::BIGINT AS files_live,
+        |  2::BIGINT AS files_removed
+        |FROM documents""".stripMargin),
+
     // hive-partitioned lake round-trip + pruned read: documents written
     // one directory per lang (self-provisioned, idempotent), then read
     // back filtered to one partition — the partition column must be
@@ -4070,6 +4104,29 @@ object OpsQueries {
         |  END AS avg4
         |FROM t""".stripMargin),
 
+    // PMI collocation mining (phrase detection): adjacent-pair PMI from
+    // exact unigram/bigram counts, min-count floor, 4-dp double
+    ("t34_collocations",
+      (s, sf) => TextOps.collocations(docs(s, sf), col("text"), minCount = 3),
+      """WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM documents WHERE trim(text) <> ''),
+        |uni AS (SELECT unnest(tk) AS w FROM tk),
+        |c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |t AS (SELECT count(*) AS t FROM uni),
+        |bi AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+        |  FROM tk WHERE len(tk) >= 2),
+        |p AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |bt AS (SELECT count(*) AS bt FROM p),
+        |c12 AS (SELECT w1, w2, count(*) AS n FROM p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT w1, w2, n,
+        |  floor(ln((n::DOUBLE * t::DOUBLE * t::DOUBLE)
+        |    / (bt::DOUBLE * c1a.c::DOUBLE * c1b.c::DOUBLE)) * 10000 + 0.5)
+        |    / 10000 AS pmi4
+        |FROM c12 JOIN c1 c1a ON c12.w1 = c1a.w
+        |         JOIN c1 c1b ON c12.w2 = c1b.w, t, bt""".stripMargin),
+
     // ---- RDF N-Triples ingestion (reference NTtoDF capability) ----------
     ("nt01_ingest",
       (s, sf) => {
@@ -4136,7 +4193,52 @@ object OpsQueries {
         |FROM orders WHERE o_totalprice < 0 OR o_totalprice > 300000
         |UNION ALL
         |SELECT o_orderkey, 'in_set', 'o_orderstatus:{O,F}'
-        |FROM orders WHERE o_orderstatus NOT IN ('O','F')""".stripMargin))
+        |FROM orders WHERE o_orderstatus NOT IN ('O','F')""".stripMargin),
+
+    // schema drift between two snapshots (footer-only metadata diff):
+    // the fixture plants one added, one removed, one retyped column and
+    // the oracle states the expected report verbatim
+    ("dq03_schema_drift",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val v1 = s"/root/repo/target/derived/$label/drift_v1"
+        val v2 = s"/root/repo/target/derived/$label/drift_v2"
+        val o = s.read.parquet(s"$sf/orders.parquet")
+        if (!new java.io.File(s"$v1/_SUCCESS").exists())
+          o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+            .write.mode("overwrite").parquet(v1)
+        if (!new java.io.File(s"$v2/_SUCCESS").exists())
+          o.select(col("o_orderkey"),
+            col("o_totalprice").cast("string").as("o_totalprice"),
+            col("o_orderpriority"))
+            .write.mode("overwrite").parquet(v2)
+        graft.ops.Checks.schemaDrift(s, v1, v2)
+      },
+      """SELECT * FROM (VALUES
+        |  ('o_orderpriority', 'added', NULL, 'string'),
+        |  ('o_orderstatus', 'removed', 'string', NULL),
+        |  ('o_totalprice', 'type_changed', 'double', 'string'))
+        |  AS t(col_name, change, type_from, type_to)""".stripMargin),
+
+    // Laplace-noised group counts (ε-DP mechanism shape, reproducible-
+    // audit mode: inverse-CDF noise from the salted portable hash — the
+    // oracle re-derives the identical draw)
+    ("pr04_dp_counts",
+      (s, sf) => graft.ops.Privacy.dpNoisyCounts(
+        docs(s, sf), col("source"), epsilon = 1.0, salt = "dp1"),
+      """WITH c AS (SELECT source AS "group", count(*) AS n_true
+        |    FROM documents GROUP BY 1),
+        |u AS (SELECT "group", n_true,
+        |    ((list_reduce(list_prepend(7::BIGINT, list_transform(
+        |      string_split('dp1:' || "group", ''), c -> ord(c)::BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 2147483647) % 10000)::DOUBLE + 0.5)
+        |      / 10000.0 AS uu
+        |  FROM c)
+        |SELECT "group", n_true,
+        |  floor((n_true::DOUBLE
+        |      + (-1.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)))
+        |    * 10000 + 0.5) / 10000 AS noisy4
+        |FROM u""".stripMargin))
 
   /** Rows-only entries — empty since round 2: every op in this suite now
     * carries a hard DuckDB oracle (exact twin, portable-hash twin, or a

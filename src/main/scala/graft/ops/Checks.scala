@@ -137,4 +137,34 @@ object Checks {
       .select(col("row_id"), explode(col("__fails")).as("f"))
       .select(col("row_id"), col("f.check").as("check"), col("f.target").as("target"))
   }
+
+  /** Schema drift report between two parquet snapshots: columns added,
+    * removed, or type-changed in `dirB` relative to `dirA` — the
+    * upstream-broke-the-contract detector every scheduled ingest runs
+    * before processing a new drop (a silently retyped column poisons
+    * 100 TB of downstream casts; catching it here costs only footer
+    * reads).
+    *
+    * Pure metadata: both sides read parquet FOOTERS only (no data
+    * pages), the diff runs driver-side on column-count-sized maps, and
+    * the report is a handful of rows. Types compare by Catalyst
+    * `simpleString` (nullability is NOT drift — parquet writers flip it
+    * freely). Output: (col_name, change ∈ {added, removed,
+    * type_changed}, type_from, type_to), unchanged columns omitted. */
+  def schemaDrift(spark: org.apache.spark.sql.SparkSession,
+      dirA: String, dirB: String): DataFrame = {
+    import spark.implicits._
+    val a = spark.read.parquet(dirA).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val b = spark.read.parquet(dirB).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted
+        .map(c => (c, "added", null: String, b(c))) ++
+      (a.keySet -- b.keySet).toSeq.sorted
+        .map(c => (c, "removed", a(c), null: String)) ++
+      (a.keySet & b.keySet).toSeq.sorted.filter(c => a(c) != b(c))
+        .map(c => (c, "type_changed", a(c), b(c)))
+    rows.toDF("col_name", "change", "type_from", "type_to")
+  }
 }

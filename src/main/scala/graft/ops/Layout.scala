@@ -181,4 +181,50 @@ object Layout {
       else spark.read.parquet(keep.toIndexedSeq: _*).filter(pred)
     (df, PruneStats(total, keep.length))
   }
+
+  /** Outcome of a [[vacuum]]: directory file counts before, live (in
+    * the manifest), and deleted. */
+  final case class VacuumStats(filesBefore: Long, filesLive: Long,
+      filesRemoved: Long)
+
+  /** VACUUM for a manifest-tracked parquet directory (see
+    * [[writeWithManifest]]): delete every data file under `dir` that the
+    * manifest does not reference and whose modification time is at
+    * least `minAgeMs` old — the debris left by failed/zombie writers
+    * and superseded compactions, which inflates listings and, for
+    * readers that scan the directory rather than the manifest, corrupts
+    * results. The Delta/Iceberg VACUUM primitive for a bare lake.
+    *
+    * Cost is pure filesystem metadata: one manifest read (one row per
+    * live file) + one recursive listing; no data byte is read. The
+    * retention window is the safety contract — an in-flight writer's
+    * files are orphans until its manifest commit, so production callers
+    * pass hours, not 0 (same rule as Delta's
+    * `retentionDurationCheck`). Paths compare scheme-insensitively
+    * (URI path component) so `file:/` vs `file:///` spellings of the
+    * same file never mark a live file orphan. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minAgeMs: Long = 0L): VacuumStats = {
+    val live = spark.read.parquet(dir + "_manifest")
+      .select(col("file_path")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      .toSet
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var before = 0L; var removed = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        before += 1
+        val isLive = live.contains(f.getPath.toUri.getPath)
+        if (!isLive && f.getModificationTime <= cutoff) {
+          fs.delete(f.getPath, false)
+          removed += 1
+        }
+      }
+    }
+    VacuumStats(before, live.size.toLong, removed)
+  }
 }

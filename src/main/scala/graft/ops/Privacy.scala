@@ -47,4 +47,33 @@ object Privacy {
         count_distinct(sensitive).as("n_distinct_sensitive"))
       .filter(col("n_distinct_sensitive") < l)
   }
+
+  /** Laplace-noised group counts (ε-DP mechanism shape, sensitivity 1,
+    * b = 1/ε): the noisy-histogram release for sharing corpus
+    * composition without exact membership counts. Noise is drawn by
+    * inverse-CDF from the portable salted hash of the group key — NOT
+    * fresh randomness: with a public salt this is NOT differential
+    * privacy (the noise is recomputable); it is the reproducible-audit
+    * mode, where the salt is the secret and any holder of it can verify
+    * the release bit-for-bit on any engine. Rotate + withhold the salt
+    * for an actual release.
+    *
+    * One map-side-combined count per group; the noise expression is
+    * per-row scan math on the group table (domain-sized). noisy4 is a
+    * 4-dp-floored double — one identical IEEE expression per row on
+    * every engine (u never hits 0.5 exactly: u = (bucket+0.5)/10⁴ with
+    * integer buckets, so sign(u−0.5) is ±1 and ln(1−2|u−0.5|) ≥
+    * ln(10⁻⁴) stays finite). Output: (group, n_true, noisy4). */
+  def dpNoisyCounts(df: DataFrame, group: Column, epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be > 0: $epsilon")
+    val counts = df.groupBy(group.as("group")).agg(count(lit(1)).as("n_true"))
+    val u = (Pipeline.deterministicBucket(col("group"), salt).cast("double")
+      + 0.5) / 10000.0
+    val lap = lit(-1.0 / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    counts.select(col("group"), col("n_true"),
+      (floor((col("n_true").cast("double") + lap) * 10000 + 0.5) / 10000)
+        .as("noisy4"))
+  }
 }

@@ -47,6 +47,43 @@ object TextOps {
           / col("n_sent").cast("double") * 10000 + 0.5) / 10000).as("avg4"))
   }
 
+  /** PMI collocation mining: adjacent token pairs whose joint frequency
+    * beats independence — pmi = ln(p(w1,w2) / (p(w1)·p(w2))) — the
+    * phrase/multi-word-expression detector tokenizer vocabularies and
+    * "New York"-style merge lists are built from. Pairs below `minCount`
+    * drop (PMI is unstable at tiny counts — a hapax pair maxes the
+    * score by construction).
+    *
+    * Scale shape: two map-side-combined aggregates over the exploded
+    * token/bigram streams (vocab- and bigram-vocab-sized outputs), one
+    * join per side against the unigram table, two broadcast 1-row
+    * total joins. pmi4 is one identical double expression over exact
+    * integer counts: ln((n·T·T)/(B·c1·c2)), 4-dp floored.
+    * Output: (w1, w2, n, pmi4). */
+  def collocations(df: DataFrame, text: Column, minCount: Long): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2 (PMI is noise at 1): $minCount")
+    val tks = df.select(tokens(text).as("tk")).filter(size(col("tk")) >= 1)
+    val uni = tks.select(explode(col("tk")).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tTot = uni.agg(count(lit(1)).as("t"))
+    val bi = tks.filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bTot = bi.agg(count(lit(1)).as("bt"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .join(c1.select(col("w").as("w1"), col("c").as("c1a")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c").as("c1b")), "w2")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .select(col("w1"), col("w2"), col("n"),
+        (floor(log((col("n").cast("double") * col("t").cast("double")
+            * col("t").cast("double"))
+          / (col("bt").cast("double") * col("c1a").cast("double")
+            * col("c1b").cast("double"))) * 10000 + 0.5) / 10000).as("pmi4"))
+  }
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   def stopwordCount(text: Column): Column =
