@@ -1923,4 +1923,180 @@ class OpsSpec extends AnyFunSuite {
     // deterministic across repeated evaluation
     assert(ids(0.5) == half)
   }
+
+  test("matryoshkaTopK: full-width rerank of a wide-enough funnel equals exact top-k") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") =!= 0)
+    val qv = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val n = e.count().toInt
+    // rerank = corpus size: stage 1 keeps everything, so the funnel MUST
+    // equal the brute-force exact answer whatever the prefix ranks say
+    val funnel = Similarity.matryoshkaTopK(e, col("vec_id"), col("embedding"),
+      qv, mDims = 8, rerank = n, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      qv, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(funnel.toSeq == exact.toSeq)
+    // a narrow funnel still returns k rows, scored full-width
+    val narrow = Similarity.matryoshkaTopK(e, col("vec_id"), col("embedding"),
+      qv, mDims = 8, rerank = 20, k = 10).collect()
+    assert(narrow.length == 10)
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(e, col("vec_id"), col("embedding"),
+        qv, mDims = qv.length, rerank = 20, k = 10)
+    }
+  }
+
+  test("vacuum: removes only unreferenced files, honors retention, live data intact") {
+    import graft.ops.Layout
+    val dir = "target/derived/spec_vacuum"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    Layout.writeWithManifest(spark, docsDf.repartition(3), dir, "doc_id")
+    val rows = docsDf.count()
+    val live = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(live.getPath),
+      fs, new org.apache.hadoop.fs.Path(s"$dir/orphan_a.parquet"), false, hconf)
+    // retention window still open: the orphan is too young to delete
+    val held = Layout.vacuum(spark, dir, minAgeMs = 3600L * 1000)
+    assert(held.filesBefore == 4 && held.filesRemoved == 0, s"retention ignored: $held")
+    // window closed: exactly the orphan goes, live rows unchanged
+    val st = Layout.vacuum(spark, dir, minAgeMs = 0)
+    assert(st.filesBefore == 4 && st.filesLive == 3 && st.filesRemoved == 1,
+      s"unexpected vacuum shape: $st")
+    assert(spark.read.parquet(dir).count() == rows)
+    // idempotent: nothing left to remove
+    assert(Layout.vacuum(spark, dir, minAgeMs = 0).filesRemoved == 0)
+  }
+
+  test("schemaDrift: identical snapshots report nothing; each change class surfaces once") {
+    import graft.ops.Checks
+    val v1 = "target/derived/spec_drift_v1"; val v2 = "target/derived/spec_drift_v2"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    o.select(col("o_orderkey"), col("o_totalprice")).write.mode("overwrite").parquet(v1)
+    assert(Checks.schemaDrift(spark, v1, v1).count() == 0)
+    o.select(col("o_orderkey").cast("int").as("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(v2)
+    val got = Checks.schemaDrift(spark, v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("o_orderstatus", "added", null, "string"),
+      ("o_totalprice", "removed", "double", null),
+      ("o_orderkey", "type_changed", "bigint", "int")))
+  }
+
+  test("temperatureMixture: alpha=1 keeps the natural mix, alpha=0 is uniform, weights sum to 1") {
+    import graft.ops.Pipeline
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    def w(alpha: Double) = Pipeline.temperatureMixture(df, col("source"), alpha)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    val natural = w(1.0)
+    for ((_, _, p6, w6) <- natural) assert(math.abs(w6 - p6) < 2e-6, s"alpha=1 must keep p: $p6 vs $w6")
+    val uniform = w(0.0)
+    val k = uniform.size
+    for ((_, _, _, w6) <- uniform) assert(math.abs(w6 - 1.0 / k) < 2e-6)
+    // a real temperature sits between: the smallest source's weight rises
+    // above its natural share, the largest falls below
+    val tempered = w(0.5)
+    assert(math.abs(tempered.map(_._4).sum - 1.0) < 1e-4)
+    val tByGroup = tempered.map(t => t._1 -> t._4).toMap
+    val smallest = natural.minBy(_._3); val largest = natural.maxBy(_._3)
+    assert(tByGroup(smallest._1) > smallest._3 - 2e-6)
+    assert(tByGroup(largest._1) < largest._3 + 2e-6)
+    intercept[IllegalArgumentException] { w(1.5) }
+  }
+
+  test("transitionMatrix: hand-built sequence yields exact counts and row-normalized probs") {
+    import graft.ops.EventAnalytics
+    val ev = Seq(
+      (1L, "a", 1L, 10L), (1L, "b", 2L, 11L), (1L, "a", 3L, 12L),
+      (2L, "a", 1L, 20L), (2L, "b", 2L, 21L),
+      (3L, "b", 5L, 30L) // single event: no transition
+    ).toDF("user_id", "event_type", "t", "event_id")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("event_id"))
+    val got = EventAnalytics.transitionMatrix(ev, col("user_id"),
+      col("event_type"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("dailyVolumeAcf: planted period-2 series shows sign-alternating lags") {
+    import graft.ops.EventAnalytics
+    // 14 days alternating volumes 1 and 3 → lag-1 corr -1, lag-2 corr +1
+    val rows = for {
+      d <- 0 until 14
+      i <- 0 until (if (d % 2 == 0) 1 else 3)
+    } yield (java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:0$i"), 1L)
+    val ev = rows.toDF("ts", "x")
+    val acf = EventAnalytics.dailyVolumeAcf(ev, col("ts"), maxLag = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(acf(1) + 1.0) < 1e-6, s"lag1: ${acf(1)}")
+    assert(math.abs(acf(2) - 1.0) < 1e-6, s"lag2: ${acf(2)}")
+  }
+
+  test("adamicAdar: tiny incidence list scores by hand") {
+    import graft.ops.Graph
+    // groups: g1={1,2} (sz 2), g2={1,2,3} (sz 3), g3={2,3} (sz 2)
+    val e = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 2L), (30L, 3L)).toDF("g", "i")
+    val got = Graph.adamicAdar(e, col("g"), col("i"), minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // the op sums the rounded weights as DECIMAL, so the expectation must
+    // too — a double w(2)+w(3) differs in the last ulp
+    def w(sz: Int) = BigDecimal(math.floor(1.0 / math.log(sz) * 1e6 + 0.5) / 1e6)
+    assert(got((1L, 2L)) == ((2L, (w(2) + w(3)).toDouble)))
+    assert(got((2L, 3L)) == ((2L, (w(3) + w(2)).toDouble)))
+    assert(got((1L, 3L)) == ((1L, w(3).toDouble)))
+  }
+
+  test("dpNoisyCounts: deterministic, noise bounded by the mechanism's finite tail") {
+    import graft.ops.Privacy
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Privacy.dpNoisyCounts(df, col("source"), 1.0, "s1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    val b = Privacy.dpNoisyCounts(df, col("source"), 1.0, "s1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(a == b, "same salt must redraw identically")
+    // u ∈ [0.5e-4, 1-0.5e-4] → |noise| ≤ ln(1e4)/ε
+    val bound = math.log(10000.0) / 1.0 + 1e-4
+    for ((_, n, noisy) <- a) assert(math.abs(noisy - n) <= bound, s"|$noisy - $n| > $bound")
+    val c = Privacy.dpNoisyCounts(df, col("source"), 1.0, "s2").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(c.map(_._2) != a.map(_._3), "a fresh salt must redraw")
+  }
+
+  test("sentenceStats: terminators, empty docs, and terminator-free docs") {
+    val df = Seq(
+      (1L, "One two. Three four five! Six?"),
+      (2L, ""),
+      (3L, "no terminator at all"),
+      (4L, "!!! ..."),
+      (5L, "a. b. c. d.")
+    ).toDF("doc_id", "text")
+    val got = TextOps.sentenceStats(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3, 6L, 2.0)))
+    assert(got(2L) == ((0, 0L, 0.0)))
+    assert(got(3L) == ((1, 4L, 4.0)))
+    assert(got(4L) == ((0, 0L, 0.0)))
+    assert(got(5L) == ((4, 4L, 1.0)))
+  }
+
+  test("collocations: a planted rigid phrase outranks independent co-occurrence") {
+    // "zqx yvw" always adjacent (20×); "aaa"/"bbb" frequent but never adjacent
+    val docs = (0 until 20).map(i => (i.toLong, "zqx yvw aaa mid bbb")) ++
+      Seq((100L, "aaa bbb aaa bbb aaa bbb"))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.collocations(df, col("text"), minCount = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(got.contains(("zqx", "yvw")))
+    assert(got(("zqx", "yvw")) > got(("aaa", "bbb")),
+      s"rigid phrase must outscore loose pair: $got")
+  }
 }
