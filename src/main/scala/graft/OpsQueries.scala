@@ -643,6 +643,46 @@ object OpsQueries {
         |  win.n::BIGINT AS n_votes
         |FROM cl LEFT JOIN win ON cl.canonical = win.c""".stripMargin),
 
+    // canonical-doc selection AFTER clustering: keep the longest member
+    // of each near-dup family (token count desc, id asc), every member
+    // emitted with its verdict so the drop set is auditable
+    ("c04_keep_best",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val clusters = Dedup.connectedComponents(
+          Dedup.minHashNearDups(d, col("doc_id"), col("text"), n = 3,
+            threshold = 0.8),
+          col("id_a"), col("id_b"), d, col("doc_id"))
+        Dedup.keepBestPerCluster(clusters, col("node"), col("label"),
+          d.select(col("doc_id"), TextOps.tokenCount(col("text")).as("ntok")),
+          col("doc_id"), col("ntok"))
+      },
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |      / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+        |r(id, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b),
+        |cl AS (SELECT id AS doc_id, MIN(l) AS cluster FROM r GROUP BY id),
+        |nt AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+        |    END AS ntok
+        |  FROM documents)
+        |SELECT cluster, doc_id AS id, ntok AS metric, rn = 1 AS kept
+        |FROM (SELECT cl.cluster, cl.doc_id, nt.ntok,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |      ORDER BY nt.ntok DESC, cl.doc_id ASC) AS rn
+        |  FROM cl JOIN nt USING (doc_id))""".stripMargin),
+
     // leakage-AWARE negative sampling: k=3 deterministic contrastive
     // negatives per doc, drawn by the portable hash over a dense id
     // dictionary and EXCLUDING the anchor's near-dup cluster (c01's
@@ -3692,6 +3732,37 @@ object OpsQueries {
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT i_a, i_b, n_shared, aa::DOUBLE AS aa6 FROM p""".stripMargin),
 
+    // local clustering coefficient on the g02 graph: community strength
+    // vs hub-ness per node; 2·tri/(deg·(deg−1)), deg<2 → 0
+    ("g09_clustering_coeff",
+      (s, sf) => {
+        val li = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_partkey") % 3 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.select(col("ok"), col("pk").as("p1"))
+          .join(li.select(col("ok"), col("pk").as("p2")), "ok")
+          .filter(col("p1") < col("p2"))
+        graft.ops.Graph.clusteringCoefficient(pairs, col("p1"), col("p2"))
+      },
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |    AND a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT node, count(*) AS n_tri
+        |  FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)
+        |SELECT d.node, d.deg, coalesce(tc.n_tri, 0)::BIGINT AS n_tri,
+        |  CASE WHEN d.deg < 2 THEN 0.0
+        |       ELSE floor(2.0 * coalesce(tc.n_tri, 0)::DOUBLE
+        |         / (d.deg::DOUBLE * (d.deg::DOUBLE - 1.0)) * 1000000 + 0.5)
+        |         / 1000000
+        |  END AS cc6
+        |FROM deg d LEFT JOIN tc USING (node)""".stripMargin),
+
     // record linkage: prefix-blocked Jaro-Winkler pairs over the DISTINCT
     // part-name domain — the native codegen'd scorer
     // (graft.functions.JaroWinklerSim) against DuckDB's built-in
@@ -3915,6 +3986,31 @@ object OpsQueries {
         |  floor(pa / z::DOUBLE * 1000000 + 0.5) / 1000000 AS w6
         |FROM s2, z""".stripMargin),
 
+    // Neyman allocation of a 1000-label budget across sources by token-
+    // count variability: n_h ∝ N_h·S_h from exact decimal integer moments
+    ("p14_neyman_alloc",
+      (s, sf) => graft.ops.Pipeline.neymanAllocation(
+        docs(s, sf), col("source"), TextOps.tokenCount(col("text")),
+        budget = 1000L),
+      """WITH t AS (SELECT source AS stratum,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+        |    END AS x
+        |  FROM documents),
+        |m AS (SELECT stratum, count(*) AS n_rows,
+        |    sum(x::DECIMAL(38,0)) AS sx, sum((x*x)::DECIMAL(38,0)) AS sxx
+        |  FROM t GROUP BY 1),
+        |s AS (SELECT stratum, n_rows,
+        |    floor(sqrt(n_rows::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      / n_rows::DOUBLE * 1000000 + 0.5) / 1000000 AS sd6 FROM m),
+        |w AS (SELECT stratum, n_rows, sd6,
+        |    (floor(n_rows::DOUBLE * sd6 * 10000 + 0.5) / 10000)::DECIMAL(28,4)
+        |      AS w4 FROM s),
+        |z AS (SELECT sum(w4) AS z FROM w)
+        |SELECT stratum, n_rows, sd6,
+        |  floor(1000.0 * (w4::DOUBLE / z::DOUBLE) + 0.5)::BIGINT AS alloc
+        |FROM w, z""".stripMargin),
+
     // first-order Markov transition matrix over per-user event-type
     // sequences: one lead window (ts, event_id tie-break) + a cell-table
     // aggregate; probabilities are exact-integer ratios floored at 6 dp
@@ -3932,6 +4028,24 @@ object OpsQueries {
         |  floor(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE
         |    * 1000000 + 0.5) / 1000000 AS p6
         |FROM c""".stripMargin),
+
+    // day-of-week volume profile (weekly seasonal component): same
+    // complete-grid discipline as ts13, Monday=0 on both engines
+    ("ts14_dow_profile",
+      (s, sf) => graft.ops.EventAnalytics.dowProfile(
+        EventStreams.readEvents(s, s"$sf/events.parquet"), col("ts")),
+      """WITH daily AS (SELECT ts::DATE AS day, count(*) AS v
+        |    FROM events GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |    AS day FROM span),
+        |series AS (SELECT day, coalesce(v, 0)::BIGINT AS v
+        |  FROM grid LEFT JOIN daily USING (day))
+        |SELECT isodow(day)::INT - 1 AS dow, count(*) AS n_days,
+        |  sum(v)::BIGINT AS total_v,
+        |  floor(sum(v)::DOUBLE / count(*)::DOUBLE * 10000 + 0.5) / 10000
+        |    AS avg4
+        |FROM series GROUP BY 1""".stripMargin),
 
     // autocorrelation of daily event volume at lags 1..7 (weekly
     // seasonality detector): complete day grid with hard zeros, Pearson r
@@ -4103,6 +4217,33 @@ object OpsQueries {
         |       ELSE floor(n_tok::DOUBLE / n_sent::DOUBLE * 10000 + 0.5) / 10000
         |  END AS avg4
         |FROM t""".stripMargin),
+
+    // Flesch-style reading ease from exact word/sentence/vowel-group
+    // counts; the t33 sentence rule + the classic syllable proxy
+    ("t35_readability",
+      (s, sf) => TextOps.readability(docs(s, sf), col("doc_id"), col("text")),
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+        |    END AS n_words,
+        |    len([x FOR x IN list_transform(
+        |      string_split_regex(text, '[.!?]+'), y -> trim(y)) IF x <> ''])
+        |      AS n_sent,
+        |    (CASE WHEN trim(text) = '' THEN 0
+        |         ELSE coalesce(list_sum(list_transform(
+        |           string_split_regex(lower(trim(text)), '\s+'),
+        |           t -> greatest(len(string_split_regex(t, '[aeiouy]+')) - 1,
+        |                         1))), 0)
+        |    END)::BIGINT AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sent, n_syll,
+        |  CASE WHEN n_sent = 0 OR n_words = 0 THEN 0.0
+        |       ELSE floor((206.835::DOUBLE
+        |         - 1.015::DOUBLE * (n_words::DOUBLE / n_sent::DOUBLE)
+        |         - 84.6::DOUBLE * (n_syll::DOUBLE / n_words::DOUBLE))
+        |         * 10000 + 0.5) / 10000
+        |  END AS fre4
+        |FROM s""".stripMargin),
 
     // PMI collocation mining (phrase detection): adjacent-pair PMI from
     // exact unigram/bigram counts, min-count floor, 4-dp double

@@ -891,6 +891,30 @@ object Dedup {
       .select(col("id"), col("cl").as("cluster"), col("label"), col("n_votes"))
   }
 
+  /** Canonical-document selection within near-dup clusters: rank every
+    * cluster member by (metric desc, id asc) and flag rank 1 as the
+    * survivor — the curation policy AFTER clustering decides WHICH copy
+    * of each near-duplicate family enters the training mix (keep the
+    * longest / highest-quality variant, not the arbitrary
+    * smallest-id one that [[connectedComponents]]' label happens to
+    * name). Emits every member with its verdict, not just survivors, so
+    * the drop set is auditable.
+    *
+    * One shuffle: the metric join rides into the cluster-partitioned
+    * ranking window; clusters are near-dup-family-sized, so the window
+    * state is tiny per key. Output: (cluster, id, metric, kept). */
+  def keepBestPerCluster(clusters: DataFrame, id: Column, cluster: Column,
+      metrics: DataFrame, mId: Column, metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__cl"))
+      .orderBy(col("__m").desc, col("__id").asc)
+    clusters.select(id.as("__id"), cluster.as("__cl"))
+      .join(metrics.select(mId.as("__id"), metric.as("__m")), "__id")
+      .withColumn("__rk", row_number().over(w))
+      .select(col("__cl").as("cluster"), col("__id").as("id"),
+        col("__m").as("metric"), (col("__rk") === 1).as("kept"))
+  }
+
   /** Edit-distance-1 term pairs over a vocabulary via DELETION-
     * NEIGHBORHOOD blocking (FastSS): every term keys on itself plus each
     * single-character deletion; two terms within edit distance 1 share

@@ -444,4 +444,28 @@ object EventAnalytics {
     m.select(col("lag"), col("n_pairs"),
       (floor(cov / sqrt(vx * vy) * 1000000 + 0.5) / 1000000).as("corr6"))
   }
+
+  /** Day-of-week volume profile: the weekly seasonal component of the
+    * event stream (Monday=0..Sunday=6), over the COMPLETE day grid with
+    * absent days as hard zeros — same grid discipline as
+    * [[dailyVolumeAcf]], because a skipped zero-volume Sunday would bias
+    * exactly the day it should count against. avg4 is an exact-integer
+    * ratio (total/n_days) floored at 4 dp.
+    *
+    * Scale shape: the log collapses to day counts first (map-side
+    * combine), so everything after runs on the span-sized series; the
+    * profile is ≤ 7 rows. Output: (dow, n_days, total_v, avg4). */
+  def dowProfile(events: DataFrame, ts: Column): DataFrame = {
+    val daily = events.select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("v"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("day"), "left")
+      .select(weekday(col("day")).as("dow"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("v")).as("total_v"))
+      .withColumn("avg4", floor(col("total_v").cast("double")
+        / col("n_days").cast("double") * 10000 + 0.5) / 10000)
+  }
 }

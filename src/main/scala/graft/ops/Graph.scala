@@ -227,6 +227,36 @@ object Graph {
           / 10000).as("cosine"))
   }
 
+  /** Local clustering coefficient per node: c = 2·tri / (deg·(deg−1)) —
+    * how close a node's neighborhood is to a clique (community-membership
+    * strength vs pure hub-ness; a high-degree low-cc node is a
+    * broker/boilerplate tell in doc-link graphs). Nodes with deg < 2
+    * report 0 (no possible wedge).
+    *
+    * Scale shape: reuses [[triangleCounts]]' degree-oriented wedge probe
+    * (Σ min(deg) work bound, never deg² at hubs) plus one degree
+    * aggregate over the SAME deduped undirected edge set; the final join
+    * is node-table-sized. cc6 is one double expression over exact
+    * integer (tri, deg) pairs, 6-dp floored.
+    * Output: (node, deg, n_tri, cc6). */
+  def clusteringCoefficient(edges: DataFrame, src: Column,
+      dst: Column): DataFrame = {
+    val und = edges.select(
+        least(src.cast("long"), dst.cast("long")).as("u"),
+        greatest(src.cast("long"), dst.cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges, src, dst), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc6",
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(floor(lit(2.0) * col("n_tri").cast("double")
+            / (col("deg").cast("double") * (col("deg").cast("double") - 1.0))
+            * 1000000 + 0.5) / 1000000))
+  }
+
   /** Adamic-Adar link-prediction scores over a bipartite co-occurrence
     * graph: for items a, b the score is Σ over shared groups g of
     * 1/ln(|g|) — a shared SMALL group (two parts in a 3-line order) is

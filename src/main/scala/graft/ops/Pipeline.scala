@@ -525,4 +525,43 @@ object Pipeline {
       .select(col("group"), col("n_docs"), col("p6"),
         r6(col("__pa") / col("__z").cast("double")).as("w6"))
   }
+
+  /** Neyman allocation of an evaluation/labeling budget across strata:
+    * sample stratum h at n_h ∝ N_h·S_h (size × within-stratum standard
+    * deviation of the metric of interest) — the minimum-variance split
+    * of a fixed annotation budget, vs proportional allocation which
+    * oversamples homogeneous strata. A stratum with zero variance gets
+    * weight 0 (one label suffices in theory; floor-rounding may still
+    * assign it 0 — callers wanting a per-stratum minimum add it after).
+    *
+    * Cross-engine exactness: S_h comes from exact decimal-summed integer
+    * moments (the a08 recipe; `metric` is cast to long), each N_h·S_h is
+    * 4-dp floored then decimal-summed into the normalizer, and the final
+    * allocation is floor(budget·share + 0.5). One map-side-combined
+    * aggregate; everything after is stratum-table-sized.
+    * Output: (stratum, n_rows, sd6, alloc). */
+  def neymanAllocation(df: DataFrame, stratum: Column, metric: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val dec0 = (c: Column) => c.cast(
+      org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+    val dec4 = (c: Column) => c.cast(
+      org.apache.spark.sql.types.DataTypes.createDecimalType(28, 4))
+    val m = df.select(stratum.as("stratum"), metric.cast("long").as("__x"))
+      .groupBy(col("stratum")).agg(count(lit(1)).as("n_rows"),
+        sum(dec0(col("__x"))).as("__sx"),
+        sum(dec0(col("__x") * col("__x"))).as("__sxx"))
+    val nD = col("n_rows").cast("double")
+    val sd = sqrt(nD * col("__sxx").cast("double")
+      - col("__sx").cast("double") * col("__sx").cast("double")) / nD
+    val scored = m.select(col("stratum"), col("n_rows"),
+        (floor(sd * 1000000 + 0.5) / 1000000).as("sd6"))
+      .withColumn("__w",
+        dec4(floor(nD * col("sd6") * 10000 + 0.5) / 10000))
+    val z = scored.agg(sum(col("__w")).as("__z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("stratum"), col("n_rows"), col("sd6"),
+        floor(lit(budget.toDouble) * (col("__w").cast("double")
+          / col("__z").cast("double")) + 0.5).cast("long").as("alloc"))
+  }
 }

@@ -47,6 +47,33 @@ object TextOps {
           / col("n_sent").cast("double") * 10000 + 0.5) / 10000).as("avg4"))
   }
 
+  /** Flesch-style reading-ease score per document:
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), with the
+    * classic vowel-group syllable proxy (runs of [aeiouy] per token,
+    * floor 1 per token — "rhythm" has no vowel-run but one spoken
+    * syllable). The readability quality signal corpus filters band on:
+    * very high = fragment lists, very low/negative = run-on extraction
+    * failures. Sentence-less or word-less docs score 0.
+    *
+    * Pure scan-stage per-row array math (same [.!?]+ sentence rule as
+    * [[sentenceStats]]); all three counts are exact integers, the score
+    * is one identical double expression, 4-dp floored. Output:
+    * (doc_id, n_words, n_sent, n_syll, fre4). */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val segs = filter(transform(split(text, "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val syll = aggregate(tokens(text), lit(0L), (acc, t) =>
+      acc + greatest(size(split(t, "[aeiouy]+")) - 1, lit(1)))
+    val base = df.select(id.as("doc_id"), tokenCount(text).as("n_words"),
+      size(segs).as("n_sent"), syll.as("n_syll"))
+    base.withColumn("fre4",
+      when(col("n_sent") === 0 || col("n_words") === 0, lit(0.0))
+        .otherwise(floor((lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sent").cast("double"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")))
+          * 10000 + 0.5) / 10000))
+  }
+
   /** PMI collocation mining: adjacent token pairs whose joint frequency
     * beats independence — pmi = ln(p(w1,w2) / (p(w1)·p(w2))) — the
     * phrase/multi-word-expression detector tokenizer vocabularies and

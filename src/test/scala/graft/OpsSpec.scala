@@ -2088,6 +2088,81 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == ((4, 4L, 1.0)))
   }
 
+  test("clusteringCoefficient: triangle-plus-pendant by hand") {
+    import graft.ops.Graph
+    // 1-2-3 triangle, 4 pendant on 1: cc(2)=cc(3)=1, cc(1)=1/3, cc(4)=0
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val got = Graph.clusteringCoefficient(e, col("s"), col("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("readability: syllable proxy and score by hand, degenerate docs score 0") {
+    val df = Seq(
+      (1L, "The cat sat."),        // 3 words, 1 sent, syll: the=1 cat=1 sat=1
+      (2L, ""),                     // all zero
+      (3L, "rhythm myth"),          // no [aeiou] but y counts: rhythm=1, myth=1
+      (4L, "beautiful onomatopoeia.") // beautiful: eau+i+u... vowel RUNS: b-eau-t-i-f-u-l = 3; onomatopoeia: o,o,a,o,oeia = 5
+    ).toDF("doc_id", "text")
+    val got = TextOps.readability(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(2L) == ((0, 0, 0L, 0.0)))
+    // terminator-free doc is ONE sentence (2 words, 2 y-syllables):
+    // 206.835 − 1.015·2 − 84.6·1 = 120.205
+    assert(got(3L) == ((2, 1, 2L, 120.205)), s"terminator-free doc: ${got(3L)}")
+    assert(got(1L)._1 == 3 && got(1L)._2 == 1 && got(1L)._3 == 3L)
+    val expected1 = math.floor((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 10000 + 0.5) / 10000
+    assert(got(1L)._4 == expected1)
+    assert(got(4L)._3 == 8L, s"vowel-run syllables: ${got(4L)}")
+  }
+
+  test("dowProfile: complete grid with a silent day, Monday=0") {
+    import graft.ops.EventAnalytics
+    // 2024-01-01 is a Monday. Events on Mon(2), Tue(0 — absent), Wed(4);
+    // span Mon..Wed so the grid has exactly one of each
+    val ev = (Seq.fill(2)("2024-01-01 10:00:00") ++
+      Seq.fill(4)("2024-01-03 10:00:00"))
+      .map(s => Tuple1(java.sql.Timestamp.valueOf(s))).toDF("ts")
+    val got = EventAnalytics.dowProfile(ev, col("ts"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0) == ((1L, 2L, 2.0)))
+    assert(got(1) == ((1L, 0L, 0.0)), s"absent Tuesday must be a hard zero: $got")
+    assert(got(2) == ((1L, 4L, 4.0)))
+    assert(got.size == 3)
+  }
+
+  test("neymanAllocation: variable stratum takes the budget, constant stratum gets none") {
+    import graft.ops.Pipeline
+    // stratum a: values {0,10} (sd 5), 4 rows; stratum b: all 7 (sd 0), 100 rows
+    val rows = (0 until 4).map(i => ("a", if (i % 2 == 0) 0L else 10L)) ++
+      (0 until 100).map(_ => ("b", 7L))
+    val got = Pipeline.neymanAllocation(rows.toDF("s", "x"), col("s"), col("x"), 50L)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("a") == ((4L, 5.0, 50L)), s"all budget to the variable stratum: $got")
+    assert(got("b") == ((100L, 0.0, 0L)))
+    intercept[IllegalArgumentException] {
+      Pipeline.neymanAllocation(rows.toDF("s", "x"), col("s"), col("x"), 0L)
+    }
+  }
+
+  test("keepBestPerCluster: longest member survives, ties break on id, all members audited") {
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L))
+      .toDF("node", "label")
+    val metrics = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 3L))
+      .toDF("id", "m")
+    val got = Dedup.keepBestPerCluster(clusters, col("node"), col("label"),
+      metrics, col("id"), col("m"))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(11L) == ((1L, 9L, true)), "metric tie must break on smaller id")
+    assert(got(12L) == ((1L, 9L, false)))
+    assert(got(10L) == ((1L, 5L, false)))
+    assert(got(20L) == ((2L, 3L, true)))
+  }
+
   test("collocations: a planted rigid phrase outranks independent co-occurrence") {
     // "zqx yvw" always adjacent (20×); "aaa"/"bbb" frequent but never adjacent
     val docs = (0 until 20).map(i => (i.toLong, "zqx yvw aaa mid bbb")) ++
