@@ -383,4 +383,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"unexpected shuffle in top-k scan:\n$p")
   }
+
+  test("s16: both matryoshka stages are heap top-ks; the corpus never shuffles") {
+    val p = plan("s16_matryoshka_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"funnel stages must plan as per-partition heap top-k:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"matryoshka funnel must not shuffle the corpus:\n$p")
+  }
+
+  test("t33/t35: sentence stats and readability fuse into the scan — zero exchanges") {
+    for (g <- Seq("t33_sentence_stats", "t35_readability")) {
+      val p = plan(g)
+      assert(!p.contains("Exchange"), s"$g must be scan-stage only:\n$p")
+    }
+  }
+
+  test("f07: transition matrix reuses the user partitioning — window and first agg share one exchange") {
+    val p = plan("f07_markov")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // window on user + cell aggregate + row-normalizing window over cells:
+    // 3 exchanges max, all on cell/log keys — never more
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$p")
+  }
+
+  test("p13/p14: mixture and allocation totals broadcast — no sort-merge on 1-row tables") {
+    for (g <- Seq("p13_temperature_mix", "p14_neyman_alloc")) {
+      val p = plan(g)
+      assert(!p.contains("SortMergeJoin"),
+        s"$g: 1-row normalizer joins must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$g: literal totals must ride a broadcast nested loop, not a cartesian:\n$p")
+    }
+  }
 }
