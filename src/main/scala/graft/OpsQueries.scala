@@ -551,6 +551,15 @@ object OpsQueries {
         |ORDER BY list_cosine_similarity(ev, (SELECT qv FROM q)) DESC, vec_id
         |LIMIT 10""".stripMargin),
 
+    // MMR diversified re-rank: 5 greedy picks from the top-20 candidates,
+    // λ=0.5; the oracle unrolls the selection stage-for-stage and replays
+    // the identical 6-dp-floored scores and tie-breaks
+    ("s17_mmr_rerank",
+      (s, sf) => Similarity.mmrTopK(
+        emb(s, sf).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        queryVec(s, sf), k = 5, nCand = 20, lambda = 0.5),
+      mmrOracleSql(k = 5, nCand = 20)),
+
     // embedding-space outlier report: the 20 vectors least aligned with
     // the corpus centroid — the cleaning pass that catches corrupted
     // encodes before they poison an index. Centroid = one per-position
@@ -4245,6 +4254,30 @@ object OpsQueries {
         |  END AS fre4
         |FROM s""".stripMargin),
 
+    // Zipf rank-frequency slope over the top-100 terms: OLS on 6-dp
+    // ln(rank)/ln(count) with decimal-summed moments; one corpus-health
+    // number (natural text ≈ −1)
+    ("t36_zipf_slope",
+      (s, sf) => TextOps.zipfSlope(docs(s, sf), col("text"), topN = 100),
+      """WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE trim(text) <> ''),
+        |c AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+        |top AS (SELECT w, c FROM c ORDER BY c DESC, w ASC LIMIT 100),
+        |xy AS (SELECT floor(ln(rank::DOUBLE) * 1000000 + 0.5) / 1000000 AS x,
+        |    floor(ln(c::DOUBLE) * 1000000 + 0.5) / 1000000 AS y
+        |  FROM (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+        |        FROM top)),
+        |m AS (SELECT count(*) AS n_terms,
+        |    sum(x::DECIMAL(28,6)) AS sx, sum(y::DECIMAL(28,6)) AS sy,
+        |    sum((floor(x * y * 1000000 + 0.5) / 1000000)::DECIMAL(28,6)) AS sxy,
+        |    sum((floor(x * x * 1000000 + 0.5) / 1000000)::DECIMAL(28,6)) AS sxx
+        |  FROM xy)
+        |SELECT n_terms,
+        |  floor((n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS slope6
+        |FROM m""".stripMargin),
+
     // PMI collocation mining (phrase detection): adjacent-pair PMI from
     // exact unigram/bigram counts, min-count floor, 4-dp double
     ("t34_collocations",
@@ -4438,6 +4471,37 @@ object OpsQueries {
         .topKExact(queryVec(s, sf), k = 10)
     }),
   )
+
+  /** DuckDB twin of [[graft.ops.Similarity.mmrTopK]]: the greedy MMR
+    * selection unrolled into `k` stages. Stage i scores every remaining
+    * candidate as floor((0.5·rel − 0.5·max sim to the selected set)·10⁶
+    * + 0.5)/10⁶ and takes the (score desc, id asc) argmax — exactly the
+    * operator's per-step rule, with λ = 0.5 so both engines' (1−λ) is
+    * the same exact double. */
+  private def mmrOracleSql(k: Int, nCand: Int): String = {
+    val stages = (2 to k).map { i =>
+      s"""s$i AS (SELECT c.vec_id, c.ev, c.rel,
+         |    floor((0.5::DOUBLE * c.rel - 0.5::DOUBLE *
+         |      (SELECT max(list_cosine_similarity(c.ev, s.ev)) FROM sel${i - 1} s))
+         |      * 1000000 + 0.5) / 1000000 AS m
+         |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  ORDER BY m DESC, c.vec_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1}
+         |  UNION ALL SELECT vec_id, ev, rel, m, $i FROM s$i)""".stripMargin
+    }
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+       |    list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS rel
+       |  FROM embeddings WHERE vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT $nCand),
+       |s1 AS (SELECT vec_id, ev, rel,
+       |    floor(0.5::DOUBLE * rel * 1000000 + 0.5) / 1000000 AS m
+       |  FROM cand ORDER BY m DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id, ev, rel, m, 1 AS rank FROM s1),
+       |""".stripMargin + stages.mkString(",\n") + s"""
+       |SELECT rank, vec_id, floor(rel * 1000000 + 0.5) / 1000000 AS rel6,
+       |  m AS mmr6 FROM sel$k""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.ops.Bpe.learnMerges]]: `k` unrolled stages.
     * Words ride as double-space-joined symbol strings ("  a  b  "), so

@@ -72,6 +72,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal Marginal Relevance re-rank: greedily pick `k` results from
+    * the `nCand` most-relevant candidates, each step maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the diversity-aware
+    * re-rank that keeps a near-dup-heavy corpus from returning five
+    * copies of the same page (λ=1 is plain relevance, λ→0 pure
+    * diversity).
+    *
+    * Scale shape: the corpus pays ONE brute/ANN top-`nCand` pass (heap
+    * top-k, no shuffle — swap in any s02/s03 index for the candidate
+    * stage at scale); the greedy selection is O(k·nCand) arithmetic on
+    * the RESULT-SIZED candidate table, driver-side by the same
+    * boundedness argument as the BPE merge table (`Bpe.scala`) — it is
+    * sequential by definition, and nCand rows × dim doubles is KBs.
+    * Determinism: per-step scores are 6-dp floored before the argmax,
+    * ties break on id, and every cosine is the same sequential-fold
+    * arithmetic the [[graft.functions.CosineSimilarity]] expression
+    * uses, so any engine replays the exact selection.
+    * Output: (rank, vec_id, rel6, mmr6) — rank 1 has no penalty term,
+    * so its mmr6 is λ·rel. */
+  def mmrTopK(df: DataFrame, id: Column, vec: Column, query: Seq[Double],
+      k: Int, nCand: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need 1 <= k <= nCand: k=$k nCand=$nCand")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"lambda out of (0,1] ($lambda): at 0 every first-step score ties at " +
+        "0 and the 'ranking' is just the id order")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      // EXACTLY CosineSimilarity's arithmetic (one sqrt of the product,
+      // interleaved accumulation) so driver-side sims replay bitwise
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val cand = bruteForceTopK(df, id, vec.cast("array<double>"), query, nCand)
+      .join(df.select(id.as("vec_id"), vec.cast("array<double>").as("__v")),
+        "vec_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](r.fieldIndex("__v"))))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    while (selected.length < k) {
+      val scored = cand.iterator.filterNot(c => chosen(c._1)).map {
+        case (cid, rel, cv) =>
+          val pen = if (selected.isEmpty) 0.0
+            else cand.iterator.filter(x => chosen(x._1))
+              .map(s => cos(cv, s._3)).max
+          (cid, rel, r6(lambda * rel - (1.0 - lambda) * pen))
+      }.toSeq
+      val best = scored.minBy { case (cid, _, m) => (-m, cid) }
+      selected += ((best._1, r6(best._2), best._3))
+      chosen += best._1
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((cid, rel, m), i) => (i + 1, cid, rel, m) }
+      .toDF("rank", "vec_id", "rel6", "mmr6")
+  }
+
   /** IVF (inverted-file) index: k-means centroids over the corpus; each
     * vector is assigned to its nearest centroid's partition list. Queries
     * probe only the `nProbe` nearest centroids' lists. The index is built

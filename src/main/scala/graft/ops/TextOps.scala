@@ -47,6 +47,44 @@ object TextOps {
           / col("n_sent").cast("double") * 10000 + 0.5) / 10000).as("avg4"))
   }
 
+  /** Zipf rank-frequency slope over the corpus's `topN` terms: OLS fit
+    * of ln(count) against ln(rank) — natural language sits near −1; a
+    * slope far from it flags synthetic/templated text or a tokenization
+    * bug, making this a one-number corpus-health check.
+    *
+    * Scale shape: one map-side-combined term count (vocab-sized), a
+    * top-`topN` heap take, then all regression arithmetic on the
+    * `topN`-row table. Cross-engine exactness: ln(rank) and ln(count)
+    * are 6-dp floored, their products re-floored, and all five OLS sums
+    * run as DECIMAL(28,6) (order-independent); the slope is one final
+    * double expression. Output: one row (n_terms, slope6). */
+  def zipfSlope(df: DataFrame, text: Column, topN: Int): DataFrame = {
+    require(topN >= 3, s"topN must be >= 3 to fit a line: $topN")
+    import org.apache.spark.sql.expressions.Window
+    val r6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val dec6 = (c: Column) => c.cast(
+      org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))
+    val top = df.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(topN)
+    val xy = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+      .select(r6(log(col("rank").cast("double"))).as("x"),
+        r6(log(col("c").cast("double"))).as("y"))
+    val m = xy.agg(count(lit(1)).as("n_terms"),
+      sum(dec6(col("x"))).as("sx"), sum(dec6(col("y"))).as("sy"),
+      sum(dec6(r6(col("x") * col("y")))).as("sxy"),
+      sum(dec6(r6(col("x") * col("x")))).as("sxx"))
+    val nD = col("n_terms").cast("double")
+    m.select(col("n_terms"),
+      (floor((nD * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (nD * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+        * 1000000 + 0.5) / 1000000).as("slope6"))
+  }
+
   /** Flesch-style reading-ease score per document:
     * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), with the
     * classic vowel-group syllable proxy (runs of [aeiouy] per token,

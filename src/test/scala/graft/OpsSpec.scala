@@ -2163,6 +2163,60 @@ class OpsSpec extends AnyFunSuite {
     assert(got(20L) == ((2L, 3L, true)))
   }
 
+  test("mmrTopK: lambda=1 is plain relevance; diversity penalty demotes a planted near-duplicate") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") =!= 0)
+    val qv = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val topIds = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"), qv, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val mmr1 = Similarity.mmrTopK(e, col("vec_id"), col("embedding"), qv,
+      k = 5, nCand = 20, lambda = 1.0)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(mmr1 == topIds, s"lambda=1 must reduce to relevance order: $mmr1 vs $topIds")
+    // plant an exact duplicate of the most relevant vector under a new id:
+    // relevance ranks it adjacent to its twin; MMR must push it out of
+    // the early picks (sim to the already-selected twin = 1.0)
+    val best = topIds.head
+    val dup = e.filter(col("vec_id") === best)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = e.unionByName(dup)
+    val relIds = Similarity.bruteForceTopK(withDup, col("vec_id"), col("embedding"), qv, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(relIds == Set(best, 999999L), "duplicate must tie at the top by relevance")
+    val mmrIds = Similarity.mmrTopK(withDup, col("vec_id"), col("embedding"), qv,
+      k = 3, nCand = 20, lambda = 0.5)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(mmrIds.take(2).count(Set(best, 999999L)) == 1,
+      s"MMR must not take both copies early: $mmrIds")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(e, col("vec_id"), col("embedding"), qv, 5, 20, 0.0)
+    }
+  }
+
+  test("zipfSlope: exact geometric corpus fits its known slope; real corpus slopes negative") {
+    // counts 16,8,4,2 at ranks 1..4: y = ln16 − ln2·(log2 rank)… not linear
+    // in ln(rank), so fit via the op's own exact recipe mirrored here
+    val words = Seq("a" -> 16, "b" -> 8, "c" -> 4, "d" -> 2)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextOps.zipfSlope(df, col("text"), topN = 4).head()
+    assert(got.getLong(0) == 4)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val xs = (1 to 4).map(r => r6(math.log(r.toDouble)))
+    val ys = Seq(16, 8, 4, 2).map(c => r6(math.log(c.toDouble)))
+    val (sx, sy) = (xs.map(BigDecimal(_)).sum, ys.map(BigDecimal(_)).sum)
+    val sxy = xs.zip(ys).map { case (x, y) => BigDecimal(r6(x * y)) }.sum
+    val sxx = xs.map(x => BigDecimal(r6(x * x))).sum
+    val n = 4.0
+    val exp = r6((n * sxy.toDouble - sx.toDouble * sy.toDouble)
+      / (n * sxx.toDouble - sx.toDouble * sx.toDouble))
+    assert(got.getDouble(1) == exp, s"${got.getDouble(1)} vs $exp")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val slope = TextOps.zipfSlope(corpus, col("text"), 100).head().getDouble(1)
+    assert(slope < 0.0, s"rank-frequency slope must be negative: $slope")
+  }
+
   test("collocations: a planted rigid phrase outranks independent co-occurrence") {
     // "zqx yvw" always adjacent (20×); "aaa"/"bbb" frequent but never adjacent
     val docs = (0 until 20).map(i => (i.toLong, "zqx yvw aaa mid bbb")) ++
