@@ -2846,6 +2846,59 @@ object OpsQueries {
         |SELECT node, count(*) AS n_tri
         |FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node""".stripMargin),
 
+    // pseudo-relevance-feedback retrieval: top-3 feedback docs mine 3
+    // expansion terms (tf × t16-idf, 4-dp, term tie-break), second BM25
+    // pass with the expanded query; the oracle replays both passes and
+    // the term mining verbatim
+    ("b05_prf_expansion",
+      (s, sf) => Retrieval.prfTopK(docs(s, sf), col("doc_id"), col("text"),
+        Seq("spark", "vector", "stream"), r = 3, m = 3, k = 10),
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(lower(trim(text)),'\s+') END AS tk
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |    SUM(len(tk))::DOUBLE / count(*) AS avgdl FROM toks),
+        |tf1 AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, unnest(tk) AS t, len(tk)::DOUBLE AS dl FROM toks)
+        |  WHERE t IN ('spark','vector','stream') GROUP BY 1, 2),
+        |df1 AS (SELECT term, count(*)::DOUBLE AS df FROM tf1 GROUP BY 1),
+        |sc1 AS (SELECT doc_id,
+        |    CAST(floor(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st))))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(28,4)) AS s4
+        |  FROM tf1 JOIN df1 USING (term)),
+        |bm1 AS (SELECT doc_id, floor(CAST(SUM(s4) AS DOUBLE) * 10000 + 0.5) / 10000 AS bm25
+        |  FROM sc1 GROUP BY doc_id),
+        |fb AS (SELECT doc_id FROM bm1 ORDER BY bm25 DESC, doc_id ASC LIMIT 3),
+        |pairs AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        |fbtf AS (SELECT term, count(*)::DOUBLE AS tf FROM pairs
+        |  WHERE doc_id IN (SELECT doc_id FROM fb)
+        |    AND term NOT IN ('spark','vector','stream') GROUP BY 1),
+        |dfc AS (SELECT term, count(*)::DOUBLE AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM pairs) GROUP BY 1),
+        |expterms AS (SELECT term FROM (
+        |    SELECT fbtf.term AS term,
+        |      floor(tf * ln(((SELECT n FROM st) + 1.0) / (df + 1.0))
+        |        * 10000 + 0.5) / 10000 AS s4
+        |    FROM fbtf JOIN dfc USING (term))
+        |  ORDER BY s4 DESC, term ASC LIMIT 3),
+        |q2 AS (SELECT unnest(['spark','vector','stream']) AS term
+        |  UNION SELECT term FROM expterms),
+        |tf2 AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, unnest(tk) AS t, len(tk)::DOUBLE AS dl FROM toks)
+        |  WHERE t IN (SELECT term FROM q2) GROUP BY 1, 2),
+        |df2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY 1),
+        |sc2 AS (SELECT doc_id,
+        |    CAST(floor(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st))))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(28,4)) AS s4
+        |  FROM tf2 JOIN df2 USING (term)),
+        |bm2 AS (SELECT doc_id, floor(CAST(SUM(s4) AS DOUBLE) * 10000 + 0.5) / 10000 AS bm25
+        |  FROM sc2 GROUP BY doc_id)
+        |SELECT doc_id, bm25 FROM bm2 ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
+        .stripMargin),
+
     // ---- time-grid resample + forward fill ------------------------------
     ("ts06_resample_ffill",
       (s, sf) => EventAnalytics.resampleFfill(
@@ -4207,6 +4260,47 @@ object OpsQueries {
         |  '&nbsp;', ' '), '&amp;', '&') AS t FROM s3)
         |SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS text
         |FROM s4""".stripMargin),
+
+    // watermark late-data accounting: three staged files = three micro-
+    // batches (mtime order). Batch 1's 12:00 high mark becomes the
+    // gating watermark (11:50) only at batch 3 — the commit after batch
+    // 2 — so batch 3's two 09:xx rows combine into one late [09,10)
+    // group and drop (the agg drop unit is the group), while its 11:55
+    // row survives; counts read per-batch from state-operator progress
+    ("st16_late_drop_audit",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val dir = s"/root/repo/target/derived/$label/latedrop"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        def writeBatch(name: String, times: Seq[String], mtime: Long): Unit = {
+          val tmp = s"$dir/_tmp_$name"
+          val rows = times.map(t =>
+            org.apache.spark.sql.Row(java.sql.Timestamp.valueOf(t)))
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("ts",
+                org.apache.spark.sql.types.TimestampType))))
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(part.getPath), fs, dst, false, hconf)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          fs.setTimes(dst, mtime, -1)
+        }
+        writeBatch("b1", Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00",
+          "2024-01-01 12:00:00"), 1000000L)
+        writeBatch("b2", Seq("2024-01-01 12:05:00"), 2000000L)
+        writeBatch("b3", Seq("2024-01-01 09:00:00", "2024-01-01 09:30:00",
+          "2024-01-01 11:55:00"), 3000000L)
+        EventStreams.runLateDropAudit(s, dir,
+          delay = "10 minutes", windowLen = "1 hour")
+      },
+      "SELECT 7::BIGINT AS n_input, 1::BIGINT AS n_late_groups_dropped"),
 
     // sentence segmentation stats (readability / fragment detection):
     // split on [.!?]+ runs, empty-trim segments are not sentences, avg

@@ -172,4 +172,41 @@ object Retrieval {
       .orderBy(col("rrf6").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Pseudo-relevance-feedback retrieval (Rocchio-lite query expansion):
+    * run the query, take the top `r` feedback documents, mine their `m`
+    * strongest terms (tf within the feedback set × the t16 idf
+    * ln((N+1)/(df+1)), 4-dp rounded, original query terms excluded,
+    * term-asc tie-break), append them to the query, retrieve top `k`
+    * with the expanded query — the classic recall-boosting harvest loop
+    * when the seed query undersamples the topic's vocabulary.
+    *
+    * Scale shape: two BM25 passes (each one corpus scan over (doc,
+    * term) count pairs) plus one expansion-mining pass; the only
+    * driver-side state is the r feedback ids and m expansion terms —
+    * result-sized by definition. Every ranking is on 4-dp-rounded
+    * scores with id/term tie-breaks, so the whole loop — feedback set,
+    * expansion terms, final ranking — replays identically on any
+    * engine. Output: top `k` (doc_id, bm25) under the expanded query. */
+  def prfTopK(df: DataFrame, id: Column, text: Column, query: Seq[String],
+      r: Int, m: Int, k: Int): DataFrame = {
+    require(r >= 1 && m >= 1 && k >= 1, s"need r,m,k >= 1: r=$r m=$m k=$k")
+    val fb = bm25TopK(df, id, text, query, r)
+      .select(col("doc_id")).collect().map(_.get(0)).toSeq
+    val toks = df.select(id.as("doc_id"), TextOps.tokens(text).as("tk"))
+    val n = toks.count()
+    val pairs = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+    val fbTf = pairs.filter(col("doc_id").isin(fb: _*))
+      .filter(!col("term").isin(query: _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfc = pairs.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val expansion = fbTf.join(dfc, "term")
+      .select(col("term"), (floor(col("tf")
+        * log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) * 10000 + 0.5)
+        / 10000).as("s4"))
+      .orderBy(col("s4").desc, col("term").asc).limit(m)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(df, id, text, query ++ expansion, k)
+  }
 }

@@ -533,4 +533,65 @@ object EventStreams {
     } finally spark.streams.removeListener(listener)
     Seq((nr.get(), nu.get(), nh.get())).toDF("n_rows", "n_user", "n_high")
   }
+
+  /** Late-data accounting for a watermarked streaming aggregation: run a
+    * windowed count over `stagingDir` one FILE per micro-batch
+    * (maxFilesPerTrigger=1 under AvailableNow — the file order, by
+    * modification time then path, IS the event-time replay order) and
+    * report how many input rows the watermark dropped — the metric that
+    * tells a 100 TB/day ingest whether its allowed-lateness budget is
+    * silently discarding data, read from each batch's state-operator
+    * progress via a [[StreamingQueryListener]] (the same
+    * every-micro-batch guarantee as [[runObservedQuality]], not the
+    * bounded recentProgress buffer).
+    *
+    * Semantics under test (both empirically pinned by the st16 gate):
+    * the watermark gating batch N is the one COMMITTED after batch N−1
+    * — and that commit carries batch N−2's event-time high mark, so a
+    * late row is only dropped from the second batch after the one that
+    * outran it (lateness is a cross-batch property twice over). And for
+    * an AGGREGATION the drop unit is the post-map-side-combine GROUP,
+    * not the input row — two late rows in one window count once
+    * (per-row accounting needs a row-level stateful op, e.g. a
+    * dropDuplicates audit). Output: one row (n_input,
+    * n_late_groups_dropped). */
+  def runLateDropAudit(spark: SparkSession, stagingDir: String,
+      delay: String, windowLen: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val name = s"graft_latedrop_${math.abs(stagingDir.hashCode)}"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val schema = spark.read.parquet(stagingDir).schema
+    val plan = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen)).count()
+    val nIn = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nDrop = new java.util.concurrent.atomic.AtomicLong(0L)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var qid: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == name) {
+          nIn.addAndGet(e.progress.numInputRows)
+          e.progress.stateOperators.foreach(op =>
+            nDrop.addAndGet(op.numRowsDroppedByWatermark))
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) done.countDown()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = plan.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      qid = q.id
+      q.awaitTermination()
+      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    } finally spark.streams.removeListener(listener)
+    Seq((nIn.get(), nDrop.get())).toDF("n_input", "n_late_groups_dropped")
+  }
 }
