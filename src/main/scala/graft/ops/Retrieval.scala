@@ -199,7 +199,12 @@ object Retrieval {
     val fbTf = pairs.filter(col("doc_id").isin(fb: _*))
       .filter(!col("term").isin(query: _*))
       .groupBy(col("term")).agg(count(lit(1)).cast("double").as("tf"))
-    val dfc = pairs.distinct()
+    // df only matters for the candidate terms (the r feedback docs'
+    // vocabulary — result-sized): semi-join BEFORE the distinct so the
+    // corpus never materializes its full (doc, term) inverted index here
+    val dfc = pairs
+      .join(broadcast(fbTf.select(col("term"))), Seq("term"), "leftsemi")
+      .distinct()
       .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val expansion = fbTf.join(dfc, "term")
       .select(col("term"), (floor(col("tf")
