@@ -4048,6 +4048,27 @@ object OpsQueries {
         |  floor(pa / z::DOUBLE * 1000000 + 0.5) / 1000000 AS w6
         |FROM s2, z""".stripMargin),
 
+    // deterministic weighted interleave (training-order construction):
+    // weighted-fair-queuing finish times over salted-hash in-source
+    // ranks — any prefix holds each source ∝ its weight
+    ("p15_weighted_interleave",
+      (s, sf) => graft.ops.Pipeline.interleaveByWeight(
+        docs(s, sf), col("doc_id"), col("source"),
+        Map("src0" -> 3, "src1" -> 2), salt = "il1"),
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END AS wt,
+        |    (list_reduce(list_prepend(7::BIGINT, list_transform(
+        |      string_split('il1:' || doc_id::VARCHAR, ''), c -> ord(c)::BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 2147483647) % 10000) AS bk
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, wt,
+        |    row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) - 1 AS r
+        |  FROM w)
+        |SELECT doc_id AS id, source AS "group", r AS r_in_source,
+        |  row_number() OVER (ORDER BY (r + 1)::DOUBLE / wt::DOUBLE,
+        |    source, doc_id) AS pos
+        |FROM r""".stripMargin),
+
     // Neyman allocation of a 1000-label budget across sources by token-
     // count variability: n_h ∝ N_h·S_h from exact decimal integer moments
     ("p14_neyman_alloc",

@@ -526,6 +526,44 @@ object Pipeline {
         r6(col("__pa") / col("__z").cast("double")).as("w6"))
   }
 
+  /** Deterministic weighted interleave: assign every row a global
+    * training position such that any prefix of the order holds each
+    * source in proportion to its weight — the data-ORDER half of
+    * mixture design ([[temperatureMixture]] decides how much of each
+    * source; this decides WHERE its rows land, so a run that stops at
+    * 30% has consumed 30% of every source, not all of one and none of
+    * another). Weighted-fair-queuing construction: row r (0-based,
+    * salted-hash order + id tie-break within its source) gets virtual
+    * finish time (r+1)/w; the global order sorts by (finish, source,
+    * id). Sources absent from `weights` default to weight 1.
+    *
+    * Scale shape: one source-partitioned window for in-source ranks,
+    * then ONE global range-sort on the finish key — a total order is
+    * the deliverable, and Spark's range partitioner is how a total
+    * order is priced at 100 TB (no single-task sort; sampling picks
+    * the range bounds). Every input is exact-integer-derived, so the
+    * finish-time doubles and all tie-breaks replay identically on any
+    * engine. Output: (id, group, r_in_source, pos). */
+  def interleaveByWeight(df: DataFrame, id: Column, group: Column,
+      weights: Map[String, Int], salt: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 1),
+      s"weights must be a non-empty map of positive ints: $weights")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("__id"), group.as("__g"))
+      .withColumn("__w", coalesce(
+        element_at(typedLit(weights), col("__g")), lit(1)))
+      .withColumn("__bk", deterministicBucket(col("__id"), salt))
+    val rIn = Window.partitionBy(col("__g"))
+      .orderBy(col("__bk").asc, col("__id").asc)
+    val ranked = base.withColumn("__r", row_number().over(rIn) - 1)
+      .withColumn("__fin",
+        (col("__r") + 1).cast("double") / col("__w").cast("double"))
+    ranked.withColumn("pos", row_number().over(
+        Window.orderBy(col("__fin").asc, col("__g").asc, col("__id").asc)))
+      .select(col("__id").as("id"), col("__g").as("group"),
+        col("__r").as("r_in_source"), col("pos"))
+  }
+
   /** Neyman allocation of an evaluation/labeling budget across strata:
     * sample stratum h at n_h ∝ N_h·S_h (size × within-stratum standard
     * deviation of the metric of interest) — the minimum-variance split

@@ -2217,6 +2217,29 @@ class OpsSpec extends AnyFunSuite {
     assert(slope < 0.0, s"rank-frequency slope must be negative: $slope")
   }
 
+  test("interleaveByWeight: every prefix holds sources in weight proportion") {
+    import graft.ops.Pipeline
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Pipeline.interleaveByWeight(docs, col("doc_id"), col("source"),
+      Map("src0" -> 3, "src1" -> 2), salt = "il")
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // pos is a permutation of 1..N
+    assert(out.map(_._3).toSeq == (1 to out.length).toSeq)
+    // the fin<=1 prefix holds EXACTLY w_s rows of each source: the WFQ
+    // guarantee that stopping early consumes every source in proportion
+    val nSources = docs.select("source").distinct().count().toInt
+    val prefixLen = 3 + 2 + (nSources - 2) * 1
+    val prefix = out.take(prefixLen).groupBy(_._2).map { case (s, a) => s -> a.length }
+    assert(prefix("src0") == 3 && prefix("src1") == 2)
+    assert(prefix.count { case (s, n) => n == 1 } == nSources - 2, s"$prefix")
+    // deterministic replay
+    val again = Pipeline.interleaveByWeight(docs, col("doc_id"), col("source"),
+      Map("src0" -> 3, "src1" -> 2), salt = "il")
+      .orderBy(col("pos")).collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(again.toSeq == out.map(t => (t._1, t._3)).toSeq)
+  }
+
   test("collocations: a planted rigid phrase outranks independent co-occurrence") {
     // "zqx yvw" always adjacent (20×); "aaa"/"bbb" frequent but never adjacent
     val docs = (0 until 20).map(i => (i.toLong, "zqx yvw aaa mid bbb")) ++
