@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.{EventAnalytics, Pipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks for the ops layer: random inputs, the law the
+  * operator claims, a brute-force Scala model as the oracle. Seeded and
+  * deterministic like [[ParserPropertySpec]] — ScalaCheck generators are
+  * driven directly so every CI run replays the identical cases. */
+class OpsPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def cases[A](gen: Gen[A], n: Int): Seq[A] = {
+    var seed = Seed(12021L)
+    (0 until n).map { _ =>
+      val v = gen.apply(params, seed).getOrElse(sys.error("gen failed"))
+      seed = seed.next
+      v
+    }
+  }
+
+  test("intervalUnionLength equals a brute-force sweep on random interval sets") {
+    val genSet: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 2L)
+        s <- Gen.choose(0L, 50L)
+        len <- Gen.choose(1L, 20L)
+      } yield (k, s, s + len))
+    } yield rows
+    for (rows <- cases(genSet, 25)) {
+      val got = EventAnalytics.intervalUnionLength(
+        rows.toDF("k", "s", "e"), col("k"), col("s"), col("e"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // model: per key, count covered integer points of the half-open
+      // intervals and the number of merged islands
+      val expected = rows.groupBy(_._1).map { case (k, rs) =>
+        val covered = rs.flatMap { case (_, s, e) => s until e }.toSet
+        val islands = covered.toSeq.sorted
+          .foldLeft((0, Long.MinValue)) { case ((n, prev), p) =>
+            (if (p == prev + 1) n else n + 1, p)
+          }._1
+        k -> ((islands.toLong, covered.size.toLong))
+      }
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("chunkWithOverlap tiles [0, n) exactly at every window/stride combination") {
+    val gen: Gen[(Long, Int, Int)] = for {
+      n <- Gen.choose(0L, 300L)
+      window <- Gen.choose(1, 80)
+      stride <- Gen.choose(1, window)
+    } yield (n, window, stride)
+    for ((n, window, stride) <- cases(gen, 40)) {
+      val chunks = Pipeline.chunkWithOverlap(
+        Seq((1L, n)).toDF("id", "ntok"), col("id"), col("ntok"), window, stride)
+        .orderBy(col("chunk_idx"))
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      if (n == 0) assert(chunks.isEmpty)
+      else {
+        // starts advance by exactly stride from 0; ends clamp at n; the
+        // union of half-open chunks covers [0, n) with no gap
+        assert(chunks.head._1 == 0 && chunks.last._2 == n, s"n=$n w=$window s=$stride: ${chunks.toSeq}")
+        for (Array((s1, e1), (s2, _)) <- chunks.sliding(2).map(_.toArray))
+          assert(s2 == s1 + stride && s2 < e1 + 1 && s2 <= n - 1,
+            s"gap or drift at n=$n w=$window s=$stride: ${chunks.toSeq}")
+        val covered = chunks.flatMap { case (s, e) => s until e }.toSet
+        assert(covered == (0L until n).toSet, s"n=$n w=$window s=$stride")
+        assert(chunks.forall { case (s, e) => e - s >= 1 && e - s <= window })
+      }
+    }
+  }
+
+  test("temperatureMixture: weights normalize and preserve the share ordering at every alpha") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (alpha <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      val rows = Pipeline.temperatureMixture(base, col("source"), alpha)
+        .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, s"alpha=$alpha")
+      // p^alpha is monotone: bigger share never gets a smaller weight
+      for (Seq((_, pa, wa), (_, pb, wb)) <- rows.sortBy(_._2).sliding(2).map(_.toSeq)
+           if pb > pa)
+        assert(wb >= wa - 1e-6, s"alpha=$alpha: share $pb<-$pa weight $wb<$wa")
+    }
+  }
+
+  test("weightedReservoirPerGroup: full groups, deterministic, rank-contiguous on random weights") {
+    val gen: Gen[Seq[(Long, String, Double)]] = for {
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 100000L)
+        g <- Gen.oneOf("a", "b", "c")
+        w <- Gen.choose(1, 500).map(_.toDouble)
+      } yield (id, g, w))
+    } yield rows.distinctBy(_._1)
+    for (rows <- cases(gen, 15)) {
+      val df = rows.toDF("id", "g", "w")
+      def run() = Pipeline.weightedReservoirPerGroup(
+        df, col("id"), col("g"), col("w"), k = 4, salt = "prop")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+      val got = run()
+      val byG = got.groupBy(_._1)
+      for ((g, members) <- rows.groupBy(_._2)) {
+        val picked = byG.getOrElse(g, Array.empty)
+        assert(picked.length == math.min(4, members.length), s"g=$g rows=$rows")
+        assert(picked.map(_._3).sorted.toSeq == (1 to picked.length).toSeq)
+      }
+      assert(run().toSeq == got.toSeq, "same salt must redraw identically")
+    }
+  }
+}
