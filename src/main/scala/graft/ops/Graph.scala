@@ -94,14 +94,33 @@ object Graph {
     * oriented edge set; all shuffles carry (long, long) pairs only.
     *
     * Output: (node, n_tri) for nodes in ≥1 triangle. */
-  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = edges.select(
+  /** Canonicalized deduped undirected edge set (u < v). */
+  private def undirected(edges: DataFrame, src: Column, dst: Column): DataFrame =
+    edges.select(
         least(src.cast("long"), dst.cast("long")).as("u"),
         greatest(src.cast("long"), dst.cast("long")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = und.select(col("u").as("node")).union(und.select(col("v")))
+
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("node")).union(und.select(col("v")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = undirected(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = triangleCountsOn(und)
+    und.unpersist()
+    out
+  }
+
+  /** Triangle counting over an ALREADY deduped canonical edge set —
+    * shared by [[triangleCounts]] and [[clusteringCoefficient]] so a
+    * caller that also needs degrees dedups the edge list once, not
+    * twice (at 100 TB the edge-dedup shuffle is the dominant cost
+    * before the wedge join). `und` should be persisted by the caller;
+    * the result is materialized (localCheckpoint) before returning. */
+  private def triangleCountsOn(und: DataFrame): DataFrame = {
+    val deg = degreesOf(und)
     // orient by (deg, id): lower rank → higher rank
     val oriented = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
@@ -124,7 +143,7 @@ object Graph {
     val out = tris.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .localCheckpoint() // eager: materialize before releasing the cache
-    oriented.unpersist(); und.unpersist()
+    oriented.unpersist() // und's lifecycle belongs to the caller
     out
   }
 
@@ -241,13 +260,16 @@ object Graph {
     * Output: (node, deg, n_tri, cc6). */
   def clusteringCoefficient(edges: DataFrame, src: Column,
       dst: Column): DataFrame = {
-    val und = edges.select(
-        least(src.cast("long"), dst.cast("long")).as("u"),
-        greatest(src.cast("long"), dst.cast("long")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    val deg = und.select(col("u").as("node")).union(und.select(col("v")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(edges, src, dst), Seq("node"), "left")
+    // ONE edge-list dedup shared by degrees and triangles (the dedup
+    // shuffle dominates before the wedge join at scale); both consumers
+    // are materialized (deg via the final action after tri's
+    // localCheckpoint) before the cache is released
+    val und = undirected(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = degreesOf(und).localCheckpoint()
+    val tri = triangleCountsOn(und)
+    und.unpersist()
+    deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("cc6",
