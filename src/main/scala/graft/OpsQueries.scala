@@ -4160,6 +4160,32 @@ object OpsQueries {
         |    * 1000000 + 0.5) / 1000000 AS corr6
         |FROM m""".stripMargin),
 
+    // Theil-Sen robust daily trend: median of all pairwise slopes over
+    // the complete daily grid — O(span²) pairs but span-bounded (a year
+    // is ~66k pairs, metadata). Every slope is one double division of
+    // exact integers, so both engines hold the identical slope multiset
+    // and the median picks by sorted position (ties interchangeable by
+    // value); two-middle average on even counts, 6-dp floored
+    ("ts15_theil_sen",
+      (s, sf) => graft.ops.EventAnalytics.theilSenDailyTrend(
+        EventStreams.readEvents(s, s"$sf/events.parquet"), col("ts")),
+      """WITH daily AS (SELECT ts::DATE AS day, count(*) AS v
+        |    FROM events GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |    AS day FROM span),
+        |series AS (SELECT date_diff('day', (SELECT d0 FROM span), grid.day)
+        |      ::BIGINT AS i, coalesce(v, 0)::BIGINT AS v
+        |  FROM grid LEFT JOIN daily USING (day)),
+        |slopes AS (SELECT (b.v - a.v)::DOUBLE / (b.i - a.i)::DOUBLE AS slope
+        |  FROM series a JOIN series b ON a.i < b.i),
+        |ranked AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+        |    count(*) OVER () AS np FROM slopes)
+        |SELECT (SELECT count(*) FROM series)::BIGINT AS n_days,
+        |  max(np)::BIGINT AS n_pairs,
+        |  floor(avg(slope) * 1000000 + 0.5) / 1000000 AS slope6
+        |FROM ranked WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2""".stripMargin),
+
     // streaming observability: observe() metrics aggregated inside the
     // ingest scan itself (zero extra passes), read from the progress
     // stream and summed across micro-batches — the streaming twin of

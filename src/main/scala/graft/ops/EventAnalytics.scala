@@ -445,6 +445,50 @@ object EventAnalytics {
       (floor(cov / sqrt(vx * vy) * 1000000 + 0.5) / 1000000).as("corr6"))
   }
 
+  /** Theil-Sen robust daily trend: the MEDIAN of all pairwise slopes
+    * (v_j − v_i)/(day_j − day_i) over the complete daily-volume grid —
+    * the outlier-robust complement to the ts10 OLS trend (one traffic
+    * spike shifts an OLS slope arbitrarily; it moves the pairwise-slope
+    * median not at all until spikes are half the data, the 29.3%
+    * breakdown point).
+    *
+    * Scale shape: the log collapses to day counts first, so the O(n²)
+    * pair table is span-bounded (a YEAR is ~66k pairs — metadata), and
+    * the median runs on that tiny table. Exactness: every slope is one
+    * double division of exact integers, so both engines materialize the
+    * identical slope multiset; the median picks by sorted position
+    * (positions inside an equal-value tie class are interchangeable BY
+    * VALUE), averaging the two middles on even counts, 6-dp floored.
+    * Output: one row (n_days, n_pairs, slope6). */
+  def theilSenDailyTrend(events: DataFrame, ts: Column): DataFrame = {
+    val daily = events.select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("v"))
+    val series = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+      .withColumn("i", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy())))
+    val a = series.select(col("i").as("ia"), col("v").as("va"))
+    val b = series.select(col("i").as("ib"), col("v").as("vb"))
+    val slopes = a.join(b, col("ia") < col("ib"))
+      .select(((col("vb") - col("va")).cast("double")
+        / (col("ib") - col("ia")).cast("double")).as("slope"))
+    val ranked = slopes.withColumn("rn",
+      row_number().over(Window.orderBy(col("slope"))))
+    val stats = series.agg(count(lit(1)).as("n_days")).crossJoin(
+      slopes.agg(count(lit(1)).as("n_pairs")))
+    // integer middle ranks: Spark's `/` on longs is DOUBLE division, so
+    // (n+1)/2 on an even count would be x.5 and match no rank — floor
+    // both to pick lower and upper middle (equal when n_pairs is odd)
+    val lo = floor((col("n_pairs") + 1) / 2).cast("long")
+    val hi = floor((col("n_pairs") + 2) / 2).cast("long")
+    ranked.crossJoin(broadcast(stats))
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy(col("n_days"), col("n_pairs"))
+      .agg((floor(avg(col("slope")) * 1000000 + 0.5) / 1000000).as("slope6"))
+  }
+
   /** Day-of-week volume profile: the weekly seasonal component of the
     * event stream (Monday=0..Sunday=6), over the COMPLETE day grid with
     * absent days as hard zeros — same grid discipline as

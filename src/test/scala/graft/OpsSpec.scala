@@ -1231,6 +1231,29 @@ class OpsSpec extends AnyFunSuite {
       ("2024-01-03", 4L, 6L, true)))
   }
 
+  test("theilSenDailyTrend: two-middle average on even pairs; outlier-robust median") {
+    import spark.implicits._
+    // daily grid v = 1, 0 (gap), 2, 5 → 6 pairwise slopes sorted
+    // (-1, 0.5, 4/3, 2, 2.5, 3); even count averages the middles:
+    // (4/3 + 2)/2 = 5/3 → 1.666667 at 6 dp
+    val ev = (Seq.fill(1)("2024-01-01") ++ Seq.fill(2)("2024-01-03") ++
+        Seq.fill(5)("2024-01-04"))
+      .map(d => s"$d 08:00:00").toDF("t")
+      .select(col("t").cast("timestamp").as("t"))
+    val r = graft.ops.EventAnalytics.theilSenDailyTrend(ev, col("t"))
+      .as[(Long, Long, Double)].head()
+    assert(r == ((4L, 6L, 1.666667)))
+    // perfect line 1,2,3,4 plus one 100-event spike day: 6 of 10 pairwise
+    // slopes are exactly 1.0 and both middle ranks land inside that tie
+    // class — the median ignores the spike entirely (OLS would not)
+    val ev2 = (1 to 4).flatMap(d => Seq.fill(d)(f"2024-02-0$d%d 08:00:00"))
+      .++(Seq.fill(100)("2024-02-05 08:00:00")).toDF("t")
+      .select(col("t").cast("timestamp").as("t"))
+    val r2 = graft.ops.EventAnalytics.theilSenDailyTrend(ev2, col("t"))
+      .as[(Long, Long, Double)].head()
+    assert(r2 == ((5L, 10L, 1.0)))
+  }
+
   test("lastTouchAttribution: strictly-prior frame, simultaneous rows, unattributed") {
     import spark.implicits._
     val ev = Seq(
