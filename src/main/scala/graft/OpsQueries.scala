@@ -1977,6 +1977,25 @@ object OpsQueries {
         |  AS z
         |FROM orders""".stripMargin),
 
+    // N-ary Z-order (OPTIMIZE ZORDER BY (a,b,c)): bit i of key j at
+    // position 3i+j — customer, order-key bucket, and order-day
+    // interleaved so sorted z-ranges confine all three dims at once;
+    // oracle restates the interleave bit-for-bit (l01's recipe, k=3)
+    ("l08_zorder_multi",
+      (s, sf) => s.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"),
+          graft.ops.Layout.zValueN(Seq(col("o_custkey"),
+            col("o_orderkey") % 1024,
+            datediff(col("o_orderdate"), lit("1992-01-01"))),
+            bits = 10).as("z")),
+      """SELECT o_orderkey, list_sum(list_transform(range(0, 10), i ->
+        |    ((o_custkey // (1::BIGINT << i)) % 2) * (1::BIGINT << (3*i)) +
+        |    (((o_orderkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (3*i+1)) +
+        |    ((date_diff('day', DATE '1992-01-01', o_orderdate)
+        |      // (1::BIGINT << i)) % 2) * (1::BIGINT << (3*i+2))))::BIGINT
+        |  AS z
+        |FROM orders""".stripMargin),
+
     // OPTIMIZE/compaction: a 40-file small-file-debris fixture
     // (self-provisioned, idempotent) rewritten toward bytes/5-sized
     // files with ZERO shuffle — Layout.compact makes Spark's own

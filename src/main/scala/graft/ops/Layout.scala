@@ -18,12 +18,29 @@ object Layout {
     * codegen'd shift/mask terms, no UDF. Keys wider than `bits` are
     * masked (callers normalize or bucket first — interleaving cares
     * about locality, not exact magnitudes). */
-  def zValue(x: Column, y: Column, bits: Int = 21): Column = {
+  def zValue(x: Column, y: Column, bits: Int = 21): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** Morton (Z-curve) value of k ≥ 2 non-negative integer keys — the
+    * N-ary generalization Delta's `OPTIMIZE ZORDER BY (a, b, c, …)`
+    * takes: bit i of key j lands at position k·i + j, so the code's
+    * high bits cycle through every key's high bits and sorted z-ranges
+    * confine ALL keys at once (each contiguous 1/2^k of the code space
+    * is an orthant of key space). `k·bits` must fit a long (≤ 63);
+    * static positions → a flat chain of codegen'd shift/mask terms, no
+    * UDF. Keys wider than `bits` are masked (callers normalize or
+    * bucket first — interleaving cares about locality, not exact
+    * magnitudes). */
+  def zValueN(keys: Seq[Column], bits: Int = 21): Column = {
+    require(keys.size >= 2, s"zValueN needs >= 2 keys: ${keys.size}")
     require(bits >= 1 && bits <= 31, s"bits out of [1,31]: $bits")
+    val k = keys.size
+    require(k * bits <= 63,
+      s"$k keys x $bits bits = ${k * bits} interleaved bits exceed a long (63)")
     val terms = (0 until bits).flatMap { i =>
-      Seq(
-        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(1L), 2 * i),
-        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
+      keys.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(1L), k * i + j)
+      }
     }
     terms.reduce(_.bitwiseOR(_))
   }
@@ -37,7 +54,16 @@ object Layout {
     * footer stats. */
   def zorder(df: DataFrame, x: Column, y: Column, numPartitions: Int,
       bits: Int = 21): DataFrame =
-    df.withColumn("__z", zValue(x, y, bits))
+    zorderN(df, Seq(x, y), numPartitions, bits)
+
+  /** [[zorder]] over k ≥ 2 keys (Delta's `OPTIMIZE ZORDER BY (a,b,c)`):
+    * one range-partition + in-partition sort on the [[zValueN]] code.
+    * Same single shuffle as the 2-key form — adding dimensions costs
+    * nothing at write time, it only divides the per-key resolution
+    * (bits ≤ 63/k), which is the same trade Delta makes. */
+  def zorderN(df: DataFrame, keys: Seq[Column], numPartitions: Int,
+      bits: Int = 21): DataFrame =
+    df.withColumn("__z", zValueN(keys, bits))
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

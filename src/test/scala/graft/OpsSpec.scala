@@ -1704,6 +1704,39 @@ class OpsSpec extends AnyFunSuite {
       s"z-order layout must localize the y-filter: z=$zTouched vs x-sorted=$xTouched")
   }
 
+  test("zValueN: 3-key interleave positions; z-chunks confine every dimension at once") {
+    import spark.implicits._
+    import graft.ops.Layout
+    // bit i of key j at position 3i+j: x=1→pos0, y=2→pos4, z=3→pos2,5
+    val v = Seq(1).toDF("one").select(
+      Layout.zValueN(Seq(lit(1L), lit(2L), lit(3L)), bits = 2)).head().getLong(0)
+    assert(v == (1L + 16L + 4L + 32L))
+    // 2-key form is the k=2 special case, bit for bit
+    val pair = Seq(1).toDF("one").select(
+      Layout.zValue(lit(13L), lit(6L), bits = 4),
+      Layout.zValueN(Seq(lit(13L), lit(6L)), bits = 4)).head()
+    assert(pair.getLong(0) == pair.getLong(1))
+    // Morton property on the full 8x8x8 grid: each consecutive eighth of
+    // the z-sorted order is exactly one octant — EVERY key confined to a
+    // span of 3 (half its global span), which is what makes min/max
+    // pruning work on the third dimension too (a lexicographic sort
+    // leaves the last key's span at 7 in every chunk)
+    val grid = for (x <- 0 to 7; y <- 0 to 7; z <- 0 to 7) yield (x, y, z)
+    val coded = grid.toDF("x", "y", "z")
+      .withColumn("zc", Layout.zValueN(Seq(col("x"), col("y"), col("z")), bits = 3))
+      .collect().map(r => (r.getLong(3), (r.getInt(0), r.getInt(1), r.getInt(2))))
+      .sortBy(_._1).map(_._2)
+    for (chunk <- coded.grouped(64)) {
+      def span(f: ((Int, Int, Int)) => Int) = chunk.map(f).max - chunk.map(f).min
+      assert(span(_._1) == 3 && span(_._2) == 3 && span(_._3) == 3,
+        s"octant spans ${(span(_._1), span(_._2), span(_._3))}")
+    }
+    // width guard: interleaved bits must fit a long
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(lit(1L), lit(1L), lit(1L)), bits = 22)
+    }
+  }
+
   test("compact: merges small-file debris toward the target, preserves rows, restores confs") {
     import graft.ops.Layout
     val base = "target/derived/spec_compact"
