@@ -1423,6 +1423,76 @@ object OpsQueries {
     // counts, expected/contribution doubles from the SAME 6-dp-rounded
     // inputs on both engines, statistic = order-independent
     // DECIMAL(38,6) sum of rounded contributions (t18/b01 recipe)
+    // Cohen's kappa between two heuristic quality raters (char-length
+    // vs token-count filter): exact integer 2x2 cells in one scan +
+    // 1-row reduce; p_o / p_e / kappa are the identical IEEE expression
+    // tree of single divisions in both engines (never n*n, so no
+    // overflow at corpus scale), 6-dp floored
+    ("a12_cohen_kappa",
+      (s, sf) => graft.ops.Checks.interRaterKappa(docs(s, sf),
+        length(col("text")) >= 200, TextOps.tokenCount(col("text")) >= 40),
+      """WITH r AS (SELECT len(text) >= 200 AS ra,
+        |    (CASE WHEN trim(text)='' THEN 0
+        |          ELSE len(string_split_regex(lower(trim(text)),'\s+')) END)
+        |      >= 40 AS rb FROM documents),
+        |c AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END)::BIGINT AS n_pp,
+        |    sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)::BIGINT AS n_pn,
+        |    sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)::BIGINT AS n_np,
+        |    sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)::BIGINT AS n_nn
+        |  FROM r),
+        |k AS (SELECT n, n_pp, n_pn, n_np, n_nn,
+        |    (n_pp + n_nn)::DOUBLE / n::DOUBLE AS po,
+        |    ((n_pp + n_pn)::DOUBLE / n::DOUBLE) * ((n_pp + n_np)::DOUBLE / n::DOUBLE)
+        |      + ((n_np + n_nn)::DOUBLE / n::DOUBLE) * ((n_pn + n_nn)::DOUBLE / n::DOUBLE)
+        |      AS pe FROM c)
+        |SELECT n, n_pp, n_pn, n_np, n_nn,
+        |  floor(po * 1000000 + 0.5) / 1000000 AS po6,
+        |  floor(pe * 1000000 + 0.5) / 1000000 AS pe6,
+        |  CASE WHEN pe = 1.0 THEN 0.0
+        |       ELSE floor((po - pe) / (1.0 - pe) * 1000000 + 0.5) / 1000000
+        |  END AS kappa6
+        |FROM k""".stripMargin),
+
+    // Shannon entropy (bits) per categorical field: one stacked scan,
+    // one (field,value) count shuffle; each -p*log2(p) term 4-dp floored
+    // then DECIMAL-summed (t18's recipe — term order cannot move the
+    // total, and log2 agrees across libms at 4 dp)
+    ("a13_field_entropy",
+      (s, sf) => graft.ops.Profile.fieldEntropy(docs(s, sf),
+        Seq("lang" -> col("lang"), "source" -> col("source"))),
+      """WITH s AS (SELECT field, v FROM (
+        |    SELECT lang::VARCHAR AS v, 'lang' AS field FROM documents
+        |    UNION ALL
+        |    SELECT source::VARCHAR AS v, 'source' AS field FROM documents)),
+        |c AS (SELECT field, v, count(*) AS c FROM s GROUP BY 1, 2),
+        |t AS (SELECT field, sum(c)::BIGINT AS n, count(*) AS n_distinct
+        |  FROM c GROUP BY 1),
+        |term AS (SELECT c.field, t.n, t.n_distinct,
+        |    CAST(floor(-((c.c::DOUBLE / t.n::DOUBLE)
+        |        * log2(c.c::DOUBLE / t.n::DOUBLE)) * 10000 + 0.5) / 10000
+        |      AS DECIMAL(28,4)) AS t4
+        |  FROM c JOIN t USING (field))
+        |SELECT field, n, n_distinct, sum(t4)::DOUBLE AS entropy4
+        |FROM term GROUP BY 1, 2, 3""".stripMargin),
+
+    // exact nearest-rank length quantiles per source: the rank is pure
+    // INTEGER arithmetic (ceil(n*q/100) = (n*q+99) div 100 — no float,
+    // no representation-edge ceil disagreement), the pick is by sorted
+    // position (ties interchangeable by value) — deterministic and
+    // portable where percentile_approx is neither
+    ("a14_length_quantiles",
+      (s, sf) => graft.ops.Profile.groupQuantiles(docs(s, sf),
+        col("source"), length(col("text")), Seq(50, 90, 99)),
+      """WITH r AS (SELECT source AS grp, len(text)::BIGINT AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY len(text)) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n FROM documents)
+        |SELECT grp, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS p90,
+        |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99
+        |FROM r GROUP BY 1""".stripMargin),
+
     ("a11_chi2_independence",
       (s, sf) => graft.ops.Profile.chi2Independence(
         docs(s, sf), col("lang"), col("source")),
@@ -4090,6 +4160,36 @@ object OpsQueries {
 
     // Neyman allocation of a 1000-label budget across sources by token-
     // count variability: n_h ∝ N_h·S_h from exact decimal integer moments
+    // mixture epoch plan: the pre-flight audit of a (weights, budget)
+    // mixture — per-source target tokens, implied repetition count, and
+    // an over-cap flag for sources the plan would repeat past maxEpochs;
+    // weight-absent sources appear with weight 0 so dropped mass is
+    // visible. Counts exact; floor(budget*weight) and the 6-dp epoch
+    // ratio are the identical IEEE expression both engines
+    ("p16_epoch_plan",
+      (s, sf) => graft.ops.Pipeline.epochPlan(docs(s, sf), col("source"),
+        TextOps.tokenCount(col("text")),
+        Map("src0" -> 0.3, "src1" -> 0.2, "src7" -> 0.1),
+        totalBudget = 50000L, maxEpochs = 4.0),
+      """WITH t AS (SELECT source, CASE WHEN trim(text)='' THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok
+        |    FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS n_tokens
+        |    FROM t GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    CASE source WHEN 'src0' THEN 0.3::DOUBLE WHEN 'src1' THEN 0.2::DOUBLE
+        |                WHEN 'src7' THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END AS weight
+        |  FROM g),
+        |p AS (SELECT source, n_docs, n_tokens, weight,
+        |    floor(50000::DOUBLE * weight)::BIGINT AS target_tokens FROM w)
+        |SELECT source, n_docs, n_tokens, weight, target_tokens,
+        |  CASE WHEN n_tokens > 0 THEN floor(target_tokens::DOUBLE
+        |    / n_tokens::DOUBLE * 1000000 + 0.5) / 1000000 END AS epochs6,
+        |  CASE WHEN n_tokens > 0
+        |       THEN target_tokens::DOUBLE / n_tokens::DOUBLE > 4.0
+        |       ELSE target_tokens > 0 END AS over_cap
+        |FROM p""".stripMargin),
+
     ("p14_neyman_alloc",
       (s, sf) => graft.ops.Pipeline.neymanAllocation(
         docs(s, sf), col("source"), TextOps.tokenCount(col("text")),
@@ -4204,6 +4304,41 @@ object OpsQueries {
         |  max(np)::BIGINT AS n_pairs,
         |  floor(avg(slope) * 1000000 + 0.5) / 1000000 AS slope6
         |FROM ranked WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2""".stripMargin),
+
+    // MAD outlier days per event type over the densified daily grid:
+    // both medians are two-middle averages by sorted position, so med /
+    // absdev / mad are exact binary doubles (multiples of .5/.25) in
+    // both engines; the only inexact op is the final score division,
+    // identical IEEE before the 6-dp floor; mad=0 → NULL score and any
+    // nonzero deviation flags
+    ("ts16_mad_outliers",
+      (s, sf) => graft.ops.EventAnalytics.madOutliers(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("ts"), col("event_type"), cutoff = 3.5),
+      """WITH b AS (SELECT event_type AS etype, ts::DATE AS day, count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+        |dense AS (SELECT g.etype, g.day, coalesce(b.v, 0)::BIGINT AS v
+        |  FROM (SELECT etype, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |          AS day FROM (SELECT DISTINCT etype FROM b), sp) g
+        |  LEFT JOIN b ON b.etype = g.etype AND b.day = g.day),
+        |r1 AS (SELECT etype, v, row_number() OVER (PARTITION BY etype ORDER BY v)
+        |    AS rn, count(*) OVER (PARTITION BY etype) AS n FROM dense),
+        |med AS (SELECT etype, avg(v) AS med FROM r1
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+        |dev AS (SELECT dense.etype, day, v, med, abs(v - med) AS absdev
+        |  FROM dense JOIN med USING (etype)),
+        |r2 AS (SELECT etype, absdev, row_number() OVER (PARTITION BY etype
+        |      ORDER BY absdev) AS rn, count(*) OVER (PARTITION BY etype) AS n
+        |  FROM dev),
+        |mad AS (SELECT etype, avg(absdev) AS mad FROM r2
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+        |SELECT dev.etype, day, v, med, absdev,
+        |  CASE WHEN mad > 0.0
+        |       THEN floor(absdev / mad * 1000000 + 0.5) / 1000000 END AS score6,
+        |  CASE WHEN mad > 0.0 THEN absdev / mad > 3.5
+        |       ELSE absdev > 0.0 END AS outlier
+        |FROM dev JOIN mad USING (etype)""".stripMargin),
 
     // streaming observability: observe() metrics aggregated inside the
     // ingest scan itself (zero extra passes), read from the progress
@@ -4417,6 +4552,24 @@ object OpsQueries {
     // Zipf rank-frequency slope over the top-100 terms: OLS on 6-dp
     // ln(rank)/ln(count) with decimal-summed moments; one corpus-health
     // number (natural text ≈ −1)
+    // tokenizer-fertility profile per language: chars/token and
+    // tokens/doc from one scan — the multilingual budget skew check;
+    // exact integer sums, two 4-dp-floored double divisions
+    ("t37_fertility",
+      (s, sf) => TextOps.fertilityProfile(docs(s, sf), col("lang"), col("text")),
+      """WITH t AS (SELECT lang,
+        |    CASE WHEN trim(text)='' THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)),'\s+')) END AS ntok,
+        |    len(text) AS nch FROM documents)
+        |SELECT lang AS grp, count(*) AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+        |  sum(nch)::BIGINT AS n_chars,
+        |  floor(sum(ntok)::DOUBLE / count(*)::DOUBLE * 10000 + 0.5) / 10000
+        |    AS tok_per_doc4,
+        |  CASE WHEN sum(ntok) > 0
+        |       THEN floor(sum(nch)::DOUBLE / sum(ntok)::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS chars_per_tok4
+        |FROM t GROUP BY 1""".stripMargin),
+
     ("t36_zipf_slope",
       (s, sf) => TextOps.zipfSlope(docs(s, sf), col("text"), topN = 100),
       """WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

@@ -167,4 +167,42 @@ object Checks {
         .map(c => (c, "type_changed", a(c), b(c)))
     rows.toDF("col_name", "change", "type_from", "type_to")
   }
+
+  /** Cohen's kappa between two boolean raters — chance-corrected
+    * inter-annotator agreement, the acceptance metric for every labeled
+    * training set (two labeling runs, a labeler vs a classifier, two
+    * heuristic quality filters): κ = (p_o − p_e)/(1 − p_e) with p_o the
+    * observed agreement rate and p_e the rate two independent raters
+    * with the same marginals would agree by chance. Raw agreement
+    * overstates consensus whenever labels are imbalanced (two filters
+    * that both pass ~everything "agree" constantly); κ is what data
+    * sheets report.
+    *
+    * One scan + a 1-row reduce: the 2×2 confusion cells are four
+    * conditional sums in a single aggregate. Cross-engine exactness:
+    * the cells are exact integers; p_o and each marginal ratio is ONE
+    * double division of exact integers, p_e the sum of two products of
+    * those (never n², so no BIGINT overflow at any corpus size), and
+    * both engines evaluate the identical IEEE expression tree before
+    * one 6-dp floor. Degenerate marginals (p_e = 1: both raters
+    * constant and equal) define κ = 0 — agreement is all chance. */
+  def interRaterKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(raterA && raterB, 1L).otherwise(0L)).as("n_pp"),
+      sum(when(raterA && !raterB, 1L).otherwise(0L)).as("n_pn"),
+      sum(when(!raterA && raterB, 1L).otherwise(0L)).as("n_np"),
+      sum(when(!raterA && !raterB, 1L).otherwise(0L)).as("n_nn"))
+    val nD = col("n").cast("double")
+    val po = (col("n_pp") + col("n_nn")).cast("double") / nD
+    val pe = ((col("n_pp") + col("n_pn")).cast("double") / nD) *
+      ((col("n_pp") + col("n_np")).cast("double") / nD) +
+      ((col("n_np") + col("n_nn")).cast("double") / nD) *
+      ((col("n_pn") + col("n_nn")).cast("double") / nD)
+    def f6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    cells.select(col("n"), col("n_pp"), col("n_pn"), col("n_np"), col("n_nn"),
+      f6(po).as("po6"), f6(pe).as("pe6"),
+      when(pe === 1.0, lit(0.0))
+        .otherwise(f6((po - pe) / (lit(1.0) - pe))).as("kappa6"))
+  }
 }

@@ -228,6 +228,58 @@ object EventAnalytics {
         .as("alarm"))
   }
 
+  /** MAD (median absolute deviation) outlier days per event type — the
+    * robust twin of a z-score flag: one spike day inflates a stddev and
+    * hides its neighbors; the MAD is as spike-proof as the median
+    * (50% breakdown point). Over the densified daily grid (gap days are
+    * hard zeros): med = median volume, absdev = |v − med|,
+    * mad = median absdev, score = absdev/mad, outlier when score
+    * exceeds `cutoff` (3.5 ≈ the classic modified-z threshold 0.6745·x).
+    *
+    * Exactness by construction, no rounding recipe needed: volumes are
+    * integers, both medians are two-middle averages BY SORTED POSITION
+    * (ties interchangeable by value), so med is an exact multiple of
+    * 0.5, absdev of 0.5, mad of 0.25 — all exact binary doubles; the
+    * one inexact op is the final score division, identical IEEE in both
+    * engines before the 6-dp floor. Degenerate mad = 0 (constant
+    * series): score is NULL and any non-zero deviation is an outlier.
+    *
+    * Scale shape: everything after the daily collapse is span-bounded
+    * metadata; the two rank passes are windows over the tiny daily
+    * table, partitioned by event type. */
+  def madOutliers(events: DataFrame, ts: Column, eventType: Column,
+      cutoff: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events.select(eventType.as("etype"), to_date(ts).as("day"))
+      .groupBy(col("etype"), col("day")).agg(count(lit(1)).as("v"))
+    val span = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = byDay.select(col("etype")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("etype"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(byDay, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"), coalesce(col("v"), lit(0L)).as("v"))
+    val wE = Window.partitionBy(col("etype"))
+    def medianOf(df: DataFrame, value: Column, out: String): DataFrame = {
+      val lo = floor((col("__n") + 1) / 2).cast("long")
+      val hi = floor((col("__n") + 2) / 2).cast("long")
+      df.withColumn("__rn", row_number().over(wE.orderBy(value)))
+        .withColumn("__n", count(lit(1)).over(wE))
+        .filter(col("__rn") === lo || col("__rn") === hi)
+        .groupBy(col("etype")).agg(avg(value).as(out))
+    }
+    val med = medianOf(dense, col("v"), "med")
+    val withDev = dense.join(broadcast(med), "etype")
+      .withColumn("absdev", abs(col("v") - col("med")))
+    val mad = medianOf(withDev, col("absdev"), "mad")
+    withDev.join(broadcast(mad), "etype")
+      .select(col("etype"), col("day"), col("v"), col("med"), col("absdev"),
+        when(col("mad") > 0.0,
+          floor(col("absdev") / col("mad") * 1000000 + 0.5) / 1000000)
+          .as("score6"),
+        when(col("mad") > 0.0, col("absdev") / col("mad") > cutoff)
+          .otherwise(col("absdev") > 0.0).as("outlier"))
+  }
+
   /** Last-touch attribution: each conversion event joined to the most
     * recent PRIOR touch event of the same user (strictly before —
     * `rowsBetween(…, -1)` — so a simultaneous touch/conversion pair

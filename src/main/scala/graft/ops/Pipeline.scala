@@ -119,6 +119,47 @@ object Pipeline {
       .drop("__src", "__ntok", "__avail", "__budget")
   }
 
+  /** Mixture epoch plan — the pre-flight audit [[mixByTokenBudget]] /
+    * [[temperatureMixture]] runs are chosen FROM: given target mixture
+    * weights and a total token budget, report per source how many
+    * tokens the mix wants (`target_tokens = floor(budget·weight)`),
+    * how many exist, and the implied repetition count
+    * (`epochs = target/available`); flag sources the plan would repeat
+    * past `maxEpochs` (the data-constrained regime where more repeats
+    * stop helping — the check that catches "2% of the budget assigned
+    * to a source holding 0.01% of the tokens" before any training run).
+    * Sources absent from `weights` get weight 0 (explicitly in the
+    * report, so dropped mass is visible, not silent).
+    *
+    * One scan + a source-cardinality aggregate. Cross-engine exactness:
+    * counts are exact integers; weight is a planted literal;
+    * `floor(budget::DOUBLE · weight)` and the 6-dp-floored epoch ratio
+    * are the identical IEEE expression in both engines. */
+  def epochPlan(df: DataFrame, source: Column, tokenCount: Column,
+      weights: Map[String, Double], totalBudget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(weights.values.forall(w => w >= 0 && w <= 1), "weights out of [0,1]")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val weightCol = weights.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
+      case ((s, w), els) => when(col("source") === s, lit(w)).otherwise(els)
+    }
+    df.select(source.as("source"), tokenCount.cast("long").as("__ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+      .withColumn("weight", weightCol)
+      .withColumn("target_tokens",
+        floor(lit(totalBudget).cast("double") * col("weight")).cast("long"))
+      .withColumn("epochs6",
+        when(col("n_tokens") > 0, floor(col("target_tokens").cast("double")
+          / col("n_tokens").cast("double") * 1000000 + 0.5) / 1000000))
+      .withColumn("over_cap",
+        when(col("n_tokens") > 0,
+          col("target_tokens").cast("double") / col("n_tokens").cast("double")
+            > maxEpochs)
+          .otherwise(col("target_tokens") > 0))
+  }
+
   /** Contiguous token-budget shard packing: documents in ascending `id`
     * order are cut into shards of ≈ `budget` tokens (a new shard starts
     * when the running total would cross a budget boundary) — the layout

@@ -86,4 +86,70 @@ object Profile {
     val chi = contrib.agg(sum(dec6(col("contrib6"))).cast("double").as("chi2"))
     contrib.crossJoin(broadcast(chi))
   }
+
+  /** Shannon entropy (bits) of each field's value distribution — the
+    * dataset-card diversity number: H = −Σ p·log₂p over the value
+    * frequencies, 0 for a constant column, log₂(n_distinct) when
+    * uniform. A source/language column collapsing toward 0 bits between
+    * two crawl snapshots is a concentration regression the row counts
+    * alone never show.
+    *
+    * One scan: fields stack via a literal-array explode (rows × |fields|,
+    * still scan-stage), ONE (field, value) count shuffle — value
+    * cardinality per field, never row count — then a per-field fold.
+    * Cross-engine exactness: p is one double division of exact counts,
+    * each −p·log₂p term is 4-dp floor-rounded BEFORE the sum and summed
+    * as DECIMAL (the t18 recipe: term order cannot move the total), and
+    * log₂ agrees across libms at 4 dp. NULL values count as a regular
+    * category (they are part of the distribution). */
+  def fieldEntropy(df: DataFrame, fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "fieldEntropy needs at least one field")
+    val stacked = df.select(explode(array(fields.map { case (name, c) =>
+      struct(lit(name).as("field"), c.cast("string").as("v"))
+    }: _*)).as("fv")).select(col("fv.field").as("field"), col("fv.v").as("v"))
+    val counts = stacked.groupBy(col("field"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("field"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val term4 = floor(-(p * log2(p)) * 10000 + 0.5) / 10000
+    counts.join(broadcast(totals), "field")
+      .select(col("field"), col("n"), col("n_distinct"),
+        term4.cast("decimal(28,4)").as("t4"))
+      .groupBy(col("field"), col("n"), col("n_distinct"))
+      .agg(sum(col("t4")).cast("double").as("entropy4"))
+  }
+
+  /** EXACT per-group quantiles of an integer measure by the
+    * nearest-rank definition — the length-distribution report
+    * (p50/p90/p99 document length per source) that length-filter
+    * thresholds and packing budgets are read off of. Unlike
+    * `percentile_approx`, the answer is deterministic and
+    * engine-portable: the rank is pure INTEGER arithmetic
+    * (`ceil(n·q/100) = (n·q + 99) div 100` — never a float, so no
+    * representation-edge disagreement on where ceil lands), and the
+    * selected value is by sorted position with positions inside a
+    * value-tie class interchangeable BY VALUE.
+    *
+    * One shuffle on the group key; the rank window runs inside each
+    * group partition. Groups are assumed group-cardinality-bounded
+    * (sources, languages) — for a single global quantile over 100 TB
+    * use the same rank formula over a pre-aggregated value histogram
+    * instead. */
+  def groupQuantiles(df: DataFrame, group: Column, value: Column,
+      percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents out of [1,100]: $percents")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp"))
+    val ranked = df.select(group.as("grp"), value.cast("long").as("v"))
+      .withColumn("rn", row_number().over(w.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val picks = percents.distinct.sorted.map { p =>
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("v")))
+        .as(s"p$p")
+    }
+    ranked.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), picks: _*)
+  }
 }

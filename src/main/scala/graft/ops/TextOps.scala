@@ -707,4 +707,32 @@ object TextOps {
   /** [[htmlToText]] over a corpus: (doc_id, text) of the extracted prose. */
   def stripHtml(df: DataFrame, id: Column, html: Column): DataFrame =
     df.select(id.as("doc_id"), htmlToText(html).as("text"))
+
+  /** Tokenizer-fertility profile per group (language, script, source):
+    * characters-per-token and tokens-per-doc from one scan — the
+    * multilingual budget sanity check. A token budget split by raw
+    * token counts silently over-serves scripts the tokenizer fragments
+    * (high chars/token ≈ high subword fertility downstream) and
+    * under-serves compact ones; this report is where that skew shows
+    * up BEFORE a mixture is planned on top of it.
+    *
+    * One scan, one group-cardinality shuffle. Counts are exact
+    * integers; the two ratios are single double divisions of exact
+    * sums, 4-dp floored — identical IEEE in both engines. Empty-text
+    * docs contribute 0 tokens but still count as docs (they dilute
+    * tokens/doc — that is the point of the report). */
+  def fertilityProfile(df: DataFrame, group: Column, text: Column): DataFrame = {
+    def f4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    df.select(group.as("grp"), tokenCount(text).cast("long").as("__ntok"),
+      length(text).cast("long").as("__nch"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nch")).as("n_chars"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        f4(col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("tok_per_doc4"),
+        when(col("n_tokens") > 0,
+          f4(col("n_chars").cast("double") / col("n_tokens").cast("double")))
+          .as("chars_per_tok4"))
+  }
 }

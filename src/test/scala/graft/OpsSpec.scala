@@ -1254,6 +1254,102 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 == ((5L, 10L, 1.0)))
   }
 
+  test("interRaterKappa: textbook 2x2 cells; degenerate constant raters define 0") {
+    import spark.implicits._
+    // cells pp=20 pn=5 np=10 nn=15: po=0.7, pe=0.5*0.6+0.5*0.4=0.5,
+    // kappa=(0.7-0.5)/0.5=0.4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = graft.ops.Checks.interRaterKappa(
+        rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(r == ((50L, 20L, 5L, 10L, 15L, 0.7, 0.5, 0.4)))
+    // both raters constantly true: pe = 1, kappa defined as 0
+    val const = graft.ops.Checks.interRaterKappa(
+        Seq.fill(3)((true, true)).toDF("a", "b"), col("a"), col("b"))
+      .select(col("pe6"), col("kappa6")).as[(Double, Double)].head()
+    assert(const == ((1.0, 0.0)))
+  }
+
+  test("fieldEntropy: uniform=log2(k) bits, constant=0, skewed hand value; nulls count") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x", "m"), ("b", "x", "m"), ("c", "x", "n"), ("d", "x", null))
+      .toDF("u4", "konst", "mix")
+    val r = graft.ops.Profile.fieldEntropy(df, Seq(
+        "u4" -> col("u4"), "konst" -> col("konst"), "mix" -> col("mix")))
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r("u4") == (("u4", 4L, 4L, 2.0)))     // uniform over 4 → 2 bits
+    assert(r("konst") == (("konst", 4L, 1L, 0.0)))
+    // mix: m=2/4, n=1/4, NULL=1/4 → 0.5 + 0.5 + 0.5 = 1.5 bits
+    assert(r("mix") == (("mix", 4L, 3L, 1.5)))
+  }
+
+  test("madOutliers: spike day flags, neighbors don't; constant series has null score") {
+    import spark.implicits._
+    // daily v = 1,2,100,2,1 → med 2, absdev 1,0,98,0,1, mad 1 → only the
+    // spike day's score 98 clears the 3.5 cutoff
+    val counts = Seq(1, 2, 100, 2, 1)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("a", f"2024-03-0${d + 1}%d 12:00:00")) } ++
+      Seq(("b", "2024-03-01 00:00:00"), ("b", "2024-03-02 00:00:00"),
+        ("b", "2024-03-03 00:00:00"), ("b", "2024-03-04 00:00:00"),
+        ("b", "2024-03-05 00:00:00"))
+    val r = graft.ops.EventAnalytics.madOutliers(
+        ev.toDF("ty", "t").select(col("ty"), col("t").cast("timestamp").as("t")),
+        col("t"), col("ty"))
+      .select(col("etype"), col("day").cast("string"), col("v"),
+        col("absdev"), col("score6"), col("outlier"))
+      .as[(String, String, Long, Double, Option[Double], Boolean)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    val a = r.filter(_._1 == "a")
+    assert(a.map(_._3) == Seq(1L, 2L, 100L, 2L, 1L))
+    assert(a.map(_._4) == Seq(1.0, 0.0, 98.0, 0.0, 1.0))
+    assert(a.map(_._6) == Seq(false, false, true, false, false))
+    assert(a(2)._5.contains(98.0))
+    // constant series: mad=0 → null score, no outliers
+    val b = r.filter(_._1 == "b")
+    assert(b.forall(t => t._5.isEmpty && !t._6))
+  }
+
+  test("epochPlan: over-cap repetition flagged, weight-absent source visible at 0") {
+    import spark.implicits._
+    // a: 100 tokens available, weight 0.5 of a 1000 budget → 500 target
+    // = 5 epochs > cap 4; b: unweighted → target 0, never over
+    val df = Seq(("a", 60L), ("a", 40L), ("b", 50L)).toDF("src", "ntok")
+    val r = graft.ops.Pipeline.epochPlan(df, col("src"), col("ntok"),
+        Map("a" -> 0.5), totalBudget = 1000L, maxEpochs = 4.0)
+      .as[(String, Long, Long, Double, Long, Option[Double], Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("a") == (("a", 2L, 100L, 0.5, 500L, Some(5.0), true)))
+    assert(r("b") == (("b", 1L, 50L, 0.0, 0L, Some(0.0), false)))
+  }
+
+  test("fertilityProfile: empty docs dilute tokens/doc, chars-per-token exact") {
+    import spark.implicits._
+    val df = Seq(("x", "aa bb"), ("x", ""), ("y", "hello")).toDF("lang", "text")
+    val r = graft.ops.TextOps.fertilityProfile(df, col("lang"), col("text"))
+      .as[(String, Long, Long, Long, Double, Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("x") == (("x", 2L, 2L, 5L, 1.0, Some(2.5))))
+    assert(r("y") == (("y", 1L, 1L, 5L, 1.0, Some(5.0))))
+    // all-empty group: 0 tokens → fertility undefined, not a div-by-zero
+    val e = graft.ops.TextOps.fertilityProfile(
+        Seq(("z", "")).toDF("lang", "text"), col("lang"), col("text"))
+      .as[(String, Long, Long, Long, Double, Option[Double])].head()
+    assert(e == (("z", 1L, 0L, 0L, 0.0, None)))
+  }
+
+  test("groupQuantiles: nearest-rank picks on 1..10; singleton group collapses") {
+    import spark.implicits._
+    val df = ((1 to 10).map(("g", _)) :+ (("s", 42))).toDF("grp", "v")
+    val r = graft.ops.Profile.groupQuantiles(df, col("grp"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // ceil(10*.5)=5, ceil(10*.9)=9, ceil(10*.99)=10
+    assert(r("g") == (("g", 10L, 5L, 9L, 10L)))
+    assert(r("s") == (("s", 1L, 42L, 42L, 42L)))
+  }
+
   test("lastTouchAttribution: strictly-prior frame, simultaneous rows, unattributed") {
     import spark.implicits._
     val ev = Seq(
@@ -1735,6 +1831,39 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Layout.zValueN(Seq(lit(1L), lit(1L), lit(1L)), bits = 22)
     }
+  }
+
+  test("bench baseline loader: own format preferred; driver tail scraped segment-aware") {
+    val dir = java.nio.file.Files.createTempDirectory("bl").toFile
+    val valid = Set("d02_ngram_jaccard", "q04_join2", "s01_cosine_topk")
+    // no files at all → explicit "none", empty maps
+    assert(Bench.loadBaseline(valid, dir.getPath) == ((Map.empty, Map.empty, "none")))
+    // driver BENCH file: escaped stdout tail with an INTACT "queries"
+    // block — spread values for the same names must NOT shadow the query
+    // mins, non-gate keys (rc) are dropped, sf1_queries parsed separately
+    val tail = """\"queries\":{\"d02_ngram_jaccard\":1.500,\"q04_join2\":0.004},""" +
+      """\"spread\":{\"d02_ngram_jaccard\":9.999},\"reps\":3,""" +
+      """\"sf1_queries\":{\"d02_ngram_jaccard\":8.800}"""
+    java.nio.file.Files.writeString(new java.io.File(dir, "BENCH_r07.json").toPath,
+      s"""{"n": 7, "rc": 0, "tail": "$tail"}""")
+    val (q7, s7, src7) = Bench.loadBaseline(valid, dir.getPath)
+    assert(src7 == "BENCH_r07.json" && q7 == Map("d02_ngram_jaccard" -> 1.5,
+      "q04_join2" -> 0.004) && s7 == Map("d02_ngram_jaccard" -> 8.8))
+    // the newest round wins (numeric, not lexicographic) — and a tail cut
+    // mid-"spread" (no intact queries opener) yields NO baseline rather
+    // than silently adopting spread values as mins (the r11 tail did
+    // exactly this cut)
+    java.nio.file.Files.writeString(new java.io.File(dir, "BENCH_r10.json").toPath,
+      """{"n": 10, "tail": "gaccard\":0.700,\"q04_join2\":0.008,\"reps\":3"}""")
+    assert(Bench.loadBaseline(valid, dir.getPath) ==
+      ((Map.empty, Map.empty, "none")))
+    // own bench_baseline.json beats every driver file
+    java.nio.file.Files.writeString(new java.io.File(dir, "bench_baseline.json").toPath,
+      """{"sf":"x","reps":3,"queries":{"s01_cosine_topk":0.200},""" +
+        """"sf1_queries":{"s01_cosine_topk":2.000}}""")
+    assert(Bench.loadBaseline(valid, dir.getPath) ==
+      ((Map("s01_cosine_topk" -> 0.2), Map("s01_cosine_topk" -> 2.0),
+        "bench_baseline.json")))
   }
 
   test("compact: merges small-file debris toward the target, preserves rows, restores confs") {
