@@ -74,8 +74,15 @@ object Dedup {
 
   /** Inputs estimated above this size default to the rarity-ordered
     * prefix (the extra DF join pays for itself once a corpus-hot shingle
-    * could fan out quadratically inside its candidate bucket). */
-  private val RarityAutoBytes = BigInt(1L << 30)
+    * could fan out quadratically inside its candidate bucket). The
+    * crossover is LOW — measured steady-state (5-rep MicroBench,
+    * local[32]): at 65 KB of parquet hash wins by ~0.4 s (pure shuffle
+    * round-trip constants), at 594 KB rarity already wins 2.1 s vs
+    * 3.4 s, at 5.4 MB it wins 7.6 s vs 10 s — hot-shingle fan-out grows
+    * with corpus size while the rarity DF-join cost stays near-linear,
+    * so any real corpus wants rarity and only interactive-tiny inputs
+    * want the zero-shuffle hash order. */
+  private val RarityAutoBytes = BigInt(1L << 18)
 
   /** All-pairs exact n-gram Jaccard with ppjoin-style prefix filtering:
     * shingles are globally ordered; a pair with jaccard ≥ t must share a
