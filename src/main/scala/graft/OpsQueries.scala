@@ -172,6 +172,74 @@ object OpsQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE n_shared >= 1""".stripMargin),
 
+    // exact-substring spans (Lee et al. 2022 regime, k-gram form): every
+    // duplicated 8-token window's [pos,pos+8) merged into maximal per-doc
+    // islands — all integers, deterministic; the %7 fixture plants a
+    // 10-token boilerplate so cross-doc spans provably exist
+    ("d21_duplicated_spans",
+      (s, sf) => Dedup.duplicatedSpans(
+        docs(s, sf).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nthe quick brown fox jumps over the lazy dog again"))
+            .otherwise(lit(""))).as("text")),
+        col("doc_id"), col("text"), k = 8),
+      """WITH base AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10)||'the quick brown fox jumps over the lazy dog again'
+        |         ELSE '' END AS t FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(lower(trim(t)), '\s+') AS toks FROM base),
+        |g AS (SELECT doc_id, unnest([{'pos': i - 1,
+        |          'gram': array_to_string(toks[i:i+7], ' ')}
+        |        FOR i IN range(1, len(toks) - 6)], recursive := true)
+        |      FROM tok WHERE len(toks) >= 8),
+        |d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1),
+        |o AS (SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e FROM g JOIN d USING (gram)),
+        |m AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS isnew FROM o),
+        |isl AS (SELECT doc_id, s, e,
+        |        sum(isnew) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM m)
+        |SELECT doc_id, min(s) AS start_tok, max(e) AS end_tok,
+        |       max(e) - min(s) AS ntok
+        |FROM isl GROUP BY doc_id, island""".stripMargin),
+
+    // duplicated-token budget per doc: span coverage / total tokens, the
+    // "how much of this doc is boilerplate" signal; spans disjoint by
+    // construction so coverage is a plain sum; 0 (not NULL) when clean
+    ("d22_dup_token_fraction",
+      (s, sf) => Dedup.duplicatedTokenFraction(
+        docs(s, sf).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nthe quick brown fox jumps over the lazy dog again"))
+            .otherwise(lit(""))).as("text")),
+        col("doc_id"), col("text"), k = 8),
+      """WITH base AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10)||'the quick brown fox jumps over the lazy dog again'
+        |         ELSE '' END AS t FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(lower(trim(t)), '\s+') AS toks FROM base),
+        |g AS (SELECT doc_id, unnest([{'pos': i - 1,
+        |          'gram': array_to_string(toks[i:i+7], ' ')}
+        |        FOR i IN range(1, len(toks) - 6)], recursive := true)
+        |      FROM tok WHERE len(toks) >= 8),
+        |d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1),
+        |o AS (SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e FROM g JOIN d USING (gram)),
+        |m AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS isnew FROM o),
+        |isl AS (SELECT doc_id, s, e,
+        |        sum(isnew) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM m),
+        |sp AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        |       FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT doc_id, sum(e - s) AS dup_toks FROM sp GROUP BY 1)
+        |SELECT t.doc_id, coalesce(cov.dup_toks, 0)::BIGINT AS dup_toks,
+        |       len(t.toks) AS total_toks,
+        |       floor(coalesce(cov.dup_toks, 0)::DOUBLE / len(t.toks)
+        |             * 1000000 + 0.5) / 1000000 AS dup_frac
+        |FROM tok t LEFT JOIN cov USING (doc_id)""".stripMargin),
+
     // LSH candidates + exact verification ⇒ same rows as the exact oracle
     // (recall at j≥0.8 with 16×4 bands is 1-(1-j⁴)¹⁶ > 1-10⁻⁸)
     ("d03_minhash_lsh",

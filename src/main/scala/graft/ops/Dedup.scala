@@ -749,6 +749,76 @@ object Dedup {
         array_join(transform(col("ps"), p => p.getField("para")), "\n").as("text"))
   }
 
+  /** Duplicated-substring spans — the token-level exact-substring regime
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), which that paper implements with a suffix array on
+    * a single machine; here as the Spark-friendly k-gram equivalent:
+    * every k-token window whose text occurs more than once corpus-wide
+    * (at distinct (doc, pos) — cross-doc boilerplate AND intra-doc
+    * self-repetition both count, as in the paper) is duplicated, and
+    * per document the overlapping/abutting duplicated windows
+    * [pos, pos+k) merge into maximal spans. Any duplicated substring of
+    * ≥ k tokens is covered exactly (all its k-windows repeat); nothing
+    * shorter can trigger. Returns (doc_id, start_tok, end_tok, ntok),
+    * positions 0-based over whitespace tokens of the normalized text.
+    *
+    * Scale shape: posexplode (no shuffle, corpus-token-sized like an
+    * inverted index) → duplicated-key agg (one shuffle; map-side combine
+    * absorbs a boilerplate gram repeated 10⁹× — no single-task hot key)
+    * → join back keyed on the gram (occurrence side is data-sized; AQE
+    * skew-split handles a hot gram's bucket) → per-doc island merge
+    * (one window keyed by doc_id, bounded by the doc's own duplicated
+    * windows). The driver never sees a data-sized relation. */
+  def duplicatedSpans(df: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2: $k")
+    val base = ensureParallelism(
+      df.select(id.as("doc_id"), split(normText(text), "\\s+").as("toks")))
+    val grams = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+        .as(Seq("pos", "gram")))
+    val dupKeys = grams.groupBy(col("gram")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > 1).select(col("gram"))
+    val occ = grams.join(dupKeys, "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + k).cast("long").as("e"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    occ
+      .withColumn("__pm",
+        max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("s") > col("__pm"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wDoc))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("ntok"))
+  }
+
+  /** Per-document duplicated-token budget from [[duplicatedSpans]]: the
+    * fraction of a document's tokens covered by corpus-duplicated spans
+    * of ≥ k tokens — the "how much of this doc is boilerplate" quality
+    * signal (docs with high coverage are removal candidates; Lee et al.
+    * report ~1% of C4 tokens in such spans). Documents with no
+    * duplicated span report 0, not NULL, so the column averages
+    * honestly. Spans are disjoint by construction, so the covered count
+    * is a plain sum. */
+  def duplicatedTokenFraction(df: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(df, id, text, k)
+      .groupBy(col("doc_id")).agg(sum(col("ntok")).as("dup_toks"))
+    val totals = df.select(id.as("doc_id"),
+      size(split(normText(text), "\\s+")).cast("long").as("total_toks"))
+    totals.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup_toks"), lit(0L)).as("dup_toks"),
+        col("total_toks"),
+        (floor(coalesce(col("dup_toks"), lit(0L)) / col("total_toks")
+          * 1000000 + 0.5) / 1000000).as("dup_frac"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic dedup at the
     * embedding level — cluster the corpus, form candidate pairs only

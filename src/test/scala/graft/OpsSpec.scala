@@ -925,6 +925,31 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(3L), "a doc whose every paragraph occurred earlier drops out")
   }
 
+  test("duplicatedSpans: maximal islands, intra-doc repeats count, sub-k stays silent") {
+    import graft.ops.Dedup
+    // docs 1 and 2 share "a b c d e f" (6 tokens, k=4 → 3 windows →
+    // one merged span of 6); doc 3 repeats its own 4-gram; doc 4 shares
+    // only a 3-token run with doc 1 — below k, must not trigger
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1"),
+      (2L, "z2 a b c d e f"),
+      (3L, "p q r s gap1 gap2 p q r s"),
+      (4L, "a b c other tokens here pad"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 6L, 6L),   // tokens 0..5 of doc 1
+      (2L, 1L, 7L, 6L),   // shifted by the z2 prefix
+      (3L, 0L, 4L, 4L),   // self-repetition: both occurrences flagged
+      (3L, 6L, 10L, 4L)), s"got $got")
+    val frac = Dedup.duplicatedTokenFraction(docs, col("doc_id"), col("text"), k = 4)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(frac(1L) == ((1L, 6L, 8L, 0.75)))
+    assert(frac(3L) == ((3L, 8L, 10L, 0.8)))
+    assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
+  }
+
   test("mixByTokenBudget: rates derive from availability, clamp at 1, unbudgeted sources drop") {
     import graft.ops.Pipeline
     val df = spark.range(0, 1000).select(col("id").as("doc_id"),
