@@ -3007,6 +3007,37 @@ object OpsQueries {
     // expansion terms (tf × t16-idf, 4-dp, term tie-break), second BM25
     // pass with the expanded query; the oracle replays both passes and
     // the term mining verbatim
+    // Dirichlet query likelihood (Zhai-Lafferty): the LM retrieval twin
+    // of BM25 — per-term ln terms 4-dp floored + DECIMAL-summed (t18
+    // recipe), integers feeding every ln so both engines see identical
+    // arguments; unseen query terms drop per the LM convention
+    ("b06_query_likelihood",
+      (s, sf) => Retrieval.queryLikelihoodScores(docs(s, sf), col("doc_id"),
+        col("text"), Seq("spark", "vector", "stream"), mu = 2000.0),
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(lower(trim(text)),'\s+') END AS tk
+        |  FROM documents),
+        |c AS (SELECT SUM(len(tk))::BIGINT AS c FROM toks),
+        |p AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term FROM toks),
+        |q AS (SELECT * FROM p WHERE term IN ('spark','vector','stream')),
+        |cf AS (SELECT term, count(*)::BIGINT AS cf FROM q GROUP BY 1),
+        |konst AS (SELECT CAST(SUM(CAST(floor(ln(2000.0 * cf / (SELECT c FROM c))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(28,4))) AS DOUBLE) AS k,
+        |    count(*)::DOUBLE AS qseen FROM cf),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, max(dl) AS dl
+        |  FROM q GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, dl,
+        |    CAST(floor(ln(1 + tf * (SELECT c FROM c) / (2000.0 * cf))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(28,4)) AS s4
+        |  FROM tf JOIN cf USING (term))
+        |SELECT doc_id,
+        |  floor((CAST(SUM(s4) AS DOUBLE)
+        |    - floor((SELECT qseen FROM konst) * ln(max(dl) + 2000.0)
+        |            * 10000 + 0.5) / 10000
+        |    + (SELECT k FROM konst)) * 10000 + 0.5) / 10000 AS ql4
+        |FROM sc GROUP BY doc_id""".stripMargin),
+
     ("b05_prf_expansion",
       (s, sf) => Retrieval.prfTopK(docs(s, sf), col("doc_id"), col("text"),
         Seq("spark", "vector", "stream"), r = 3, m = 3, k = 10),
@@ -4373,6 +4404,36 @@ object OpsQueries {
         |  floor(avg(slope) * 1000000 + 0.5) / 1000000 AS slope6
         |FROM ranked WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2""".stripMargin),
 
+    // Mann-Kendall monotone-trend test on the same densified grid:
+    // S and the variance numerator are exact integers (both emitted);
+    // the only float ops are /18, sqrt, one division — identical IEEE
+    // chain both engines before the 6-dp floor; varS=0 → NULL z
+    ("ts17_mann_kendall",
+      (s, sf) => graft.ops.EventAnalytics.mannKendallDailyTrend(
+        EventStreams.readEvents(s, s"$sf/events.parquet"), col("ts")),
+      """WITH daily AS (SELECT ts::DATE AS day, count(*) AS v
+        |    FROM events GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |    AS day FROM span),
+        |series AS (SELECT date_diff('day', (SELECT d0 FROM span), grid.day)
+        |      ::BIGINT AS i, coalesce(v, 0)::BIGINT AS v
+        |  FROM grid LEFT JOIN daily USING (day)),
+        |s AS (SELECT coalesce(sum(sign(b.v - a.v)), 0)::BIGINT AS s_stat
+        |      FROM series a JOIN series b ON a.i < b.i),
+        |t AS (SELECT coalesce(sum(t*(t-1)*(2*t+5)), 0)::BIGINT AS tie_sum
+        |      FROM (SELECT count(*)::BIGINT AS t FROM series GROUP BY v)),
+        |n AS (SELECT count(*)::BIGINT AS n_days FROM series),
+        |v AS (SELECT n_days, s_stat,
+        |        (n_days*(n_days-1)*(2*n_days+5) - tie_sum)::BIGINT AS var_num
+        |      FROM n, s, t)
+        |SELECT n_days, s_stat, var_num,
+        |  CASE WHEN var_num > 0 THEN
+        |    floor((s_stat - sign(s_stat))::DOUBLE
+        |          / sqrt(var_num::DOUBLE / 18.0) * 1000000 + 0.5) / 1000000
+        |  END AS z6
+        |FROM v""".stripMargin),
+
     // MAD outlier days per event type over the densified daily grid:
     // both medians are two-middle averages by sorted position, so med /
     // absdev / mad are exact binary doubles (multiples of .5/.25) in
@@ -4793,7 +4854,41 @@ object OpsQueries {
         |  floor((n_true::DOUBLE
         |      + (-1.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)))
         |    * 10000 + 0.5) / 10000 AS noisy4
-        |FROM u""".stripMargin))
+        |FROM u""".stripMargin),
+
+    // t-closeness (ordered EMD): fully integer until ONE final division —
+    // |cumCell·N − cumGlobal·cellN| summed as int128, so there is no
+    // float cumulative-sum order hazard anywhere; acctbal bucketed to
+    // the standard low-cardinality ordered-attribute setting
+    ("pr05_t_closeness",
+      (s, sf) => graft.ops.Privacy.tClosenessReport(
+        s.read.parquet(s"$sf/customer.parquet"), Seq(col("c_nationkey")),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long"), t = 0.04),
+      """WITH base AS (SELECT c_nationkey,
+        |    floor(c_acctbal::DOUBLE / 1000)::BIGINT AS v FROM customer),
+        |g AS (SELECT v, count(*)::BIGINT AS gcnt FROM base GROUP BY 1),
+        |gc AS (SELECT v, sum(gcnt) OVER (ORDER BY v)::BIGINT AS gcum FROM g),
+        |st AS (SELECT sum(gcnt)::BIGINT AS n, count(*)::BIGINT AS m FROM g),
+        |cells AS (SELECT c_nationkey, count(*)::BIGINT AS n_rows
+        |    FROM base GROUP BY 1),
+        |cv AS (SELECT c_nationkey, v, count(*)::BIGINT AS ccnt
+        |    FROM base GROUP BY 1, 2),
+        |grid AS (SELECT cells.c_nationkey, cells.n_rows, gc.v, gc.gcum,
+        |    coalesce(cv.ccnt, 0)::BIGINT AS ccnt
+        |  FROM cells CROSS JOIN gc
+        |  LEFT JOIN cv ON cv.c_nationkey = cells.c_nationkey AND cv.v = gc.v),
+        |cum AS (SELECT c_nationkey, n_rows, gcum,
+        |    sum(ccnt) OVER (PARTITION BY c_nationkey ORDER BY v)::BIGINT
+        |      AS ccum FROM grid),
+        |num AS (SELECT c_nationkey, n_rows,
+        |    sum(abs(ccum::HUGEINT * (SELECT n FROM st)
+        |            - gcum::HUGEINT * n_rows)) AS nm
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT c_nationkey, n_rows,
+        |  floor(nm::DOUBLE / (n_rows::DOUBLE * (SELECT n FROM st)::DOUBLE
+        |        * ((SELECT m FROM st) - 1)::DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS emd6
+        |FROM num WHERE emd6 > 0.04""".stripMargin))
 
   /** Rows-only entries — empty since round 2: every op in this suite now
     * carries a hard DuckDB oracle (exact twin, portable-hash twin, or a

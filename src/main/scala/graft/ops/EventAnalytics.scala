@@ -541,6 +541,52 @@ object EventAnalytics {
       .agg((floor(avg(col("slope")) * 1000000 + 0.5) / 1000000).as("slope6"))
   }
 
+  /** Mann-Kendall trend test over the densified daily-volume grid — the
+    * nonparametric significance companion to [[theilSenDailyTrend]]
+    * (Theil-Sen answers "how steep", Mann-Kendall answers "is there a
+    * monotone trend at all"): S = Σ_{i<j} sign(v_j − v_i) over day
+    * order, tie-corrected variance
+    * varS = (n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5)) / 18 over the value
+    * tie classes, z = (S − sign(S)) / √varS (continuity-corrected;
+    * z = 0 when S = 0, NULL when varS = 0 — an all-constant series has
+    * no rankable trend).
+    *
+    * Exactness: S and the variance NUMERATOR are exact integers (both
+    * emitted), so the only float ops are the final /18, √, and one
+    * division — the identical IEEE chain in both engines before the
+    * 6-dp floor. Scale shape: the log collapses to day counts first, so
+    * the O(n²) sign-pair table is span-bounded metadata (a year is ~66k
+    * pairs); tie classes come off the same tiny series.
+    * Output: one row (n_days, s_stat, var_num, z6). */
+  def mannKendallDailyTrend(events: DataFrame, ts: Column): DataFrame = {
+    val daily = events.select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("v"))
+    val series = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+      .withColumn("i", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy())))
+    val a = series.select(col("i").as("ia"), col("v").as("va"))
+    val b = series.select(col("i").as("ib"), col("v").as("vb"))
+    val sStat = a.join(b, col("ia") < col("ib"))
+      .agg(coalesce(sum(signum(col("vb") - col("va")).cast("long")), lit(0L))
+        .as("s_stat"))
+    val ties = series.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tie_sum"))
+    val n = series.agg(count(lit(1)).as("n_days"))
+    n.crossJoin(sStat).crossJoin(ties)
+      .withColumn("var_num",
+        col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+          - col("tie_sum"))
+      .select(col("n_days"), col("s_stat"), col("var_num"),
+        when(col("var_num") > 0, floor(
+          (col("s_stat") - signum(col("s_stat"))).cast("double")
+            / sqrt(col("var_num").cast("double") / 18.0) * 1000000 + 0.5)
+          / 1000000).as("z6"))
+  }
+
   /** Day-of-week volume profile: the weekly seasonal component of the
     * event stream (Monday=0..Sunday=6), over the COMPLETE day grid with
     * absent days as hard zeros — same grid discipline as

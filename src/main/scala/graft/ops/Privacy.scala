@@ -48,6 +48,67 @@ object Privacy {
       .filter(col("n_distinct_sensitive") < l)
   }
 
+  /** t-closeness report for an ORDERED sensitive attribute (Li, Li &
+    * Venkatasubramanian 2007): per QI cell, the Earth Mover's Distance
+    * between the cell's sensitive-value distribution and the global one
+    * under the ordered-distance ground metric,
+    * EMD = (1/(m−1)) · Σ_{i<m} |P_cum(v_i) − Q_cum(v_i)| over the m
+    * global distinct values. Cells with EMD > `t` leak the attribute's
+    * skew even when k-anonymous and l-diverse (the classic salary-range
+    * example). Intended for LOW-cardinality ordered attributes (ages,
+    * brackets, scores) — the standard t-closeness setting; bucket a
+    * continuous attribute first.
+    *
+    * Exactness: fully integer until one final division —
+    * |cumCell·N − cumGlobal·cellN| is an exact DECIMAL(38,0) (int128
+    * headroom: safe to N ≈ 10¹⁹ row-pairs), summed exactly, divided
+    * once by cellN·N·(m−1) and 6-dp floored. No float cumulative sums,
+    * so no summation-order hazard at all.
+    *
+    * Scale shape: three map-side-combined aggregates (global values,
+    * cell sizes, cell×value counts) + a cells×values grid that is
+    * report-sized (|cells|·m), never row-sized; the cumulative window
+    * partitions by cell over ≤ m rows. Output: (qi..., n_rows, emd6)
+    * for cells with emd6 > t. */
+  def tClosenessReport(df: DataFrame, qis: Seq[Column], sensitive: Column,
+      t: Double): DataFrame = {
+    require(qis.nonEmpty && t > 0.0 && t < 1.0, s"need QIs and 0 < t < 1 (t=$t)")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.select((qis :+ sensitive.as("__v")): _*)
+    val qiNames = base.columns.dropRight(1).toSeq
+    val qiCols = qiNames.map(col)
+    val gvals = base.groupBy(col("__v")).agg(count(lit(1)).as("__gcnt"))
+      .withColumn("__gcum", sum(col("__gcnt")).over(
+        Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)))
+    val stats = gvals.agg(sum(col("__gcnt")).as("n"),
+      count(lit(1)).as("m")).head()
+    val bigN = stats.getLong(0)
+    val m = stats.getLong(1)
+    val cells = base.groupBy(qiCols: _*).agg(count(lit(1)).as("n_rows"))
+    val cellv = base.groupBy((qiCols :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__ccnt"))
+    val grid = cells.crossJoin(broadcast(gvals.select(col("__v"), col("__gcum"))))
+      .join(cellv, qiNames :+ "__v", "left")
+      .withColumn("__ccnt", coalesce(col("__ccnt"), lit(0L)))
+    val wCell = Window.partitionBy(qiCols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val num = grid
+      .withColumn("__ccum", sum(col("__ccnt")).over(wCell))
+      .withColumn("__d",
+        abs(col("__ccum").cast(DecimalType(38, 0)) * bigN
+          - col("__gcum").cast(DecimalType(38, 0)) * col("n_rows")))
+      .groupBy((qiCols :+ col("n_rows")): _*)
+      .agg(sum(col("__d")).as("__num"))
+    val emd6 =
+      if (m <= 1) lit(0.0)
+      else floor(col("__num").cast("double")
+        / (col("n_rows").cast("double") * bigN.toDouble * (m - 1).toDouble)
+        * 1000000 + 0.5) / 1000000
+    num.select((qiCols :+ col("n_rows") :+ emd6.as("emd6")): _*)
+      .filter(col("emd6") > t)
+  }
+
   /** Laplace-noised group counts (ε-DP mechanism shape, sensitivity 1,
     * b = 1/ε): the noisy-histogram release for sharing corpus
     * composition without exact membership counts. Noise is drawn by

@@ -87,6 +87,60 @@ object Retrieval {
         (floor(col("sum4").cast("double") * 10000 + 0.5) / 10000).as("bm25"))
   }
 
+  /** Dirichlet-smoothed query-likelihood scores (Zhai & Lafferty 2001) —
+    * the language-model retrieval twin of [[bm25Scores]]:
+    * score(q,d) = Σ_{t∈q} ln((tf + μ·cf_t/|C|) / (dl + μ)), decomposed
+    * as Σ_{matched t} ln(1 + tf·|C|/(μ·cf_t)) − |q|·ln(dl + μ) + const,
+    * const = Σ_{t∈q} ln(μ·cf_t/|C|). Query terms unseen in the corpus
+    * (cf = 0) are dropped, the standard LM convention — their true
+    * probability is 0 and would −∞ every document equally.
+    *
+    * Cross-engine exactness: the t18 recipe — every ln term is floored
+    * at 4 dp and summed as DECIMAL so the score is float-order-free;
+    * |C|, cf, tf, dl are exact integers so each ln's argument is the
+    * identical double in both engines. Scored docs = docs matching ≥1
+    * seen term (the background-only tail scores the same constant for
+    * a given dl and is never wanted in a ranking).
+    *
+    * Scale shape: one corpus pass for |C|; cf needs only the ≤|q|
+    * matched-term counts (collected — query-sized metadata, the same
+    * driver pattern as bm25's stats row); the scored relation is
+    * match-bounded. Output: (doc_id, ql4). */
+  def queryLikelihoodScores(df: DataFrame, id: Column, text: Column,
+      query: Seq[String], mu: Double = 2000.0): DataFrame = {
+    require(query.nonEmpty, "query likelihood needs at least one query term")
+    require(mu > 0, s"Dirichlet mu must be positive: $mu")
+    val toks = df.select(id.as("doc_id"), TextOps.tokens(text).as("tk"))
+    val totalC = toks.agg(sum(size(col("tk"))).as("c")).head().getLong(0)
+    val pairs = toks.select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(query: _*))
+    // corpus frequency of each SEEN query term — ≤|q| rows, metadata
+    val cf = pairs.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qSeen = cf.size
+    // exact DECIMAL-style sum of the 4-dp-floored terms (BigDecimal, so
+    // Map iteration order cannot wiggle the last ulp), then ONE rounding
+    // to double — the same value DuckDB's DECIMAL sum + DOUBLE cast gives
+    val const = cf.valuesIterator
+      .map(c => BigDecimal(math.floor(math.log(mu * c / totalC) * 10000 + 0.5))
+        / 10000)
+      .sum.toDouble
+    val tf = pairs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val cfCol = coalesce(element_at(map(cf.toSeq.flatMap { case (t, c) =>
+      Seq(lit(t), lit(c.toDouble)) }: _*), col("term")), lit(0.0))
+    val term4 = floor(log(lit(1.0) + col("tf") * totalC / (lit(mu) * cfCol))
+      * 10000 + 0.5) / 10000
+    tf.select(col("doc_id"), col("dl"), term4.cast(DecimalType(28, 4)).as("s4"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s4")).as("sum4"), first(col("dl")).as("dl"))
+      .select(col("doc_id"),
+        (floor((col("sum4").cast("double")
+          - floor(lit(qSeen.toDouble) * log(col("dl") + mu) * 10000 + 0.5) / 10000
+          + const) * 10000 + 0.5) / 10000).as("ql4"))
+  }
+
   /** Top-`k` BM25 retrieval (deterministic: ties broken by doc_id). Plans
     * as TakeOrderedAndProject — per-partition heaps, no global sort. */
   def bm25TopK(df: DataFrame, id: Column, text: Column, query: Seq[String],

@@ -950,6 +950,60 @@ class OpsSpec extends AnyFunSuite {
     assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
   }
 
+  test("mannKendall: textbook S and tie-corrected variance, constant series yields NULL z") {
+    import graft.ops.EventAnalytics
+    // daily volumes (1, 2, 3): S = 3, no ties -> var_num = 3*2*11 = 66,
+    // z = (3-1)/sqrt(66/18) = 1.04446...
+    val up = Seq("2024-01-01 10:00:00", "2024-01-02 10:00:00",
+      "2024-01-02 11:00:00", "2024-01-03 10:00:00", "2024-01-03 11:00:00",
+      "2024-01-03 12:00:00").toDF("t").select(col("t").cast("timestamp").as("ts"))
+    val r = EventAnalytics.mannKendallDailyTrend(up, col("ts"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(r._1 == 3 && r._2 == 3 && r._3 == 66)
+    assert(math.abs(r._4.get - 1.044465) < 1e-6, s"z6 was ${r._4}")
+    // gap day densifies to zero: days 1 and 3 -> v = (1, 0, 2), S = sign(0-1)+sign(2-1)+sign(2-0) = 1
+    val gap = Seq("2024-01-01 10:00:00", "2024-01-03 10:00:00",
+      "2024-01-03 11:00:00").toDF("t").select(col("t").cast("timestamp").as("ts"))
+    assert(EventAnalytics.mannKendallDailyTrend(gap, col("ts"))
+      .as[(Long, Long, Long, Option[Double])].collect().head._2 == 1)
+    // constant series: one tie class of n -> var_num = 0 -> z NULL
+    val const = Seq("2024-01-01 10:00:00", "2024-01-02 10:00:00")
+      .toDF("t").select(col("t").cast("timestamp").as("ts"))
+    val c = EventAnalytics.mannKendallDailyTrend(const, col("ts"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(c._2 == 0 && c._3 == 0 && c._4.isEmpty)
+  }
+
+  test("queryLikelihood: matches the closed-form score, unseen terms drop") {
+    import graft.ops.Retrieval
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // |C| = 5, cf(a) = 3; score(d) = ln((tf + mu*3/5)/(dl + mu)), mu = 1
+    val got = Retrieval.queryLikelihoodScores(docs, col("doc_id"), col("text"),
+        Seq("a"), mu = 1.0).as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - math.log((2 + 0.6) / 4.0)) < 3e-4, s"${got(1L)}")
+    assert(math.abs(got(2L) - math.log((1 + 0.6) / 3.0)) < 3e-4, s"${got(2L)}")
+    assert(got(1L) > got(2L), "higher tf on same-ish dl must rank higher")
+    val withUnseen = Retrieval.queryLikelihoodScores(docs, col("doc_id"),
+      col("text"), Seq("a", "zzz_not_in_corpus"), mu = 1.0)
+      .as[(Long, Double)].collect().toMap
+    assert(withUnseen == got, "corpus-unseen query terms drop without a trace")
+  }
+
+  test("tCloseness: exact ordered EMD on a hand-computed fixture") {
+    import graft.ops.Privacy
+    // global: v0 x3, v1 x2 (N=5, m=2). Cell A = {0,0}: EMD = |2*5-3*2| / (2*5*1) = 0.4
+    // Cell B = {0,1,1}: |1*5-3*3| / (3*5*1) = 4/15 = 0.266667
+    val df = Seq(("A", 0), ("A", 0), ("B", 0), ("B", 1), ("B", 1))
+      .toDF("cell", "v")
+    val all = Privacy.tClosenessReport(df, Seq(col("cell")), col("v"), t = 0.1)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(all("A") == (("A", 2L, 0.4)))
+    assert(all("B") == (("B", 3L, 0.266667)))
+    val strict = Privacy.tClosenessReport(df, Seq(col("cell")), col("v"), t = 0.3)
+    assert(strict.as[(String, Long, Double)].collect().toSeq == Seq(("A", 2L, 0.4)),
+      "threshold filters the compliant cell")
+  }
+
   test("mixByTokenBudget: rates derive from availability, clamp at 1, unbudgeted sources drop") {
     import graft.ops.Pipeline
     val df = spark.range(0, 1000).select(col("id").as("doc_id"),
