@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
 object OpsQueries {
 
   private def docs(s: SparkSession, sf: String) = s.read.parquet(s"$sf/documents.parquet")
+
+  /** Unrolled k-core peel for the g10 oracle: DuckDB's recursive CTEs
+    * cannot re-aggregate per iteration, so the peel is unrolled to
+    * `rounds` idempotent steps — the sf0.01 fixture converges in 3, and
+    * extra rounds are no-ops on a fixpoint, so 8 is safely past it. */
+  private def kcorePeelSql(k: Int, rounds: Int): String = {
+    def deg(src: String) =
+      s"(SELECT n FROM (SELECT u AS n FROM $src UNION ALL SELECT v FROM $src)" +
+        s" GROUP BY 1 HAVING count(*) >= $k)"
+    val peels = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"p${i - 1}"
+      s"p$i AS MATERIALIZED (SELECT e.u, e.v FROM $prev e\n" +
+        s"  JOIN ${deg(prev)} du ON du.n = e.u\n" +
+        s"  JOIN ${deg(prev)} dv ON dv.n = e.v)"
+    }.mkString(",\n")
+    """WITH e0 AS MATERIALIZED (SELECT DISTINCT
+      |    least(l_partkey, l_suppkey + 1000000) AS u,
+      |    greatest(l_partkey, l_suppkey + 1000000) AS v
+      |  FROM lineitem
+      |  WHERE l_orderkey % 17 = 0 AND l_partkey <> l_suppkey + 1000000),
+      |""".stripMargin + peels +
+      s"""\nSELECT n AS node, count(*)::BIGINT AS core_deg
+         |FROM (SELECT u AS n FROM p$rounds UNION ALL SELECT v FROM p$rounds)
+         |GROUP BY 1""".stripMargin
+  }
   private def emb(s: SparkSession, sf: String) = s.read.parquet(s"$sf/embeddings.parquet")
 
   /** The query-vector for ANN queries: embedding of vec_id 0 (read once,
@@ -4013,6 +4038,20 @@ object OpsQueries {
         |  END AS cc6
         |FROM deg d LEFT JOIN tc USING (node)""".stripMargin),
 
+    // k-core by iterative peel (Seidman): a %17 slice of the part-
+    // supplier graph cascades for 3 peel rounds at k=4 before the
+    // fixpoint — a plain degree filter provably gives the WRONG answer
+    // here; the oracle unrolls 8 idempotent peels (see kcorePeelSql)
+    ("g10_kcore",
+      (s, sf) => {
+        val e = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_orderkey") % 17 === 0)
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        graft.ops.Graph.kCore(e, col("src"), col("dst"), k = 4)
+      },
+      kcorePeelSql(k = 4, rounds = 8)),
+
     // record linkage: prefix-blocked Jaro-Winkler pairs over the DISTINCT
     // part-name domain — the native codegen'd scorer
     // (graft.functions.JaroWinklerSim) against DuckDB's built-in
@@ -4329,6 +4368,44 @@ object OpsQueries {
         |  floor(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE
         |    * 1000000 + 0.5) / 1000000 AS p6
         |FROM c""".stripMargin),
+
+    // Kaplan-Meier survival (product-limit): per-user activity spans as
+    // durations, %4 pseudo-censoring; ln terms on exact-rational args
+    // 6-dp floored + DECIMAL-cumsummed in duration order, only the final
+    // exp is float; d=n pins survival to exactly 0 past the wipe point
+    ("f08_survival",
+      (s, sf) => graft.ops.EventAnalytics.kaplanMeier(
+        EventStreams.readEvents(s, s"$sf/events.parquet")
+          .groupBy(col("user_id"))
+          .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+            .as("dur")),
+        col("dur"), col("user_id") % 4 =!= 0),
+      """WITH per AS (SELECT user_id,
+        |    date_diff('day', min(ts::DATE), max(ts::DATE))::BIGINT AS t,
+        |    (user_id % 4 <> 0) AS obs FROM events GROUP BY user_id),
+        |byt AS (SELECT t, count(*)::BIGINT AS n_at,
+        |    sum(CASE WHEN obs THEN 1 ELSE 0 END)::BIGINT AS n_events
+        |  FROM per GROUP BY 1),
+        |r AS (SELECT t, n_events, (n_at - n_events)::BIGINT AS n_censored,
+        |    ((SELECT sum(n_at) FROM byt)
+        |     - coalesce(sum(n_at) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS n_risk
+        |  FROM byt),
+        |s AS (SELECT t, n_risk, n_events, n_censored,
+        |    floor(n_events::DOUBLE / n_risk * 1000000 + 0.5) / 1000000 AS haz6,
+        |    CASE WHEN n_events < n_risk THEN
+        |      CAST(floor(ln(1.0 - n_events::DOUBLE / n_risk) * 1000000 + 0.5)
+        |           / 1000000 AS DECIMAL(28,6)) END AS term,
+        |    max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t) AS wiped
+        |  FROM r)
+        |SELECT t, n_risk, n_events, n_censored, haz6,
+        |  CASE WHEN wiped = 1 THEN 0.0
+        |       ELSE floor(exp(CAST(coalesce(sum(term) OVER (ORDER BY t), 0)
+        |              AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |  END AS surv6
+        |FROM s""".stripMargin),
 
     // day-of-week volume profile (weekly seasonal component): same
     // complete-grid discipline as ts13, Monday=0 on both engines

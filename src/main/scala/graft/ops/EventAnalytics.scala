@@ -610,4 +610,59 @@ object EventAnalytics {
       .withColumn("avg4", floor(col("total_v").cast("double")
         / col("n_days").cast("double") * 10000 + 0.5) / 10000)
   }
+
+  /** Kaplan-Meier survival curve (product-limit estimator) over
+    * (duration, observed) subject rows — the churn/retention-curve
+    * estimator that handles CENSORING correctly (a user still active at
+    * observation end is not a churn at their last-seen duration; naive
+    * retention curves get exactly this wrong). Standard conventions:
+    * subjects censored at t remain in the risk set AT t; survival steps
+    * only at observed-event times.
+    *
+    * S(t) = Π_{t_i ≤ t} (1 − d_i / n_i). Cross-engine determinism: each
+    * ln(1 − d/n) term has an exact-rational argument (identical double
+    * both engines), is 6-dp floored and cumulatively summed as
+    * DECIMAL(28,6) in duration order (exact, order-free), and only the
+    * final exp + 6-dp floor is float — the t18 recipe stretched over a
+    * cumulative product. d = n (risk set wiped at t) pins S to exactly
+    * 0.0 from t on, bypassing ln(0).
+    *
+    * Scale shape: one map-side-combined collapse to per-duration counts;
+    * every window after that runs on the distinct-duration table
+    * (span-bounded metadata, the theilSen discipline).
+    * Output: (t, n_risk, n_events, n_censored, haz6, surv6) ordered by t. */
+  def kaplanMeier(df: DataFrame, duration: Column, observed: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byT = df.select(duration.cast("long").as("t"),
+        observed.cast("boolean").as("__obs"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("__n_at"),
+        sum(when(col("__obs"), 1L).otherwise(0L)).as("n_events"))
+      .withColumn("n_censored", col("__n_at") - col("n_events"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("n_risk",
+        sum(col("__n_at")).over(Window.partitionBy())
+          - coalesce(sum(col("__n_at")).over(wPrev), lit(0L)))
+      .withColumn("haz6",
+        floor(col("n_events").cast("double") / col("n_risk") * 1000000 + 0.5)
+          / 1000000)
+      .withColumn("__term",
+        when(col("n_events") < col("n_risk"),
+          (floor(log(lit(1.0) - col("n_events").cast("double") / col("n_risk"))
+            * 1000000 + 0.5) / 1000000).cast(DecimalType(28, 6)))
+          .otherwise(lit(null).cast(DecimalType(28, 6))))
+      .withColumn("__wiped",
+        max(when(col("n_events") === col("n_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("surv6",
+        when(col("__wiped") === 1, lit(0.0))
+          .otherwise(floor(
+            exp(coalesce(sum(col("__term")).over(wCum), lit(0))
+              .cast("double")) * 1000000 + 0.5) / 1000000))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("haz6"), col("surv6"))
+  }
 }

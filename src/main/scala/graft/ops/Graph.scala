@@ -279,6 +279,54 @@ object Graph {
             * 1000000 + 0.5) / 1000000))
   }
 
+  /** k-core subgraph by iterative peeling (Seidman 1983; the distributed
+    * peel of Montresor et al.): repeatedly delete every node of degree
+    * < k until a fixpoint — what survives is the maximal subgraph whose
+    * every node keeps ≥ k neighbors INSIDE it. The community-detection /
+    * spam-farm / graph-summarization primitive a plain degree filter
+    * gets wrong (dropping a weak node can demote its neighbors below k,
+    * so one pass never suffices).
+    *
+    * Scale shape: each round is one degree aggregation + two semi-joins
+    * on the shrinking edge set — edges only ever shrink, so the worst
+    * round costs one shuffle of the CURRENT edge set; `localCheckpoint`
+    * per round truncates the iterative-plan lineage (the pageRank
+    * discipline) and the convergence test is an edge COUNT, a scalar.
+    * Rounds are data-bounded (each removes ≥1 node or terminates);
+    * `maxRounds` is a runaway backstop, hit only by adversarial chains
+    * (a path graph peels one end per round) — raise it, don't loop
+    * driver-side around this. Returns (node, core_deg) for k-core
+    * members, core_deg = degree within the core (≥ k by construction).
+    *
+    * Reference semantics: standard k-core over the UNDIRECTED deduped
+    * simple graph (self-loops dropped, direction ignored). */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+      maxRounds: Int = 200): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var e = undirected(edges, src, dst)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var m = e.count()
+    var round = 0
+    var converged = m == 0L
+    while (!converged && round < maxRounds) {
+      val strong = degreesOf(e).filter(col("deg") >= k).select(col("node"))
+      val next = e
+        .join(strong.withColumnRenamed("node", "u"), "u")
+        .join(strong.withColumnRenamed("node", "v"), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val m2 = next.count()
+      e.unpersist()
+      e = next
+      converged = m2 == m
+      m = m2
+      round += 1
+    }
+    require(converged, s"kCore did not converge in $maxRounds rounds " +
+      "(pathological chain graph? raise maxRounds)")
+    degreesOf(e).withColumnRenamed("deg", "core_deg")
+  }
+
   /** Adamic-Adar link-prediction scores over a bipartite co-occurrence
     * graph: for items a, b the score is Σ over shared groups g of
     * 1/ln(|g|) — a shared SMALL group (two parts in a 3-line order) is

@@ -950,6 +950,37 @@ class OpsSpec extends AnyFunSuite {
     assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
   }
 
+  test("kaplanMeier: textbook product-limit values, censoring holds risk set, wipe pins 0") {
+    import graft.ops.EventAnalytics
+    // subjects: die@1, die@2, censored@2, die@3
+    // t=1: n=4 d=1 S=0.75 | t=2: n=3 d=1 c=1 S=0.5 | t=3: n=1 d=1 S=0 (wipe)
+    val subjects = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .toDF("dur", "obs")
+    val got = EventAnalytics.kaplanMeier(subjects, col("dur"), col("obs"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0L, 0.25, 0.75)))
+    assert(got(2L) == ((2L, 3L, 1L, 1L, 0.333333, 0.5)))
+    assert(got(3L) == ((3L, 1L, 1L, 0L, 1.0, 0.0)),
+      "risk set wiped at t=3: survival is exactly 0, no ln(0)")
+  }
+
+  test("kCore: peel cascades (degree filter alone is wrong), path graph empties") {
+    import graft.ops.Graph
+    // triangle {1,2,3} + pendant 4: k=2 drops 4 in round 1; the triangle
+    // survives at core_deg 2. Duplicate + reversed edges must not inflate.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L), (2L, 1L))
+      .toDF("s", "d")
+    val got = Graph.kCore(tri, col("s"), col("d"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    // path a-b-c-d at k=2: endpoints peel, then the middle — a one-pass
+    // degree filter would keep b and c (degree 2); the fixpoint is empty
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L)).toDF("s", "d")
+    assert(Graph.kCore(path, col("s"), col("d"), k = 2).count() == 0,
+      "cascading peel must empty a path graph")
+  }
+
   test("mannKendall: textbook S and tie-corrected variance, constant series yields NULL z") {
     import graft.ops.EventAnalytics
     // daily volumes (1, 2, 3): S = 3, no ties -> var_num = 3*2*11 = 66,
