@@ -3650,6 +3650,58 @@ object OpsQueries {
         |    * 1000000 + 0.5) / 1000000 AS tvd6
         |FROM j GROUP BY slice""".stripMargin),
 
+    // Jensen-Shannon drift (log2) per source: same absent-mass folding as
+    // t26's TVD — slice-absent terms contribute exactly q/2 each, so the
+    // sum runs over present terms plus the (1 - sum q)/2 remainder;
+    // per-term contributions 10-dp floored + DECIMAL-summed
+    ("t38_jsd_drift",
+      (s, sf) => TextOps.jsDivergenceDrift(docs(s, sf), col("source"), col("text")),
+      """WITH pairs AS (SELECT source AS slice,
+        |    unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |sc AS (SELECT slice, term, count(*) AS c FROM pairs GROUP BY 1, 2),
+        |sn AS (SELECT slice, sum(c)::BIGINT AS n_slice FROM sc GROUP BY 1),
+        |tg AS (SELECT term, sum(c)::BIGINT AS c_glob FROM sc GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM sc),
+        |pq AS (SELECT sc.slice,
+        |    sc.c::DOUBLE / sn.n_slice::DOUBLE AS p,
+        |    (tg.c_glob - sc.c)::DOUBLE
+        |      / ((SELECT n FROM tot) - sn.n_slice)::DOUBLE AS q,
+        |    (tg.c_glob > sc.c) AS has_q
+        |  FROM sc JOIN sn USING (slice) JOIN tg USING (term)
+        |  WHERE sn.n_slice < (SELECT n FROM tot)),
+        |j AS (SELECT slice,
+        |    CAST(floor((p * (ln(2.0 * p / (p + q)) / ln(2.0))
+        |      + CASE WHEN has_q THEN q * (ln(2.0 * q / (p + q)) / ln(2.0))
+        |             ELSE 0.0 END) * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10)) AS td,
+        |    CAST(floor(q * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10)) AS qd
+        |  FROM pq)
+        |SELECT slice, count(*) AS n_terms,
+        |  floor((CAST(sum(td) AS DOUBLE) + 1.0 - CAST(sum(qd) AS DOUBLE)) / 2.0
+        |    * 1000000 + 0.5) / 1000000 AS jsd6
+        |FROM j GROUP BY slice""".stripMargin),
+
+    // per-dimension embedding health stats: one posexplode + one
+    // dim-keyed aggregate; mean/var are stats of the 6-dp-quantized
+    // values (DECIMAL-summed, order-free), min/max raw float32-exact
+    ("s18_embed_dim_stats",
+      (s, sf) => graft.ops.Similarity.embeddingDimStats(emb(s, sf), col("embedding")),
+      """WITH x AS (SELECT unnest(embedding)::DOUBLE AS v,
+        |    (generate_subscripts(embedding, 1) - 1)::INT AS dim
+        |  FROM embeddings),
+        |d AS (SELECT dim, v,
+        |    CAST(floor(v * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) AS v6,
+        |    CAST(floor(v * v * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10)) AS sq10
+        |  FROM x)
+        |SELECT dim, count(*)::BIGINT AS n,
+        |  floor(CAST(sum(v6) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+        |    AS mean6,
+        |  floor((CAST(sum(sq10) AS DOUBLE)
+        |      - CAST(sum(v6) AS DOUBLE) * CAST(sum(v6) AS DOUBLE) / count(*))
+        |    / count(*) * 1000000 + 0.5) / 1000000 AS var6,
+        |  min(v) AS vmin, max(v) AS vmax
+        |FROM d GROUP BY dim""".stripMargin),
+
     // ---- dataset profiling -----------------------------------------------
     // ANALYZE TABLE in one scan: all measures for all three columns in a
     // single aggregate (multi-distinct via Expand), reshaped result-side

@@ -601,6 +601,39 @@ object Similarity {
     * apply to) the corpus's MAJORITY vector length; rows of any other
     * length score NULL and sort first — a wrong-length embedding IS the
     * most extreme outlier, not a prefix-cosine accident. */
+  /** Per-dimension embedding health stats — the drift/collapse check an
+    * embedding pipeline runs before trusting a new encoder snapshot: a
+    * dimension whose variance collapses to ~0 is dead, a mean drifting
+    * from 0 breaks downstream cosine assumptions, min/max catch
+    * saturation. One posexplode (scan-stage, no shuffle) + one
+    * dimension-keyed aggregate (map-side combined; cardinality = vector
+    * width). Values are 6-dp floored + DECIMAL-summed (and squares at
+    * 10 dp) so mean/variance are addition-order-free — the documented
+    * contract is "stats of the 6-dp-quantized values", which is what a
+    * drift check wants (and the only thing any engine can reproduce
+    * bit-for-bit); min/max are raw. float32 inputs are exact in double,
+    * so both engines quantize identical values.
+    * Output: (dim 0-based, n, mean6, var6, vmin, vmax). */
+  def embeddingDimStats(df: DataFrame, vec: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = df.select(posexplode(vec.cast("array<double>")).as(Seq("dim", "v")))
+    val v6 = (floor(col("v") * 1000000 + 0.5) / 1000000).cast(DecimalType(38, 6))
+    val sq10 = (floor(col("v") * col("v") * 1e10 + 0.5) / 1e10)
+      .cast(DecimalType(38, 10))
+    x.select(col("dim"), col("v"), v6.as("__v6"), sq10.as("__sq10"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__v6")).as("__s"),
+        sum(col("__sq10")).as("__ssq"), min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"))
+      .select(col("dim"), col("n"),
+        (floor(col("__s").cast("double") / col("n") * 1000000 + 0.5) / 1000000)
+          .as("mean6"),
+        (floor((col("__ssq").cast("double")
+          - col("__s").cast("double") * col("__s").cast("double") / col("n"))
+          / col("n") * 1000000 + 0.5) / 1000000).as("var6"),
+        col("vmin"), col("vmax"))
+  }
+
   def embeddingOutliers(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
     VectorFunctions.register(df.sparkSession)
     val base = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))

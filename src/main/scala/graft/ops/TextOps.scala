@@ -680,6 +680,54 @@ object TextOps {
     out
   }
 
+  /** Jensen-Shannon drift per slice — the second drift metric next to
+    * [[distributionDrift]]'s TVD (JSD weights the SHAPE of the
+    * disagreement: a term going 1% → 0% moves JSD far more than one
+    * going 11% → 10%, which is what you want when hunting vocabulary
+    * collapse between corpus snapshots). For each slice, the JSD (log₂,
+    * so ∈ [0,1]) between the slice's term distribution P and the
+    * complement-of-slice distribution Q:
+    * JSD = ½ Σ [p·log₂(2p/(p+q)) + q·log₂(2q/(p+q))].
+    *
+    * Terms ABSENT from the slice fold algebraically — each contributes
+    * exactly ½q, so their total is ½(1 − Σ_present q) and the sum runs
+    * over slice-present terms only (same absent-mass folding as the TVD
+    * op — no full-vocabulary grid is ever materialized). Per-term
+    * contributions are 10-dp floored and DECIMAL-summed, so the result
+    * is addition-order-free; every log argument is a ratio of exact
+    * integer-derived doubles.
+    *
+    * Scale shape: identical to the TVD op — one (slice, term) count
+    * aggregate (map-side combined), slice totals broadcast, global term
+    * counts joined on the term key. Output: (slice, n_terms, jsd6). */
+  def jsDivergenceDrift(df: DataFrame, slice: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = df.select(slice.as("slice"), explode(tokens(text)).as("term"))
+    val sc = pairs.groupBy(col("slice"), col("term")).agg(count(lit(1)).as("c"))
+      .persist()
+    val sliceN = sc.groupBy(col("slice")).agg(sum(col("c")).as("n_slice"))
+    val termG = sc.groupBy(col("term")).agg(sum(col("c")).as("c_glob"))
+    val totalN = sc.agg(sum(col("c"))).head().getLong(0)
+    val p = col("c").cast("double") / col("n_slice").cast("double")
+    val q = (col("c_glob") - col("c")).cast("double") /
+      (lit(totalN) - col("n_slice")).cast("double")
+    val log2 = (c: Column) => log(c) / log(lit(2.0))
+    val term = p * log2(lit(2.0) * p / (p + q)) +
+      when(col("c_glob") > col("c"), q * log2(lit(2.0) * q / (p + q)))
+        .otherwise(lit(0.0))
+    val d10 = (c: Column) => (floor(c * 1e10 + 0.5) / 1e10).cast(DecimalType(38, 10))
+    sc.join(broadcast(sliceN), "slice")
+      .join(termG, "term")
+      .filter(col("n_slice") < totalN)
+      .select(col("slice"), d10(term).as("td"), d10(q).as("qd"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("td")).as("sum_td"), sum(col("qd")).as("sum_qd"))
+      .select(col("slice"), col("n_terms"),
+        (floor((col("sum_td").cast("double") + 1.0 - col("sum_qd").cast("double"))
+          / 2.0 * 1000000 + 0.5) / 1000000).as("jsd6"))
+  }
+
   /** HTML → text extraction: the first transform of any web-crawl corpus
     * pass (the CommonCrawl WARC→WET step). Drops `<script>`/`<style>`
     * subtrees and comments FIRST (their bodies may contain bare `<` that

@@ -950,6 +950,29 @@ class OpsSpec extends AnyFunSuite {
     assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
   }
 
+  test("jsDivergenceDrift: 0 for identical distributions, 1 for disjoint vocabularies") {
+    import graft.ops.TextOps
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
+    val s = TextOps.jsDivergenceDrift(same, col("src"), col("text"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(s("A") == 0.0 && s("B") == 0.0, s"identical slices must JSD 0: $s")
+    val disj = Seq(("A", "x x"), ("B", "y y")).toDF("src", "text")
+    val d = TextOps.jsDivergenceDrift(disj, col("src"), col("text"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(d("A") == 1.0 && d("B") == 1.0, s"disjoint vocabularies must JSD 1: $d")
+  }
+
+  test("embeddingDimStats: exact hand-computed moments per dimension") {
+    import graft.ops.Similarity
+    val df = Seq((1L, Seq(1.0f, -1.0f)), (2L, Seq(3.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDimStats(df, col("embedding"))
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0) == ((0, 2L, 2.0, 1.0, 1.0, 3.0)))
+    assert(got(1) == ((1, 2L, -1.0, 0.0, -1.0, -1.0)), "dead dim: var exactly 0")
+  }
+
   test("kaplanMeier: textbook product-limit values, censoring holds risk set, wipe pins 0") {
     import graft.ops.EventAnalytics
     // subjects: die@1, die@2, censored@2, die@3
