@@ -16,6 +16,46 @@ object OpsQueries {
 
   private def docs(s: SparkSession, sf: String) = s.read.parquet(s"$sf/documents.parquet")
 
+  /** Unrolled power iteration for the s19 PCA oracle: every Spark-side
+    * step (8-dp-floored products, exact DECIMAL sums, 10-dp-floored
+    * norm squares) restated per iteration; MATERIALIZED so DuckDB never
+    * inlines the chain exponentially (the g10 lesson). */
+  private def pcaPowerSql(iterations: Int): String = {
+    val head =
+      """WITH x AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |    (generate_subscripts(embedding, 1) - 1)::INT AS i FROM embeddings),
+        |m AS MATERIALIZED (SELECT i,
+        |    floor(CAST(SUM(CAST(floor(v * 1000000 + 0.5) / 1000000
+        |        AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1000000 + 0.5)
+        |      / 1000000 AS mean6 FROM x GROUP BY i),
+        |cent AS MATERIALIZED (SELECT x.vec_id, x.i, x.v - m.mean6 AS vc
+        |  FROM x JOIN m USING (i)),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        |cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(floor(a.vc * b.vc * 1e10 + 0.5) / 1e10
+        |        AS DECIMAL(38,10))) AS DOUBLE) / (SELECT n FROM nn) AS c
+        |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |dd AS (SELECT count(*)::BIGINT AS d FROM m),
+        |v0 AS MATERIALIZED (SELECT i,
+        |    floor(1.0 / sqrt((SELECT d FROM dd)::DOUBLE) * 1e8 + 0.5) / 1e8
+        |      AS val FROM m)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT cov.i,
+         |    CAST(SUM(CAST(floor(cov.c * p.val * 1e8 + 0.5) / 1e8
+         |        AS DECIMAL(38,8))) AS DOUBLE) AS w
+         |  FROM cov JOIN v${k - 1} p ON p.i = cov.j GROUP BY cov.i),
+         |n$k AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1e10 + 0.5) / 1e10
+         |    AS DECIMAL(38,10))) AS DOUBLE)) AS nrm FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i,
+         |    floor(w / (SELECT nrm FROM n$k) * 1e8 + 0.5) / 1e8 AS val
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iters +
+      s"""\nSELECT i AS dim, val AS loading8,
+         |  floor((SELECT nrm FROM n$iterations) * 1e8 + 0.5) / 1e8 AS eigval8
+         |FROM v$iterations""".stripMargin
+  }
+
   /** Unrolled k-core peel for the g10 oracle: DuckDB's recursive CTEs
     * cannot re-aggregate per iteration, so the peel is unrolled to
     * `rounds` idempotent steps — the sf0.01 fixture converges in 3, and
@@ -3701,6 +3741,16 @@ object OpsQueries {
         |    / count(*) * 1000000 + 0.5) / 1000000 AS var6,
         |  min(v) AS vmin, max(v) AS vmax
         |FROM d GROUP BY dim""".stripMargin),
+
+    // top principal component by fixed-iteration power method: centered
+    // Gram via 10-dp-floored DECIMAL-summed products (bit-identical C on
+    // any engine/partitioning), then 8 quantized driver iterations the
+    // oracle unrolls step-for-step — sign pinned by v0, every
+    // intermediate reproducible decimal arithmetic (see pcaPowerSql)
+    ("s19_pca_top_component",
+      (s, sf) => graft.ops.Similarity.principalComponent(
+        emb(s, sf), col("vec_id"), col("embedding"), iterations = 8),
+      pcaPowerSql(iterations = 8)),
 
     // ---- dataset profiling -----------------------------------------------
     // ANALYZE TABLE in one scan: all measures for all three columns in a

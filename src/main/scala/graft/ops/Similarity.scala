@@ -710,4 +710,86 @@ object Similarity {
       .groupBy(col("label_true"), col("label_pred"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Top principal component of an embedding corpus by a FIXED-iteration
+    * power method — the embedding-diagnostics primitive (a dominant PC
+    * with outsized eigenvalue = anisotropy/"rogue dimension"; the PC is
+    * also the first whitening direction). Deliberately not a full SVD:
+    * one eigenpair answers the health question, and fixed iterations +
+    * quantized arithmetic make the result a portable CONTRACT, not a
+    * libm accident.
+    *
+    * Distributed part: per-dim 6-dp means (the [[embeddingDimStats]]
+    * recipe), then the centered Gram/covariance via a per-row dim×dim
+    * product fan-out aggregated map-side to d² cells — products 10-dp
+    * floored + DECIMAL-summed, so C is bit-identical on any engine and
+    * any partitioning. The d² driver collect is metadata (64 dims →
+    * 4 KB; 4096 dims → 128 MB would instead want the mapPartitions/BLAS
+    * Gram path — documented cutoff, d ≤ 1024 enforced). Per-row cost is
+    * O(d²) — inherent to Gram computation (MLlib's RowMatrix pays the
+    * same); sample rows first if the corpus is the bottleneck.
+    *
+    * Driver part: v₀ = 8-dp-floored 1/√d on every coordinate; each of
+    * `iterations` steps computes w = C·v with every product 8-dp floored
+    * and summed EXACTLY (BigDecimal — no order dependence), the norm
+    * from 10-dp-floored squares, then v = 8-dp-floored w/‖w‖. Every
+    * intermediate is reproducible decimal arithmetic, so an independent
+    * engine unrolling the same steps lands on the identical vector —
+    * sign included (fixed by v₀).
+    *
+    * Output: (dim, loading8, eigval8) — eigval8 = ‖w‖ of the last step
+    * (the Rayleigh estimate under a normalized v). */
+  def principalComponent(df: DataFrame, id: Column, vec: Column,
+      iterations: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = df.select(posexplode(vec.cast("array<double>")).as(Seq("i", "v")))
+    val means = x.groupBy(col("i"))
+      .agg((floor(sum((floor(col("v") * 1000000 + 0.5) / 1000000)
+          .cast(DecimalType(38, 6))).cast("double")
+        / count(lit(1)) * 1000000 + 0.5) / 1000000).as("mean6"))
+    val d = means.count().toInt
+    require(d >= 1 && d <= 1024,
+      s"principalComponent supports 1..1024 dims (got $d) — use a " +
+        "mapPartitions/BLAS Gram path beyond that")
+    val n = df.count()
+    val centered = df.select(id.as("__r"),
+        posexplode(vec.cast("array<double>")).as(Seq("i", "v")))
+      .join(broadcast(means), "i")
+      .select(col("__r"), col("i"), (col("v") - col("mean6")).as("vc"))
+    val cov = centered.as("a")
+      .join(centered.as("b"), col("a.__r") === col("b.__r"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (floor(col("a.vc") * col("b.vc") * 1e10 + 0.5) / 1e10)
+          .cast(DecimalType(38, 10)).as("p10"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p10")).as("s"))
+      .select(col("i"), col("j"), (col("s").cast("double") / n).as("c"))
+      .collect()
+    val C = Array.ofDim[Double](d, d)
+    cov.foreach(r => C(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    def f8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    var v = Array.fill(d)(f8(1.0 / math.sqrt(d.toDouble)))
+    var lastNorm = 0.0
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(d) { i =>
+        var acc = BigDecimal(0)
+        var j = 0
+        while (j < d) {
+          acc += BigDecimal(math.floor(C(i)(j) * v(j) * 1e8 + 0.5)) / BigDecimal(1e8)
+          j += 1
+        }
+        acc.toDouble
+      }
+      val nrm = math.sqrt(
+        w.map(wi => BigDecimal(math.floor(wi * wi * 1e10 + 0.5)) / BigDecimal(1e10))
+          .sum.toDouble)
+      lastNorm = nrm
+      v = w.map(wi => f8(wi / nrm))
+    }
+    val eig = f8(lastNorm)
+    v.zipWithIndex.map { case (l, i) => (i, l, eig) }.toSeq
+      .toDF("dim", "loading8", "eigval8")
+  }
 }

@@ -950,6 +950,28 @@ class OpsSpec extends AnyFunSuite {
     assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
   }
 
+  test("principalComponent: converges to the analytic axis, eigenvalue matches variance") {
+    import graft.ops.Similarity
+    // all variance on axis 0: cov = [[8/3, 0], [0, 0]] -> PC (1, 0), lambda = 8/3
+    val axis = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(-2.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.principalComponent(axis, col("vec_id"),
+        col("embedding"), iterations = 8)
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(got(0)._2 - 1.0) < 1e-6 && math.abs(got(1)._2) < 1e-6,
+      s"PC must align with axis 0: $got")
+    assert(math.abs(got(0)._3 - 8.0 / 3.0) < 1e-5,
+      s"eigenvalue must match the axis variance: ${got(0)._3}")
+    // diagonal cloud: PC = (1/sqrt2, 1/sqrt2), sign pinned positive by v0
+    val diag = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(3.0f, 3.0f)),
+      (3L, Seq(-1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val g2 = Similarity.principalComponent(diag, col("vec_id"),
+        col("embedding"), iterations = 8)
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(math.abs(g2(0) - math.sqrt(0.5)) < 1e-6 &&
+      math.abs(g2(1) - math.sqrt(0.5)) < 1e-6, s"diagonal PC: $g2")
+  }
+
   test("jsDivergenceDrift: 0 for identical distributions, 1 for disjoint vocabularies") {
     import graft.ops.TextOps
     val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
