@@ -1784,6 +1784,23 @@ object OpsQueries {
         |  count(*) FILTER (retained) AS n_retained
         |FROM u GROUP BY cohort_day""".stripMargin),
 
+    // retention matrix (cohort x offset grid): one collect_set shuffle,
+    // every offset a membership probe — offsets fan out user-sized rows,
+    // never the event log; all exact integers
+    ("f09_retention_matrix",
+      (s, sf) => graft.ops.EventAnalytics.retentionMatrix(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("user_id"), col("ts"), offsets = Seq(1, 7, 14)),
+      """WITH per AS (SELECT user_id, min(ts::DATE) AS c,
+        |    list(DISTINCT ts::DATE) AS ds FROM events GROUP BY 1),
+        |o AS (SELECT unnest([1, 7, 14]) AS off),
+        |j AS (SELECT per.c, o.off,
+        |    list_contains(per.ds, per.c + o.off) AS ret FROM per, o)
+        |SELECT c AS cohort_day, off::INT AS offset_days,
+        |  count(*)::BIGINT AS n_users,
+        |  sum(CASE WHEN ret THEN 1 ELSE 0 END)::BIGINT AS n_retained
+        |FROM j GROUP BY 1, 2""".stripMargin),
+
     // RFM quartile segmentation: deterministic ntile (entity id as the
     // final tie-break in every ordering — ntile ties are otherwise
     // engine-placement-dependent) over decimal-exact monetary sums
@@ -3752,6 +3769,75 @@ object OpsQueries {
         emb(s, sf), col("vec_id"), col("embedding"), iterations = 8),
       pcaPowerSql(iterations = 8)),
 
+    // Benford first-digit profile: digit from the DECIMAL's string
+    // rendering (identical cross-engine; no float log/pow boundary at
+    // powers of ten), expected share = log10(1+1/d), both 6-dp floored
+    ("a15_benford",
+      (s, sf) => graft.ops.Profile.benfordProfile(
+        s.read.parquet(s"$sf/orders.parquet"), col("o_totalprice")),
+      """WITH d AS (SELECT regexp_extract(abs(o_totalprice)::VARCHAR,
+        |      '([1-9])', 1) AS dg FROM orders),
+        |c AS (SELECT dg::INT AS digit, count(*)::BIGINT AS n
+        |  FROM d WHERE dg <> '' GROUP BY 1)
+        |SELECT digit, n,
+        |  floor(n::DOUBLE / (SELECT sum(n) FROM c) * 1000000 + 0.5) / 1000000
+        |    AS obs_p6,
+        |  floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000 AS exp_p6
+        |FROM c""".stripMargin),
+
+    // exact ROC-AUC (Mann-Whitney midranks): integer until ONE division;
+    // rank window over DISTINCT scores, never a row-sized sort
+    ("a16_auc",
+      (s, sf) => graft.ops.Profile.aucScore(docs(s, sf),
+        col("n_chars").cast("double"), col("doc_id") % 3 === 0),
+      """WITH b AS (SELECT n_chars::DOUBLE AS s, (doc_id % 3 = 0) AS y
+        |  FROM documents),
+        |g AS (SELECT s, count(*)::BIGINT AS c,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p FROM b GROUP BY 1),
+        |r AS (SELECT c, p,
+        |    coalesce(sum(c) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS minr
+        |  FROM g),
+        |a AS (SELECT sum(p * (minr * 2 + c - 1))::BIGINT AS s2,
+        |    sum(p)::BIGINT AS n_pos, sum(c - p)::BIGINT AS n_neg FROM r)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    floor((s2::DOUBLE / 2 - n_pos::DOUBLE * (n_pos + 1) / 2)
+        |      / (n_pos::DOUBLE * n_neg::DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS auc6
+        |FROM a""".stripMargin),
+
+    // calibration bins (reliability diagram): mean of 6-dp-quantized
+    // scores vs exact positive rate per equal-width bin; 1.0 folds top
+    ("a17_calibration",
+      (s, sf) => graft.ops.Profile.calibrationBins(docs(s, sf),
+        (col("n_chars") % 997).cast("double") / 997.0,
+        col("doc_id") % 3 === 0, bins = 10),
+      """WITH b AS (SELECT (n_chars % 997)::DOUBLE / 997.0 AS s,
+        |    (doc_id % 3 = 0) AS y FROM documents),
+        |d AS (SELECT least(floor(s * 10), 9)::INT AS bin,
+        |    CAST(floor(s * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) AS s6, y
+        |  FROM b)
+        |SELECT bin, count(*)::BIGINT AS n,
+        |  floor(CAST(sum(s6) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+        |    AS mean_score6,
+        |  floor(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |    * 1000000 + 0.5) / 1000000 AS frac_pos6
+        |FROM d GROUP BY 1""".stripMargin),
+
+    // user growth curve: cumulative-distinct-users as exact integers —
+    // cum distinct ≡ cumsum of first-occurrence counts; one per-user
+    // min, then span-bounded day table
+    ("ts18_growth_curve",
+      (s, sf) => graft.ops.EventAnalytics.userGrowthCurve(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("user_id"), col("ts")),
+      """WITH f AS (SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY 1),
+        |n AS (SELECT day, count(*)::BIGINT AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  sum(new_users) OVER (ORDER BY day)::BIGINT AS cum_users
+        |FROM n""".stripMargin),
+
     // ---- dataset profiling -----------------------------------------------
     // ANALYZE TABLE in one scan: all measures for all three columns in a
     // single aggregate (multi-distinct via Expand), reshaped result-side
@@ -4993,6 +5079,19 @@ object OpsQueries {
     // schema drift between two snapshots (footer-only metadata diff):
     // the fixture plants one added, one removed, one retyped column and
     // the oracle states the expected report verbatim
+    // referential integrity: orphan child rows via LEFT ANTI against the
+    // distinct parent keys (broadcast when dimension-sized); a %3 hole
+    // punched in customer makes real orphans at sf0.01
+    ("dq04_fk_orphans",
+      (s, sf) => graft.ops.Checks.referentialOrphans(
+        s.read.parquet(s"$sf/orders.parquet"), col("o_custkey"),
+        s.read.parquet(s"$sf/customer.parquet")
+          .filter(col("c_custkey") % 3 =!= 0), col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey")),
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)""".stripMargin),
+
     ("dq03_schema_drift",
       (s, sf) => {
         val label = new java.io.File(sf).getName

@@ -205,4 +205,20 @@ object Checks {
       when(pe === 1.0, lit(0.0))
         .otherwise(f6((po - pe) / (lit(1.0) - pe))).as("kappa6"))
   }
+
+  /** Referential-integrity orphans: child rows whose foreign key has no
+    * match in the parent's key set — the dq-suite check the per-column
+    * constraints can't express (it needs a second table). NULL foreign
+    * keys are orphans too (they reference nothing); filter them first
+    * if the column is nullable by contract.
+    *
+    * Scale shape: one LEFT ANTI join against the DISTINCT parent keys —
+    * the parent side collapses to its key cardinality before the join,
+    * and Spark broadcasts it when small (the typical dimension-table
+    * case: zero shuffle on the child). Returns the orphan child rows
+    * unchanged. */
+  def referentialOrphans(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame =
+    child.join(parent.select(parentKey.as("__pk")).distinct(),
+      childKey === col("__pk"), "left_anti")
 }

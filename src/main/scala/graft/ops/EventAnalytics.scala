@@ -611,6 +611,51 @@ object EventAnalytics {
         / col("n_days").cast("double") * 10000 + 0.5) / 10000)
   }
 
+  /** Cohort retention MATRIX — [[retention]] generalized from one offset
+    * to the full (cohort day × offset) grid the retention heatmap plots.
+    * Same one-shuffle shape: the per-user `collect_set` of active days
+    * (calendar-span-bounded, deduped map-side) is computed ONCE and
+    * every offset is a set-membership probe on it — offsets multiply
+    * only the per-user row fan-out (|offsets| tiny rows), never the
+    * event-log shuffle. Output: (cohort_day, offset_days, n_users,
+    * n_retained); n_users repeats per offset by design (heatmap rows
+    * normalize by it). */
+  def retentionMatrix(events: DataFrame, userId: Column, ts: Column,
+      offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ > 0),
+      s"offsets must be positive: $offsets")
+    val perUser = events.select(userId.as("__u"), to_date(ts).as("__day"))
+      .groupBy(col("__u")).agg(collect_set(col("__day")).as("__days"))
+      .select(array_min(col("__days")).as("cohort_day"), col("__days"))
+    val probes = offsets.map(o => struct(lit(o).as("offset_days"),
+      array_contains(col("__days"), date_add(col("cohort_day"), o)).as("ret")))
+    perUser.select(col("cohort_day"), explode(array(probes: _*)).as("r"))
+      .groupBy(col("cohort_day"), col("r.offset_days").as("offset_days"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("r.ret"), 1)).as("n_retained"))
+  }
+
+  /** User growth curve: per first-activity day, how many users appeared
+    * for the first time and the running total — the adoption/coverage
+    * curve every event-log dashboard opens with, and the exact-integer
+    * cousin of a "cumulative count distinct" window (which engines
+    * either refuse or approximate): cum distinct users ≡ cumulative sum
+    * of first-occurrence counts.
+    *
+    * Scale shape: one map-side-combined per-user min (the only
+    * user-cardinality stage), then day-sized aggregation and one window
+    * over the span-bounded day table. All integers — no rounding
+    * recipe at all. Output: (day, new_users, cum_users) for days with
+    * ≥1 first-seen user. */
+  def userGrowthCurve(events: DataFrame, userId: Column, ts: Column): DataFrame = {
+    val firstSeen = events.select(userId.as("__u"), to_date(ts).as("__day"))
+      .groupBy(col("__u")).agg(min(col("__day")).as("day"))
+    firstSeen.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Kaplan-Meier survival curve (product-limit estimator) over
     * (duration, observed) subject rows — the churn/retention-curve
     * estimator that handles CENSORING correctly (a user still active at

@@ -152,4 +152,96 @@ object Profile {
     ranked.groupBy(col("grp"))
       .agg(max(col("n")).as("n"), picks: _*)
   }
+
+  /** Benford first-digit profile of a DECIMAL column — the synthetic-
+    * data / fabricated-records tripwire (organically-grown magnitudes
+    * follow log₁₀(1+1/d); uniform or hand-seeded generators don't).
+    * Observed share per digit next to the Benford expectation, both
+    * 6-dp floored; the consumer compares (a15's chi² machinery applies
+    * if a single statistic is wanted).
+    *
+    * The first significant digit is extracted from the DECIMAL's STRING
+    * rendering (first [1-9]) — deliberately no float log/pow, whose
+    * boundary behavior at exact powers of ten differs across engines;
+    * decimal-to-string is identical everywhere. Pass a DECIMAL (or
+    * integer/string) column; float columns would hit engine-specific
+    * shortest-round-trip rendering and are the caller's risk. One scan,
+    * one ≤9-row aggregate. Output: (digit, n, obs_p6, exp_p6). */
+  /** Exact ROC-AUC by the Mann-Whitney rank statistic with midrank tie
+    * handling — the quality-classifier acceptance metric (t15/t17 train
+    * them; this grades them) computed EXACTLY, not by trapezoid
+    * sampling: AUC = (Σ_pos midrank − P(P+1)/2) / (P·N). Midranks over
+    * a tie group are (2·minrank + t − 1)/2, so 2·Σ is an exact integer
+    * — everything is integer until ONE final division, 6-dp floored.
+    *
+    * Scale shape: ranks are NOT a row-sized global sort — scores
+    * collapse to a per-distinct-score (count, pos-count) table first
+    * (map-side combined), and the rank window runs over the DISTINCT
+    * score values (score-cardinality-bounded; quantize scores upstream
+    * if they're raw floats). Degenerate single-class input → NULL auc.
+    * Output: one row (n_pos, n_neg, auc6). */
+  def aucScore(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(score.cast("double").as("s"),
+        label.cast("boolean").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("p"))
+    val wPrev = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // 2·Σ midranks reaches N² — DECIMAL(38,0) (int128 headroom), not
+    // long, so a 10¹²-row corpus cannot overflow the statistic
+    g.withColumn("minr", coalesce(sum(col("c")).over(wPrev), lit(0L)) + 1)
+      .agg(sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * (col("minr") * 2 + col("c") - 1)).as("s2"),
+        sum(col("p")).as("n_pos"), sum(col("c") - col("p")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          floor((col("s2").cast("double") / 2
+            - col("n_pos").cast("double") * (col("n_pos") + 1) / 2)
+            / (col("n_pos").cast("double") * col("n_neg").cast("double"))
+            * 1000000 + 0.5) / 1000000).as("auc6"))
+  }
+
+  /** Calibration (reliability) bins for a [0,1] score: per equal-width
+    * bin, the mean predicted score next to the observed positive rate —
+    * the reliability-diagram table; a well-calibrated classifier has
+    * mean6 ≈ frac_pos6 per row. Scores exactly 1.0 fold into the top
+    * bin. Mean is over 6-dp-quantized scores (DECIMAL-summed,
+    * order-free); the positive rate is an exact integer ratio. One
+    * map-side-combined aggregate at bin cardinality.
+    * Output: (bin, n, mean_score6, frac_pos6). */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val s = score.cast("double")
+    val base = df.select(
+      least(floor(s * bins), lit(bins - 1)).cast("int").as("bin"),
+      (floor(s * 1000000 + 0.5) / 1000000).cast(DecimalType(38, 6)).as("s6"),
+      label.cast("boolean").as("y"))
+    base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("s6")).as("__ss"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("__p"))
+      .select(col("bin"), col("n"),
+        (floor(col("__ss").cast("double") / col("n") * 1000000 + 0.5)
+          / 1000000).as("mean_score6"),
+        (floor(col("__p").cast("double") / col("n") * 1000000 + 0.5)
+          / 1000000).as("frac_pos6"))
+  }
+
+  def benfordProfile(df: DataFrame, value: Column): DataFrame = {
+    val digit = regexp_extract(abs(value).cast("string"), "([1-9])", 1)
+    val counts = df.select(digit.as("__d")).filter(col("__d") =!= "")
+      .select(col("__d").cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("obs_p6",
+        floor(col("n").cast("double") / sum(col("n")).over(w) * 1000000 + 0.5)
+          / 1000000)
+      .withColumn("exp_p6",
+        floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1000000 + 0.5)
+          / 1000000)
+  }
 }

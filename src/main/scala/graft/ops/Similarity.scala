@@ -759,8 +759,13 @@ object Similarity {
         posexplode(vec.cast("array<double>")).as(Seq("i", "v")))
       .join(broadcast(means), "i")
       .select(col("__r"), col("i"), (col("v") - col("mean6")).as("vc"))
+    // C is symmetric — aggregate the upper triangle only (halves the
+    // per-row pair fan-out, the dominant cost) and mirror on the driver;
+    // the (i,j) and (j,i) decimal sums are the identical products, so
+    // the mirror is exact, not approximate
     val cov = centered.as("a")
-      .join(centered.as("b"), col("a.__r") === col("b.__r"))
+      .join(centered.as("b"),
+        col("a.__r") === col("b.__r") && col("a.i") <= col("b.i"))
       .select(col("a.i").as("i"), col("b.i").as("j"),
         (floor(col("a.vc") * col("b.vc") * 1e10 + 0.5) / 1e10)
           .cast(DecimalType(38, 10)).as("p10"))
@@ -768,7 +773,10 @@ object Similarity {
       .select(col("i"), col("j"), (col("s").cast("double") / n).as("c"))
       .collect()
     val C = Array.ofDim[Double](d, d)
-    cov.foreach(r => C(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    cov.foreach { r =>
+      C(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      C(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
     def f8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
     var v = Array.fill(d)(f8(1.0 / math.sqrt(d.toDouble)))
     var lastNorm = 0.0

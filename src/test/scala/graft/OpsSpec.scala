@@ -950,6 +950,85 @@ class OpsSpec extends AnyFunSuite {
     assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
   }
 
+  test("aucScore: hand-computed AUC with midrank ties, degenerate class is NULL") {
+    import graft.ops.Profile
+    // scores/labels: perfect separation -> AUC 1; with one tie pair -> midrank math
+    val perfect = Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true))
+      .toDF("s", "y")
+    val p = Profile.aucScore(perfect, col("s"), col("y"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(p == ((2L, 2L, Some(1.0))))
+    // tie across classes at 0.5: pairs = 2x2, wins = 3, ties = 1 -> AUC = 3.5/4
+    val tied = Seq((0.1, false), (0.5, false), (0.5, true), (0.9, true))
+      .toDF("s", "y")
+    val t = Profile.aucScore(tied, col("s"), col("y"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(t == ((2L, 2L, Some(0.875))), s"midrank tie: $t")
+    val oneClass = Seq((0.1, true), (0.9, true)).toDF("s", "y")
+    assert(Profile.aucScore(oneClass, col("s"), col("y"))
+      .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
+  }
+
+  test("calibrationBins: quantized means, exact rates, 1.0 folds into the top bin") {
+    import graft.ops.Profile
+    val df = Seq((0.05, false), (0.15, true), (0.15, false), (1.0, true))
+      .toDF("s", "y")
+    val got = Profile.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0) == ((0, 1L, 0.05, 0.0)))
+    assert(got(1) == ((1, 2L, 0.15, 0.5)))
+    assert(got(9) == ((9, 1L, 1.0, 1.0)), "score exactly 1.0 lands in bin 9")
+  }
+
+  test("retentionMatrix: per-offset membership on one cohort pass") {
+    import graft.ops.EventAnalytics
+    val ev = Seq(("u1", "2024-01-01"), ("u1", "2024-01-02"), ("u1", "2024-01-08"),
+      ("u2", "2024-01-01"), ("u3", "2024-01-02"), ("u3", "2024-01-03"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), concat(col("d"), lit(" 09:00:00")).cast("timestamp").as("ts"))
+    val got = EventAnalytics.retentionMatrix(ev, col("user_id"), col("ts"), Seq(1, 7))
+      .as[(java.sql.Date, Int, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> (r._3, r._4)).toMap
+    assert(got(("2024-01-01", 1)) == ((2L, 1L)), "u1 back next day, u2 not")
+    assert(got(("2024-01-01", 7)) == ((2L, 1L)), "u1 back on day 8")
+    assert(got(("2024-01-02", 1)) == ((1L, 1L)) && got(("2024-01-02", 7)) == ((1L, 0L)))
+  }
+
+  test("referentialOrphans: anti-join keeps unmatched and NULL foreign keys") {
+    import graft.ops.Checks
+    val child = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L).toDF("pk")
+    val got = Checks.referentialOrphans(child, col("fk"), parent, col("pk"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L), s"row 2 (no parent) and row 3 (NULL fk): $got")
+  }
+
+  test("benfordProfile: string-extracted first digits, sub-1 values, Benford expectations") {
+    import graft.ops.Profile
+    val df = Seq("123.45", "0.072", "-9000.00", "123.00", "0.00")
+      .toDF("s").select(col("s").cast("decimal(10,3)").as("v"))
+    val got = Profile.benfordProfile(df, col("v"))
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1)._2 == 2, "two values lead with 1")
+    assert(got(7)._2 == 1, "0.072 leads with 7, not 0")
+    assert(got(9)._2 == 1, "sign ignored")
+    assert(!got.contains(0) && got.values.map(_._2).sum == 4, "exact zero drops")
+    assert(got(1)._4 == 0.30103, "expected share is log10(2) floored at 6 dp")
+    assert(math.abs(got(1)._3 - 0.5) < 1e-9, "observed share 2/4")
+  }
+
+  test("userGrowthCurve: first-seen counts and exact running distinct total") {
+    import graft.ops.EventAnalytics
+    val ev = Seq(("u1", "2024-01-01 09:00:00"), ("u1", "2024-01-03 09:00:00"),
+      ("u2", "2024-01-01 10:00:00"), ("u3", "2024-01-03 08:00:00"))
+      .toDF("user_id", "t").select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val got = EventAnalytics.userGrowthCurve(ev, col("user_id"), col("ts"))
+      .as[(java.sql.Date, Long, Long)].collect().map(r => r._1.toString -> (r._2, r._3)).toMap
+    assert(got == Map("2024-01-01" -> ((2L, 2L)), "2024-01-03" -> ((1L, 3L))),
+      s"returning u1 on day 3 must not count again: $got")
+  }
+
   test("principalComponent: converges to the analytic axis, eigenvalue matches variance") {
     import graft.ops.Similarity
     // all variance on axis 0: cov = [[8/3, 0], [0, 0]] -> PC (1, 0), lambda = 8/3
