@@ -282,6 +282,90 @@ object WordShinglesImpl {
   }
 }
 
+/** Non-distinct sibling of [[WordShinglesImpl]]: ALL word n-gram
+  * windows in position order, duplicates kept — the counting shape
+  * (ngram frequency tables, duplicated-span positions) where
+  * WordShingles' set semantics would be wrong. Unlike the shingle
+  * variant there is no short-text fallback: fewer than n tokens yields
+  * an EMPTY array (a window that does not exist must not count). */
+object WordGramsImpl {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def compute(str: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = str.getBytes
+    val len = bytes.length
+    val se = new java.util.ArrayList[Integer]()
+    var i = 0
+    var segStart = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        se.add(segStart); se.add(i)
+        while (i < len && isWs(bytes(i))) i += 1
+        segStart = i
+      } else i += 1
+    }
+    se.add(segStart); se.add(len)
+    val nTok = se.size / 2
+    val cnt = nTok - (n - 1)
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val out = new Array[AnyRef](cnt)
+    i = 0
+    while (i < cnt) {
+      val endTok = i + n
+      var total = n - 1 // separators
+      var t = i
+      while (t < endTok) { total += se.get(2 * t + 1) - se.get(2 * t); t += 1 }
+      val joined = new Array[Byte](total)
+      var pos = 0
+      t = i
+      while (t < endTok) {
+        if (t > i) { joined(pos) = ' '; pos += 1 }
+        val s = se.get(2 * t); val e = se.get(2 * t + 1)
+        System.arraycopy(bytes, s, joined, pos, e - s)
+        pos += e - s
+        t += 1
+      }
+      out(i) = UTF8String.fromBytes(joined)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression for ALL word n-gram windows (duplicates
+  * kept, position order) — replaces the interpreted
+  * transform(sequence, slice + concat_ws) HOF that dominated
+  * ngram-counting scans the same way the shingle HOF dominated dedup. */
+case class WordGrams(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+        right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_word_grams expects (string, int), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(s: Any, n: Any): Any =
+    WordGramsImpl.compute(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.functions.WordGramsImpl$$.MODULE$$.compute($s, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared implementation of per-row hash-order prefix selection — the
   * smallest `prefLen` shingles under the global order
   * (xxhash64(shingle), shingle), i.e. Spark's single-arg `xxhash64`
@@ -430,6 +514,8 @@ object HashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_shingles", exprs => WordShingles(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_grams", exprs => WordGrams(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_prefix_by_hash", exprs => PrefixByHash(exprs.head, exprs(1)), "built-in")
     // full-width double-hashing Bloom probe (scan-side membership filter
     // against a plan-literal bitset — see BloomSet for why spark-sketch's
@@ -473,6 +559,13 @@ object HashFunctions {
   def wordShingles(text: Column, n: Int): Column = {
     scala.util.Try(register(SparkSession.active))
     call_function("graft_word_shingles", text, lit(n))
+  }
+
+  /** ALL word n-gram windows (duplicates kept, position order; < n
+    * tokens → empty). The counting-shape sibling of [[wordShingles]]. */
+  def wordGrams(text: Column, n: Int): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_word_grams", text, lit(n))
   }
 
   /** MinHash signature column (all lanes in one codegen pass); caller

@@ -774,11 +774,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2: $k")
     val base = ensureParallelism(
-      df.select(id.as("doc_id"), split(normText(text), "\\s+").as("toks")))
-    val grams = base.filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+      df.select(id.as("doc_id"), normText(text).as("norm")))
+    // native WordGrams (positions implicit in array order) — the
+    // transform() HOF it replaces ran its lambda interpreted per window
+    val grams = base
+      .select(col("doc_id"), posexplode(
+          graft.functions.HashFunctions.wordGrams(col("norm"), k))
         .as(Seq("pos", "gram")))
     val dupKeys = grams.groupBy(col("gram")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") > 1).select(col("gram"))

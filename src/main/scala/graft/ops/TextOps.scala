@@ -234,12 +234,13 @@ object TextOps {
   def ngramCounts(df: DataFrame, text: Column, n: Int,
       minCount: Long = 1L): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
-    val toks = tokens(text)
-    val grams =
-      if (n == 1) toks
-      else when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    // native WordGrams expression, not a transform() HOF — the HOF
+    // evaluates its lambda interpreted per window and was the dominant
+    // cost of this scan (same finding as the WordShingles migration);
+    // empty-text guard mirrors tokens()'s
+    val grams = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(graft.functions.HashFunctions.wordGrams(
+        lower(trim(text)), n))
     df.select(explode(grams).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

@@ -925,6 +925,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(3L), "a doc whose every paragraph occurred earlier drops out")
   }
 
+  test("WordGrams: bit-equal to the HOF formulation, duplicates kept, sub-n empty") {
+    import graft.functions.HashFunctions
+    val df = Seq("a b a b a", "single", "", "x  y\tz", "a b")
+      .toDF("t")
+    val hof = df.select(
+      when(size(split(col("t"), "\\s+")) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(split(col("t"), "\\s+")) - 2),
+          i => concat_ws(" ", slice(split(col("t"), "\\s+"), i + 1, lit(2)))))
+        .as("g")).as[Seq[String]].collect().toSeq
+    val native = df.select(HashFunctions.wordGrams(col("t"), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    // the "" row differs by design (tokens() guards empties before the
+    // expression) — compare the non-empty-text rows bit-for-bit
+    assert(native(0) == hof(0) && native(0) == Seq("a b", "b a", "a b", "b a"),
+      s"duplicates kept in position order: ${native(0)}")
+    assert(native(1).isEmpty && native(3) == hof(3) && native(4) == hof(4))
+    // interpreted (non-codegen) eval parity
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = graft.functions.WordGramsImpl
+      .compute(UTF8String.fromString("p q r"), 2)
+    assert(arr.numElements() == 2)
+  }
+
   test("duplicatedSpans: maximal islands, intra-doc repeats count, sub-k stays silent") {
     import graft.ops.Dedup
     // docs 1 and 2 share "a b c d e f" (6 tokens, k=4 → 3 windows →
