@@ -3120,6 +3120,35 @@ object OpsQueries {
         |    + (SELECT k FROM konst)) * 10000 + 0.5) / 10000 AS ql4
         |FROM sc GROUP BY doc_id""".stripMargin),
 
+    // NDCG@10 (retrieval grading): exact bit-shift gains, row_number
+    // ranks with doc-id tie-breaks, 8-dp floored + DECIMAL-summed terms;
+    // all-zero-relevance queries NULL
+    ("b07_ndcg",
+      (s, sf) => Retrieval.ndcgAtK(docs(s, sf), col("doc_id") % 5,
+        col("doc_id"), col("n_chars").cast("double"),
+        col("doc_id") % 4, k = 10),
+      """WITH b AS (SELECT doc_id % 5 AS q, doc_id AS d, n_chars::DOUBLE AS s,
+        |    (doc_id % 4)::INT AS r FROM documents),
+        |t AS (SELECT q, r,
+        |    row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rk,
+        |    row_number() OVER (PARTITION BY q ORDER BY r DESC, d ASC) AS rki
+        |  FROM b),
+        |g AS (SELECT q,
+        |    CASE WHEN rk <= 10 THEN
+        |      CAST(floor(((1::BIGINT << r) - 1)::DOUBLE
+        |        / (ln(rk::DOUBLE + 1.0) / ln(2.0)) * 1e8 + 0.5) / 1e8
+        |        AS DECIMAL(38,8)) END AS t,
+        |    CASE WHEN rki <= 10 THEN
+        |      CAST(floor(((1::BIGINT << r) - 1)::DOUBLE
+        |        / (ln(rki::DOUBLE + 1.0) / ln(2.0)) * 1e8 + 0.5) / 1e8
+        |        AS DECIMAL(38,8)) END AS ti
+        |  FROM t)
+        |SELECT q AS qid, count(*)::BIGINT AS n_docs,
+        |  CASE WHEN sum(ti) > 0 THEN
+        |    floor(CAST(sum(t) AS DOUBLE) / CAST(sum(ti) AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS ndcg6
+        |FROM g GROUP BY q""".stripMargin),
+
     ("b05_prf_expansion",
       (s, sf) => Retrieval.prfTopK(docs(s, sf), col("doc_id"), col("text"),
         Seq("spark", "vector", "stream"), r = 3, m = 3, k = 10),
@@ -3806,6 +3835,36 @@ object OpsQueries {
         |      / (n_pos::DOUBLE * n_neg::DOUBLE) * 1000000 + 0.5) / 1000000
         |  END AS auc6
         |FROM a""".stripMargin),
+
+    // Spearman rank correlation: Pearson over DOUBLED midranks (exact
+    // integers — 2*minrank + t - 1), moments DECIMAL-summed, ranks from
+    // distinct-value windows; only the final products/sqrt/division are
+    // float, identical IEEE chain both engines
+    ("a18_spearman",
+      (s, sf) => graft.ops.Profile.spearmanCorr(docs(s, sf),
+        col("n_chars"), col("n_chars") % 997),
+      """WITH b AS (SELECT n_chars::DOUBLE AS x, (n_chars % 997)::DOUBLE AS y
+        |  FROM documents),
+        |rx AS (SELECT x, (coalesce(sum(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1) * 2
+        |      + t - 1 AS xr2
+        |  FROM (SELECT x, count(*)::BIGINT AS t FROM b GROUP BY 1)),
+        |ry AS (SELECT y, (coalesce(sum(t) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1) * 2
+        |      + t - 1 AS yr2
+        |  FROM (SELECT y, count(*)::BIGINT AS t FROM b GROUP BY 1)),
+        |j AS (SELECT xr2, yr2 FROM b JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(xr2) AS sx, sum(yr2) AS sy,
+        |    sum(xr2 * yr2) AS sxy, sum(xr2 * xr2) AS sxx,
+        |    sum(yr2 * yr2) AS syy FROM j),
+        |v AS (SELECT n,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+        |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy FROM m)
+        |SELECT n, CASE WHEN vx > 0 AND vy > 0 THEN
+        |    floor(cov / sqrt(vx * vy) * 1000000 + 0.5) / 1000000
+        |  END AS spearman6
+        |FROM v""".stripMargin),
 
     // calibration bins (reliability diagram): mean of 6-dp-quantized
     // scores vs exact positive rate per equal-width bin; 1.0 folds top

@@ -203,6 +203,49 @@ object Profile {
             * 1000000 + 0.5) / 1000000).as("auc6"))
   }
 
+  /** Spearman rank correlation with midrank tie handling — the monotone
+    * dependence measure next to a08's Pearson (Pearson sees a log curve
+    * as <1; Spearman sees any monotone relation as 1). Implemented as
+    * Pearson over DOUBLED midranks: 2·midrank = 2·minrank + t − 1 is an
+    * exact INTEGER, so all five moments are exact (DECIMAL-summed) and
+    * the doubling cancels in the correlation — the only float ops are
+    * the final products/σ/division, the identical IEEE chain both
+    * engines, 6-dp floored.
+    *
+    * Scale shape: midranks per column come from windows over the
+    * DISTINCT values (the a16 discipline — never a row-sized sort),
+    * attached back by two value-keyed joins; the moments are one
+    * map-side-combined reduce. Constant column → NULL (no ranking).
+    * Output: one row (n, spearman6). */
+  def spearmanCorr(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    def rankTab(c: String): DataFrame = {
+      val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col(c)).agg(count(lit(1)).as("__t"))
+        .withColumn(s"${c}_r2",
+          (coalesce(sum(col("__t")).over(w), lit(0L)) + 1) * 2 + col("__t") - 1)
+        .drop("__t")
+    }
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val m = base.join(rankTab("__x"), "__x").join(rankTab("__y"), "__y")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__x_r2"))).as("sx"), sum(dec(col("__y_r2"))).as("sy"),
+        sum(dec(col("__x_r2")) * dec(col("__y_r2"))).as("sxy"),
+        sum(dec(col("__x_r2")) * dec(col("__x_r2"))).as("sxx"),
+        sum(dec(col("__y_r2")) * dec(col("__y_r2"))).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    m.select(col("n"),
+      when(vx > 0 && vy > 0,
+        floor(cov / sqrt(vx * vy) * 1000000 + 0.5) / 1000000)
+        .as("spearman6"))
+  }
+
   /** Calibration (reliability) bins for a [0,1] score: per equal-width
     * bin, the mean predicted score next to the observed positive rate —
     * the reliability-diagram table; a well-calibrated classifier has

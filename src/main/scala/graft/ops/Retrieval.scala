@@ -141,6 +141,48 @@ object Retrieval {
           + const) * 10000 + 0.5) / 10000).as("ql4"))
   }
 
+  /** NDCG@k over a (query, doc, score, graded-relevance) table — the
+    * ranking-quality acceptance metric for the retrieval ops (b01–b06
+    * produce the scores; this grades them against labels).
+    * DCG = Σ_{rank ≤ k} (2^rel − 1)/log₂(rank+1), normalized by the
+    * ideal ordering's DCG; all-zero-relevance queries → NULL (no
+    * ranking can be graded).
+    *
+    * Determinism/exactness: ranks are row_numbers with the doc id as
+    * the tie-break (reproducible ranking, the t16 discipline); gains
+    * are EXACT integers via bit-shift (never pow()); each gain/log₂
+    * term is 8-dp floored + DECIMAL-summed so per-query DCG is
+    * float-order-free. One window pass per ordering, both on the qid
+    * partitioning — per-query work, never global.
+    * Output: (qid, n_docs, ndcg6). */
+  def ndcgAtK(df: DataFrame, qid: Column, docId: Column, score: Column,
+      rel: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = df.select(qid.as("__q"), docId.as("__d"),
+      score.cast("double").as("__s"), rel.cast("int").as("__r"))
+    val byScore = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__d").asc)
+    val byRel = Window.partitionBy(col("__q"))
+      .orderBy(col("__r").desc, col("__d").asc)
+    def term(rank: Column) =
+      when(rank <= k,
+        (floor((call_function("shiftleft", lit(1L), col("__r")) - 1)
+          .cast("double")
+          / (log(rank.cast("double") + 1.0) / log(lit(2.0)))
+          * 1e8 + 0.5) / 1e8).cast(DecimalType(38, 8)))
+    base
+      .withColumn("__t", term(row_number().over(byScore)))
+      .withColumn("__ti", term(row_number().over(byRel)))
+      .groupBy(col("__q").as("qid"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("__dcg"), sum(col("__ti")).as("__idcg"))
+      .select(col("qid"), col("n_docs"),
+        when(col("__idcg") > 0,
+          floor(col("__dcg").cast("double") / col("__idcg").cast("double")
+            * 1000000 + 0.5) / 1000000).as("ndcg6"))
+  }
+
   /** Top-`k` BM25 retrieval (deterministic: ties broken by doc_id). Plans
     * as TakeOrderedAndProject — per-partition heaps, no global sort. */
   def bm25TopK(df: DataFrame, id: Column, text: Column, query: Seq[String],

@@ -973,6 +973,39 @@ class OpsSpec extends AnyFunSuite {
     assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
   }
 
+  test("spearmanCorr: monotone nonlinear is exactly 1, reversal -1, constant NULL") {
+    import graft.ops.Profile
+    val mono = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 105.0), (4.0, 10000.0))
+      .toDF("x", "y")
+    val m = Profile.spearmanCorr(mono, col("x"), col("y"))
+      .as[(Long, Option[Double])].collect().head
+    assert(m == ((4L, Some(1.0))), s"any monotone relation ranks perfectly: $m")
+    val rev = Seq((1.0, 4.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0)).toDF("x", "y")
+    assert(Profile.spearmanCorr(rev, col("x"), col("y"))
+      .as[(Long, Option[Double])].collect().head._2.contains(-1.0))
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Profile.spearmanCorr(const, col("x"), col("y"))
+      .as[(Long, Option[Double])].collect().head._2.isEmpty,
+      "constant column has no ranking")
+  }
+
+  test("ndcgAtK: 1.0 for the ideal order, hand value for a reversed one, NULL on zero relevance") {
+    import graft.ops.Retrieval
+    // q1 scores align with relevance -> ndcg 1; q2 scores exactly reversed
+    val df = Seq(
+      (1L, 10L, 0.9, 3), (1L, 11L, 0.8, 2), (1L, 12L, 0.7, 1),
+      (2L, 20L, 0.9, 1), (2L, 21L, 0.8, 2), (2L, 22L, 0.7, 3),
+      (3L, 30L, 0.9, 0), (3L, 31L, 0.8, 0))
+      .toDF("q", "d", "s", "r")
+    val got = Retrieval.ndcgAtK(df, col("q"), col("d"), col("s"), col("r"), k = 10)
+      .as[(Long, Long, Option[Double])].collect().map(x => x._1 -> x).toMap
+    assert(got(1L) == ((1L, 3L, Some(1.0))))
+    val dcg = 1.0 / 1.0 + 3.0 / (math.log(3.0) / math.log(2.0)) + 7.0 / 2.0
+    val idcg = 7.0 / 1.0 + 3.0 / (math.log(3.0) / math.log(2.0)) + 1.0 / 2.0
+    assert(math.abs(got(2L)._3.get - dcg / idcg) < 1e-6, s"${got(2L)}")
+    assert(got(3L)._3.isEmpty, "all-zero relevance cannot be graded")
+  }
+
   test("aucScore: hand-computed AUC with midrank ties, degenerate class is NULL") {
     import graft.ops.Profile
     // scores/labels: perfect separation -> AUC 1; with one tie pair -> midrank math
