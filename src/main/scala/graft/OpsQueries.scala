@@ -3836,6 +3836,42 @@ object OpsQueries {
         |  END AS auc6
         |FROM a""".stripMargin),
 
+    // key-skew profile (pre-join salting diagnostic): top-10 heaviest
+    // event types with exact shares; ranks over DISTINCT keys
+    ("j02_skew_profile",
+      (s, sf) => graft.ops.Profile.keySkewProfile(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("event_type"), k = 10),
+      """WITH c AS (SELECT event_type::VARCHAR AS key, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+        |r AS (SELECT key, n,
+        |    row_number() OVER (ORDER BY n DESC, key ASC) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, key ASC)::BIGINT AS cum FROM c)
+        |SELECT rank::INT AS rank, key, n,
+        |  floor(n::DOUBLE / (SELECT total FROM t) * 1000000 + 0.5) / 1000000
+        |    AS share6,
+        |  floor(cum::DOUBLE / (SELECT total FROM t) * 1000000 + 0.5) / 1000000
+        |    AS cum_share6
+        |FROM r WHERE rank <= 10""".stripMargin),
+
+    // Gini of the user_id row distribution: exact integer weighted sum
+    // (int128), one final division — the one-number skew summary
+    ("j03_key_gini",
+      (s, sf) => graft.ops.Profile.keyGini(
+        EventStreams.readEvents(s, s"$sf/events.parquet"), col("user_id")),
+      """WITH c AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c ASC, key ASC)::BIGINT
+        |    AS i FROM c),
+        |m AS (SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+        |    sum(i * 2 * c) AS wsum FROM r)
+        |SELECT n_keys, n_rows,
+        |  floor((wsum::DOUBLE - (n_keys + 1)::DOUBLE * n_rows::DOUBLE)
+        |    / (n_keys::DOUBLE * n_rows::DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS gini6
+        |FROM m""".stripMargin),
+
     // Spearman rank correlation: Pearson over DOUBLED midranks (exact
     // integers — 2*minrank + t - 1), moments DECIMAL-summed, ranks from
     // distinct-value windows; only the final products/sqrt/division are

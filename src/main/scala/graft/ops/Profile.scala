@@ -153,6 +153,56 @@ object Profile {
       .agg(max(col("n")).as("n"), picks: _*)
   }
 
+  /** Key-skew profile: the top-`k` heaviest keys with their exact share
+    * and cumulative share of rows — the diagnostic you run BEFORE a big
+    * join or aggregation to decide whether a key needs salting (j01's
+    * machinery) or AQE skew handling. One map-side-combined count +
+    * one window over the DISTINCT keys ordered by (count desc, key) —
+    * deterministic ranks, never a row-sized sort.
+    * Output: (rank, key, n, share6, cum_share6), rank ≤ k. */
+  def keySkewProfile(df: DataFrame, key: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val counts = df.select(key.cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val byN = Window.orderBy(col("n").desc, col("key").asc)
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    counts
+      .withColumn("rank", row_number().over(byN))
+      .filter(col("rank") <= k)
+      .withColumn("share6",
+        floor(col("n").cast("double") / total * 1000000 + 0.5) / 1000000)
+      .withColumn("cum_share6",
+        floor(sum(col("n")).over(byN.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / total * 1000000 + 0.5) / 1000000)
+      .select(col("rank"), col("key"), col("n"), col("share6"), col("cum_share6"))
+  }
+
+  /** Gini coefficient of a key's row distribution — the one-number skew
+    * summary behind [[keySkewProfile]]'s table (0 = perfectly uniform
+    * keys, → 1 = one key holds everything): over the K distinct keys
+    * sorted ascending by (count, key), G = Σ(2i − K − 1)·cᵢ / (K·Σc) —
+    * every term an exact integer (DECIMAL-summed; i·c reaches K·N =
+    * int128 territory at corpus scale), ONE final division, 6-dp floor.
+    * Output: one row (n_keys, n_rows, gini6). */
+  def keyGini(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = df.select(key.cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").asc, col("key").asc)
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        sum(((col("i") * 2).cast(DecimalType(38, 0)) * col("c")))
+          .as("__wsum"))
+      .select(col("n_keys"), col("n_rows"),
+        (floor((col("__wsum").cast("double")
+          - (col("n_keys") + 1).cast("double") * col("n_rows").cast("double"))
+          / (col("n_keys").cast("double") * col("n_rows").cast("double"))
+          * 1000000 + 0.5) / 1000000).as("gini6"))
+  }
+
   /** Benford first-digit profile of a DECIMAL column — the synthetic-
     * data / fabricated-records tripwire (organically-grown magnitudes
     * follow log₁₀(1+1/d); uniform or hand-seeded generators don't).

@@ -973,6 +973,22 @@ class OpsSpec extends AnyFunSuite {
     assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
   }
 
+  test("keySkewProfile + keyGini: exact shares, uniform gini 0, concentrated gini high") {
+    import graft.ops.Profile
+    val skewed = (Seq.fill(6)("hot") ++ Seq("a", "b")).toDF("k")
+    val prof = Profile.keySkewProfile(skewed, col("k"), k = 2)
+      .as[(Int, String, Long, Double, Double)].collect().toList
+    assert(prof == List((1, "hot", 6L, 0.75, 0.75), (2, "a", 1L, 0.125, 0.875)),
+      s"got $prof")
+    val uniform = Seq("a", "b", "c", "d").toDF("k")
+    assert(Profile.keyGini(uniform, col("k"))
+      .as[(Long, Long, Double)].collect().head == ((4L, 4L, 0.0)))
+    // counts (1,1,6): G = (2*1*1 + 2*2*1 + 2*3*6 - 4*8) / (3*8) = 10/24
+    val g = Profile.keyGini(skewed, col("k"))
+      .as[(Long, Long, Double)].collect().head
+    assert(g == ((3L, 8L, 0.416667)), s"hand gini: $g")
+  }
+
   test("spearmanCorr: monotone nonlinear is exactly 1, reversal -1, constant NULL") {
     import graft.ops.Profile
     val mono = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 105.0), (4.0, 10000.0))
