@@ -305,6 +305,40 @@ object OpsQueries {
         |             * 1000000 + 0.5) / 1000000 AS dup_frac
         |FROM tok t LEFT JOIN cov USING (doc_id)""".stripMargin),
 
+    // span-level contamination: WHERE the test corpus (every 11th doc's
+    // 120-char prefix) leaks inside training docs, as maximal merged
+    // spans — the surgical-cut decontamination primitive; test side
+    // collapses to distinct gram keys before the join
+    ("d23_contamination_spans",
+      (s, sf) => Dedup.contaminationSpans(
+        docs(s, sf), col("doc_id"), col("text"),
+        docs(s, sf).filter(col("doc_id") % 11 === 0)
+          .select(substring(col("text"), 1, 120).as("t")),
+        col("t"), k = 8),
+      """WITH ptoks AS (SELECT string_split_regex(lower(trim(substr(text, 1, 120))),
+        |      '\s+') AS toks FROM documents WHERE doc_id % 11 = 0),
+        |probe AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+7], ' ')
+        |    FOR i IN range(1, len(toks) - 6)]) AS gram
+        |  FROM ptoks WHERE len(toks) >= 8),
+        |ttoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest([{'pos': i - 1,
+        |      'gram': array_to_string(toks[i:i+7], ' ')}
+        |    FOR i IN range(1, len(toks) - 6)], recursive := true)
+        |  FROM ttoks WHERE len(toks) >= 8),
+        |o AS (SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+        |  FROM g JOIN probe USING (gram)),
+        |m AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |             1 PRECEDING), -1) THEN 1 ELSE 0 END AS isnew FROM o),
+        |isl AS (SELECT doc_id, s, e,
+        |        sum(isnew) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM m)
+        |SELECT doc_id, min(s) AS start_tok, max(e) AS end_tok,
+        |       max(e) - min(s) AS ntok
+        |FROM isl GROUP BY doc_id, island""".stripMargin),
+
     // LSH candidates + exact verification ⇒ same rows as the exact oracle
     // (recall at j≥0.8 with 16×4 bands is 1-(1-j⁴)¹⁶ > 1-10⁻⁸)
     ("d03_minhash_lsh",

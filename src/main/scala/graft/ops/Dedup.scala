@@ -786,6 +786,15 @@ object Dedup {
     val occ = grams.join(dupKeys, "gram")
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + k).cast("long").as("e"))
+    mergeSpanIslands(occ)
+  }
+
+  /** Merge per-doc overlapping/abutting [s, e) windows into maximal
+    * spans (gaps-and-islands over the doc partitioning) — shared by
+    * [[duplicatedSpans]] and [[contaminationSpans]]. Input: (doc_id,
+    * s, e) rows; output: (doc_id, start_tok, end_tok, ntok). */
+  private def mergeSpanIslands(occ: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     occ
       .withColumn("__pm",
@@ -797,6 +806,38 @@ object Dedup {
       .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"))
       .select(col("doc_id"), col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok")).as("ntok"))
+  }
+
+  /** Span-level cross-corpus contamination — the decontamination
+    * primitive d09/d10's DOCUMENT-level n-gram overlap can't give you:
+    * WHERE inside a training document the test set leaks, as maximal
+    * token spans. Every k-token window of a train doc whose text occurs
+    * ANYWHERE in the test corpus is flagged, overlapping windows merge
+    * into maximal spans (so a verbatim 50-token test excerpt reports as
+    * ONE span of 50, exactly — the Lee et al. exact-substring regime
+    * pointed across corpora). Use it to surgically cut spans instead of
+    * dropping whole documents.
+    *
+    * Scale shape: train side = the duplicatedSpans gram table; test
+    * side collapses to DISTINCT gram keys (map-side combined; test sets
+    * are tiny next to training corpora, so the join usually broadcasts)
+    * — never a doc×doc comparison. Output: (doc_id, start_tok,
+    * end_tok, ntok) over the TRAIN ids. */
+  def contaminationSpans(train: DataFrame, trainId: Column, trainText: Column,
+      test: DataFrame, testText: Column, k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val grams = ensureParallelism(
+        train.select(trainId.as("doc_id"), normText(trainText).as("norm")))
+      .select(col("doc_id"), posexplode(
+          graft.functions.HashFunctions.wordGrams(col("norm"), k))
+        .as(Seq("pos", "gram")))
+    val probe = test.select(explode(
+        graft.functions.HashFunctions.wordGrams(normText(testText), k))
+      .as("gram")).distinct()
+    val occ = grams.join(probe, "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + k).cast("long").as("e"))
+    mergeSpanIslands(occ)
   }
 
   /** Per-document duplicated-token budget from [[duplicatedSpans]]: the

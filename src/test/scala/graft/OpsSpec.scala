@@ -948,6 +948,20 @@ class OpsSpec extends AnyFunSuite {
     assert(arr.numElements() == 2)
   }
 
+  test("contaminationSpans: test excerpt reports as one exact span, clean docs silent") {
+    import graft.ops.Dedup
+    val train = Seq(
+      (1L, "w1 w2 SECRET a b c d e f g h END w3"), // 10-token excerpt at pos 2
+      (2L, "totally clean text with no leaked content here at all"))
+      .toDF("doc_id", "text")
+    val test = Seq("SECRET a b c d e f g h END").toDF("t")
+    val got = Dedup.contaminationSpans(train, col("doc_id"), col("text"),
+        test, col("t"), k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 12L, 10L)),
+      s"one maximal span covering the verbatim excerpt: $got")
+  }
+
   test("duplicatedSpans: maximal islands, intra-doc repeats count, sub-k stays silent") {
     import graft.ops.Dedup
     // docs 1 and 2 share "a b c d e f" (6 tokens, k=4 → 3 windows →
