@@ -339,6 +339,53 @@ object OpsQueries {
         |       max(e) - min(s) AS ntok
         |FROM isl GROUP BY doc_id, island""".stripMargin),
 
+    // surgical decontamination: detect (d23) then CUT the flagged token
+    // ranges and rejoin — keeps the 5000-token page, loses the 50-token
+    // leaked quote; docs cut to nothing drop, untouched docs pass as-is
+    ("d24_cut_spans",
+      (s, sf) => {
+        val train = docs(s, sf)
+        val spans = Dedup.contaminationSpans(
+          train, col("doc_id"), col("text"),
+          docs(s, sf).filter(col("doc_id") % 11 === 0)
+            .select(substring(col("text"), 1, 120).as("t")),
+          col("t"), k = 8)
+        Dedup.cutSpans(train, col("doc_id"), col("text"), spans)
+      },
+      """WITH ptoks AS (SELECT string_split_regex(lower(trim(substr(text, 1, 120))),
+        |      '\s+') AS toks FROM documents WHERE doc_id % 11 = 0),
+        |probe AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+7], ' ')
+        |    FOR i IN range(1, len(toks) - 6)]) AS gram
+        |  FROM ptoks WHERE len(toks) >= 8),
+        |ttoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest([{'pos': i - 1,
+        |      'gram': array_to_string(toks[i:i+7], ' ')}
+        |    FOR i IN range(1, len(toks) - 6)], recursive := true)
+        |  FROM ttoks WHERE len(toks) >= 8),
+        |o AS (SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+        |  FROM g JOIN probe USING (gram)),
+        |m AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |             1 PRECEDING), -1) THEN 1 ELSE 0 END AS isnew FROM o),
+        |isl AS (SELECT doc_id, s, e,
+        |        sum(isnew) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM m),
+        |sp AS (SELECT doc_id, min(s) AS st, max(e) AS en
+        |  FROM isl GROUP BY doc_id, island),
+        |cut AS (SELECT DISTINCT doc_id, unnest([i FOR i IN range(st, en)]) AS pos
+        |  FROM sp),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) - 1 AS pos FROM ttoks),
+        |kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+        |  FROM tk LEFT JOIN cut ON cut.doc_id = tk.doc_id AND cut.pos = tk.pos
+        |  WHERE cut.pos IS NULL),
+        |tot AS (SELECT doc_id, len(toks)::BIGINT AS total FROM ttoks)
+        |SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS text,
+        |  (max(tot.total) - count(*))::BIGINT AS n_removed
+        |FROM kept k JOIN tot ON tot.doc_id = k.doc_id GROUP BY k.doc_id""".stripMargin),
+
     // LSH candidates + exact verification ⇒ same rows as the exact oracle
     // (recall at j≥0.8 with 16×4 bands is 1-(1-j⁴)¹⁶ > 1-10⁻⁸)
     ("d03_minhash_lsh",

@@ -840,6 +840,39 @@ object Dedup {
     mergeSpanIslands(occ)
   }
 
+  /** Surgical span cut — the consumer of [[contaminationSpans]] /
+    * [[duplicatedSpans]]: remove the flagged token ranges from each
+    * document and rejoin the survivors, keeping documents with no
+    * flagged span untouched (and documents cut to nothing dropped).
+    * This is the "cut the leaked excerpt, keep the document" move that
+    * beats dropping whole documents when contamination is a 50-token
+    * quote inside a 5000-token page.
+    *
+    * Tokens are the same whitespace normalization the span ops used, so
+    * span positions line up by construction. Scale shape: spans explode
+    * to (doc, pos) rows bounded by Σntok (flagged mass, not corpus
+    * mass); the anti-join rides the doc+pos keys; reassembly is one
+    * doc-keyed sort-agg — the dedupParagraphs shape.
+    * Output: (doc_id, text, n_removed). */
+  def cutSpans(df: DataFrame, id: Column, text: Column,
+      spans: DataFrame): DataFrame = {
+    val toks = df.select(id.as("doc_id"), posexplode(
+        split(normText(text), "\\s+")).as(Seq("pos", "tok")))
+    val cutPos = spans.select(col("doc_id"),
+        explode(sequence(col("start_tok"), col("end_tok") - 1)).as("pos"))
+      .distinct()
+    toks.join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("__ps"),
+        count(lit(1)).as("__kept"))
+      .join(df.select(id.as("doc_id"),
+        size(split(normText(text), "\\s+")).cast("long").as("__total")), "doc_id")
+      .select(col("doc_id"),
+        array_join(transform(col("__ps"), p => p.getField("tok")), " ")
+          .as("text"),
+        (col("__total") - col("__kept")).as("n_removed"))
+  }
+
   /** Per-document duplicated-token budget from [[duplicatedSpans]]: the
     * fraction of a document's tokens covered by corpus-duplicated spans
     * of ≥ k tokens — the "how much of this doc is boilerplate" quality

@@ -948,6 +948,27 @@ class OpsSpec extends AnyFunSuite {
     assert(arr.numElements() == 2)
   }
 
+  test("cutSpans: removes exactly the flagged ranges, keeps clean docs verbatim-normalized") {
+    import graft.ops.Dedup
+    val train = Seq(
+      (1L, "w1 w2 SECRET a b c d e f g h END w3"),
+      (2L, "clean doc stays whole with every single token intact"))
+      .toDF("doc_id", "text")
+    val test = Seq("SECRET a b c d e f g h END").toDF("t")
+    val spans = Dedup.contaminationSpans(train, col("doc_id"), col("text"),
+      test, col("t"), k = 4)
+    val got = Dedup.cutSpans(train, col("doc_id"), col("text"), spans)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "w1 w2 w3", 10L)), s"${got(1L)}")
+    assert(got(2L) == ((2L,
+      "clean doc stays whole with every single token intact", 0L)))
+    // a doc that IS the excerpt gets cut to nothing and drops
+    val all = Seq((9L, "secret a b c d e f g h end")).toDF("doc_id", "text")
+    val s9 = Dedup.contaminationSpans(all, col("doc_id"), col("text"),
+      test, col("t"), k = 4)
+    assert(Dedup.cutSpans(all, col("doc_id"), col("text"), s9).count() == 0)
+  }
+
   test("contaminationSpans: test excerpt reports as one exact span, clean docs silent") {
     import graft.ops.Dedup
     val train = Seq(
