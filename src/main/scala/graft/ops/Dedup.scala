@@ -28,6 +28,11 @@ object Dedup {
     * `df.rdd.getNumPartitions` — the latter forces physical planning of
     * the upstream plan before the caller's cache point. */
   private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
+    // register against the df's OWN session, not SparkSession.active —
+    // the two differ whenever a caller builds plans for a session that
+    // never became thread-active (exposed by DeterminismSpec's
+    // newSession runs), and every shingle/gram op funnels through here
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val conf = df.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
     val bytes = df.queryExecution.analyzed.stats.sizeInBytes
@@ -69,8 +74,13 @@ object Dedup {
   }
 
   /** doc -> (id, shingles array). */
-  private def shingled(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+  private def shingled(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    // registration must precede the select — Dataset analysis is EAGER,
+    // so the graft_word_shingles lookup happens inside df.select, not
+    // at execution (DeterminismSpec's never-active session caught this)
+    graft.functions.VectorFunctions.register(df.sparkSession)
     ensureParallelism(df.select(id.as("sid"), wordShingles(text, n).as("shingles")))
+  }
 
   /** Inputs estimated above this size default to the rarity-ordered
     * prefix (the extra DF join pays for itself once a corpus-hot shingle

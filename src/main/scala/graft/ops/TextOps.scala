@@ -234,6 +234,7 @@ object TextOps {
   def ngramCounts(df: DataFrame, text: Column, n: Int,
       minCount: Long = 1L): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
+    graft.functions.VectorFunctions.register(df.sparkSession)
     // native WordGrams expression, not a transform() HOF — the HOF
     // evaluates its lambda interpreted per window and was the dominant
     // cost of this scan (same finding as the WordShingles migration);
