@@ -1101,6 +1101,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("2024-01-02", 1)) == ((1L, 1L)) && got(("2024-01-02", 7)) == ((1L, 0L)))
   }
 
+  test("referentialOrphans: dimension-sized parent plans as a broadcast anti-join") {
+    import graft.ops.Checks
+    val child = spark.read.parquet(s"$sf/orders.parquet")
+    val parent = spark.read.parquet(s"$sf/customer.parquet")
+    val plan = Checks.referentialOrphans(child, col("o_custkey"),
+      parent, col("c_custkey")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"child side must not shuffle for a dimension-table FK check:\n$plan")
+  }
+
   test("referentialOrphans: anti-join keeps unmatched and NULL foreign keys") {
     import graft.ops.Checks
     val child = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, None))

@@ -96,6 +96,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart: dedup state survives stop/start; file source resumes exactly-once") {
+    // the fault-tolerance story a 100 TB deployment actually relies on:
+    // a NEW query instance on the SAME checkpoint must recover the
+    // dedup state store (a post-restart duplicate still drops) and the
+    // file-source offset log (batch-1 files are not re-ingested)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toFile
+    val in = s"$root/in"; val ck = s"$root/ck"; val out = s"$root/out"
+    Seq((ts(1), 10L), (ts(1, 10), 11L)).toDF("ts", "doc_id")
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      EventStreams.streamingDedup(src, "ts", "1 hour", Seq("doc_id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+    }
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2, "batch 1 emits both ids")
+    Seq((ts(1, 20), 10L), (ts(1, 30), 12L)).toDF("ts", "doc_id")
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(10L, 11L, 12L),
+      s"recovered state must drop the post-restart duplicate of 10, got $ids")
+  }
+
   test("flatMapGroupsWithState sessionize under AvailableNow equals the batch window plan") {
     // the st05 gate's in-repo twin: one micro-batch over the single-file
     // source means every user's history reaches one group call, so the
