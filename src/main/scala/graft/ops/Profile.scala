@@ -165,11 +165,15 @@ object Profile {
     require(k >= 1, s"k must be >= 1: $k")
     val counts = df.select(key.cast("string").as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("n"))
-    val byN = Window.orderBy(col("n").desc, col("key").asc)
     val total = counts.agg(sum(col("n"))).head().getLong(0)
-    counts
+    // top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
+    // per-partition heaps), so the rank/cumulative window runs over k
+    // rows, never over the full distinct-key table (billions at corpus
+    // scale — a global single-partition window there is the exact
+    // failure this op exists to diagnose)
+    val byN = Window.orderBy(col("n").desc, col("key").asc)
+    counts.orderBy(col("n").desc, col("key").asc).limit(k)
       .withColumn("rank", row_number().over(byN))
-      .filter(col("rank") <= k)
       .withColumn("share6",
         floor(col("n").cast("double") / total * 1000000 + 0.5) / 1000000)
       .withColumn("cum_share6",
@@ -190,14 +194,25 @@ object Profile {
     import org.apache.spark.sql.types.DecimalType
     val counts = df.select(key.cast("string").as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").asc, col("key").asc)
-    counts
-      .withColumn("i", row_number().over(w).cast("long"))
-      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
-        sum(((col("i") * 2).cast(DecimalType(38, 0)) * col("c")))
-          .as("__wsum"))
+    // keys sharing a count value occupy a CONTIGUOUS rank run whose
+    // Σ 2i·c has the closed form c·(2t·minrank + t(t−1)) — so the rank
+    // pass collapses to a window over the DISTINCT COUNT VALUES (tiny:
+    // bounded by the max key frequency, not the key cardinality; a
+    // row_number over billions of distinct keys would be a global
+    // single-partition sort). Intra-run order cancels, so no key
+    // tie-break is needed and the value is identical to the naive
+    // per-key rank formula.
+    val byCount = counts.groupBy(col("c")).agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, -1)
+    byCount
+      .withColumn("minr", coalesce(sum(col("t")).over(w), lit(0L)) + 1)
+      .withColumn("__wsum",
+        col("c").cast(DecimalType(38, 0))
+          * (col("t") * 2 * col("minr") + col("t") * (col("t") - 1)))
+      .agg(sum(col("t")).as("n_keys"), sum(col("c") * col("t")).as("n_rows"),
+        sum(col("__wsum")).as("__ws"))
       .select(col("n_keys"), col("n_rows"),
-        (floor((col("__wsum").cast("double")
+        (floor((col("__ws").cast("double")
           - (col("n_keys") + 1).cast("double") * col("n_rows").cast("double"))
           / (col("n_keys").cast("double") * col("n_rows").cast("double"))
           * 1000000 + 0.5) / 1000000).as("gini6"))
