@@ -188,6 +188,14 @@ case class TopClusters(first: Expression, second: Expression,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_top_clusters"
+  // eval returns null for dim<=0/nProbe<=0 REGARDLESS of child
+  // nullability — without this override, non-nullable children make
+  // nullSafeCodeGen emit ev.isNull as the constant `false`, the
+  // generated `false = true;` fails janino ("not an rvalue"), and the
+  // whole Generate stage silently fell back to interpreted eval (found
+  // by the round-12 DeterminismSweep's codegen-error scan; every
+  // sibling expression already had it)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def arr(t: DataType) = t match {

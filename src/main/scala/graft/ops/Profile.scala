@@ -278,9 +278,13 @@ object Profile {
     * engines, 6-dp floored.
     *
     * Scale shape: midranks per column come from windows over the
-    * DISTINCT values (the a16 discipline — never a row-sized sort),
-    * attached back by two value-keyed joins; the moments are one
-    * map-side-combined reduce. Constant column → NULL (no ranking).
+    * DISTINCT values, attached back by two value-keyed joins; the
+    * moments are one map-side-combined reduce. That window is
+    * cardinality-bounded for the quantized/discrete metrics this op
+    * targets (scores, counts, bucketed lengths) — for truly continuous
+    * inputs distinct ≈ rows and a global rank is INHERENT to Spearman;
+    * quantize first (ranks of quantized values ≈ ranks of raw values
+    * wherever quantization preserves order). Constant column → NULL.
     * Output: one row (n, spearman6). */
   def spearmanCorr(df: DataFrame, x: Column, y: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
