@@ -3817,6 +3817,22 @@ object OpsQueries {
         |    * 1000000 + 0.5) / 1000000 AS tvd6
         |FROM j GROUP BY slice""".stripMargin),
 
+    // lexical diversity per source (dataset-card stats): type-token
+    // ratio + hapax fraction, exact integer counts, two 6-dp divisions
+    ("t39_lexical_diversity",
+      (s, sf) => TextOps.lexicalDiversity(docs(s, sf), col("source"), col("text")),
+      """WITH tf AS (SELECT source AS slice, t AS term, count(*)::BIGINT AS c
+        |  FROM (SELECT source,
+        |          unnest(string_split_regex(lower(trim(text)),'\s+')) AS t
+        |        FROM documents WHERE trim(text) <> '')
+        |  GROUP BY 1, 2)
+        |SELECT slice, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  floor(count(*)::DOUBLE / sum(c) * 1000000 + 0.5) / 1000000 AS ttr6,
+        |  floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |    * 1000000 + 0.5) / 1000000 AS hapax_frac6
+        |FROM tf GROUP BY slice""".stripMargin),
+
     // Jensen-Shannon drift (log2) per source: same absent-mass folding as
     // t26's TVD — slice-absent terms contribute exactly q/2 each, so the
     // sum runs over present terms plus the (1 - sum q)/2 remainder;

@@ -682,6 +682,31 @@ object TextOps {
     out
   }
 
+  /** Lexical-diversity profile per slice — the dataset-card vocabulary
+    * stats: type-token ratio (distinct terms / total terms; collapses
+    * toward 0 on template/boilerplate text) and the hapax fraction
+    * (terms occurring exactly once / distinct terms; Zipfian prose sits
+    * near 0.4–0.6, machine-generated or deduplicated-to-death text
+    * falls far below). All counts exact integers; the two ratios are
+    * single divisions, 6-dp floored.
+    *
+    * Scale shape: one (slice, term) count aggregate (map-side combined
+    * — the inverted-index shuffle shape, pair counts not corpus bytes),
+    * then a slice-keyed reduce over the distinct-term relation.
+    * Output: (slice, n_tokens, n_types, n_hapax, ttr6, hapax_frac6). */
+  def lexicalDiversity(df: DataFrame, slice: Column, text: Column): DataFrame = {
+    val tf = df.select(slice.as("slice"), explode(tokens(text)).as("term"))
+      .groupBy(col("slice"), col("term")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("slice"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("slice"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (floor(col("n_types").cast("double") / col("n_tokens") * 1000000 + 0.5)
+          / 1000000).as("ttr6"),
+        (floor(col("n_hapax").cast("double") / col("n_types") * 1000000 + 0.5)
+          / 1000000).as("hapax_frac6"))
+  }
+
   /** Jensen-Shannon drift per slice — the second drift metric next to
     * [[distributionDrift]]'s TVD (JSD weights the SHAPE of the
     * disagreement: a term going 1% → 0% moves JSD far more than one

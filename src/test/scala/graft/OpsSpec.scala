@@ -1168,6 +1168,15 @@ class OpsSpec extends AnyFunSuite {
       math.abs(g2(1) - math.sqrt(0.5)) < 1e-6, s"diagonal PC: $g2")
   }
 
+  test("lexicalDiversity: exact TTR and hapax fraction on a hand fixture") {
+    import graft.ops.TextOps
+    // slice A: tokens (a a b c) -> 4 tokens, 3 types (a x2, b, c), 2 hapax
+    val df = Seq(("A", "a a b"), ("A", "c")).toDF("src", "text")
+    val got = TextOps.lexicalDiversity(df, col("src"), col("text"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(got == (("A", 4L, 3L, 2L, 0.75, 0.666667)), s"got $got")
+  }
+
   test("jsDivergenceDrift: 0 for identical distributions, 1 for disjoint vocabularies") {
     import graft.ops.TextOps
     val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
