@@ -1060,7 +1060,10 @@ object Dedup {
     * longest / highest-quality variant, not the arbitrary
     * smallest-id one that [[connectedComponents]]' label happens to
     * name). Emits every member with its verdict, not just survivors, so
-    * the drop set is auditable.
+    * the drop set is auditable — including members with no metrics row,
+    * which carry a NULL metric and rank last (nulls-last ordering), so a
+    * metric-less member only survives when its whole cluster is
+    * metric-less (then smallest id wins deterministically).
     *
     * One shuffle: the metric join rides into the cluster-partitioned
     * ranking window; clusters are near-dup-family-sized, so the window
@@ -1069,9 +1072,9 @@ object Dedup {
       metrics: DataFrame, mId: Column, metric: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__cl"))
-      .orderBy(col("__m").desc, col("__id").asc)
+      .orderBy(col("__m").desc_nulls_last, col("__id").asc)
     clusters.select(id.as("__id"), cluster.as("__cl"))
-      .join(metrics.select(mId.as("__id"), metric.as("__m")), "__id")
+      .join(metrics.select(mId.as("__id"), metric.as("__m")), Seq("__id"), "left")
       .withColumn("__rk", row_number().over(w))
       .select(col("__cl").as("cluster"), col("__id").as("id"),
         col("__m").as("metric"), (col("__rk") === 1).as("kept"))

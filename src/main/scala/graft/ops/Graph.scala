@@ -308,6 +308,11 @@ object Graph {
     var m = e.count()
     var round = 0
     var converged = m == 0L
+    // Handle on the superseded round's checkpoint RDD: Dataset.unpersist
+    // is a no-op for localCheckpoint storage (it isn't CacheManager-
+    // tracked), so without this a long-running driver calling kCore
+    // repeatedly accretes one dead RDD per peel round.
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     while (!converged && round < maxRounds) {
       val strong = degreesOf(e).filter(col("deg") >= k).select(col("node"))
       val next = e
@@ -315,8 +320,11 @@ object Graph {
         .join(strong.withColumnRenamed("node", "v"), "v")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      val m2 = next.count()
-      e.unpersist()
+      val m2 = next.count() // materializes next; e is now safe to release
+      e.unpersist(blocking = false)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = next.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
       e = next
       converged = m2 == m
       m = m2
@@ -324,6 +332,11 @@ object Graph {
     }
     require(converged, s"kCore did not converge in $maxRounds rounds " +
       "(pathological chain graph? raise maxRounds)")
+    // Empty input converges before round 1: release the otherwise-leaked
+    // initial cache (the empty result recomputes trivially). The FINAL
+    // round's checkpoint must stay persisted — its lineage is truncated,
+    // so it IS the returned data.
+    if (round == 0) e.unpersist(blocking = false)
     degreesOf(e).withColumnRenamed("deg", "core_deg")
   }
 

@@ -599,8 +599,24 @@ object Pipeline {
     val ranked = base.withColumn("__r", row_number().over(rIn) - 1)
       .withColumn("__fin",
         (col("__r") + 1).cast("double") / col("__w").cast("double"))
-    ranked.withColumn("pos", row_number().over(
-        Window.orderBy(col("__fin").asc, col("__g").asc, col("__id").asc)))
+    // Global position WITHOUT an Exchange SinglePartition window: range-
+    // repartition on the total sort key + in-partition sort is Spark's
+    // distributed total order; zipWithIndex then derives the contiguous
+    // 0-based rank from per-partition counts (one count job), so no task
+    // ever holds more than its range slice. The sort key is total
+    // (id tie-break), so positions are independent of where the sampled
+    // range bounds fall.
+    val sorted = ranked
+      .repartitionByRange(col("__fin").asc, col("__g").asc, col("__id").asc)
+      .sortWithinPartitions(col("__fin").asc, col("__g").asc, col("__id").asc)
+      .select(col("__id"), col("__g"), col("__r"))
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val withPos = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(withPos, schema)
       .select(col("__id").as("id"), col("__g").as("group"),
         col("__r").as("r_in_source"), col("pos"))
   }

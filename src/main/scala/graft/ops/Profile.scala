@@ -218,20 +218,6 @@ object Profile {
           * 1000000 + 0.5) / 1000000).as("gini6"))
   }
 
-  /** Benford first-digit profile of a DECIMAL column — the synthetic-
-    * data / fabricated-records tripwire (organically-grown magnitudes
-    * follow log₁₀(1+1/d); uniform or hand-seeded generators don't).
-    * Observed share per digit next to the Benford expectation, both
-    * 6-dp floored; the consumer compares (a15's chi² machinery applies
-    * if a single statistic is wanted).
-    *
-    * The first significant digit is extracted from the DECIMAL's STRING
-    * rendering (first [1-9]) — deliberately no float log/pow, whose
-    * boundary behavior at exact powers of ten differs across engines;
-    * decimal-to-string is identical everywhere. Pass a DECIMAL (or
-    * integer/string) column; float columns would hit engine-specific
-    * shortest-round-trip rendering and are the caller's risk. One scan,
-    * one ≤9-row aggregate. Output: (digit, n, obs_p6, exp_p6). */
   /** Exact ROC-AUC by the Mann-Whitney rank statistic with midrank tie
     * handling — the quality-classifier acceptance metric (t15/t17 train
     * them; this grades them) computed EXACTLY, not by trapezoid
@@ -342,6 +328,20 @@ object Profile {
           / 1000000).as("frac_pos6"))
   }
 
+  /** Benford first-digit profile of a DECIMAL column — the synthetic-
+    * data / fabricated-records tripwire (organically-grown magnitudes
+    * follow log₁₀(1+1/d); uniform or hand-seeded generators don't).
+    * Observed share per digit next to the Benford expectation, both
+    * 6-dp floored; the consumer compares (a15's chi² machinery applies
+    * if a single statistic is wanted).
+    *
+    * The first significant digit is extracted from the DECIMAL's STRING
+    * rendering (first [1-9]) — deliberately no float log/pow, whose
+    * boundary behavior at exact powers of ten differs across engines;
+    * decimal-to-string is identical everywhere. Pass a DECIMAL (or
+    * integer/string) column; float columns would hit engine-specific
+    * shortest-round-trip rendering and are the caller's risk. One scan,
+    * one ≤9-row aggregate. Output: (digit, n, obs_p6, exp_p6). */
   def benfordProfile(df: DataFrame, value: Column): DataFrame = {
     val digit = regexp_extract(abs(value).cast("string"), "([1-9])", 1)
     val counts = df.select(digit.as("__d")).filter(col("__d") =!= "")

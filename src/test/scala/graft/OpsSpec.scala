@@ -2768,9 +2768,9 @@ class OpsSpec extends AnyFunSuite {
     val out = Pipeline.interleaveByWeight(docs, col("doc_id"), col("source"),
       Map("src0" -> 3, "src1" -> 2), salt = "il")
       .orderBy(col("pos")).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
     // pos is a permutation of 1..N
-    assert(out.map(_._3).toSeq == (1 to out.length).toSeq)
+    assert(out.map(_._3).toSeq == (1L to out.length.toLong).toSeq)
     // the fin<=1 prefix holds EXACTLY w_s rows of each source: the WFQ
     // guarantee that stopping early consumes every source in proportion
     val nSources = docs.select("source").distinct().count().toInt
@@ -2781,7 +2781,7 @@ class OpsSpec extends AnyFunSuite {
     // deterministic replay
     val again = Pipeline.interleaveByWeight(docs, col("doc_id"), col("source"),
       Map("src0" -> 3, "src1" -> 2), salt = "il")
-      .orderBy(col("pos")).collect().map(r => (r.getLong(0), r.getInt(3)))
+      .orderBy(col("pos")).collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(again.toSeq == out.map(t => (t._1, t._3)).toSeq)
   }
 
