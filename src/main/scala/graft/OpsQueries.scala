@@ -386,6 +386,43 @@ object OpsQueries {
         |  (max(tot.total) - count(*))::BIGINT AS n_removed
         |FROM kept k JOIN tot ON tot.doc_id = k.doc_id GROUP BY k.doc_id""".stripMargin),
 
+    // TRUE longest-duplicated-substring spans (the exact Lee et al.
+    // criterion d21's k-gram islands approximate): distributed
+    // suffix-grouping — doubling ladder of equality-exact classes +
+    // parallel binary search — vs a brute-force oracle that enumerates
+    // EVERY (pos, length) window 8..64 on true substring text; same %7
+    // planted boilerplate as d21 so cross-doc spans provably exist
+    ("d25_longest_dup_spans",
+      (s, sf) => Dedup.longestDuplicatedSpans(
+        docs(s, sf).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nthe quick brown fox jumps over the lazy dog again"))
+            .otherwise(lit(""))).as("text")),
+        col("doc_id"), col("text"), minLen = 8, maxLen = 64),
+      """WITH base AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10)||'the quick brown fox jumps over the lazy dog again'
+        |         ELSE '' END AS t FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(lower(trim(t)), '\s+') AS toks FROM base),
+        |pos AS (SELECT doc_id, len(toks) AS n, toks,
+        |        unnest(range(1, len(toks) + 1)) AS p FROM tok),
+        |win AS (SELECT doc_id, p, mm.m AS m,
+        |        array_to_string(toks[p:p+mm.m-1], ' ') AS s
+        |  FROM pos, (SELECT unnest(range(8, 65)) AS m) mm
+        |  WHERE p + mm.m - 1 <= n),
+        |dup AS (SELECT m, s FROM win GROUP BY 1, 2 HAVING count(*) > 1),
+        |lm AS (SELECT w.doc_id, w.p, max(w.m) AS l
+        |  FROM win w JOIN dup USING (m, s) GROUP BY 1, 2),
+        |f AS (SELECT doc_id, p, l,
+        |        lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp,
+        |        lag(l) OVER (PARTITION BY doc_id ORDER BY p) AS pl
+        |  FROM lm WHERE l >= 8)
+        |SELECT doc_id, p - 1 AS start_tok, p - 1 + l AS end_tok, l AS ntok,
+        |       (l = 64) AS capped
+        |FROM f
+        |WHERE pp IS NULL OR pp <> p - 1
+        |   OR NOT (pl = l + 1 OR (pl = 64 AND l = 64))""".stripMargin),
+
     // LSH candidates + exact verification ⇒ same rows as the exact oracle
     // (recall at j≥0.8 with 16×4 bands is 1-(1-j⁴)¹⁶ > 1-10⁻⁸)
     ("d03_minhash_lsh",

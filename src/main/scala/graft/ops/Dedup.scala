@@ -904,6 +904,175 @@ object Dedup {
           * 1000000 + 0.5) / 1000000).as("dup_frac"))
   }
 
+  /** TRUE longest-duplicated-substring spans — the exact-substring
+    * criterion of Lee et al. 2022, which [[duplicatedSpans]]' k-gram
+    * islands only approximate (islands merge at shingle granularity, so
+    * two distinct repeated sources that abut report as one span that is
+    * not itself a duplicated substring). Here, for every token position
+    * p of every document, L(p) = the exact length of the longest
+    * substring starting at p that occurs at ≥ 2 distinct (doc, pos)
+    * locations corpus-wide (intra-doc self-repetition counts, as in the
+    * paper), and the emitted spans are the maximal ones: [p, p+L(p))
+    * with L(p) ≥ minLen, suppressed when the predecessor span covers it
+    * (L(p−1) = L(p)+1 — always the exact cover test, since
+    * L(p−1) ≤ L(p)+1 by definition). L is capped at maxLen; inside a
+    * longer-than-maxLen duplicated run only the first position reports,
+    * with `capped` = true (raise maxLen for exact ends).
+    *
+    * Construction — a distributed suffix-grouping (Manber–Myers
+    * doubling), NOT a hash sketch: level j holds every position whose
+    * 2^j-token window is duplicated, classed by an equality-exact class
+    * id (the class's minimum (doc, pos) member — no hashing anywhere,
+    * so no collision caveat at any scale). Level j+1 classes come from
+    * (class(p), class(p+2^j)) pairs; a position absent from a level is
+    * PROVEN non-duplicated there, because any duplicated 2^(j+1)-window
+    * has both half-windows duplicated. After the ladder, each
+    * position's exact L is found by parallel binary search inside
+    * (2^t, 2^(t+1)]: length-m equality for 2^j < m ≤ 2^(j+1) is the
+    * OVERLAPPING pair (class_j(p), class_j(p+m−2^j)) — two length-m
+    * strings are equal iff their pairs are — and the occurrence count
+    * for a tested m only needs positions in level j (any occurrence of
+    * a duplicated m-string has duplicated prefix and suffix windows),
+    * so refinement never rescans the corpus. Refinement is ONE wave,
+    * not a driver-paced binary search: every level-j position explodes
+    * over its whole m-range (2^j, 2^(j+1)] at once — a measured 5×
+    * win at moderate scale, where per-round job latency dominates the
+    * modest extra row volume.
+    *
+    * Scale shape: the corpus is touched once (the g0-gram scan); every
+    * later table is bounded by the DUPLICATED position set, which
+    * shrinks per level (Lee et al. measure ~1% duplicated tokens on
+    * C4-class corpora). Cost: log2(maxLen) doubling shuffles + one
+    * refinement wave of ≤ 2·maxLen·|duplicated positions| rows (linear
+    * in duplicated mass with a maxLen constant — the same bound as the
+    * k-gram table [[duplicatedSpans]] already pays, times the window
+    * constant). Nothing data-sized reaches the driver.
+    *
+    * Output: (doc_id, start_tok, end_tok, ntok, capped), positions
+    * 0-based over whitespace tokens of the normalized text. */
+  def longestDuplicatedSpans(df: DataFrame, id: Column, text: Column,
+      minLen: Int = 8, maxLen: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    require(maxLen >= minLen, s"maxLen ($maxLen) must be >= minLen ($minLen)")
+    val j0 = 31 - Integer.numberOfLeadingZeros(minLen) // floor log2
+    val bigJ = 31 - Integer.numberOfLeadingZeros(maxLen)
+    def pw(j: Int): Long = 1L << j
+    // intermediates are localCheckpoint'ed, NOT persist'ed: the columnar
+    // InMemoryRelation cache reads these struct-keyed tables ~10× slower
+    // than their own parquet round-trip (measured at sf0.1 — 11.6 s vs
+    // 0.84 s for the identical aggregate), while checkpointed UnsafeRow
+    // scans are cheap; checkpointing also truncates the ladder lineage.
+    // Handles collected for release at the end (the kCore discipline).
+    val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def ck(d: DataFrame): DataFrame = {
+      val c = d.localCheckpoint() // eager: materializes now
+      checkpointRdd(c).foreach(ckpts += _)
+      c
+    }
+    val base = ensureParallelism(
+      df.select(id.as("doc_id"), normText(text).as("norm")))
+    val toks = ck(base.select(col("doc_id"),
+        size(split(col("norm"), "\\s+")).cast("long").as("n"),
+        posexplode(graft.functions.HashFunctions.wordGrams(col("norm"), 1 << j0))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n"),
+        col("gram")))
+    // duplicated-class membership: keep positions whose key occurs > 1
+    // time; the class id is the minimum (doc, pos) member — exact,
+    // deterministic, layout-independent
+    def classed(tbl: DataFrame, keys: Seq[String]): DataFrame = {
+      val cl = tbl.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__c"),
+          min(struct(col("doc_id"), col("pos"))).as("cls"))
+        .filter(col("__c") > 1)
+        .select(keys.map(col) :+ col("cls"): _*)
+      tbl.join(cl, keys)
+        .select(col("doc_id"), col("pos"), col("n"), col("cls"))
+    }
+    // doubling ladder: levels j0..bigJ of (doc_id, pos, n, cls)
+    var levels = List.empty[(Int, DataFrame)] // descending by level
+    var r = ck(classed(toks, Seq("gram")))
+    var j = j0
+    levels ::= (j, r)
+    var laddering = r.count() > 0
+    while (laddering && j < bigJ) {
+      val right = r.select(col("doc_id").as("bd"), col("pos").as("bp"),
+        col("cls").as("c2"))
+      val pairs = r.join(right,
+          col("doc_id") === col("bd") && col("bp") === col("pos") + lit(pw(j)))
+        .select(col("doc_id"), col("pos"), col("n"), col("cls").as("c1"),
+          col("c2"))
+      val nxt = ck(classed(pairs, Seq("c1", "c2")))
+      if (nxt.count() == 0) laddering = false
+      else { j += 1; r = nxt; levels ::= (j, r) }
+    }
+    val pow2 = (c: Column) => levels.map(_._1).foldLeft(lit(0L)) {
+      (acc, lv) => when(c === lv, lit(pw(lv))).otherwise(acc) }
+    val allRanks = levels.map { case (lv, t) =>
+        t.select(col("doc_id"), col("pos"), col("n"), col("cls"),
+          lit(lv).as("lvl")) }
+      .reduce(_.unionByName(_)) // union of checkpoints — cheap to rescan
+    // ONE refinement wave: every level-j position explodes over the m
+    // values decomposable at its level — m ∈ (2^j, min(2^(j+1), maxLen,
+    // n−pos)] — forming the OVERLAPPING pair with the level-j class at
+    // pos+m−2^j (inner join: a missing suffix class proves the m-window
+    // non-duplicated). A (lvl, m, c1, c2) group with > 1 member means
+    // the length-m string is duplicated; every occurrence q of such a
+    // string has L(q) ≥ m > 2^j, so q sits in level j and contributes
+    // its row — counts are exact by the same suffix argument as the
+    // ladder.
+    val exploded = allRanks
+      .withColumn("__hi", least(pow2(col("lvl")) * 2, lit(maxLen.toLong),
+        col("n") - col("pos")))
+      // sequence() DESCENDS when start > stop — guard the empty range
+      .withColumn("m", explode(when(col("__hi") > pow2(col("lvl")),
+        sequence(pow2(col("lvl")) + 1, col("__hi")))
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("pos"), col("lvl"), col("m"),
+        col("cls").as("c1"))
+    val vSide = allRanks.select(col("doc_id").as("vd"), col("pos").as("vp"),
+      col("lvl").as("vl"), col("cls").as("vc"))
+    val w = ck(exploded.join(vSide,
+        col("doc_id") === col("vd") && col("vl") === col("lvl") &&
+          col("vp") === col("pos") + col("m") - pow2(col("lvl")))
+      .select(col("doc_id"), col("pos"), col("lvl"), col("m"), col("c1"),
+        col("vc")))
+    val dupW = w.groupBy(col("lvl"), col("m"), col("c1"), col("vc"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col("lvl"), col("m"), col("c1"), col("vc"))
+    val refined = w.join(dupW, Seq("lvl", "m", "c1", "vc"))
+      .groupBy(col("doc_id"), col("pos")).agg(max(col("m")).as("__lr"))
+    // L(p) = max(2^top(p), longest duplicated refinement length)
+    val top = allRanks.groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("lvl")).as("t"))
+    val settled = top.join(refined, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"),
+        greatest(pow2(col("t")), coalesce(col("__lr"), lit(0L))).as("L"))
+      .filter(col("L") >= minLen.toLong)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = settled
+      .withColumn("__pv", lag(struct(col("pos"), col("L")), 1).over(wd))
+      .filter(col("__pv").isNull ||
+        col("__pv.pos") =!= col("pos") - 1 ||
+        !(col("__pv.L") === col("L") + 1 ||
+          (col("__pv.L") === lit(maxLen.toLong) &&
+            col("L") === lit(maxLen.toLong))))
+      .select(col("doc_id"), col("pos").as("start_tok"),
+        (col("pos") + col("L")).as("end_tok"), col("L").as("ntok"),
+        (col("L") === lit(maxLen.toLong)).as("capped"))
+      .localCheckpoint() // eager: materialize before releasing the ladder
+    ckpts.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Handle on a localCheckpoint'ed DataFrame's persisted RDD (Dataset
+    * .unpersist is a no-op for checkpoint storage) — the kCore release
+    * discipline, shared by the iterative ops in this file. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic dedup at the
     * embedding level — cluster the corpus, form candidate pairs only

@@ -1008,6 +1008,40 @@ class OpsSpec extends AnyFunSuite {
     assert(frac(4L) == ((4L, 0L, 7L, 0.0)), "clean doc reports 0, not NULL")
   }
 
+  test("longestDuplicatedSpans: exact boundaries, intra-doc repeats, capped runs") {
+    import graft.ops.Dedup
+    // a 12-token block planted in docs 1 and 2 at different offsets with
+    // unique context — the span must be EXACTLY the block (the
+    // over/under-cut the k-gram islands of d21 cannot promise)
+    val x = (1 to 12).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha bravo charlie delta echo $x foxtrot golf"),
+      (2L, s"uniq1 uniq2 $x tail1 tail2 tail3"),
+      (3L, "completely different text with no repeats at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.longestDuplicatedSpans(docs, col("doc_id"), col("text"),
+        minLen = 8, maxLen = 64)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 5L, 17L, 12L, false), (2L, 2L, 14L, 12L, false)),
+      s"got $got")
+    // intra-doc self-repetition: both occurrences report, exact length
+    val self = Seq((7L, ((1 to 10).map(i => s"a$i").mkString(" ")) +
+        " gap " + ((1 to 10).map(i => s"a$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val gotSelf = Dedup.longestDuplicatedSpans(self, col("doc_id"),
+        col("text"), minLen = 8, maxLen = 64)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(gotSelf == Set((7L, 0L, 10L, 10L, false), (7L, 11L, 21L, 10L, false)),
+      s"got $gotSelf")
+    // a run longer than maxLen: ONE capped span at the run start per
+    // occurrence, never a span per position
+    val capped = Dedup.longestDuplicatedSpans(docs, col("doc_id"),
+        col("text"), minLen = 4, maxLen = 8)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(capped == Set((1L, 5L, 13L, 8L, true), (2L, 2L, 10L, 8L, true)),
+      s"got $capped")
+  }
+
   test("keySkewProfile + keyGini: exact shares, uniform gini 0, concentrated gini high") {
     import graft.ops.Profile
     val skewed = (Seq.fill(6)("hot") ++ Seq("a", "b")).toDF("k")
