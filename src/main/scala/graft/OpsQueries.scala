@@ -3729,6 +3729,49 @@ object OpsQueries {
         |SELECT ch.k, ch.nat, DATE '2024-06-01', NULL FROM ch
         |WHERE ch.k NOT IN (SELECT k FROM cur)""".stripMargin),
 
+    // ---- LSH index maintenance under merge + erasure ---------------------
+    // the lake story meets the dedup story: maintain the persisted
+    // (sid, band, bhash) banded index through an upsert batch (every 5th
+    // doc rewritten) and an erasure batch (every 11th doc, disjoint),
+    // then answer near-dup pairs FROM THE MAINTAINED INDEX — batch-cost
+    // maintenance instead of re-signing the corpus. The spec asserts the
+    // maintained index is row-identical to a from-scratch rebuild; this
+    // gate's pair set matches the exact-Jaccard oracle over the
+    // post-merge corpus (the d03 recall-1 recipe at 16×4, j ≥ 0.8)
+    ("e10_lsh_index_maintain",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val baseIdx = Dedup.lshBucketRows(d, col("doc_id"), col("text"), n = 3)
+        val ups = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zz updated v2")).as("text"))
+        val era = d.filter(pmod(col("doc_id"), lit(11)) === 0 &&
+          pmod(col("doc_id"), lit(5)) =!= 0).select(col("doc_id"))
+        val idx = Dedup.lshIndexMaintain(baseIdx, ups, col("doc_id"),
+          col("text"), era, col("doc_id"), n = 3)
+        val post = d.filter(!(pmod(col("doc_id"), lit(11)) === 0 &&
+            pmod(col("doc_id"), lit(5)) =!= 0))
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" zz updated v2")))
+              .otherwise(col("text")).as("text"))
+        Dedup.verifyCandidatePairs(Dedup.lshIndexCandidates(idx), post,
+          col("doc_id"), col("text"), n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+      },
+      """WITH post AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' zz updated v2'
+        |         ELSE text END AS text
+        |  FROM documents WHERE NOT (doc_id % 11 = 0 AND doc_id % 5 <> 0)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN range(1, greatest(len(toks)-1, 2)) ]) AS ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM post))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws,b.ws))::DOUBLE
+        |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8""".stripMargin),
+
     // ---- charset profile -------------------------------------------------
     // encoding-health signal over text with PLANTED non-ASCII suffixes
     // (every 9th doc gets "é漢字" appended — the fixture corpus is pure

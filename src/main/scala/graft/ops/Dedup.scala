@@ -293,6 +293,45 @@ object Dedup {
         minHashSignature(wordShingles(text, n), numHashes).as("sig")),
       bands, numHashes / bands)
 
+  /** Maintain a persisted banded-LSH index ([[lshBucketRows]]' (sid,
+    * band, bhash) artifact) under a merge batch: drop every bucket row
+    * of a TOUCHED id (upserted or erased), append fresh rows for the
+    * upserts — the point where the lake story (e07 upsert / e09
+    * erasure) and the dedup story (d03/e06) meet. The maintained index
+    * is row-identical to rebuilding [[lshBucketRows]] over the
+    * post-merge corpus (spec-asserted), so a nightly merge maintains
+    * the dedup index at batch cost instead of re-signing 100 TB.
+    *
+    * Scale shape: one anti-join keyed on sid (broadcast when the touch
+    * set is batch-sized) + signature work for the upserts only; the
+    * surviving index rows are never recomputed or shuffled beyond the
+    * anti-join. An id in both inputs is treated as upserted (the fresh
+    * rows win — erasure of a re-written doc is a contradiction callers
+    * should resolve upstream). */
+  def lshIndexMaintain(index: DataFrame, upserts: DataFrame,
+      upId: Column, upText: Column, erasures: DataFrame, eId: Column,
+      n: Int, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val up = upserts.select(upId.as("sid"), upText.as("__t"))
+    val touched = erasures.select(eId.as("sid"))
+      .unionByName(up.select(col("sid"))).distinct()
+    val kept = index.join(touched, Seq("sid"), "left_anti")
+    val fresh = lshBucketRows(up, col("sid"), col("__t"), n, numHashes, bands)
+    kept.unionByName(fresh)
+  }
+
+  /** Candidate pairs straight from a persisted (sid, band, bhash) index
+    * — the bucket self-join of [[minHashCandidates]] exposed for
+    * index-maintenance consumers ([[lshIndexMaintain]]): candidates
+    * come from the index artifact, verification joins the corpus via
+    * [[verifyCandidatePairs]]. */
+  def lshIndexCandidates(index: DataFrame): DataFrame = {
+    val l = index.as("l"); val r = index.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.bhash") === col("r.bhash") && col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"))
+      .distinct()
+  }
+
   /** Exact-Jaccard verification of an externally produced candidate-pair
     * set (id_a, id_b) against the corpus — the confirm step shared by
     * the batch and streaming LSH paths. */

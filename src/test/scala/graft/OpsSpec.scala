@@ -1510,6 +1510,34 @@ class OpsSpec extends AnyFunSuite {
     assert(incr.nonEmpty, "fixture must exercise the incremental path")
   }
 
+  test("lshIndexMaintain: maintained index row-identical to from-scratch rebuild") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val baseIdx = Dedup.lshBucketRows(d, col("doc_id"), col("text"), n = 3)
+    val ups = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" zz updated v2")).as("text"))
+    val era = d.filter(pmod(col("doc_id"), lit(11)) === 0 &&
+      pmod(col("doc_id"), lit(5)) =!= 0).select(col("doc_id"))
+    val maintained = Dedup.lshIndexMaintain(baseIdx, ups, col("doc_id"),
+      col("text"), era, col("doc_id"), n = 3)
+    val post = d.filter(!(pmod(col("doc_id"), lit(11)) === 0 &&
+        pmod(col("doc_id"), lit(5)) =!= 0))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" zz updated v2")))
+          .otherwise(col("text")).as("text"))
+    val rebuilt = Dedup.lshBucketRows(post, col("doc_id"), col("text"), n = 3)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "maintained index must equal the from-scratch rebuild as a multiset")
+    // erased ids gone from the maintained index, and it is non-trivial
+    val sids = maintained.select("sid").distinct()
+      .as[Long].collect().toSet
+    assert(era.as[Long].collect().toSet.intersect(sids).isEmpty,
+      "erased ids must leave the index")
+    assert(sids.nonEmpty)
+  }
+
   test("graft_nfc: composes decomposed forms, ASCII passes through, idempotent") {
     import spark.implicits._
     val decomposed = "cafe\u0301"   // e + combining acute (U+0301)
