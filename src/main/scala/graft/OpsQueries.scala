@@ -5134,6 +5134,19 @@ object OpsQueries {
     // 2 — so batch 3's two 09:xx rows combine into one late [09,10)
     // group and drop (the agg drop unit is the group), while its 11:55
     // row survives; counts read per-batch from state-operator progress
+    // mid-batch crash + restart exactly-once: batch 0's foreachBatch
+    // writes a PARTIAL non-atomic slice to the sink and then throws;
+    // the restart on the same checkpoint replays batch 0 from the WAL
+    // and the idempotent per-batch overwrite supersedes the debris —
+    // the read-back aggregate must equal the plain batch aggregate
+    // (no loss, no duplicates, across a real injected failure)
+    ("st17_crash_restart_exactly_once",
+      (s, sf) => EventStreams.runCrashRestartExactlyOnce(
+        s, s"$sf/events.parquet"),
+      "SELECT user_id, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumv " +
+        "FROM events GROUP BY user_id"),
+
     ("st16_late_drop_audit",
       (s, sf) => {
         val label = new java.io.File(sf).getName

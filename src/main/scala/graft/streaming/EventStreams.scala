@@ -251,6 +251,65 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** Mid-batch crash + restart, exactly-once: the harshest delivery
+    * test in the streaming family. The source is staged as four files
+    * read one per micro-batch; the sink is the idempotent-foreachBatch
+    * recipe (each batch overwrites its own `batch=<id>` directory). On
+    * the first run, batch 0's function writes a PARTIAL, non-atomic
+    * slice of its rows to the sink and then throws — a crash strictly
+    * inside a batch, after sink bytes hit disk, before the offset
+    * commit. The restart on the same checkpoint replays batch 0 from
+    * the write-ahead offset log (identical file set), and the per-batch
+    * overwrite supersedes the partial debris; remaining batches drain.
+    * The read-back aggregate must equal the plain batch aggregate over
+    * the source — no loss (everything arrives despite the crash) and
+    * no duplicates (neither the replayed batch nor the partial write
+    * double-counts).
+    *
+    * Delivery contract this pins (COVERAGE "streaming delivery"):
+    * at-least-once replay from the WAL + an idempotent sink = exactly
+    * once — the same contract st10 proves for JDBC upsert under full
+    * re-run, here proven under an injected MID-BATCH failure with
+    * partial sink output. Returns (user_id, n, sumv). */
+  def runCrashRestartExactlyOnce(spark: SparkSession,
+      parquetPath: String): DataFrame = {
+    import org.apache.spark.sql.functions.{pmod, count, sum, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_xo").toFile
+    val in = s"$root/in"; val ck = s"$root/ck"; val out = s"$root/out"
+    spark.read.parquet(parquetPath)
+      .select(col("ts"), col("user_id"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start(inject: Boolean) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val dir = s"$out/batch=$bid"
+        if (inject && bid == 0L && injected.compareAndSet(false, true)) {
+          df.filter(pmod(col("user_id"), lit(2)) === 0)
+            .write.mode("overwrite").parquet(dir) // partial, then die
+          throw new RuntimeException("injected mid-batch crash")
+        }
+        df.write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start(inject = true)
+    try q1.awaitTermination()
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    require(injected.get(), "crash injection must have fired")
+    val q2 = start(inject = false)
+    q2.awaitTermination()
+    spark.read.parquet(out).drop("batch")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+          .cast("double").as("sumv"))
+  }
+
   /** [[streamingDedup]] streamed into a parquet file sink and read back
     * (file source → watermarked dedup → exactly-once file sink: the
     * full production ingest-to-egress path in one gate). */

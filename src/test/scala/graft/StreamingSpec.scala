@@ -125,6 +125,20 @@ class StreamingSpec extends AnyFunSuite {
       s"recovered state must drop the post-restart duplicate of 10, got $ids")
   }
 
+  test("mid-batch crash + restart converges to exactly-once (injected failure)") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val sf = "/root/testdata/sf0.001"
+    val got = EventStreams.runCrashRestartExactlyOnce(spark, s"$sf/events.parquet")
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+          .cast("double").as("sumv"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "post-crash sink must equal the batch aggregate exactly")
+  }
+
   test("flatMapGroupsWithState sessionize under AvailableNow equals the batch window plan") {
     // the st05 gate's in-repo twin: one micro-batch over the single-file
     // source means every user's history reaches one group call, so the
