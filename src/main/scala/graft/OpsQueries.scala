@@ -5249,6 +5249,33 @@ object OpsQueries {
         |  END AS chars_per_tok4
         |FROM t GROUP BY 1""".stripMargin),
 
+    // ---- Unigram-LM (SentencePiece-style) tokenizer ----------------------
+    // the second tokenizer family next to BPE (t25/t27): seed vocab of
+    // frequent substrings, hard-EM re-estimation of piece probabilities,
+    // prune-to-vocab loop. Probabilities are quantized to integer
+    // billionths (exact integer math) and Viterbi scores are IEEE double
+    // products of q/1e9 — no transcendentals — so the learned vocab is
+    // bit-identical cross-engine. The oracle re-derives the ENTIRE
+    // training run: every EM pass is an unrolled per-position DP (12
+    // stages of argmax-join CTEs) plus an unrolled backpointer walk,
+    // with the same quantization, tie-breaks, and prune schedule
+    ("t40_unigram_learn",
+      (s, sf) => graft.ops.UnigramLm.learn(docs(s, sf), col("text")),
+      unigramOracleSql()),
+
+    // ...and the tokenizer APPLIED corpus-wide: re-learn, then encode
+    // every document (Viterbi per DISTINCT word, joined back per doc —
+    // the BPE reduction) and count subwords per doc. The oracle runs
+    // one more unrolled segmentation pass under the final vocabulary,
+    // so any drift in the learned probabilities or in the DP's
+    // tie-breaking breaks hundreds of per-doc counts
+    ("t41_unigram_encode",
+      (s, sf) => {
+        val vocab = graft.ops.UnigramLm.learn(docs(s, sf), col("text"))
+        graft.ops.UnigramLm.encodeCounts(docs(s, sf), "doc_id", col("text"), vocab)
+      },
+      unigramEncodeOracleSql()),
+
     ("t36_zipf_slope",
       (s, sf) => TextOps.zipfSlope(docs(s, sf), col("text"), topN = 100),
       """WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
@@ -5582,6 +5609,122 @@ object OpsQueries {
       |pd AS (SELECT dw.doc_id, sum(len(string_split(trim(r$k.s, ' '), '  '))) AS n
       |  FROM dw JOIN r$k USING (w) GROUP BY dw.doc_id)
       |SELECT d.doc_id, coalesce(pd.n, 0)::BIGINT AS n_bpe
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
+  /** One unrolled Viterbi pass (CTE list) for the unigram-LM oracles:
+    * `maxWordLen` DP stages (`d{s}_i` picks the argmax split for the
+    * first i characters under vocab `v`, ties score DESC then j ASC),
+    * the union `dp{s}`, the backpointer walk `k{s}_t`, and the piece
+    * stream `seg{s}`. */
+  private def unigramPassCtes(s: Int, v: String, L: Int,
+      maxWordLen: Int): Seq[String] = {
+    val sc = graft.ops.UnigramLm.Scale
+    val dps = (1 to maxWordLen).map { i =>
+      val branches = (math.max(0, i - L) until i).map(j =>
+        s"SELECT w, best, $j AS j FROM d${s}_$j WHERE len(w) >= $i")
+        .mkString(" UNION ALL ")
+      s"""d${s}_$i AS MATERIALIZED (
+         |  SELECT w, sc AS best, j AS bp FROM (
+         |    SELECT w, sc, j, ROW_NUMBER() OVER (PARTITION BY w ORDER BY sc DESC, j ASC) AS rn
+         |    FROM (
+         |      SELECT dj.w, dj.j,
+         |        dj.best * (COALESCE(v.q, CASE WHEN $i - dj.j = 1 THEN 1 END)::DOUBLE / $sc.0) AS sc
+         |      FROM ($branches) dj
+         |      LEFT JOIN $v v ON v.piece = substr(dj.w, dj.j + 1, $i - dj.j)
+         |    ) WHERE sc IS NOT NULL
+         |  ) WHERE rn = 1)""".stripMargin
+    }
+    val dpu = (1 to maxWordLen).map(i =>
+      s"SELECT w, $i AS i, best, bp FROM d${s}_$i").mkString(" UNION ALL ")
+    val walks = (1 to maxWordLen).map { t =>
+      s"""k${s}_$t AS MATERIALIZED (
+         |  SELECT p.w, p.cnt, d.bp AS i, substr(p.w, d.bp + 1, p.i - d.bp) AS piece
+         |  FROM k${s}_${t - 1} p JOIN dp$s d ON d.w = p.w AND d.i = p.i
+         |  WHERE p.i > 0)""".stripMargin
+    }
+    val segu = (1 to maxWordLen).map(t =>
+      s"SELECT w, cnt, piece FROM k${s}_$t").mkString(" UNION ALL ")
+    (s"d${s}_0 AS (SELECT w, CAST(1.0 AS DOUBLE) AS best, 0 AS bp FROM w0)" +:
+      dps) ++
+      Seq(s"dp$s AS MATERIALIZED (SELECT * FROM ($dpu))",
+        s"k${s}_0 AS (SELECT w, cnt, len(w) AS i FROM w0)") ++
+      walks :+ s"seg$s AS MATERIALIZED (SELECT * FROM ($segu))"
+  }
+
+  /** DuckDB twin of [[graft.ops.UnigramLm.learn]]: the FULL training
+    * run unrolled — seed quantization, `emIters + pruneRounds` hard-EM
+    * passes (each a `maxWordLen`-stage Viterbi DP + backpointer walk),
+    * and the linear prune schedule. Probabilities are integer
+    * billionths; DP scores are IEEE double products of q/1e9, ties
+    * `ORDER BY score DESC, j ASC` = the Spark side's ascending-j
+    * strict-greater fold. Every CTE is MATERIALIZED (the dp stages are
+    * multiply referenced — plain CTEs would inline exponentially). */
+  private def unigramOracleSql(L: Int = 4, seedSize: Int = 80,
+      vocabSize: Int = 30, emIters: Int = 2, pruneRounds: Int = 2,
+      maxWordLen: Int = 12): String = {
+    val sc = graft.ops.UnigramLm.Scale
+    def passCtes(s: Int, v: String) = unigramPassCtes(s, v, L, maxWordLen)
+    def emUpdate(s: Int, v: String, nextV: String): Seq[String] = Seq(
+      s"u$s AS MATERIALIZED (SELECT piece, sum(cnt) AS u FROM seg$s GROUP BY piece)",
+      s"""$nextV AS MATERIALIZED (
+         |  SELECT piece, CASE WHEN len(piece) = 1 THEN greatest(q, 1) ELSE q END AS q FROM (
+         |    SELECT vv.piece, CAST(COALESCE(uu.u, 0) * $sc // (SELECT sum(u) FROM u$s) AS BIGINT) AS q
+         |    FROM $v vv LEFT JOIN u$s uu USING (piece))
+         |  WHERE len(piece) = 1 OR q > 0)""".stripMargin)
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""w0 AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+         |  SELECT unnest(string_split_regex(lower(trim(text)),'\\s+')) AS w
+         |  FROM documents WHERE trim(text) <> '') WHERE len(w) BETWEEN 1 AND $maxWordLen GROUP BY w)""".stripMargin,
+      s"""sub AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS c FROM (
+         |  SELECT unnest(flatten([[substr(w, i, l) FOR l IN range(1, least($L, len(w) - i + 1) + 1)] FOR i IN range(1, len(w) + 1)])) AS piece, cnt
+         |  FROM w0) GROUP BY piece)""".stripMargin,
+      s"""seed AS MATERIALIZED (
+         |  SELECT piece, c FROM sub WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (SELECT piece, c FROM sub WHERE len(piece) > 1 ORDER BY c DESC, piece ASC LIMIT $seedSize))""".stripMargin,
+      s"""v0 AS MATERIALIZED (
+         |  SELECT piece, CASE WHEN len(piece) = 1 THEN greatest(q, 1) ELSE q END AS q FROM (
+         |    SELECT piece, CAST(c::HUGEINT * $sc // (SELECT sum(c)::HUGEINT FROM seed) AS BIGINT) AS q FROM seed)
+         |  WHERE len(piece) = 1 OR q > 0)""".stripMargin)
+    var cur = "v0"; var s = 0
+    for (_ <- 1 to emIters) {
+      ctes ++= passCtes(s, cur); ctes ++= emUpdate(s, cur, s"v${s + 1}")
+      cur = s"v${s + 1}"; s += 1
+    }
+    ctes += s"m0 AS (SELECT count(*) AS m FROM $cur WHERE len(piece) > 1)"
+    for (r <- 1 to pruneRounds) {
+      ctes += s"""pv$r AS MATERIALIZED (
+         |  SELECT piece, q FROM $cur WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, q FROM (
+         |    SELECT piece, q, ROW_NUMBER() OVER (ORDER BY q DESC, piece ASC) AS rn
+         |    FROM $cur WHERE len(piece) > 1)
+         |  WHERE rn <= greatest($vocabSize, (SELECT m FROM m0) - $r * greatest(0, ((SELECT m FROM m0) - $vocabSize + $pruneRounds - 1) // $pruneRounds)))""".stripMargin
+      ctes ++= passCtes(s, s"pv$r"); ctes ++= emUpdate(s, s"pv$r", s"v${s + 1}")
+      cur = s"v${s + 1}"; s += 1
+    }
+    "WITH " + ctes.mkString(",\n") + s"\nSELECT piece, q FROM $cur"
+  }
+
+  /** DuckDB twin of learn + [[graft.ops.UnigramLm.encodeCounts]]:
+    * reuse the whole training derivation, run ONE more unrolled
+    * segmentation pass under the final vocabulary, and join per-word
+    * piece counts back to word instances per document. */
+  private def unigramEncodeOracleSql(L: Int = 4, seedSize: Int = 80,
+      vocabSize: Int = 30, emIters: Int = 2, pruneRounds: Int = 2,
+      maxWordLen: Int = 12): String = {
+    val full = unigramOracleSql(L, seedSize, vocabSize, emIters, pruneRounds, maxWordLen)
+    val sFin = emIters + pruneRounds
+    val vFin = s"v$sFin"
+    val body = full.substring(0, full.lastIndexOf("\nSELECT piece, q FROM"))
+    val extra = unigramPassCtes(sFin, vFin, L, maxWordLen)
+    body + ",\n" + extra.mkString(",\n") + s""",
+      |pc AS (SELECT w, count(*)::BIGINT AS pc FROM seg$sFin GROUP BY w),
+      |dwq AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),'\\s+')) AS w
+      |  FROM documents WHERE trim(text) <> ''),
+      |pd AS (SELECT dwq.doc_id, sum(pc.pc) AS n FROM dwq JOIN pc USING (w) GROUP BY dwq.doc_id)
+      |SELECT d.doc_id, coalesce(pd.n, 0)::BIGINT AS n_unigram
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
   }
 

@@ -730,4 +730,55 @@ class RetrievalSpec extends AnyFunSuite {
       .select("bpe_tokens").as[Seq[String]].head()
     assert(enc == Seq("aa", "ab", "ab", "b", "a"))
   }
+
+  // ---- Unigram-LM tokenizer ---------------------------------------------
+
+  test("UnigramLm learn reproduces the hand-computed EM + prune sequence") {
+    import graft.ops.UnigramLm
+    // words: abab x2, ab x1, b x1. Seed counts: a=5, b=6, ab=5, ba=2,
+    // total 18 -> q0 = (277777777, 333333333, 277777777, 111111111).
+    // EM1 Viterbi: abab->[ab,ab], ab->[ab], b->[b] => usage ab=5, b=1,
+    // total 6 -> a floors to 1 (char), b=166666666, ab=833333333,
+    // ba drops (q=0). Prune keeps ab; final EM is a fixpoint.
+    val docs = Seq("abab ab", "abab b").toDF("text")
+    val got = UnigramLm.learn(docs, col("text"), maxPieceLen = 2,
+      seedSize = 4, vocabSize = 2, emIters = 1, pruneRounds = 1)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1L), ("ab", 833333333L), ("b", 166666666L)))
+  }
+
+  test("UnigramLm encodeCounts segments per distinct word and reports 0 for empty text") {
+    import graft.ops.UnigramLm
+    val vocab = Seq(("a", 1L), ("ab", 833333333L), ("b", 166666666L))
+      .toDF("piece", "q")
+    val docs = Seq((1L, "abab ab"), (2L, "abab b"), (3L, " "))
+      .toDF("doc_id", "text")
+    val got = UnigramLm.encodeCounts(docs, "doc_id", col("text"), vocab,
+      maxPieceLen = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 0L))
+  }
+
+  test("UnigramLm fertility on the corpus sits between 1 and chars-per-token (t37 cross-check)") {
+    import graft.ops.{TextOps, UnigramLm}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = UnigramLm.learn(docs, col("text"))
+    // coverage: every corpus character survives as a piece; prune hit its target
+    val pieces = vocab.collect().map(_.getString(0))
+    val chars = docs.select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", ""), "")).as("c"))
+      .where(col("c") =!= "").distinct().as[String].collect().toSet
+    assert(chars.subsetOf(pieces.filter(_.length == 1).toSet))
+    assert(pieces.count(_.length > 1) <= 30)
+    val enc = UnigramLm.encodeCounts(docs, "doc_id", col("text"), vocab)
+    val nPieces = enc.agg(sum("n_unigram")).head().getLong(0).toDouble
+    val stats = docs.select(
+      sum(size(TextOps.tokens(col("text")))).cast("long").as("ntok"),
+      sum(length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))).cast("long").as("nch"))
+      .head()
+    val (ntok, nch) = (stats.getLong(0).toDouble, stats.getLong(1).toDouble)
+    val fertility = nPieces / ntok
+    assert(fertility >= 1.0 && fertility <= nch / ntok,
+      s"fertility $fertility outside [1, ${nch / ntok}]")
+  }
 }
