@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt -batch "runMain graft.tools.DeterminismSweep /root/testdata/sf0.001"
   *
-  * Prints one line per diverging gate and a final `N/ M gates
+  * An optional second argument restricts the sweep to a comma-separated
+  * gate list (for sweeping a round's additions without paying the full
+  * suite). Prints one line per diverging gate and a final `N/ M gates
   * layout-independent` summary; exit 1 on any divergence. */
 object DeterminismSweep {
   def main(args: Array[String]): Unit = {
@@ -31,7 +33,14 @@ object DeterminismSweep {
         .map(_.toString).sorted.toSeq)
       catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = args.lift(1) match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty)
+        val missing = want.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty, s"unknown gates: ${missing.mkString(",")}")
+        want.toSeq.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     var bad = 0
     var err = 0
     for (g <- names) {
