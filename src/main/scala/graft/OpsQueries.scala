@@ -5276,6 +5276,20 @@ object OpsQueries {
       },
       unigramEncodeOracleSql()),
 
+    // ...and the LM as a QUALITY FILTER (the CCNet recipe): per-doc
+    // bits-per-char under the learned unigram model's Viterbi
+    // segmentation. Piece nats are 6-dp-rounded ln(q/1e9) (the t36
+    // transcendental recipe), all sums exact DECIMAL, one final double
+    // division 4-dp floored — so a per-doc float score still
+    // hash-matches cross-engine. Low bpc = templated/repetitive text,
+    // high bpc = out-of-model noise: the two tails curation cuts
+    ("t42_unigram_bpc",
+      (s, sf) => {
+        val vocab = graft.ops.UnigramLm.learn(docs(s, sf), col("text"))
+        graft.ops.UnigramLm.docBitsPerChar(docs(s, sf), "doc_id", col("text"), vocab)
+      },
+      unigramBpcOracleSql()),
+
     ("t36_zipf_slope",
       (s, sf) => TextOps.zipfSlope(docs(s, sf), col("text"), topN = 100),
       """WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
@@ -5725,6 +5739,39 @@ object OpsQueries {
       |  FROM documents WHERE trim(text) <> ''),
       |pd AS (SELECT dwq.doc_id, sum(pc.pc) AS n FROM dwq JOIN pc USING (w) GROUP BY dwq.doc_id)
       |SELECT d.doc_id, coalesce(pd.n, 0)::BIGINT AS n_unigram
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of learn + [[graft.ops.UnigramLm.docBitsPerChar]]:
+    * the encode derivation's final segmentation pass, piece nats from
+    * 6-dp-rounded ln(q/1e9) against the final vocab (UNK floor pinned
+    * at -20.723266), exact DECIMAL sums per word then per doc, one
+    * 4-dp-floored double division at the end. */
+  private def unigramBpcOracleSql(L: Int = 4, seedSize: Int = 80,
+      vocabSize: Int = 30, emIters: Int = 2, pruneRounds: Int = 2,
+      maxWordLen: Int = 12): String = {
+    val full = unigramOracleSql(L, seedSize, vocabSize, emIters, pruneRounds, maxWordLen)
+    val sFin = emIters + pruneRounds
+    val vFin = s"v$sFin"
+    val body = full.substring(0, full.lastIndexOf("\nSELECT piece, q FROM"))
+    val extra = unigramPassCtes(sFin, vFin, L, maxWordLen)
+    body + ",\n" + extra.mkString(",\n") + s""",
+      |lp AS (SELECT piece,
+      |  (floor(ln(q::DOUBLE / ${graft.ops.UnigramLm.Scale}.0) * 1000000 + 0.5) / 1000000)::DECIMAL(28,6) AS lp
+      |  FROM $vFin),
+      |ws AS (SELECT w,
+      |    sum(COALESCE(lp.lp, (-20.723266)::DECIMAL(28,6))) AS nats,
+      |    count(*)::BIGINT AS pc
+      |  FROM seg$sFin s LEFT JOIN lp USING (piece) GROUP BY w),
+      |dwq AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),'\\s+')) AS w
+      |  FROM documents WHERE trim(text) <> ''),
+      |pd AS (SELECT dwq.doc_id, sum(ws.pc) AS n, sum(ws.nats) AS nats,
+      |    sum(len(dwq.w))::BIGINT AS nch
+      |  FROM dwq JOIN ws USING (w) GROUP BY dwq.doc_id)
+      |SELECT d.doc_id, coalesce(pd.n, 0)::BIGINT AS n_pieces,
+      |  CASE WHEN pd.nch > 0 THEN
+      |    floor((-pd.nats::DOUBLE / 0.6931471805599453) / pd.nch::DOUBLE * 10000 + 0.5) / 10000
+      |  END AS bpc4
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
   }
 

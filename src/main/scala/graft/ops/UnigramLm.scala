@@ -184,6 +184,49 @@ object UnigramLm {
     vocab.sortBy(_._1).toDF("piece", "q")
   }
 
+  /** Per-document language-model quality score (the CCNet-style
+    * perplexity filter): bits-per-character of each document under the
+    * learned unigram LM's Viterbi segmentation. Each DISTINCT word is
+    * segmented once; its nats = sum of 6-dp-rounded `ln(q/1e9)` per
+    * piece (the t36 recipe — the only transcendental is rounded to a
+    * grid both engines land on identically, and all sums are exact
+    * DECIMAL); per-doc totals join word instances back. Output:
+    * (idCol, n_pieces, bpc4) — bpc4 the 4-dp bits/char over the
+    * documents' non-whitespace characters, NULL for token-less rows.
+    * Low bpc = repetitive/templated text, high bpc = out-of-model
+    * noise; both tails are what a curation pipeline cuts. */
+  def docBitsPerChar(df: DataFrame, idCol: String, text: Column,
+      vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val pm = pieceMap(vocab.select(col("piece"), col("q")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq)
+    val logp6 = vocab.select(col("piece"),
+      (floor(log(col("q").cast("double") / lit(Scale.toDouble)) * 1e6 + 0.5) / 1e6)
+        .cast("decimal(28,6)").as("__lp"))
+    val dw = df.select(col(idCol), explode(TextOps.tokens(text)).as("w"))
+    val ws = dw.select(col("w")).distinct()
+      .withColumn("__dp", viterbiDp(col("w"), pm, maxPieceLen))
+      .select(col("w"), explode(walkPieces(col("w"), col("__dp"))).as("piece"))
+      .join(logp6, Seq("piece"), "left")
+      // UNK single chars score the quantization floor ln(1e-9), pinned
+      // as a 6-dp literal so no engine computes that ln at runtime
+      .groupBy(col("w")).agg(
+        sum(coalesce(col("__lp"), lit(-20.723266).cast("decimal(28,6)")))
+          .as("__nats"),
+        count(lit(1)).as("__pc"))
+    val perId = dw.join(ws, "w").groupBy(col(idCol)).agg(
+      sum(col("__pc")).as("n_pieces"),
+      sum(col("__nats")).as("__nats"),
+      sum(length(col("w"))).cast("long").as("__nch"))
+    df.select(col(idCol)).distinct()
+      .join(perId, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(col("__nch") > 0,
+          floor((-col("__nats").cast("double") / lit(ln2))
+            / col("__nch").cast("double") * 1e4 + 0.5) / 1e4).as("bpc4"))
+  }
+
   /** Encode with a learned vocabulary and report subword counts per
     * row: Viterbi-segment each DISTINCT word once (the BPE reduction —
     * per-occurrence work is a join back, not a re-run of the DP) and

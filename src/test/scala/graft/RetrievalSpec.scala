@@ -760,6 +760,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 0L))
   }
 
+  test("UnigramLm docBitsPerChar matches hand-computed nats incl. the UNK floor") {
+    import graft.ops.UnigramLm
+    val vocab = Seq(("a", 1L), ("ab", 833333333L), ("b", 166666666L))
+      .toDF("piece", "q")
+    // doc1: pieces ab,ab,ab -> nats 3*round6(ln(.833333333)) = 3*(-0.182322),
+    //   nch 6 -> bpc4 0.1315
+    // doc2: 'z' is OOV -> UNK floor -20.723266; nats 2*(-0.182322)-20.723266,
+    //   nch 5 -> bpc4 6.0847 (the high-bpc "noise" tail, by construction)
+    // doc3: empty -> (0, null)
+    val docs = Seq((1L, "abab ab"), (2L, "abab z"), (3L, " "))
+      .toDF("doc_id", "text")
+    val got = UnigramLm.docBitsPerChar(docs, "doc_id", col("text"), vocab,
+      maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, 3L, Some(0.1315)), (2L, 3L, Some(6.0847)),
+      (3L, 0L, None)))
+  }
+
   test("UnigramLm fertility on the corpus sits between 1 and chars-per-token (t37 cross-check)") {
     import graft.ops.{TextOps, UnigramLm}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
