@@ -16,6 +16,8 @@ object OpsQueries {
 
   private def docs(s: SparkSession, sf: String) = s.read.parquet(s"$sf/documents.parquet")
 
+  private def events(s: SparkSession, sf: String) = s.read.parquet(s"$sf/events.parquet")
+
   /** Unrolled power iteration for the s19 PCA oracle: every Spark-side
     * step (8-dp-floored products, exact DECIMAL sums, 10-dp-floored
     * norm squares) restated per iteration; MATERIALIZED so DuckDB never
@@ -3993,6 +3995,28 @@ object OpsQueries {
 
     // exact ROC-AUC (Mann-Whitney midranks): integer until ONE division;
     // rank window over DISTINCT scores, never a row-sized sort
+    // pass@k (HumanEval estimator) over a deterministic eval fixture:
+    // events are samples, user_id%50 the task, every 19th event_id a
+    // "correct" sample (~5% → pass@5 ≈ 0.23, away from both saturation
+    // ends). The product form Π(n-c-i)/(n-i) is the same left-assoc
+    // IEEE chain in both engines — exact to the 6-dp floor
+    ("a19_pass_at_k",
+      (s, sf) => graft.ops.Profile.passAtK(
+        events(s, sf), col("user_id") % 50, col("event_id") % 19 === 0, k = 5),
+      passAtKOracleSql(5)),
+
+    // Bradley-Terry strengths over a deterministic pairwise-preference
+    // fixture: models = user_id%5 vs (user_id*3+1)%5, "a wins" iff
+    // event_id%10 < 6+(a-b) — win rates 0.2..1.0 so the fitted thetas
+    // spread. 6 quantized MM rounds; the oracle unrolls every round
+    // with the identical floor8/decimal-sum arithmetic
+    ("a20_bradley_terry",
+      (s, sf) => graft.ops.Profile.bradleyTerry(events(s, sf),
+        col("user_id") % 5, (col("user_id") * 3 + 1) % 5,
+        col("event_id") % 10 <
+          lit(6) + (col("user_id") % 5) - ((col("user_id") * 3 + 1) % 5)),
+      bradleyTerryOracleSql(6)),
+
     ("a16_auc",
       (s, sf) => graft.ops.Profile.aucScore(docs(s, sf),
         col("n_chars").cast("double"), col("doc_id") % 3 === 0),
@@ -5624,6 +5648,64 @@ object OpsQueries {
       |  FROM dw JOIN r$k USING (w) GROUP BY dw.doc_id)
       |SELECT d.doc_id, coalesce(pd.n, 0)::BIGINT AS n_bpe
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Profile.passAtK]] on the a19 fixture:
+    * the k product factors unrolled left-associated, the same IEEE
+    * chain the Spark fold builds. */
+  private def passAtKOracleSql(k: Int): String = {
+    val prod = (0 until k).map(i =>
+      s"((n - c - $i)::DOUBLE / (n - $i)::DOUBLE)").mkString(" * ")
+    s"""WITH b AS (SELECT user_id % 50 AS task, (event_id % 19 = 0) AS ok
+       |  FROM events),
+       |g AS (SELECT task, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS c FROM b GROUP BY 1)
+       |SELECT task, n, c,
+       |  CASE WHEN n < $k THEN NULL
+       |       WHEN n - c < $k THEN 1.0
+       |       ELSE floor((1.0 - ($prod)) * 1000000 + 0.5) / 1000000
+       |  END AS pass6
+       |FROM g""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Profile.bradleyTerry]] on the a20
+    * fixture: every MM round unrolled MATERIALIZED with the identical
+    * per-term floor8 (IEEE double), exact DECIMAL(28,8) sums, and
+    * mean-1 renormalization. */
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT p.i,
+         |    sum(CASE WHEN ta.theta + tb.theta > 0
+         |      THEN (floor(p.n::DOUBLE / (ta.theta + tb.theta) * 100000000 + 0.5) / 100000000)::DECIMAL(28,8)
+         |      ELSE 0 END) AS d
+         |  FROM p JOIN th${t - 1} ta ON ta.i = p.i JOIN th${t - 1} tb ON tb.i = p.j
+         |  GROUP BY p.i),
+         |tq$t AS MATERIALIZED (SELECT mo.i,
+         |    CASE WHEN coalesce(d$t.d, 0) > 0
+         |      THEN floor(coalesce(wins.wi, 0)::DOUBLE / d$t.d::DOUBLE * 100000000 + 0.5) / 100000000
+         |      ELSE 0.0 END AS t
+         |  FROM models mo LEFT JOIN d$t ON d$t.i = mo.i LEFT JOIN wins ON wins.i = mo.i),
+         |th$t AS MATERIALIZED (SELECT i,
+         |    CASE WHEN (SELECT sum(t::DECIMAL(28,8)) FROM tq$t) > 0
+         |      THEN floor(t * (SELECT m FROM mcount)::DOUBLE / (SELECT sum(t::DECIMAL(28,8)) FROM tq$t)::DOUBLE * 100000000 + 0.5) / 100000000
+         |      ELSE 0.0 END AS theta
+         |  FROM tq$t)""".stripMargin
+    }
+    s"""WITH c AS MATERIALIZED (SELECT user_id % 5 AS a, (user_id * 3 + 1) % 5 AS b,
+       |    event_id % 10 < 6 + (user_id % 5) - ((user_id * 3 + 1) % 5) AS aw
+       |  FROM events WHERE user_id % 5 <> (user_id * 3 + 1) % 5),
+       |w AS MATERIALIZED (SELECT CASE WHEN aw THEN a ELSE b END AS wi,
+       |    CASE WHEN aw THEN b ELSE a END AS lo, count(*)::BIGINT AS n
+       |  FROM c GROUP BY 1, 2),
+       |p AS MATERIALIZED (SELECT i, j, sum(n)::BIGINT AS n FROM (
+       |    SELECT wi AS i, lo AS j, n FROM w
+       |    UNION ALL SELECT lo AS i, wi AS j, n FROM w) GROUP BY 1, 2),
+       |wins AS (SELECT wi AS i, sum(n)::BIGINT AS wi FROM w GROUP BY 1),
+       |models AS (SELECT DISTINCT i FROM p),
+       |mcount AS (SELECT count(*)::BIGINT AS m FROM models),
+       |th0 AS (SELECT i, 1.0::DOUBLE AS theta FROM models),
+       |""".stripMargin + rounds.mkString(",\n") + s"""
+       |SELECT i AS model, theta AS theta8 FROM th$iters""".stripMargin
   }
 
   /** One unrolled Viterbi pass (CTE list) for the unigram-LM oracles:

@@ -254,6 +254,89 @@ object Profile {
             * 1000000 + 0.5) / 1000000).as("auc6"))
   }
 
+  /** Unbiased pass@k estimator (the HumanEval eval-aggregation
+    * statistic): per task with n samples and c correct,
+    * pass@k = 1 − C(n−c,k)/C(n,k), computed as the ordered product
+    * Π_{i=0..k−1} (n−c−i)/(n−i) of IEEE double factors — no
+    * factorials, no overflow at any n, and the left-associated chain
+    * is identical cross-engine so the 6-dp-floored result hash-matches.
+    * c > n−k gives exactly 1; n < k gives NULL (the estimator is
+    * undefined). One map-side-combined aggregation per task — sample
+    * logs of any size collapse to a task-sized table first.
+    * Output: (task, n, c, pass6). */
+  def passAtK(df: DataFrame, task: Column, correct: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val g = df.groupBy(task.as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correct.cast("boolean"), 1L).otherwise(0L)).as("c"))
+    val prod = (0 until k).foldLeft(lit(1.0)) { (acc, i) =>
+      acc * ((col("n") - col("c") - i).cast("double")
+        / (col("n") - i).cast("double"))
+    }
+    g.select(col("task"), col("n"), col("c"),
+      when(col("n") < k, lit(null).cast("double"))
+        .when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(floor((lit(1.0) - prod) * 1e6 + 0.5) / 1e6).as("pass6"))
+  }
+
+  /** Bradley-Terry preference-strength fitting by minorize-maximize
+    * iterations — the model a preference/RLHF data pipeline fits to
+    * grade annotator comparisons (and the statistic behind Elo-style
+    * leaderboards). One distributed map-side-combined aggregation
+    * collapses the comparison log to the (winner, loser, count) matrix;
+    * everything after runs on that matrix, which is models²-bounded by
+    * contract (models are a categorical dimension, the a11/chi2 cell
+    * discipline), collected like s19's d² Gram — never corpus-sized.
+    *
+    * Determinism (the quantized-iteration recipe): each MM round
+    * computes D_i = Σ_j floor8(n_ij/(θ_i+θ_j)) with the per-term
+    * 8-dp floor taken in IEEE double and the sum taken EXACTLY in
+    * decimal, then t_i = floor8(W_i/D_i), then renormalizes to mean 1
+    * via θ_i = floor8(t_i·m/Σt) with Σt again a decimal sum — so the
+    * trajectory is a pure function of the comparison counts,
+    * bit-identical cross-engine. A model with no wins converges to 0;
+    * zero-denominator guards mirror on both sides.
+    * Output: (model, theta8) — mean-1-normalized strengths. */
+  def bradleyTerry(df: DataFrame, a: Column, b: Column, aWins: Column,
+      iters: Int = 6): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    def floor8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+    def bd8(x: Double): BigDecimal =
+      BigDecimal.valueOf(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val winRows = df
+      .select(a.cast("long").as("a"), b.cast("long").as("b"),
+        aWins.cast("boolean").as("aw"))
+      .where(col("a") =!= col("b"))
+      .select(when(col("aw"), col("a")).otherwise(col("b")).as("wi"),
+        when(col("aw"), col("b")).otherwise(col("a")).as("lo"))
+      .groupBy(col("wi"), col("lo")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wins = winRows.groupBy(_._1).map { case (i, rs) => i -> rs.map(_._3).sum }
+    // symmetric pair totals n_ij = wins(i over j) + wins(j over i)
+    val pairs = winRows.flatMap { case (i, j, n) => Seq((i, j, n), (j, i, n)) }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((i, j), rs) => (i, j, rs.map(_._3).sum) }.toSeq
+    val models = pairs.map(_._1).distinct.sorted
+    val m = models.size
+    var theta = models.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val t = models.map { i =>
+        val d = pairs.filter(_._1 == i).map { case (_, j, n) =>
+          val s = theta(i) + theta(j)
+          if (s > 0) bd8(floor8(n.toDouble / s)) else BigDecimal(0)
+        }.foldLeft(BigDecimal(0))(_ + _)
+        i -> (if (d > 0)
+          floor8(wins.getOrElse(i, 0L).toDouble / d.toDouble) else 0.0)
+      }.toMap
+      val s = models.map(i => bd8(t(i))).foldLeft(BigDecimal(0))(_ + _)
+      theta = models.map(i =>
+        i -> (if (s > 0) floor8(t(i) * m.toDouble / s.toDouble) else 0.0)).toMap
+    }
+    import spark.implicits._
+    models.map(i => (i, theta(i))).toDF("model", "theta8")
+  }
+
   /** Spearman rank correlation with midrank tie handling — the monotone
     * dependence measure next to a08's Pearson (Pearson sees a log curve
     * as <1; Spearman sees any monotone relation as 1). Implemented as

@@ -1110,6 +1110,54 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
   }
 
+  test("passAtK: hand-computed estimator incl. saturation and undefined edges") {
+    import graft.ops.Profile
+    // task 1: n=4, c=1, k=2 -> 1 - C(3,2)/C(4,2) = 1 - 3/6 = 0.5
+    // task 2: n=3, c=2, k=2 -> n-c=1 < k -> exactly 1
+    // task 3: n=1, c=0, k=2 -> n < k -> NULL
+    // task 4: n=2, c=0, k=2 -> pass 0 exactly
+    val df = Seq(
+      (1L, true), (1L, false), (1L, false), (1L, false),
+      (2L, true), (2L, true), (2L, false),
+      (3L, false),
+      (4L, false), (4L, false)).toDF("task", "ok")
+    val got = Profile.passAtK(df, col("task"), col("ok"), k = 2)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, Some(0.5))))
+    assert(got(2L) == ((2L, 3L, 2L, Some(1.0))))
+    assert(got(3L) == ((3L, 1L, 0L, None)))
+    assert(got(4L) == ((4L, 2L, 0L, Some(0.0))))
+  }
+
+  test("bradleyTerry: hand-computed MM round; transitive dominance orders thetas") {
+    import graft.ops.Profile
+    // 2 models, n=3 comparisons, model 0 wins 2: round 1 gives
+    // D = floor8(3/2) = 1.5 for both, t0 = floor8(2/1.5) = 1.33333333,
+    // t1 = floor8(1/1.5) = 0.66666667, sum = 2 -> thetas unchanged by
+    // the mean-1 renormalization
+    val two = Seq((0L, 1L, true), (0L, 1L, true), (0L, 1L, false))
+      .toDF("a", "b", "aw")
+    val got = Profile.bradleyTerry(two, col("a"), col("b"), col("aw"), iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 1.33333333, 1L -> 0.66666667))
+    // 0 beats 1 beats 2 (with some noise the other way): fitted
+    // strengths must recover the transitive order, mean ~1
+    val rows = Seq.fill(8)((0L, 1L, true)) ++ Seq.fill(2)((0L, 1L, false)) ++
+      Seq.fill(8)((1L, 2L, true)) ++ Seq.fill(2)((1L, 2L, false)) ++
+      Seq.fill(9)((0L, 2L, true)) ++ Seq.fill(1)((0L, 2L, false))
+    val fit = Profile.bradleyTerry(rows.toDF("a", "b", "aw"),
+      col("a"), col("b"), col("aw")).as[(Long, Double)].collect().toMap
+    assert(fit(0L) > fit(1L) && fit(1L) > fit(2L), s"order: $fit")
+    assert(math.abs(fit.values.sum / 3 - 1.0) < 0.01, s"mean-1: $fit")
+    // self-comparisons are dropped; a model that never wins pins to 0
+    val degen = Seq((3L, 3L, true), (4L, 5L, true), (4L, 5L, true))
+      .toDF("a", "b", "aw")
+    val d = Profile.bradleyTerry(degen, col("a"), col("b"), col("aw"))
+      .as[(Long, Double)].collect().toMap
+    assert(!d.contains(3L) && d(5L) == 0.0 && d(4L) > 0.0, s"degen: $d")
+  }
+
   test("calibrationBins: quantized means, exact rates, 1.0 folds into the top bin") {
     import graft.ops.Profile
     val df = Seq((0.05, false), (0.15, true), (0.15, false), (1.0, true))
