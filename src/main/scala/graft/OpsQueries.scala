@@ -4005,6 +4005,26 @@ object OpsQueries {
         events(s, sf), col("user_id") % 50, col("event_id") % 19 === 0, k = 5),
       passAtKOracleSql(5)),
 
+    // split-conformal filtering thresholds per language (Mondrian
+    // conformal): k = ceil((n+1)(1-alpha))-th smallest doc length — the
+    // finite-sample-corrected quantile with the >=90% coverage
+    // guarantee. Exact order statistic from the distinct-score count
+    // table (a16's rank discipline — no row-sized sort)
+    ("a21_conformal_threshold",
+      (s, sf) => graft.ops.Profile.conformalThreshold(
+        docs(s, sf), col("lang"), col("n_chars"), alpha = 0.1),
+      """WITH b AS (SELECT lang AS grp, n_chars::DOUBLE AS s FROM documents),
+        |g AS (SELECT grp, s, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |r AS (SELECT grp, s, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n FROM g),
+        |k AS (SELECT grp, s, cum, n,
+        |    CAST(ceil((n + 1)::DOUBLE * 0.9) AS BIGINT) AS k FROM r)
+        |SELECT grp, n::BIGINT AS n, k,
+        |  CASE WHEN k <= n THEN min(CASE WHEN cum >= k THEN s END) END AS qhat
+        |FROM k GROUP BY grp, n, k""".stripMargin),
+
     // Bradley-Terry strengths over a deterministic pairwise-preference
     // fixture: models = user_id%5 vs (user_id*3+1)%5, "a wins" iff
     // event_id%10 < 6+(a-b) — win rates 0.2..1.0 so the fitted thetas

@@ -254,6 +254,38 @@ object Profile {
             * 1000000 + 0.5) / 1000000).as("auc6"))
   }
 
+  /** Split-conformal quantile thresholds, per group (Mondrian /
+    * class-conditional conformal): for calibration scores s_1..s_n the
+    * threshold is the k-th smallest with k = ⌈(n+1)(1−α)⌉ — the
+    * finite-sample-corrected quantile that guarantees ≥1−α marginal
+    * coverage on exchangeable data. The selective-filtering primitive:
+    * "keep documents whose nonconformity is below qhat" inherits the
+    * coverage guarantee per group.
+    *
+    * Scale shape: the k-th order statistic is NOT a row-sized sort —
+    * scores collapse to a per-group DISTINCT-score count table first
+    * (map-side combined, the a16 rank discipline), and the cumulative
+    * window runs over distinct values within each group. k > n (too
+    * few calibration rows for the requested α) → NULL threshold.
+    * Output: (grp, n, k, qhat). */
+  def conformalThreshold(df: DataFrame, group: Column, score: Column,
+      alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val g = df.select(group.as("grp"), score.cast("double").as("s"))
+      .groupBy(col("grp"), col("s")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .withColumn("k",
+        ceil((col("n") + 1).cast("double") * lit(1.0 - alpha)).cast("long"))
+    cum.groupBy(col("grp"), col("n"), col("k"))
+      .agg(min(when(col("cum") >= col("k"), col("s"))).as("qhat"))
+      .select(col("grp"), col("n"), col("k"),
+        when(col("k") <= col("n"), col("qhat")).as("qhat"))
+  }
+
   /** Unbiased pass@k estimator (the HumanEval eval-aggregation
     * statistic): per task with n samples and c correct,
     * pass@k = 1 − C(n−c,k)/C(n,k), computed as the ordered product

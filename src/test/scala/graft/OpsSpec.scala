@@ -1130,6 +1130,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 2L, 0L, Some(0.0))))
   }
 
+  test("conformalThreshold: finite-sample k-th order statistic, ties, undefined when k>n") {
+    import graft.ops.Profile
+    // A: 1..10, alpha=0.1 -> k=ceil(11*0.9)=10 -> qhat=10
+    // B: [1,1,2], alpha=0.1 -> k=ceil(4*0.9)=4 > 3 -> NULL
+    val df = ((1 to 10).map(i => ("A", i.toDouble)) ++
+      Seq(("B", 1.0), ("B", 1.0), ("B", 2.0))).toDF("g", "s")
+    val got = Profile.conformalThreshold(df, col("g"), col("s"), alpha = 0.1)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 10L, 10L, Some(10.0))))
+    assert(got("B") == (("B", 3L, 4L, None)))
+    // alpha=0.5 with ties: B's k=ceil(4*0.5)=2, cum at s=1 is 2 -> qhat=1
+    val half = Profile.conformalThreshold(df, col("g"), col("s"), alpha = 0.5)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(half("A") == (("A", 10L, 6L, Some(6.0))))
+    assert(half("B") == (("B", 3L, 2L, Some(1.0))))
+  }
+
   test("bradleyTerry: hand-computed MM round; transitive dominance orders thetas") {
     import graft.ops.Profile
     // 2 models, n=3 comparisons, model 0 wins 2: round 1 gives
