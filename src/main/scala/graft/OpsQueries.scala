@@ -5334,6 +5334,47 @@ object OpsQueries {
       },
       unigramBpcOracleSql()),
 
+    // Heaps'-law vocabulary growth V(n) ~ K*n^beta over bigrams, the
+    // corpus read in 64 id-range buckets (the cumulative window runs
+    // over the bucket GRID, never a row-sized sort): the "how much new
+    // vocabulary does 10x more data buy" scaling diagnostic. Bucket
+    // index, lns, and OLS are the identical IEEE/decimal chains in
+    // both engines (t36 recipe)
+    ("t43_heaps_law",
+      (s, sf) => TextOps.heapsLaw(docs(s, sf), col("doc_id"), col("text")),
+      """WITH mm AS (SELECT min(doc_id)::BIGINT AS mn, max(doc_id)::BIGINT AS mx
+        |  FROM documents),
+        |base AS (SELECT CAST(floor((doc_id - mm.mn)::DOUBLE * 64
+        |      / (mm.mx - mm.mn + 1)::DOUBLE) AS BIGINT) AS b,
+        |    unnest([toks[i] || ' ' || toks[i+1]
+        |      FOR i IN range(1, greatest(len(toks), 1))]) AS g
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS toks
+        |        FROM documents WHERE trim(text) <> ''), mm),
+        |perb AS (SELECT b, count(*)::BIGINT AS nt FROM base GROUP BY 1),
+        |firstb AS (SELECT fb AS b, count(*)::BIGINT AS nv FROM (
+        |    SELECT g, min(b) AS fb FROM base GROUP BY 1) GROUP BY 1),
+        |grid AS (SELECT t.b, coalesce(perb.nt, 0) AS nt, coalesce(firstb.nv, 0) AS nv
+        |  FROM range(64) t(b) LEFT JOIN perb ON perb.b = t.b
+        |  LEFT JOIN firstb ON firstb.b = t.b),
+        |cum AS (SELECT sum(nt) OVER (ORDER BY b) AS cn,
+        |    sum(nv) OVER (ORDER BY b) AS cv FROM grid),
+        |pts AS (SELECT floor(ln(cn::DOUBLE) * 1000000 + 0.5) / 1000000 AS x,
+        |    floor(ln(cv::DOUBLE) * 1000000 + 0.5) / 1000000 AS y
+        |  FROM cum WHERE cn > 0 AND cv > 0),
+        |m AS (SELECT count(*)::BIGINT AS np,
+        |    sum(x::DECIMAL(28,6)) AS sx, sum(y::DECIMAL(28,6)) AS sy,
+        |    sum((floor(x * y * 1000000 + 0.5) / 1000000)::DECIMAL(28,6)) AS sxy,
+        |    sum((floor(x * x * 1000000 + 0.5) / 1000000)::DECIMAL(28,6)) AS sxx
+        |  FROM pts)
+        |SELECT np AS n_pts,
+        |  floor((np::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (np::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS beta6,
+        |  floor((sy::DOUBLE - ((np::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (np::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+        |    / np::DOUBLE * 1000000 + 0.5) / 1000000 AS lnk6
+        |FROM m""".stripMargin),
+
     ("t36_zipf_slope",
       (s, sf) => TextOps.zipfSlope(docs(s, sf), col("text"), topN = 100),
       """WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

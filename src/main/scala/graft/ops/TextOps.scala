@@ -85,6 +85,75 @@ object TextOps {
         * 1000000 + 0.5) / 1000000).as("slope6"))
   }
 
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β over the corpus
+    * read in id order — the scaling answer to "how much NEW vocabulary
+    * does 10× more data buy" that t36/t39 (static Zipf/diversity)
+    * cannot give. β near the natural-text 0.4–0.6 band means healthy
+    * growth; β → 0 means the vocabulary has saturated (over-deduped or
+    * templated corpora), β → 1 means mostly-unique junk tokens.
+    *
+    * Scale shape: the corpus order is approximated by `buckets`
+    * id-RANGE buckets (one min/max agg + exact per-row bucket math),
+    * so the cumulative window runs over a buckets-sized grid — never a
+    * row-sized global sort (the j02/interleave lesson). New-vocab per
+    * bucket comes from one first-occurrence (min bucket per gram) agg;
+    * gram extraction is the native codegen'd WordGrams scan. The
+    * bucket index is floor((id−min)·B/span) in IEEE double on BOTH
+    * engines (identical rounding; exact while (id−min)·B < 2^53, which
+    * the op asserts). Points with zero cumulative grams are excluded;
+    * the OLS is the t36 recipe (6-dp-floored lns, exact DECIMAL
+    * moments, one final double expression).
+    * Output: one row (n_pts, beta6, lnk6) — lnk6 = ln K, the
+    * intercept, reported instead of K so no exp() runs anywhere. */
+  def heapsLaw(df: DataFrame, id: Column, text: Column, n: Int = 2,
+      buckets: Int = 64): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(buckets >= 3, s"buckets must be >= 3 to fit a line: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val r6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val dec6 = (c: Column) => c.cast(
+      org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))
+    val mm = df.agg(min(id.cast("long")), max(id.cast("long"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val span = mx - mn + 1
+    require(span.toDouble * buckets < (1L << 53).toDouble,
+      s"id range $span too wide for exact bucket math at $buckets buckets")
+    def bucket(c: Column) = floor((c.cast("long") - mn).cast("double")
+      * buckets / span.toDouble).cast("long")
+    val grams = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(graft.functions.HashFunctions.wordGrams(lower(trim(text)), n))
+    val base = df.select(bucket(id).as("b"), explode(grams).as("g"))
+    val perB = base.groupBy(col("b")).agg(count(lit(1)).as("nt"))
+    val firstB = base.groupBy(col("g")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+    val grid = spark.range(buckets).select(col("id").as("b"))
+      .join(perB, Seq("b"), "left").join(firstB, Seq("b"), "left")
+      .select(col("b"), coalesce(col("nt"), lit(0L)).as("nt"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = grid
+      .select(sum(col("nt")).over(w).as("cn"), sum(col("nv")).over(w).as("cv"))
+      .where(col("cn") > 0 && col("cv") > 0)
+      .select(r6(log(col("cn").cast("double"))).as("x"),
+        r6(log(col("cv").cast("double"))).as("y"))
+    val m = pts.agg(count(lit(1)).as("n_pts"),
+      sum(dec6(col("x"))).as("sx"), sum(dec6(col("y"))).as("sy"),
+      sum(dec6(r6(col("x") * col("y")))).as("sxy"),
+      sum(dec6(r6(col("x") * col("x")))).as("sxx"))
+    val nD = col("n_pts").cast("double")
+    val beta = (nD * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+    m.select(col("n_pts"),
+      (floor(beta * 1000000 + 0.5) / 1000000).as("beta6"),
+      (floor((col("sy").cast("double") - beta * col("sx").cast("double"))
+        / nD * 1000000 + 0.5) / 1000000).as("lnk6"))
+  }
+
   /** Flesch-style reading-ease score per document:
     * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), with the
     * classic vowel-group syllable proxy (runs of [aeiouy] per token,

@@ -2891,6 +2891,26 @@ class OpsSpec extends AnyFunSuite {
     assert(slope < 0.0, s"rank-frequency slope must be negative: $slope")
   }
 
+  test("heapsLaw: saturated vocab fits beta 0, fully-novel vocab fits beta 1 exactly") {
+    import graft.ops.TextOps
+    // saturation: every doc repeats the same 3 bigrams -> cumulative
+    // vocab constant -> y constant -> OLS slope exactly 0
+    val flat = (0L until 40L).map(i => (i, "a b a b c")).toDF("doc_id", "text")
+    val f = TextOps.heapsLaw(flat, col("doc_id"), col("text")).head()
+    assert(f.getLong(0) == 64 && f.getDouble(1) == 0.0, s"saturated: $f")
+    // pure novelty: doc i contributes exactly one never-seen bigram ->
+    // cumulative vocab == cumulative grams -> y == x -> beta 1, lnK 0
+    val novel = (0L until 64L).map(i => (i, s"x$i y$i")).toDF("doc_id", "text")
+    val g = TextOps.heapsLaw(novel, col("doc_id"), col("text")).head()
+    assert(g.getLong(0) == 64 && g.getDouble(1) == 1.0 && g.getDouble(2) == 0.0,
+      s"novel: $g")
+    // real corpus: beta strictly inside (0, 1)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val beta = TextOps.heapsLaw(corpus, col("doc_id"), col("text"))
+      .head().getDouble(1)
+    assert(beta > 0.0 && beta < 1.0, s"corpus beta: $beta")
+  }
+
   test("interleaveByWeight: every prefix holds sources in weight proportion") {
     import graft.ops.Pipeline
     val docs = spark.read.parquet(s"$sf/documents.parquet")
