@@ -3995,6 +3995,39 @@ object OpsQueries {
 
     // exact ROC-AUC (Mann-Whitney midranks): integer until ONE division;
     // rank window over DISTINCT scores, never a row-sized sort
+    // Fleiss' kappa (multi-rater agreement) over a deterministic
+    // annotation fixture: items = user_id%100, each item's first 3
+    // events (by event_id) are its "ratings", category = event_type.
+    // P-bar from the exact closed form, Pe from 10-dp-floored
+    // decimal-summed category squares — identical chains both engines
+    ("a22_fleiss_kappa",
+      (s, sf) => graft.ops.Checks.fleissKappa(events(s, sf),
+        col("user_id") % 100, col("event_type"), col("event_id"), n = 3),
+      """WITH r AS (SELECT user_id % 100 AS it, event_type AS cat,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id % 100 ORDER BY event_id) AS rn
+        |  FROM events),
+        |kept AS (SELECT it, cat FROM r WHERE rn <= 3),
+        |full_i AS (SELECT it FROM kept GROUP BY it HAVING count(*) = 3),
+        |cells AS (SELECT k.it, k.cat, count(*)::BIGINT AS nij
+        |  FROM kept k JOIN full_i USING (it) GROUP BY 1, 2),
+        |stats AS (SELECT sum((nij * nij)::HUGEINT) AS s,
+        |    count(DISTINCT it)::BIGINT AS n FROM cells),
+        |pe AS (SELECT sum((floor(
+        |      (cj::DOUBLE / (stats.n * 3)::DOUBLE)
+        |      * (cj::DOUBLE / (stats.n * 3)::DOUBLE) * 10000000000 + 0.5)
+        |      / 10000000000)::DECIMAL(38,10)) AS pe_sum
+        |  FROM (SELECT cat, sum(nij)::BIGINT AS cj FROM cells GROUP BY 1), stats)
+        |SELECT stats.n AS n_items,
+        |  floor((stats.s::DOUBLE - (stats.n * 3)::DOUBLE)
+        |    / (stats.n * 3 * 2)::DOUBLE * 1000000 + 0.5) / 1000000 AS pbar6,
+        |  floor(pe.pe_sum::DOUBLE * 1000000 + 0.5) / 1000000 AS pe6,
+        |  CASE WHEN pe.pe_sum::DOUBLE = 1.0 THEN 0.0
+        |       ELSE floor(((stats.s::DOUBLE - (stats.n * 3)::DOUBLE)
+        |           / (stats.n * 3 * 2)::DOUBLE - pe.pe_sum::DOUBLE)
+        |         / (1.0 - pe.pe_sum::DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS kappa6
+        |FROM stats, pe""".stripMargin),
+
     // pass@k (HumanEval estimator) over a deterministic eval fixture:
     // events are samples, user_id%50 the task, every 19th event_id a
     // "correct" sample (~5% → pass@5 ≈ 0.23, away from both saturation

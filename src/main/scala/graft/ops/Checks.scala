@@ -206,6 +206,57 @@ object Checks {
         .otherwise(f6((po - pe) / (lit(1.0) - pe))).as("kappa6"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement for MANY raters over a
+    * categorical label, the multi-annotator complement of
+    * [[interRaterKappa]]'s 2-rater form (the QA statistic a
+    * preference/labeling pipeline runs before trusting a rater pool).
+    * The classic formula needs exactly `n` ratings per item, so each
+    * item keeps its first `n` ratings in `order` order (pass a UNIQUE
+    * tiebreak — event/row id — or the kept subset is ill-defined) and
+    * items with fewer than `n` drop.
+    *
+    * Exactness: P̄ collapses to the closed form (S − N·n)/(N·n·(n−1))
+    * with S = Σ n_ij² an exact DECIMAL(38,0) sum — no per-item float.
+    * P̄e's per-category squares are 10-dp floored then DECIMAL-summed
+    * (order-free; categories are a categorical dimension, the a11 cell
+    * discipline), and κ is one identical IEEE expression, 6-dp floored.
+    * P̄e = 1 (all kept ratings one category) defines κ = 0.
+    * Scale: one windowed rank per item, two map-side-combined aggs;
+    * nothing driver-side. Output: (n_items, pbar6, pe6, kappa6). */
+  def fleissKappa(df: DataFrame, item: Column, category: Column,
+      order: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(n >= 2, "fleissKappa needs n >= 2 ratings per item")
+    val ranked = df
+      .select(item.as("it"), category.cast("string").as("cat"), order.as("o"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("it")).orderBy(col("o"))))
+      .where(col("__rn") <= n)
+    val full = ranked.groupBy(col("it")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") === n).select(col("it"))
+    val cells = ranked.join(full, "it")
+      .groupBy(col("it"), col("cat")).agg(count(lit(1)).as("nij"))
+    val stats = cells.agg(
+      sum((col("nij") * col("nij")).cast(DecimalType(38, 0))).as("S"),
+      count_distinct(col("it")).as("N"))
+    val peSum = cells.groupBy(col("cat")).agg(sum(col("nij")).as("cj"))
+      .crossJoin(broadcast(stats))
+      .select((floor(
+        (col("cj").cast("double") / (col("N") * n).cast("double"))
+          * (col("cj").cast("double") / (col("N") * n).cast("double"))
+          * 1e10 + 0.5) / 1e10).cast(DecimalType(38, 10)).as("pj2"))
+      .agg(sum(col("pj2")).as("pe_sum"))
+    val pbar = (col("S").cast("double") - (col("N") * n).cast("double")) /
+      (col("N") * n * (n - 1)).cast("double")
+    val pe = col("pe_sum").cast("double")
+    def f6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    stats.crossJoin(peSum)
+      .select(col("N").as("n_items"), f6(pbar).as("pbar6"), f6(pe).as("pe6"),
+        when(pe === 1.0, lit(0.0))
+          .otherwise(f6((pbar - pe) / (lit(1.0) - pe))).as("kappa6"))
+  }
+
   /** Referential-integrity orphans: child rows whose foreign key has no
     * match in the parent's key set — the dq-suite check the per-column
     * constraints can't express (it needs a second table). NULL foreign

@@ -1130,6 +1130,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 2L, 0L, Some(0.0))))
   }
 
+  test("fleissKappa: hand-computed multi-rater agreement; trims to n, drops short items") {
+    import graft.ops.Checks
+    // kept: item 1 -> [A,A] (3rd rating trimmed), item 2 -> [A,B];
+    // item 3 has 1 < n ratings -> dropped. S=6, Pbar=0.5,
+    // cA=3 cB=1 -> Pe=0.5625+0.0625=0.625, kappa=(-0.125)/0.375=-1/3
+    val df = Seq((1L, "A", 1L), (1L, "A", 2L), (1L, "B", 3L),
+      (2L, "A", 1L), (2L, "B", 2L), (3L, "A", 1L)).toDF("it", "cat", "o")
+    val got = Checks.fleissKappa(df, col("it"), col("cat"), col("o"), n = 2)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got == ((2L, 0.5, 0.625, -0.333333)), s"$got")
+    // all ratings one category: Pe = 1 -> kappa defined as 0
+    val const = Seq((1L, "A", 1L), (1L, "A", 2L), (2L, "A", 1L), (2L, "A", 2L))
+      .toDF("it", "cat", "o")
+    val k0 = Checks.fleissKappa(const, col("it"), col("cat"), col("o"), n = 2)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(k0 == ((2L, 1.0, 1.0, 0.0)), s"$k0")
+  }
+
   test("conformalThreshold: finite-sample k-th order statistic, ties, undefined when k>n") {
     import graft.ops.Profile
     // A: 1..10, alpha=0.1 -> k=ceil(11*0.9)=10 -> qhat=10
