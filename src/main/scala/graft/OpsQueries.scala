@@ -5408,6 +5408,38 @@ object OpsQueries {
         |    / np::DOUBLE * 1000000 + 0.5) / 1000000 AS lnk6
         |FROM m""".stripMargin),
 
+    // Chao1 unseen-vocabulary estimate + Good-Turing coverage over the
+    // bigram spectrum (the word vocabulary is closed at 31 — bigrams
+    // carry the open tail): exact integer frequency-spectrum aggs,
+    // two 6-dp-floored double expressions
+    ("t44_chao1_richness",
+      (s, sf) => {
+        graft.functions.VectorFunctions.register(s)
+        TextOps.chao1Richness(docs(s, sf),
+          when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+            .otherwise(graft.functions.HashFunctions.wordGrams(
+              lower(trim(col("text"))), 2)))
+      },
+      """WITH g AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |      FOR i IN range(1, greatest(len(toks), 1))]) AS w
+        |  FROM (SELECT string_split_regex(lower(trim(text)),'\s+') AS toks
+        |        FROM documents WHERE trim(text) <> '')),
+        |c AS (SELECT w, count(*)::BIGINT AS c FROM g GROUP BY 1),
+        |s AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS v_obs,
+        |    coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS f1,
+        |    coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)::BIGINT AS f2
+        |  FROM c)
+        |SELECT n_tokens, v_obs, f1, f2,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    floor((v_obs::DOUBLE + f1::DOUBLE * (f1 - 1)::DOUBLE
+        |      / (2.0 * (f2 + 1)::DOUBLE)) * 1000000 + 0.5) / 1000000
+        |  END AS chao1_6,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    floor((1.0 - f1::DOUBLE / n_tokens::DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS coverage6
+        |FROM s""".stripMargin),
+
     ("t36_zipf_slope",
       (s, sf) => TextOps.zipfSlope(docs(s, sf), col("text"), topN = 100),
       """WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

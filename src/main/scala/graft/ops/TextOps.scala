@@ -85,6 +85,39 @@ object TextOps {
         * 1000000 + 0.5) / 1000000).as("slope6"))
   }
 
+  /** Chao1 unseen-vocabulary estimate + Good-Turing coverage — the
+    * species-richness pair next to [[heapsLaw]]'s growth CURVE: from
+    * the term-frequency spectrum alone, estimate how many vocabulary
+    * items exist that the corpus has NOT seen (bias-corrected Chao1,
+    * V + f1(f1−1)/(2(f2+1)) — defined even with no doubletons) and
+    * what fraction of the token mass the seen vocabulary covers
+    * (Good-Turing, 1 − f1/N). f1/f2 = hapax/dis legomena counts.
+    *
+    * Everything is exact integers from two map-side-combined aggs
+    * (term counts → frequency spectrum) until two final double
+    * expressions, 6-dp floored — the a12 discipline. `terms` is any
+    * array column (word tokens, n-grams, shingles — richness is
+    * unit-relative); empty corpus → one all-zero row, NULL estimates.
+    * Output: (n_tokens, v_obs, f1, f2, chao1_6, coverage6). */
+  def chao1Richness(df: DataFrame, terms: Column): DataFrame = {
+    val counts = df.select(explode(terms).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def f6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    counts.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("v_obs"),
+      coalesce(sum(when(col("c") === 1, 1L).otherwise(0L)), lit(0L)).as("f1"),
+      coalesce(sum(when(col("c") === 2, 1L).otherwise(0L)), lit(0L)).as("f2"))
+      .select(col("n_tokens"), col("v_obs"), col("f1"), col("f2"),
+        when(col("n_tokens") > 0,
+          f6(col("v_obs").cast("double")
+            + col("f1").cast("double") * (col("f1") - 1).cast("double")
+            / (lit(2.0) * (col("f2") + 1).cast("double")))).as("chao1_6"),
+        when(col("n_tokens") > 0,
+          f6(lit(1.0) - col("f1").cast("double")
+            / col("n_tokens").cast("double"))).as("coverage6"))
+  }
+
   /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β over the corpus
     * read in id order — the scaling answer to "how much NEW vocabulary
     * does 10× more data buy" that t36/t39 (static Zipf/diversity)

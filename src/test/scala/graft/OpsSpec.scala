@@ -1130,6 +1130,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 2L, 0L, Some(0.0))))
   }
 
+  test("chao1Richness: hand-computed spectrum; empty corpus yields zero row with NULLs") {
+    import graft.ops.TextOps
+    // counts x:2 y:1 z:1 -> N=4 V=3 f1=2 f2=1;
+    // chao1 = 3 + 2*1/(2*2) = 3.5, coverage = 1 - 2/4 = 0.5
+    val df = Seq(Seq("x", "x", "y"), Seq("z")).toDF("t")
+    val got = TextOps.chao1Richness(df, col("t"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(got == ((4L, 3L, 2L, 1L, Some(3.5), Some(0.5))), s"$got")
+    val empty = Seq(Seq.empty[String]).toDF("t")
+    val e = TextOps.chao1Richness(empty, col("t"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(e == ((0L, 0L, 0L, 0L, None, None)), s"$e")
+  }
+
   test("fleissKappa: hand-computed multi-rater agreement; trims to n, drops short items") {
     import graft.ops.Checks
     // kept: item 1 -> [A,A] (3rd rating trimmed), item 2 -> [A,B];
