@@ -3998,8 +3998,9 @@ object OpsQueries {
     // Fleiss' kappa (multi-rater agreement) over a deterministic
     // annotation fixture: items = user_id%100, each item's first 3
     // events (by event_id) are its "ratings", category = event_type.
-    // P-bar from the exact closed form, Pe from 10-dp-floored
-    // decimal-summed category squares — identical chains both engines
+    // P-bar and Pe both collapse to closed forms over EXACT integer
+    // aggregates (S = sum nij^2, sum cj^2) — one identical IEEE
+    // expression each, 6-dp floored
     ("a22_fleiss_kappa",
       (s, sf) => graft.ops.Checks.fleissKappa(events(s, sf),
         col("user_id") % 100, col("event_type"), col("event_id"), n = 3),
@@ -4012,21 +4013,21 @@ object OpsQueries {
         |  FROM kept k JOIN full_i USING (it) GROUP BY 1, 2),
         |stats AS (SELECT sum((nij * nij)::HUGEINT) AS s,
         |    count(DISTINCT it)::BIGINT AS n FROM cells),
-        |pe AS (SELECT sum((floor(
-        |      (cj::DOUBLE / (stats.n * 3)::DOUBLE)
-        |      * (cj::DOUBLE / (stats.n * 3)::DOUBLE) * 10000000000 + 0.5)
-        |      / 10000000000)::DECIMAL(38,10)) AS pe_sum
-        |  FROM (SELECT cat, sum(nij)::BIGINT AS cj FROM cells GROUP BY 1), stats)
-        |SELECT stats.n AS n_items,
-        |  floor((stats.s::DOUBLE - (stats.n * 3)::DOUBLE)
-        |    / (stats.n * 3 * 2)::DOUBLE * 1000000 + 0.5) / 1000000 AS pbar6,
-        |  floor(pe.pe_sum::DOUBLE * 1000000 + 0.5) / 1000000 AS pe6,
-        |  CASE WHEN pe.pe_sum::DOUBLE = 1.0 THEN 0.0
-        |       ELSE floor(((stats.s::DOUBLE - (stats.n * 3)::DOUBLE)
-        |           / (stats.n * 3 * 2)::DOUBLE - pe.pe_sum::DOUBLE)
-        |         / (1.0 - pe.pe_sum::DOUBLE) * 1000000 + 0.5) / 1000000
+        |pe AS (SELECT sum((cj * cj)::HUGEINT) AS sum_cj2
+        |  FROM (SELECT cat, sum(nij)::BIGINT AS cj FROM cells GROUP BY 1)),
+        |k AS (SELECT stats.n AS n_items,
+        |    (stats.s::DOUBLE - (stats.n * 3)::DOUBLE)
+        |      / (stats.n * 3 * 2)::DOUBLE AS pbar,
+        |    pe.sum_cj2::DOUBLE
+        |      / ((stats.n * 3)::DOUBLE * (stats.n * 3)::DOUBLE) AS pe
+        |  FROM stats, pe)
+        |SELECT n_items,
+        |  floor(pbar * 1000000 + 0.5) / 1000000 AS pbar6,
+        |  floor(pe * 1000000 + 0.5) / 1000000 AS pe6,
+        |  CASE WHEN pe = 1.0 THEN 0.0
+        |       ELSE floor((pbar - pe) / (1.0 - pe) * 1000000 + 0.5) / 1000000
         |  END AS kappa6
-        |FROM stats, pe""".stripMargin),
+        |FROM k""".stripMargin),
 
     // pass@k (HumanEval estimator) over a deterministic eval fixture:
     // events are samples, user_id%50 the task, every 19th event_id a

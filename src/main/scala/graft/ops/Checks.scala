@@ -216,10 +216,11 @@ object Checks {
     * items with fewer than `n` drop.
     *
     * Exactness: P̄ collapses to the closed form (S − N·n)/(N·n·(n−1))
-    * with S = Σ n_ij² an exact DECIMAL(38,0) sum — no per-item float.
-    * P̄e's per-category squares are 10-dp floored then DECIMAL-summed
-    * (order-free; categories are a categorical dimension, the a11 cell
-    * discipline), and κ is one identical IEEE expression, 6-dp floored.
+    * with S = Σ n_ij² an exact DECIMAL(38,0) sum — no per-item float —
+    * and P̄e to Σc_j²/(N·n)² with Σc_j² equally an exact integer sum
+    * (order-free by construction; categories are a categorical
+    * dimension, the a11 cell discipline). κ is one identical IEEE
+    * expression over those exact aggregates, 6-dp floored.
     * P̄e = 1 (all kept ratings one category) defines κ = 0.
     * Scale: one windowed rank per item, two map-side-combined aggs;
     * nothing driver-side. Output: (n_items, pbar6, pe6, kappa6). */
@@ -241,15 +242,11 @@ object Checks {
       sum((col("nij") * col("nij")).cast(DecimalType(38, 0))).as("S"),
       count_distinct(col("it")).as("N"))
     val peSum = cells.groupBy(col("cat")).agg(sum(col("nij")).as("cj"))
-      .crossJoin(broadcast(stats))
-      .select((floor(
-        (col("cj").cast("double") / (col("N") * n).cast("double"))
-          * (col("cj").cast("double") / (col("N") * n).cast("double"))
-          * 1e10 + 0.5) / 1e10).cast(DecimalType(38, 10)).as("pj2"))
-      .agg(sum(col("pj2")).as("pe_sum"))
+      .agg(sum((col("cj") * col("cj")).cast(DecimalType(38, 0))).as("sum_cj2"))
     val pbar = (col("S").cast("double") - (col("N") * n).cast("double")) /
       (col("N") * n * (n - 1)).cast("double")
-    val pe = col("pe_sum").cast("double")
+    val pe = col("sum_cj2").cast("double") /
+      ((col("N") * n).cast("double") * (col("N") * n).cast("double"))
     def f6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
     stats.crossJoin(peSum)
       .select(col("N").as("n_items"), f6(pbar).as("pbar6"), f6(pe).as("pe6"),

@@ -416,4 +416,34 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$g: literal totals must ride a broadcast nested loop, not a cartesian:\n$p")
     }
   }
+
+  test("a19: pass@k is one keyed aggregate — single exchange, no window, pruned scan") {
+    val p = plan("a19_pass_at_k")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"pass@k must not serialize the sample log:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"pass@k is one map-side-combined agg — exactly one shuffle:\n$p")
+    assert(!p.contains("WindowExec"), s"no rank pass belongs here:\n$p")
+    val scan = p.linesIterator.find(l =>
+      l.contains("events.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("event_id") && scan.contains("user_id")
+      && !scan.contains("props") && !scan.contains("value"),
+      s"scan must read only the two id columns:\n$scan")
+  }
+
+  test("a21: conformal windows stay partitioned by group — no single-partition exchange") {
+    val p = plan("a21_conformal_threshold")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-group rank windows must not serialize:\n$p")
+  }
+
+  test("a22: fleiss windows partition by item; only the final 1-row agg is global") {
+    val p = plan("a22_fleiss_kappa")
+    // the cells->stats/pe reduction is 1-row output: exactly those two
+    // global aggregates may SinglePartition; the per-item rank must not
+    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2, s"item rank window must stay partitioned:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"expected the per-item keyed exchange:\n$p")
+  }
 }
