@@ -3995,6 +3995,55 @@ object OpsQueries {
 
     // exact ROC-AUC (Mann-Whitney midranks): integer until ONE division;
     // rank window over DISTINCT scores, never a row-sized sort
+    // CUPED variance-reduced A/B effect over a deterministic experiment
+    // fixture: units = user_id, arm = user_id%2, pre-covariate x = sum
+    // of even-event 2-dp-floored values, metric y = odd-event sums —
+    // exact DECIMAL moments (a08), theta/effects one IEEE chain each
+    ("f10_cuped",
+      (s, sf) => {
+        val units = events(s, sf).groupBy(col("user_id")).agg(
+          sum(when(col("event_id") % 2 === 0,
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("x"),
+          sum(when(col("event_id") % 2 === 1,
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("y"))
+        graft.ops.EventAnalytics.cuped(units,
+          col("x"), col("y"), col("user_id") % 2 === 0)
+      },
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_id % 2 = 0
+        |        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_id % 2 = 1
+        |        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |arms AS (SELECT user_id % 2 = 0 AS t, count(*)::BIGINT AS n,
+        |    sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+        |    sum((x*y)::DECIMAL(38,0)) AS sxy,
+        |    sum((x*x)::DECIMAL(38,0)) AS sxx,
+        |    sum((y*y)::DECIMAL(38,0)) AS syy
+        |  FROM u GROUP BY 1),
+        |p AS (SELECT sum(n)::BIGINT AS n, sum(sx) AS sx, sum(sy) AS sy,
+        |    sum(sxy) AS sxy, sum(sxx) AS sxx, sum(syy) AS syy FROM arms),
+        |ta AS (SELECT n AS tn, sx AS tsx, sy AS tsy FROM arms WHERE t),
+        |ca AS (SELECT n AS cn, sx AS csx, sy AS csy FROM arms WHERE NOT t),
+        |e AS (SELECT tn, cn,
+        |    p.n::DOUBLE * p.sxy::DOUBLE - p.sx::DOUBLE * p.sy::DOUBLE AS cov,
+        |    p.n::DOUBLE * p.sxx::DOUBLE - p.sx::DOUBLE * p.sx::DOUBLE AS vx,
+        |    p.n::DOUBLE * p.syy::DOUBLE - p.sy::DOUBLE * p.sy::DOUBLE AS vy,
+        |    tsy::DOUBLE / tn::DOUBLE - csy::DOUBLE / cn::DOUBLE AS dy,
+        |    tsx::DOUBLE / tn::DOUBLE - csx::DOUBLE / cn::DOUBLE AS dx
+        |  FROM p, ta, ca)
+        |SELECT tn AS n_treat, cn AS n_ctrl,
+        |  CASE WHEN vx > 0 THEN floor(cov / vx * 1000000 + 0.5) / 1000000
+        |  END AS theta6,
+        |  floor(dy * 1000000 + 0.5) / 1000000 AS effect_raw6,
+        |  CASE WHEN vx > 0 THEN
+        |    floor((dy - cov / vx * dx) * 1000000 + 0.5) / 1000000
+        |  END AS effect_cuped6,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    floor(cov * cov / (vx * vy) * 1000000 + 0.5) / 1000000
+        |  END AS rho2_6
+        |FROM e""".stripMargin),
+
     // Fleiss' kappa (multi-rater agreement) over a deterministic
     // annotation fixture: items = user_id%100, each item's first 3
     // events (by event_id) are its "ratings", category = event_type.

@@ -710,4 +710,60 @@ object EventAnalytics {
       .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
         col("haz6"), col("surv6"))
   }
+
+  /** CUPED variance-reduced treatment-effect estimate — the standard
+    * experimentation-pipeline adjustment: with a pre-period covariate x
+    * and experiment metric y per unit, θ = cov(x,y)/var(x) (pooled) and
+    * the adjusted effect is Δȳ − θ·Δx̄, removing ρ² of the metric
+    * variance. `x`/`y` must arrive INTEGER-QUANTIZED per unit (floor
+    * raw values to a fixed scale upstream — the a08 contract that makes
+    * every moment an exact DECIMAL(38,0) sum); all divisions happen in
+    * one identical IEEE expression per output, 6-dp floored.
+    *
+    * Scale: one groupBy(treated) aggregate (2 rows) + broadcast
+    * nested-loop combines of 1-row frames — the corpus crosses the wire
+    * once as map-side-combined partials. Degenerate var(x)=0 → NULL θ
+    * and cuped effect; an empty arm → NULL effects.
+    * Output: (n_treat, n_ctrl, theta6, effect_raw6, effect_cuped6,
+    * rho2_6). */
+  def cuped(df: DataFrame, x: Column, y: Column,
+      treated: Column): DataFrame = {
+    import org.apache.spark.sql.types.DataTypes
+    val dec = (c: Column) => c.cast(DataTypes.createDecimalType(38, 0))
+    val arms = df.select(treated.cast("boolean").as("t"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy(col("t")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("y") * col("y"))).as("syy"))
+    val pooled = arms.agg(sum(col("n")).as("n"),
+      sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"),
+      sum(col("syy")).as("syy"))
+    def armCols(p: String) = Seq(col("n").as(s"${p}n"),
+      col("sx").as(s"${p}sx"), col("sy").as(s"${p}sy"))
+    val ta = arms.where(col("t")).select(armCols("t"): _*)
+    val ca = arms.where(!col("t")).select(armCols("c"): _*)
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val theta = cov / vx
+    val dy = col("tsy").cast("double") / col("tn").cast("double") -
+      col("csy").cast("double") / col("cn").cast("double")
+    val dx = col("tsx").cast("double") / col("tn").cast("double") -
+      col("csx").cast("double") / col("cn").cast("double")
+    def f6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    pooled.crossJoin(broadcast(ta)).crossJoin(broadcast(ca))
+      .select(col("tn").as("n_treat"), col("cn").as("n_ctrl"),
+        when(vx > 0, f6(theta)).as("theta6"),
+        f6(dy).as("effect_raw6"),
+        when(vx > 0, f6(dy - theta * dx)).as("effect_cuped6"),
+        when(vx > 0 && vy > 0, f6(cov * cov / (vx * vy))).as("rho2_6"))
+  }
 }

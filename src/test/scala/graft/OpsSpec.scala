@@ -1222,6 +1222,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(9) == ((9, 1L, 1.0, 1.0)), "score exactly 1.0 lands in bin 9")
   }
 
+  test("cuped: hand-computed theta/effects; constant covariate degrades to raw-only") {
+    import graft.ops.EventAnalytics
+    // ctrl (1,2),(2,4); treat (3,7),(4,9): pooled cov=48 vx=20 -> theta=2.4,
+    // dy=5 dx=2 -> cuped = 5 - 4.8 = 0.2; rho2 = 2304/2320 -> 0.993103
+    val u = Seq((1L, 2L, false), (2L, 4L, false), (3L, 7L, true), (4L, 9L, true))
+      .toDF("x", "y", "t")
+    val got = EventAnalytics.cuped(u, col("x"), col("y"), col("t"))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got == ((2L, 2L, Some(2.4), Some(5.0), Some(0.2), Some(0.993103))),
+      s"$got")
+    // var(x)=0: theta/cuped/rho2 NULL, raw effect still reported
+    val const = Seq((5L, 2L, false), (5L, 4L, true)).toDF("x", "y", "t")
+    val d = EventAnalytics.cuped(const, col("x"), col("y"), col("t"))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(d == ((1L, 1L, None, Some(2.0), None, None)), s"$d")
+  }
+
   test("retentionMatrix: per-offset membership on one cohort pass") {
     import graft.ops.EventAnalytics
     val ev = Seq(("u1", "2024-01-01"), ("u1", "2024-01-02"), ("u1", "2024-01-08"),
