@@ -3995,6 +3995,33 @@ object OpsQueries {
 
     // exact ROC-AUC (Mann-Whitney midranks): integer until ONE division;
     // rank window over DISTINCT scores, never a row-sized sort
+    // sample-ratio-mismatch health check on a deliberately BIASED
+    // assignment (user_id%10<4 -> 40% observed vs 50% designed): the
+    // chi-square must flag it. Exact counts, one IEEE chi2, pinned
+    // 3.841459 critical value
+    ("f11_srm_check",
+      (s, sf) => graft.ops.EventAnalytics.srmCheck(
+        events(s, sf).groupBy(col("user_id")).agg(count(lit(1)).as("__n")),
+        col("user_id") % 10 < 4),
+      """WITH u AS (SELECT user_id FROM events GROUP BY 1),
+        |g AS (SELECT sum(CASE WHEN user_id % 10 < 4 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+        |    sum(CASE WHEN user_id % 10 < 4 THEN 0 ELSE 1 END)::BIGINT AS n_ctrl
+        |  FROM u),
+        |e AS (SELECT n_treat, n_ctrl,
+        |    (n_treat + n_ctrl)::DOUBLE * 0.5 AS et,
+        |    (n_treat + n_ctrl)::DOUBLE * 0.5 AS ec FROM g)
+        |SELECT n_treat, n_ctrl,
+        |  CASE WHEN n_treat + n_ctrl > 0 THEN
+        |    floor(((n_treat::DOUBLE - et) * (n_treat::DOUBLE - et) / et
+        |      + (n_ctrl::DOUBLE - ec) * (n_ctrl::DOUBLE - ec) / ec)
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS chi2_6,
+        |  CASE WHEN n_treat + n_ctrl > 0 THEN
+        |    ((n_treat::DOUBLE - et) * (n_treat::DOUBLE - et) / et
+        |      + (n_ctrl::DOUBLE - ec) * (n_ctrl::DOUBLE - ec) / ec) > 3.841459
+        |  END AS srm_suspected
+        |FROM e""".stripMargin),
+
     // CUPED variance-reduced A/B effect over a deterministic experiment
     // fixture: units = user_id, arm = user_id%2, pre-covariate x = sum
     // of even-event 2-dp-floored values, metric y = odd-event sums —

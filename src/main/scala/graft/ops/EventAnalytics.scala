@@ -711,6 +711,33 @@ object EventAnalytics {
         col("haz6"), col("surv6"))
   }
 
+  /** Sample-ratio-mismatch check — the experiment-health gate run
+    * BEFORE believing any effect estimate: a chi-square
+    * goodness-of-fit of observed arm sizes against the design ratio.
+    * SRM (a biased assignment/logging path) silently invalidates an
+    * A/B test, and the cure is detection, not adjustment. Counts are
+    * exact integers; the statistic is one IEEE expression, 6-dp
+    * floored; `srm_suspected` applies the conventional df=1 α=0.05
+    * critical value 3.841459 (a pinned literal — no CDF evaluated).
+    * Output: (n_treat, n_ctrl, chi2_6, srm_suspected). */
+  def srmCheck(df: DataFrame, treated: Column,
+      treatShare: Double = 0.5): DataFrame = {
+    require(treatShare > 0 && treatShare < 1, "treatShare must be in (0,1)")
+    val g = df.agg(
+      sum(when(treated.cast("boolean"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(treated.cast("boolean"), 0L).otherwise(1L)).as("n_ctrl"))
+    val n = (col("n_treat") + col("n_ctrl")).cast("double")
+    val et = n * treatShare
+    val ec = n * (1 - treatShare)
+    val chi2 = (col("n_treat").cast("double") - et) *
+      (col("n_treat").cast("double") - et) / et +
+      (col("n_ctrl").cast("double") - ec) *
+        (col("n_ctrl").cast("double") - ec) / ec
+    g.select(col("n_treat"), col("n_ctrl"),
+      when(n > 0, floor(chi2 * 1000000 + 0.5) / 1000000).as("chi2_6"),
+      when(n > 0, chi2 > 3.841459).as("srm_suspected"))
+  }
+
   /** CUPED variance-reduced treatment-effect estimate — the standard
     * experimentation-pipeline adjustment: with a pre-period covariate x
     * and experiment metric y per unit, θ = cov(x,y)/var(x) (pooled) and

@@ -1222,6 +1222,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(9) == ((9, 1L, 1.0, 1.0)), "score exactly 1.0 lands in bin 9")
   }
 
+  test("srmCheck: hand-computed chi2; balanced passes, 40/60 at n=1000 flags") {
+    import graft.ops.EventAnalytics
+    // 400/600 vs 500/500: chi2 = 100^2/500 * 2 = 40 -> flagged
+    val biased = (1 to 1000).map(i => Tuple1(i <= 400)).toDF("t")
+    val got = EventAnalytics.srmCheck(biased, col("t"))
+      .as[(Long, Long, Option[Double], Option[Boolean])].collect().head
+    assert(got == ((400L, 600L, Some(40.0), Some(true))), s"$got")
+    // 501/499: chi2 = 1/500*2 = 0.004 -> clean
+    val ok = (1 to 1000).map(i => Tuple1(i <= 501)).toDF("t")
+    val k = EventAnalytics.srmCheck(ok, col("t"))
+      .as[(Long, Long, Option[Double], Option[Boolean])].collect().head
+    assert(k == ((501L, 499L, Some(0.004), Some(false))), s"$k")
+    // 90/10 design honored at 90/10 observed -> chi2 exactly 0
+    val designed = (1 to 100).map(i => Tuple1(i <= 90)).toDF("t")
+    val d = EventAnalytics.srmCheck(designed, col("t"), treatShare = 0.9)
+      .as[(Long, Long, Option[Double], Option[Boolean])].collect().head
+    assert(d == ((90L, 10L, Some(0.0), Some(false))), s"$d")
+  }
+
   test("cuped: hand-computed theta/effects; constant covariate degrades to raw-only") {
     import graft.ops.EventAnalytics
     // ctrl (1,2),(2,4); treat (3,7),(4,9): pooled cov=48 vx=20 -> theta=2.4,
