@@ -1845,6 +1845,34 @@ object OpsQueries {
     // exactly what the oracle states. The aggregate keeps the gate's
     // output small; the salt spreading itself is spec-asserted
     // row-identical to the unsalted join
+    // connected components via large-star/small-star EDGE CONTRACTION
+    // (Kiveris et al.) on a deterministic functional graph over user
+    // ids — the per-round-shrinking alternative to c01's label
+    // propagation; the oracle is an independent recursive min-label
+    // closure, so both O(log n) algorithms must land on identical
+    // canonical labels
+    ("g11_cc_star",
+      (s, sf) => {
+        val pe = events(s, sf).select((col("user_id") % 1000).as("a"),
+          ((col("user_id") * 7 + 3) % 1000).as("b")).distinct()
+        val nodes = pe.select(col("a").as("n"))
+          .union(pe.select(col("b").as("n"))).distinct()
+        graft.ops.Graph.connectedComponentsStar(
+          pe, col("a"), col("b"), nodes, col("n"))
+      },
+      """WITH RECURSIVE pe AS (
+        |  SELECT DISTINCT user_id % 1000 AS a, (user_id * 7 + 3) % 1000 AS b
+        |  FROM events),
+        |n AS (SELECT DISTINCT x AS node FROM (
+        |  SELECT a AS x FROM pe UNION ALL SELECT b AS x FROM pe)),
+        |e AS (SELECT a, b FROM pe WHERE a <> b
+        |  UNION ALL SELECT b, a FROM pe WHERE a <> b),
+        |r(id, l) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON r.id = e.b)
+        |SELECT id AS node, MIN(l) AS label FROM r GROUP BY id""".stripMargin),
+
     ("j01_salted_join",
       (s, sf) => {
         val li = s.read.parquet(s"$sf/lineitem.parquet")

@@ -392,4 +392,65 @@ object Graph {
       .groupBy(col("i_a"), col("i_b")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — the EDGE-CONTRACTING alternative to
+    * [[Dedup.connectedComponents]]'s label propagation + pointer
+    * jumping. Both converge in O(log n) rounds; the difference at
+    * 100 TB is WHAT each round touches: label propagation joins the
+    * FULL original edge list every round, while star contraction
+    * rewrites the edge set itself toward component minima, so the
+    * per-round shuffle shrinks as components collapse — the better
+    * shape when the edge list dwarfs the node set (dense near-dup
+    * graphs, co-occurrence graphs).
+    *
+    * Round = large-star (every node hangs its LARGER neighbors onto
+    * its minimum) then small-star (every node hangs its smaller
+    * neighbors and itself onto their minimum); edges stay canonical
+    * (hi, lo). Fixpoint = the edge set is unchanged (two anti-joins on
+    * the shrunken set); at fixpoint E is a star forest (v → component
+    * min) and labels read straight off it — roots and isolated ids
+    * label themselves. Exhausting `maxRounds` throws rather than
+    * returning a partial labeling. Gate- and spec-proven
+    * label-identical to the propagation implementation. */
+  def connectedComponentsStar(pairs: DataFrame, idA: Column, idB: Column,
+      ids: DataFrame, id: Column, maxRounds: Int = 50): DataFrame = {
+    var e = pairs
+      .select(greatest(idA, idB).as("u"), least(idA, idB).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric view: m(x) = min(N(x) ∪ {x});
+      // every neighbor y > x re-hangs onto m(x)
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy(col("x")).agg(min(col("y")).as("nm"))
+        .select(col("x"), least(col("x"), col("nm")).as("m"))
+      val ls = sym.join(mins, "x").where(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star on the (hi → lo) edges: per hi node u with small
+      // neighborhood N = {v : (u,v) ∈ E}, m = min(N) (< u); every
+      // v ∈ N \ {m} and u itself re-hang onto m
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(mins2, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      converged = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
+      e = ss
+      round += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxRounds rounds")
+    ids.select(id.as("node"))
+      .join(e.select(col("u").as("node"), col("v").as("label")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
 }

@@ -731,6 +731,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(enc == Seq("aa", "ab", "ab", "b", "a"))
   }
 
+  test("connectedComponentsStar equals label-propagation CC on path, star, and hashed graphs") {
+    import graft.ops.{Dedup, Graph}
+    def labels(pairs: org.apache.spark.sql.DataFrame,
+        ids: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      f(pairs, ids).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def star(p: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame) =
+      Graph.connectedComponentsStar(p, col("a"), col("b"), i, col("n"))
+    def prop(p: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(p, col("a"), col("b"), i, col("n"))
+    // path graph 0-1-2-...-19 (pointer-jump stress) + isolated 100
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val pathIds = ((0L to 19L) :+ 100L).toDF("n")
+    assert(labels(path, pathIds, star) == labels(path, pathIds, prop))
+    assert(labels(path, pathIds, star).forall { case (k, v) =>
+      if (k == 100L) v == 100L else v == 0L })
+    // two stars sharing a leaf (merge case) + hashed pseudo-random graph
+    val merged = Seq((5L, 1L), (5L, 2L), (6L, 2L), (6L, 3L)).toDF("a", "b")
+    val mIds = (1L to 6L).toDF("n")
+    assert(labels(merged, mIds, star) == labels(merged, mIds, prop))
+    val hashed = (0L until 60L)
+      .map(i => (i * 104729 % 40, (i * 7919 + 11) % 40)).toDF("a", "b")
+    val hIds = (0L until 40L).toDF("n")
+    assert(labels(hashed, hIds, star) == labels(hashed, hIds, prop))
+  }
+
   // ---- Unigram-LM tokenizer ---------------------------------------------
 
   test("UnigramLm learn reproduces the hand-computed EM + prune sequence") {
