@@ -3691,6 +3691,54 @@ object OpsQueries {
         |UNION ALL
         |SELECT doc_id, text FROM u WHERE NOT del""".stripMargin),
 
+    // CDC apply with an OUT-OF-ORDER multi-version change log:
+    // %5==0 keys get U@1 then U@2 (latest wins), the %15==0 subset
+    // additionally D@3 (deleted), %15==7 keys get D@1 then I@2
+    // (resurrected with the new payload) — the Debezium collapse e07's
+    // single-batch merge can't express
+    ("e11_cdc_apply",
+      (s, sf) => {
+        val d = docs(s, sf).select(col("doc_id"), col("text"))
+        val u1 = d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v1")).as("text"),
+            lit(1L).as("seq"), lit("U").as("op"))
+        val u2 = d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+            lit(2L).as("seq"), lit("U").as("op"))
+        val d3 = d.filter(col("doc_id") % 15 === 0)
+          .select(col("doc_id"), lit("").as("text"),
+            lit(3L).as("seq"), lit("D").as("op"))
+        val dr = d.filter(col("doc_id") % 15 === 7)
+          .select(col("doc_id"), lit("").as("text"),
+            lit(1L).as("seq"), lit("D").as("op"))
+        val ir = d.filter(col("doc_id") % 15 === 7)
+          .select(col("doc_id"), lit("resurrected").as("text"),
+            lit(2L).as("seq"), lit("I").as("op"))
+        // union order deliberately scrambles arrival vs sequence
+        val changes = u2.unionByName(dr).unionByName(d3)
+          .unionByName(u1).unionByName(ir)
+        graft.ops.LakeOps.cdcApply(d, changes, "doc_id", "seq", "op")
+      },
+      """WITH c AS (
+        |  SELECT doc_id, text || ' v1' AS text, 1 AS seq, 'U' AS op
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, text || ' v2', 2, 'U'
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, '', 3, 'D'
+        |    FROM documents WHERE doc_id % 15 = 0
+        |  UNION ALL SELECT doc_id, '', 1, 'D'
+        |    FROM documents WHERE doc_id % 15 = 7
+        |  UNION ALL SELECT doc_id, 'resurrected', 2, 'I'
+        |    FROM documents WHERE doc_id % 15 = 7),
+        |latest AS (SELECT doc_id, text, op FROM (
+        |  SELECT doc_id, text, op,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC, op ASC) AS rn
+        |  FROM c) WHERE rn = 1)
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+        |UNION ALL
+        |SELECT doc_id, text FROM latest WHERE upper(op) <> 'D'""".stripMargin),
+
     // GDPR erasure end-to-end: a delete list (every 13th doc) applied
     // through mergeUpsert, then the derived inverted index REBUILT from
     // the erased snapshot and probed — the compliance requirement is

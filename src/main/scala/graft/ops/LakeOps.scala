@@ -42,6 +42,39 @@ object LakeOps {
       .unionByName(upserts.select(base.columns.map(col): _*))
   }
 
+  /** CDC apply with OUT-OF-ORDER change streams: collapse a change log
+    * carrying multiple versions per key — inserts, updates, delete
+    * tombstones, in any arrival order — to latest-wins by a sequence
+    * column, then merge onto the base. The semantics a Debezium-style
+    * feed needs that single-batch [[mergeUpsert]] cannot express:
+    * U@1 then U@2 keeps only @2; U@1 then D@2 deletes; D@1 then I@2
+    * RESURRECTS the key with @2's payload. Ties on `seqName` break by
+    * op ascending (pinned; feeds should make the sequence unique per
+    * key — document yours).
+    *
+    * Plan: one window rank PER KEY over the change log (changes-sized,
+    * not base-sized), one anti join of the base on the touched key
+    * set, one union — base bytes are never shuffled. `opName` values:
+    * 'I'/'U' upsert the payload, 'D' removes the key.
+    * Output: the base schema. */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyName: String,
+      seqName: String, opName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payloadCols = changes.columns.filter(c => c != seqName && c != opName)
+    require(payloadCols.sorted.sameElements(base.columns.sorted),
+      s"change payload ${payloadCols.mkString(",")} must match base " +
+        s"${base.columns.mkString(",")} (plus $seqName, $opName)")
+    val w = Window.partitionBy(col(keyName))
+      .orderBy(col(seqName).desc, col(opName).asc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val applied = latest.where(upper(col(opName)) =!= "D")
+      .select(base.columns.map(col): _*)
+    base.join(latest.select(col(keyName)).distinct(), Seq(keyName), "left_anti")
+      .unionByName(applied)
+  }
+
   /** Plain-parquet TIME TRAVEL over a CDC ledger: `dir/base` is the
     * oldest full snapshot, `dir/batch=i` (i = 1..) are ordered CDC
     * batches in [[mergeUpsert]]'s shape (key + payload + optional delete

@@ -275,6 +275,23 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcApply: latest-wins by seq — supersede, tombstone, resurrect, out of order") {
+    import graft.ops.LakeOps
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    // arrival order scrambled vs sequence: k1 U@2 beats U@1; k2 D@2
+    // beats U@1; k3 I@2 resurrects after D@1; k5 inserts a new key
+    val changes = Seq(
+      (1L, "a2", 2L, "U"), (2L, "b1", 1L, "U"), (3L, "c9", 2L, "I"),
+      (1L, "a1", 1L, "U"), (2L, "", 2L, "D"), (3L, "", 1L, "D"),
+      (5L, "e", 1L, "I")).toDF("k", "v", "seq", "op")
+    val got = LakeOps.cdcApply(base, changes, "k", "seq", "op").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 3L -> "c9", 4L -> "d", 5L -> "e"), s"$got")
+    intercept[IllegalArgumentException] {
+      LakeOps.cdcApply(base, changes.withColumnRenamed("v", "w"), "k", "seq", "op")
+    }
+  }
+
   test("mergeUpsert: NULL delete flag means upsert, not silent delete") {
     import graft.ops.LakeOps
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
