@@ -3691,6 +3691,31 @@ object OpsQueries {
         |UNION ALL
         |SELECT doc_id, text FROM u WHERE NOT del""".stripMargin),
 
+    // write-audit-publish: batch 1 (clean) publishes; batch 2 (nulls
+    // planted in every 3rd row) fails its read-back audit and stays
+    // quarantined — readPublished must therefore equal batch 1 EXACTLY
+    // (a leaked bad batch doubles rows and breaks the hash)
+    ("l09_write_audit_publish",
+      (s, sf) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_wap")
+          .toFile.getAbsolutePath
+        val d = docs(s, sf).select(col("doc_id"), col("n_chars"))
+        val audit = (staged: org.apache.spark.sql.DataFrame) => {
+          val bad = staged.filter(col("n_chars").isNull || col("n_chars") < 0)
+            .count()
+          if (bad > 0) Seq(s"$bad rows violate n_chars NOT NULL >= 0")
+          else Seq.empty[String]
+        }
+        val (ok1, v1) = graft.ops.LakeOps.writeAuditPublish(d, root, audit)
+        val bad = d.withColumn("n_chars",
+          when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("n_chars")))
+        val (ok2, v2) = graft.ops.LakeOps.writeAuditPublish(bad, root, audit)
+        require(ok1 && v1.isEmpty, "clean batch must publish")
+        require(!ok2 && v2.nonEmpty, "violating batch must quarantine")
+        graft.ops.LakeOps.readPublished(s, root)
+      },
+      "SELECT doc_id, n_chars FROM documents"),
+
     // CDC apply with an OUT-OF-ORDER multi-version change log:
     // %5==0 keys get U@1 then U@2 (latest wins), the %15==0 subset
     // additionally D@3 (deleted), %15==7 keys get D@1 then I@2

@@ -75,6 +75,64 @@ object LakeOps {
       .unionByName(applied)
   }
 
+  /** Write-audit-publish: the staged-commit discipline production lake
+    * pipelines run so a bad batch can NEVER reach readers. The batch
+    * lands in an unadvertised staging directory, the audit runs over
+    * the READ-BACK of what actually hit disk (not the input plan —
+    * write-path bugs are exactly what WAP exists to catch), and only a
+    * clean audit appends the staging path to the `_published.list`
+    * manifest — written whole to a temp file and atomically renamed
+    * over the old one, so readers see the previous or the new list,
+    * never a torn one. A failed audit leaves the batch quarantined in
+    * staging (operator-inspectable, invisible to [[readPublished]]).
+    * Returns (published, violations). */
+  def writeAuditPublish(df: DataFrame, dir: String,
+      audit: DataFrame => Seq[String]): (Boolean, Seq[String]) = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val existing = publishedList(fs, root)
+    val stage = f"_staged_${existing.size}%05d"
+    df.write.mode("overwrite").parquet(s"$dir/$stage")
+    val violations = audit(spark.read.parquet(s"$dir/$stage"))
+    if (violations.nonEmpty) (false, violations)
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(root, "_published.list.tmp")
+      val out = fs.create(tmp, true)
+      out.write((existing :+ stage).mkString("\n").getBytes("UTF-8"))
+      out.close()
+      val fin = new org.apache.hadoop.fs.Path(root, "_published.list")
+      fs.delete(fin, false)
+      require(fs.rename(tmp, fin), s"manifest rename failed at $fin")
+      (true, Nil)
+    }
+  }
+
+  /** Union of every batch [[writeAuditPublish]] has published under
+    * `dir` — quarantined staging directories are invisible here. */
+  def readPublished(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = publishedList(fs, root)
+    require(batches.nonEmpty, s"no published batches under $dir")
+    batches.map(b => spark.read.parquet(s"$dir/$b")).reduce(_.unionByName(_))
+  }
+
+  private def publishedList(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val fin = new org.apache.hadoop.fs.Path(root, "_published.list")
+    if (!fs.exists(fin)) Seq.empty
+    else {
+      val in = fs.open(fin)
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty)
+    }
+  }
+
   /** Plain-parquet TIME TRAVEL over a CDC ledger: `dir/base` is the
     * oldest full snapshot, `dir/batch=i` (i = 1..) are ordered CDC
     * batches in [[mergeUpsert]]'s shape (key + payload + optional delete

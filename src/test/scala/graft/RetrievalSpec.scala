@@ -292,6 +292,31 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("writeAuditPublish: audit gates the manifest; quarantined batch invisible; multi-batch union") {
+    import graft.ops.LakeOps
+    val root = java.nio.file.Files.createTempDirectory("wap_spec")
+      .toFile.getAbsolutePath
+    val audit = (st: org.apache.spark.sql.DataFrame) => {
+      val n = st.filter(col("v").isNull).count()
+      if (n > 0) Seq(s"$n null v") else Seq.empty[String]
+    }
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val (ok1, _) = LakeOps.writeAuditPublish(b1, root, audit)
+    val bad = Seq((3L, null.asInstanceOf[String])).toDF("k", "v")
+    val (ok2, viol) = LakeOps.writeAuditPublish(bad, root, audit)
+    val b3 = Seq((4L, "d")).toDF("k", "v")
+    val (ok3, _) = LakeOps.writeAuditPublish(b3, root, audit)
+    assert(ok1 && !ok2 && viol == Seq("1 null v") && ok3)
+    val got = LakeOps.readPublished(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 4L -> "d"), s"$got")
+    // the quarantined batch is still on disk for inspection
+    assert(new java.io.File(root).list().exists(_.startsWith("_staged_00001")))
+    intercept[IllegalArgumentException] {
+      LakeOps.readPublished(spark, root + "_nothing_published")
+    }
+  }
+
   test("mergeUpsert: NULL delete flag means upsert, not silent delete") {
     import graft.ops.LakeOps
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
