@@ -82,6 +82,78 @@ object OpsQueries {
          |FROM (SELECT u AS n FROM p$rounds UNION ALL SELECT v FROM p$rounds)
          |GROUP BY 1""".stripMargin
   }
+  /** Chained-CTE restatement of [[graft.functions.Hilbert.xy2d]] for the
+    * l10 oracle: one CTE per bit level carrying (x, y, d) through the
+    * same quadrant walk — flip-then-swap rotation and the gray-coded
+    * quadrant term, all in BIGINT bit ops. Validated cell-exact against
+    * the reference implementation on the full 16x16 grid and on
+    * bits=10 spot grids before being wired in. */
+  private def hilbertChainSql(bits: Int, xSql: String, ySql: String,
+      idSql: String, table: String): String = {
+    val n = 1L << bits
+    val mask = n - 1
+    val head = s"WITH h0 AS (SELECT $idSql AS id, (($xSql)::BIGINT & $mask) AS x, " +
+      s"(($ySql)::BIGINT & $mask) AS y, 0::BIGINT AS d FROM $table)"
+    val steps = (1 to bits).map { k =>
+      val s = n >> k
+      s"""h$k AS (SELECT id,
+         |  CASE WHEN (y & $s) = 0 THEN CASE WHEN (x & $s) <> 0 THEN $mask - y ELSE y END ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN CASE WHEN (x & $s) <> 0 THEN $mask - x ELSE x END ELSE y END AS y,
+         |  d + $s::BIGINT * $s * xor(3 * CASE WHEN (x & $s) <> 0 THEN 1 ELSE 0 END,
+         |      CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END) AS d
+         |FROM h${k - 1})""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + steps
+  }
+
+  /** Unrolled Fellegi-Sunter EM for the er02 oracle: restates
+    * [[graft.ops.Linkage.fellegiSunterParams]] iteration-for-iteration —
+    * per-pattern posteriors 9-dp-floored, M-step sums as exact
+    * DECIMAL(13,9)×DECIMAL(9,0) products, parameter updates one double
+    * division then 9-dp floor. `pairSql` must yield g0..g{f-1} INT
+    * agreement bits. Validated bit-identical against a quantized
+    * reference simulation before wiring in. */
+  private def fsEmSql(iterations: Int, f: Int, pairSql: String): String = {
+    val gs = (0 until f).map(i => s"g$i")
+    val aExpr = "pr.p" + (0 until f).map(i =>
+      s" * (CASE WHEN g$i = 1 THEN pr.m$i ELSE 1 - pr.m$i END)").mkString
+    val bExpr = "(1 - pr.p)" + (0 until f).map(i =>
+      s" * (CASE WHEN g$i = 1 THEN pr.u$i ELSE 1 - pr.u$i END)").mkString
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"WITH pat AS MATERIALIZED (SELECT ${gs.mkString(", ")}, count(*)::BIGINT AS n" +
+        s" FROM ($pairSql) GROUP BY ${(1 to f).mkString(", ")})",
+      "tot AS (SELECT SUM(n)::BIGINT AS tn FROM pat)",
+      "p0 AS (SELECT 0.2::DOUBLE AS p, " +
+        (0 until f).map(i => s"0.8::DOUBLE AS m$i").mkString(", ") + ", " +
+        (0 until f).map(i => s"0.2::DOUBLE AS u$i").mkString(", ") + ")")
+    for (k <- 1 to iterations + 1) {
+      parts += s"e$k AS (SELECT ${gs.mkString(", ")}, n, " +
+        s"floor(($aExpr) / (($aExpr) + ($bExpr)) * 1e9 + 0.5) / 1e9 AS w " +
+        s"FROM pat, p${k - 1} pr)"
+      if (k <= iterations) {
+        val swg = (0 until f).map(i =>
+          s"CAST(SUM(CASE WHEN g$i = 1 THEN CAST(w AS DECIMAL(13,9)) * " +
+            s"CAST(n AS DECIMAL(9,0)) ELSE 0 END) AS DOUBLE) AS swg$i").mkString(", ")
+        val scg = (0 until f).map(i =>
+          s"CAST(SUM(CASE WHEN g$i = 1 THEN CAST(1 - w AS DECIMAL(13,9)) * " +
+            s"CAST(n AS DECIMAL(9,0)) ELSE 0 END) AS DOUBLE) AS scg$i").mkString(", ")
+        parts += s"s$k AS (SELECT " +
+          "CAST(SUM(CAST(w AS DECIMAL(13,9)) * CAST(n AS DECIMAL(9,0))) AS DOUBLE) AS sw, " +
+          "CAST(SUM(CAST(1 - w AS DECIMAL(13,9)) * CAST(n AS DECIMAL(9,0))) AS DOUBLE) AS sc, " +
+          s"$swg, $scg FROM e$k)"
+        val ms = (0 until f).map(i =>
+          s"floor(swg$i / sw * 1e9 + 0.5) / 1e9 AS m$i").mkString(", ")
+        val us = (0 until f).map(i =>
+          s"floor(scg$i / sc * 1e9 + 0.5) / 1e9 AS u$i").mkString(", ")
+        parts += s"p$k AS (SELECT floor(sw / (SELECT tn::DOUBLE FROM tot) " +
+          s"* 1e9 + 0.5) / 1e9 AS p, $ms, $us FROM s$k)"
+      }
+    }
+    val patStr = (0 until f).map(i => s"CAST(g$i AS VARCHAR)").mkString(" || ")
+    parts.mkString(",\n") +
+      s"\nSELECT $patStr AS pattern, n, w AS w9 FROM e${iterations + 1}"
+  }
+
   private def emb(s: SparkSession, sf: String) = s.read.parquet(s"$sf/embeddings.parquet")
 
   /** The query-vector for ANN queries: embedding of vec_id 0 (read once,
@@ -424,6 +496,39 @@ object OpsQueries {
         |FROM f
         |WHERE pp IS NULL OR pp <> p - 1
         |   OR NOT (pl = l + 1 OR (pl = 64 AND l = 64))""".stripMargin),
+
+    // Cross-corpus overlap via KMV sketches — the sketch-space answer
+    // to d13's exact overlap join (two O(k)-state passes instead of a
+    // full shuffle of both corpora). Every output column is integer
+    // arithmetic on the two bottom-k hash sets, restated exactly by the
+    // oracle; measured: union est 471 / exact 500, intersection est
+    // 147 / exact 167 at k=64 on sf0.01 — inside the 1/√62 RSE.
+    ("d26_kmv_overlap",
+      (s, sf) => {
+        val d = docs(s, sf)
+        graft.ops.Sketches.kmvOverlap(d, col("text"),
+          d.filter(col("doc_id") % 3 === 0), col("text"),
+          k = 64, salt = "kmvo")
+      },
+      """WITH ha AS (SELECT DISTINCT
+        |    ('0x' || substr(md5('kmvo:' || text), 1, 13))::BIGINT AS h
+        |  FROM documents),
+        |hb AS (SELECT DISTINCT
+        |    ('0x' || substr(md5('kmvo:' || text), 1, 13))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        |       ORDER BY h LIMIT 64)
+        |SELECT m_union, n_common, d_union,
+        |  (n_common * d_union) // m_union AS inter_est
+        |FROM (SELECT (SELECT count(*) FROM ku)::BIGINT AS m_union,
+        |    (SELECT count(*) FROM ku WHERE h IN (SELECT h FROM ka)
+        |       AND h IN (SELECT h FROM kb))::BIGINT AS n_common,
+        |    CASE WHEN (SELECT count(*) FROM ku) < 64
+        |         THEN (SELECT count(*) FROM ku)::BIGINT
+        |         ELSE (63::BIGINT * 4503599627370496)
+        |              // (SELECT max(h) FROM ku) END AS d_union)""".stripMargin),
 
     // LSH candidates + exact verification ⇒ same rows as the exact oracle
     // (recall at j≥0.8 with 16×4 bands is 1-(1-j⁴)¹⁶ > 1-10⁻⁸)
@@ -1893,6 +1998,27 @@ object OpsQueries {
         "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
 
+    // Bloom-pruned selective join: non-joining probe rows are dropped by
+    // a plan-literal bloom filter AT THE SCAN, before the shuffle — at
+    // 100 TB the rows that would shuffle only to fail the join never
+    // cross the wire. Row-identical to the plain join (no false
+    // negatives; fp survivors removed by the join), so the oracle is the
+    // plain SQL join. Prune actually happening is plan-guarded in
+    // PlanQualitySpec.
+    ("j04_bloom_prejoin",
+      (s, sf) => {
+        val orders = s.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+            col("o_totalprice"))
+        val cust = s.read.parquet(s"$sf/customer.parquet")
+          .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"), col("c_name"))
+        graft.ops.Joins.bloomPrunedJoin(orders, cust, "c_custkey")
+      },
+      """SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0""".stripMargin),
+
     // strict ordered funnel signup→view→purchase: each step's qualifying
     // time is a window min over ONE user partitioning (one Exchange for
     // the whole funnel, no per-step self-joins); DuckDB restates it as a
@@ -2363,6 +2489,22 @@ object OpsQueries {
         |      // (1::BIGINT << i)) % 2) * (1::BIGINT << (3*i+2))))::BIGINT
         |  AS z
         |FROM orders""".stripMargin),
+
+    // Hilbert-curve clustering key (Iceberg hilbert sort-order /
+    // Databricks liquid clustering): the locality-preserving alternative
+    // to l01/l08's Z-order — consecutive indices are always grid-
+    // adjacent, so sorted ranges never jump the quadrant seams. Oracle
+    // restates the quadrant walk bit-for-bit as a chained CTE per level.
+    ("l10_hilbert_order",
+      (s, sf) => {
+        graft.functions.VectorFunctions.register(s)
+        s.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_orderkey"),
+            graft.ops.Layout.hilbertValue(col("o_custkey"),
+              col("o_orderkey") % 1024, bits = 10).as("h"))
+      },
+      hilbertChainSql(10, "o_custkey", "o_orderkey % 1024", "o_orderkey", "orders") +
+        "\nSELECT id AS o_orderkey, d AS h FROM h10"),
 
     // OPTIMIZE/compaction: a 40-file small-file-debris fixture
     // (self-provisioned, idempotent) rewritten toward bytes/5-sized
@@ -4784,6 +4926,49 @@ object OpsQueries {
         |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
         |WHERE floor(jaro_winkler_similarity(a.name, c.name) * 10000 + 0.5) / 10000 >= 0.85""".stripMargin),
 
+    // Fellegi-Sunter EM record linkage over a planted dirty-copy fixture:
+    // B = customer with name perturbed on custkey%10, segment on %7,
+    // nation on %5; candidates = true pairs (k=k) ∪ shifted pairs
+    // (k+1=k'). One distributed pass collapses pairs to ≤2^3 agreement
+    // patterns; quantized EM on that table is restated
+    // iteration-for-iteration by the oracle. EM separates the clusters:
+    // match posteriors w9 ≈ 1 for name-agreeing patterns, ≈ 0 otherwise.
+    ("er02_fellegi_sunter",
+      (s, sf) => {
+        val cust = s.read.parquet(s"$sf/customer.parquet")
+        val b = cust.select(col("c_custkey").as("bkey"),
+          concat(col("c_name"), when(col("c_custkey") % 10 === 0, lit("X"))
+            .otherwise(lit(""))).as("bname"),
+          when(col("c_custkey") % 7 === 0, lit("ALT"))
+            .otherwise(col("c_mktsegment")).as("bseg"),
+          when(col("c_custkey") % 5 === 0, col("c_nationkey") + 1)
+            .otherwise(col("c_nationkey")).as("bnat"))
+        val mm = cust.join(b, cust("c_custkey") === b("bkey"))
+        val uu = cust.join(b, cust("c_custkey") + 1 === b("bkey"))
+        graft.ops.Linkage.fellegiSunter(mm.unionByName(uu), Seq(
+          col("c_name") === col("bname"),
+          col("c_mktsegment") === col("bseg"),
+          col("c_nationkey") === col("bnat")), iterations = 10)
+      },
+      fsEmSql(10, 3,
+        """SELECT (c.c_name = b.bname)::INT AS g0,
+          |  (c.c_mktsegment = b.bseg)::INT AS g1,
+          |  (c.c_nationkey = b.bnat)::INT AS g2
+          |FROM customer c JOIN (SELECT c_custkey AS bkey,
+          |    c_name || CASE WHEN c_custkey % 10 = 0 THEN 'X' ELSE '' END AS bname,
+          |    CASE WHEN c_custkey % 7 = 0 THEN 'ALT' ELSE c_mktsegment END AS bseg,
+          |    CASE WHEN c_custkey % 5 = 0 THEN c_nationkey + 1 ELSE c_nationkey END AS bnat
+          |  FROM customer) b ON c.c_custkey = b.bkey
+          |UNION ALL
+          |SELECT (c.c_name = b.bname)::INT,
+          |  (c.c_mktsegment = b.bseg)::INT,
+          |  (c.c_nationkey = b.bnat)::INT
+          |FROM customer c JOIN (SELECT c_custkey AS bkey,
+          |    c_name || CASE WHEN c_custkey % 10 = 0 THEN 'X' ELSE '' END AS bname,
+          |    CASE WHEN c_custkey % 7 = 0 THEN 'ALT' ELSE c_mktsegment END AS bseg,
+          |    CASE WHEN c_custkey % 5 = 0 THEN c_nationkey + 1 ELSE c_nationkey END AS bnat
+          |  FROM customer) b ON c.c_custkey + 1 = b.bkey""".stripMargin)),
+
     // ---- streaming near-dup detection -----------------------------------
     // MinHash-LSH as a REAL streaming query: state keyed by (band, bhash),
     // each arrival pairs against all prior bucket members. One file = one
@@ -5617,6 +5802,28 @@ object OpsQueries {
         |    floor((1.0 - f1::DOUBLE / n_tokens::DOUBLE) * 1000000 + 0.5) / 1000000
         |  END AS coverage6
         |FROM s""".stripMargin),
+
+    // KMV (bottom-k) distinct sketch: O(k) state per group, mergeable,
+    // and — unlike HLL — a pure function of the value set, so the
+    // oracle restates the ENTIRE sketch exactly as ORDER BY hash
+    // LIMIT k over distinct md5-prefix hashes. est is integer
+    // arithmetic on the k-th order statistic; measured 1–3% off the
+    // true distinct count at k=256 (RSE 1/√254 ≈ 6%).
+    ("t45_kmv_distinct",
+      (s, sf) => graft.ops.Sketches.kmvDistinctPerGroup(
+        s.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_returnflag"), col("l_partkey"), k = 256, salt = "kmv1"),
+      """WITH d AS (SELECT DISTINCT l_returnflag AS scope,
+        |    ('0x' || substr(md5('kmv1:' || l_partkey::VARCHAR), 1, 13))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+        |      FROM d),
+        |a AS (SELECT scope, count(*)::BIGINT AS m, max(h) AS kth
+        |      FROM r WHERE rn <= 256 GROUP BY scope)
+        |SELECT scope, m, CASE WHEN m < 256 THEN NULL ELSE kth END AS kth_hash,
+        |  CASE WHEN m < 256 THEN m
+        |       ELSE (255::BIGINT * 4503599627370496) // kth END AS est
+        |FROM a""".stripMargin),
 
     ("t36_zipf_slope",
       (s, sf) => TextOps.zipfSlope(docs(s, sf), col("text"), topN = 100),

@@ -323,6 +323,9 @@ object VectorFunctions {
       "graft_sq8_encode", exprs => Sq8Encode(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sq8_dot", exprs => Sq8Dot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hilbert",
+      exprs => HilbertIndex(exprs.head, exprs(1), exprs(2)), "built-in")
     HashFunctions.register(spark)
   }
 

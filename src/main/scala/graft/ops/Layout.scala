@@ -68,6 +68,34 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
 
+  /** Hilbert-curve index of two non-negative integer keys — the
+    * locality-preserving alternative to [[zValue]] (what Iceberg's
+    * hilbert sort-order and Databricks liquid clustering use).
+    * Consecutive Hilbert indices are always grid-adjacent, so a sorted
+    * index range covers a compact blob of (x, y) space with no
+    * quadrant-seam jumps; at 100 TB that is strictly fewer parquet
+    * files whose footer stats intersect a 2-D range predicate. Codegen'd
+    * O(bits) loop ([[graft.functions.HilbertIndex]]); caller must have
+    * registered graft functions for the session (every graft.ops entry
+    * point does). Keys wider than `bits` are masked, as in [[zValueN]]. */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of [1,31]: $bits")
+    call_function("graft_hilbert", x.cast("long"), y.cast("long"), lit(bits))
+  }
+
+  /** Cluster `df` on the Hilbert curve of (x, y): one range-partition +
+    * in-partition sort on the [[hilbertValue]] code — the same single
+    * write-time shuffle as [[zorder]], better worst-case 2-D locality
+    * per output file. */
+  def hilbertOrder(df: DataFrame, x: Column, y: Column, numPartitions: Int,
+      bits: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.withColumn("__h", hilbertValue(x, y, bits))
+      .repartitionByRange(numPartitions, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
+
   /** Hive-partitioned lake write: one directory per distinct value tuple
     * of `partitionCols` (`dir/lang=en/...`), the FIRST layout lever at
     * 100 TB — a reader filtering on a partition column never opens, lists

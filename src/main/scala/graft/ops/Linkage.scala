@@ -38,4 +38,95 @@ object Linkage {
         (floor(jw * 10000 + 0.5) / 10000).as("jw"))
       .filter(col("jw") >= threshold)
   }
+
+  /** 9-dp floor — the cross-engine quantization contract of the EM. */
+  private def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+  /** Exact decimal view of a 9-dp-floored double (what SQL's
+    * CAST(x AS DECIMAL(38,9)) yields): the double sits within an ulp of
+    * k/10⁹, never on a rounding tie, so HALF_UP recovers k/10⁹ in any
+    * engine. */
+  private def d9(x: Double): BigDecimal =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Fellegi-Sunter EM over candidate pairs' field-agreement patterns:
+    * unsupervised estimates of P(match) and each field's agreement
+    * probability among matches (m) and non-matches (u) — the weights
+    * probabilistic record linkage scores pairs with (Fellegi & Sunter
+    * 1969; Winkler's EM formulation).
+    *
+    * Scale shape: ONE distributed pass collapses the pair table to its
+    * ≤2^F distinct agreement patterns with counts (F ≤ 10), and EM runs
+    * on the driver over that pattern table — n-independent, the s19 PCA
+    * discipline (the collect is 2^F-bounded, never pair-bounded). Every
+    * EM step is quantized (per-pattern posterior 9-dp-floored; M-step
+    * sums exact DECIMAL(38,9); parameter updates 9-dp-floored after one
+    * double division), so a SQL twin restates the whole fit
+    * bit-for-bit with unrolled per-iteration CTEs.
+    *
+    * Returns ((p, m, u), patterns) — the fitted parameters and the
+    * per-pattern decision table (bits, count, posterior) from a final
+    * E-step at the fitted parameters. */
+  def fellegiSunterParams(pairs: DataFrame, agreements: Seq[Column],
+      iterations: Int = 10, initP: Double = 0.2, initM: Double = 0.8,
+      initU: Double = 0.2): ((Double, Array[Double], Array[Double]),
+        Seq[(Seq[Int], Long, Double)]) = {
+    val f = agreements.size
+    require(f >= 1 && f <= 10, s"1..10 comparison fields: $f")
+    require(iterations >= 1 && iterations <= 50, s"iterations out of [1,50]: $iterations")
+    val gcols = agreements.zipWithIndex.map { case (c, i) =>
+      c.cast("int").as(s"g$i")
+    }
+    val pat = pairs.select(gcols: _*)
+      .groupBy((0 until f).map(i => col(s"g$i")): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((0 until f).map(r.getInt).toSeq, r.getLong(f)))
+      .toSeq
+    val totalN = BigDecimal(pat.map(_._2).sum)
+    var p = q9(initP)
+    var m = Array.fill(f)(q9(initM))
+    var u = Array.fill(f)(q9(initU))
+    def eStep(): Seq[(Seq[Int], Long, Double)] = pat.map { case (g, n) =>
+      var a = p; var b = 1.0 - p
+      var i = 0
+      while (i < f) {
+        a *= (if (g(i) == 1) m(i) else 1.0 - m(i))
+        b *= (if (g(i) == 1) u(i) else 1.0 - u(i))
+        i += 1
+      }
+      (g, n, q9(a / (a + b)))
+    }
+    for (_ <- 1 to iterations) {
+      val ws = eStep()
+      val sw = ws.map { case (_, n, w) => d9(w) * BigDecimal(n) }.sum
+      val sc = ws.map { case (_, n, w) => d9(1.0 - w) * BigDecimal(n) }.sum
+      p = q9(sw.toDouble / totalN.toDouble)
+      m = (0 until f).map { i =>
+        val num = ws.collect { case (g, n, w) if g(i) == 1 => d9(w) * BigDecimal(n) }.sum
+        q9(num.toDouble / sw.toDouble)
+      }.toArray
+      u = (0 until f).map { i =>
+        val num = ws.collect { case (g, n, w) if g(i) == 1 => d9(1.0 - w) * BigDecimal(n) }.sum
+        q9(num.toDouble / sc.toDouble)
+      }.toArray
+    }
+    ((p, m, u), eStep())
+  }
+
+  /** [[fellegiSunterParams]] as a gate-shaped DataFrame: one row per
+    * observed agreement pattern — (pattern, n, w9) where `pattern` is
+    * the bit string g0..g(F−1) and w9 the fitted match posterior. This
+    * is the linkage decision table: patterns with w9 near 1 auto-link,
+    * near 0 auto-reject, the middle goes to review. */
+  def fellegiSunter(pairs: DataFrame, agreements: Seq[Column],
+      iterations: Int = 10, initP: Double = 0.2, initM: Double = 0.8,
+      initU: Double = 0.2): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val (_, ws) = fellegiSunterParams(pairs, agreements, iterations,
+      initP, initM, initU)
+    ws.map { case (g, n, w) => (g.mkString, n, w) }
+      .toDF("pattern", "n", "w9")
+  }
 }

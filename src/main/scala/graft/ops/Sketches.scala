@@ -52,4 +52,65 @@ object Sketches {
     * HLL_8 bound, ≈1.04/√k) — for callers turning estimates into
     * error-bounded verdicts. */
   def hllRse(lgK: Int): Double = 1.04 / math.sqrt((1 << lgK).toDouble)
+
+  /** Portable UNIFORM KMV hash of `value`: the top 13 hex digits of
+    * `md5(salt:value)` as a 52-bit integer — bit-identical in any
+    * engine with md5 (see [[graft.functions.KmvSketch.M]] for why not
+    * the polyHash fold here). */
+  def kmvHash(value: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), value.cast("string"))
+      .cast("binary")), 1, 13), 16, 10).cast("long")
+
+  /** Per-group KMV distinct estimate: one aggregation pass with O(k)
+    * state per group (only ≤k longs per partition cross the wire — no
+    * distinct-shuffle of the data). Output per group:
+    * (scope, m, kth_hash, est) where m = min(k, true distinct-hash
+    * count); when m < k the sketch IS the distinct set and `est` is
+    * exact; otherwise est = (k−1)·M DIV kth_hash — integer arithmetic,
+    * exactly restatable as `ORDER BY hash LIMIT k` by any engine. */
+  def kmvDistinctPerGroup(df: DataFrame, group: Column, value: Column,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 2 && k <= 1024, s"kmv needs k in [2, 1024] ((k-1)*M must fit a long): $k")
+    val M = graft.functions.KmvSketch.M
+    df.select(group.cast("string").as("scope"),
+        kmvHash(value, salt).as("__h"))
+      .groupBy(col("scope"))
+      .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks"))
+      .select(col("scope"), size(col("ks")).cast("long").as("m"),
+        when(size(col("ks")) < k, lit(null).cast("long"))
+          .otherwise(element_at(col("ks"), k)).as("kth_hash"))
+      .withColumn("est", when(col("kth_hash").isNull, col("m"))
+        .otherwise(expr(s"${(k - 1).toLong * M}L DIV kth_hash")))
+  }
+
+  /** Cross-corpus overlap from two KMV sketches — the sketch-space
+    * answer to d13's exact overlap join. Bottom-k sets are closed under
+    * union, so bottom-k(A∪B) = bottom-k of the two sketches' union, and
+    * within that window the Jaccard fraction is unbiased:
+    * J ≈ n_common / m_u, |A∪B| ≈ (k−1)·M DIV kth_u, and
+    * |A∩B| ≈ n_common·D_union DIV m_u. Two aggregation passes (one per
+    * corpus, O(k) state), one broadcast-trivial 1-row cross join; every
+    * output column is integer arithmetic on the two hash sets, so the
+    * oracle is exact. Output: (m_union, n_common, d_union, inter_est). */
+  def kmvOverlap(a: DataFrame, aVal: Column, b: DataFrame, bVal: Column,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 2 && k <= 1024, s"kmv needs k in [2, 1024] ((k-1)*M must fit a long): $k")
+    val M = graft.functions.KmvSketch.M
+    val ska = a.select(kmvHash(aVal, salt).as("__h"))
+      .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ka"))
+    val skb = b.select(kmvHash(bVal, salt).as("__h"))
+      .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("kb"))
+    ska.crossJoin(skb)
+      .select(slice(array_sort(array_union(col("ka"), col("kb"))), 1, k).as("ku"),
+        col("ka"), col("kb"))
+      .select(size(col("ku")).cast("long").as("m_union"),
+        size(filter(col("ku"), h =>
+          array_contains(col("ka"), h) && array_contains(col("kb"), h)))
+          .cast("long").as("n_common"),
+        when(size(col("ku")) < k, size(col("ku")).cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * M}L DIV " +
+            s"element_at(ku, $k)")).as("d_union"))
+      .withColumn("inter_est",
+        expr("(n_common * d_union) DIV m_union"))
+  }
 }

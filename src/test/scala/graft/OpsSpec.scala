@@ -2173,6 +2173,93 @@ class OpsSpec extends AnyFunSuite {
     assert(spread._2 > 2.0, s"salts did not spread: $spread")
   }
 
+  test("bloomPrunedJoin: row-identical to the plain join; the prune actually drops rows") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey").as("ckey"), col("o_totalprice"))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("ckey"), col("c_name"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("ckey", "o_orderkey", "o_totalprice", "c_name")
+        .as[(Long, Long, Double, String)].collect().sorted.toSeq
+    val pruned = graft.ops.Joins.bloomPrunedJoin(orders, cust, "ckey")
+    assert(canon(pruned) == canon(orders.join(cust, Seq("ckey"))))
+    // the filter is selective: far fewer probe rows survive than exist —
+    // this is the shuffle volume the prune saves at scale
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val hashes = cust.select(xxhash64(col("ckey")).as("h")).distinct().as[Long].collect()
+    val m = graft.functions.BloomSet.optimalNumBits(hashes.length.toLong, 1e-6)
+    val k = graft.functions.BloomSet.optimalNumProbes(hashes.length.toLong, m)
+    val bits = graft.functions.BloomSet.build(hashes, m, k)
+    val survivors = orders.filter(call_function("graft_bloom_contains",
+      lit(bits), xxhash64(col("ckey")), lit(k))).count()
+    val total = orders.count()
+    val trueHits = orders.join(cust.select("ckey").distinct(), Seq("ckey")).count()
+    assert(survivors < total / 2, s"prune not selective: $survivors of $total")
+    // no false negatives, bounded false positives
+    assert(survivors >= trueHits)
+    assert(survivors <= trueHits + math.max(10L, total / 100))
+  }
+
+  test("fellegiSunter: EM separates planted clusters; layout-independent") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val b = cust.select(col("c_custkey").as("bkey"),
+      concat(col("c_name"), when(col("c_custkey") % 10 === 0, lit("X"))
+        .otherwise(lit(""))).as("bname"),
+      when(col("c_custkey") % 7 === 0, lit("ALT"))
+        .otherwise(col("c_mktsegment")).as("bseg"),
+      when(col("c_custkey") % 5 === 0, col("c_nationkey") + 1)
+        .otherwise(col("c_nationkey")).as("bnat"))
+    val pairs = cust.join(b, cust("c_custkey") === b("bkey"))
+      .unionByName(cust.join(b, cust("c_custkey") + 1 === b("bkey")))
+    val agree = Seq(col("c_name") === col("bname"),
+      col("c_mktsegment") === col("bseg"), col("c_nationkey") === col("bnat"))
+    val ((p, m, u), ws) = graft.ops.Linkage.fellegiSunterParams(pairs, agree)
+    // the match cluster is "name agrees": m0 near 1, u0 near 0, and
+    // p near the true match fraction (half the candidates, minus the
+    // name-perturbed tenth that EM assigns to the u-cluster)
+    assert(m(0) > 0.9 && u(0) < 0.1, s"m=${m.toSeq} u=${u.toSeq}")
+    assert(p > 0.3 && p < 0.6, s"p=$p")
+    val byPat = ws.map { case (g, n, w) => (g.mkString, (n, w)) }.toMap
+    assert(byPat("111")._2 > 0.9)
+    assert(byPat("000")._2 < 0.1)
+    // exact-decimal M-step sums ⇒ the fit is partition-layout-invariant
+    val ((p2, m2, u2), ws2) = graft.ops.Linkage.fellegiSunterParams(
+      pairs.repartition(13, col("c_nationkey")), agree)
+    assert(p2 == p && m2.toSeq == m.toSeq && u2.toSeq == u.toSeq &&
+      ws2.toSet == ws.toSet)
+  }
+
+  test("kmv sketch: equals the exact bottom-k distinct set, layout-independent, est within RSE") {
+    import graft.ops.Sketches
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val k = 128
+    // the aggregator's sketch must be a pure function of the value set:
+    // exactly the k smallest distinct hashes, however the data is laid out
+    val exactBottom = li.select(Sketches.kmvHash(col("l_partkey"), "kt").as("h"))
+      .distinct().orderBy("h").limit(k).as[Long].collect().toSeq
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.select(Sketches.kmvHash(col("l_partkey"), "kt").as("__h"))
+        .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")))
+        .head().getSeq[Long](0)
+    assert(sketch(li) == exactBottom)
+    assert(sketch(li.repartition(17, col("l_suppkey"))) == exactBottom)
+    // estimator: within 4 RSE of the true distinct count
+    val est = Sketches.kmvDistinctPerGroup(li, lit("all"), col("l_partkey"),
+      k, "kt").select("est").as[Long].head()
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val rse = 1.0 / math.sqrt((k - 2).toDouble)
+    assert(math.abs(est - exact).toDouble / exact < 4 * rse,
+      s"kmv est $est vs exact $exact outside 4*RSE")
+    // the hash is the documented md5 prefix — cross-engine anchor value
+    assert(spark.range(1).select(Sketches.kmvHash(lit("abc"), "kmv1"))
+      .head().getLong(0) == java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("kmv1:abc".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13), 16))
+  }
+
   test("ntileByScore: two-level rank equals the global-window ntile, any n mod k") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -2392,6 +2479,56 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Layout.zValueN(Seq(lit(1L), lit(1L), lit(1L)), bits = 22)
     }
+  }
+
+  test("hilbertValue: reference-exact; consecutive indices grid-adjacent (what z-order lacks)") {
+    import spark.implicits._
+    import graft.ops.Layout
+    graft.functions.VectorFunctions.register(spark)
+    // full 16x16 grid through the codegen'd expression
+    val grid = for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits = 4).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for ((x, y) <- grid)
+      assert(got((x, y)) == graft.functions.Hilbert.xy2d(4, x, y))
+    // complete permutation of 0..255, every step Manhattan distance 1 —
+    // the locality property: a sorted hilbert range is one unbroken walk
+    val byD = got.toSeq.sortBy(_._2)
+    assert(byD.map(_._2) == (0L until 256L))
+    for (Seq(a, b) <- byD.sliding(2)) {
+      val md = math.abs(a._1._1 - b._1._1) + math.abs(a._1._2 - b._1._2)
+      assert(md == 1, s"non-adjacent hilbert step $a -> $b")
+    }
+    // z-order on the same grid DOES jump at quadrant seams (>1 steps) —
+    // the measured reason hilbert ranges prune strictly fewer files
+    val zByD = grid.map { case (x, y) =>
+      ((x, y), (0 until 4).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)) }.sortBy(_._2)
+    val zJumps = zByD.sliding(2).count { case Seq(a, b) =>
+      math.abs(a._1._1 - b._1._1) + math.abs(a._1._2 - b._1._2) > 1 }
+    assert(zJumps > 0, "z-order unexpectedly adjacency-perfect")
+    // masking contract: wide keys reduce mod 2^bits, like zValueN
+    assert(Seq((21L, 3L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), bits = 2)).head().getLong(0)
+      == graft.functions.Hilbert.xy2d(2, 21L & 3L, 3L))
+    // interpreted (non-codegen) eval parity
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.functions.HilbertIndex(Literal(5L), Literal(3L), Literal(4))
+    assert(interp.eval(null).asInstanceOf[Long] ==
+      graft.functions.Hilbert.xy2d(4, 5L, 3L))
+    // hilbertOrder: partition h-ranges are disjoint (same contract as zorder)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), (col("o_orderkey") % 1024).as("y"))
+    val parted = Layout.hilbertOrder(orders, col("o_custkey"), col("y"),
+        numPartitions = 8, bits = 10)
+      .withColumn("h", Layout.hilbertValue(col("o_custkey"), col("y"), bits = 10))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val ranges = parted.groupBy("pid").agg(min("h").as("lo"), max("h").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    for (Seq(a, b) <- ranges.toSeq.sliding(2))
+      assert(a._2 <= b._1, s"overlapping hilbert ranges $a $b")
   }
 
   test("bench baseline loader: own format preferred; driver tail scraped segment-aware") {

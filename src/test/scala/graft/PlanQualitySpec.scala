@@ -212,6 +212,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"bloom report joined:\n$p")
   }
 
+  test("j04: bloom probe-prune sits below the join, next to the scan") {
+    val p = plan("j04_bloom_prejoin")
+    assert(p.contains("graft_bloom_contains"),
+      s"bloom prune filter missing from the probe side:\n$p")
+    // the prune must be a plain filter in the probe's scan stage — i.e.
+    // appear OUTSIDE any join operator's build side: the probe scan's
+    // Filter node carries it before any Exchange/Broadcast boundary
+    val pruneIdx = p.indexOf("graft_bloom_contains")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && pruneIdx > joinIdx,
+      s"expected scan-side filter below the join in the plan tree:\n$p")
+  }
+
   test("ts02: interval join plans as an equi-join on the slot, never a nested loop") {
     val p = plan("ts02_range_count")
     assert(!p.contains("BroadcastNestedLoopJoin"),
