@@ -154,6 +154,46 @@ object OpsQueries {
       s"\nSELECT $patStr AS pattern, n, w AS w9 FROM e${iterations + 1}"
   }
 
+  /** Unrolled HITS for the g12 oracle: per iteration, auth then hub —
+    * DECIMAL(19,8)-exact propagation sums, 10-dp-floored squares into
+    * DECIMAL(38,10) for the L2 norm, IEEE sqrt, 8-dp-floored scores —
+    * restating [[graft.ops.Graph.hits]] step-for-step on the g01 edge
+    * fixture. */
+  private def hitsSql(iterations: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        |  UNION
+        |  SELECT s_suppkey + 1000000, s_nationkey + 2000000 FROM supplier),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS MATERIALIZED (SELECT node,
+        |  (SELECT floor(1.0 / sqrt(count(*)::DOUBLE) * 1e8 + 0.5) / 1e8
+        |   FROM nodes) AS s FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""a${k}r AS MATERIALIZED (SELECT e.dst AS node,
+         |    CAST(SUM(CAST(h.s AS DECIMAL(19,8))) AS DOUBLE) AS raw
+         |  FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY e.dst),
+         |a${k}n AS (SELECT sqrt(CAST(SUM(CAST(floor(raw * raw * 1e10 + 0.5) / 1e10
+         |    AS DECIMAL(38,10))) AS DOUBLE)) AS nrm FROM a${k}r),
+         |a$k AS MATERIALIZED (SELECT node,
+         |    floor(raw / (SELECT nrm FROM a${k}n) * 1e8 + 0.5) / 1e8 AS s
+         |  FROM a${k}r),
+         |h${k}r AS MATERIALIZED (SELECT e.src AS node,
+         |    CAST(SUM(CAST(a.s AS DECIMAL(19,8))) AS DOUBLE) AS raw
+         |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
+         |h${k}n AS (SELECT sqrt(CAST(SUM(CAST(floor(raw * raw * 1e10 + 0.5) / 1e10
+         |    AS DECIMAL(38,10))) AS DOUBLE)) AS nrm FROM h${k}r),
+         |h$k AS MATERIALIZED (SELECT node,
+         |    floor(raw / (SELECT nrm FROM h${k}n) * 1e8 + 0.5) / 1e8 AS s
+         |  FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iters +
+      s"""\nSELECT n.node, coalesce(h.s, 0.0) AS hub8, coalesce(a.s, 0.0) AS auth8
+         |FROM nodes n
+         |LEFT JOIN h$iterations h ON h.node = n.node
+         |LEFT JOIN a$iterations a ON a.node = n.node""".stripMargin
+  }
+
   private def emb(s: SparkSession, sf: String) = s.read.parquet(s"$sf/embeddings.parquet")
 
   /** The query-vector for ANN queries: embedding of vec_id 0 (read once,
@@ -2153,6 +2193,21 @@ object OpsQueries {
         |         GROUP BY e.dst) c ON nodes.node=c.node)
         |SELECT node, floor(rank*100000000 + 0.5)/100000000 AS rank
         |FROM r3 ORDER BY 2 DESC, node LIMIT 20""".stripMargin),
+
+    // HITS hub/authority on the g01 edge fixture: the bipartite
+    // complement of pagerank (directories vs destinations). DECIMAL-
+    // exact propagation, 8-dp scores, IEEE sqrt norms — oracle unrolls
+    // both half-steps of each iteration (hitsSql)
+    ("g12_hits",
+      (s, sf) => {
+        val ps = s.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        val sn = s.read.parquet(s"$sf/supplier.parquet")
+          .select((col("s_suppkey") + 1000000L).as("src"), (col("s_nationkey") + 2000000L).as("dst"))
+        graft.ops.Graph.hits(ps.unionByName(sn), col("src"), col("dst"),
+          iterations = 2)
+      },
+      hitsSql(2)),
 
     // train→deploy closure: fit a logistic regression on hashed
     // bag-of-words counts (same PolyHash slots as the scorer), deploy
@@ -4242,6 +4297,42 @@ object OpsQueries {
     // assignment (user_id%10<4 -> 40% observed vs 50% designed): the
     // chi-square must flag it. Exact counts, one IEEE chi2, pinned
     // 3.841459 critical value
+    // multi-touch attribution (linear + U-shaped in one pass): journey
+    // id = running count of prior purchases per user (a window, no
+    // self-join); credits 6-dp-floored and summed as exact
+    // DECIMAL(20,6) so channel totals are layout-independent and the
+    // oracle restates the whole thing
+    ("f12_attribution",
+      (s, sf) => graft.ops.EventAnalytics.multiTouchAttribution(
+        events(s, sf), col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), convType = "purchase",
+        touchTypes = Seq("click", "view")),
+      """WITH base AS (SELECT user_id AS u, ts AS t, event_id AS e,
+        |    event_type AS ty,
+        |    coalesce(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS jid
+        |  FROM events),
+        |convs AS (SELECT DISTINCT u, jid FROM base WHERE ty = 'purchase'),
+        |touches AS (SELECT * FROM base WHERE ty IN ('click', 'view')),
+        |scored AS (SELECT tt.ty,
+        |    row_number() OVER (PARTITION BY tt.u, tt.jid
+        |                       ORDER BY tt.t ASC, tt.e ASC) AS r,
+        |    count(*) OVER (PARTITION BY tt.u, tt.jid) AS k
+        |  FROM touches tt JOIN convs USING (u, jid)),
+        |cr AS (SELECT ty AS channel,
+        |    CAST(floor(1.0::DOUBLE / k::DOUBLE * 1e6 + 0.5) / 1e6
+        |      AS DECIMAL(20,6)) AS lc,
+        |    CAST(floor(CASE WHEN k = 1 THEN 1.0::DOUBLE
+        |        WHEN k = 2 THEN 0.5::DOUBLE
+        |        WHEN r = 1 OR r = k THEN 0.4::DOUBLE
+        |        ELSE 0.2::DOUBLE / (k - 2)::DOUBLE END * 1e6 + 0.5) / 1e6
+        |      AS DECIMAL(20,6)) AS uc
+        |  FROM scored)
+        |SELECT channel, count(*)::BIGINT AS n_touches,
+        |  CAST(SUM(lc) AS DOUBLE) AS linear6, CAST(SUM(uc) AS DOUBLE) AS u6
+        |FROM cr GROUP BY channel""".stripMargin),
+
     ("f11_srm_check",
       (s, sf) => graft.ops.EventAnalytics.srmCheck(
         events(s, sf).groupBy(col("user_id")).agg(count(lit(1)).as("__n")),
@@ -4357,6 +4448,46 @@ object OpsQueries {
       (s, sf) => graft.ops.Profile.passAtK(
         events(s, sf), col("user_id") % 50, col("event_id") % 19 === 0, k = 5),
       passAtKOracleSql(5)),
+
+    // Poisson bootstrap CI for the mean order value — the bootstrap
+    // that scales: per-row hash-derived Poisson(1) multiplicities, B
+    // partial sums map-side combined (no global multinomial, no
+    // data-sized shuffle). Multiplicities are inverse-CDF on a 52-bit
+    // md5 uniform vs hardcoded thresholds; resample sums are exact
+    // decimals; CI bounds are exact rank statistics — all restated by
+    // the oracle bit-for-bit.
+    ("a23_poisson_bootstrap",
+      (s, sf) => graft.ops.Profile.poissonBootstrapCi(
+        s.read.parquet(s"$sf/orders.parquet"),
+        col("o_totalprice"), col("o_orderkey"), b = 200, salt = "pb1"),
+      """WITH base AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    o_orderkey::VARCHAR AS id FROM orders),
+        |e AS (SELECT v, b,
+        |    ('0x' || substr(md5('pb1:' || b::VARCHAR || ':' || id), 1, 13))::BIGINT::DOUBLE
+        |      / 4503599627370496.0 AS u
+        |  FROM base, range(0, 200) t(b)),
+        |mu AS (SELECT v, b, CASE
+        |    WHEN u < 0.36787944117144233::DOUBLE THEN 0
+        |    WHEN u < 0.7357588823428847::DOUBLE THEN 1
+        |    WHEN u < 0.9196986029286058::DOUBLE THEN 2
+        |    WHEN u < 0.981011843123846::DOUBLE THEN 3
+        |    WHEN u < 0.9963401531726563::DOUBLE THEN 4
+        |    WHEN u < 0.9994058151824183::DOUBLE THEN 5
+        |    WHEN u < 0.9999167588507119::DOUBLE THEN 6
+        |    WHEN u < 0.9999897508033253::DOUBLE THEN 7
+        |    WHEN u < 0.9999988805746001::DOUBLE THEN 8
+        |    ELSE 9 END AS m FROM e),
+        |rm AS (SELECT b, floor(CAST(SUM(v * m) AS DOUBLE)
+        |    / CAST(SUM(m) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean6
+        |  FROM mu GROUP BY b),
+        |rk AS (SELECT mean6, b, row_number() OVER (ORDER BY mean6 ASC, b ASC) AS r
+        |  FROM rm),
+        |f AS (SELECT floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS mean_full6 FROM orders)
+        |SELECT 200::BIGINT AS b, mean_full6,
+        |  (SELECT mean6 FROM rk WHERE r = 5) AS lo6,
+        |  (SELECT mean6 FROM rk WHERE r = 196) AS hi6
+        |FROM f""".stripMargin),
 
     // split-conformal filtering thresholds per language (Mondrian
     // conformal): k = ceil((n+1)(1-alpha))-th smallest doc length — the
@@ -5824,6 +5955,33 @@ object OpsQueries {
         |  CASE WHEN m < 256 THEN m
         |       ELSE (255::BIGINT * 4503599627370496) // kth END AS est
         |FROM a""".stripMargin),
+
+    // "Fightin' Words" distinctive terms: Dirichlet-prior log-odds
+    // z-scores of en vs rest — the corpus-comparison scorer that beats
+    // raw tf-idf at both tails. One vocab-sized count agg + 1-row
+    // totals broadcast; lns 6-dp floored (t36 contract), z 4-dp
+    ("t46_log_odds_terms",
+      (s, sf) => TextOps.logOddsTerms(docs(s, sf), col("text"),
+        col("lang") === "en", alpha = 0.01, minCount = 5, topN = 20),
+      """WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
+        |    (lang = 'en') AS g
+        |  FROM documents WHERE trim(text) <> ''),
+        |c AS (SELECT w, SUM(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    SUM(CASE WHEN NOT g THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM u GROUP BY w),
+        |t AS (SELECT SUM(a)::BIGINT AS ta, SUM(b)::BIGINT AS tb,
+        |    count(*)::BIGINT AS v FROM c)
+        |SELECT w AS word, a, b,
+        |  floor((floor(ln((a::DOUBLE + 0.01::DOUBLE)
+        |      / (ta::DOUBLE + 0.01::DOUBLE * v::DOUBLE - a::DOUBLE - 0.01::DOUBLE))
+        |      * 1000000 + 0.5) / 1000000
+        |    - floor(ln((b::DOUBLE + 0.01::DOUBLE)
+        |      / (tb::DOUBLE + 0.01::DOUBLE * v::DOUBLE - b::DOUBLE - 0.01::DOUBLE))
+        |      * 1000000 + 0.5) / 1000000)
+        |   / sqrt(1.0::DOUBLE / (a::DOUBLE + 0.01::DOUBLE)
+        |        + 1.0::DOUBLE / (b::DOUBLE + 0.01::DOUBLE)) * 1e4 + 0.5) / 1e4 AS z4
+        |FROM c, t WHERE a + b >= 5
+        |ORDER BY z4 DESC, word ASC LIMIT 20""".stripMargin),
 
     ("t36_zipf_slope",
       (s, sf) => TextOps.zipfSlope(docs(s, sf), col("text"), topN = 100),

@@ -304,6 +304,58 @@ object EventAnalytics {
           .as("gap_s"))
   }
 
+  /** Multi-touch attribution: every conversion's credit is split over
+    * the touch events of its journey (the touches since the user's
+    * previous conversion) under two standard schemes at once —
+    * `linear` (1/k each) and `u-shaped` (40% first, 40% last, 20%
+    * spread over the middle; 100%/50-50 for 1-/2-touch journeys).
+    *
+    * Journey assembly is windows only, no self-join: journey id = the
+    * running count of PRIOR conversions in the user's (ts, event-id)
+    * order, so a conversion closes exactly the journey its preceding
+    * touches accumulated into, and trailing touches (after the last
+    * conversion) drop out via the inner join against closed journeys.
+    * Two exchanges total (user partitioning, then the channel
+    * aggregate). Per-touch credits are 6-dp-floored and summed as
+    * exact DECIMAL(20,6) — partition-layout-independent and exactly
+    * restatable.
+    *
+    * Output: (channel, n_touches, linear6, u6). */
+  def multiTouchAttribution(events: DataFrame, userId: Column, ts: Column,
+      eventId: Column, eventType: Column, convType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touch types must be non-empty and exclude the conversion type")
+    val wu = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col("__e").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.select(userId.as("__u"), ts.as("__t"),
+        eventId.as("__e"), eventType.as("__ty"))
+      .withColumn("jid", coalesce(
+        sum(when(col("__ty") === convType, 1L).otherwise(0L)).over(wu),
+        lit(0L)))
+    val touches = base.filter(col("__ty").isin(touchTypes: _*))
+    val convs = base.filter(col("__ty") === convType)
+      .select(col("__u"), col("jid")).distinct()
+    val wj = Window.partitionBy(col("__u"), col("jid"))
+    val wr = wj.orderBy(col("__t").asc, col("__e").asc)
+    val scored = touches.join(convs, Seq("__u", "jid"))
+      .withColumn("r", row_number().over(wr))
+      .withColumn("k", count(lit(1)).over(wj))
+    def q6(c: Column) =
+      (floor(c * 1e6 + 0.5) / 1e6).cast("decimal(20,6)")
+    val linear = q6(lit(1.0) / col("k").cast("double"))
+    val u = q6(when(col("k") === 1, 1.0)
+      .when(col("k") === 2, 0.5)
+      .otherwise(when(col("r") === 1 || col("r") === col("k"), 0.4)
+        .otherwise(lit(0.2) / (col("k") - 2).cast("double"))))
+    scored.select(col("__ty").as("channel"), linear.as("lc"), u.as("uc"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("lc")).cast("double").as("linear6"),
+        sum(col("uc")).cast("double").as("u6"))
+  }
+
   /** Hourly event-volume anomaly scores per type: each hour's count is
     * z-scored against the TRAILING `window` hours — the
     * data-quality/incident monitor over an ingest log (a collapsed

@@ -78,6 +78,65 @@ object Graph {
     ranks
   }
 
+  /** HITS hub/authority scores (Kleinberg): iterate
+    * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), L2-normalizing
+    * each — the bipartite-flavored complement of [[pageRank]] (a node
+    * can be a great directory of authorities without being one). On a
+    * link/citation graph this separates "points at good things" from
+    * "is a good thing", which pageRank's single score conflates.
+    *
+    * Determinism contract (the s19 recipe): scores are 8-dp-floored
+    * after each normalization, propagation sums run over DECIMAL(19,8)
+    * (exact, order-independent), norm² accumulates 10-dp-floored
+    * squares as DECIMAL(38,10), and sqrt is IEEE-exact — so a SQL twin
+    * restates every iteration and the result is partition-layout-
+    * independent. Per iteration: two keyed joins + two aggregations on
+    * the edge partitioning; localCheckpoint keeps the plan
+    * constant-size (the k-core discipline).
+    *
+    * Output: (node, hub8, auth8) for every node (0.0 where a side
+    * never receives mass). */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 8, s"iterations out of [1,8]: $iterations")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val h0 = math.floor(1.0 / math.sqrt(n.toDouble) * 1e8 + 0.5) / 1e8
+    def normalized8(raw: DataFrame): DataFrame = {
+      // raw: (node, raw DOUBLE). One tiny (1-row) norm broadcast.
+      val nrm = raw.agg(sqrt(sum((floor(col("raw") * col("raw") * 1e10 + 0.5)
+        / 1e10).cast("decimal(38,10)")).cast("double")).as("nrm"))
+      raw.crossJoin(broadcast(nrm))
+        .select(col("node"),
+          (floor(col("raw") / col("nrm") * 1e8 + 0.5) / 1e8).as("s"))
+        .localCheckpoint()
+    }
+    var hub = nodes.select(col("node"), lit(h0).as("s"))
+    var auth = hub
+    for (_ <- 1 to iterations) {
+      auth = normalized8(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("s").cast("decimal(19,8)")).cast("double").as("raw")))
+      hub = normalized8(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("s").cast("decimal(19,8)")).cast("double").as("raw")))
+    }
+    val out = nodes
+      .join(hub.withColumnRenamed("s", "hub8"), Seq("node"), "left")
+      .join(auth.withColumnRenamed("s", "auth8"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub8"), lit(0.0)).as("hub8"),
+        coalesce(col("auth8"), lit(0.0)).as("auth8"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Per-node triangle counts over an undirected graph (edges given in
     * either direction; self-loops and duplicates dropped). Triangles are
     * the local-clustering signal — in a link graph they separate organic

@@ -231,6 +231,66 @@ object Profile {
     * score values (score-cardinality-bounded; quantize scores upstream
     * if they're raw floats). Degenerate single-class input → NULL auc.
     * Output: one row (n_pos, n_neg, auc6). */
+  /** Cumulative Poisson(1) CDF thresholds, hardcoded so both engines
+    * compare against the SAME literal doubles (no transcendental eval
+    * at query time). P(X ≤ i) for i = 0..8; beyond 8 the tail is
+    * ~1.1e-9 and the multiplicity caps (identically on both sides). */
+  private val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.981011843123846, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988805746001)
+
+  /** Poisson bootstrap CI for a mean — THE bootstrap that works at
+    * 100 TB: classical resampling-with-replacement needs global row
+    * multinomials (a coordination point), but Poisson(1) multiplicities
+    * are independent per row, so each of the B resamples is just a
+    * per-row weight derived from a hash — one scan, map-side combined
+    * partial sums per rep, shuffle volume B × partitions rows, never
+    * data-sized (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", the production recipe at Google scale).
+    *
+    * Determinism: the multiplicity is inverse-CDF on a 52-bit md5
+    * uniform of (salt:rep:id) against hardcoded Poisson(1) thresholds —
+    * any engine restates it bit-for-bit. Value sums are exact
+    * DECIMAL(18,2)·mult products; each resample mean is one double
+    * division, 6-dp floored; the CI bounds are exact rank statistics of
+    * the B means. Output one row:
+    * (b, mean_full6, lo6, hi6) at ranks ⌈α/2·B⌉ and B−⌈α/2·B⌉+1. */
+  def poissonBootstrapCi(df: DataFrame, value: Column, id: Column,
+      b: Int = 200, salt: String = "pb1", alpha: Double = 0.05): DataFrame = {
+    require(b >= 10 && b <= 10000, s"b out of [10,10000]: $b")
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val loRank = math.ceil(alpha / 2 * b).toInt.max(1)
+    val hiRank = b - loRank + 1
+    val base = df.select(value.cast("decimal(18,2)").as("__v"),
+        id.cast("string").as("__id"))
+      .select(col("__v"), col("__id"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+      col("rep").cast("string"), lit(":"), col("__id")).cast("binary")),
+      1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    val mult = PoissonCdf.zipWithIndex.foldRight(lit(9): Column) {
+      case ((c, i), rest) => when(u < c, lit(i)).otherwise(rest)
+    }
+    val reps = base.withColumn("__m", mult)
+      .groupBy(col("rep"))
+      .agg(sum(col("__v") * col("__m")).as("s"),
+        sum(col("__m")).cast("long").as("n"))
+      .select(col("rep"), (floor(col("s").cast("double") /
+        col("n").cast("double") * 1e6 + 0.5) / 1e6).as("mean6"))
+    val ranked = reps.withColumn("r",
+      row_number().over(Window.orderBy(col("mean6").asc, col("rep").asc)))
+    val full = df.select(value.cast("decimal(18,2)").as("__v"))
+      .agg((floor(sum(col("__v")).cast("double") /
+        count(lit(1)).cast("double") * 1e6 + 0.5) / 1e6).as("mean_full6"))
+    full.crossJoin(
+      ranked.filter(col("r") === loRank).select(col("mean6").as("lo6")))
+      .crossJoin(
+        ranked.filter(col("r") === hiRank).select(col("mean6").as("hi6")))
+      .select(lit(b.toLong).as("b"), col("mean_full6"), col("lo6"), col("hi6"))
+  }
+
   def aucScore(df: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = df.select(score.cast("double").as("s"),

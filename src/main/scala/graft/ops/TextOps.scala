@@ -58,6 +58,46 @@ object TextOps {
     * are 6-dp floored, their products re-floored, and all five OLS sums
     * run as DECIMAL(28,6) (order-independent); the slope is one final
     * double expression. Output: one row (n_terms, slope6). */
+  /** Distinctive terms of a subcorpus vs the rest: log-odds ratio with
+    * a Dirichlet prior, z-scored (Monroe, Colaresi & Quinn 2008,
+    * "Fightin' Words" — the method corpus-comparison pipelines use
+    * instead of raw tf-idf, because it neither over-weights rare words
+    * (pure log-odds) nor common ones (raw frequency)). For word w with
+    * counts a (in-group) and b (rest), totals TA/TB, vocab V, prior α:
+    * δ = ln((a+α)/(TA+αV−a−α)) − ln((b+α)/(TB+αV−b−α)),
+    * z = δ/√(1/(a+α) + 1/(b+α)).
+    *
+    * One token-count aggregation (map-side combined, vocab-sized
+    * output), a 1-row totals broadcast, then per-word arithmetic.
+    * Cross-engine exactness: each ln is 6-dp floored (the t36
+    * contract), everything after is one IEEE chain, z 4-dp floored.
+    * Output: top `topN` rows (word, a, b, z4) by z4 desc. */
+  def logOddsTerms(df: DataFrame, text: Column, inGroup: Column,
+      alpha: Double = 0.01, minCount: Int = 5, topN: Int = 20): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val r6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val counts = df.select(explode(tokens(text)).as("w"), inGroup.as("__g"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("__g"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("__g"), 1L).otherwise(0L)).as("b"))
+    val totals = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      count(lit(1)).as("v"))
+    val aD = col("a").cast("double") + lit(alpha)
+    val bD = col("b").cast("double") + lit(alpha)
+    val a0 = lit(alpha) * col("v").cast("double")
+    val l1 = r6(log(aD / (col("ta").cast("double") + a0
+      - col("a").cast("double") - lit(alpha))))
+    val l2 = r6(log(bD / (col("tb").cast("double") + a0
+      - col("b").cast("double") - lit(alpha))))
+    counts.filter(col("a") + col("b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("w").as("word"), col("a"), col("b"),
+        (floor((l1 - l2) / sqrt(lit(1.0) / aD + lit(1.0) / bD) * 1e4 + 0.5)
+          / 1e4).as("z4"))
+      .orderBy(col("z4").desc, col("word").asc)
+      .limit(topN)
+  }
+
   def zipfSlope(df: DataFrame, text: Column, topN: Int): DataFrame = {
     require(topN >= 3, s"topN must be >= 3 to fit a line: $topN")
     import org.apache.spark.sql.expressions.Window

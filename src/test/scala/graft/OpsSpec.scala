@@ -2202,6 +2202,93 @@ class OpsSpec extends AnyFunSuite {
     assert(survivors <= trueHits + math.max(10L, total / 100))
   }
 
+  test("poissonBootstrapCi: CI brackets the mean at sane width; layout-independent") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profile.poissonBootstrapCi(df, col("o_totalprice"),
+        col("o_orderkey"), b = 100).as[(Long, Double, Double, Double)].head()
+    val (b, mean, lo, hi) = run(orders)
+    assert(b == 100 && lo < mean && mean < hi, s"CI ($lo, $hi) vs mean $mean")
+    // width sanity: the bootstrap CI should be within a factor ~2 of the
+    // analytic ±1.96·σ/√n normal interval
+    val (sd, n) = orders.select(stddev(col("o_totalprice")),
+      count(lit(1)).cast("double")).as[(Double, Double)].head()
+    val analytic = 2 * 1.96 * sd / math.sqrt(n)
+    val width = hi - lo
+    assert(width > analytic / 2 && width < analytic * 2,
+      s"width $width vs analytic $analytic")
+    // hash-derived multiplicities ⇒ identical result under any layout
+    assert(run(orders.repartition(13, col("o_custkey"))) == (b, mean, lo, hi))
+  }
+
+  test("multiTouchAttribution: per-journey credits sum to 1; schemes agree on totals") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val out = graft.ops.EventAnalytics.multiTouchAttribution(ev,
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      "purchase", Seq("click", "view"))
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSet == Set("click", "view"))
+    // both schemes distribute exactly one unit per attributed journey, so
+    // channel totals must agree up to per-touch 6-dp rounding
+    val totL = out.map(_._3).sum
+    val totU = out.map(_._4).sum
+    assert(math.abs(totL - totU) < 1e-2, s"linear $totL vs u-shaped $totU")
+    // and equal the count of journeys that have >= 1 touch
+    val journeys = ev.select(col("user_id").as("u"), col("ts").as("t"),
+        col("event_id").as("e"), col("event_type").as("ty"))
+      .withColumn("jid", coalesce(sum(when(col("ty") === "purchase", 1L)
+        .otherwise(0L)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("t").asc, col("e").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val attributed = journeys.filter(col("ty").isin("click", "view"))
+      .select("u", "jid").distinct()
+      .join(journeys.filter(col("ty") === "purchase")
+        .select("u", "jid").distinct(), Seq("u", "jid"))
+      .count()
+    assert(math.abs(totL - attributed) < 0.01 * attributed + 1,
+      s"linear total $totL vs $attributed attributed journeys")
+  }
+
+  test("hits: hubs and authorities separate on a bipartite-ish graph; unit norms") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val sn = spark.read.parquet(s"$sf/supplier.parquet")
+      .select((col("s_suppkey") + 1000000L).as("src"), (col("s_nationkey") + 2000000L).as("dst"))
+    val out = graft.ops.Graph.hits(li.unionByName(sn), col("src"), col("dst"))
+      .as[(Long, Double, Double)].collect()
+    // parts (ids < 1e6) are pure sources: hub > 0, auth = 0
+    val parts = out.filter(_._1 < 1000000L)
+    assert(parts.nonEmpty && parts.forall(p => p._2 > 0 && p._3 == 0.0))
+    // nations (ids >= 2e6) are pure sinks: auth > 0, hub = 0
+    val nations = out.filter(_._1 >= 2000000L)
+    assert(nations.nonEmpty && nations.forall(p => p._3 > 0 && p._2 == 0.0))
+    // L2 norms ≈ 1 after the final normalization of each vector
+    val hubNorm = math.sqrt(out.map(p => p._2 * p._2).sum)
+    val authNorm = math.sqrt(out.map(p => p._3 * p._3).sum)
+    assert(math.abs(hubNorm - 1) < 1e-4 && math.abs(authNorm - 1) < 1e-4,
+      s"norms $hubNorm $authNorm")
+  }
+
+  test("logOddsTerms: distinctive terms are group-exclusive and z-ordered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.TextOps.logOddsTerms(docs, col("text"),
+      col("lang") === "en").as[(String, Long, Long, Double)].collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    // monotone by construction
+    assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq)
+    // positive z = over-represented vs the corpus baseline en rate
+    // (the synthetic corpus shares vocabulary across langs, so the
+    // signal is relative, not exclusive)
+    val ta = out.map(_._2).sum.toDouble
+    val tb = out.map(_._3).sum.toDouble
+    val baseline = ta / (ta + tb)
+    val top = out.take(5)
+    assert(top.forall(t => t._4 > 0 &&
+      t._2.toDouble / (t._2 + t._3) > baseline),
+      s"top terms not en-skewed vs baseline $baseline: ${top.toSeq}")
+  }
+
   test("fellegiSunter: EM separates planted clusters; layout-independent") {
     val cust = spark.read.parquet(s"$sf/customer.parquet")
     val b = cust.select(col("c_custkey").as("bkey"),
