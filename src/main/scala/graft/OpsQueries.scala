@@ -2886,6 +2886,26 @@ object OpsQueries {
     // HLL++ sketch is the streamed form; the gate joins the real
     // streaming query's estimates against the batch exact twin and pins
     // the 3·rsd bound (t09/t22's measured-error shape, in a stream)
+    // STREAMING KMV sketch: the t45 bottom-k aggregator as streaming
+    // aggregation state (O(k) longs per group in the state store). The
+    // sketch is a pure function of the value set, so the AvailableNow
+    // complete-mode result equals the batch sketch — same exact
+    // ORDER BY hash LIMIT k oracle as t45
+    ("st18_stream_kmv",
+      (s, sf) => EventStreams.runKmvDistinctBatch(s, s"$sf/events.parquet",
+        k = 64, salt = "kst"),
+      """WITH d AS (SELECT DISTINCT event_type AS scope,
+        |    ('0x' || substr(md5('kst:' || user_id::VARCHAR), 1, 13))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+        |      FROM d),
+        |a AS (SELECT scope, count(*)::BIGINT AS m, max(h) AS kth
+        |      FROM r WHERE rn <= 64 GROUP BY scope)
+        |SELECT scope, m, CASE WHEN m < 64 THEN NULL ELSE kth END AS kth_hash,
+        |  CASE WHEN m < 64 THEN m
+        |       ELSE (63::BIGINT * 4503599627370496) // kth END AS est
+        |FROM a""".stripMargin),
+
     ("st12_stream_distinct_users",
       (s, sf) => EventStreams.runHourlyDistinctBatch(s, s"$sf/events.parquet"),
       """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,
@@ -4628,6 +4648,38 @@ object OpsQueries {
     // user growth curve: cumulative-distinct-users as exact integers —
     // cum distinct ≡ cumsum of first-occurrence counts; one per-user
     // min, then span-bounded day table
+    // Holt double exponential smoothing (level + trend) on the
+    // densified daily grid: day collapse is the one distributed agg,
+    // the sequential recursion folds over the span-bounded grid
+    // driver-side; the oracle replays it as a recursive CTE with the
+    // same 8-dp per-step floors and (1−α)/(1−β) spelled as
+    // subtractions (literal 0.7 ≠ computed 1−0.3 in the last ulp)
+    ("ts19_holt_linear",
+      (s, sf) => graft.ops.EventAnalytics.holtLinearDaily(
+        EventStreams.readEvents(s, s"$sf/events.parquet"), col("ts"),
+        alpha = 0.3, beta = 0.1),
+      """WITH RECURSIVE
+        |daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS v FROM events GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT unnest(generate_series((SELECT d0 FROM span),
+        |    (SELECT d1 FROM span), INTERVAL 1 DAY))::DATE AS day),
+        |g AS (SELECT grid.day, coalesce(daily.v, 0)::BIGINT AS v,
+        |    row_number() OVER (ORDER BY grid.day) - 1 AS i
+        |  FROM grid LEFT JOIN daily USING (day)),
+        |hw AS (
+        |  SELECT i, day, v, v::DOUBLE AS l,
+        |    floor(((SELECT v FROM g WHERE i = 1) - v)::DOUBLE * 1e8 + 0.5) / 1e8 AS b
+        |  FROM g WHERE i = 0
+        |  UNION ALL
+        |  SELECT g.i, g.day, g.v,
+        |    floor((0.3::DOUBLE * g.v::DOUBLE + (1 - 0.3::DOUBLE) * (hw.l + hw.b))
+        |      * 1e8 + 0.5) / 1e8 AS l,
+        |    floor((0.1::DOUBLE * (floor((0.3::DOUBLE * g.v::DOUBLE
+        |        + (1 - 0.3::DOUBLE) * (hw.l + hw.b)) * 1e8 + 0.5) / 1e8 - hw.l)
+        |      + (1 - 0.1::DOUBLE) * hw.b) * 1e8 + 0.5) / 1e8 AS b
+        |  FROM hw JOIN g ON g.i = hw.i + 1)
+        |SELECT day, v, l AS level8, b AS trend8 FROM hw""".stripMargin),
+
     ("ts18_growth_curve",
       (s, sf) => graft.ops.EventAnalytics.userGrowthCurve(
         EventStreams.readEvents(s, s"$sf/events.parquet"),
@@ -5955,6 +6007,21 @@ object OpsQueries {
         |  CASE WHEN m < 256 THEN m
         |       ELSE (255::BIGINT * 4503599627370496) // kth END AS est
         |FROM a""".stripMargin),
+
+    // Aho-Corasick multi-keyword tagging: one automaton pass per doc
+    // (dictionary-size-independent) vs the oracle's k contains-scans —
+    // identical sorted-distinct-matches semantics by construction
+    ("t47_keyword_tags",
+      (s, sf) => {
+        graft.functions.VectorFunctions.register(s)
+        docs(s, sf).select(col("doc_id"),
+          TextOps.keywordTags(col("text"),
+            Seq("big", "column", "join", "key", "sort", "zzzmissing")).as("tags"))
+      },
+      """SELECT doc_id, list_sort(list_filter(
+        |    ['big', 'column', 'join', 'key', 'sort', 'zzzmissing'],
+        |    k -> contains(lower(text), k))) AS tags
+        |FROM documents""".stripMargin),
 
     // "Fightin' Words" distinctive terms: Dirichlet-prior log-odds
     // z-scores of en vs rest — the corpus-comparison scorer that beats

@@ -326,6 +326,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hilbert",
       exprs => HilbertIndex(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_keyword_tags",
+      exprs => KeywordTags(exprs.head, exprs(1)), "built-in")
     HashFunctions.register(spark)
   }
 

@@ -564,6 +564,50 @@ object EventAnalytics {
     * (positions inside an equal-value tie class are interchangeable BY
     * VALUE), averaging the two middles on even counts, 6-dp floored.
     * Output: one row (n_days, n_pairs, slope6). */
+  /** Holt's double exponential smoothing (level + trend) over the
+    * densified daily-volume grid — the forecasting/trend-extraction
+    * companion to [[ewmaDaily]] that also tracks SLOPE, so a steadily
+    * growing ingest doesn't read as a permanent "above forecast"
+    * anomaly. l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}; init l_0 = y_0, b_0 = y_1−y_0.
+    *
+    * Scale shape: the log collapses to the day grid FIRST (one keyed
+    * aggregate, map-side combined); the inherently-sequential recursion
+    * folds over the span-bounded grid on the driver (the ts13–ts18
+    * contract: days, not rows). Cross-engine exactness: states are
+    * 8-dp-floored per step, multipliers spelled as (1−α)/(1−β)
+    * SUBTRACTIONS in both engines (the literal 0.7 and computed 1−0.3
+    * doubles differ in the last ulp), so a recursive-CTE twin restates
+    * every step. Output: (day, v, level8, trend8) per grid day. */
+  def holtLinearDaily(events: DataFrame, ts: Column, alpha: Double = 0.3,
+      beta: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta out of (0,1): $alpha $beta")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("v"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+      .orderBy(col("day"))
+      .as[(java.sql.Date, Long)].collect()
+    require(grid.length >= 2, s"need >= 2 grid days: ${grid.length}")
+    def q8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    var l = grid(0)._2.toDouble
+    var b = q8((grid(1)._2 - grid(0)._2).toDouble)
+    val out = Vector.newBuilder[(java.sql.Date, Long, Double, Double)]
+    out += ((grid(0)._1, grid(0)._2, l, b))
+    for ((day, v) <- grid.drop(1)) {
+      val lNew = q8(alpha * v.toDouble + (1.0 - alpha) * (l + b))
+      b = q8(beta * (lNew - l) + (1.0 - beta) * b)
+      l = lNew
+      out += ((day, v, l, b))
+    }
+    out.result().toDF("day", "v", "level8", "trend8")
+  }
+
   def theilSenDailyTrend(events: DataFrame, ts: Column): DataFrame = {
     val daily = events.select(to_date(ts).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("v"))

@@ -68,19 +68,25 @@ object Sketches {
     * count); when m < k the sketch IS the distinct set and `est` is
     * exact; otherwise est = (k−1)·M DIV kth_hash — integer arithmetic,
     * exactly restatable as `ORDER BY hash LIMIT k` by any engine. */
-  def kmvDistinctPerGroup(df: DataFrame, group: Column, value: Column,
-      k: Int, salt: String): DataFrame = {
-    require(k >= 2 && k <= 1024, s"kmv needs k in [2, 1024] ((k-1)*M must fit a long): $k")
+  /** (m, kth_hash, est) projection of a bottom-k sketch column `ks` —
+    * shared by the batch and streaming forms so both derive the
+    * estimate from the identical integer arithmetic. */
+  private[graft] def kmvEstimate(df: DataFrame, k: Int): DataFrame = {
     val M = graft.functions.KmvSketch.M
-    df.select(group.cast("string").as("scope"),
-        kmvHash(value, salt).as("__h"))
-      .groupBy(col("scope"))
-      .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks"))
-      .select(col("scope"), size(col("ks")).cast("long").as("m"),
+    df.select(col("scope"), size(col("ks")).cast("long").as("m"),
         when(size(col("ks")) < k, lit(null).cast("long"))
           .otherwise(element_at(col("ks"), k)).as("kth_hash"))
       .withColumn("est", when(col("kth_hash").isNull, col("m"))
         .otherwise(expr(s"${(k - 1).toLong * M}L DIV kth_hash")))
+  }
+
+  def kmvDistinctPerGroup(df: DataFrame, group: Column, value: Column,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 2 && k <= 1024, s"kmv needs k in [2, 1024] ((k-1)*M must fit a long): $k")
+    kmvEstimate(df.select(group.cast("string").as("scope"),
+        kmvHash(value, salt).as("__h"))
+      .groupBy(col("scope"))
+      .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks")), k)
   }
 
   /** Cross-corpus overlap from two KMV sketches — the sketch-space

@@ -58,6 +58,16 @@ object TextOps {
     * are 6-dp floored, their products re-floored, and all five OLS sums
     * run as DECIMAL(28,6) (order-independent); the slope is one final
     * double expression. Output: one row (n_terms, slope6). */
+  /** Sorted distinct dictionary keywords contained in `text`
+    * (case-insensitive substring, blocklist semantics) — ONE
+    * Aho-Corasick pass per row regardless of dictionary size
+    * ([[graft.functions.KeywordTags]]), vs k contains-scans. Caller
+    * must have registered graft functions (every ops entry point
+    * does). */
+  def keywordTags(text: Column, keywords: Seq[String]): Column =
+    call_function("graft_keyword_tags", text,
+      typedLit(keywords.map(_.toLowerCase).sorted))
+
   /** Distinctive terms of a subcorpus vs the rest: log-odds ratio with
     * a Dirichlet prior, z-scored (Monroe, Colaresi & Quinn 2008,
     * "Fightin' Words" — the method corpus-comparison pipelines use

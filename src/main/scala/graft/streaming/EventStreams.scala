@@ -54,6 +54,31 @@ object EventStreams {
           <= col("n_exact") * (3 * 0.05) + 1).as("est_ok"))
   }
 
+  /** STREAMING KMV distinct sketch per event type: the bottom-k
+    * aggregator ([[graft.ops.Sketches.kmvDistinctPerGroup]]) as
+    * streaming aggregation state — O(k) longs per group held by the
+    * state store across micro-batches, merged exactly like the batch
+    * map-side combine. Because a bottom-k set is a pure function of
+    * the value SET, the complete-mode result over AvailableNow must
+    * equal the batch sketch row-for-row — which is what the st18 gate
+    * pins against the same ORDER BY hash LIMIT k oracle as t45. This
+    * is the streaming story for sketches: a dashboard keeps a live
+    * distinct estimate without ever storing the distinct set. */
+  def kmvDistinctPerType(events: DataFrame, k: Int, salt: String): DataFrame =
+    graft.ops.Sketches.kmvEstimate(
+      events.select(col("event_type").as("scope"),
+          graft.ops.Sketches.kmvHash(col("user_id"), salt).as("__h"))
+        .groupBy(col("scope"))
+        .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks")), k)
+
+  /** [[kmvDistinctPerType]] as a real streaming query (AvailableNow,
+    * complete mode). */
+  def runKmvDistinctBatch(spark: SparkSession, parquetPath: String,
+      k: Int = 64, salt: String = "kst"): DataFrame =
+    runToMemory(spark,
+      kmvDistinctPerType(streamEvents(spark, parquetPath), k, salt),
+      s"graft_kmv_${math.abs(parquetPath.hashCode)}", "complete")
+
   /** STREAMING native session_window: event-time sessions (30-minute
     * merge gap) per user — the built-in API form of sessionization (vs
     * [[sessionize]]'s custom `flatMapGroupsWithState` form; both exist

@@ -2202,6 +2202,55 @@ class OpsSpec extends AnyFunSuite {
     assert(survivors <= trueHits + math.max(10L, total / 100))
   }
 
+  test("keywordTags: Aho-Corasick equals brute contains on overlapping patterns; interpreted parity") {
+    VectorFunctions.register(spark)
+    val dict = Seq("he", "she", "his", "hers", "a", "ab", "abab")
+    // the classic overlap fixture plus strings exercising fail links
+    val texts = Seq("ushers", "SHE said his", "ababab", "xyz", "", "hehehers",
+      "aaaa", "ba", "hershey")
+    val got = texts.toDF("t")
+      .select(graft.ops.TextOps.keywordTags(col("t"), dict).as("tags"))
+      .collect().map(_.getSeq[String](0).toList)
+    val want = texts.map(t =>
+      dict.map(_.toLowerCase).sorted.filter(t.toLowerCase.contains(_)).toList)
+    assert(got.toSeq == want,
+      s"AC vs brute mismatch: ${got.toSeq} vs $want")
+    // interpreted (non-codegen) eval parity
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val expr = graft.functions.KeywordTags(Literal("ushers"),
+      Literal.create(dict, ArrayType(StringType)))
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until interp.numElements()).map(interp.getUTF8String(_).toString)
+      == Seq("he", "hers", "she"))
+  }
+
+  test("holtLinearDaily: level tracks volume, trend tracks slope on a planted ramp") {
+    import java.sql.Timestamp
+    // planted series: 10/day for 10 days then +5/day ramp for 10 days
+    val rows = for {
+      d <- 0 until 20
+      n = if (d < 10) 10 else 10 + 5 * (d - 9)
+      i <- 0 until n
+    } yield (Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00"), i)
+    val df = rows.toDF("ts", "i")
+    val out = graft.ops.EventAnalytics.holtLinearDaily(df, col("ts"))
+      .orderBy("day").as[(java.sql.Date, Long, Double, Double)].collect()
+    assert(out.length == 20)
+    // flat segment: trend stays near 0, level near 10
+    val flat = out(9)
+    assert(math.abs(flat._3 - 10) < 1 && math.abs(flat._4) < 0.5, s"$flat")
+    // ramp segment: trend turns decisively positive
+    val ramp = out(19)
+    assert(ramp._4 > 1.0, s"trend did not follow the ramp: $ramp")
+    // deterministic under relayout
+    val out2 = graft.ops.EventAnalytics.holtLinearDaily(
+      df.repartition(7, col("i")), col("ts"))
+      .orderBy("day").as[(java.sql.Date, Long, Double, Double)].collect()
+    assert(out2.toSeq == out.toSeq)
+  }
+
   test("poissonBootstrapCi: CI brackets the mean at sane width; layout-independent") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -273,6 +273,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch: cross-batch bottom-k state equals the batch sketch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val events = ms.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.kmvDistinctPerType(events, k = 8, salt = "kst")
+      .writeStream.format("memory").queryName("kmv_test")
+      .outputMode("complete").start()
+    try {
+      // 20 users across 2 micro-batches, with cross-batch repeats
+      ms.addData((0 until 12).map(i => (ts(0, i), i.toLong, "click")): _*)
+      q.processAllAvailable()
+      ms.addData((8 until 20).map(i => (ts(0, i % 60), i.toLong, "click")): _*)
+      q.processAllAvailable()
+      val got = spark.table("kmv_test")
+        .as[(String, Long, Option[Long], Long)].collect().toSeq
+      // the streaming state must equal the batch sketch over the union
+      val batch = graft.ops.Sketches.kmvDistinctPerGroup(
+        (0 until 20).map(i => (i.toLong, "click")).toDF("user_id", "event_type"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"), k = 8, salt = "kst")
+        .as[(String, Long, Option[Long], Long)].collect().toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.head._2 == 8, "sketch saturated at k")
+    } finally q.stop()
+  }
+
   test("streaming anomalies: cross-batch state; latest emission equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
