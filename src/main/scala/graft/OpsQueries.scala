@@ -4509,6 +4509,52 @@ object OpsQueries {
         |  (SELECT mean6 FROM rk WHERE r = 196) AS hi6
         |FROM f""".stripMargin),
 
+    // Poisson-bootstrap CI for an A/B LIFT (difference of arm means):
+    // both arms resampled per rep off the same hash stream, lift
+    // distribution = B per-rep mean differences — a23's machinery,
+    // the experiment-readout form
+    ("a24_poisson_bootstrap_ab",
+      (s, sf) => graft.ops.Profile.poissonBootstrapAbCi(
+        s.read.parquet(s"$sf/orders.parquet"), col("o_totalprice"),
+        col("o_orderkey"), col("o_orderkey") % 2 === 0, b = 200,
+        salt = "pab1"),
+      """WITH base AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    o_orderkey::VARCHAR AS id, (o_orderkey % 2 = 0) AS t FROM orders),
+        |e AS (SELECT v, t, b,
+        |    ('0x' || substr(md5('pab1:' || b::VARCHAR || ':' || id), 1, 13))::BIGINT::DOUBLE
+        |      / 4503599627370496.0 AS u
+        |  FROM base, range(0, 200) tt(b)),
+        |mu AS (SELECT v, t, b, CASE
+        |    WHEN u < 0.36787944117144233::DOUBLE THEN 0
+        |    WHEN u < 0.7357588823428847::DOUBLE THEN 1
+        |    WHEN u < 0.9196986029286058::DOUBLE THEN 2
+        |    WHEN u < 0.981011843123846::DOUBLE THEN 3
+        |    WHEN u < 0.9963401531726563::DOUBLE THEN 4
+        |    WHEN u < 0.9994058151824183::DOUBLE THEN 5
+        |    WHEN u < 0.9999167588507119::DOUBLE THEN 6
+        |    WHEN u < 0.9999897508033253::DOUBLE THEN 7
+        |    WHEN u < 0.9999988805746001::DOUBLE THEN 8
+        |    ELSE 9 END AS m FROM e),
+        |rm AS (SELECT b, floor((
+        |    floor(CAST(SUM(CASE WHEN t THEN v * m END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN t THEN m ELSE 0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    - floor(CAST(SUM(CASE WHEN NOT t THEN v * m END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN NOT t THEN m ELSE 0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    ) * 1e6 + 0.5) / 1e6 AS diff6
+        |  FROM mu GROUP BY b),
+        |rk AS (SELECT diff6, b, row_number() OVER (ORDER BY diff6 ASC, b ASC) AS r
+        |  FROM rm),
+        |f AS (SELECT floor((
+        |    floor(CAST(SUM(CASE WHEN t THEN v END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    - floor(CAST(SUM(CASE WHEN NOT t THEN v END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    ) * 1e6 + 0.5) / 1e6 AS lift_full6 FROM base)
+        |SELECT 200::BIGINT AS b, lift_full6,
+        |  (SELECT diff6 FROM rk WHERE r = 5) AS lo6,
+        |  (SELECT diff6 FROM rk WHERE r = 196) AS hi6
+        |FROM f""".stripMargin),
+
     // split-conformal filtering thresholds per language (Mondrian
     // conformal): k = ceil((n+1)(1-alpha))-th smallest doc length — the
     // finite-sample-corrected quantile with the >=90% coverage

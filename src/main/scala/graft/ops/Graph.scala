@@ -101,30 +101,38 @@ object Graph {
     require(iterations >= 1 && iterations <= 8, s"iterations out of [1,8]: $iterations")
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // the edge list is joined alternately on src (hub→auth) and dst
+    // (auth→hub): keep one copy clustered per key so each propagation
+    // join shuffles only the node-score side, never the (much larger)
+    // edge side
+    val eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     val h0 = math.floor(1.0 / math.sqrt(n.toDouble) * 1e8 + 0.5) / 1e8
-    def normalized8(raw: DataFrame): DataFrame = {
-      // raw: (node, raw DOUBLE). One tiny (1-row) norm broadcast.
+    def normalized8(rawIn: DataFrame): DataFrame = {
+      // Materialize the propagation ONCE (node-sized) — the norm agg
+      // and the normalized projection both read the checkpoint, so the
+      // two joins behind `raw` never run twice; the projection itself
+      // stays lazy (cheap over the checkpoint).
+      val raw = rawIn.localCheckpoint()
       val nrm = raw.agg(sqrt(sum((floor(col("raw") * col("raw") * 1e10 + 0.5)
         / 1e10).cast("decimal(38,10)")).cast("double")).as("nrm"))
       raw.crossJoin(broadcast(nrm))
         .select(col("node"),
           (floor(col("raw") / col("nrm") * 1e8 + 0.5) / 1e8).as("s"))
-        .localCheckpoint()
     }
     var hub = nodes.select(col("node"), lit(h0).as("s"))
     var auth = hub
     for (_ <- 1 to iterations) {
       auth = normalized8(
-        e.join(hub.withColumnRenamed("node", "src"), "src")
+        eBySrc.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("s").cast("decimal(19,8)")).cast("double").as("raw")))
       hub = normalized8(
-        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        eByDst.join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("s").cast("decimal(19,8)")).cast("double").as("raw")))
     }
@@ -133,7 +141,7 @@ object Graph {
       .join(auth.withColumnRenamed("s", "auth8"), Seq("node"), "left")
       .select(col("node"), coalesce(col("hub8"), lit(0.0)).as("hub8"),
         coalesce(col("auth8"), lit(0.0)).as("auth8"))
-    e.unpersist(); nodes.unpersist()
+    eBySrc.unpersist(); eByDst.unpersist(); nodes.unpersist()
     out
   }
 

@@ -256,6 +256,17 @@ object Profile {
     * division, 6-dp floored; the CI bounds are exact rank statistics of
     * the B means. Output one row:
     * (b, mean_full6, lo6, hi6) at ranks ⌈α/2·B⌉ and B−⌈α/2·B⌉+1. */
+  /** Deterministic Poisson(1) multiplicity of (salt:rep:id): inverse
+    * CDF on a 52-bit md5 uniform against [[PoissonCdf]]. */
+  private def poissonMult(rep: Column, id: Column, salt: String): Column = {
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+      rep.cast("string"), lit(":"), id).cast("binary")),
+      1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    PoissonCdf.zipWithIndex.foldRight(lit(9): Column) {
+      case ((c, i), rest) => when(u < c, lit(i)).otherwise(rest)
+    }
+  }
+
   def poissonBootstrapCi(df: DataFrame, value: Column, id: Column,
       b: Int = 200, salt: String = "pb1", alpha: Double = 0.05): DataFrame = {
     require(b >= 10 && b <= 10000, s"b out of [10,10000]: $b")
@@ -267,12 +278,7 @@ object Profile {
         id.cast("string").as("__id"))
       .select(col("__v"), col("__id"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
-    val u = conv(substring(md5(concat(lit(salt + ":"),
-      col("rep").cast("string"), lit(":"), col("__id")).cast("binary")),
-      1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)
-    val mult = PoissonCdf.zipWithIndex.foldRight(lit(9): Column) {
-      case ((c, i), rest) => when(u < c, lit(i)).otherwise(rest)
-    }
+    val mult = poissonMult(col("rep"), col("__id"), salt)
     val reps = base.withColumn("__m", mult)
       .groupBy(col("rep"))
       .agg(sum(col("__v") * col("__m")).as("s"),
@@ -289,6 +295,53 @@ object Profile {
       .crossJoin(
         ranked.filter(col("r") === hiRank).select(col("mean6").as("hi6")))
       .select(lit(b.toLong).as("b"), col("mean_full6"), col("lo6"), col("hi6"))
+  }
+
+  /** Poisson-bootstrap CI for an A/B LIFT (difference of arm means) —
+    * the uncertainty statement an experiment readout actually needs,
+    * with the same one-scan/map-side-combined shape as
+    * [[poissonBootstrapCi]]: each rep resamples BOTH arms with
+    * independent per-row multiplicities (sharing the rep's hash stream,
+    * so arms stay paired per resample) and the lift distribution is
+    * the B per-rep mean differences. Per-rep arm means are 6-dp
+    * floored, the difference re-floored, CI bounds exact rank
+    * statistics. Output: (b, lift_full6, lo6, hi6). */
+  def poissonBootstrapAbCi(df: DataFrame, value: Column, id: Column,
+      treatment: Column, b: Int = 200, salt: String = "pab1",
+      alpha: Double = 0.05): DataFrame = {
+    require(b >= 10 && b <= 10000, s"b out of [10,10000]: $b")
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val loRank = math.ceil(alpha / 2 * b).toInt.max(1)
+    val hiRank = b - loRank + 1
+    val base = df.select(value.cast("decimal(18,2)").as("__v"),
+        id.cast("string").as("__id"), treatment.cast("boolean").as("__t"))
+      .select(col("__v"), col("__id"), col("__t"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("__m", poissonMult(col("rep"), col("__id"), salt))
+    def mean6(s: Column, n: Column) =
+      floor(s.cast("double") / n.cast("double") * 1e6 + 0.5) / 1e6
+    val reps = base.groupBy(col("rep")).agg(
+        sum(when(col("__t"), col("__v") * col("__m"))).as("sa"),
+        sum(when(col("__t"), col("__m")).otherwise(lit(0L))).cast("long").as("na"),
+        sum(when(!col("__t"), col("__v") * col("__m"))).as("sb"),
+        sum(when(!col("__t"), col("__m")).otherwise(lit(0L))).cast("long").as("nb"))
+      .select(col("rep"), (floor((mean6(col("sa"), col("na"))
+        - mean6(col("sb"), col("nb"))) * 1e6 + 0.5) / 1e6).as("diff6"))
+    val ranked = reps.withColumn("r",
+      row_number().over(Window.orderBy(col("diff6").asc, col("rep").asc)))
+    val full = df.select(value.cast("decimal(18,2)").as("__v"),
+        treatment.cast("boolean").as("__t"))
+      .agg((floor((mean6(sum(when(col("__t"), col("__v"))),
+          sum(when(col("__t"), 1L).otherwise(0L)))
+        - mean6(sum(when(!col("__t"), col("__v"))),
+          sum(when(!col("__t"), 1L).otherwise(0L)))) * 1e6 + 0.5) / 1e6)
+        .as("lift_full6"))
+    full.crossJoin(
+      ranked.filter(col("r") === loRank).select(col("diff6").as("lo6")))
+      .crossJoin(
+        ranked.filter(col("r") === hiRank).select(col("diff6").as("hi6")))
+      .select(lit(b.toLong).as("b"), col("lift_full6"), col("lo6"), col("hi6"))
   }
 
   def aucScore(df: DataFrame, score: Column, label: Column): DataFrame = {

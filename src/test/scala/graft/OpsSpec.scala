@@ -2270,6 +2270,28 @@ class OpsSpec extends AnyFunSuite {
     assert(run(orders.repartition(13, col("o_custkey"))) == (b, mean, lo, hi))
   }
 
+  test("poissonBootstrapAbCi: null split's CI contains 0; planted lift detected") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // an arbitrary-parity split of one population: true lift = ~0 and
+    // the CI must say so
+    val nullCi = graft.ops.Profile.poissonBootstrapAbCi(orders,
+      col("o_totalprice"), col("o_orderkey"), col("o_orderkey") % 2 === 0,
+      b = 100).as[(Long, Double, Double, Double)].head()
+    assert(nullCi._3 < 0 && nullCi._4 > 0,
+      s"null-split CI excludes 0: $nullCi")
+    // plant a +50000 lift (well past the ~13k CI half-width this data's
+    // variance gives at sf0.001): the CI must exclude 0
+    val planted = orders.withColumn("v2",
+      col("o_totalprice") + when(col("o_orderkey") % 2 === 0, 50000.0).otherwise(0.0))
+    val liftCi = graft.ops.Profile.poissonBootstrapAbCi(planted,
+      col("v2"), col("o_orderkey"), col("o_orderkey") % 2 === 0,
+      b = 100).as[(Long, Double, Double, Double)].head()
+    assert(liftCi._3 > 0 && liftCi._4 > liftCi._3,
+      s"planted-lift CI wrong: $liftCi")
+    assert(math.abs(liftCi._2 - (nullCi._2 + 50000)) < 1e-6,
+      s"full-sample lift ${liftCi._2} vs ${nullCi._2} + 50000")
+  }
+
   test("multiTouchAttribution: per-journey credits sum to 1; schemes agree on totals") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val out = graft.ops.EventAnalytics.multiTouchAttribution(ev,
