@@ -3488,6 +3488,24 @@ object OpsQueries {
     // NDCG@10 (retrieval grading): exact bit-shift gains, row_number
     // ranks with doc-id tie-breaks, 8-dp floored + DECIMAL-summed terms;
     // all-zero-relevance queries NULL
+    // positional-postings proximity search (the NEAR/phrase operator):
+    // term-filtered position lists first, then one doc-keyed join with
+    // the distance predicate — postings-intersection shape, restated
+    // verbatim by the oracle
+    ("b08_proximity",
+      (s, sf) => graft.ops.Retrieval.proximitySearch(
+        docs(s, sf), col("doc_id"), col("text"), "big", "join", window = 5),
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |pos AS (SELECT doc_id, unnest(toks) AS w,
+        |    generate_subscripts(toks, 1) - 1 AS pos FROM tok),
+        |pa AS (SELECT doc_id, pos AS p1 FROM pos WHERE w = 'big'),
+        |pb AS (SELECT doc_id, pos AS p2 FROM pos WHERE w = 'join'),
+        |j AS (SELECT pa.doc_id, abs(p1 - p2) AS d
+        |  FROM pa JOIN pb USING (doc_id) WHERE abs(p1 - p2) <= 5)
+        |SELECT doc_id, count(*)::BIGINT AS n_pairs, min(d)::BIGINT AS min_dist
+        |FROM j GROUP BY doc_id""".stripMargin),
+
     ("b07_ndcg",
       (s, sf) => Retrieval.ndcgAtK(docs(s, sf), col("doc_id") % 5,
         col("doc_id"), col("n_chars").cast("double"),
@@ -3938,6 +3956,47 @@ object OpsQueries {
     // additionally D@3 (deleted), %15==7 keys get D@1 then I@2
     // (resurrected with the new payload) — the Debezium collapse e07's
     // single-batch merge can't express
+    // incremental KMV-sketch maintenance under lake changes: additive
+    // scopes MERGE the stored sketch with the delta's sketch (exactly
+    // bottom-k(A∪B) by union closure — no rescan of the base); only
+    // the erasure-hit scope rebuilds (sketches cannot subtract — the
+    // documented deletion contract). The gate output is the maintained
+    // estimate table; the oracle computes it FROM SCRATCH on the final
+    // state, so maintained ≡ rebuilt is what passing means.
+    ("e12_kmv_maintain",
+      (s, sf) => {
+        val d = docs(s, sf)
+        val k = 32
+        val additions = d.filter(col("source").isin("src1", "src2"))
+          .select(col("source"), concat(col("text"), lit(" v2")).as("text"))
+        val baseSk = graft.ops.Sketches.kmvSketchPerGroup(
+          d, col("source"), col("text"), k, "kmvm")
+        val addSk = graft.ops.Sketches.kmvSketchPerGroup(
+          additions, col("source"), col("text"), k, "kmvm")
+        val merged = graft.ops.Sketches.kmvMergeSketches(
+          baseSk.filter(col("scope") =!= "src3"), addSk, k)
+        val rebuilt = graft.ops.Sketches.kmvSketchPerGroup(
+          d.filter(col("source") === "src3" && col("doc_id") % 3 =!= 0),
+          col("source"), col("text"), k, "kmvm")
+        graft.ops.Sketches.kmvEstimate(merged.unionByName(rebuilt), k)
+      },
+      """WITH fin AS (
+        |  SELECT source, text FROM documents
+        |  WHERE NOT (source = 'src3' AND doc_id % 3 = 0)
+        |  UNION ALL
+        |  SELECT source, text || ' v2' FROM documents
+        |  WHERE source IN ('src1', 'src2')),
+        |d AS (SELECT DISTINCT source AS scope,
+        |    ('0x' || substr(md5('kmvm:' || text), 1, 13))::BIGINT AS h FROM fin),
+        |r AS (SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+        |      FROM d),
+        |a AS (SELECT scope, count(*)::BIGINT AS m, max(h) AS kth
+        |      FROM r WHERE rn <= 32 GROUP BY scope)
+        |SELECT scope, m, CASE WHEN m < 32 THEN NULL ELSE kth END AS kth_hash,
+        |  CASE WHEN m < 32 THEN m
+        |       ELSE (31::BIGINT * 4503599627370496) // kth END AS est
+        |FROM a""".stripMargin),
+
     ("e11_cdc_apply",
       (s, sf) => {
         val d = docs(s, sf).select(col("doc_id"), col("text"))
@@ -5197,6 +5256,47 @@ object OpsQueries {
           |    CASE WHEN c_custkey % 7 = 0 THEN 'ALT' ELSE c_mktsegment END AS bseg,
           |    CASE WHEN c_custkey % 5 = 0 THEN c_nationkey + 1 ELSE c_nationkey END AS bnat
           |  FROM customer) b ON c.c_custkey + 1 = b.bkey""".stripMargin)),
+
+    // end-to-end entity-resolution GOLDEN RECORD: er02's dirty-copy
+    // fixture → equality linkage pairs → connected components →
+    // best-record survivor per cluster (c04's keep-best) — the
+    // composition a master-data pipeline runs; every stage restated by
+    // the oracle (c01's recursive min-label closure + one rank window)
+    ("er03_golden_record",
+      (s, sf) => {
+        val cust = s.read.parquet(s"$sf/customer.parquet")
+        val a = cust.select(col("c_custkey").as("id"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        val b = cust.select((col("c_custkey") + 1000000L).as("id"),
+          concat(col("c_name"), when(col("c_custkey") % 10 === 0, lit("X"))
+            .otherwise(lit(""))).as("name"),
+          (col("c_acctbal") - (col("c_custkey") % 100).cast("double")).as("bal"))
+        val pairs = a.select(col("id").as("id_a"), col("name"))
+          .join(b.select(col("id").as("id_b"), col("name")), Seq("name"))
+          .select(col("id_a"), col("id_b"))
+        val universe = a.unionByName(b)
+        val clusters = Dedup.connectedComponents(pairs, col("id_a"),
+          col("id_b"), universe, col("id"))
+        Dedup.keepBestPerCluster(clusters, col("node"), col("label"),
+          universe.select(col("id"), col("bal")), col("id"), col("bal"))
+      },
+      """WITH RECURSIVE
+        |a AS (SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id,
+        |    c_name || CASE WHEN c_custkey % 10 = 0 THEN 'X' ELSE '' END AS name,
+        |    c_acctbal - (c_custkey % 100)::DOUBLE AS bal FROM customer),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |p AS (SELECT a.id AS ia, b.id AS ib FROM a JOIN b USING (name)),
+        |e AS (SELECT ia AS x, ib AS y FROM p UNION ALL SELECT ib, ia FROM p),
+        |r(id, l) AS (SELECT id, id FROM u
+        |  UNION
+        |  SELECT e.x, r.l FROM e JOIN r ON r.id = e.y),
+        |cl AS (SELECT id, MIN(l) AS cluster FROM r GROUP BY id),
+        |rk AS (SELECT cl.cluster, cl.id, u.bal AS metric,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |      ORDER BY u.bal DESC NULLS LAST, cl.id ASC) AS rk
+        |  FROM cl JOIN u ON u.id = cl.id)
+        |SELECT cluster, id, metric, (rk = 1) AS kept FROM rk""".stripMargin),
 
     // ---- streaming near-dup detection -----------------------------------
     // MinHash-LSH as a REAL streaming query: state keyed by (band, bhash),

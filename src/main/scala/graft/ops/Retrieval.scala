@@ -60,6 +60,30 @@ object Retrieval {
     * so the document score is independent of Spark's (and any verifying
     * engine's) float-summation order — the same cross-engine contract as
     * [[TextOps.bigramLogProb]]. Output: (doc_id, bm25). */
+  /** Proximity search over POSITIONAL postings: documents where
+    * `termA` and `termB` co-occur within `window` tokens — the phrase/
+    * near-operator a retrieval stack adds on top of [[invertedIndex]]'s
+    * doc-level postings. Scale shape: the per-term position lists are
+    * filtered FIRST (term-selectivity-sized, the postings-intersection
+    * discipline), then one doc-keyed equi-join with the distance
+    * predicate — never a positions×positions blow-up beyond the two
+    * terms' own occurrence lists. Output: (doc_id, n_pairs, min_dist). */
+  def proximitySearch(df: DataFrame, id: Column, text: Column,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val pos = df.select(id.as("doc_id"),
+      posexplode(TextOps.tokens(text)).as(Seq("pos", "w")))
+    val pa = pos.filter(col("w") === termA)
+      .select(col("doc_id"), col("pos").as("p1"))
+    val pb = pos.filter(col("w") === termB)
+      .select(col("doc_id"), col("pos").as("p2"))
+    pa.join(pb, "doc_id")
+      .filter(abs(col("p1") - col("p2")) <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("p1") - col("p2"))).cast("long").as("min_dist"))
+  }
+
   def bm25Scores(df: DataFrame, id: Column, text: Column, query: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25 needs at least one query term")

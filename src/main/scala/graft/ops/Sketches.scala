@@ -80,14 +80,33 @@ object Sketches {
         .otherwise(expr(s"${(k - 1).toLong * M}L DIV kth_hash")))
   }
 
-  def kmvDistinctPerGroup(df: DataFrame, group: Column, value: Column,
+  /** Per-group bottom-k sketch column — (scope, ks) — the storable/
+    * mergeable artifact behind [[kmvDistinctPerGroup]]. */
+  def kmvSketchPerGroup(df: DataFrame, group: Column, value: Column,
       k: Int, salt: String): DataFrame = {
     require(k >= 2 && k <= 1024, s"kmv needs k in [2, 1024] ((k-1)*M must fit a long): $k")
-    kmvEstimate(df.select(group.cast("string").as("scope"),
+    df.select(group.cast("string").as("scope"),
         kmvHash(value, salt).as("__h"))
       .groupBy(col("scope"))
-      .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks")), k)
+      .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks"))
   }
+
+  /** Merge two per-group sketch tables: bottom-k of the union per
+    * scope (full outer on scope; a scope on one side passes through).
+    * Exactly bottom-k(A ∪ B) by the union-closure property — so
+    * incrementally-maintained sketches equal from-scratch ones, which
+    * is what the e12 gate pins. */
+  def kmvMergeSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val empty = array().cast("array<long>")
+    a.select(col("scope"), col("ks").as("ka"))
+      .join(b.select(col("scope"), col("ks").as("kb")), Seq("scope"), "full_outer")
+      .select(col("scope"), slice(array_sort(array_union(
+        coalesce(col("ka"), empty), coalesce(col("kb"), empty))), 1, k).as("ks"))
+  }
+
+  def kmvDistinctPerGroup(df: DataFrame, group: Column, value: Column,
+      k: Int, salt: String): DataFrame =
+    kmvEstimate(kmvSketchPerGroup(df, group, value, k, salt), k)
 
   /** Cross-corpus overlap from two KMV sketches — the sketch-space
     * answer to d13's exact overlap join. Bottom-k sets are closed under
