@@ -4858,6 +4858,15 @@ object OpsQueries {
       (s, sf) => graft.ops.Bpe.learnMerges(docs(s, sf), col("text"), numMerges = 6),
       bpeOracleSql(6)),
 
+    // WordPiece variant: the SAME greedy loop ranked by the likelihood
+    // score pc/(c_l·c_r) — integer-quantized so the argmax is
+    // bit-identical cross-engine. Completes the tokenizer-training
+    // trio (BPE t25/t27, unigram-LM t40–t42, WordPiece here)
+    ("t48_wordpiece_merges",
+      (s, sf) => graft.ops.Bpe.learnWordPieceMerges(docs(s, sf), col("text"),
+        numMerges = 6),
+      wordPieceOracleSql(6)),
+
     // ...and the tokenizer APPLIED corpus-wide: encode every document
     // with the learned 6-merge table (the collected merge list replays
     // as a scan-stage fold chain) and count subwords per doc. The oracle
@@ -6496,6 +6505,36 @@ object OpsQueries {
     * consumes one space of each double separator, leaving the boundary
     * intact for a chained disjoint merge ("a a a a" → "aa aa") while an
     * overlapping reuse stays blocked ("a a a" → "aa a"). */
+  /** DuckDB twin of [[graft.ops.Bpe.learnWordPieceMerges]]: the BPE
+    * replay with the likelihood argmax — per stage a symbol-count CTE
+    * joins the pair table and the integer-quantized score
+    * (pc·10⁹) // (c_l·c_r) picks the merge. */
+  private def wordPieceOracleSql(k: Int): String = {
+    val stages = (0 until k).map { i =>
+      s"""c$i AS (SELECT u AS sym, sum(cnt)::BIGINT AS sc FROM (
+         |    SELECT cnt, unnest(string_split(trim(s, ' '), '  ')) AS u FROM r$i) t
+         |  GROUP BY 1),
+         |p$i AS (SELECT u.l AS l, u.r AS r, sum(cnt)::BIGINT AS pc
+         |  FROM (SELECT cnt, string_split(trim(s, ' '), '  ') AS sy FROM r$i) t,
+         |       unnest([{'l': sy[j], 'r': sy[j+1]} FOR j IN range(1, len(sy))]) AS q(u)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT p.l, p.r, p.pc,
+         |    (p.pc * 1000000000) // (cl.sc * cr.sc) AS score9
+         |  FROM p$i p JOIN c$i cl ON cl.sym = p.l JOIN c$i cr ON cr.sym = p.r
+         |  ORDER BY score9 DESC, p.l, p.r LIMIT 1),
+         |r${i + 1} AS (SELECT w, cnt, replace(s, ' ' || b$i.l || '  ' || b$i.r || ' ',
+         |    ' ' || b$i.l || b$i.r || ' ') AS s FROM r$i, b$i)""".stripMargin
+    }
+    val unions = (0 until k).map(i =>
+      s"SELECT ${i + 1} AS rank, l AS lhs, r AS rhs, pc AS pair_count, score9 FROM b$i")
+      .mkString("\nUNION ALL\n")
+    """WITH w0 AS (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)),'\s+')) AS w
+      |    FROM documents WHERE trim(text) <> '') GROUP BY w),
+      |r0 AS (SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM w0),
+      |""".stripMargin + stages.mkString(",\n") + "\n" + unions
+  }
+
   private def bpeOracleSql(k: Int): String = {
     val stages = (0 until k).map { i =>
       s"""p$i AS (SELECT u.l AS l, u.r AS r, sum(cnt)::BIGINT AS pc

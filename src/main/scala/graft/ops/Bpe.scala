@@ -91,6 +91,58 @@ object Bpe {
     merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Learn WordPiece merges: the same greedy loop as [[learnMerges]]
+    * but ranked by the WordPiece LIKELIHOOD score
+    * pc / (count(lhs)·count(rhs)) instead of raw pair count — the
+    * merge that most increases corpus likelihood under a unigram
+    * model, which prefers gluing symbols that rarely occur apart
+    * (BERT's vocabulary construction; Schuster & Nakajima 2012).
+    * The score is integer-quantized — (pc·10⁹) div (c_l·c_r) — so the
+    * argmax (ties by lhs, rhs) is bit-identical in any engine; the
+    * quantization IS the contract. Per round: one pair count + one
+    * symbol count (both map-side combined) + a 1-row argmax.
+    * Output: (rank, lhs, rhs, pair_count, score9). */
+  def learnWordPieceMerges(df: DataFrame, text: Column,
+      numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var words = df.select(explode(TextOps.tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var done = false
+    for (rank <- 1 to numMerges if !done) {
+      val pairs = words
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))))).as("pr"))
+        .groupBy(col("pr.0").as("l"), col("pr.1").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+      val syms = words
+        .select(col("cnt"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("sc"))
+      val best = pairs
+        .join(syms.select(col("s").as("l"), col("sc").as("cl")), Seq("l"))
+        .join(syms.select(col("s").as("r"), col("sc").as("cr")), Seq("r"))
+        .select(col("l"), col("r"), col("pc"),
+          expr("pc * 1000000000L div (cl * cr)").as("score9"))
+        .orderBy(col("score9").desc, col("l").asc, col("r").asc)
+        .head(1)
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, pc, sc) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2), best(0).getLong(3))
+        merges += ((rank, l, r, pc, sc))
+        words = words
+          .select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count", "score9")
+  }
+
   /** Encode a text column with a learned merge table: tokenize, split
     * each word to characters, and apply every merge in rank order.
     * `mergeTable` is collected (vocabulary-sized — the artifact is

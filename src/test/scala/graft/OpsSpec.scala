@@ -2202,6 +2202,22 @@ class OpsSpec extends AnyFunSuite {
     assert(survivors <= trueHits + math.max(10L, total / 100))
   }
 
+  test("learnWordPieceMerges: likelihood ranking diverges from raw-count BPE where it should") {
+    // (a,b) is the most FREQUENT pair (3) but a and b are promiscuous;
+    // (q,z) occurs only together (2) — WordPiece's pc/(c_l*c_r) must
+    // pick (q,z) first while BPE picks (a,b)
+    val docs = Seq("ab ab ab ax ay az bq bw bv", "qz qz").toDF("text")
+    val wp = graft.ops.Bpe.learnWordPieceMerges(docs, col("text"), numMerges = 1)
+      .as[(Int, String, String, Long, Long)].head()
+    assert((wp._2, wp._3, wp._4) == ("q", "z", 2L), s"wordpiece picked $wp")
+    val bpe = graft.ops.Bpe.learnMerges(docs, col("text"), numMerges = 1)
+      .as[(Int, String, String, Long)].head()
+    assert((bpe._2, bpe._3, bpe._4) == ("a", "b", 3L), s"bpe picked $bpe")
+    // quantized score: 2e9 / (c_q * c_z), c_q = 3 (qz×2 + bq),
+    // c_z = 3 (qz×2 + az)
+    assert(wp._5 == 2000000000L / (3L * 3L), s"score ${wp._5}")
+  }
+
   test("keywordTags: Aho-Corasick equals brute contains on overlapping patterns; interpreted parity") {
     VectorFunctions.register(spark)
     val dict = Seq("he", "she", "his", "hers", "a", "ab", "abab")
