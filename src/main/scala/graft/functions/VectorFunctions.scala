@@ -329,6 +329,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_keyword_tags",
       exprs => KeywordTags(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_prefix52", exprs => Md5Prefix52(exprs.head), "built-in")
     HashFunctions.register(spark)
   }
 

@@ -259,9 +259,11 @@ object Profile {
   /** Deterministic Poisson(1) multiplicity of (salt:rep:id): inverse
     * CDF on a 52-bit md5 uniform against [[PoissonCdf]]. */
   private def poissonMult(rep: Column, id: Column, salt: String): Column = {
-    val u = conv(substring(md5(concat(lit(salt + ":"),
-      rep.cast("string"), lit(":"), id).cast("binary")),
-      1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    scala.util.Try(graft.functions.VectorFunctions.register(
+      org.apache.spark.sql.SparkSession.active))
+    val u = call_function("graft_md5_prefix52", concat(lit(salt + ":"),
+      rep.cast("string"), lit(":"), id))
+      .cast("double") / lit(4503599627370496.0)
     PoissonCdf.zipWithIndex.foldRight(lit(9): Column) {
       case ((c, i), rest) => when(u < c, lit(i)).otherwise(rest)
     }
@@ -274,17 +276,24 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val loRank = math.ceil(alpha / 2 * b).toInt.max(1)
     val hiRank = b - loRank + 1
-    val base = df.select(value.cast("decimal(18,2)").as("__v"),
-        id.cast("string").as("__id"))
+    // the explode multiplies rows B x but INHERITS the input's (file-
+    // sized) partition count — without a spread the 200x hash work runs
+    // on a handful of tasks (measured 15 s/rep at sf0.1 vs ~1 s spread)
+    val base = Dedup.ensureParallelism(
+        df.select(value.cast("decimal(18,2)").as("__v"),
+          id.cast("string").as("__id")).repartition(col("__id")))
       .select(col("__v"), col("__id"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
     val mult = poissonMult(col("rep"), col("__id"), salt)
+    // materialize the B-row rep table once: the lo/hi rank branches and
+    // the window otherwise re-run the whole explode+aggregate per branch
     val reps = base.withColumn("__m", mult)
       .groupBy(col("rep"))
       .agg(sum(col("__v") * col("__m")).as("s"),
         sum(col("__m")).cast("long").as("n"))
       .select(col("rep"), (floor(col("s").cast("double") /
         col("n").cast("double") * 1e6 + 0.5) / 1e6).as("mean6"))
+      .localCheckpoint()
     val ranked = reps.withColumn("r",
       row_number().over(Window.orderBy(col("mean6").asc, col("rep").asc)))
     val full = df.select(value.cast("decimal(18,2)").as("__v"))
@@ -314,8 +323,12 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val loRank = math.ceil(alpha / 2 * b).toInt.max(1)
     val hiRank = b - loRank + 1
-    val base = df.select(value.cast("decimal(18,2)").as("__v"),
-        id.cast("string").as("__id"), treatment.cast("boolean").as("__t"))
+    // same spread + single-materialization discipline as
+    // [[poissonBootstrapCi]] (see the comment there)
+    val base = Dedup.ensureParallelism(
+        df.select(value.cast("decimal(18,2)").as("__v"),
+          id.cast("string").as("__id"), treatment.cast("boolean").as("__t"))
+          .repartition(col("__id")))
       .select(col("__v"), col("__id"), col("__t"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
       .withColumn("__m", poissonMult(col("rep"), col("__id"), salt))
@@ -328,6 +341,7 @@ object Profile {
         sum(when(!col("__t"), col("__m")).otherwise(lit(0L))).cast("long").as("nb"))
       .select(col("rep"), (floor((mean6(col("sa"), col("na"))
         - mean6(col("sb"), col("nb"))) * 1e6 + 0.5) / 1e6).as("diff6"))
+      .localCheckpoint()
     val ranked = reps.withColumn("r",
       row_number().over(Window.orderBy(col("diff6").asc, col("rep").asc)))
     val full = df.select(value.cast("decimal(18,2)").as("__v"),

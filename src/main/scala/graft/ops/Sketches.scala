@@ -57,9 +57,12 @@ object Sketches {
     * `md5(salt:value)` as a 52-bit integer — bit-identical in any
     * engine with md5 (see [[graft.functions.KmvSketch.M]] for why not
     * the polyHash fold here). */
-  def kmvHash(value: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt + ":"), value.cast("string"))
-      .cast("binary")), 1, 13), 16, 10).cast("long")
+  def kmvHash(value: Column, salt: String): Column = {
+    scala.util.Try(graft.functions.VectorFunctions.register(
+      org.apache.spark.sql.SparkSession.active))
+    call_function("graft_md5_prefix52",
+      concat(lit(salt + ":"), value.cast("string")))
+  }
 
   /** Per-group KMV distinct estimate: one aggregation pass with O(k)
     * state per group (only ≤k longs per partition cross the wire — no

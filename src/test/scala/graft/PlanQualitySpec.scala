@@ -212,6 +212,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"bloom report joined:\n$p")
   }
 
+  test("a23: bootstrap resample sums are map-side combined; only rep partials shuffle") {
+    val p = plan("a23_poisson_bootstrap")
+    // the B×n exploded rows must fold into per-rep partials BEFORE the
+    // exchange — the whole scale claim of the Poisson bootstrap
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert(p.contains("hashpartitioning(rep"),
+      s"rep partials not the shuffle key:\n$p")
+    // the scan reads only the value + id columns
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>")
+      || p.contains("ReadSchema: struct<o_totalprice:double"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("t45: KMV aggregation is partial-merged — only bottom-k buffers cross the wire") {
+    val p = plan("t45_kmv_distinct")
+    assert(p.contains("partial_bottomkdistinct"),
+      s"KMV aggregator lost its partial phase (distinct-shuffle regression):\n$p")
+    assert(!p.contains("FileScan parquet [l_partkey") ||
+      p.contains("ReadSchema: struct<l_partkey:bigint,l_returnflag:string>"),
+      s"scan not pruned to the two needed columns:\n$p")
+  }
+
   test("j04: bloom probe-prune sits below the join, next to the scan") {
     val p = plan("j04_bloom_prejoin")
     assert(p.contains("graft_bloom_contains"),
