@@ -269,6 +269,27 @@ object Profile {
     }
   }
 
+  /** Pre-materialization rep-mean stage of [[poissonBootstrapCi]] —
+    * exposed so the plan guard can assert its shape (the checkpoint in
+    * the public op truncates the visible plan): the explode multiplies
+    * rows B× but INHERITS the input's (file-sized) partition count, so
+    * the base rows spread first (measured 15 s/rep at sf0.1 unspread vs
+    * ~1 s spread), and the B×n rows fold map-side into B partials. */
+  private[graft] def bootstrapRepMeans(df: DataFrame, value: Column,
+      id: Column, b: Int, salt: String): DataFrame = {
+    val base = Dedup.ensureParallelism(
+        df.select(value.cast("decimal(18,2)").as("__v"),
+          id.cast("string").as("__id")).repartition(col("__id")))
+      .select(col("__v"), col("__id"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+    base.withColumn("__m", poissonMult(col("rep"), col("__id"), salt))
+      .groupBy(col("rep"))
+      .agg(sum(col("__v") * col("__m")).as("s"),
+        sum(col("__m")).cast("long").as("n"))
+      .select(col("rep"), (floor(col("s").cast("double") /
+        col("n").cast("double") * 1e6 + 0.5) / 1e6).as("mean6"))
+  }
+
   def poissonBootstrapCi(df: DataFrame, value: Column, id: Column,
       b: Int = 200, salt: String = "pb1", alpha: Double = 0.05): DataFrame = {
     require(b >= 10 && b <= 10000, s"b out of [10,10000]: $b")
@@ -276,24 +297,9 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val loRank = math.ceil(alpha / 2 * b).toInt.max(1)
     val hiRank = b - loRank + 1
-    // the explode multiplies rows B x but INHERITS the input's (file-
-    // sized) partition count — without a spread the 200x hash work runs
-    // on a handful of tasks (measured 15 s/rep at sf0.1 vs ~1 s spread)
-    val base = Dedup.ensureParallelism(
-        df.select(value.cast("decimal(18,2)").as("__v"),
-          id.cast("string").as("__id")).repartition(col("__id")))
-      .select(col("__v"), col("__id"),
-        explode(sequence(lit(0), lit(b - 1))).as("rep"))
-    val mult = poissonMult(col("rep"), col("__id"), salt)
     // materialize the B-row rep table once: the lo/hi rank branches and
     // the window otherwise re-run the whole explode+aggregate per branch
-    val reps = base.withColumn("__m", mult)
-      .groupBy(col("rep"))
-      .agg(sum(col("__v") * col("__m")).as("s"),
-        sum(col("__m")).cast("long").as("n"))
-      .select(col("rep"), (floor(col("s").cast("double") /
-        col("n").cast("double") * 1e6 + 0.5) / 1e6).as("mean6"))
-      .localCheckpoint()
+    val reps = bootstrapRepMeans(df, value, id, b, salt).localCheckpoint()
     val ranked = reps.withColumn("r",
       row_number().over(Window.orderBy(col("mean6").asc, col("rep").asc)))
     val full = df.select(value.cast("decimal(18,2)").as("__v"))

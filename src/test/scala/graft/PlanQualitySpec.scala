@@ -213,15 +213,21 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("a23: bootstrap resample sums are map-side combined; only rep partials shuffle") {
-    val p = plan("a23_poisson_bootstrap")
+    // inspect the rep-mean stage directly — the public op checkpoints
+    // it (by design: the CI rank branches must not re-run the explode),
+    // which truncates the visible plan
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    val p = graft.ops.Profile.bootstrapRepMeans(df,
+        org.apache.spark.sql.functions.col("o_totalprice"),
+        org.apache.spark.sql.functions.col("o_orderkey"), 50, "pb1")
+      .queryExecution.executedPlan.toString
     // the B×n exploded rows must fold into per-rep partials BEFORE the
     // exchange — the whole scale claim of the Poisson bootstrap
     assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
     assert(p.contains("hashpartitioning(rep"),
       s"rep partials not the shuffle key:\n$p")
     // the scan reads only the value + id columns
-    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>")
-      || p.contains("ReadSchema: struct<o_totalprice:double"),
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
       s"scan not pruned:\n$p")
   }
 
