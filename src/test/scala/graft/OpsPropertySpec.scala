@@ -31,6 +31,50 @@ class OpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert xy2d: bijective and unit-step on random grid sizes; expression agrees") {
+    // the curve law: for any bits, xy2d is a bijection grid→[0, 4^bits)
+    // whose CONSECUTIVE indices are always Manhattan-adjacent — checked
+    // exhaustively at random small orders, plus codegen agreement on
+    // random wide keys at bits=16
+    for (bits <- Seq(1, 2, 3, 5)) {
+      val n = 1 << bits
+      val cells = for (x <- 0 until n; y <- 0 until n)
+        yield (graft.functions.Hilbert.xy2d(bits, x, y), x, y)
+      val sorted = cells.sortBy(_._1)
+      assert(sorted.map(_._1) == (0L until (n.toLong * n)),
+        s"not a bijection at bits=$bits")
+      for (Seq(a, b) <- sorted.sliding(2))
+        assert(math.abs(a._2 - b._2) + math.abs(a._3 - b._3) == 1,
+          s"non-adjacent step at bits=$bits: $a -> $b")
+    }
+    graft.functions.VectorFunctions.register(spark)
+    val keys = cases(Gen.zip(Gen.chooseNum(0L, Long.MaxValue / 4),
+      Gen.chooseNum(0L, Long.MaxValue / 4)), 40)
+    val got = keys.toDF("x", "y")
+      .select(graft.ops.Layout.hilbertValue(col("x"), col("y"), bits = 16))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == keys.map { case (x, y) => graft.functions.Hilbert.xy2d(16, x, y) })
+  }
+
+  test("kmv bottom-k aggregator: reduce/merge laws equal the sorted-distinct-take model") {
+    // random hash multisets, random k: the aggregator's fold (in any
+    // split) must equal distinct.sorted.take(k)
+    val gen = Gen.zip(Gen.chooseNum(2, 12),
+      Gen.listOfN(60, Gen.chooseNum(0L, 30L)))
+    for ((k, hashes) <- cases(gen, 30)) {
+      val agg = new graft.functions.KmvSketch.BottomKDistinct(k)
+      val expected = hashes.distinct.sorted.take(k)
+      // sequential reduce
+      val folded = hashes.foldLeft(agg.zero)(agg.reduce)
+      assert(folded == expected, s"reduce law broke: k=$k $hashes")
+      // arbitrary split + merge (mergeability = the distributed law)
+      val (l, r) = hashes.splitAt(hashes.length / 3)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expected, s"merge law broke: k=$k $hashes")
+    }
+  }
+
   test("intervalUnionLength equals a brute-force sweep on random interval sets") {
     val genSet: Gen[Seq[(Long, Long, Long)]] = for {
       n <- Gen.choose(1, 12)
