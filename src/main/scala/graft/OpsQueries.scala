@@ -6407,7 +6407,315 @@ object OpsQueries {
         |  floor(nm::DOUBLE / (n_rows::DOUBLE * (SELECT n FROM st)::DOUBLE
         |        * ((SELECT m FROM st) - 1)::DOUBLE) * 1000000 + 0.5) / 1000000
         |    AS emd6
-        |FROM num WHERE emd6 > 0.04""".stripMargin))
+        |FROM num WHERE emd6 > 0.04""".stripMargin),
+
+    // per-group OLS fit (value ~ hour-of-day, per event type): the five
+    // moment sums accumulate as exact DECIMAL of 6-dp-floored inputs —
+    // bit-identical cross-engine — and only the closed-form slope/
+    // intercept/r² arithmetic runs in IEEE doubles (identical op chain
+    // restated by the oracle), then 8-dp floors
+    ("a25_ols_by_group",
+      (s, sf) => graft.ops.Profile.olsByGroup(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("event_type"), hour(col("ts")), col("value")),
+      """WITH b AS (SELECT event_type AS grp,
+        |    CAST(extract(hour FROM ts) AS DECIMAL(18,6)) AS x,
+        |    CAST(floor(value * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |m AS (SELECT grp, count(*)::BIGINT AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT grp, n,
+        |  CASE WHEN n >= 2 AND n::DOUBLE * sxx - sx * sx > 0 THEN
+        |    floor((n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx)
+        |      * 1e8 + 0.5) / 1e8 END AS slope8,
+        |  CASE WHEN n >= 2 AND n::DOUBLE * sxx - sx * sx > 0 THEN
+        |    floor((sy - (n::DOUBLE * sxy - sx * sy)
+        |        / (n::DOUBLE * sxx - sx * sx) * sx) / n::DOUBLE
+        |      * 1e8 + 0.5) / 1e8 END AS intercept8,
+        |  CASE WHEN n >= 2 AND n::DOUBLE * sxx - sx * sx > 0
+        |      AND n::DOUBLE * syy - sy * sy > 0 THEN
+        |    floor((n::DOUBLE * sxy - sx * sy) * (n::DOUBLE * sxy - sx * sy)
+        |      / ((n::DOUBLE * sxx - sx * sx) * (n::DOUBLE * syy - sy * sy))
+        |      * 1e8 + 0.5) / 1e8 END AS r2_8
+        |FROM m""".stripMargin),
+
+    // Population Stability Index (view → click value distributions over
+    // width-50 bins): the industry drift score next to t38/t26; add-1
+    // smoothing over the union grid, per-bin terms 6-dp floored and
+    // DECIMAL-summed
+    ("a27_psi_drift",
+      (s, sf) => graft.ops.Profile.psiDrift(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("event_type") === "view", col("event_type") === "click",
+        floor(col("value") / 50).cast("long")),
+      """WITH b AS (SELECT floor(value / 50)::BIGINT AS b,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |g AS (SELECT b, sum(r)::BIGINT AS cr, sum(c)::BIGINT AS cc
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS nb, sum(cr)::BIGINT AS nr,
+        |    sum(cc)::BIGINT AS nc FROM g)
+        |SELECT nb AS n_bins, nr AS n_ref, nc AS n_cur,
+        |  CAST(sum(CAST(floor(
+        |    ((cr + 1)::DOUBLE / (nr + nb)::DOUBLE
+        |      - (cc + 1)::DOUBLE / (nc + nb)::DOUBLE)
+        |    * ln(((cr + 1)::DOUBLE / (nr + nb)::DOUBLE)
+        |        / ((cc + 1)::DOUBLE / (nc + nb)::DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE) AS psi6
+        |FROM g, t GROUP BY 1, 2, 3""".stripMargin),
+
+    // two-proportion sample-size calculator (baseline = measured
+    // purchase conversion, MDE +2pt absolute): planted z literals,
+    // p1 published 6-dp and the formula consumes the PUBLISHED rate
+    ("f14_power_analysis",
+      (s, sf) => graft.ops.EventAnalytics.powerTwoProportions(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("user_id"), col("event_type") === "purchase", mdeAbs = 0.02),
+      """WITH a AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users,
+        |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+        |      ::BIGINT AS n_converted FROM events),
+        |p AS (SELECT n_users, n_converted,
+        |    floor(n_converted::DOUBLE / n_users::DOUBLE * 1000000 + 0.5)
+        |      / 1000000 AS p1_6 FROM a)
+        |SELECT n_users, n_converted, p1_6, p1_6 + 0.02 AS p2_6,
+        |  CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+        |    * (p1_6 * (1.0 - p1_6) + (p1_6 + 0.02) * (1.0 - (p1_6 + 0.02)))
+        |    / (0.02 * 0.02)) AS BIGINT) AS n_per_arm
+        |FROM p""".stripMargin),
+
+    // Newman modularity of a given labeling (community = node mod 7 on
+    // the bipartite part-supplier graph): the partition EVALUATOR —
+    // per-community terms are ratios of exact integers, 8-dp floored;
+    // Σ term8 is Q
+    ("g14_modularity",
+      (s, sf) => {
+        val e = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_orderkey") % 11 === 0)
+          .select(col("l_partkey").as("a"),
+            (col("l_suppkey") + 1000000L).as("b"))
+        val nodes = e.select(col("a").as("n"))
+          .unionAll(e.select(col("b").as("n"))).distinct()
+        graft.ops.Graph.modularity(e, col("a"), col("b"),
+          nodes, col("n"), col("n") % 7)
+      },
+      """WITH e AS (SELECT DISTINCT least(l_partkey, l_suppkey + 1000000) AS u,
+        |    greatest(l_partkey, l_suppkey + 1000000) AS v
+        |  FROM lineitem
+        |  WHERE l_orderkey % 11 = 0 AND l_partkey <> l_suppkey + 1000000),
+        |m AS (SELECT count(*)::BIGINT AS m FROM e),
+        |wc AS (SELECT u % 7 AS cu, v % 7 AS cv FROM e),
+        |inc AS (SELECT cu AS community, count(*)::BIGINT AS n_edges_in
+        |  FROM wc WHERE cu = cv GROUP BY 1),
+        |deg AS (SELECT community, count(*)::BIGINT AS degree_sum FROM (
+        |    SELECT cu AS community FROM wc
+        |    UNION ALL SELECT cv FROM wc) GROUP BY 1)
+        |SELECT deg.community,
+        |  coalesce(inc.n_edges_in, 0)::BIGINT AS n_edges_in, deg.degree_sum,
+        |  floor((coalesce(inc.n_edges_in, 0)::DOUBLE / (SELECT m FROM m)::DOUBLE
+        |    - (deg.degree_sum::DOUBLE / (2.0 * (SELECT m FROM m)))
+        |      * (deg.degree_sum::DOUBLE / (2.0 * (SELECT m FROM m))))
+        |    * 1e8 + 0.5) / 1e8 AS term8
+        |FROM deg LEFT JOIN inc USING (community)""".stripMargin),
+
+    // classical additive seasonal decomposition of the daily event
+    // volume: centered 7-day MA trend (full windows only), day-of-week
+    // seasonal means of the detrended grid, residual recombines the
+    // PUBLISHED floored components — every window runs on the day grid,
+    // never the raw log
+    ("ts20_seasonal_decompose",
+      (s, sf) => graft.ops.EventAnalytics.seasonalDecompose(
+        EventStreams.readEvents(s, s"$sf/events.parquet"), col("ts")),
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT day, y,
+        |    CASE WHEN count(*) OVER w7 = 7 THEN
+        |      floor((sum(y) OVER w7)::DOUBLE / 7.0 * 1e6 + 0.5) / 1e6
+        |    END AS trend6
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT *, dayofweek(day) AS dow FROM t),
+        |s AS (SELECT dow,
+        |    floor(CAST(sum(CAST(floor((y - trend6) * 1e6 + 0.5) / 1e6
+        |        AS DECIMAL(28,6))) AS DOUBLE) / count(*)::DOUBLE
+        |      * 1e6 + 0.5) / 1e6 AS seasonal6
+        |  FROM d WHERE trend6 IS NOT NULL GROUP BY 1)
+        |SELECT d.day, d.y, d.trend6, s.seasonal6,
+        |  CASE WHEN d.trend6 IS NOT NULL AND s.seasonal6 IS NOT NULL THEN
+        |    floor((d.y - d.trend6 - s.seasonal6) * 1e6 + 0.5) / 1e6
+        |  END AS resid6
+        |FROM d LEFT JOIN s USING (dow)""".stripMargin),
+
+    // exact two-sample Kolmogorov-Smirnov (click vs view value
+    // distributions): D's numerator is an integer max over the pooled
+    // distinct-value CDF table — no bins, no float accumulation; the
+    // oracle restates the pooled-ECDF definition verbatim
+    ("a26_ks_two_sample",
+      (s, sf) => graft.ops.Profile.ksTwoSample(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("event_type") === "click", col("event_type") === "view",
+        col("value")),
+      """WITH b AS (SELECT value::DOUBLE AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS bb
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT v, sum(a)::HUGEINT AS ca, sum(bb)::HUGEINT AS cb
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT
+        |    sum(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM g),
+        |m AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+        |    max(abs(cuma * nb - cumb * na)) AS d_num FROM c)
+        |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, d_num::DOUBLE AS d_num,
+        |  floor(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE) * 1e8 + 0.5) / 1e8
+        |    AS ks8,
+        |  floor(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
+        |    * sqrt(n_a::DOUBLE * n_b::DOUBLE / (n_a + n_b)::DOUBLE)
+        |    * 1e8 + 0.5) / 1e8 AS lambda8
+        |FROM m""".stripMargin),
+
+    // difference-in-differences on purchase values (treat = odd users,
+    // post = second half of the month): the four cell means publish
+    // 8-dp-floored from exact DECIMAL sums, and did8 recombines the
+    // FLOORED means — hand-auditable from the output row itself
+    ("f13_diff_in_diff",
+      (s, sf) => graft.ops.EventAnalytics.diffInDiff(
+        EventStreams.readEvents(s, s"$sf/events.parquet")
+          .filter(col("event_type") === "purchase"),
+        col("user_id") % 2 === 1,
+        col("ts") >= lit("2024-01-15").cast("timestamp"), col("value")),
+      """WITH b AS (SELECT (user_id % 2 = 1) AS t,
+        |    (ts >= TIMESTAMP '2024-01-15') AS p,
+        |    CAST(floor(value * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT t, p, count(*)::BIGINT AS n,
+        |    floor(CAST(sum(y) AS DOUBLE) / count(*)::DOUBLE * 1e8 + 0.5) / 1e8
+        |      AS m FROM b GROUP BY 1, 2)
+        |SELECT tpre.n AS n_tpre, tpost.n AS n_tpost,
+        |  cpre.n AS n_cpre, cpost.n AS n_cpost,
+        |  tpre.m AS m_tpre8, tpost.m AS m_tpost8,
+        |  cpre.m AS m_cpre8, cpost.m AS m_cpost8,
+        |  (tpost.m - tpre.m) - (cpost.m - cpre.m) AS did8
+        |FROM (SELECT n, m FROM c WHERE t AND NOT p) tpre,
+        |     (SELECT n, m FROM c WHERE t AND p) tpost,
+        |     (SELECT n, m FROM c WHERE NOT t AND NOT p) cpre,
+        |     (SELECT n, m FROM c WHERE NOT t AND p) cpost""".stripMargin),
+
+    // neighborhood-Jaccard link prediction on the g08 incidence list:
+    // the score is a ratio of two INTEGERS (shared groups / union of
+    // eligible group-neighborhoods) — zero float accumulation, one
+    // division, 8-dp floor
+    ("g13_neighbor_jaccard",
+      (s, sf) => graft.ops.Graph.neighborJaccard(
+        s.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey"), col("l_partkey"), minShared = 2),
+      """WITH e AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT g FROM (SELECT g, count(*) AS sz FROM e GROUP BY g)
+        |  WHERE sz BETWEEN 2 AND 10000),
+        |c AS (SELECT e.g, e.i FROM e JOIN ok USING (g)),
+        |deg AS (SELECT i, count(*)::BIGINT AS d FROM c GROUP BY 1),
+        |p AS (SELECT a.i AS i_a, b.i AS i_b, count(*)::BIGINT AS n_shared
+        |  FROM c a JOIN c b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT i_a, i_b, n_shared,
+        |  da.d + db.d - n_shared AS n_union,
+        |  floor(n_shared::DOUBLE / (da.d + db.d - n_shared)::DOUBLE
+        |    * 1e8 + 0.5) / 1e8 AS jacc8
+        |FROM p JOIN deg da ON da.i = p.i_a JOIN deg db ON db.i = p.i_b""".stripMargin),
+
+    // MRR + recall@10 per query (binary relevance next to b07's graded
+    // NDCG): reproducible ranks (score desc, doc asc), both metrics are
+    // single divisions of small integers
+    ("b09_mrr_recall",
+      (s, sf) => Retrieval.mrrRecallAtK(docs(s, sf), col("doc_id") % 5,
+        col("doc_id"), col("n_chars").cast("double"),
+        col("doc_id") % 7 === 0, k = 10),
+      """WITH b AS (SELECT doc_id % 5 AS q, doc_id AS d, n_chars::DOUBLE AS s,
+        |    (doc_id % 7 = 0) AS r FROM documents),
+        |t AS (SELECT q, d, r,
+        |    row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rk
+        |  FROM b)
+        |SELECT q AS qid, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN r THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+        |  min(CASE WHEN r THEN rk END)::INT AS first_rel_rank,
+        |  CASE WHEN sum(CASE WHEN r THEN 1 ELSE 0 END) > 0 THEN
+        |    floor(1e8 / min(CASE WHEN r THEN rk END)::DOUBLE + 0.5) / 1e8
+        |  END AS rr8,
+        |  sum(CASE WHEN r AND rk <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+        |  CASE WHEN sum(CASE WHEN r THEN 1 ELSE 0 END) > 0 THEN
+        |    floor(sum(CASE WHEN r AND rk <= 10 THEN 1 ELSE 0 END)::DOUBLE
+        |      / sum(CASE WHEN r THEN 1 ELSE 0 END)::DOUBLE * 1e8 + 0.5) / 1e8
+        |  END AS recall8
+        |FROM t GROUP BY q""".stripMargin),
+
+    // interpolated Kneser-Ney bigram LM quality score (the smoothing
+    // real LM filters use where t18 uses add-α): continuation counts
+    // from the bigram TYPE table, per-bigram ln-probs 4-dp floored and
+    // DECIMAL-summed per doc; corpus = reference so every bigram is
+    // seen and the discounted term stays positive
+    ("t49_kneser_ney",
+      (s, sf) => TextOps.kneserNeyLogProb(docs(s, sf), col("doc_id"), col("text")),
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+        |  FROM toks WHERE len(tk) >= 2),
+        |pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1pl
+        |  FROM c12 GROUP BY 1),
+        |r AS (SELECT w2, count(*)::BIGINT AS n1pr FROM c12 GROUP BY 1),
+        |bt AS (SELECT count(*)::DOUBLE AS b FROM c12),
+        |lp AS (SELECT doc_id,
+        |    CAST(floor(ln((c12::DOUBLE - 0.75) / c1::DOUBLE
+        |        + 0.75 * n1pl::DOUBLE / c1::DOUBLE
+        |          * (n1pr::DOUBLE / (SELECT b FROM bt)))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(28,4)) AS lp4
+        |  FROM pairs JOIN c12 USING (w1, w2) JOIN l USING (w1) JOIN r USING (w2)),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp4) AS s4
+        |  FROM lp GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN agg.n_bigrams IS NULL THEN 0.0
+        |       ELSE floor(CAST(s4 AS DOUBLE) / agg.n_bigrams * 10000 + 0.5)
+        |         / 10000 END AS avg_kn_logprob
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin),
+
+    // bucketed fact-dim join: both tables pre-hash-distributed into 8
+    // buckets on the customer key (self-provisioned, idempotent per
+    // session), joined with broadcast disabled — Catalyst reads the
+    // bucket specs and plans the join with ZERO Exchange on either side
+    // (plan-guarded in BucketedJoinSpec); content equality is the
+    // oracle's plain join
+    ("l11_bucketed_join",
+      (s, sf) => {
+        val label = new java.io.File(sf).getName
+        val tag = label.replace('.', '_')
+        val ot = s"bucketed_orders_$tag"; val ct = s"bucketed_customer_$tag"
+        if (!s.catalog.tableExists(ot))
+          graft.ops.Layout.writeBucketed(s, s.read.parquet(s"$sf/orders.parquet"),
+            s"/root/repo/target/derived/$label/bucketed_orders", ot, 8, "o_custkey")
+        if (!s.catalog.tableExists(ct))
+          graft.ops.Layout.writeBucketed(s, s.read.parquet(s"$sf/customer.parquet"),
+            s"/root/repo/target/derived/$label/bucketed_customer", ct, 8, "c_custkey")
+        graft.ops.Layout.bucketedJoin(s, ot, ct, "o_custkey", "c_custkey")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
+              .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 2)))
+              .cast("double").as("revenue"))
+      },
+      """SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) / 100
+        |    AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin))
 
   /** Rows-only entries — empty since round 2: every op in this suite now
     * carries a hard DuckDB oracle (exact twin, portable-hash twin, or a

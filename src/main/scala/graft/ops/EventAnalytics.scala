@@ -889,4 +889,122 @@ object EventAnalytics {
         when(vx > 0, f6(dy - theta * dx)).as("effect_cuped6"),
         when(vx > 0 && vy > 0, f6(cov * cov / (vx * vy))).as("rho2_6"))
   }
+
+  /** A/B-test sample-size calculator for a two-proportion z-test — the
+    * "how long must this experiment run" planning primitive next to the
+    * f10/f11 analysis ops: per-arm n = (z_{α/2} + z_β)² ·
+    * (p₁(1−p₁) + p₂(1−p₂)) / (p₁−p₂)², with the baseline rate p₁
+    * measured from the data (converted users / all users) and the
+    * target rate p₂ = p₁ + mdeAbs.
+    *
+    * z-quantiles arrive as caller literals (defaults: two-sided α=0.05
+    * → 1.959964, power 0.8 → 0.841621) — planted constants, never a
+    * libm inverse-normal whose last bits differ across engines. p₁ is
+    * 6-dp floored BEFORE entering the formula, so n_per_arm is a
+    * deterministic function of the published rate (hand-auditable).
+    *
+    * Plan at 100 TB: two distinct-counts over the user key — one
+    * map-side-combined aggregate pass. Output: one row (n_users,
+    * n_converted, p1_6, p2_6, n_per_arm). */
+  def powerTwoProportions(df: DataFrame, user: Column, converted: Column,
+      mdeAbs: Double, zAlphaHalf: Double = 1.959964,
+      zBeta: Double = 0.841621): DataFrame = {
+    require(mdeAbs != 0, "mdeAbs must be nonzero")
+    val agg = df.select(user.as("u"), converted.cast("boolean").as("c"))
+      .agg(countDistinct(col("u")).as("n_users"),
+        countDistinct(when(col("c"), col("u"))).as("n_converted"))
+    val p1 = floor(col("n_converted").cast("double")
+      / col("n_users").cast("double") * 1e6 + 0.5) / 1e6
+    agg.select(col("n_users"), col("n_converted"), p1.as("p1_6"))
+      .withColumn("p2_6", col("p1_6") + mdeAbs)
+      .withColumn("n_per_arm",
+        ceil(lit((zAlphaHalf + zBeta) * (zAlphaHalf + zBeta))
+          * (col("p1_6") * (lit(1.0) - col("p1_6"))
+            + col("p2_6") * (lit(1.0) - col("p2_6")))
+          / (lit(mdeAbs) * lit(mdeAbs))).cast("bigint"))
+  }
+
+  /** Additive seasonal-trend decomposition of a daily count series —
+    * the classical-decomposition core of STL: trend = centered 7-day
+    * moving average (full windows only, edges NULL), seasonal =
+    * day-of-week mean of the detrended series, residual = y − trend −
+    * seasonal. The "is this spike weekly rhythm or a real anomaly"
+    * separation that ts07/ts16's outlier scores assume away.
+    *
+    * Determinism: trend and seasonal are 6-dp floored where they are
+    * DIVISIONS of exact integers; the residual recombines the FLOORED
+    * components, so every output column is hand-auditable from the
+    * others. DoW means average detrended values as 6-dp DECIMAL sums
+    * (order-free).
+    *
+    * Plan at 100 TB: the log collapses to the day grid FIRST (one
+    * map-side-combined aggregate); every window after that runs on the
+    * date-bounded grid — ~365 rows/year, metadata-sized, never the raw
+    * log. Output: (day, y, trend6, seasonal6, resid6). */
+  def seasonalDecompose(df: DataFrame, ts: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = df.select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("__n7", count(lit(1)).over(wMa))
+      .withColumn("trend6",
+        when(col("__n7") === 7,
+          floor(sum(col("y")).over(wMa).cast("double") / 7.0 * 1e6 + 0.5) / 1e6))
+    val dow = t.withColumn("__dow", dayofweek(col("day")))
+    val seas = dow.filter(col("trend6").isNotNull)
+      .groupBy(col("__dow"))
+      .agg((sum((floor((col("y") - col("trend6")) * 1e6 + 0.5) / 1e6)
+          .cast(DecimalType(28, 6))).cast("double")
+        / count(lit(1)).cast("double")).as("__s"))
+      .select(col("__dow"), (floor(col("__s") * 1e6 + 0.5) / 1e6).as("seasonal6"))
+    dow.join(seas, Seq("__dow"), "left")
+      .select(col("day"), col("y"),
+        col("trend6"),
+        col("seasonal6"),
+        when(col("trend6").isNotNull && col("seasonal6").isNotNull,
+          floor((col("y") - col("trend6") - col("seasonal6")) * 1e6 + 0.5) / 1e6)
+          .as("resid6"))
+  }
+
+  /** Difference-in-differences effect estimate — the quasi-experimental
+    * complement to [[cupedEffect]]: when treatment wasn't randomized but
+    * a pre-period exists, DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre) removes both the fixed group gap and
+    * the common time trend (parallel-trends assumption is the caller's
+    * to defend).
+    *
+    * Exactness: y is 6-dp floored to DECIMAL and summed exactly per
+    * cell; each cell mean is one double division 8-dp floored, and the
+    * DiD combines the FLOORED means (so the estimate is a deterministic
+    * function of the four published cell means — auditable by hand from
+    * the output row). A fully empty cell → empty result (no row): DiD
+    * is undefined without all four cells.
+    *
+    * Plan at 100 TB: one scan, one 4-row map-side-combined aggregate;
+    * no shuffle beyond the 4-group exchange.
+    * Output: one row (n_tpre, n_tpost, n_cpre, n_cpost, m_tpre8,
+    * m_tpost8, m_cpre8, m_cpost8, did8). */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+      y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val y6 = (floor(y.cast("double") * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))
+    val cells = df.select(treated.cast("boolean").as("t"),
+        post.cast("boolean").as("p"), y6.as("__y"))
+      .groupBy(col("t"), col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("s"))
+    def cell(t: Boolean, p: Boolean, nm: String) =
+      cells.filter(col("t") === t && col("p") === p)
+        .select(col("n").as(s"n_$nm"),
+          (floor(col("s").cast("double") / col("n").cast("double") * 1e8 + 0.5)
+            / 1e8).as(s"m_${nm}8"))
+    val row = cell(true, false, "tpre")
+      .crossJoin(broadcast(cell(true, true, "tpost")))
+      .crossJoin(broadcast(cell(false, false, "cpre")))
+      .crossJoin(broadcast(cell(false, true, "cpost")))
+    row.select(col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+      col("m_tpre8"), col("m_tpost8"), col("m_cpre8"), col("m_cpost8"),
+      ((col("m_tpost8") - col("m_tpre8")) - (col("m_cpost8") - col("m_cpre8")))
+        .as("did8"))
+  }
 }

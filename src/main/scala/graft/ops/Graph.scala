@@ -446,6 +446,91 @@ object Graph {
         col("__aa").cast("double").as("aa6"))
   }
 
+  /** Neighborhood-Jaccard link prediction over the same bipartite
+    * incidence list as [[adamicAdar]]: for items a, b the score is
+    * |G(a) ∩ G(b)| / |G(a) ∪ G(b)| where G(i) is the set of ELIGIBLE
+    * groups containing i — groups outside [2, maxItemsPerGroup] are
+    * excluded from BOTH the intersection and the degrees, so the ratio
+    * is internally consistent (the same blocking rule as Adamic-Adar:
+    * oversize groups cost quadratic fan-out and carry the least signal).
+    *
+    * Exactness: the score is a ratio of two integers — no float
+    * accumulation at all; one division, 8-dp floored. Degrees come from
+    * the eligible incidence list (map-side-combined count per item) and
+    * join the capped pair expansion on each side.
+    * Output: (i_a, i_b, n_shared, n_union, jacc8) for n_shared ≥
+    * minShared. */
+  def neighborJaccard(df: DataFrame, group: Column, item: Column,
+      minShared: Long, maxItemsPerGroup: Int = 10000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val e = df.select(group.as("g"), item.as("i")).distinct()
+    val ok = e.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, maxItemsPerGroup)).select(col("g"))
+    val c = e.join(ok, "g")
+    val deg = c.groupBy(col("i")).agg(count(lit(1)).as("d"))
+    val shared = c.select(col("g"), col("i").as("i_a"))
+      .join(c.select(col("g"), col("i").as("i_b")), Seq("g"))
+      .filter(col("i_a") < col("i_b"))
+      .groupBy(col("i_a"), col("i_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(deg.select(col("i").as("i_a"), col("d").as("__da")), Seq("i_a"))
+      .join(deg.select(col("i").as("i_b"), col("d").as("__db")), Seq("i_b"))
+      .select(col("i_a"), col("i_b"), col("n_shared"),
+        (col("__da") + col("__db") - col("n_shared")).as("n_union"))
+      .withColumn("jacc8",
+        floor(col("n_shared").cast("double") / col("n_union").cast("double")
+          * 1e8 + 0.5) / 1e8)
+  }
+
+  /** Newman modularity of a GIVEN community assignment — the partition
+    * evaluator that scores any labeling (label propagation's, connected
+    * components', an external clusterer's): per community c,
+    * term_c = m_c/m − (d_c/2m)², and Q = Σ_c term_c, where m is the
+    * undirected edge count, m_c the edges inside c, d_c the community's
+    * total degree. Q near 0 ⇒ no better than random wiring; the
+    * standard "did the clustering find real structure" check before
+    * trusting community-level curation decisions.
+    *
+    * Self-loops and duplicate/reversed edge spellings are canonicalized
+    * away. Nodes missing from `labels` form singleton communities
+    * implicitly (they contribute only degree, which a missing row makes
+    * zero here — so `labels` must cover every endpoint; unmatched
+    * endpoints fail loudly via the inner join dropping their edges and
+    * the caller seeing n_edges_in sums ≠ m).
+    *
+    * Exactness: every input to term_c is an integer; the two divisions
+    * run in IEEE doubles (identical chain both engines), 8-dp floored
+    * per community — Q is then an exact DECIMAL sum of published terms.
+    * Output: one row per community (community, n_edges_in, degree_sum,
+    * term8) — Σ term8 is Q, left to the caller so the per-community
+    * contributions stay auditable. */
+  def modularity(edges: DataFrame, src: Column, dst: Column,
+      labels: DataFrame, node: Column, community: Column): DataFrame = {
+    val e = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val lab = labels.select(node.as("n"), community.as("c")).distinct()
+    val withC = e
+      .join(lab.select(col("n").as("u"), col("c").as("cu")), Seq("u"))
+      .join(lab.select(col("n").as("v"), col("c").as("cv")), Seq("v"))
+    val m = withC.count()
+    require(m > 0, "modularity needs at least one labeled edge")
+    val inC = withC.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("n_edges_in"))
+    val deg = withC.select(col("cu").as("community"))
+      .unionAll(withC.select(col("cv").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("degree_sum"))
+    deg.join(inC, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("n_edges_in"), lit(0L)).as("n_edges_in"),
+        col("degree_sum"))
+      .withColumn("term8",
+        floor((col("n_edges_in").cast("double") / m.toDouble
+          - (col("degree_sum").cast("double") / (2.0 * m))
+            * (col("degree_sum").cast("double") / (2.0 * m))) * 1e8 + 0.5) / 1e8)
+  }
+
   def coOccurrencePairs(df: DataFrame, group: Column, item: Column,
       minShared: Long, maxItemsPerGroup: Int = 10000): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")

@@ -281,4 +281,47 @@ object Layout {
     }
     VacuumStats(before, live.size.toLong, removed)
   }
+
+  /** Write `df` as a bucketed external table: rows hash-distributed into
+    * `numBuckets` buckets on `bucketKey` and sorted by it within each
+    * bucket file. THE pre-shuffle for repeated joins: two tables
+    * bucketed the same way join with ZERO Exchange — at 100 TB the
+    * dominant cost of a fact-fact join is the shuffle, and bucketing
+    * pays it once at write time instead of once per query. The
+    * `repartition(numBuckets, key)` before the write uses the same
+    * Murmur3 hash as the bucket spec, so each task receives exactly one
+    * bucket and the layout lands as ONE FILE PER BUCKET — which also
+    * lets the scan report the per-bucket sort order (one sorted file
+    * needs no merge), eliminating the join's Sort as well.
+    *
+    * The table registers in the session catalog under `table`
+    * (dropped first if present) with data at `dir` — external, so the
+    * parquet outlives the catalog entry. */
+  def writeBucketed(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      dir: String, table: String, numBuckets: Int, bucketKey: String): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.repartition(numBuckets, col(bucketKey))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, bucketKey)
+      .sortBy(bucketKey)
+      .option("path", dir)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket keys. Catalyst reads
+    * the bucket spec off both scans and plans a sort-merge join with NO
+    * ShuffleExchange on either side (plan-guarded in BucketedJoinSpec);
+    * with one sorted file per bucket the per-partition Sorts collapse
+    * too. Broadcast is explicitly disabled via hints so the plan proves
+    * the bucketing (a broadcast would also avoid the shuffle, but only
+    * while one side stays small — bucketing is the fact-fact answer). */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable).hint("shuffle_merge")
+    val r = spark.table(rightTable).hint("shuffle_merge")
+    l.join(r, col(leftKey) === col(rightKey))
+  }
 }

@@ -604,4 +604,139 @@ object Profile {
         floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1000000 + 0.5)
           / 1000000)
   }
+
+  /** Per-group ordinary-least-squares fit y ~ a + b·x — the trend/
+    * feature-correlation primitive (per-segment drift slopes, scaling-
+    * law fits, metric-vs-knob regressions). Complements [[EventAnalytics
+    * .theilSen]]: OLS is the efficient estimator when outliers are
+    * already filtered; Theil-Sen is the robust one.
+    *
+    * Determinism/exactness: x and y are 6-dp floored to DECIMAL and the
+    * five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL —
+    * exact integers-of-10⁻¹² regardless of addition order — so both
+    * engines reach bit-identical sums; only the closed-form slope/
+    * intercept/r² arithmetic runs in IEEE doubles (identical operation
+    * chain both sides), then 8-dp floors. Degenerate groups (n < 2 or
+    * var(x) = 0) yield NULL fit columns.
+    *
+    * Plan at 100 TB: one scan, one map-side-combined groupBy over the
+    * group key — the whole statistic is five partial-aggregable sums;
+    * no window, no sort, no second pass.
+    * Output: (grp, n, slope8, intercept8, r2_8). */
+  def olsByGroup(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // (18,6) operands so the product type is DECIMAL(37,12) — EXACT;
+    // (38,6) operands would overflow precision and silently round the
+    // product back to 6dp (Spark's adjustPrecisionScale)
+    val x6 = (floor(x.cast("double") * 1e6 + 0.5) / 1e6).cast(DecimalType(18, 6))
+    val y6 = (floor(y.cast("double") * 1e6 + 0.5) / 1e6).cast(DecimalType(18, 6))
+    val agg = df.select(group.as("grp"), x6.as("__x"), y6.as("__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum((col("__x") * col("__y")).cast(DecimalType(38, 12))).as("sxy"),
+        sum((col("__x") * col("__x")).cast(DecimalType(38, 12))).as("sxx"),
+        sum((col("__y") * col("__y")).cast(DecimalType(38, 12))).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val covN = n * sxy - sx * sy       // n² · cov
+    val varxN = n * sxx - sx * sx      // n² · var(x)
+    val varyN = n * syy - sy * sy      // n² · var(y)
+    def r8(c: Column) = floor(c * 1e8 + 0.5) / 1e8
+    agg.select(col("grp"), col("n"),
+      when(col("n") >= 2 && varxN > 0, r8(covN / varxN)).as("slope8"),
+      when(col("n") >= 2 && varxN > 0,
+        r8((sy - covN / varxN * sx) / n)).as("intercept8"),
+      when(col("n") >= 2 && varxN > 0 && varyN > 0,
+        r8(covN * covN / (varxN * varyN))).as("r2_8"))
+  }
+
+  /** Population Stability Index between a reference and a current
+    * population over a caller-supplied binning — the industry-standard
+    * drift score next to the JSD/TVD drifts (t38/t26): PSI =
+    * Σ (p_i − q_i)·ln(p_i/q_i), read against the conventional 0.1
+    * (watch) / 0.25 (act) thresholds. Add-1 smoothing over the UNION
+    * bin grid keeps one-sided bins finite (the standard epsilon
+    * treatment, restated identically by the oracle).
+    *
+    * Determinism: per-bin terms are 6-dp floored and DECIMAL-summed —
+    * the t18/a20 discipline; the shares divide exact integer counts.
+    *
+    * Plan at 100 TB: one scan, one map-side-combined groupBy on the bin
+    * key, a bin-grid-sized window for the totals — nothing row-sized
+    * past the first aggregate.
+    * Output: one row (n_bins, n_ref, n_cur, psi6). */
+  def psiDrift(df: DataFrame, inRef: Column, inCur: Column,
+      bin: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val g = df.select(bin.as("b"), when(inRef, 1L).otherwise(0L).as("r"),
+        when(inCur, 1L).otherwise(0L).as("c"))
+      .filter(col("r") + col("c") > 0)
+      .groupBy(col("b")).agg(sum(col("r")).as("cr"), sum(col("c")).as("cc"))
+    val w = Window.partitionBy()
+    val t = g.withColumn("nr", sum(col("cr")).over(w))
+      .withColumn("nc", sum(col("cc")).over(w))
+      .withColumn("nb", count(lit(1)).over(w))
+    val p = (col("cr") + 1).cast("double") / (col("nr") + col("nb")).cast("double")
+    val q = (col("cc") + 1).cast("double") / (col("nc") + col("nb")).cast("double")
+    t.select(col("nb"), col("nr"), col("nc"),
+        (floor((p - q) * log(p / q) * 1000000 + 0.5) / 1000000)
+          .cast(DecimalType(28, 6)).as("term6"))
+      .groupBy(col("nb").as("n_bins"), col("nr").as("n_ref"),
+        col("nc").as("n_cur"))
+      .agg(sum(col("term6")).cast("double").as("psi6"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic — the distribution-
+    * drift test that, unlike the binned JSD/TVD drifts (t38/t26), needs
+    * no bin choice: D = sup |F_a(v) − F_b(v)| over the pooled empirical
+    * CDFs. The classic "did this feature's distribution move between
+    * snapshots / sources / splits" gate.
+    *
+    * Exactness: D's numerator max|cumA·n_b − cumB·n_a| is an integer
+    * (DECIMAL(38,0) so 10¹²-row samples cannot overflow); one division
+    * at the end, 8-dp floored. Ties are handled exactly — the CDF step
+    * at a tied value applies both samples' mass before the comparison,
+    * the textbook pooled-ECDF definition.
+    *
+    * Scale shape: rows collapse to a DISTINCT-value count table first
+    * (map-side combined, the a16 rank discipline); the cumulative
+    * window runs over distinct values only. The asymptotic p-value
+    * proxy is the scaled statistic λ = D·√(n_a·n_b/(n_a+n_b)) (compare
+    * to 1.358 for α=0.05), emitted 8-dp.
+    * Output: (n_a, n_b, d_num, ks8, lambda8) — one row. */
+  def ksTwoSample(df: DataFrame, inA: Column, inB: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val g = df.select(value.cast("double").as("v"),
+        when(inA, 1L).otherwise(0L).as("a"), when(inB, 1L).otherwise(0L).as("b"))
+      .filter(col("a") + col("b") > 0)
+      .groupBy(col("v")).agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = g
+      .withColumn("cuma", sum(col("ca")).over(w).cast(DecimalType(38, 0)))
+      .withColumn("cumb", sum(col("cb")).over(w).cast(DecimalType(38, 0)))
+      .withColumn("na", sum(col("ca")).over(wAll).cast(DecimalType(38, 0)))
+      .withColumn("nb", sum(col("cb")).over(wAll).cast(DecimalType(38, 0)))
+    cum.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"))
+      .select(col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        // published as double (exact up to 2^53; the ratio below divides
+        // the decimal-exact numerator, so ks8 itself never loses bits)
+        col("d_num").cast("double").as("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("__ks"),
+        (col("n_a").cast("double") * col("n_b").cast("double")
+          / (col("n_a") + col("n_b")).cast("double")).as("__m"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (floor(col("__ks") * 1e8 + 0.5) / 1e8).as("ks8"),
+        (floor(col("__ks") * sqrt(col("__m")) * 1e8 + 0.5) / 1e8).as("lambda8"))
+  }
 }

@@ -207,6 +207,48 @@ object Retrieval {
             * 1000000 + 0.5) / 1000000).as("ndcg6"))
   }
 
+  /** Per-query MRR and recall@k — the rank-metric pair next to
+    * [[ndcgAtK]] (binary relevance where NDCG wants grades): reciprocal
+    * rank of the FIRST relevant result, and the fraction of all
+    * relevant docs that surfaced in the top k. The standard eval for
+    * retrieval-augmented pipelines (did the gold doc surface, and how
+    * high).
+    *
+    * Determinism/exactness: ranks are row_numbers with the doc id as
+    * the tie-break (the t16/b07 discipline); both metrics are ratios of
+    * small integers — one division each, 8-dp floored. Queries with no
+    * relevant docs emit NULL metrics (counted, not skipped — silent
+    * drops would inflate the macro average downstream).
+    *
+    * Plan at 100 TB: one window pass partitioned by qid (per-query
+    * work, never a global sort) and one per-query aggregate.
+    * Output: (qid, n_docs, n_rel, first_rel_rank, rr8, hits_at_k,
+    * recall8). */
+  def mrrRecallAtK(df: DataFrame, qid: Column, docId: Column, score: Column,
+      relevant: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = df.select(qid.as("__q"), docId.as("__d"),
+      score.cast("double").as("__s"), relevant.cast("boolean").as("__r"))
+    val byScore = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__d").asc)
+    base.withColumn("__rk", row_number().over(byScore))
+      .groupBy(col("__q").as("qid"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("__r"), col("__rk"))).as("first_rel_rank"),
+        sum(when(col("__r") && col("__rk") <= k, 1L).otherwise(0L))
+          .as("hits_at_k"))
+      .select(col("qid"), col("n_docs"), col("n_rel"), col("first_rel_rank"),
+        when(col("n_rel") > 0,
+          floor(lit(1e8) / col("first_rel_rank").cast("double") + 0.5) / 1e8)
+          .as("rr8"),
+        col("hits_at_k"),
+        when(col("n_rel") > 0,
+          floor(col("hits_at_k").cast("double") / col("n_rel").cast("double")
+            * 1e8 + 0.5) / 1e8).as("recall8"))
+  }
+
   /** Top-`k` BM25 retrieval (deterministic: ties broken by doc_id). Plans
     * as TakeOrderedAndProject — per-partition heaps, no global sort. */
   def bm25TopK(df: DataFrame, id: Column, text: Column, query: Seq[String],

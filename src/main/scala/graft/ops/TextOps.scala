@@ -711,6 +711,64 @@ object TextOps {
             * 10000 + 0.5) / 10000).as("avg_logprob"))
   }
 
+  /** Per-document average log-probability under an interpolated
+    * Kneser-Ney bigram LM fit on the corpus itself — the smoothing real
+    * LM-based quality filters use where [[bigramLogProb]] uses add-α:
+    * P(w₂|w₁) = (c(w₁w₂) − δ)/c(w₁·) + δ·N₁₊(w₁·)/c(w₁·) · P_cont(w₂),
+    * with the continuation probability P_cont(w₂) = N₁₊(·w₂)/B counting
+    * how many distinct CONTEXTS a word follows (B = distinct bigram
+    * types) — the "San Francisco" correction: frequent-but-bound words
+    * score low as continuations. Scoring the training corpus keeps
+    * every bigram seen, so c₁₂ ≥ 1 > δ and the discounted term stays
+    * positive (no max(·,0) branch to disagree on).
+    *
+    * Determinism: each bigram's ln-prob is 4-dp floored and DECIMAL-
+    * summed (order-free, the t18 discipline); P itself is a fixed IEEE
+    * chain over exact integer counts, identical both engines.
+    *
+    * Plan at 100 TB: all four LM tables (bigram counts, left totals,
+    * left/right continuation fan-outs) are map-side-combined aggregates
+    * of the ONE bigram explode; scoring re-joins them on (w₁,w₂)/(w₁)/
+    * (w₂) — skew-splittable hash joins — and re-aggregates per doc.
+    * Output: (doc_id, n_bigrams, avg_kn_logprob). */
+  def kneserNeyLogProb(df: DataFrame, id: Column, text: Column,
+      delta: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
+    val toks = tokens(text)
+    val bg = df.select(id.as("doc_id"),
+        when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
+            struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2")))).as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // left totals + left continuation fan-out from the TYPE table (one
+    // pass over pair counts, not over raw bigrams)
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1pl"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1pr"))
+    val b = c12.count() // distinct bigram types — LM-vocab-sized driver scalar
+    val p = (col("c12").cast("double") - delta) / col("c1").cast("double") +
+      lit(delta) * col("n1pl").cast("double") / col("c1").cast("double") *
+        (col("n1pr").cast("double") / b.toDouble)
+    val lp = bg.join(c12, Seq("w1", "w2")).join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .select(col("doc_id"),
+        (floor(log(p) * 10000 + 0.5) / 10000)
+          .cast(DecimalType(28, 4)).as("lp4"))
+    df.select(id.as("doc_id")).join(
+        lp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp4")).as("sum4")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, 0.0)
+          .otherwise(floor(col("sum4").cast("double") / col("n_bigrams")
+            * 10000 + 0.5) / 10000).as("avg_kn_logprob"))
+  }
+
   /** Per-document top-`k` terms by TF-IDF (smoothed: tf · ln((N+1)/(df+1)))
     * — the classic keyword/feature-extraction pass. The score is 4-dp
     * rounded BEFORE ranking (ties broken by term asc): mathematically

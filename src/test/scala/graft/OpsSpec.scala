@@ -3328,4 +3328,142 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("zqx", "yvw")) > got(("aaa", "bbb")),
       s"rigid phrase must outscore loose pair: $got")
   }
+
+  test("olsByGroup: exact line recovered, degenerate groups NULL") {
+    val df = ((0 to 4).map(x => ("a", x.toDouble, 2.0 * x + 1.0)) ++
+      Seq(("b", 3.0, 1.0), ("b", 3.0, 9.0), // var(x)=0
+        ("c", 1.0, 1.0))) // n=1
+      .toDF("g", "x", "y")
+    val got = graft.ops.Profile.olsByGroup(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getDouble(2) == 2.0 && a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0,
+      s"perfect line must fit exactly: $a")
+    assert(got("b").isNullAt(2) && got("c").isNullAt(2),
+      "zero-variance x and n=1 must yield NULL fits")
+  }
+
+  test("ksTwoSample: hand ECDFs, ties applied before comparison") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 3.0, 4.0).map(("b", _)))
+      .toDF("s", "v")
+    val r = graft.ops.Profile.ksTwoSample(df,
+      col("s") === "a", col("s") === "b", col("v")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 3.0, s"d_num: $r") // max |cumA·3 − cumB·3| = 3
+    assert(r.getDouble(3) == 0.33333333, s"ks8: $r")
+    // identical samples → D = 0
+    val same = graft.ops.Profile.ksTwoSample(df, lit(true), lit(true), col("v")).head()
+    assert(same.getDouble(3) == 0.0)
+  }
+
+  test("diffInDiff: hand cells — (3−1) − (2.5−2) = 1.5") {
+    val df = Seq(
+      (true, false, 1.0), (true, false, 1.0),
+      (true, true, 3.0), (true, true, 3.0),
+      (false, false, 2.0), (false, false, 2.0),
+      (false, true, 2.0), (false, true, 3.0))
+      .toDF("t", "p", "y")
+    val r = graft.ops.EventAnalytics.diffInDiff(df, col("t"), col("p"), col("y")).head()
+    assert((0 to 3).forall(r.getLong(_) == 2L), s"cell counts: $r")
+    assert(r.getDouble(8) == 1.5, s"did8: $r")
+  }
+
+  test("neighborJaccard: shared/union by hand, oversize groups excluded from both sides") {
+    // eligible: g1={a,b,c}, g2={a,b}; g3={a} too small; g4 oversize (cap 3)
+    val df = (Seq(("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "a"), ("g2", "b"), ("g3", "a")) ++
+      (0 until 5).map(i => ("g4", s"x$i")))
+      .toDF("g", "i")
+    val got = graft.ops.Graph.neighborJaccard(df, col("g"), col("i"),
+        minShared = 1, maxItemsPerGroup = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // deg(a)=2 (g1,g2), deg(b)=2, deg(c)=1; (a,b): shared 2, union 2
+    assert(got(("a", "b")) == ((2L, 2L, 1.0)), s"$got")
+    assert(got(("a", "c")) == ((1L, 2L, 0.5)) && got(("b", "c")) == ((1L, 2L, 0.5)))
+    assert(!got.keySet.exists(_._1.startsWith("x")), "capped group must not pair")
+  }
+
+  test("mrrRecallAtK: first-relevant rank and top-k hits by hand") {
+    val df = Seq(
+      (1L, 10L, 5.0, false), (1L, 11L, 4.0, false), (1L, 12L, 3.0, true),
+      (1L, 13L, 2.0, false), (1L, 14L, 1.0, true),
+      (2L, 20L, 9.0, false), (2L, 21L, 8.0, false))
+      .toDF("q", "d", "s", "r")
+    val got = graft.ops.Retrieval.mrrRecallAtK(df, col("q"), col("d"),
+        col("s"), col("r"), k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = got(1L)
+    assert(q1.getLong(2) == 2 && q1.getInt(3) == 3, s"n_rel/first_rank: $q1")
+    assert(q1.getDouble(4) == 0.33333333 && q1.getLong(5) == 0 &&
+      q1.getDouble(6) == 0.0, s"rr/hits/recall: $q1")
+    val q2 = got(2L) // no relevant docs → counted with NULL metrics
+    assert(q2.getLong(2) == 0 && q2.isNullAt(3) && q2.isNullAt(4) && q2.isNullAt(6))
+  }
+
+  test("kneserNeyLogProb: hand LM — discount plus continuation mass, probs sum to 1") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.kneserNeyLogProb(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // P(b|a) = (2−.75)/3 + .75·(2/3)·(1/2) = 2/3; P(c|a) = .25/3 + .25 = 1/3
+    assert(got(1L) == ((1L, math.floor(math.log(2.0 / 3) * 10000 + 0.5) / 10000)))
+    assert(got(1L) == got(2L))
+    assert(got(3L) == ((1L, math.floor(math.log(1.0 / 3) * 10000 + 0.5) / 10000)))
+    assert(got(4L) == ((0L, 0.0)), "sub-bigram doc scores 0 with 0 bigrams")
+  }
+
+  test("psiDrift: identical distributions score 0, a planted shift scores > 0.25") {
+    val same = (Seq.fill(5)(("r", 1L)) ++ Seq.fill(5)(("c", 1L)) ++
+      Seq.fill(5)(("r", 2L)) ++ Seq.fill(5)(("c", 2L))).toDF("s", "b")
+    val r0 = graft.ops.Profile.psiDrift(same,
+      col("s") === "r", col("s") === "c", col("b")).head()
+    assert(r0.getLong(0) == 2 && r0.getDouble(3) == 0.0, s"$r0")
+    val shifted = (Seq.fill(50)(("r", 1L)) ++ Seq.fill(5)(("c", 1L)) ++
+      Seq.fill(5)(("r", 2L)) ++ Seq.fill(50)(("c", 2L))).toDF("s", "b")
+    val r1 = graft.ops.Profile.psiDrift(shifted,
+      col("s") === "r", col("s") === "c", col("b")).head()
+    assert(r1.getDouble(3) > 0.25, s"major shift must cross the act threshold: $r1")
+  }
+
+  test("powerTwoProportions: closed form over the published 6-dp rate") {
+    val df = (1 to 100).map(u => (u.toLong, u <= 10)).toDF("u", "c")
+    val r = graft.ops.EventAnalytics.powerTwoProportions(
+      df, col("u"), col("c"), mdeAbs = 0.02).head()
+    assert(r.getLong(0) == 100 && r.getLong(1) == 10)
+    assert(r.getDouble(2) == 0.1 && r.getDouble(3) == 0.1 + 0.02)
+    val z = 1.959964 + 0.841621
+    val expected = math.ceil(z * z * (0.1 * 0.9 + 0.12 * (1.0 - 0.12))
+      / (0.02 * 0.02)).toLong
+    assert(r.getLong(4) == expected, s"n_per_arm: $r vs $expected")
+  }
+
+  test("modularity: two disjoint triangles labeled by component → Q = 0.5") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 12L), (12L, 13L), (11L, 13L))
+      .toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 11L, 12L, 13L).toDF("n")
+    val got = graft.ops.Graph.modularity(e, col("a"), col("b"),
+        nodes, col("n"), when(col("n") < 10, 0L).otherwise(1L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(0L) == ((3L, 6L, 0.25)) && got(1L) == ((3L, 6L, 0.25)), s"$got")
+    // same graph labeled all-one-community: Q = m/m − 1 = 0
+    val one = graft.ops.Graph.modularity(e, col("a"), col("b"),
+      nodes, col("n"), lit(0L)).head()
+    assert(one.getDouble(3) == 0.0, s"$one")
+  }
+
+  test("seasonalDecompose: constant series → trend = y, seasonal = resid = 0 inside") {
+    val rows = for (d <- 1 to 14; k <- 1 to 2)
+      yield (f"2024-01-$d%02d 06:0$k:00", 1L)
+    val df = rows.toDF("t", "x").select(col("t").cast("timestamp").as("ts"))
+    val got = graft.ops.EventAnalytics.seasonalDecompose(df, col("ts"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(got.size == 14)
+    assert(got("2024-01-01") == ((2L, null, null)), "edge days have no full window")
+    assert(got("2024-01-07") == ((2L, 2.0, 0.0)), s"${got("2024-01-07")}")
+    assert(got("2024-01-10") == ((2L, 2.0, 0.0)))
+  }
 }

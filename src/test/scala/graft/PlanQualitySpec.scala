@@ -321,6 +321,27 @@ class PlanQualitySpec extends AnyFunSuite {
       li.join(o, col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("l11: Layout bucketed join — zero Exchange, bucketed scans, one file per bucket") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    graft.ops.Layout.writeBucketed(spark, o, s"$root/o", "pq_bkt_orders", 8, "o_custkey")
+    graft.ops.Layout.writeBucketed(spark, c, s"$root/c", "pq_bkt_customer", 8, "c_custkey")
+    val j = graft.ops.Layout.bucketedJoin(spark,
+      "pq_bkt_orders", "pq_bkt_customer", "o_custkey", "c_custkey")
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), s"scan ignored the bucket layout:\n$p")
+    // repartition-by-bucket-hash before the write → at most one file per
+    // bucket (empty buckets write none) — the layout that lets a future
+    // sorted-scan skip the per-partition Sort too
+    val files = new java.io.File(s"$root/o").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= 8 && files.nonEmpty, s"${files.length} files")
+    assert(j.count() == o.join(c, col("o_custkey") === col("c_custkey")).count())
+  }
+
   test("sg25: the closure lowering executes as a native UnionLoop, not a fallback") {
     val p = plan("sg25_sqlgen_path_plus")
     assert(p.contains("UnionLoop"), s"recursive CTE did not plan as UnionLoop:\n$p")
