@@ -6687,6 +6687,21 @@ object OpsQueries {
         |         / 10000 END AS avg_kn_logprob
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin),
 
+    // WordPiece greedy longest-match inference against a planted literal
+    // vocabulary (the deploy half of t48's merge learning): per-doc
+    // piece/UNK counts; the oracle replays the greedy loop per DISTINCT
+    // word with a recursive CTE + longest-prefix lateral probe
+    ("t50_wordpiece_encode",
+      (s, sf) => {
+        val enc = graft.ops.Bpe.wordPieceEncode(docs(s, sf), col("text"), WpVocab)
+        enc.select(col("doc_id"),
+          size(col("wp_tokens")).cast("long").as("n_pieces"),
+          size(filter(col("wp_tokens"),
+            p => p === graft.functions.WordPieceEncode.UnknownToken))
+            .cast("long").as("n_unk"))
+      },
+      wordPieceOracleSql(WpVocab)),
+
     // bucketed fact-dim join: both tables pre-hash-distributed into 8
     // buckets on the customer key (self-provisioned, idempotent per
     // session), joined with broadcast disabled — Catalyst reads the
@@ -7036,6 +7051,62 @@ object OpsQueries {
     * reuse the whole training derivation, run ONE more unrolled
     * segmentation pass under the final vocabulary, and join per-word
     * piece counts back to word instances per document. */
+  /** Fixed WordPiece vocabulary for the t50 encode gate: full ASCII
+    * letter/digit singles (start + `##` continuation forms) so ordinary
+    * words always segment, plus multi-char pieces that exercise the
+    * longest-match-first rule; punctuation stays OUT so words carrying
+    * it exercise the whole-word-[UNK] contract. */
+  // lazy: referenced from oracleSuite's eager construction, which runs
+  // before this point of the object body initializes
+  private lazy val WpVocab: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      (('a' to 'z') ++ ('0' to '9')).map(c => s"##$c") ++
+      Seq("the", "in", "re", "an", "er", "on", "at", "or", "data",
+        "spark", "stream", "##ing", "##ed", "##er", "##es", "##ion",
+        "##s", "##e", "##d", "##am", "##ta")
+
+  /** DuckDB twin of [[graft.ops.Bpe.wordPieceEncode]] + the t50 count
+    * reduction: the greedy longest-match loop replays per DISTINCT word
+    * as a recursive CTE whose step consumes one piece (a lateral probe
+    * picks the LONGEST vocab prefix at the cursor; no match → the whole
+    * word is one [UNK], the reference WordPiece contract), then joins
+    * back to the per-doc word explode. */
+  private def wordPieceOracleSql(vocab: Seq[String]): String = {
+    val vlist = vocab.map(v => s"'$v'").mkString(", ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |words AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |step(w, n, pos, np, unk, done) AS (
+       |    SELECT w, len(w), 0::BIGINT, 0::BIGINT,
+       |      len(w) > 100, len(w) > 100
+       |    FROM dw
+       |  UNION ALL
+       |    SELECT w, n,
+       |      CASE WHEN l IS NULL THEN n ELSE pos + l END,
+       |      CASE WHEN l IS NULL THEN 0 ELSE np + 1 END,
+       |      l IS NULL,
+       |      l IS NULL OR pos + l >= n
+       |    FROM (SELECT s.*,
+       |        list_max(list_filter(range(1, (s.n - s.pos + 1)::INT),
+       |          ll -> list_contains([$vlist],
+       |            (CASE WHEN s.pos > 0 THEN '##' ELSE '' END)
+       |              || substr(s.w, (s.pos + 1)::INT, ll::INT)))) AS l
+       |      FROM step s WHERE NOT s.done)),
+       |enc AS (SELECT w,
+       |    CASE WHEN unk THEN 1 ELSE np END AS np,
+       |    CASE WHEN unk THEN 1 ELSE 0 END AS nu
+       |  FROM step WHERE done),
+       |agg AS (SELECT doc_id, sum(e.np)::BIGINT AS n_pieces,
+       |    sum(e.nu)::BIGINT AS n_unk
+       |  FROM words JOIN enc e USING (w) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(agg.n_pieces, 0)::BIGINT AS n_pieces,
+       |  coalesce(agg.n_unk, 0)::BIGINT AS n_unk
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   private def unigramEncodeOracleSql(L: Int = 4, seedSize: Int = 80,
       vocabSize: Int = 30, emIters: Int = 2, pruneRounds: Int = 2,
       maxWordLen: Int = 12): String = {

@@ -331,6 +331,9 @@ object VectorFunctions {
       exprs => KeywordTags(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_prefix52", exprs => Md5Prefix52(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wordpiece",
+      exprs => WordPieceEncode(exprs.head, exprs(1)), "built-in")
     HashFunctions.register(spark)
   }
 

@@ -160,4 +160,21 @@ object Bpe {
           case (acc, (l, r)) => applyMerge(acc, l, r)
         })))
   }
+
+  /** WordPiece INFERENCE against a fixed vocabulary (`##`-prefixed
+    * continuations, `[UNK]` for unmatchable words) — greedy longest-
+    * match-first per word via the codegen'd
+    * [[graft.functions.WordPieceEncode]] expression, a pure scan-stage
+    * pass (the vocabulary hash-indexes once per executor off the plan
+    * literal). The learning half is [[learnWordPieceMerges]]; this is
+    * the deploy half every serving/feature pipeline runs per row.
+    * Output: original columns + `wp_tokens` (array of subword strings,
+    * word boundaries discarded). */
+  def wordPieceEncode(df: DataFrame, text: Column, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "wordPieceEncode needs a non-empty vocab")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.withColumn("wp_tokens",
+      flatten(transform(TextOps.tokens(text),
+        w => call_function("graft_wordpiece", w, typedLit(vocab)))))
+  }
 }

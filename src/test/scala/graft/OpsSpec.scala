@@ -3413,6 +3413,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0.0)), "sub-bigram doc scores 0 with 0 bigrams")
   }
 
+  test("wordPieceEncode: greedy longest match, ## continuations, whole-word UNK") {
+    val vocab = Seq("un", "##aff", "##able", "##ffa", "u", "n", "hello", "##o", "b")
+    val long = "x" * 101
+    val df = Seq((1L, s"unaffable hello bz $long")).toDF("id", "text")
+    val out = graft.ops.Bpe.wordPieceEncode(df, col("text"), vocab)
+      .head().getSeq[String](2)
+    assert(out == Seq("un", "##aff", "##able", "hello", "[UNK]", "[UNK]"),
+      s"got $out")
+    // interpreted (non-codegen) eval agrees with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val expr = graft.functions.WordPieceEncode(
+      Literal.create("unaffable", StringType),
+      Literal.create(vocab, ArrayType(StringType)))
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until interp.numElements()).map(interp.getUTF8String(_).toString)
+      == Seq("un", "##aff", "##able"))
+  }
+
   test("psiDrift: identical distributions score 0, a planted shift scores > 0.25") {
     val same = (Seq.fill(5)(("r", 1L)) ++ Seq.fill(5)(("c", 1L)) ++
       Seq.fill(5)(("r", 2L)) ++ Seq.fill(5)(("c", 2L))).toDF("s", "b")
