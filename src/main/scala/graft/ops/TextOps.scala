@@ -14,6 +14,25 @@ object TextOps {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(text)), "\\s+"))
 
+  /** Per-row (doc_id, w1, w2) bigram pairs in position order, duplicates
+    * kept — via the native codegen'd WordGrams scan split at its single
+    * separator space. NOT a transform(sequence, element_at(tokens…)) HOF:
+    * higher-order lambdas get no common-subexpression elimination, so
+    * each element_at re-ran the whole regex split — O(words²) per doc,
+    * ~20 s/pass at sf0.1 where this shape costs 0.3 s (the same finding
+    * that produced WordGrams for t23; measured rediscovery in round 15:
+    * Bench's `.count()` had been pruning the quadratic branch, so only
+    * full materialization showed it). */
+  private[ops] def bigramPairs(d: DataFrame, idc: Column, t: Column): DataFrame = {
+    graft.functions.VectorFunctions.register(d.sparkSession)
+    val grams = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(graft.functions.HashFunctions.wordGrams(lower(trim(t)), 2))
+    d.select(idc.as("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: whitespace tokens plus an extra unit per
@@ -675,22 +694,12 @@ object TextOps {
       refText: Column = col("text")): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val ref = reference.getOrElse(df)
-    def bigrams(d: DataFrame, idc: Column, t: Column) = {
-      val toks = tokens(t)
-      d.select(idc.as("doc_id"),
-          when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-            .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
-              struct(element_at(toks, i + 1).as("w1"),
-                element_at(toks, i + 2).as("w2")))).as("bgs"))
-        .select(col("doc_id"), explode(col("bgs")).as("bg"))
-        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    }
-    val refBg = bigrams(ref, lit(0L), refText)
+    val refBg = bigramPairs(ref, lit(0L), refText)
     val c12 = refBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = ref.select(explode(tokens(refText)).as("t"))
       .agg(countDistinct(col("t"))).head().getLong(0)
-    val docBg = bigrams(df, id, text)
+    val docBg = bigramPairs(df, id, text)
     val lp = docBg
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -726,38 +735,40 @@ object TextOps {
     * summed (order-free, the t18 discipline); P itself is a fixed IEEE
     * chain over exact integer counts, identical both engines.
     *
-    * Plan at 100 TB: all four LM tables (bigram counts, left totals,
-    * left/right continuation fan-outs) are map-side-combined aggregates
-    * of the ONE bigram explode; scoring re-joins them on (w₁,w₂)/(w₁)/
-    * (w₂) — skew-splittable hash joins — and re-aggregates per doc.
-    * Output: (doc_id, n_bigrams, avg_kn_logprob). */
+    * Plan at 100 TB: the bigram TYPE table (LM-vocab-sized, orders of
+    * magnitude below corpus bytes) is localCheckpoint'ed once, every LM
+    * statistic (left totals, left/right continuation fan-outs, B)
+    * derives from it without re-exploding the corpus, and the per-type
+    * ln-prob is computed ON the type table — so the corpus-sized bigram
+    * stream shuffles through exactly ONE scoring join, not one per LM
+    * table (the first cut joined bg against three tables and ran 4×
+    * slower). Output: (doc_id, n_bigrams, avg_kn_logprob). */
   def kneserNeyLogProb(df: DataFrame, id: Column, text: Column,
       delta: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
-    val toks = tokens(text)
-    val bg = df.select(id.as("doc_id"),
-        when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
-            struct(element_at(toks, i + 1).as("w1"),
-              element_at(toks, i + 2).as("w2")))).as("bgs"))
-      .select(col("doc_id"), explode(col("bgs")).as("b"))
-      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bg = bigramPairs(df, id, text)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    // left totals + left continuation fan-out from the TYPE table (one
-    // pass over pair counts, not over raw bigrams)
+      .localCheckpoint() // LM-vocab-sized; every statistic derives from it
+    val b = c12.count() // distinct bigram types — reads the checkpoint
+    // left totals + continuation fan-outs from the TYPE table (passes
+    // over pair counts, never over raw bigrams)
     val left = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1pl"))
     val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1pr"))
-    val b = c12.count() // distinct bigram types — LM-vocab-sized driver scalar
     val p = (col("c12").cast("double") - delta) / col("c1").cast("double") +
       lit(delta) * col("n1pl").cast("double") / col("c1").cast("double") *
         (col("n1pr").cast("double") / b.toDouble)
-    val lp = bg.join(c12, Seq("w1", "w2")).join(left, Seq("w1"))
-      .join(right, Seq("w2"))
-      .select(col("doc_id"),
+    val scored = c12.join(left, Seq("w1")).join(right, Seq("w2"))
+      .select(col("w1"), col("w2"),
         (floor(log(p) * 10000 + 0.5) / 10000)
           .cast(DecimalType(28, 4)).as("lp4"))
+    // shuffle-hash, build on the type table: Catalyst's size estimate
+    // for bg is the (tiny) parquet bytes BEHIND the explode, so left to
+    // itself it broadcasts the corpus-sized bigram stream — 20 s/query
+    // at sf0.1 and a driver OOM at scale
+    val lp = bg.join(scored.hint("shuffle_hash"), Seq("w1", "w2"))
+      .select(col("doc_id"), col("lp4"))
     df.select(id.as("doc_id")).join(
         lp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"),
           sum(col("lp4")).as("sum4")),
