@@ -6581,6 +6581,90 @@ object OpsQueries {
         |    * 1e8 + 0.5) / 1e8 AS lambda8
         |FROM m""".stripMargin),
 
+    // Welch's unequal-variance t-test (purchase vs error values): exact
+    // decimal (n, Σy, Σy²) per side, fixed IEEE t/dof chain, 6-dp floors
+    ("a28_welch_ttest",
+      (s, sf) => graft.ops.Profile.welchTTest(
+        EventStreams.readEvents(s, s"$sf/events.parquet"),
+        col("event_type") === "purchase", col("event_type") === "error",
+        col("value")),
+      """WITH y AS (SELECT event_type,
+        |    CAST(floor(value * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS y
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |a AS (SELECT count(*)::BIGINT AS n_a, CAST(sum(y) AS DOUBLE) AS s_a,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS q_a
+        |  FROM y WHERE event_type = 'purchase'),
+        |b AS (SELECT count(*)::BIGINT AS n_b, CAST(sum(y) AS DOUBLE) AS s_b,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS q_b
+        |  FROM y WHERE event_type = 'error'),
+        |m AS (SELECT n_a, n_b,
+        |    s_a / n_a::DOUBLE AS ma, s_b / n_b::DOUBLE AS mb,
+        |    (q_a - s_a * s_a / n_a::DOUBLE) / (n_a::DOUBLE - 1) / n_a::DOUBLE AS va,
+        |    (q_b - s_b * s_b / n_b::DOUBLE) / (n_b::DOUBLE - 1) / n_b::DOUBLE AS vb
+        |  FROM a, b)
+        |SELECT n_a, n_b,
+        |  floor(ma * 1e6 + 0.5) / 1e6 AS mean_a6,
+        |  floor(mb * 1e6 + 0.5) / 1e6 AS mean_b6,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0 THEN
+        |    floor((ma - mb) / sqrt(va + vb) * 1e6 + 0.5) / 1e6 END AS t6,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0 THEN
+        |    floor((va + vb) * (va + vb)
+        |      / (va * va / (n_a::DOUBLE - 1) + vb * vb / (n_b::DOUBLE - 1))
+        |      * 1e6 + 0.5) / 1e6 END AS dof6
+        |FROM m""".stripMargin),
+
+    // incremental rollup maintenance under the e11 CDC batch: the
+    // maintained (grp, count, len-sum) rollup — old ⊖ touched-old ⊕
+    // surviving-new, never a full rescan — must EQUAL the oracle's
+    // from-scratch rollup of the merged table
+    ("e13_rollup_maintain",
+      (s, sf) => {
+        val d = docs(s, sf).select(col("doc_id"), col("text"))
+        val u1 = d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v1")).as("text"),
+            lit(1L).as("seq"), lit("U").as("op"))
+        val u2 = d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+            lit(2L).as("seq"), lit("U").as("op"))
+        val d3 = d.filter(col("doc_id") % 15 === 0)
+          .select(col("doc_id"), lit("").as("text"),
+            lit(3L).as("seq"), lit("D").as("op"))
+        val dr = d.filter(col("doc_id") % 15 === 7)
+          .select(col("doc_id"), lit("").as("text"),
+            lit(1L).as("seq"), lit("D").as("op"))
+        val ir = d.filter(col("doc_id") % 15 === 7)
+          .select(col("doc_id"), lit("resurrected").as("text"),
+            lit(2L).as("seq"), lit("I").as("op"))
+        val changes = u2.unionByName(dr).unionByName(d3)
+          .unionByName(u1).unionByName(ir)
+        graft.ops.LakeOps.maintainRollup(d, changes, "doc_id", "seq", "op",
+          col("doc_id") % 7,
+          Seq("len_sum" -> length(col("text")).cast("long")))
+      },
+      """WITH c AS (
+        |  SELECT doc_id, text || ' v1' AS text, 1 AS seq, 'U' AS op
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, text || ' v2', 2, 'U'
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, '', 3, 'D'
+        |    FROM documents WHERE doc_id % 15 = 0
+        |  UNION ALL SELECT doc_id, '', 1, 'D'
+        |    FROM documents WHERE doc_id % 15 = 7
+        |  UNION ALL SELECT doc_id, 'resurrected', 2, 'I'
+        |    FROM documents WHERE doc_id % 15 = 7),
+        |latest AS (SELECT doc_id, text, op FROM (
+        |  SELECT doc_id, text, op,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC, op ASC) AS rn
+        |  FROM c) WHERE rn = 1),
+        |merged AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+        |  UNION ALL
+        |  SELECT doc_id, text FROM latest WHERE upper(op) <> 'D')
+        |SELECT doc_id % 7 AS grp, count(*)::BIGINT AS n_rows,
+        |  sum(len(text))::BIGINT AS len_sum
+        |FROM merged GROUP BY 1""".stripMargin),
+
     // difference-in-differences on purchase values (treat = odd users,
     // post = second half of the month): the four cell means publish
     // 8-dp-floored from exact DECIMAL sums, and did8 recombines the

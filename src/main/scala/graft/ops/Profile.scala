@@ -653,6 +653,49 @@ object Profile {
         r8(covN * covN / (varxN * varyN))).as("r2_8"))
   }
 
+  /** Welch's unequal-variance t-test between two samples — the "are
+    * these two means actually different" companion to [[ksTwoSample]]
+    * (KS asks about the whole distribution; Welch about the mean, the
+    * usual A/B metric question when variances differ): t = (m₁−m₂) /
+    * √(s₁²/n₁ + s₂²/n₂) with Welch–Satterthwaite degrees of freedom.
+    *
+    * Determinism: values are 6-dp floored to DECIMAL and the per-sample
+    * (n, Σy, Σy²) sums are exact; the closed-form t/dof arithmetic is a
+    * fixed IEEE chain over those sums (identical both engines), 6-dp
+    * floored. Degenerate inputs (either n < 2, or both variances 0) →
+    * NULL t/dof.
+    *
+    * Plan at 100 TB: one scan, one two-row map-side-combined aggregate.
+    * Output: one row (n_a, n_b, mean_a6, mean_b6, t6, dof6). */
+  def welchTTest(df: DataFrame, inA: Column, inB: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val y6 = (floor(value.cast("double") * 1e6 + 0.5) / 1e6)
+      .cast(DecimalType(18, 6))
+    def side(cond: Column, tag: String) =
+      df.filter(cond).select(y6.as("__y"))
+        .agg(count(lit(1)).as(s"n_$tag"), sum(col("__y")).as(s"s_$tag"),
+          sum((col("__y") * col("__y")).cast(DecimalType(38, 12)))
+            .as(s"q_$tag"))
+    val j = side(inA, "a").crossJoin(broadcast(side(inB, "b")))
+    def stats(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      val s = col(s"s_$tag").cast("double")
+      val q = col(s"q_$tag").cast("double")
+      val m = s / n
+      val v = (q - s * s / n) / (n - 1) // sample variance
+      (n, m, v / n)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    def f6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && (va + vb) > 0
+    j.select(col("n_a"), col("n_b"), f6(ma).as("mean_a6"), f6(mb).as("mean_b6"),
+      when(ok, f6((ma - mb) / sqrt(va + vb))).as("t6"),
+      when(ok, f6((va + vb) * (va + vb)
+        / (va * va / (na - 1) + vb * vb / (nb - 1)))).as("dof6"))
+  }
+
   /** Population Stability Index between a reference and a current
     * population over a caller-supplied binning — the industry-standard
     * drift score next to the JSD/TVD drifts (t38/t26): PSI =

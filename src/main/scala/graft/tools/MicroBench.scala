@@ -24,7 +24,9 @@ object MicroBench {
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // full materialization via the noop sink — Bench's timing unit
+        // (count() lets Catalyst prune entire branches; see Bench.time)
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name: ${times.map(t => f"$t%.1f").mkString(" ")}")

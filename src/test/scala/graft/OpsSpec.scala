@@ -3473,6 +3473,46 @@ class OpsSpec extends AnyFunSuite {
     assert(one.getDouble(3) == 0.0, s"$one")
   }
 
+  test("welchTTest: hand samples match the closed form; degenerate side NULLs") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map(("b", _))).toDF("s", "v")
+    val r = graft.ops.Profile.welchTTest(df,
+      col("s") === "a", col("s") === "b", col("v")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    val (va, vb) = (1.0 / 3, (20.0 / 3) / 4)
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == f6((2.0 - 5.0) / math.sqrt(va + vb)), s"$r")
+    assert(r.getDouble(5) ==
+      f6((va + vb) * (va + vb) / (va * va / 2 + vb * vb / 3)), s"$r")
+    val degen = graft.ops.Profile.welchTTest(df,
+      col("s") === "a", col("v") === 8.0, col("v")).head()
+    assert(degen.isNullAt(4) && degen.isNullAt(5), "n_b=1 must NULL the test")
+  }
+
+  test("maintainRollup: delta algebra equals from-scratch rollup, emptied group drops") {
+    val base = Seq((1L, "aa"), (2L, "bbb"), (3L, "c"), (8L, "dd"))
+      .toDF("k", "t")
+    // k=1 updated twice (latest wins), k=3 deleted (group 3 mod 7 empties),
+    // k=9 inserted, k=8 delete-then-resurrect
+    val changes = Seq(
+      (1L, "xxxx", 2L, "U"), (1L, "yy", 1L, "U"),
+      (3L, "", 1L, "D"),
+      (9L, "zzzzz", 1L, "I"),
+      (8L, "", 1L, "D"), (8L, "e", 2L, "I"))
+      .toDF("k", "t", "seq", "op")
+    val maintained = graft.ops.LakeOps.maintainRollup(base, changes,
+      "k", "seq", "op", col("k") % 7, Seq("len" -> length(col("t")).cast("long")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = graft.ops.LakeOps.cdcApply(base, changes, "k", "seq", "op")
+    val scratch = merged.groupBy((col("k") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(length(col("t")).cast("long")).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(maintained == scratch, s"maintained $maintained vs scratch $scratch")
+    assert(!maintained.contains(3L), "emptied group must drop out")
+    assert(maintained(1L) == ((2L, 5L))) // grp 1 = k1 "xxxx"(4) + k8 "e"(1)
+  }
+
   test("seasonalDecompose: constant series → trend = y, seasonal = resid = 0 inside") {
     val rows = for (d <- 1 to 14; k <- 1 to 2)
       yield (f"2024-01-$d%02d 06:0$k:00", 1L)
