@@ -4785,6 +4785,51 @@ object OpsQueries {
         |  FROM hw JOIN g ON g.i = hw.i + 1)
         |SELECT day, v, l AS level8, b AS trend8 FROM hw""".stripMargin),
 
+    // Holt-Winters additive weekly smoothing: ts19 plus the seasonal
+    // recurrence; textbook two-week init, every state 8-dp floored per
+    // step, oracle's recursive CTE carries the rolling 7-slot seasonal
+    // list and re-derives level/trend/seasonal/forecast exactly
+    ("ts21_holt_winters",
+      (s, sf) => graft.ops.EventAnalytics.holtWintersDaily(
+        EventStreams.readEvents(s, s"$sf/events.parquet"), col("ts"),
+        alpha = 0.3, beta = 0.1, gamma = 0.2),
+      """WITH RECURSIVE
+        |daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS v FROM events GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT unnest(generate_series((SELECT d0 FROM span),
+        |    (SELECT d1 FROM span), INTERVAL 1 DAY))::DATE AS day),
+        |g AS (SELECT grid.day, coalesce(daily.v, 0)::BIGINT AS v,
+        |    row_number() OVER (ORDER BY grid.day) - 1 AS i
+        |  FROM grid LEFT JOIN daily USING (day)),
+        |init AS (SELECT
+        |    floor((SELECT sum(v) FROM g WHERE i < 7)::DOUBLE / 7.0
+        |      * 1e8 + 0.5) / 1e8 AS l0,
+        |    floor(((SELECT sum(v) FROM g WHERE i BETWEEN 7 AND 13)::DOUBLE / 7.0
+        |        - (SELECT sum(v) FROM g WHERE i < 7)::DOUBLE / 7.0) / 7.0
+        |      * 1e8 + 0.5) / 1e8 AS b0),
+        |s0 AS (SELECT list(floor((v - (SELECT l0 FROM init)) * 1e8 + 0.5) / 1e8
+        |    ORDER BY i) AS s FROM g WHERE i < 7),
+        |hw(i, day, v, l, b, seas, f) AS (
+        |  SELECT 6::BIGINT, g.day, g.v, (SELECT l0 FROM init),
+        |    (SELECT b0 FROM init), (SELECT s FROM s0), NULL::DOUBLE
+        |  FROM g WHERE i = 6
+        |  UNION ALL
+        |  SELECT i, day, v, lnew,
+        |    floor((0.1::DOUBLE * (lnew - l) + (1 - 0.1::DOUBLE) * b)
+        |      * 1e8 + 0.5) / 1e8,
+        |    list_append(seas[2:7],
+        |      floor((0.2::DOUBLE * (v - lnew) + (1 - 0.2::DOUBLE) * sold)
+        |        * 1e8 + 0.5) / 1e8),
+        |    floor((l + b + sold) * 1e8 + 0.5) / 1e8
+        |  FROM (SELECT g.i AS i, g.day AS day, g.v AS v, hw.l AS l, hw.b AS b,
+        |      hw.seas AS seas, hw.seas[1] AS sold,
+        |      floor((0.3::DOUBLE * (g.v - hw.seas[1])
+        |          + (1 - 0.3::DOUBLE) * (hw.l + hw.b)) * 1e8 + 0.5) / 1e8 AS lnew
+        |    FROM hw JOIN g ON g.i = hw.i + 1))
+        |SELECT day, v, l AS level8, b AS trend8, seas[7] AS seasonal8,
+        |  f AS forecast8
+        |FROM hw WHERE i >= 7""".stripMargin),
+
     ("ts18_growth_curve",
       (s, sf) => graft.ops.EventAnalytics.userGrowthCurve(
         EventStreams.readEvents(s, s"$sf/events.parquet"),

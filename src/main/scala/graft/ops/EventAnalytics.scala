@@ -608,6 +608,61 @@ object EventAnalytics {
     out.result().toDF("day", "v", "level8", "trend8")
   }
 
+  /** Holt-Winters ADDITIVE seasonal smoothing of the daily volume
+    * (weekly season, m = 7) — [[holtLinearDaily]] plus the seasonal
+    * recurrence real traffic needs (a weekend dip reads as trend change
+    * to plain Holt):
+    *   l_t = α(y_t − s_{t−7}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)s_{t−7}
+    * Textbook init from the first two weeks: l = mean(week 1),
+    * b = (mean(week 2) − mean(week 1))/7, s_i = y_i − l for the first
+    * seven days (needs ≥ 14 grid days — enforced loudly).
+    *
+    * Same determinism/scale contract as [[holtLinearDaily]]: the day
+    * collapse is the one distributed aggregate; the sequential
+    * recursion folds over the span-bounded grid driver-side with every
+    * state 8-dp floored per step, so the oracle replays it exactly
+    * (recursive CTE carrying the rolling 7-slot seasonal list).
+    * Output (days 8+): (day, v, level8, trend8, seasonal8, forecast8)
+    * where forecast8 is the one-step-ahead prediction made BEFORE
+    * seeing v — the residual v − forecast8 is the anomaly signal. */
+  def holtWintersDaily(events: DataFrame, ts: Column, alpha: Double = 0.3,
+      beta: Double = 0.1, gamma: Double = 0.2): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, s"alpha/beta/gamma out of (0,1): $alpha $beta $gamma")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.select(to_date(ts).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("v"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+      .orderBy(col("day"))
+      .as[(java.sql.Date, Long)].collect()
+    require(grid.length >= 14,
+      s"Holt-Winters weekly init needs >= 14 grid days: ${grid.length}")
+    def q8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    val w1 = grid.slice(0, 7).map(_._2).sum / 7.0
+    val w2 = grid.slice(7, 14).map(_._2).sum / 7.0
+    var l = q8(w1)
+    var b = q8((w2 - w1) / 7.0)
+    val seas = scala.collection.mutable.Queue(
+      grid.slice(0, 7).map(g => q8(g._2 - l)): _*)
+    val out = Vector.newBuilder[(java.sql.Date, Long, Double, Double, Double, Double)]
+    for ((day, v) <- grid.drop(7)) {
+      val sOld = seas.dequeue()
+      val f = q8(l + b + sOld)
+      val lNew = q8(alpha * (v - sOld) + (1.0 - alpha) * (l + b))
+      val bNew = q8(beta * (lNew - l) + (1.0 - beta) * b)
+      val sNew = q8(gamma * (v - lNew) + (1.0 - gamma) * sOld)
+      l = lNew; b = bNew; seas.enqueue(sNew)
+      out += ((day, v, l, b, sNew, f))
+    }
+    out.result().toDF("day", "v", "level8", "trend8", "seasonal8", "forecast8")
+  }
+
   def theilSenDailyTrend(events: DataFrame, ts: Column): DataFrame = {
     val daily = events.select(to_date(ts).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("v"))

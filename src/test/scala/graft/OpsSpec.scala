@@ -3513,6 +3513,29 @@ class OpsSpec extends AnyFunSuite {
     assert(maintained(1L) == ((2L, 5L))) // grp 1 = k1 "xxxx"(4) + k8 "e"(1)
   }
 
+  test("holtWintersDaily: constant series is a fixpoint; planted weekly dip learned") {
+    val rows = for (d <- 1 to 21; k <- 1 to 3)
+      yield (f"2024-01-$d%02d 06:0$k:00", 1L)
+    val df = rows.toDF("t", "x").select(col("t").cast("timestamp").as("ts"))
+    val got = graft.ops.EventAnalytics.holtWintersDaily(df, col("ts")).collect()
+    assert(got.length == 14)
+    got.foreach { r =>
+      assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 0.0 &&
+        r.getDouble(4) == 0.0 && r.getDouble(5) == 3.0, s"fixpoint broken: $r")
+    }
+    // weekly dip: day 7/14/21 have 1 event, others 3 — the dip day's
+    // seasonal component must be clearly negative, flat days near 0
+    val dip = for (d <- 1 to 28; k <- 1 to (if (d % 7 == 0) 1 else 3))
+      yield (f"2024-01-$d%02d 06:0$k:00", 1L)
+    val df2 = dip.toDF("t", "x").select(col("t").cast("timestamp").as("ts"))
+    val last = graft.ops.EventAnalytics.holtWintersDaily(df2, col("ts"))
+      .collect().takeRight(7)
+    val dipSeas = last.find(_.getLong(1) == 1).get.getDouble(4)
+    val flatSeas = last.filter(_.getLong(1) == 3).map(r => math.abs(r.getDouble(4)))
+    assert(dipSeas < -1.0, s"dip seasonal must be strongly negative: $dipSeas")
+    assert(flatSeas.forall(_ < 0.7), s"flat-day seasonals near 0: ${flatSeas.toSeq}")
+  }
+
   test("seasonalDecompose: constant series → trend = y, seasonal = resid = 0 inside") {
     val rows = for (d <- 1 to 14; k <- 1 to 2)
       yield (f"2024-01-$d%02d 06:0$k:00", 1L)
