@@ -881,6 +881,22 @@ object OpsQueries {
     // operator default; on clustered corpus shapes the spec holds full
     // recall at rerank = corpus/20 (2× the cluster size — the tie class
     // ADC cannot split).
+    // IVF+PQ composite (the FAISS-IVFADC deployment shape) on the
+    // clustered fixture: probe 6/16 lists, ADC-scan only their codes,
+    // exact re-rank of 150 — measured recall@10 over 20 queries vs the
+    // brute baseline must clear the pinned floor
+    ("s20_ann_ivfpq",
+      (s, _) => {
+        var idx: Similarity.IvfPqIndex = null
+        annRecallGateOn(s, clusteredEmb(s), floorPct = 90) { (corpus, qv) =>
+          if (idx == null)
+            idx = Similarity.buildIvfPq(corpus, col("vec_id"), col("embedding"),
+              nLists = 16, m = 8, kCode = 16)
+          idx.topK(qv, k = 10, nProbe = 6, rerank = 150)
+        }
+      },
+      "SELECT 20 AS n_queries, 90 AS floor_pct, true AS recall_floor_met"),
+
     ("s09_pq_topk",
       (s, sf) => {
         val e = emb(s, sf).filter(col("vec_id") =!= 0)

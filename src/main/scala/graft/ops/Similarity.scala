@@ -414,6 +414,56 @@ object Similarity {
     PqIndex(codesDf, normed.select(col("vec_id"), col("v")), codebooks, dsub, kCode)
   }
 
+  /** IVF + PQ composite index — the FAISS-IVFADC shape production ANN
+    * actually deploys: coarse k-means lists bound WHICH codes are
+    * scanned (the IVF story), PQ codes bound what each scanned row
+    * COSTS (the compression story). A query probes `nProbe` lists, ADC-
+    * scans only their codes (codegen'd [[graft.functions.PqAdc]] over
+    * ~nProbe/nLists of the corpus), and exactly re-ranks the top
+    * `rerank` candidates — at 100 TB that is a pruned scan-stage pass
+    * over 1–3% of the corpus bytes with a TakeOrdered head, no shuffle.
+    * Both sub-indexes are the proven components (s03's IVF, s09's PQ);
+    * the cluster column is joined onto the codes ONCE at build. */
+  final case class IvfPqIndex(centroids: Array[Array[Double]], pq: PqIndex,
+      codesWithCluster: org.apache.spark.sql.DataFrame) {
+    def topK(query: Seq[Double], k: Int, nProbe: Int, rerank: Int): DataFrame = {
+      VectorFunctions.register(codesWithCluster.sparkSession)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val probe = centroids.zipWithIndex
+        .sortBy { case (c, _) => -cos(query, c.toSeq) }
+        .take(nProbe).map(_._2).toSeq
+      val cand = codesWithCluster
+        .filter(col("cluster").isin(probe: _*))
+        .select(col("vec_id"),
+          VectorFunctions.pqAdc(col("codes"), pq.lut(query), pq.kCode).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(rerank)
+      pq.vectors.join(broadcast(cand), "vec_id")
+        .select(col("vec_id"),
+          VectorFunctions.cosine(col("v"), typedLit(query)).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+    }
+  }
+
+  /** Build the composite: one coarse IVF fit + one PQ fit, cluster ids
+    * joined onto the codes table once (build-time shuffle, query-time
+    * scan filter). */
+  def buildIvfPq(df: DataFrame, id: Column, vec: Column, nLists: Int,
+      m: Int, kCode: Int, seed: Long = 42L): IvfPqIndex = {
+    val ivf = buildIvf(df, id, vec, nLists, seed)
+    val pq = buildPq(df, id, vec, m, kCode, seed)
+    val cwc = pq.codes
+      .join(ivf.assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .cache()
+    IvfPqIndex(ivf.centroids, pq, cwc)
+  }
+
   /** Persist a PQ index: the compact codes and the full-precision
     * vectors as parquet tables, the codebooks (tiny — m·k·dsub doubles)
     * as one parquet table of (subspace, centroid, values). Build-once /
