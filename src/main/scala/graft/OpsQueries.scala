@@ -6832,6 +6832,80 @@ object OpsQueries {
         |         / 10000 END AS avg_kn_logprob
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin),
 
+    // Unicode-script histogram with planted Cyrillic/CJK/Arabic tails:
+    // counts via identical Java/RE2 codepoint-range classes, BMP-only so
+    // UTF-16 and codepoint lengths agree
+    ("t51_script_profile",
+      (s, sf) => graft.ops.TextOps.scriptProfile(
+        docs(s, sf).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 4 === 1, lit(" пример текст"))
+            .when(col("doc_id") % 4 === 2, lit(" 漢字試験"))
+            .when(col("doc_id") % 4 === 3, lit(" مرحبا بكم"))
+            .otherwise(lit(""))).as("t")),
+        col("doc_id"), col("t")),
+      """WITH b AS (SELECT doc_id, text || CASE doc_id % 4
+        |    WHEN 1 THEN ' пример текст' WHEN 2 THEN ' 漢字試験'
+        |    WHEN 3 THEN ' مرحبا بكم' ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, length(t)::BIGINT AS n_chars,
+        |    (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))::BIGINT AS latin,
+        |    (length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')))::BIGINT AS cyrillic,
+        |    (length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')))::BIGINT AS cjk,
+        |    (length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')))::BIGINT AS arabic,
+        |    (length(t) - length(regexp_replace(t, '[\x{AC00}-\x{D7AF}]', '', 'g')))::BIGINT AS hangul,
+        |    (length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')))::BIGINT AS greek,
+        |    (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))::BIGINT AS digit
+        |  FROM b WHERE length(t) > 0)
+        |SELECT doc_id, n_chars, latin, cyrillic, cjk, arabic, hangul, greek, digit,
+        |  floor(latin::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS latin_r4,
+        |  floor(cyrillic::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS cyrillic_r4,
+        |  floor(cjk::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS cjk_r4,
+        |  floor(arabic::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS arabic_r4,
+        |  floor(hangul::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS hangul_r4,
+        |  floor(greek::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS greek_r4,
+        |  floor(digit::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS digit_r4
+        |FROM c""".stripMargin),
+
+    // blocking-scheme audit on a dirty-copy fixture (10% of B rows get a
+    // prepended char that moves them out of their 2-char name block):
+    // reduction ratio + pairs completeness, all counts exact integers,
+    // candidate count from per-block size products — pairs never
+    // materialize
+    ("er04_blocking_quality",
+      (s, sf) => {
+        val cust = s.read.parquet(s"$sf/customer.parquet")
+        val a = cust.select(col("c_custkey").as("ka"), col("c_name"))
+        val b = cust.select(col("c_custkey").as("kb"),
+          when(col("c_custkey") % 10 === 0, concat(lit("X"), col("c_name")))
+            .otherwise(col("c_name")).as("bname"))
+        val truth = cust.select(col("c_custkey").as("ta"),
+          col("c_custkey").as("tb"))
+        graft.ops.Linkage.blockingQuality(
+          a, col("ka"), substring(col("c_name"), 1, 2),
+          b, col("kb"), substring(col("bname"), 1, 2),
+          truth, col("ta"), col("tb"))
+      },
+      """WITH a AS (SELECT c_custkey AS ka, left(c_name, 2) AS blk FROM customer),
+        |b AS (SELECT c_custkey AS kb,
+        |    left(CASE WHEN c_custkey % 10 = 0 THEN 'X' || c_name
+        |         ELSE c_name END, 2) AS blk FROM customer),
+        |cand AS (SELECT coalesce(sum(ca * cb), 0)::DOUBLE AS n_cand FROM (
+        |    SELECT blk, count(*)::BIGINT AS ca FROM a GROUP BY 1) x
+        |  JOIN (SELECT blk, count(*)::BIGINT AS cb FROM b GROUP BY 1) y
+        |  USING (blk)),
+        |t AS (SELECT count(*)::BIGINT AS n_truth,
+        |    sum(CASE WHEN a.blk = b.blk THEN 1 ELSE 0 END)::BIGINT AS n_covered
+        |  FROM a JOIN b ON a.ka = b.kb),
+        |s AS (SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+        |    (SELECT count(*) FROM b)::BIGINT AS n_b)
+        |SELECT n_a, n_b, n_cand, n_truth, n_covered,
+        |  floor((1.0 - n_cand / (n_a::DOUBLE * n_b::DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS reduction6,
+        |  CASE WHEN n_truth > 0 THEN
+        |    floor(n_covered::DOUBLE / n_truth::DOUBLE * 1e6 + 0.5) / 1e6
+        |  END AS completeness6
+        |FROM s, cand, t""".stripMargin),
+
     // WordPiece greedy longest-match inference against a planted literal
     // vocabulary (the deploy half of t48's merge learning): per-doc
     // piece/UNK counts; the oracle replays the greedy loop per DISTINCT

@@ -720,6 +720,42 @@ object TextOps {
             * 10000 + 0.5) / 10000).as("avg_logprob"))
   }
 
+  /** Per-document Unicode-script histogram — the multilingual-corpus
+    * triage pass next to [[charsetProfile]]'s ascii/alpha ratios and
+    * t03's Latin-alphabet language ID: counts of Latin, Cyrillic, CJK,
+    * Arabic, Hangul, Greek, and digit characters plus each share of the
+    * doc (4-dp floored). Mixed-script docs (injected spam, wrong-field
+    * scrapes) show up as no script holding a majority.
+    *
+    * Counts are `len(s) − len(regexp_replace(s, class, ""))` over BMP
+    * codepoint ranges — identical regex semantics in Java and RE2, and
+    * BMP-only keeps Spark's UTF-16 length and an oracle's codepoint
+    * length in agreement (astral chars would differ by design; this is
+    * a histogram, not a validator). One scan-stage projection, no
+    * shuffle. Output: (doc_id, n_chars, latin, cyrillic, cjk, arabic,
+    * hangul, greek, digit + *_r4 shares). */
+  def scriptProfile(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val classes = Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> "[\\u0400-\\u04FF]",
+      "cjk" -> "[\\u4E00-\\u9FFF]",
+      "arabic" -> "[\\u0600-\\u06FF]",
+      "hangul" -> "[\\uAC00-\\uD7AF]",
+      "greek" -> "[\\u0370-\\u03FF]",
+      "digit" -> "[0-9]")
+    val n = length(text)
+    val counts = classes.map { case (nm, cls) =>
+      (n - length(regexp_replace(text, cls, ""))).cast("long").as(nm)
+    }
+    val base = df.filter(length(text) > 0)
+      .select(id.as("doc_id") +: n.cast("long").as("n_chars") +: counts: _*)
+    base.select(col("doc_id") +: col("n_chars") +:
+      (classes.map(c => col(c._1)) ++ classes.map { case (nm, _) =>
+        (floor(col(nm).cast("double") / col("n_chars").cast("double")
+          * 10000 + 0.5) / 10000).as(s"${nm}_r4")
+      }): _*)
+  }
+
   /** Per-document average log-probability under an interpolated
     * Kneser-Ney bigram LM fit on the corpus itself — the smoothing real
     * LM-based quality filters use where [[bigramLogProb]] uses add-α:

@@ -3433,6 +3433,30 @@ class OpsSpec extends AnyFunSuite {
       == Seq("un", "##aff", "##able"))
   }
 
+  test("scriptProfile: mixed-script doc counted per class, empty doc dropped") {
+    val df = Seq((1L, "abc кир 漢 12"), (2L, "")).toDF("doc_id", "t")
+    val rows = graft.ops.TextOps.scriptProfile(df, col("doc_id"), col("t")).collect()
+    assert(rows.length == 1, "empty doc must drop")
+    val r = rows(0)
+    assert(r.getLong(1) == 12 && r.getLong(2) == 3 && r.getLong(3) == 3 &&
+      r.getLong(4) == 1 && r.getLong(8) == 2, s"$r") // latin cyr cjk digit
+    assert(r.getDouble(9) == 0.25 && r.getDouble(11) == 0.0833, s"$r")
+  }
+
+  test("blockingQuality: per-block products, moved entity costs completeness") {
+    val a = Seq((1L, "ab"), (2L, "ac"), (3L, "zz")).toDF("k", "n")
+    val b = Seq((1L, "ab"), (2L, "ac"), (3L, "xz")).toDF("k", "n")
+    val truth = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("ta", "tb")
+    val r = graft.ops.Linkage.blockingQuality(
+      a, col("k"), substring(col("n"), 1, 1),
+      b, col("k"), substring(col("n"), 1, 1),
+      truth, col("ta"), col("tb")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 4.0, s"candidates: $r") // block 'a': 2×2
+    assert(r.getLong(3) == 3 && r.getLong(4) == 2, s"truth/covered: $r")
+    assert(r.getDouble(5) == 0.555556 && r.getDouble(6) == 0.666667, s"$r")
+  }
+
   test("psiDrift: identical distributions score 0, a planted shift scores > 0.25") {
     val same = (Seq.fill(5)(("r", 1L)) ++ Seq.fill(5)(("c", 1L)) ++
       Seq.fill(5)(("r", 2L)) ++ Seq.fill(5)(("c", 2L))).toDF("s", "b")
