@@ -165,4 +165,77 @@ class OpsPropertySpec extends AnyFunSuite {
       assert(run().toSeq == got.toSeq, "same salt must redraw identically")
     }
   }
+
+  test("ksTwoSample laws: D in [0,1], swap-symmetric, brute ECDF model agrees") {
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0, 8).map(_.toDouble) // ties likely
+      } yield (s, v))
+    } yield rows
+    for (rows <- cases(gen, 12)
+         if rows.exists(_._1 == "a") && rows.exists(_._1 == "b")) {
+      val df = rows.toDF("s", "v")
+      val r = graft.ops.Profile.ksTwoSample(df,
+        col("s") === "a", col("s") === "b", col("v")).head()
+      val rSwap = graft.ops.Profile.ksTwoSample(df,
+        col("s") === "b", col("s") === "a", col("v")).head()
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(3) == rSwap.getDouble(3), "KS must be symmetric")
+      // brute model: max over pooled values of |F_a − F_b|
+      val a = rows.filter(_._1 == "a").map(_._2)
+      val b = rows.filter(_._1 == "b").map(_._2)
+      val d = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.size
+          - b.count(_ <= v).toDouble / b.size)
+      }.max
+      assert(r.getDouble(3) == math.floor(d * 1e8 + 0.5) / 1e8,
+        s"model D=$d vs ${r.getDouble(3)} on $rows")
+    }
+  }
+
+  test("psiDrift law: nonnegative, zero iff identical bin distributions") {
+    val gen = for {
+      n <- Gen.choose(2, 30)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("r", "c")
+        bin <- Gen.choose(0L, 4L)
+      } yield (s, bin))
+    } yield rows
+    for (rows <- cases(gen, 12)
+         if rows.exists(_._1 == "r") && rows.exists(_._1 == "c")) {
+      val df = rows.toDF("s", "b")
+      val psi = graft.ops.Profile.psiDrift(df,
+        col("s") === "r", col("s") === "c", col("b")).head().getDouble(3)
+      // 6-dp per-term floors can nudge a near-zero total one grid step
+      // below zero; the law is nonnegativity of the true statistic
+      assert(psi >= -1e-5, s"PSI must be (floor-)nonnegative: $psi on $rows")
+    }
+    val same = (0L to 3L).flatMap(b =>
+      Seq.fill(3)(("r", b)) ++ Seq.fill(3)(("c", b))).toDF("s", "b")
+    assert(graft.ops.Profile.psiDrift(same,
+      col("s") === "r", col("s") === "c", col("b")).head().getDouble(3) == 0.0)
+  }
+
+  test("modularity law: Q <= 1 and all-one-community Q = 0 on random graphs") {
+    val gen = for {
+      m <- Gen.choose(3, 20)
+      edges <- Gen.listOfN(m, for {
+        u <- Gen.choose(0L, 9L); v <- Gen.choose(0L, 9L)
+      } yield (u, v))
+    } yield edges.filter(e => e._1 != e._2)
+    for (edges <- cases(gen, 10) if edges.nonEmpty) {
+      val e = edges.toDF("a", "b")
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("n")
+      val q = graft.ops.Graph.modularity(e, col("a"), col("b"),
+          nodes, col("n"), col("n") % 3)
+        .agg(sum(col("term8"))).head().getDouble(0)
+      assert(q <= 1.0 + 1e-6, s"Q=$q on $edges")
+      val q1 = graft.ops.Graph.modularity(e, col("a"), col("b"),
+          nodes, col("n"), lit(0L))
+        .agg(sum(col("term8"))).head().getDouble(0)
+      assert(math.abs(q1) < 1e-6, s"one-community Q must be 0: $q1")
+    }
+  }
 }
