@@ -4801,6 +4801,38 @@ object OpsQueries {
         |  FROM hw JOIN g ON g.i = hw.i + 1)
         |SELECT day, v, l AS level8, b AS trend8 FROM hw""".stripMargin),
 
+    // nearest as-of join with a 2 h tolerance (pandas merge_asof
+    // direction='nearest'): exact microsecond distances, equal-distance
+    // ties resolve backward; the oracle states the DEFINITION directly
+    // (tolerance range join + distance rank), not the window algorithm
+    ("ts22_asof_nearest",
+      (s, sf) => {
+        val ev = EventStreams.readEvents(s, s"$sf/events.parquet")
+        val l = ev.filter(col("event_type") === "purchase")
+          .select((col("user_id") % 25).as("k"), col("ts"), col("event_id"))
+        val r = ev.filter(col("event_type") === "error")
+          .select((col("user_id") % 25).as("k"), col("ts"),
+            unix_micros(col("ts")).as("matched_us"), col("value").as("rval"))
+        graft.ops.TemporalJoin.asofJoinNearest(l, r, "k", "ts",
+          Seq("matched_us", "rval"), toleranceMicros = 7200000000L)
+          .select(col("event_id"), col("k"), col("matched_us"), col("rval"))
+      },
+      """WITH l AS (SELECT user_id % 25 AS k, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id % 25 AS k, ts AS rts, value FROM events
+        |  WHERE event_type = 'error'),
+        |j AS (SELECT l.event_id, r.rts, r.value,
+        |    abs(epoch_us(l.ts) - epoch_us(r.rts)) AS d,
+        |    CASE WHEN epoch_us(r.rts) <= epoch_us(l.ts) THEN 0 ELSE 1 END AS fwd
+        |  FROM l JOIN r ON l.k = r.k
+        |    AND abs(epoch_us(l.ts) - epoch_us(r.rts)) <= 7200000000),
+        |best AS (SELECT event_id, rts, value,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY d, fwd) AS rn
+        |  FROM j)
+        |SELECT l.event_id, l.k, epoch_us(b.rts)::BIGINT AS matched_us,
+        |  b.value AS rval
+        |FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)""".stripMargin),
+
     // Holt-Winters additive weekly smoothing: ts19 plus the seasonal
     // recurrence; textbook two-week init, every state 8-dp floored per
     // step, oracle's recursive CTE carries the rolling 7-slot seasonal
@@ -6548,6 +6580,38 @@ object OpsQueries {
         |    * (p1_6 * (1.0 - p1_6) + (p1_6 + 0.02) * (1.0 - (p1_6 + 0.02)))
         |    / (0.02 * 0.02)) AS BIGINT) AS n_per_arm
         |FROM p""".stripMargin),
+
+    // degree assortativity of the part-supplier graph: Pearson over
+    // endpoint degrees of the doubled edge list, every moment an exact
+    // int128 sum, one IEEE division 8-dp floored (bipartite-ish fixture
+    // → expect r < 0)
+    ("g15_assortativity",
+      (s, sf) => graft.ops.Graph.degreeAssortativity(
+        s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_orderkey") % 11 === 0),
+        col("l_partkey"), col("l_suppkey") + 1000000L),
+      """WITH e AS (SELECT DISTINCT least(l_partkey, l_suppkey + 1000000) AS u,
+        |    greatest(l_partkey, l_suppkey + 1000000) AS v
+        |  FROM lineitem
+        |  WHERE l_orderkey % 11 = 0 AND l_partkey <> l_suppkey + 1000000),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |p AS (SELECT a.d AS du, b.d AS dv FROM e
+        |  JOIN deg a ON a.n = e.u JOIN deg b ON b.n = e.v),
+        |dd AS (SELECT du AS x, dv AS y FROM p
+        |  UNION ALL SELECT dv, du FROM p),
+        |m AS (SELECT count(*)::BIGINT AS n2,
+        |    sum(x::HUGEINT)::DOUBLE AS sx,
+        |    sum(x::HUGEINT * x::HUGEINT)::DOUBLE AS sxx,
+        |    sum(x::HUGEINT * y::HUGEINT)::DOUBLE AS sxy
+        |  FROM dd),
+        |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+        |SELECT (n2 / 2)::BIGINT AS n_edges, n_nodes,
+        |  CASE WHEN n2::DOUBLE * sxx - sx * sx > 0 THEN
+        |    floor((n2::DOUBLE * sxy - sx * sx)
+        |      / (n2::DOUBLE * sxx - sx * sx) * 1e8 + 0.5) / 1e8
+        |  END AS r8
+        |FROM m, nn""".stripMargin),
 
     // Newman modularity of a given labeling (community = node mod 7 on
     // the bipartite part-supplier graph): the partition EVALUATOR —

@@ -483,6 +483,48 @@ object Graph {
           * 1e8 + 0.5) / 1e8)
   }
 
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the (doubled, so direction-free) undirected edge list: r > 0
+    * means hubs attach to hubs (social-network shape), r < 0 means hubs
+    * attach to leaves (hub-and-spoke / bipartite-ish — the shape that
+    * makes hot-key salting matter). The one-number complement to g05's
+    * degree histogram for deciding skew strategy.
+    *
+    * Exactness: degrees are integers, every moment sum over the doubled
+    * edge list is an exact DECIMAL(38,0) integer; one IEEE closed-form
+    * correlation at the end, 8-dp floored. Degenerate (uniform degrees)
+    * → NULL r8. Plan: canonical edge dedup, one degree aggregate, two
+    * degree joins, one moment aggregate — all map-side combinable.
+    * Output: one row (n_edges, n_nodes, r8). */
+  def degreeAssortativity(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val pairs = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    // doubled: each edge contributes (du,dv) AND (dv,du) — x/y moments
+    // coincide, so track one side's sums over the doubled list
+    val doubled = pairs.select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(pairs.select(col("dv").as("x"), col("du").as("y")))
+    def d0(c: Column) = c.cast(DecimalType(38, 0))
+    val m = doubled.agg(count(lit(1)).as("n2"),
+      sum(d0(col("x"))).as("sx"), sum(d0(col("x")) * d0(col("x"))).as("sxx"),
+      sum(d0(col("x")) * d0(col("y"))).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val n2 = col("n2").cast("double")
+    val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+    val sxy = col("sxy").cast("double")
+    val num = n2 * sxy - sx * sx
+    val den = n2 * sxx - sx * sx
+    m.crossJoin(broadcast(nodes))
+      .select((col("n2") / 2).cast("bigint").as("n_edges"), col("n_nodes"),
+        when(den > 0, floor(num / den * 1e8 + 0.5) / 1e8).as("r8"))
+  }
+
   /** Newman modularity of a GIVEN community assignment — the partition
     * evaluator that scores any labeling (label propagation's, connected
     * components', an external clusterer's): per community c,

@@ -71,6 +71,64 @@ object TemporalJoin {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv_$c").as(c)): _*)
   }
 
+  /** NEAREST as-of join with a tolerance — pandas `merge_asof
+    * (direction='nearest', tolerance=...)`: each left row gains
+    * `rightVals` from the right row minimizing |right.ts − left.ts|
+    * within `toleranceMicros`, ties at equal distance resolved BACKWARD
+    * (the past is the safer default for feature joins — no leakage).
+    * NULLs when no right row is in tolerance.
+    *
+    * Formulation: the [[asofJoinBackward]] union-window plan run in
+    * BOTH directions over one union — a backward `last(…)` fill
+    * (unbounded-preceding, right rows before left on ts ties) and a
+    * forward `first(…)` fill (current-row-to-unbounded-following) —
+    * then a per-row arbitration on exact integer microsecond distances
+    * (unix_micros; never truncated seconds, which would flip nearest
+    * decisions near the midpoint). Same cost bill as backward: one
+    * hash shuffle on `key`, one sort, two window passes over it; same
+    * hot-key exposure (route via slicing if a key dominates).
+    * Output: left columns + rightVals (null outside tolerance). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVals: Seq[String], toleranceMicros: Long): DataFrame = {
+    require(rightVals.nonEmpty, "asofJoinNearest needs at least one right value column")
+    require(toleranceMicros > 0, s"tolerance must be positive: $toleranceMicros")
+    val leftCols = left.columns.toSeq
+    val carried = rightVals :+ "__rts"
+    val rBase = right.select(
+      col(key) +: col(ts) +: (rightVals.map(c => col(c).as(s"__rv_$c")) :+
+        unix_micros(col(ts)).as("__rv___rts")): _*)
+    val lAligned = carried.foldLeft(left.withColumn("__side", lit(1))) {
+      (d, c) =>
+        val dt = if (c == "__rts") org.apache.spark.sql.types.LongType
+        else right.schema(c).dataType
+        d.withColumn(s"__rv_$c", lit(null).cast(dt))
+    }
+    val rAligned = leftCols.filterNot(c => c == key || c == ts)
+      .foldLeft(rBase.withColumn("__side", lit(0))) {
+        (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val u = lAligned.unionByName(rAligned)
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = carried.foldLeft(u) { (d, c) =>
+      d.withColumn(s"__b_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(wB))
+        .withColumn(s"__f_$c", first(col(s"__rv_$c"), ignoreNulls = true).over(wF))
+    }
+    val lm = unix_micros(col(ts))
+    val db = lm - col("__b___rts")   // >= 0 (incl. ties at 0)
+    val df = col("__f___rts") - lm   // > 0 (equal-ts rights land backward)
+    val useB = col("__b___rts").isNotNull && db <= toleranceMicros &&
+      (col("__f___rts").isNull || df > toleranceMicros || db <= df)
+    val useF = !useB && col("__f___rts").isNotNull && df <= toleranceMicros
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c =>
+        when(useB, col(s"__b_$c")).when(useF, col(s"__f_$c")).as(c)): _*)
+  }
+
   /** [[asofJoinBackward]] with the hot-key story: identical semantics,
     * but the heavy window partitions by (key, time-slice) instead of key
     * alone, so a key holding half the corpus spreads over all its slices'

@@ -3433,6 +3433,35 @@ class OpsSpec extends AnyFunSuite {
       == Seq("un", "##aff", "##able"))
   }
 
+  test("asofJoinNearest: direction, tolerance, and backward tie-break by hand") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, t("2024-01-01 10:00:00"), 100L),
+      (1L, t("2024-01-01 12:00:00"), 101L),
+      (1L, t("2024-01-01 23:00:00"), 102L),
+      (2L, t("2024-01-01 10:00:00"), 103L))
+      .toDF("k", "ts", "lid")
+    val r = Seq((1L, t("2024-01-01 09:30:00"), "b1"),
+      (1L, t("2024-01-01 12:20:00"), "f1"),
+      (2L, t("2024-01-01 09:00:00"), "eq"), (2L, t("2024-01-01 11:00:00"), "eq2"))
+      .toDF("k", "ts", "tag")
+    val got = graft.ops.TemporalJoin.asofJoinNearest(l, r, "k", "ts",
+        Seq("tag"), toleranceMicros = 3600L * 1000000)
+      .collect().map(x => x.getLong(2) -> Option(x.getString(3))).toMap
+    assert(got(100L) == Some("b1"), s"backward within 30min: $got")
+    assert(got(101L) == Some("f1"), s"forward 20min beats backward 2h30: $got")
+    assert(got(102L) == None, "nothing within 1h tolerance")
+    assert(got(103L) == Some("eq"), s"equal 1h distances tie backward: $got")
+  }
+
+  test("degreeAssortativity: star graph r = -1, regular graph NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val rs = graft.ops.Graph.degreeAssortativity(star, col("a"), col("b")).head()
+    assert(rs.getLong(0) == 3 && rs.getLong(1) == 4 && rs.getDouble(2) == -1.0, s"$rs")
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("a", "b")
+    val rc = graft.ops.Graph.degreeAssortativity(cycle, col("a"), col("b")).head()
+    assert(rc.isNullAt(2), s"uniform degrees must NULL r: $rc")
+  }
+
   test("scriptProfile: mixed-script doc counted per class, empty doc dropped") {
     val df = Seq((1L, "abc кир 漢 12"), (2L, "")).toDF("doc_id", "t")
     val rows = graft.ops.TextOps.scriptProfile(df, col("doc_id"), col("t")).collect()
