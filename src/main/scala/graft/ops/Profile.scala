@@ -665,19 +665,24 @@ object Profile {
     * floored. Degenerate inputs (either n < 2, or both variances 0) →
     * NULL t/dof.
     *
-    * Plan at 100 TB: one scan, one two-row map-side-combined aggregate.
+    * Plan at 100 TB: ONE scan, one single-row conditional aggregate —
+    * both sides' moments come out of the same pass (a row matching both
+    * predicates counts on both sides, the two-population contract).
     * Output: one row (n_a, n_b, mean_a6, mean_b6, t6, dof6). */
   def welchTTest(df: DataFrame, inA: Column, inB: Column,
       value: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val y6 = (floor(value.cast("double") * 1e6 + 0.5) / 1e6)
       .cast(DecimalType(18, 6))
-    def side(cond: Column, tag: String) =
-      df.filter(cond).select(y6.as("__y"))
-        .agg(count(lit(1)).as(s"n_$tag"), sum(col("__y")).as(s"s_$tag"),
-          sum((col("__y") * col("__y")).cast(DecimalType(38, 12)))
-            .as(s"q_$tag"))
-    val j = side(inA, "a").crossJoin(broadcast(side(inB, "b")))
+    val base = df.select(y6.as("__y"), inA.as("__a"), inB.as("__b"))
+      .filter(col("__a") || col("__b"))
+    def side(cond: Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, col("__y"))).as(s"s_$tag"),
+      sum(when(cond, (col("__y") * col("__y")).cast(DecimalType(38, 12))))
+        .as(s"q_$tag"))
+    val aggs = side(col("__a"), "a") ++ side(col("__b"), "b")
+    val j = base.agg(aggs.head, aggs.tail: _*)
     def stats(tag: String) = {
       val n = col(s"n_$tag").cast("double")
       val s = col(s"s_$tag").cast("double")
