@@ -334,6 +334,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_wordpiece",
       exprs => WordPieceEncode(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_encode",
+      exprs => BpeEncode(exprs.head, exprs(1)), "built-in")
     HashFunctions.register(spark)
   }
 

@@ -144,21 +144,23 @@ object Bpe {
   }
 
   /** Encode a text column with a learned merge table: tokenize, split
-    * each word to characters, and apply every merge in rank order.
-    * `mergeTable` is collected (vocabulary-sized — the artifact is
-    * bounded by numMerges) and the fold chain is built into the plan,
-    * so encoding is a pure scan-stage expression over the corpus.
+    * each word to characters, and apply every merge in rank order via
+    * the native codegen'd [[graft.functions.BpeEncode]] expression
+    * (`mergeTable` is collected — vocabulary-sized, bounded by
+    * numMerges — and planted as the plan literal; the previous
+    * formulation chained one interpreted `aggregate` fold per merge
+    * and cost ~9 s/pass at sf0.1 where the expression costs 0.3 s).
     * Output: original columns + `bpe_tokens` (array of subword strings,
     * word boundaries discarded). */
   def encode(df: DataFrame, text: Column, mergeTable: DataFrame): DataFrame = {
     val ms = mergeTable.select(col("rank"), col("lhs"), col("rhs"))
       .orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2)))
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val flat: Seq[String] = ms.toSeq.flatMap { case (l, r) => Seq(l, r) }
     df.withColumn("bpe_tokens",
       flatten(transform(TextOps.tokens(text),
-        w => ms.foldLeft(split(w, ""): Column) {
-          case (acc, (l, r)) => applyMerge(acc, l, r)
-        })))
+        w => call_function("graft_bpe_encode", w, typedLit(flat)))))
   }
 
   /** WordPiece INFERENCE against a fixed vocabulary (`##`-prefixed

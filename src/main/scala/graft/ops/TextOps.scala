@@ -513,14 +513,18 @@ object TextOps {
     *    inside one task.
     * Fractions are 4-dp half-up rounded (cross-engine stable). */
   def repetitionMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = df.select(id.as("doc_id"), tokens(text).as("toks"))
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val base = df.select(id.as("doc_id"), tokens(text).as("toks"), text.as("__t"))
+    // bigram strings via the native WordGrams scan, NOT a transform()
+    // HOF — HOF lambdas evaluate interpreted per element (~50 µs each;
+    // this column was 14 s/pass at sf0.1 as a HOF, the t23/t49 finding)
     val perDoc = base.select(col("doc_id"),
       when(size(col("toks")) === 0, 0.0)
         .otherwise(lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
         .as("dup_raw"),
-      when(size(col("toks")) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      when(length(trim(col("__t"))) === 0, array().cast("array<string>"))
+        .otherwise(graft.functions.HashFunctions.wordGrams(
+          lower(trim(col("__t"))), 2))
         .as("bigrams"))
     val topFrac = perDoc
       .select(col("doc_id"), explode(col("bigrams")).as("bg"))

@@ -3413,6 +3413,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0.0)), "sub-bigram doc scores 0 with 0 bigrams")
   }
 
+  test("BpeEncode expression: eval parity with the applyMerge fold, overlap rule") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val merges = Seq(("a", "a"), ("aa", "b"), ("c", "d"))
+    val flat = merges.flatMap { case (l, r) => Seq(l, r) }
+    def native(w: String): Seq[String] = {
+      val e = graft.functions.BpeEncode(Literal.create(w, StringType),
+        Literal.create(flat, ArrayType(StringType)))
+      val a = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    }
+    def fold(w: String): Seq[String] = {
+      val c = merges.foldLeft(split(lit(w), ""): org.apache.spark.sql.Column) {
+        case (acc, (l, r)) => graft.ops.Bpe.applyMerge(acc, l, r)
+      }
+      spark.range(1).select(c.as("s")).head().getSeq[String](0)
+    }
+    for (w <- Seq("aaa", "aaaa", "aab", "aaab", "cdcd", "xyz", "a", "acda"))
+      assert(native(w) == fold(w), s"parity broken on '$w': ${native(w)} vs ${fold(w)}")
+    assert(native("aaa") == Seq("aa", "a") && native("aaaa") == Seq("aa", "aa"))
+  }
+
   test("wordPieceEncode: greedy longest match, ## continuations, whole-word UNK") {
     val vocab = Seq("un", "##aff", "##able", "##ffa", "u", "n", "hello", "##o", "b")
     val long = "x" * 101
