@@ -6970,6 +6970,51 @@ object OpsQueries {
         |  END AS completeness6
         |FROM s, cand, t""".stripMargin),
 
+    // Misra-Gries heavy hitters with the theorem-exact mergeable
+    // guarantee: the verdict verifies BOTH bound sides in exact integer
+    // arithmetic (true·(k+1) vs ĉ·(k+1) + (N−Σĉ)) against exact counts,
+    // the above-slack coverage guarantee, and recovery of the planted
+    // hitter — invariants that hold under EVERY partition layout even
+    // though borderline counter values may differ by merge order
+    ("t52_mg_heavy_hitters",
+      (s, sf) => {
+        val k = 128
+        val words = docs(s, sf).select(explode(TextOps.tokens(
+          concat(col("text"), lit(" zzheavyhitter zzheavyhitter")))).as("w"))
+        val mg = graft.ops.Sketches.mgHeavyHitters(words, col("w"), k)
+        val exact = words.groupBy(col("w").as("xitem"))
+          .agg(count(lit(1)).as("tc"))
+        val stats = mg.agg(sum(col("cnt")).as("sumc"))
+          .crossJoin(broadcast(exact.agg(sum(col("tc")).as("n"),
+            max(when(col("xitem") === "zzheavyhitter", col("tc"))).as("ptc"))))
+        val j = mg.join(exact, col("item") === col("xitem"))
+          .crossJoin(broadcast(stats))
+        val bounds = j.agg(
+          min(col("cnt") <= col("tc")).as("under_ok"),
+          min(col("tc") * (k + 1) <= col("cnt") * (k + 1)
+            + (col("n") - col("sumc"))).as("upper_ok"))
+        // coverage: every item with tc·(k+1) > N − Σĉ must be reported
+        val missedHeavy = exact.crossJoin(broadcast(stats))
+          .filter(col("tc") * (k + 1) > col("n") - col("sumc"))
+          .join(mg, col("xitem") === col("item"), "left_anti")
+        val planted = mg.join(stats.select(col("ptc")),
+            col("item") === "zzheavyhitter")
+        bounds.crossJoin(broadcast(stats.select(col("n").as("n_stream"))))
+          .crossJoin(broadcast(missedHeavy.agg(
+            (count(lit(1)) === 0).as("coverage_ok"))))
+          .crossJoin(broadcast(planted.agg(
+            (count(lit(1)) === 1).as("planted_found"))))
+          .select(lit(k).as("k"), col("n_stream"), col("under_ok"),
+            col("upper_ok"), col("coverage_ok"), col("planted_found"))
+      },
+      """SELECT 128 AS k,
+        |  sum(len(string_split_regex(
+        |    lower(trim(text || ' zzheavyhitter zzheavyhitter')), '\s+')))::BIGINT
+        |    AS n_stream,
+        |  true AS under_ok, true AS upper_ok, true AS coverage_ok,
+        |  true AS planted_found
+        |FROM documents""".stripMargin),
+
     // WordPiece greedy longest-match inference against a planted literal
     // vocabulary (the deploy half of t48's merge learning): per-doc
     // piece/UNK counts; the oracle replays the greedy loop per DISTINCT

@@ -141,4 +141,19 @@ object Sketches {
       .withColumn("inter_est",
         expr("(n_common * d_union) DIV m_union"))
   }
+
+  /** Misra-Gries heavy hitters over an item column: ONE bounded-state
+    * aggregation pass (O(k) counters per partition, map-side combined
+    * with the theorem-exact merge — see
+    * [[graft.functions.FrequentItems]]) returning (item, cnt) with the
+    * two-sided certificate cnt ≤ true ≤ cnt + (N − Σcnt)/(k+1). The
+    * deterministic-guarantee complement to [[TextOps.cmsHeavyHitters]]'s
+    * probabilistic CMS: MG bounds are worst-case, not with-high-
+    * probability, and every item above the slack is guaranteed present.
+    * Output: (item, cnt), largest counter first. */
+  def mgHeavyHitters(df: DataFrame, item: Column, k: Int): DataFrame =
+    df.select(item.cast("string").as("__i"))
+      .agg(graft.functions.FrequentItems.topFreq(k)(col("__i")).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
 }

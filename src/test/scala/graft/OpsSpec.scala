@@ -3413,6 +3413,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0.0)), "sub-bigram doc scores 0 with 0 bigrams")
   }
 
+  test("MisraGries: dominant item survives with a valid two-sided certificate") {
+    val rows = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      (1 to 30).map(i => s"x$i")
+    val df = rows.toDF("w")
+    val got = graft.ops.Sketches.mgHeavyHitters(df, col("w"), k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= 4)
+    val n = rows.size.toLong
+    val sumC = got.values.sum
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((i, c) <- got) {
+      assert(c <= truth(i), s"MG must underestimate: $i $c vs ${truth(i)}")
+      assert(truth(i) * 5 <= c * 5 + (n - sumC),
+        s"upper certificate broken for $i: $got")
+    }
+    // coverage: items above the slack must be reported
+    for ((i, t) <- truth if t * 5 > n - sumC)
+      assert(got.contains(i), s"heavy item $i (true $t) missing: $got")
+    assert(got.contains("a") && got.contains("b"))
+  }
+
   test("BpeEncode expression: eval parity with the applyMerge fold, overlap rule") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, StringType}
