@@ -6613,6 +6613,37 @@ object OpsQueries {
         |  END AS r8
         |FROM m, nn""".stripMargin),
 
+    // Benjamini-Hochberg FDR at q = 1/10 over md5-uniform p-values with
+    // a planted signal block (every 91st key's p shrinks 2^20×): the
+    // step-up comparison runs in exact int128 arithmetic — no float
+    // boundary can flip a rejection cross-engine
+    ("a29_bh_fdr",
+      (s, sf) => {
+        graft.functions.VectorFunctions.register(s)
+        val h = call_function("graft_md5_prefix52",
+          concat(lit("bh:"), col("o_orderkey")))
+        val hyp = s.read.parquet(s"$sf/orders.parquet")
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("hid"),
+            when(col("o_orderkey") % 91 === 0, shiftright(h, 20))
+              .otherwise(h).as("p"))
+        graft.ops.Profile.benjaminiHochberg(hyp, col("hid"), col("p"),
+          qNumer = 1, qDenom = 10)
+      },
+      """WITH hyp AS (SELECT o_orderkey AS hid,
+        |    CASE WHEN o_orderkey % 91 = 0 THEN
+        |      ('0x' || substr(md5('bh:' || o_orderkey::VARCHAR), 1, 13))::BIGINT >> 20
+        |    ELSE ('0x' || substr(md5('bh:' || o_orderkey::VARCHAR), 1, 13))::BIGINT
+        |    END AS p
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |r AS (SELECT p, row_number() OVER (ORDER BY p, hid) AS i,
+        |    count(*) OVER () AS m FROM hyp),
+        |f AS (SELECT m, i, p FROM r
+        |  WHERE p::HUGEINT * m * 10 <= i::HUGEINT * 4503599627370496)
+        |SELECT (SELECT max(m) FROM r)::BIGINT AS m,
+        |  coalesce((SELECT max(i) FROM f), 0)::BIGINT AS n_rejected,
+        |  (SELECT max(p) FROM f)::DOUBLE / 4503599627370496.0 AS p_max_rejected""".stripMargin),
+
     // Newman modularity of a given labeling (community = node mod 7 on
     // the bipartite part-supplier graph): the partition EVALUATOR —
     // per-community terms are ratios of exact integers, 8-dp floored;

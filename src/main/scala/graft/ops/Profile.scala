@@ -653,6 +653,50 @@ object Profile {
         r8(covN * covN / (varxN * varyN))).as("r2_8"))
   }
 
+  /** Benjamini-Hochberg FDR control over a table of hypotheses — the
+    * multiple-testing step every metrics sweep needs before acting on
+    * "significant" results (m tests at α each expect m·α false alarms;
+    * BH caps the FALSE DISCOVERY RATE at q instead): sort p-values
+    * ascending, find the largest rank i with p₍ᵢ₎ ≤ (i/m)·q, reject
+    * hypotheses 1..i.
+    *
+    * p-values arrive as exact 52-bit integers (p = pInt/2⁵², the
+    * repo's portable-md5 uniform convention) and q as a rational
+    * qNumer/qDenom, so the step-up comparison
+    * pInt·m·qDenom ≤ i·qNumer·2⁵² runs in exact DECIMAL(38,0) integer
+    * arithmetic — no float boundary can flip a rejection cross-engine.
+    * Ties in p break by the hypothesis id (deterministic ranks).
+    *
+    * Scale shape: the input is the HYPOTHESIS table (one row per test
+    * — thousands, not corpus-sized), so the single rank window is
+    * test-count-bounded by construction; the p-value computation
+    * upstream is the caller's corpus-scale aggregate.
+    * Output: one row (m, n_rejected, p_max_rejected — exact double,
+    * NULL when nothing rejects). */
+  def benjaminiHochberg(df: DataFrame, id: Column, pInt52: Column,
+      qNumer: Int, qDenom: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(qNumer > 0 && qDenom > 0 && qNumer < qDenom,
+      s"q must be a rational in (0,1): $qNumer/$qDenom")
+    val base = df.select(id.as("hid"), pInt52.cast("long").as("p"))
+    val w = Window.orderBy(col("p"), col("hid"))
+    val wAll = Window.partitionBy()
+    def d0(c: Column) = c.cast(DecimalType(38, 0))
+    val ranked = base.withColumn("i", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("rej",
+        d0(col("p")) * d0(col("m")) * qDenom <=
+          d0(col("i")) * qNumer * d0(lit(4503599627370496L))) // 2^52
+    ranked.agg(max(col("m")).as("m"),
+        max(when(col("rej"), col("i"))).as("kmax"),
+        max(when(col("rej"), col("p"))).as("pmax"))
+      .select(col("m"),
+        coalesce(col("kmax"), lit(0)).cast("bigint").as("n_rejected"),
+        (col("pmax").cast("double") / 4503599627370496.0)
+          .as("p_max_rejected"))
+  }
+
   /** Welch's unequal-variance t-test between two samples — the "are
     * these two means actually different" companion to [[ksTwoSample]]
     * (KS asks about the whole distribution; Welch about the mean, the

@@ -3413,6 +3413,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0.0)), "sub-bigram doc scores 0 with 0 bigrams")
   }
 
+  test("benjaminiHochberg: hand step-up case, step-down holes included, none-reject NULLs") {
+    val s = 4503599627370496L // 2^52
+    def pi(p: Double) = (p * s).toLong
+    // q=1/2, m=4 → thresholds .125/.25/.375/.5: ranks 1,2 reject, 3,4 not
+    val df = Seq((1L, pi(0.1)), (2L, pi(0.2)), (3L, pi(0.6)), (4L, pi(0.9)))
+      .toDF("hid", "p")
+    val r = graft.ops.Profile.benjaminiHochberg(df, col("hid"), col("p"), 1, 2).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2 &&
+      r.getDouble(2) == pi(0.2).toDouble / s, s"$r")
+    // step-up: rank 1 fails its own threshold (.3 > .125) but rank 2
+    // holds (.3 <= .25? no — use .2,.24: p1=.2>.125, p2=.24<=.25) →
+    // BOTH reject (everything at or below kmax)
+    val df2 = Seq((1L, pi(0.2)), (2L, pi(0.24)), (3L, pi(0.9)), (4L, pi(0.95)))
+      .toDF("hid", "p")
+    val r2 = graft.ops.Profile.benjaminiHochberg(df2, col("hid"), col("p"), 1, 2).head()
+    assert(r2.getLong(1) == 2, s"step-up must sweep rank 1 in: $r2")
+    val none = Seq((1L, pi(0.8)), (2L, pi(0.9))).toDF("hid", "p")
+    val r3 = graft.ops.Profile.benjaminiHochberg(none, col("hid"), col("p"), 1, 2).head()
+    assert(r3.getLong(1) == 0 && r3.isNullAt(2), s"$r3")
+  }
+
   test("MisraGries: dominant item survives with a valid two-sided certificate") {
     val rows = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
       (1 to 30).map(i => s"x$i")
