@@ -888,12 +888,16 @@ object OpsQueries {
     ("s20_ann_ivfpq",
       (s, _) => {
         var idx: Similarity.IvfPqIndex = null
-        annRecallGateOn(s, clusteredEmb(s), floorPct = 90) { (corpus, qv) =>
+        val res = annRecallGateOn(s, clusteredEmb(s), floorPct = 90) { (corpus, qv) =>
           if (idx == null)
             idx = Similarity.buildIvfPq(corpus, col("vec_id"), col("embedding"),
               nLists = 16, m = 8, kCode = 16)
           idx.topK(qv, k = 10, nProbe = 6, rerank = 150)
         }
+        // release the build caches once the recall loop is done — the
+        // composite build pins codes+assignment+normalized corpus
+        if (idx != null) idx.close()
+        res
       },
       "SELECT 20 AS n_queries, 90 AS floor_pct, true AS recall_floor_met"),
 
@@ -6258,17 +6262,19 @@ object OpsQueries {
 
     // Aho-Corasick multi-keyword tagging: one automaton pass per doc
     // (dictionary-size-independent) vs the oracle's k contains-scans —
-    // identical sorted-distinct-matches semantics by construction
+    // identical sorted-distinct-matches semantics by construction.
+    // Output stringified (space-joined) — the driver's pandas harness
+    // cannot sort raw array<string> columns (r13 verdict item 1).
     ("t47_keyword_tags",
       (s, sf) => {
         graft.functions.VectorFunctions.register(s)
         docs(s, sf).select(col("doc_id"),
-          TextOps.keywordTags(col("text"),
-            Seq("big", "column", "join", "key", "sort", "zzzmissing")).as("tags"))
+          concat_ws(" ", TextOps.keywordTags(col("text"),
+            Seq("big", "column", "join", "key", "sort", "zzzmissing"))).as("tags"))
       },
-      """SELECT doc_id, list_sort(list_filter(
+      """SELECT doc_id, coalesce(array_to_string(list_sort(list_filter(
         |    ['big', 'column', 'join', 'key', 'sort', 'zzzmissing'],
-        |    k -> contains(lower(text), k))) AS tags
+        |    k -> contains(lower(text), k))), ' '), '') AS tags
         |FROM documents""".stripMargin),
 
     // "Fightin' Words" distinctive terms: Dirichlet-prior log-odds

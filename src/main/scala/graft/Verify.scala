@@ -31,8 +31,25 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Output-portability guard (r13 verdict item 3): the driver's
+        // pandas oracle harness cannot sort top-level array/struct/map
+        // columns (t47's TypeError: unhashable numpy.ndarray). Fail the
+        // gate fast, with the stringify recipe, instead of letting a
+        // non-portable schema reach the driver.
+        val bad = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType
+             | _: org.apache.spark.sql.types.StructType
+             | _: org.apache.spark.sql.types.MapType => true
+          case _ => false
+        })
+        if (bad.nonEmpty)
+          throw new IllegalStateException(
+            s"non-portable output columns ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}" +
+            " — stringify with concat_ws(' ', col) (Spark) / array_to_string(..., ' ') (oracle)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(500)

@@ -23,7 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated, so the op rides whole-stage codegen over a 100 TB scan.
   * Cost is O(len²) hash probes per word worst-case (the standard
   * WordPiece bound); `MaxInputChars` caps the quadratic term exactly as
-  * the reference implementations do.
+  * the reference implementations do. The cap counts CODEPOINTS
+  * (`codePointCount`), matching the DuckDB oracle's `len()`; piece
+  * boundaries, however, advance by UTF-16 code units — a BMP-only
+  * contract for astral-plane text, same as `TextOps.scriptProfile` (t51):
+  * an astral word can in principle split a surrogate pair into pieces
+  * the oracle would not, but the cap itself can no longer disagree.
   */
 case class WordPieceEncode(first: Expression, second: Expression)
     extends BinaryExpression {
@@ -55,7 +60,7 @@ case class WordPieceEncode(first: Expression, second: Expression)
   /** Greedy longest-match pieces of `word` (codegen entry point). */
   def encodeWord(word: UTF8String): ArrayData = {
     val w = word.toString
-    if (w.isEmpty || w.length > WordPieceEncode.MaxInputChars)
+    if (w.isEmpty || w.codePointCount(0, w.length) > WordPieceEncode.MaxInputChars)
       return WordPieceEncode.Unknown
     val pieces = scala.collection.mutable.ArrayBuffer.empty[Any]
     var start = 0

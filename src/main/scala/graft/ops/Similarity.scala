@@ -337,7 +337,19 @@ object Similarity {
     * spec-measured ≥0.9 recall@10 at (m=8, k=16, rerank=5·k) on the test
     * corpus, exact with rerank ≈ corpus/5 (the gate's configuration). */
   final case class PqIndex(codes: DataFrame, vectors: DataFrame,
-      codebooks: Array[Array[Array[Double]]], dsub: Int, kCode: Int) {
+      codebooks: Array[Array[Array[Double]]], dsub: Int, kCode: Int,
+      retained: Seq[DataFrame] = Nil) {
+
+    /** Release the build-time caches (`codes` plus whatever the builder
+      * pinned — the normalized corpus). Repeated builds in a long-lived
+      * session otherwise accrete cached DataFrames, the leak class the
+      * codebase handles explicitly elsewhere (kCore's prevCkpt ladder,
+      * annRecallGateOn's corpus.unpersist()). Loaded indexes
+      * ([[loadPq]]) hold no caches; close() is then a no-op. */
+    def close(): Unit = {
+      codes.unpersist()
+      retained.foreach(_.unpersist())
+    }
 
     private def normalized(q: Seq[Double]): Array[Double] = {
       val n = math.sqrt(q.map(x => x * x).sum)
@@ -411,7 +423,8 @@ object Similarity {
     val codesDf = normed
       .select(col("vec_id"), VectorFunctions.pqEncode(col("vn"), cbFlat, dsub, kCode).as("codes"))
       .cache()
-    PqIndex(codesDf, normed.select(col("vec_id"), col("v")), codebooks, dsub, kCode)
+    PqIndex(codesDf, normed.select(col("vec_id"), col("v")), codebooks, dsub, kCode,
+      retained = Seq(normed))
   }
 
   /** IVF + PQ composite index — the FAISS-IVFADC shape production ANN
@@ -425,7 +438,17 @@ object Similarity {
     * Both sub-indexes are the proven components (s03's IVF, s09's PQ);
     * the cluster column is joined onto the codes ONCE at build. */
   final case class IvfPqIndex(centroids: Array[Array[Double]], pq: PqIndex,
-      codesWithCluster: org.apache.spark.sql.DataFrame) {
+      codesWithCluster: org.apache.spark.sql.DataFrame,
+      retained: Seq[DataFrame] = Nil) {
+
+    /** Release every cache the composite build pinned: the clustered
+      * codes, the IVF assignment (retained), and the PQ sub-index's
+      * caches — mirror of [[PqIndex.close]] for build-many sessions. */
+    def close(): Unit = {
+      codesWithCluster.unpersist()
+      retained.foreach(_.unpersist())
+      pq.close()
+    }
     def topK(query: Seq[Double], k: Int, nProbe: Int, rerank: Int): DataFrame = {
       VectorFunctions.register(codesWithCluster.sparkSession)
       def cos(a: Seq[Double], b: Seq[Double]): Double = {
@@ -461,7 +484,7 @@ object Similarity {
     val cwc = pq.codes
       .join(ivf.assigned.select(col("vec_id"), col("cluster")), "vec_id")
       .cache()
-    IvfPqIndex(ivf.centroids, pq, cwc)
+    IvfPqIndex(ivf.centroids, pq, cwc, retained = Seq(ivf.assigned))
   }
 
   /** Persist a PQ index: the compact codes and the full-precision

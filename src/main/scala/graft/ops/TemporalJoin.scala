@@ -84,25 +84,26 @@ object TemporalJoin {
     * forward `first(…)` fill (current-row-to-unbounded-following) —
     * then a per-row arbitration on exact integer microsecond distances
     * (unix_micros; never truncated seconds, which would flip nearest
-    * decisions near the midpoint). Same cost bill as backward: one
-    * hash shuffle on `key`, one sort, two window passes over it; same
-    * hot-key exposure (route via slicing if a key dominates).
+    * decisions near the midpoint). The fills move ONE struct packing
+    * __rts plus every right value column, so right rows travel
+    * ATOMICALLY: a NULL in one right value column can never stitch
+    * values from different right rows, and the arbitration distance
+    * always describes the exact row the values came from (unlike the
+    * documented per-column ignoreNulls caveat of [[asofJoinBackward]]).
+    * Same cost bill as backward: one hash shuffle on `key`, one sort,
+    * two window passes over it (vs 2·|rightVals| for per-column fills);
+    * same hot-key exposure (route via slicing if a key dominates).
     * Output: left columns + rightVals (null outside tolerance). */
   def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
       ts: String, rightVals: Seq[String], toleranceMicros: Long): DataFrame = {
     require(rightVals.nonEmpty, "asofJoinNearest needs at least one right value column")
     require(toleranceMicros > 0, s"tolerance must be positive: $toleranceMicros")
     val leftCols = left.columns.toSeq
-    val carried = rightVals :+ "__rts"
-    val rBase = right.select(
-      col(key) +: col(ts) +: (rightVals.map(c => col(c).as(s"__rv_$c")) :+
-        unix_micros(col(ts)).as("__rv___rts")): _*)
-    val lAligned = carried.foldLeft(left.withColumn("__side", lit(1))) {
-      (d, c) =>
-        val dt = if (c == "__rts") org.apache.spark.sql.types.LongType
-        else right.schema(c).dataType
-        d.withColumn(s"__rv_$c", lit(null).cast(dt))
-    }
+    val rBase = right.select(col(key), col(ts),
+      struct(unix_micros(col(ts)).as("__rts") +: rightVals.map(col): _*).as("__rv"))
+    val rvType = rBase.schema("__rv").dataType
+    val lAligned = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
     val rAligned = leftCols.filterNot(c => c == key || c == ts)
       .foldLeft(rBase.withColumn("__side", lit(0))) {
         (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -114,19 +115,18 @@ object TemporalJoin {
     val wF = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = carried.foldLeft(u) { (d, c) =>
-      d.withColumn(s"__b_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(wB))
-        .withColumn(s"__f_$c", first(col(s"__rv_$c"), ignoreNulls = true).over(wF))
-    }
+    val filled = u
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
     val lm = unix_micros(col(ts))
-    val db = lm - col("__b___rts")   // >= 0 (incl. ties at 0)
-    val df = col("__f___rts") - lm   // > 0 (equal-ts rights land backward)
-    val useB = col("__b___rts").isNotNull && db <= toleranceMicros &&
-      (col("__f___rts").isNull || df > toleranceMicros || db <= df)
-    val useF = !useB && col("__f___rts").isNotNull && df <= toleranceMicros
+    val db = lm - col("__b").getField("__rts")   // >= 0 (incl. ties at 0)
+    val df = col("__f").getField("__rts") - lm   // > 0 (equal-ts rights land backward)
+    val useB = col("__b").isNotNull && db <= toleranceMicros &&
+      (col("__f").isNull || df > toleranceMicros || db <= df)
+    val useF = !useB && col("__f").isNotNull && df <= toleranceMicros
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightVals.map(c =>
-        when(useB, col(s"__b_$c")).when(useF, col(s"__f_$c")).as(c)): _*)
+        when(useB, col("__b").getField(c)).when(useF, col("__f").getField(c)).as(c)): _*)
   }
 
   /** [[asofJoinBackward]] with the hot-key story: identical semantics,

@@ -60,8 +60,24 @@ object PlanAudit {
     var errored = 0
     names.foreach { name =>
       try {
-        val plan = SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.executedPlan
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        // Output-portability sweep (r13 verdict item 3): the driver's
+        // pandas oracle harness cannot sort top-level array/struct/map
+        // columns — Verify fails such gates at run time; this catches
+        // them at audit time across ALL registered gates.
+        val nonPortable = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType
+             | _: org.apache.spark.sql.types.StructType
+             | _: org.apache.spark.sql.types.MapType => true
+          case _ => false
+        })
+        if (nonPortable.nonEmpty) {
+          flagged += 1
+          println(s"FLAG $name: non-portable output column(s) " +
+            nonPortable.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ") +
+            " — stringify with concat_ws(' ', col)")
+        }
+        val plan = df.queryExecution.executedPlan
         val all = nodes(plan)
         val carts = all.count(_.nodeName.contains("CartesianProduct"))
         if (carts > 0 && !cartesianWhitelist.contains(name)) {

@@ -1,10 +1,12 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Debugging aid: print a gate's formatted physical plan and its FULL
-  * materialization time (collect, not count — Bench/MicroBench time
-  * `.count()`, which Catalyst can prune hard enough to hide a hot
-  * branch entirely; round 15 found a 20 s/pass quadratic explode that
-  * every count-based timing had elided).
+/** Debugging aid: print a gate's formatted physical plan plus a
+  * collect()-based timing on top of Bench/MicroBench's noop-sink unit —
+  * the collect additionally pays row transfer to the driver, which makes
+  * driver-bound result shapes visible. (Historical note: before the
+  * noop-sink migration, Bench timed `.count()`, which Catalyst can prune
+  * hard enough to hide a hot branch entirely — this tool is how the
+  * 20 s/pass quadratic bigram explode was first seen.)
   *   sbt "runMain graft.tools.PlanDump <gate> <sfDir>" */
 object PlanDump {
   def main(args: Array[String]): Unit = {

@@ -2738,6 +2738,32 @@ class OpsSpec extends AnyFunSuite {
         "bench_baseline.json")))
   }
 
+  test("bench variance band: median-of-history loader (r13 verdict item 2)") {
+    val dir = java.nio.file.Files.createTempDirectory("bh").toFile
+    val valid = Set("c03_label_propagation", "q04_join2")
+    // no file → empty histories
+    assert(Bench.loadHistory(valid, dir.getPath) == ((Map.empty, Map.empty)))
+    // history blocks parse per-gate arrays; non-gate keys dropped; the
+    // sf1 block is independent; empty arrays stay empty (held gates)
+    java.nio.file.Files.writeString(new java.io.File(dir, "bench_baseline.json").toPath,
+      """{"sf":"x","reps":3,"queries":{"c03_label_propagation":1.418},""" +
+        """"sf1_queries":{"q04_join2":2.000},""" +
+        """"history":{"c03_label_propagation":[2.100,3.200,2.800,1.418],"zz_notagate":[9.9],"q04_join2":[]},""" +
+        """"sf1_history":{"q04_join2":[2.000,2.100,1.900]}}""")
+    val (h01, h1) = Bench.loadHistory(valid, dir.getPath)
+    assert(h01 == Map("c03_label_propagation" -> List(2.1, 3.2, 2.8, 1.418),
+      "q04_join2" -> Nil))
+    assert(h1 == Map("q04_join2" -> List(2.0, 2.1, 1.9)))
+    // median: the c03 scenario — a single lucky 1.418 capture among a
+    // 2.0–3.2 norm yields a band of 2.45, so a 3.2 s steady state
+    // (< 2×2.45) no longer flags, while a true 6 s regression still does
+    val m = Bench.median(h01("c03_label_propagation"))
+    assert(math.abs(m - 2.45) < 1e-9)
+    assert(!(3.2 > 2 * math.max(1.418, m)))
+    assert(6.0 > 2 * math.max(1.418, m))
+    assert(Bench.median(Seq(1.0, 5.0, 3.0)) == 3.0)
+  }
+
   test("compact: merges small-file debris toward the target, preserves rows, restores confs") {
     import graft.ops.Layout
     val base = "target/derived/spec_compact"
