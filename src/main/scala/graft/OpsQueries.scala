@@ -194,6 +194,55 @@ object OpsQueries {
          |LEFT JOIN a$iterations a ON a.node = n.node""".stripMargin
   }
 
+  /** Unrolled deterministic synchronous LPA for the g16 oracle: the
+    * co-purchase projection (distinct part pairs sharing an order),
+    * `rounds` rounds of simultaneous adopt-most-frequent-neighbor-label
+    * with min-label ties (row_number over count DESC, lab ASC restates
+    * [[graft.ops.Graph.labelPropagation]]'s min-of-(−count, lab)
+    * struct), then Newman modularity + community sizes of the final
+    * labeling — the SAME integer/8-dp arithmetic as the g14 oracle. */
+  private def lpaSql(rounds: Int): String = {
+    val head =
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 7 = 0),
+        |co AS MATERIALIZED (
+        |  SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM it a JOIN it b ON a.g = b.g AND a.i < b.i),
+        |sym AS MATERIALIZED (SELECT u AS x, v AS y FROM co
+        |  UNION ALL SELECT v, u FROM co),
+        |l0 AS MATERIALIZED (SELECT DISTINCT x AS n, x AS lab FROM sym)""".stripMargin
+    val iters = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT n, lab FROM (
+         |  SELECT s.x AS n, l.lab AS lab,
+         |    row_number() OVER (PARTITION BY s.x
+         |      ORDER BY count(*) DESC, l.lab ASC) AS rn
+         |  FROM sym s JOIN l${k - 1} l ON l.n = s.y
+         |  GROUP BY s.x, l.lab) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iters +
+      s""",
+         |wc AS MATERIALIZED (SELECT lu.lab AS cu, lv.lab AS cv
+         |  FROM co JOIN l$rounds lu ON lu.n = co.u
+         |  JOIN l$rounds lv ON lv.n = co.v),
+         |mt AS (SELECT count(*)::BIGINT AS m FROM wc),
+         |inc AS (SELECT cu AS community, count(*)::BIGINT AS n_edges_in
+         |  FROM wc WHERE cu = cv GROUP BY 1),
+         |deg AS (SELECT community, count(*)::BIGINT AS degree_sum FROM (
+         |    SELECT cu AS community FROM wc
+         |    UNION ALL SELECT cv FROM wc) GROUP BY 1),
+         |sz AS (SELECT lab AS community, count(*)::BIGINT AS n_nodes
+         |  FROM l$rounds GROUP BY 1)
+         |SELECT deg.community, sz.n_nodes,
+         |  coalesce(inc.n_edges_in, 0)::BIGINT AS n_edges_in, deg.degree_sum,
+         |  floor((coalesce(inc.n_edges_in, 0)::DOUBLE / (SELECT m FROM mt)::DOUBLE
+         |    - (deg.degree_sum::DOUBLE / (2.0 * (SELECT m FROM mt)))
+         |      * (deg.degree_sum::DOUBLE / (2.0 * (SELECT m FROM mt))))
+         |    * 1e8 + 0.5) / 1e8 AS term8
+         |FROM deg JOIN sz USING (community)
+         |LEFT JOIN inc USING (community)""".stripMargin
+  }
+
   private def emb(s: SparkSession, sf: String) = s.read.parquet(s"$sf/embeddings.parquet")
 
   /** The query-vector for ANN queries: embedding of vec_id 0 (read once,
@@ -593,21 +642,43 @@ object OpsQueries {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
 
-    // banded-LSH mode with the EXPLICIT recall-first 32×4 knobs against
-    // the same exact all-pairs oracle as d05: at 32×4 the per-pair recall
-    // at cosine ≥ 0.45 exceeds 0.998, and on this (seeded, deterministic)
-    // data the candidate set covers every qualifying pair — so bucketed
-    // output ≡ exact output, a measured-recall-is-1 gate. (The no-knob
-    // default derives scale-safe knobs via autoLshParams and REFUSES
-    // 0.45 as indistinguishable-from-random — spec-asserted.)
+    // banded-LSH mode on the SCALE-SAFE no-knob path (autoLshParams
+    // derives (bands, rowsPerBand) bounding random-pair candidates to
+    // O(n) — the spelling users should copy; r13 verdict item 7): a
+    // planted near-dup set (every 5th vector re-issued with coordinate 0
+    // scaled 1.1×, cosine ≥ 0.995 worst-case / ~0.9995 typical) against
+    // the exact all-pairs oracle at threshold 0.985 — natural pairs top
+    // out at ~0.50 (testdata) / ~0.965 (DataGen same-center), so the
+    // qualifying set is exactly the planted pairs and stays LINEAR in n
+    // at every smoke scale. Per-pair miss probability at the derived
+    // knobs is < 1e-7 and the hashes are seed-deterministic, so
+    // LSH output ≡ exact output is a measured, reproducible fact (both
+    // SFs + determinism sweep). The recall-first explicit-knob (32×4 at
+    // 0.45) configuration this gate used through round 15 survives as
+    // the OpsSpec contrast test ("explicit 32x4 equals exact mode").
     ("d07_embed_neardup_lsh",
-      (s, sf) => Dedup.embeddingNearDups(emb(s, sf), col("vec_id"), col("embedding"),
-        threshold = 0.45, bands = 32, rowsPerBand = 4)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3")),
-      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos3 " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
-        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+      (s, sf) => {
+        val base = emb(s, sf).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val planted = base.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            concat(array(element_at(col("embedding"), 1) * 1.1),
+              slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+              .as("embedding"))
+        Dedup.embeddingNearDups(base.unionByName(planted), col("vec_id"),
+          col("embedding"), threshold = 0.985)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))
+      },
+      """WITH u AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    list_prepend(embedding[1]::DOUBLE * 1.1, embedding[2:]::DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 3) AS cos3
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.985""".stripMargin),
 
     // SimHash with the cross-engine portable token hash: the DuckDB twin
     // recomputes the full pipeline (polynomial token hashes → per-bit ±1
@@ -6591,6 +6662,33 @@ object OpsQueries {
     // endpoint degrees of the doubled edge list, every moment an exact
     // int128 sum, one IEEE division 8-dp floored (bipartite-ish fixture
     // → expect r < 0)
+    // community DETECTION to pair with g14's community EVALUATION (r13
+    // verdict item 6): 3 rounds of deterministic synchronous LPA over
+    // the co-purchase graph (distinct part pairs sharing an order), the
+    // emitted partition scored by the same Newman modularity machinery
+    // g14 gates — (community, n_nodes, n_edges_in, degree_sum, term8);
+    // Σ term8 is the partition's Q. The oracle unrolls all three rounds
+    // (synchronous + min-label ties make LPA a pure function of the
+    // edge set — layout-independent, unlike async/Louvain sweeps). The
+    // Q-beats-trivial-partition property is spec-asserted (OpsSpec)
+    ("g16_lpa_communities",
+      (s, sf) => {
+        val li = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_orderkey") % 7 === 0)
+        val co = graft.ops.Graph.coOccurrencePairs(
+          li, col("l_orderkey"), col("l_partkey"), minShared = 1)
+        val labels = graft.ops.Graph.labelPropagation(
+          co, col("i_a"), col("i_b"), rounds = 3)
+        val mod = graft.ops.Graph.modularity(co, col("i_a"), col("i_b"),
+          labels, col("node"), col("community"))
+        val sizes = labels.groupBy(col("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+        mod.join(sizes, Seq("community"))
+          .select(col("community"), col("n_nodes"), col("n_edges_in"),
+            col("degree_sum"), col("term8"))
+      },
+      lpaSql(3)),
+
     ("g15_assortativity",
       (s, sf) => graft.ops.Graph.degreeAssortativity(
         s.read.parquet(s"$sf/lineitem.parquet")
@@ -7007,6 +7105,24 @@ object OpsQueries {
         |  END AS completeness6
         |FROM s, cand, t""".stripMargin),
 
+    // sorted-neighborhood candidate generation (Hernández-Stolfo
+    // merge/purge): the blocking complement er04 audits — total-order
+    // by (c_name, c_custkey), pair everything within rank distance 5.
+    // O(n·w) pairs by construction; the distributed rank comes from
+    // repartitionByRange + zipWithIndex (no single-partition window)
+    // and neighbors meet through ONE equi-join on the rank bucket.
+    // The oracle restates the definition directly: row_number + a
+    // rank-distance range join
+    ("er05_sorted_neighborhood",
+      (s, sf) => graft.ops.Linkage.sortedNeighborhood(
+        s.read.parquet(s"$sf/customer.parquet"),
+        col("c_custkey"), col("c_name"), window = 5),
+      """WITH r AS (SELECT c_custkey AS id,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS pos
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b, b.pos - a.pos AS dist
+        |FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 5""".stripMargin),
+
     // Misra-Gries heavy hitters with the theorem-exact mergeable
     // guarantee: the verdict verifies BOTH bound sides in exact integer
     // arithmetic (true·(k+1) vs ĉ·(k+1) + (N−Σĉ)) against exact counts,
@@ -7051,6 +7167,78 @@ object OpsQueries {
         |  true AS under_ok, true AS upper_ok, true AS coverage_ok,
         |  true AS planted_found
         |FROM documents""".stripMargin),
+
+    // mergeable quantile sketch, learn+query (r13 verdict item 5): the
+    // bottom-k coordinated sample (order/layout-independent exact-state
+    // alternative to KLL/t-digest — see QuantileSample scaladoc for why
+    // arrival-order-dependent compaction can't pass an exact-state
+    // cross-engine oracle) per l_returnflag over l_extendedprice, keyed
+    // by the table's (orderkey, linenumber) primary key; ONE O(k)-state
+    // aggregation pass, p50/p90 read from the sample at exact integer
+    // indices, rank error DKW-bounded (spec-measured). The oracle
+    // restates the ENTIRE sketch state as ORDER BY (hash, value) LIMIT k
+    ("t53_quantile_sketch",
+      (s, sf) => graft.ops.Sketches.quantileSketchQuery(
+        graft.ops.Sketches.quantileSketchPerGroup(
+          s.read.parquet(s"$sf/lineitem.parquet"),
+          col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"), k = 256, salt = "qs1"),
+        Seq(("p50", 1, 2), ("p90", 9, 10))),
+      """WITH d AS (SELECT DISTINCT l_returnflag AS scope,
+        |    ('0x' || substr(md5('qs1:' || (l_orderkey * 10 + l_linenumber)::VARCHAR),
+        |      1, 13))::BIGINT AS h,
+        |    l_extendedprice::DOUBLE AS v FROM lineitem),
+        |r AS (SELECT scope, h, v,
+        |    row_number() OVER (PARTITION BY scope ORDER BY h, v) AS rn FROM d),
+        |sm AS (SELECT scope, v FROM r WHERE rn <= 256),
+        |mm AS (SELECT scope, count(*)::BIGINT AS m FROM sm GROUP BY 1),
+        |rv AS (SELECT scope, v,
+        |    row_number() OVER (PARTITION BY scope ORDER BY v) AS rv FROM sm),
+        |nn AS (SELECT l_returnflag AS scope, count(*)::BIGINT AS n
+        |       FROM lineitem GROUP BY 1),
+        |ix AS (SELECT scope, m, 1 + (1 * (m - 1)) // 2 AS i50,
+        |              1 + (9 * (m - 1)) // 10 AS i90 FROM mm)
+        |SELECT nn.scope, nn.n, ix.m, a.v AS q_p50, b.v AS q_p90
+        |FROM nn JOIN ix USING (scope)
+        |JOIN rv a ON a.scope = ix.scope AND a.rv = ix.i50
+        |JOIN rv b ON b.scope = ix.scope AND b.rv = ix.i90""".stripMargin),
+
+    // quantile-sketch MERGE (the rollup half of t53): per-month sketches
+    // over o_totalprice rolled up to one all-time sketch — by bottom-k
+    // union closure the merged state is BIT-IDENTICAL to a from-scratch
+    // build over all rows, so the gate emits both paths' (n, m, p50,
+    // p90) and the oracle restates a single direct sketch for both rows.
+    // At 100 TB only the rollup path runs: per-day states are O(k) each
+    // and the merge never re-reads data
+    ("e14_quantile_rollup",
+      (s, sf) => {
+        val k = 128
+        val o = s.read.parquet(s"$sf/orders.parquet")
+        val perMonth = graft.ops.Sketches.quantileSketchPerGroup(
+          o, date_format(col("o_orderdate"), "yyyy-MM"),
+          col("o_totalprice"), col("o_orderkey"), k, "qsr")
+        val merged = graft.ops.Sketches.quantileSketchRollup(
+          perMonth, lit("__MERGED__"), k)
+        val direct = graft.ops.Sketches.quantileSketchPerGroup(
+          o, lit("__DIRECT__"), col("o_totalprice"), col("o_orderkey"), k, "qsr")
+        graft.ops.Sketches.quantileSketchQuery(
+          merged.unionByName(direct), Seq(("p50", 1, 2), ("p90", 9, 10)))
+      },
+      """WITH d AS (SELECT DISTINCT
+        |    ('0x' || substr(md5('qsr:' || o_orderkey::VARCHAR), 1, 13))::BIGINT AS h,
+        |    o_totalprice::DOUBLE AS v FROM orders),
+        |r AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn FROM d),
+        |sm AS (SELECT v FROM r WHERE rn <= 128),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM sm),
+        |rv AS (SELECT v, row_number() OVER (ORDER BY v) AS rv FROM sm),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM orders),
+        |ix AS (SELECT m, 1 + (1 * (m - 1)) // 2 AS i50,
+        |              1 + (9 * (m - 1)) // 10 AS i90 FROM mm)
+        |SELECT t.scope, nn.n, ix.m, a.v AS q_p50, b.v AS q_p90
+        |FROM (VALUES ('__MERGED__'), ('__DIRECT__')) t(scope)
+        |CROSS JOIN nn CROSS JOIN ix
+        |JOIN rv a ON a.rv = ix.i50
+        |JOIN rv b ON b.rv = ix.i90""".stripMargin),
 
     // WordPiece greedy longest-match inference against a planted literal
     // vocabulary (the deploy half of t48's merge learning): per-doc

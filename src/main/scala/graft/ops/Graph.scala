@@ -573,6 +573,55 @@ object Graph {
             * (col("degree_sum").cast("double") / (2.0 * m))) * 1e8 + 0.5) / 1e8)
   }
 
+  /** Deterministic SYNCHRONOUS label propagation (community detection):
+    * every node starts labeled with its own id; each round, every node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken toward the SMALLEST label. Synchronous + min-tie makes
+    * the result a pure function of the edge SET — no sweep order, no
+    * randomness — so it is partition-layout-independent and a SQL twin
+    * can restate every round verbatim (the async/Louvain local-moving
+    * variants trade that determinism for faster convergence; their
+    * sweep-order-dependent state can't pass an exact cross-engine
+    * oracle). The g16 gate closes the loop with [[modularity]]: LPA
+    * emits the partition, modularity scores it — "what are the
+    * communities" + "how good are they" from the same module.
+    *
+    * Scale shape: per round, ONE join of the symmetric edge list
+    * against the node-sized label table on the neighbor key, one
+    * (node, label) count aggregation, one argmax aggregation — all on
+    * the edge/node partitioning, nothing quadratic; localCheckpoint per
+    * round keeps the plan constant-size (the k-core discipline). Fixed
+    * `rounds` (not convergence) because synchronous LPA can 2-cycle on
+    * bipartite-ish regions; a bounded round count is the documented
+    * Pregel-style practice and keeps cost predictable at 100 TB.
+    *
+    * Output: (node, community) for every endpoint of `edges`. */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds out of [1,8]: $rounds")
+    val e = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val sym = e.select(col("u").as("x"), col("v").as("y"))
+      .union(e.select(col("v").as("x"), col("u").as("y")))
+      .repartition(col("y")).persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = sym.select(col("x").as("n")).distinct()
+      .select(col("n"), col("n").as("lab")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cnt = sym.join(lab.withColumnRenamed("n", "y"), "y")
+        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as a single min-of-struct —
+      // one aggregation, no window sort
+      lab = cnt.groupBy(col("x").as("n"))
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("b"))
+        .select(col("n"), col("b.l").as("lab"))
+        .localCheckpoint()
+    }
+    val out = lab.select(col("n").as("node"), col("lab").as("community"))
+    sym.unpersist()
+    out
+  }
+
   def coOccurrencePairs(df: DataFrame, group: Column, item: Column,
       minShared: Long, maxItemsPerGroup: Int = 10000): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")

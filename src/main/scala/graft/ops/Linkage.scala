@@ -179,4 +179,53 @@ object Linkage {
           floor(col("n_covered").cast("double") / col("n_truth").cast("double")
             * 1e6 + 0.5) / 1e6).as("completeness6"))
   }
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo's
+    * merge/purge): total-order the records by `sortKey` (ties broken by
+    * `id`, so the order — and therefore the candidate set — is a pure
+    * function of the data) and emit every pair within rank distance
+    * `window`. The classic complement to hash blocking ([[jwPairs]]'s
+    * prefix blocks): a typo in the block-key's first characters moves a
+    * record to a different hash block forever, but usually only a few
+    * positions in sort order — SN still pairs it with its true match.
+    * Output is O(n·window) pairs by construction, never the cross
+    * product.
+    *
+    * Scale shape: the total order is Spark's distributed sort
+    * (repartitionByRange + in-partition sort — no single-partition
+    * window), positions come from zipWithIndex's per-partition counts
+    * (one count job), and neighbors meet through an equi-join on the
+    * rank bucket pos DIV window — each row is re-emitted once for the
+    * adjacent bucket, so a pair at distance ≤ window shares exactly one
+    * join key. No Exchange ever sees more than 2× the row count.
+    *
+    * Output: (id_a, id_b, dist) where id_a precedes id_b in sort order
+    * and dist = rank distance ∈ [1, window]. */
+  def sortedNeighborhood(df: DataFrame, id: Column, sortKey: Column,
+      window: Int): DataFrame = {
+    require(window >= 1 && window <= 1000, s"window out of [1,1000]: $window")
+    val base = df.select(id.as("__id"), sortKey.as("__k"))
+    val sorted = base
+      .repartitionByRange(col("__k").asc, col("__id").asc)
+      .sortWithinPartitions(col("__k").asc, col("__id").asc)
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val withPos = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) }, schema)
+      .select(col("__id"), col("pos"))
+    val left = withPos.select(col("__id").as("id_a"), col("pos").as("pa"),
+      (col("pos") / window).cast("long").as("bk"))
+    // right side re-emitted for its own bucket and the one below, so a
+    // left row's single bucket key finds every successor within range
+    val right = withPos
+      .select(col("__id").as("id_b"), col("pos").as("pb"),
+        explode(array((col("pos") / window).cast("long"),
+          (col("pos") / window).cast("long") - 1)).as("bk"))
+    left.join(right, Seq("bk"))
+      .filter(col("pb") > col("pa") && col("pb") - col("pa") <= window)
+      .select(col("id_a"), col("id_b"), (col("pb") - col("pa")).as("dist"))
+  }
 }

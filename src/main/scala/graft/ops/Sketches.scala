@@ -88,6 +88,10 @@ object Sketches {
   def kmvSketchPerGroup(df: DataFrame, group: Column, value: Column,
       k: Int, salt: String): DataFrame = {
     require(k >= 2 && k <= 1024, s"kmv needs k in [2, 1024] ((k-1)*M must fit a long): $k")
+    // register against the INPUT's session, not SparkSession.active —
+    // Dataset analysis is eager and the caller's session may not be the
+    // thread-active one (the determinism-sweep alt-session lesson)
+    graft.functions.VectorFunctions.register(df.sparkSession)
     df.select(group.cast("string").as("scope"),
         kmvHash(value, salt).as("__h"))
       .groupBy(col("scope"))
@@ -123,6 +127,8 @@ object Sketches {
   def kmvOverlap(a: DataFrame, aVal: Column, b: DataFrame, bVal: Column,
       k: Int, salt: String): DataFrame = {
     require(k >= 2 && k <= 1024, s"kmv needs k in [2, 1024] ((k-1)*M must fit a long): $k")
+    graft.functions.VectorFunctions.register(a.sparkSession)
+    graft.functions.VectorFunctions.register(b.sparkSession)
     val M = graft.functions.KmvSketch.M
     val ska = a.select(kmvHash(aVal, salt).as("__h"))
       .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ka"))
@@ -156,4 +162,83 @@ object Sketches {
       .agg(graft.functions.FrequentItems.topFreq(k)(col("__i")).as("s"))
       .select(explode(col("s")).as("e"))
       .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+
+  // ---------------------------------------------------------------
+  // Mergeable quantile sketch: bottom-k coordinated sample
+  // (see graft.functions.QuantileSample for the design rationale —
+  // order/layout-independent exact-state alternative to KLL/t-digest,
+  // DKW-bounded rank error)
+  // ---------------------------------------------------------------
+
+  /** Per-group quantile-sketch state: (scope, n, qs) where n is the
+    * group's row count and qs the ascending array of the ≤k
+    * lexicographically-smallest (md5-hash-of-key, value) pairs — ONE
+    * aggregation pass, O(k) state per group, only ≤k pairs per
+    * partition cross the wire. `key` must uniquely identify a row
+    * (e.g. the table's primary key); the hash coordinates the sample
+    * so sketches over disjoint row sets merge exactly. */
+  def quantileSketchPerGroup(df: DataFrame, group: Column, value: Column,
+      key: Column, k: Int, salt: String): DataFrame = {
+    require(k >= 2 && k <= 65536, s"quantile sketch needs k in [2, 65536]: $k")
+    // per-df-session registration (not SparkSession.active) — see
+    // kmvSketchPerGroup
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.select(group.cast("string").as("scope"),
+        kmvHash(key, salt).as("__h"), value.cast("double").as("__v"))
+      .groupBy(col("scope"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.QuantileSample.bottomK(k)(col("__h"), col("__v")).as("qs"))
+  }
+
+  /** Merge two per-group sketch tables: bottom-k of the pair union per
+    * scope, counts added (full outer on scope; one-sided scopes pass
+    * through). EXACTLY the sketch a from-scratch build over the
+    * combined rows produces (union closure of bottom-k sets) — the
+    * lake-rollup property a05's exact group quantiles lack: per-day
+    * sketches roll up to any coarser scope without re-scanning data. */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val empty = array().cast("array<struct<_1:bigint,_2:double>>")
+    a.select(col("scope"), col("n").as("na"), col("qs").as("qa"))
+      .join(b.select(col("scope"), col("n").as("nb"), col("qs").as("qb")),
+        Seq("scope"), "full_outer")
+      .select(col("scope"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"),
+        slice(array_sort(array_union(
+          coalesce(col("qa"), empty), coalesce(col("qb"), empty))), 1, k).as("qs"))
+  }
+
+  /** Roll a sketch table up to a coarser scope (`newScope` is computed
+    * from the existing columns, e.g. `lit("__ALL__")` or a prefix of
+    * `scope`): counts summed, pair sets re-bottom-k'd — exact by union
+    * closure, O(k·input-groups) intermediate, never touching base data.
+    * This is the lake pattern: per-day sketches persist once; week /
+    * month / all-time quantiles are rollups of stored state. */
+  def quantileSketchRollup(sk: DataFrame, newScope: Column, k: Int): DataFrame = {
+    val keyed = sk.select(newScope.cast("string").as("scope"), col("n"), col("qs"))
+    val ns = keyed.groupBy(col("scope")).agg(sum(col("n")).as("n"))
+    val qs = keyed.select(col("scope"), explode(col("qs")).as("p"))
+      .groupBy(col("scope"))
+      .agg(graft.functions.QuantileSample.bottomK(k)(
+        col("p._1"), col("p._2")).as("qs"))
+    ns.join(qs, Seq("scope"))
+  }
+
+  /** Quantile query over a sketch table: for each probability num/den
+    * (exact rationals so both engines index identically), the sampled
+    * value at 1-based index 1 + (num·(m−1)) DIV den of the
+    * VALUE-sorted sample — the lower empirical quantile. Emits
+    * (scope, n, m, q_<name>...); rank error vs the true quantile is
+    * DKW-bounded by √(ln(2/δ)/(2m)). */
+  def quantileSketchQuery(sk: DataFrame,
+      probs: Seq[(String, Int, Int)]): DataFrame = {
+    val vs = array_sort(transform(col("qs"), p => p("_2")))
+    val m = size(col("qs")).cast("long")
+    probs.foldLeft(
+        sk.select(col("scope"), col("n"), m.as("m"), vs.as("__vs"))) {
+      case (d, (name, num, den)) =>
+        // integer DIV so the index is exact (Column./ is double division)
+        d.withColumn(s"q_$name", expr(
+          s"element_at(__vs, CAST(1 + (${num}L * (m - 1)) DIV ${den}L AS INT))"))
+    }.drop("__vs")
+  }
 }

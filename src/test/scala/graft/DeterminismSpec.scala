@@ -34,7 +34,11 @@ class DeterminismSpec extends AnyFunSuite {
     "d02_ngram_jaccard", "f04_rfm", "t18_bigram_logprob", "a16_auc",
     "s19_pca_top_component", "d21_duplicated_spans", "ts15_theil_sen",
     "b01_bm25_scores", "g10_kcore", "pr05_t_closeness", "j03_key_gini",
-    "d24_cut_spans")
+    "d24_cut_spans",
+    // round-16: auto-knob LSH with planted near-dups, bottom-k sample
+    // state + rollup, synchronous-LPA fixpointless iteration
+    "d07_embed_neardup_lsh", "t53_quantile_sketch", "e14_quantile_rollup",
+    "g16_lpa_communities", "er05_sorted_neighborhood")
 
   private def fingerprint(spark: SparkSession, gate: String): Seq[String] = {
     val df = SparkEntry.queries(gate)(spark, sf)

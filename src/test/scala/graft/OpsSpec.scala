@@ -3692,4 +3692,98 @@ class OpsSpec extends AnyFunSuite {
     assert(got("2024-01-07") == ((2L, 2.0, 0.0)), s"${got("2024-01-07")}")
     assert(got("2024-01-10") == ((2L, 2.0, 0.0)))
   }
+
+  test("quantile sketch: exact bottom-k state, layout-independent, rollup == direct, DKW-bounded") {
+    import graft.ops.Sketches
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val k = 128
+    val key = col("l_orderkey") * 10 + col("l_linenumber")
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.select(explode(col("qs")).as("p"))
+        .select(col("p._1"), col("p._2")).as[(Long, Double)].collect().toSeq
+    // the sketch is a pure function of the row set: exactly the k
+    // lexicographically-smallest (hash, value) pairs, any layout
+    val expected = li
+      .select(Sketches.kmvHash(key, "qt").as("h"),
+        col("l_extendedprice").cast("double").as("v"))
+      .distinct().orderBy("h", "v").limit(k).as[(Long, Double)].collect().toSeq
+    def sk(df: org.apache.spark.sql.DataFrame) = Sketches.quantileSketchPerGroup(
+      df, lit("all"), col("l_extendedprice"), key, k, "qt")
+    assert(pairs(sk(li)) == expected)
+    assert(pairs(sk(li.repartition(17, col("l_suppkey")))) == expected)
+    // rollup of per-month sketches is BIT-identical to the direct build
+    // (union closure) — the lake property e14 gates
+    val perMonth = Sketches.quantileSketchPerGroup(li,
+      date_format(col("l_shipdate"), "yyyy-MM"), col("l_extendedprice"), key, k, "qt")
+    val rolled = Sketches.quantileSketchRollup(perMonth, lit("all"), k)
+    assert(pairs(rolled) == expected)
+    assert(rolled.select("n").as[Long].head() == li.count())
+    // DKW rank error: the sampled p50/p90 sit within eps of their true
+    // ranks at delta = 1% (deterministic given the md5 hashes — measured
+    // once, holds forever)
+    val q = Sketches.quantileSketchQuery(sk(li),
+      Seq(("p50", 1, 2), ("p90", 9, 10))).head()
+    val (n, m) = (q.getLong(1), q.getLong(2))
+    assert(m == k)
+    val eps = math.sqrt(math.log(2 / 0.01) / (2.0 * m))
+    for ((p, idx) <- Seq(0.5 -> 3, 0.9 -> 4)) {
+      val v = q.getDouble(idx)
+      val rank = li.filter(col("l_extendedprice").cast("double") <= v).count()
+        .toDouble / n
+      assert(math.abs(rank - p) <= eps, s"p=$p sampled-rank=$rank eps=$eps")
+    }
+    // single-row group: the only value answers every quantile
+    val one = Sketches.quantileSketchQuery(
+      sk(li.limit(1)), Seq(("p50", 1, 2))).head()
+    assert(one.getLong(2) == 1L && one.getDouble(3) == li.limit(1)
+      .select(col("l_extendedprice").cast("double")).as[Double].head())
+  }
+
+  test("labelPropagation: deterministic min-tie communities, layout-independent, Q beats trivial") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 12L), (12L, 13L), (11L, 13L))
+      .toDF("a", "b")
+    def labs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Graph.labelPropagation(df, col("a"), col("b"), rounds = 3)
+        .as[(Long, Long)].collect().toMap
+    val got = labs(e)
+    // each triangle collapses to its min id by round 2 (synchronous
+    // adopt-most-frequent, ties to the smallest label)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L), s"$got")
+    assert(labs(e.repartition(7, col("b"))) == got, "layout-independent")
+    // modularity of the LPA partition beats the trivial
+    // every-node-its-own partition (g16's spec-level property)
+    val nodes = Seq(1L, 2L, 3L, 11L, 12L, 13L).toDF("n")
+    def q(labels: org.apache.spark.sql.DataFrame, node: org.apache.spark.sql.Column,
+        community: org.apache.spark.sql.Column) =
+      graft.ops.Graph.modularity(e, col("a"), col("b"), labels, node, community)
+        .agg(sum(col("term8"))).as[Double].head()
+    val lpaQ = q(graft.ops.Graph.labelPropagation(e, col("a"), col("b"), 3),
+      col("node"), col("community"))
+    val trivialQ = q(nodes, col("n"), col("n"))
+    assert(lpaQ == 0.5 && trivialQ < 0.0, s"lpa Q=$lpaQ trivial Q=$trivialQ")
+  }
+
+  test("sortedNeighborhood: equals the window-definition brute force, layout-independent") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      graft.ops.Linkage.sortedNeighborhood(df, col("c_custkey"), col("c_name"), 4)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"), col("dist"))
+        .as[(Long, Long, Long)].collect().toSet
+    // brute force straight off the definition: global row_number window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_name").asc, col("c_custkey").asc)
+    val ranked = cust.select(col("c_custkey").cast("long").as("id"),
+      (row_number().over(w) - 1).cast("long").as("pos"))
+    val expected = ranked.as("a").join(ranked.as("b"),
+        col("b.pos") > col("a.pos") && col("b.pos") - col("a.pos") <= 4)
+      .select(col("a.id"), col("b.id"), col("b.pos") - col("a.pos"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = pairs(cust)
+    assert(got == expected, s"sizes: got ${got.size} vs ${expected.size}")
+    assert(pairs(cust.repartition(13, col("c_nationkey"))) == got)
+    // every row pairs with its w successors: exact pair count
+    val n = cust.count()
+    assert(got.size == (4L * n - 4L * 5L / 2L), s"pair count ${got.size} for n=$n")
+  }
 }
