@@ -6675,8 +6675,12 @@ object OpsQueries {
       (s, sf) => {
         val li = s.read.parquet(s"$sf/lineitem.parquet")
           .filter(col("l_orderkey") % 7 === 0)
+        // pin the co-occurrence projection: LPA and the modularity
+        // scorer each consume it, and the pair-generation join must
+        // not run twice
         val co = graft.ops.Graph.coOccurrencePairs(
           li, col("l_orderkey"), col("l_partkey"), minShared = 1)
+          .localCheckpoint()
         val labels = graft.ops.Graph.labelPropagation(
           co, col("i_a"), col("i_b"), rounds = 3)
         val mod = graft.ops.Graph.modularity(co, col("i_a"), col("i_b"),

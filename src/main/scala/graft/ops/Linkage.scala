@@ -212,10 +212,14 @@ object Linkage {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         "pos", org.apache.spark.sql.types.LongType, nullable = false))
+    // localCheckpoint: the position table feeds BOTH join sides and
+    // zipWithIndex already paid a count job — without pinning, the
+    // distributed sort would re-run once per consumer
     val withPos = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (row, i) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) }, schema)
       .select(col("__id"), col("pos"))
+      .localCheckpoint()
     val left = withPos.select(col("__id").as("id_a"), col("pos").as("pa"),
       (col("pos") / window).cast("long").as("bk"))
     // right side re-emitted for its own bucket and the one below, so a

@@ -214,7 +214,11 @@ object Sketches {
     * This is the lake pattern: per-day sketches persist once; week /
     * month / all-time quantiles are rollups of stored state. */
   def quantileSketchRollup(sk: DataFrame, newScope: Column, k: Int): DataFrame = {
+    // pin the (tiny, O(groups·k)) input state once: the count and
+    // pair-set aggregations below each consume it, and without pinning
+    // a computed `sk` (e.g. a fresh per-day build) would run twice
     val keyed = sk.select(newScope.cast("string").as("scope"), col("n"), col("qs"))
+      .localCheckpoint()
     val ns = keyed.groupBy(col("scope")).agg(sum(col("n")).as("n"))
     val qs = keyed.select(col("scope"), explode(col("qs")).as("p"))
       .groupBy(col("scope"))

@@ -3718,6 +3718,14 @@ class OpsSpec extends AnyFunSuite {
     val rolled = Sketches.quantileSketchRollup(perMonth, lit("all"), k)
     assert(pairs(rolled) == expected)
     assert(rolled.select("n").as[Long].head() == li.count())
+    // pairwise merge over a disjoint row split == direct build (the
+    // incremental-maintenance form; scopes align on the group key)
+    val evens = li.filter(col("l_orderkey") % 2 === 0)
+    val odds = li.filter(col("l_orderkey") % 2 === 1)
+    val merged = Sketches.quantileSketchMerge(
+      sk(evens), sk(odds), k)
+    assert(pairs(merged) == expected)
+    assert(merged.select("n").as[Long].head() == li.count())
     // DKW rank error: the sampled p50/p90 sit within eps of their true
     // ranks at delta = 1% (deterministic given the md5 hashes — measured
     // once, holds forever)
