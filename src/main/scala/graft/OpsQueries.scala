@@ -6881,6 +6881,58 @@ object OpsQueries {
     // maintained (grp, count, len-sum) rollup — old ⊖ touched-old ⊕
     // surviving-new, never a full rescan — must EQUAL the oracle's
     // from-scratch rollup of the merged table
+    // incremental IVF maintenance (the ANN growth path): fit k-means
+    // once on the base 90% of the clustered corpus, fold the held-out
+    // 10% in via nearest-existing-centroid upsert — one delta-sized
+    // scan, NO re-fit — then gate (a) recall@10 ≥ 90% through the
+    // UPSERTED index over the FULL corpus (the e10/e12/e13 maintenance
+    // contract applied to ANN), (b) the upsert's argmin agrees with an
+    // independent exploded-rows formulation, (c) the index covers every
+    // corpus row exactly once. Deterministic: seeded k-means on a
+    // hash-constructed fixture + exact left-fold distances
+    ("e15_ivf_upsert",
+      (s, _) => {
+        val all = clusteredEmb(s)
+        var idx: Similarity.IvfIndex = null
+        val verdict = annRecallGateOn(s, all, floorPct = 90) { (corpus, qv) =>
+          if (idx == null) {
+            val base = corpus.filter(col("vec_id") % 10 =!= 0)
+            val delta = corpus.filter(col("vec_id") % 10 === 0)
+            idx = Similarity.ivfUpsert(annIvfAuto(base), delta,
+              col("vec_id"), col("embedding"))
+          }
+          annIvfAutoProbe(idx, qv)
+        }
+        val asg = idx.assigned.cache()
+        val nBase = asg.filter(col("vec_id") % 10 =!= 0).count()
+        val nDelta = asg.filter(col("vec_id") % 10 === 0).count()
+        val covOk = asg.select(col("vec_id")).distinct().count() == nBase + nDelta
+        // independent argmin formulation: explode the centroid list to
+        // rows, min-of-struct per vector, compare cluster choices
+        val cents = idx.centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+        val centDf = s.createDataFrame(cents).toDF("ci", "cv")
+        val alt = all.filter(col("vec_id") >= 20 && col("vec_id") % 10 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .crossJoin(broadcast(centDf))
+          .select(col("vec_id"),
+            struct(aggregate(zip_with(col("v"), col("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+              .as("d2"), col("ci").as("l")).as("cand"))
+          .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
+          .select(col("vec_id"), col("m.l").as("alt_cluster"))
+        val agree = asg.filter(col("vec_id") % 10 === 0)
+          .join(alt, "vec_id")
+          .filter(col("cluster") =!= col("alt_cluster")).count() == 0
+        asg.unpersist()
+        verdict.select(lit(nBase).as("n_base"), lit(nDelta).as("n_delta"),
+          col("n_queries"), col("floor_pct"), col("recall_floor_met"),
+          lit(agree).as("assign_agree"), lit(covOk).as("cov_ok"))
+      },
+      "SELECT 1782::BIGINT AS n_base, 198::BIGINT AS n_delta, " +
+        "20 AS n_queries, 90 AS floor_pct, true AS recall_floor_met, " +
+        "true AS assign_agree, true AS cov_ok"),
+
     ("e13_rollup_maintain",
       (s, sf) => {
         val d = docs(s, sf).select(col("doc_id"), col("text"))

@@ -177,6 +177,51 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Assign vectors to an EXISTING set of IVF centroids: exact
+    * squared-Euclidean argmin (k-means' assignment rule, spelled as a
+    * deterministic left fold — ties to the lowest list index). The
+    * centroids ride the plan as a LITERAL (nLists×dim is knob-sized),
+    * so this is ONE scan with no join and no shuffle — the
+    * [[nearestCentroidConfusion]] discipline. Output: (vec_id, v,
+    * cluster), the [[IvfIndex.assigned]] schema. */
+  def ivfAssign(df: DataFrame, id: Column, vec: Column,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
+    val v = vec.cast("array<double>")
+    val candidates = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = aggregate(
+        zip_with(v, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(i).as("l"))
+    }
+    df.select(id.as("vec_id"), v.as("v"),
+      array_min(array(candidates: _*)).getField("l").as("cluster"))
+  }
+
+  /** Incremental IVF maintenance: fold a delta of NEW vectors into an
+    * existing index WITHOUT re-fitting — each delta vector is assigned
+    * to its nearest existing centroid ([[ivfAssign]]) and appended to
+    * that inverted list. This is the 100 TB growth path: the k-means
+    * fit runs once (or per re-balance epoch); daily corpus growth costs
+    * one delta-sized scan, never a full-corpus re-cluster, and queries
+    * probe the upserted index exactly as before. The centroids are
+    * unchanged by construction, so probe routing and every previously
+    * indexed vector's list are stable — the same contract
+    * [[graft.ops.Dedup]]'s LSH index maintenance (e10) and the KMV/
+    * rollup maintenance gates (e12/e13) pin: incremental ≡ from-scratch
+    * against the SAME parameters. Re-fit when the delta's distribution
+    * drifts enough that per-list occupancy skews (the caller-observable
+    * signal: max/mean list size).
+    *
+    * The delta must carry NEW vec_ids; upserting an existing id is a
+    * caller bug (both rows would serve queries) — same latest-wins
+    * contract as the lake CDC ops, enforced upstream. */
+  def ivfUpsert(idx: IvfIndex, delta: DataFrame, id: Column,
+      vec: Column): IvfIndex =
+    IvfIndex(
+      idx.assigned.unionByName(ivfAssign(delta, id, vec, idx.centroids)),
+      idx.centroids)
+
   /** kNN join: for every query vector, its k nearest corpus vectors by
     * cosine. The corpus is broadcast and each partition streams its query
     * rows against it with a bounded heap — no shuffle and no n×m row

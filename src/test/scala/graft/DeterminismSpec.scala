@@ -38,7 +38,7 @@ class DeterminismSpec extends AnyFunSuite {
     // round-16: auto-knob LSH with planted near-dups, bottom-k sample
     // state + rollup, synchronous-LPA fixpointless iteration
     "d07_embed_neardup_lsh", "t53_quantile_sketch", "e14_quantile_rollup",
-    "g16_lpa_communities", "er05_sorted_neighborhood")
+    "g16_lpa_communities", "er05_sorted_neighborhood", "e15_ivf_upsert")
 
   private def fingerprint(spark: SparkSession, gate: String): Seq[String] = {
     val df = SparkEntry.queries(gate)(spark, sf)

@@ -3772,6 +3772,32 @@ class OpsSpec extends AnyFunSuite {
     assert(lpaQ == 0.5 && trivialQ < 0.0, s"lpa Q=$lpaQ trivial Q=$trivialQ")
   }
 
+  test("ivfUpsert: exact argmin matches k-means' own assignments, covers all rows, layout-independent") {
+    import graft.ops.Similarity
+    val all = OpsQueries.clusteredEmb(spark, n = 400, dim = 16, centers = 8)
+    val base = all.filter(col("vec_id") % 10 =!= 0)
+    val delta = all.filter(col("vec_id") % 10 === 0)
+    val idx = Similarity.buildIvf(base, col("vec_id"), col("embedding"), nLists = 8)
+    val up = Similarity.ivfUpsert(idx, delta, col("vec_id"), col("embedding"))
+    assert(up.assigned.count() == all.count())
+    assert(up.assigned.select("vec_id").distinct().count() == all.count())
+    // the exact left-fold argmin reproduces KMeans.transform on the base
+    // (pins that ivfAssign implements the SAME rule the fit used)
+    val re = Similarity.ivfAssign(base, col("vec_id"), col("embedding"), idx.centroids)
+    val diff = idx.assigned.select(col("vec_id"), col("cluster"))
+      .join(re.select(col("vec_id"), col("cluster").as("c2")), "vec_id")
+      .filter(col("cluster") =!= col("c2")).count()
+    assert(diff == 0, s"$diff assignment disagreements vs KMeans.transform")
+    // layout-independent: the delta's partitioning cannot move a vector
+    val a = up.assigned.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toSet
+    val b = Similarity.ivfUpsert(idx, delta.repartition(13, col("vec_id")),
+        col("vec_id"), col("embedding"))
+      .assigned.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toSet
+    assert(a == b)
+  }
+
   test("sortedNeighborhood: equals the window-definition brute force, layout-independent") {
     val cust = spark.read.parquet(s"$sf/customer.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
