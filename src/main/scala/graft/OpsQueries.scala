@@ -3208,12 +3208,16 @@ object OpsQueries {
         |  (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin),
 
-    // point-in-interval range join via slot bucketing (never a
-    // BroadcastNestedLoopJoin): heavy lineitems land in the order windows
-    // that contain their ship date; oracle is DuckDB's inequality join.
-    // Runs the AUTO-slot path (slot = median interval length, here the
-    // median of 1..20 days) — the spelling users should reach for; the
-    // derived value itself is pinned by OpsSpec on a known fixture
+    // count-only range aggregation on the PREFIX-SUM path (r14 verdict
+    // item 1): per-day partial counts (calendar-bounded grid, ~2.5k slots
+    // at ANY sf) → one grid-sized prefix sum → two broadcast endpoint
+    // lookups per order window. Near-linear by construction where the
+    // old intervalJoin+groupBy plan materialized Θ(points × intervals)
+    // pairs (measured alpha 1.695 at sf5). Exact here: shipdates and
+    // orderdates are DATE columns on the day grid, so slot containment
+    // IS closed-interval containment; cnt>0 restores the oracle's
+    // inner-join shape. intervalJoin remains the path for per-pair
+    // attributes (ts05) and its plan is spec-pinned in OpsSpec.
     ("ts02_range_count",
       (s, sf) => {
         val pts = s.read.parquet(s"$sf/lineitem.parquet")
@@ -3222,15 +3226,44 @@ object OpsQueries {
           .select(col("o_orderkey"), col("o_orderdate"),
             expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
               .as("o_end"))
-        TemporalJoin.intervalJoin(pts, "l_shipdate", ivals,
-            "o_orderdate", "o_end")
-          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+        TemporalJoin.rangeAggregate(pts, "l_shipdate", Nil, ivals,
+            "o_orderdate", "o_end", slotSeconds = 86400L)
+          .filter(col("cnt") > 0)
+          .select(col("o_orderkey"), col("cnt"))
       },
       """SELECT o_orderkey, count(*) AS cnt
         |FROM orders JOIN lineitem ON l_quantity = 50
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))
         |GROUP BY o_orderkey""".stripMargin),
+
+    // point-in-interval range join via slot bucketing (never a
+    // BroadcastNestedLoopJoin), kept on the PAIR-materializing
+    // intervalJoin because the output carries per-pair attributes
+    // (which line shipped how many days into which order's window) —
+    // the workload shape the ts02 prefix-sum path cannot express. Runs
+    // the AUTO-slot spelling (slot = median interval length); oracle is
+    // DuckDB's inequality join emitting the same per-pair rows.
+    ("ts24_interval_pairs",
+      (s, sf) => {
+        val pts = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_quantity") === 50)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        val ivals = s.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
+              .as("o_end"))
+        TemporalJoin.intervalJoin(pts, "l_shipdate", ivals,
+            "o_orderdate", "o_end")
+          .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("lag_days"))
+      },
+      """SELECT o_orderkey, l_orderkey, l_linenumber,
+        |  date_diff('day', o_orderdate, l_shipdate)::BIGINT AS lag_days
+        |FROM orders JOIN lineitem ON l_quantity = 50
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))""".stripMargin),
 
     // the hot-key as-of variant ((key, time-slice) windows + carry-in —
     // the route when one key dominates): same enrichment as ts01, sliced
@@ -6906,7 +6939,12 @@ object OpsQueries {
         val asg = idx.assigned.cache()
         val nBase = asg.filter(col("vec_id") % 10 =!= 0).count()
         val nDelta = asg.filter(col("vec_id") % 10 === 0).count()
-        val covOk = asg.select(col("vec_id")).distinct().count() == nBase + nDelta
+        // coverage asserted against an INDEPENDENT corpus count (not the
+        // index's own rows, which would mask drops that shift the
+        // fixture constants in lockstep): every corpus row, exactly once
+        val nCorpus = all.filter(col("vec_id") >= 20).count()
+        val covOk = asg.select(col("vec_id")).distinct().count() == nCorpus &&
+          nBase + nDelta == nCorpus
         // independent argmin formulation: explode the centroid list to
         // rows, min-of-struct per vector, compare cluster choices
         val cents = idx.centroids.zipWithIndex

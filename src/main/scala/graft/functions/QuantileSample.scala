@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions.udaf
   * — never a sort or shuffle of the data itself.
   *
   * Caller contract: `key` must uniquely identify a row (duplicate keys
-  * collapse to one sample slot, biasing the sample toward the survivors).
+  * collapse to one sample slot, biasing the sample toward the survivors),
+  * and NO NULLS may reach the aggregator — the (Long, Double) input
+  * encoder is primitive/non-nullable, so a NULL hash or value fails the
+  * aggregation at runtime. [[graft.ops.Sketches.quantileSketchPerGroup]]
+  * filters both out (and excludes them from `n`) before aggregating.
   */
 object QuantileSample {
 

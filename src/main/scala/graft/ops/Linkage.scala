@@ -220,14 +220,18 @@ object Linkage {
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) }, schema)
       .select(col("__id"), col("pos"))
       .localCheckpoint()
+    // exact integer division for the bucket key (Column./ is DOUBLE
+    // division — at extreme ranks the rounding could mis-bucket a row
+    // and silently drop a candidate pair); pos is non-negative so DIV
+    // is plain floor division
+    val bucket = expr(s"pos DIV $window")
     val left = withPos.select(col("__id").as("id_a"), col("pos").as("pa"),
-      (col("pos") / window).cast("long").as("bk"))
+      bucket.as("bk"))
     // right side re-emitted for its own bucket and the one below, so a
     // left row's single bucket key finds every successor within range
     val right = withPos
       .select(col("__id").as("id_b"), col("pos").as("pb"),
-        explode(array((col("pos") / window).cast("long"),
-          (col("pos") / window).cast("long") - 1)).as("bk"))
+        explode(array(bucket, bucket - 1)).as("bk"))
     left.join(right, Seq("bk"))
       .filter(col("pb") > col("pa") && col("pb") - col("pa") <= window)
       .select(col("id_a"), col("id_b"), (col("pb") - col("pa")).as("dist"))

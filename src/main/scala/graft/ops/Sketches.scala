@@ -176,7 +176,15 @@ object Sketches {
     * aggregation pass, O(k) state per group, only ≤k pairs per
     * partition cross the wire. `key` must uniquely identify a row
     * (e.g. the table's primary key); the hash coordinates the sample
-    * so sketches over disjoint row sets merge exactly. */
+    * so sketches over disjoint row sets merge exactly.
+    *
+    * NULL semantics: rows whose key or value is NULL are EXCLUDED
+    * before the aggregation — from the sample AND from `n` (the usual
+    * SQL-aggregate treatment of nulls, and the contract a DuckDB twin's
+    * DISTINCT restatement must mirror with an IS NOT NULL filter). The
+    * typed bottom-k aggregator encodes (Long, Double) with primitive
+    * non-nullable encoders, so an unfiltered NULL would fail the whole
+    * aggregation at runtime rather than bias it. */
   def quantileSketchPerGroup(df: DataFrame, group: Column, value: Column,
       key: Column, k: Int, salt: String): DataFrame = {
     require(k >= 2 && k <= 65536, s"quantile sketch needs k in [2, 65536]: $k")
@@ -185,6 +193,7 @@ object Sketches {
     graft.functions.VectorFunctions.register(df.sparkSession)
     df.select(group.cast("string").as("scope"),
         kmvHash(key, salt).as("__h"), value.cast("double").as("__v"))
+      .where(col("__h").isNotNull && col("__v").isNotNull)
       .groupBy(col("scope"))
       .agg(count(lit(1)).as("n"),
         graft.functions.QuantileSample.bottomK(k)(col("__h"), col("__v")).as("qs"))
@@ -195,7 +204,14 @@ object Sketches {
     * through). EXACTLY the sketch a from-scratch build over the
     * combined rows produces (union closure of bottom-k sets) — the
     * lake-rollup property a05's exact group quantiles lack: per-day
-    * sketches roll up to any coarser scope without re-scanning data. */
+    * sketches roll up to any coarser scope without re-scanning data.
+    *
+    * CALLER CONTRACT: union closure holds only when BOTH inputs were
+    * built with sketch size ≥ this `k` — a sketch built with a smaller
+    * k' has already discarded pairs the merged bottom-k would need, and
+    * the merge cannot detect that from the state alone (a group with
+    * fewer than k' distinct rows looks identical either way). Same
+    * caveat as [[quantileSketchRollup]]; build everything at one k. */
   def quantileSketchMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     val empty = array().cast("array<struct<_1:bigint,_2:double>>")
     a.select(col("scope"), col("n").as("na"), col("qs").as("qa"))

@@ -270,6 +270,73 @@ class OpsSpec extends AnyFunSuite {
     assert(got == naive && got > 0)
   }
 
+  test("rangeAggregate equals intervalJoin+groupBy on day-aligned data, zero-point intervals emit 0") {
+    val pts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") === 50)
+      .select(col("l_shipdate"), col("l_extendedprice"))
+    val ivals = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)").as("o_end"))
+    val fast = graft.ops.TemporalJoin.rangeAggregate(
+      pts, "l_shipdate", Seq("price" -> col("l_extendedprice").cast("decimal(18,2)")),
+      ivals, "o_orderdate", "o_end", slotSeconds = 86400L)
+    val naive = pts.crossJoin(ivals)
+      .filter(col("l_shipdate") >= col("o_orderdate") && col("l_shipdate") <= col("o_end"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val got = fast.select(col("o_orderkey"), col("cnt"), col("sum_price")).collect()
+    assert(got.length == ivals.count(), "left-style: every interval emits a row")
+    var nonZero = 0
+    got.foreach { r =>
+      val key = r.getLong(0)
+      naive.get(key) match {
+        case Some((c, sp)) =>
+          nonZero += 1
+          assert(r.getLong(1) == c, s"cnt mismatch for order $key")
+          assert(r.getDecimal(2).compareTo(sp) == 0, s"sum mismatch for order $key")
+        case None =>
+          assert(r.getLong(1) == 0L, s"expected cnt=0 for order $key")
+      }
+    }
+    assert(nonZero == naive.size && nonZero > 0)
+  }
+
+  test("rangeAggregate: empty points input short-circuits to all-zero aggregates") {
+    val pts = Seq.empty[(java.sql.Date, Double)].toDF("p", "v")
+    val iv = Seq((1L, java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-05")))
+      .toDF("id", "s", "e")
+    val out = graft.ops.TemporalJoin.rangeAggregate(
+      pts, "p", Seq("v" -> col("v")), iv, "s", "e", 86400L).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("cnt") == 0L &&
+      out.head.getAs[Long]("sum_v") == 0L)
+  }
+
+  test("rangeAggregate refuses a grid wider than maxSlots") {
+    val pts = Seq((java.sql.Date.valueOf("1970-01-02"), 1.0),
+      (java.sql.Date.valueOf("2024-01-01"), 1.0)).toDF("p", "v")
+    val iv = Seq((1L, java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-05")))
+      .toDF("id", "s", "e")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TemporalJoin.rangeAggregate(pts, "p", Nil, iv, "s", "e",
+        slotSeconds = 1L, maxSlots = 1000L)
+    }
+    assert(e.getMessage.contains("maxSlots"))
+  }
+
+  test("quantileSketchPerGroup excludes null keys/values from the sample and from n") {
+    val d = Seq((Some(1L), Some(10.0), "a"), (Some(2L), None, "a"),
+      (None, Some(30.0), "a"), (Some(4L), Some(40.0), "a"))
+      .toDF("k", "v", "g")
+    val sk = graft.ops.Sketches.quantileSketchPerGroup(
+      d, col("g"), col("v"), col("k"), k = 16, salt = "nulls")
+      .collect()
+    assert(sk.length == 1)
+    assert(sk.head.getAs[Long]("n") == 2L, "null key/value rows must not count")
+    assert(sk.head.getSeq[org.apache.spark.sql.Row](sk.head.fieldIndex("qs")).length == 2)
+  }
+
   test("bloom decontamination equals the join variant, flags planted contamination, and plans joinless") {
     val boiler = "the quick brown fox jumps over the lazy dog again and again"
     val evalDocs = Seq((1000L, boiler), (1001L, "completely different eval text here"))

@@ -253,8 +253,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected scan-side filter below the join in the plan tree:\n$p")
   }
 
-  test("ts02: interval join plans as an equi-join on the slot, never a nested loop") {
+  test("ts02: range count rides the prefix-sum path — broadcast grid lookups, no pair join") {
     val p = plan("ts02_range_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range aggregate degenerated to a pair-materializing plan:\n$p")
+    // the only joins are the two interval-side lookups against the
+    // broadcast cumulative grid; the points side never joins at all
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast grid lookups:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"prefix-sum path must never shuffle-join the inputs:\n$p")
+    assert(p.contains("__slot"), s"slot grid missing:\n$p")
+  }
+
+  test("ts24: interval join plans as an equi-join on the slot, never a nested loop") {
+    val p = plan("ts24_interval_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"interval join degenerated to a nested loop:\n$p")
     assert(p.contains("__slot"), s"slot bucketing missing:\n$p")
