@@ -6971,6 +6971,63 @@ object OpsQueries {
         "20 AS n_queries, 90 AS floor_pct, true AS recall_floor_met, " +
         "true AS assign_agree, true AS cov_ok"),
 
+    // incremental IVF ERASURE (the delete half of e15's growth path,
+    // closing the e10 upsert+erasure contract for ANN): the maintained
+    // index is the pure ivfAssign of the full corpus against the fitted
+    // centroids, tombstones (vec_id % 7 = 3, 283 of 1980 rows) are
+    // anti-joined out, centroids kept. Gates: (a) recall@10 >= 90%
+    // through the SHRUNK index against brute force over the SURVIVING
+    // corpus, (b) incremental-with-deletes is row-identical to a
+    // from-scratch assignment of the survivors against the same
+    // centroids (assignment is per-row pure, so deletion can never move
+    // a survivor), (c) no tombstone survives, (d) coverage == an
+    // INDEPENDENT survivor count (not the index's own rows)
+    ("e16_ivf_delete",
+      (s, _) => {
+        val all = clusteredEmb(s)
+        val surviving = all.filter(col("vec_id") < 20 || col("vec_id") % 7 =!= 3)
+        var idx: Similarity.IvfIndex = null
+        val verdict = annRecallGateOn(s, surviving, floorPct = 90) { (corpus, qv) =>
+          if (idx == null) {
+            val full = all.filter(col("vec_id") >= 20)
+            // maintained-index construction: centroids from the one-time
+            // fit, lists from the pure assignment function (how a
+            // persisted-centroid deployment assigns — e15's contract)
+            val fit = annIvfAuto(full)
+            val base = Similarity.IvfIndex(
+              Similarity.ivfAssign(full, col("vec_id"), col("embedding"),
+                fit.centroids),
+              fit.centroids)
+            idx = Similarity.ivfDelete(base,
+              full.filter(col("vec_id") % 7 === 3), col("vec_id"))
+          }
+          annIvfAutoProbe(idx, qv)
+        }
+        val asg = idx.assigned.cache()
+        val nKept = asg.count()
+        val survCorpus = all.filter(col("vec_id") >= 20 && col("vec_id") % 7 =!= 3)
+        val nSurv = survCorpus.count()
+        val nCorpus = all.filter(col("vec_id") >= 20).count()
+        val tombOk = asg.filter(col("vec_id") % 7 === 3).count() == 0
+        val covOk = nKept == nSurv &&
+          asg.select(col("vec_id")).distinct().count() == nSurv
+        val scratch = Similarity.ivfAssign(survCorpus, col("vec_id"),
+            col("embedding"), idx.centroids)
+          .select(col("vec_id"), col("cluster"))
+        val a = asg.select(col("vec_id"), col("cluster"))
+        val agree = a.exceptAll(scratch).isEmpty && scratch.exceptAll(a).isEmpty
+        asg.unpersist()
+        verdict.select(lit(nCorpus).as("n_corpus"),
+          lit(nCorpus - nSurv).as("n_deleted"), lit(nSurv).as("n_surviving"),
+          col("n_queries"), col("floor_pct"), col("recall_floor_met"),
+          lit(agree).as("scratch_agree"), lit(tombOk).as("tomb_ok"),
+          lit(covOk).as("cov_ok"))
+      },
+      "SELECT 1980::BIGINT AS n_corpus, 283::BIGINT AS n_deleted, " +
+        "1697::BIGINT AS n_surviving, 20 AS n_queries, 90 AS floor_pct, " +
+        "true AS recall_floor_met, true AS scratch_agree, " +
+        "true AS tomb_ok, true AS cov_ok"),
+
     ("e13_rollup_maintain",
       (s, sf) => {
         val d = docs(s, sf).select(col("doc_id"), col("text"))

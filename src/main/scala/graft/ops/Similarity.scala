@@ -222,6 +222,25 @@ object Similarity {
       idx.assigned.unionByName(ivfAssign(delta, id, vec, idx.centroids)),
       idx.centroids)
 
+  /** Incremental IVF ERASURE — the other half of index maintenance
+    * ([[ivfUpsert]] covers growth; this covers deletion/right-to-be-
+    * forgotten): anti-join the tombstoned ids out of the inverted
+    * lists, centroids untouched. Because [[ivfAssign]] is a pure
+    * per-vector function of the centroids, removing rows can never
+    * change any surviving row's list — incremental-with-deletes is
+    * IDENTICAL to a from-scratch assignment of the surviving set
+    * against the same centroids (the e10 LSH upsert+erasure contract,
+    * applied to IVF; gated by e16). Cost: one anti-join, broadcast
+    * when the tombstone set is small (the usual case — AQE picks it),
+    * never a rebuild. Queries probe the shrunk lists exactly as
+    * before; re-fit on the same occupancy-skew signal as upsert when
+    * mass deletion hollows out lists. */
+  def ivfDelete(idx: IvfIndex, tombstones: DataFrame, id: Column): IvfIndex =
+    IvfIndex(
+      idx.assigned.join(tombstones.select(id.as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti"),
+      idx.centroids)
+
   /** kNN join: for every query vector, its k nearest corpus vectors by
     * cosine. The corpus is broadcast and each partition streams its query
     * rows against it with a bounded heap — no shuffle and no n×m row
