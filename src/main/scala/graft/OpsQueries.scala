@@ -4941,6 +4941,49 @@ object OpsQueries {
         |  b.value AS rval
         |FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)""".stripMargin),
 
+    // the hot-key nearest variant ((key, day-slice) windows + two-sided
+    // carry — the escape hatch the base nearest doc routes to): HALF of
+    // all users collapse onto key 0 (the skew that would serialize the
+    // base per-key window into one task), right rows pre-aggregated to
+    // unique (k, ts) so both formulations are deterministic; oracle is
+    // the same DEFINITION-stating DuckDB plan as ts22 (tolerance range
+    // join + distance rank, ties backward)
+    ("ts23_asof_nearest_sliced",
+      (s, sf) => {
+        val ev = EventStreams.readEvents(s, s"$sf/events.parquet")
+        def hotKey = when(col("user_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id") % 25 + 1)
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(hotKey.as("k"), col("ts"), col("event_id"))
+        val r = ev.filter(col("event_type") === "error")
+          .groupBy(hotKey.as("k"), col("ts"))
+          .agg(min(col("value")).as("rval"))
+          .select(col("k"), col("ts"),
+            unix_micros(col("ts")).as("matched_us"), col("rval"))
+        graft.ops.TemporalJoin.asofJoinNearestSliced(l, r, "k", "ts",
+          Seq("matched_us", "rval"), toleranceMicros = 7200000000L,
+          sliceOf = c => floor(unix_micros(c) / lit(86400L * 1000000L)))
+          .select(col("event_id"), col("k"), col("matched_us"), col("rval"))
+      },
+      """WITH l AS (SELECT CASE WHEN user_id % 2 = 0 THEN 0
+        |      ELSE user_id % 25 + 1 END AS k, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (SELECT CASE WHEN user_id % 2 = 0 THEN 0
+        |      ELSE user_id % 25 + 1 END AS k, ts AS rts,
+        |      min(value) AS rval FROM events
+        |  WHERE event_type = 'error' GROUP BY 1, 2),
+        |j AS (SELECT l.event_id, r.rts, r.rval,
+        |    abs(epoch_us(l.ts) - epoch_us(r.rts)) AS d,
+        |    CASE WHEN epoch_us(r.rts) <= epoch_us(l.ts) THEN 0 ELSE 1 END AS fwd
+        |  FROM l JOIN r ON l.k = r.k
+        |    AND abs(epoch_us(l.ts) - epoch_us(r.rts)) <= 7200000000),
+        |best AS (SELECT event_id, rts, rval,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY d, fwd) AS rn
+        |  FROM j)
+        |SELECT l.event_id, l.k, epoch_us(b.rts)::BIGINT AS matched_us,
+        |  b.rval
+        |FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)""".stripMargin),
+
     // Holt-Winters additive weekly smoothing: ts19 plus the seasonal
     // recurrence; textbook two-week init, every state 8-dp floored per
     // step, oracle's recursive CTE carries the rolling 7-slot seasonal

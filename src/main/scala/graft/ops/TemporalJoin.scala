@@ -92,7 +92,8 @@ object TemporalJoin {
     * documented per-column ignoreNulls caveat of [[asofJoinBackward]]).
     * Same cost bill as backward: one hash shuffle on `key`, one sort,
     * two window passes over it (vs 2·|rightVals| for per-column fills);
-    * same hot-key exposure (route via slicing if a key dominates).
+    * same hot-key exposure — route through [[asofJoinNearestSliced]]
+    * when a key dominates.
     * Output: left columns + rightVals (null outside tolerance). */
   def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
       ts: String, rightVals: Seq[String], toleranceMicros: Long): DataFrame = {
@@ -127,6 +128,90 @@ object TemporalJoin {
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightVals.map(c =>
         when(useB, col("__b").getField(c)).when(useF, col("__f").getField(c)).as(c)): _*)
+  }
+
+  /** [[asofJoinNearest]] with the hot-key story — the sliced escape
+    * hatch the nearest join's doc routes to when one key dominates
+    * (previously only the backward join had one). Identical semantics:
+    * nearest right row within `toleranceMicros`, equal-distance ties
+    * backward; but every window partitions by (key, time-slice), so a
+    * key holding half the corpus spreads over its slices' tasks instead
+    * of serializing into one sort.
+    *
+    * The carry-in must flow BOTH directions (unlike backward's one):
+    *  - in-slice pass: the base union-and-fill windows per (key, slice)
+    *    — each left row gets its slice's latest-at-or-before (__b) and
+    *    earliest-after (__f) packed right struct;
+    *  - carry pass over the per-(key, slice) table (rows = #slices per
+    *    key — the hot key's millions of rows never cross a per-key
+    *    exchange): each slice inherits the latest right row of
+    *    strictly-earlier slices (backward carry = `max(__rv)` of the
+    *    latest populated earlier slice; struct max orders by __rts
+    *    first) and the earliest right row of strictly-later slices
+    *    (forward carry = `min(__rv)` of the earliest populated later
+    *    slice). A later slice's timestamps are strictly greater than
+    *    any in this slice (sliceOf is monotone in ts), so in-slice
+    *    candidates always beat carries — plain coalesce order — and
+    *    the db ≥ 0 / df > 0 invariants of the base arbitration hold.
+    *
+    * Ties: a right row AT a left row's ts shares its slice, so
+    * inclusivity (ties land backward) is decided in-slice exactly as
+    * the base window. Duplicate right (key, ts) rows resolve
+    * arbitrarily in BOTH formulations (base: window order; sliced:
+    * struct max/min) — keep them unique (e.g. pre-aggregate) when
+    * cross-formulation determinism matters. */
+  def asofJoinNearestSliced(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVals: Seq[String], toleranceMicros: Long,
+      sliceOf: Column => Column): DataFrame = {
+    require(rightVals.nonEmpty, "asofJoinNearestSliced needs at least one right value column")
+    require(toleranceMicros > 0, s"tolerance must be positive: $toleranceMicros")
+    val leftCols = left.columns.toSeq
+    val rBase = right.select(col(key), col(ts),
+      struct(unix_micros(col(ts)).as("__rts") +: rightVals.map(col): _*).as("__rv"))
+    val rvType = rBase.schema("__rv").dataType
+    val lAligned = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val rAligned = leftCols.filterNot(c => c == key || c == ts)
+      .foldLeft(rBase.withColumn("__side", lit(0))) {
+        (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val u = lAligned.unionByName(rAligned)
+      .withColumn("__slice", sliceOf(col(ts)))
+    val wB = Window.partitionBy(col(key), col("__slice"))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key), col("__slice"))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filledIn = u
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
+    // per-(key, slice) extremes of the right rows, then the two carries
+    // over the tiny per-key slice table
+    val sliceExt = u.filter(col("__side") === 0)
+      .groupBy(col(key), col("__slice"))
+      .agg(max(col("__rv")).as("__mx"), min(col("__rv")).as("__mn"))
+    val allSlices = u.select(col(key), col("__slice")).distinct()
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col(key)).orderBy(col("__slice").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = allSlices.join(sliceExt, Seq(key, "__slice"), "left")
+      .select(col(key), col("__slice"),
+        last(col("__mx"), ignoreNulls = true).over(wPrev).as("__cb"),
+        first(col("__mn"), ignoreNulls = true).over(wNext).as("__cf"))
+    val joined = filledIn.filter(col("__side") === 1)
+      .join(carry, Seq(key, "__slice"), "left")
+      .withColumn("__bc", coalesce(col("__b"), col("__cb")))
+      .withColumn("__fc", coalesce(col("__f"), col("__cf")))
+    val lm = unix_micros(col(ts))
+    val db = lm - col("__bc").getField("__rts")
+    val df = col("__fc").getField("__rts") - lm
+    val useB = col("__bc").isNotNull && db <= toleranceMicros &&
+      (col("__fc").isNull || df > toleranceMicros || db <= df)
+    val useF = !useB && col("__fc").isNotNull && df <= toleranceMicros
+    joined.select(leftCols.map(col) ++ rightVals.map(c =>
+      when(useB, col("__bc").getField(c)).when(useF, col("__fc").getField(c)).as(c)): _*)
   }
 
   /** [[asofJoinBackward]] with the hot-key story: identical semantics,

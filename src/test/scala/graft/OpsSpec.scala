@@ -466,6 +466,41 @@ class OpsSpec extends AnyFunSuite {
       s"heavy window not (key, slice)-partitioned:\n$p")
   }
 
+  test("sliced NEAREST as-of equals the base nearest on a 50%-hot-key fixture, and splits the hot key") {
+    // same skew shape as the backward spec: user 7 holds HALF the left
+    // rows; right rows unique per (k, ts) so both formulations are
+    // deterministic (the documented contract); null values exercise the
+    // atomic struct fills
+    val left = spark.range(0, 40000, 1, 8)
+      .selectExpr("id AS row_id",
+        "CASE WHEN id % 2 = 0 THEN 7L ELSE id % 40 END AS k",
+        "timestamp_micros((id * 13 % 100000) * 1000000) AS ts")
+    val right = spark.range(0, 2000, 1, 4)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN 7L ELSE id % 40 END AS k",
+        "timestamp_micros((id * 50 % 100000) * 1000000) AS ts",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+        .toMap
+    val tol = 300L * 1000000L // 300 s
+    val base = canon(graft.ops.TemporalJoin.asofJoinNearest(
+      left, right, key = "k", ts = "ts", rightVals = Seq("v"),
+      toleranceMicros = tol))
+    val sliced = graft.ops.TemporalJoin.asofJoinNearestSliced(
+      left, right, key = "k", ts = "ts", rightVals = Seq("v"),
+      toleranceMicros = tol,
+      sliceOf = c => floor(unix_micros(c) / (5000L * 1000000L)))
+    assert(canon(sliced) == base)
+    // some matches must exist and some must be out-of-tolerance nulls,
+    // or the fixture proves nothing
+    assert(base.values.exists(_ >= 0) && base.values.exists(_ == -1.0))
+    // the heavy window's shuffle key is (k, __slice)
+    val p = sliced.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(k#\\d+L?, __slice".r.findFirstIn(p).isDefined,
+      s"heavy window not (key, slice)-partitioned:\n$p")
+  }
+
   test("autoSlotSeconds derives the median interval length; auto path equals explicit") {
     // 7 intervals with second-lengths 10,10,10,50,50,100,100 → median 50
     val iv = Seq((0L, 10L), (100L, 110L), (200L, 210L), (300L, 350L),
