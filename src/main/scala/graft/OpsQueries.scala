@@ -2997,6 +2997,35 @@ object OpsQueries {
         |       ELSE (63::BIGINT * 4503599627370496) // kth END AS est
         |FROM a""".stripMargin),
 
+    // STREAMING quantile sketch under an injected MID-BATCH CRASH: each
+    // micro-batch's bottom-k partial state lands in an idempotent
+    // batch=<id> dir (batch 0 writes a half-batch PARTIAL then dies
+    // before the offset commit; the replay's overwrite supersedes it),
+    // and the final rollup of the stored partials must be BIT-IDENTICAL
+    // to a from-scratch sketch over all rows (union closure — the t53
+    // state, proven exactly-once under the st17 failure harness). Same
+    // exact ORDER BY h, v LIMIT k oracle as t53.
+    ("st19_stream_quantile_sketch",
+      (s, sf) => EventStreams.runStreamQuantileCrash(s, s"$sf/events.parquet",
+        k = 128, salt = "sqs"),
+      """WITH d AS (SELECT DISTINCT event_type AS scope,
+        |    ('0x' || substr(md5('sqs:' || event_id::VARCHAR), 1, 13))::BIGINT AS h,
+        |    value::DOUBLE AS v FROM events),
+        |r AS (SELECT scope, h, v,
+        |    row_number() OVER (PARTITION BY scope ORDER BY h, v) AS rn FROM d),
+        |sm AS (SELECT scope, v FROM r WHERE rn <= 128),
+        |mm AS (SELECT scope, count(*)::BIGINT AS m FROM sm GROUP BY 1),
+        |rv AS (SELECT scope, v,
+        |    row_number() OVER (PARTITION BY scope ORDER BY v) AS rv FROM sm),
+        |nn AS (SELECT event_type AS scope, count(*)::BIGINT AS n
+        |       FROM events GROUP BY 1),
+        |ix AS (SELECT scope, m, 1 + (1 * (m - 1)) // 2 AS i50,
+        |              1 + (9 * (m - 1)) // 10 AS i90 FROM mm)
+        |SELECT nn.scope, nn.n, ix.m, a.v AS q_p50, b.v AS q_p90
+        |FROM nn JOIN ix USING (scope)
+        |JOIN rv a ON a.scope = ix.scope AND a.rv = ix.i50
+        |JOIN rv b ON b.scope = ix.scope AND b.rv = ix.i90""".stripMargin),
+
     ("st12_stream_distinct_users",
       (s, sf) => EventStreams.runHourlyDistinctBatch(s, s"$sf/events.parquet"),
       """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,

@@ -335,6 +335,64 @@ object EventStreams {
           .cast("double").as("sumv"))
   }
 
+  /** STREAMING quantile sketch under an injected mid-batch crash — the
+    * bottom-k coordinated sample ([[graft.ops.Sketches]]) composed with
+    * the [[runCrashRestartExactlyOnce]] delivery recipe: each
+    * micro-batch folds to its own O(groups·k) partial sketch state
+    * written to an idempotent `batch=<id>` directory; the final sketch
+    * is the rollup (union-merge) of the stored partials. Because
+    * bottom-k state is a pure function of the row SET and closed under
+    * union, the rolled-up sketch is BIT-IDENTICAL to a from-scratch
+    * build over all rows — regardless of batch boundaries, replay, or
+    * the crash: batch 0 writes a PARTIAL (half-batch) sketch, dies
+    * before the offset commit, and the restart's full-batch overwrite
+    * supersedes the debris (at-least-once replay + idempotent per-batch
+    * state = exactly-once sketch maintenance). This is the streaming
+    * lake pattern: per-batch sketch states persist once; any later
+    * scope answers from stored state without re-reading events.
+    * Returns the post-crash (scope, n, m, q_p50, q_p90) the exact-state
+    * oracle restates as a single direct sketch. */
+  def runStreamQuantileCrash(spark: SparkSession, parquetPath: String,
+      k: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.functions.pmod
+    val root = java.nio.file.Files.createTempDirectory("graft_sqs").toFile
+    val in = s"$root/in"; val ck = s"$root/ck"; val out = s"$root/out"
+    spark.read.parquet(parquetPath)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def sketchOf(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]) =
+      graft.ops.Sketches.quantileSketchPerGroup(df.toDF(),
+        col("event_type"), col("value"), col("event_id"), k, salt)
+    def start(inject: Boolean) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val dir = s"$out/batch=$bid"
+        if (inject && bid == 0L && injected.compareAndSet(false, true)) {
+          sketchOf(df.filter(pmod(col("event_id"), lit(2)) === 0))
+            .write.mode("overwrite").parquet(dir) // partial state, then die
+          throw new RuntimeException("injected mid-batch crash")
+        }
+        sketchOf(df).write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start(inject = true)
+    try q1.awaitTermination()
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    require(injected.get(), "crash injection must have fired")
+    val q2 = start(inject = false)
+    q2.awaitTermination()
+    graft.ops.Sketches.quantileSketchQuery(
+      graft.ops.Sketches.quantileSketchRollup(
+        spark.read.parquet(out).select(col("scope"), col("n"), col("qs")),
+        col("scope"), k),
+      Seq(("p50", 1, 2), ("p90", 9, 10)))
+  }
+
   /** [[streamingDedup]] streamed into a parquet file sink and read back
     * (file source → watermarked dedup → exactly-once file sink: the
     * full production ingest-to-egress path in one gate). */
