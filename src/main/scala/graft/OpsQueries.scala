@@ -3294,6 +3294,34 @@ object OpsQueries {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))""".stripMargin),
 
+    // the SUM half of the prefix-sum range aggregation: per-window
+    // quantity totals from cumulative DECIMAL sums (exact integer/
+    // decimal arithmetic end-to-end, so C(end) − C(start−1) is the
+    // exact sum — a double cumsum would lose associativity); cast to
+    // double only at publication
+    ("ts25_range_sum",
+      (s, sf) => {
+        val pts = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_shipdate"), col("l_quantity"))
+        val ivals = s.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
+              .as("o_end"))
+        TemporalJoin.rangeAggregate(pts, "l_shipdate",
+            Seq("qty" -> col("l_quantity").cast("decimal(18,2)")),
+            ivals, "o_orderdate", "o_end", slotSeconds = 86400L)
+          .filter(col("cnt") > 0)
+          .select(col("o_orderkey"), col("cnt"),
+            col("sum_qty").cast("double").as("sum_qty"))
+      },
+      """SELECT o_orderkey, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON l_quantity >= 45
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))
+        |GROUP BY o_orderkey""".stripMargin),
+
     // the hot-key as-of variant ((key, time-slice) windows + carry-in —
     // the route when one key dominates): same enrichment as ts01, sliced
     // by day (unix_micros of the normalized event time — dtype-agnostic),
