@@ -102,7 +102,10 @@ object Sketches {
     * scope (full outer on scope; a scope on one side passes through).
     * Exactly bottom-k(A ∪ B) by the union-closure property — so
     * incrementally-maintained sketches equal from-scratch ones, which
-    * is what the e12 gate pins. */
+    * is what the e12 gate pins. Same caller contract as
+    * [[quantileSketchMerge]]: both inputs must have been built with
+    * sketch size ≥ this `k` (a smaller-k input has already discarded
+    * hashes the merged bottom-k needs, undetectably). */
   def kmvMergeSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     val empty = array().cast("array<long>")
     a.select(col("scope"), col("ks").as("ka"))
