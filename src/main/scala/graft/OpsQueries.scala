@@ -7098,25 +7098,36 @@ object OpsQueries {
               Similarity.ivfAssign(full, col("vec_id"), col("embedding"),
                 fit.centroids),
               fit.centroids)
-            idx = Similarity.ivfDelete(base,
+            val deleted = Similarity.ivfDelete(base,
               full.filter(col("vec_id") % 7 === 3), col("vec_id"))
+            // pin the shrunk lists: 20 probe queries + the structural
+            // comparison all consume them (buildIvf caches its own
+            // assignment; a constructed index must pin explicitly)
+            idx = Similarity.IvfIndex(deleted.assigned.cache(),
+              deleted.centroids)
           }
           annIvfAutoProbe(idx, qv)
         }
-        val asg = idx.assigned.cache()
-        val nKept = asg.count()
         val survCorpus = all.filter(col("vec_id") >= 20 && col("vec_id") % 7 =!= 3)
         val nSurv = survCorpus.count()
         val nCorpus = all.filter(col("vec_id") >= 20).count()
-        val tombOk = asg.filter(col("vec_id") % 7 === 3).count() == 0
-        val covOk = nKept == nSurv &&
-          asg.select(col("vec_id")).distinct().count() == nSurv
+        // ALL structural checks in ONE full-outer comparison pass: the
+        // scratch side has exactly one row per survivor, so a dropped,
+        // duplicated, or tombstoned index row shows as n_rows != nSurv
+        // or a null/mismatched side
         val scratch = Similarity.ivfAssign(survCorpus, col("vec_id"),
             col("embedding"), idx.centroids)
-          .select(col("vec_id"), col("cluster"))
-        val a = asg.select(col("vec_id"), col("cluster"))
-        val agree = a.exceptAll(scratch).isEmpty && scratch.exceptAll(a).isEmpty
-        asg.unpersist()
+          .select(col("vec_id"), col("cluster").as("s_cluster"))
+        val st = idx.assigned.select(col("vec_id"), col("cluster"))
+          .join(scratch, Seq("vec_id"), "full_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("cluster").isNull || col("s_cluster").isNull ||
+              col("cluster") =!= col("s_cluster"), 1)).as("n_bad"),
+            count(when(col("vec_id") % 7 === 3, 1)).as("n_tomb"))
+          .head()
+        val covOk = st.getAs[Long]("n_rows") == nSurv
+        val agree = st.getAs[Long]("n_bad") == 0 && covOk
+        val tombOk = st.getAs[Long]("n_tomb") == 0
         verdict.select(lit(nCorpus).as("n_corpus"),
           lit(nCorpus - nSurv).as("n_deleted"), lit(nSurv).as("n_surviving"),
           col("n_queries"), col("floor_pct"), col("recall_floor_met"),
