@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoin {
 
+  /** Block width of [[rangeAggregate]]'s two-level prefix sum: each
+    * window partition holds ≤ this many grid rows, and the exclusive
+    * block-offset table holds ≤ maxSlots/PrefixBlock rows. */
+  private val PrefixBlock = 65536L
+
   /** Backward (inclusive) as-of join. Left keeps all its rows/columns;
     * each gains `rightVals` from the latest right row with
     * `right.ts <= left.ts` for the same `key` (null when none exists —
@@ -352,12 +357,21 @@ object TemporalJoin {
     *     map-side-combined down to ≤ #slots rows (the slot grid is
     *     calendar-bounded, NOT corpus-bounded: ~2.5k slots for a
     *     TPC-H-range day grid at ANY scale factor);
-    *  2. a prefix sum over the dense slot grid — a single-task window
-    *     over the grid rows only (grid-bounded by `maxSlots`, asserted,
-    *     so the single partition is metadata-scale by construction);
+    *  2. a TWO-LEVEL prefix sum over the dense slot grid: per-block
+    *     cumulative sums (blocks of [[PrefixBlock]] slots, windowed per
+    *     block so no task ever sorts more than one block) + a
+    *     broadcast-joined exclusive block-offset table (≤
+    *     maxSlots/PrefixBlock rows — that tiny table is the only
+    *     partition-less window). No single task ever sees the whole
+    *     grid, which is what lets `maxSlots` sit at 16M instead of the
+    *     single-task-bounded 2M;
     *  3. per interval, cnt = C(slot(end)) − C(slot(start)−1) via TWO
-    *     broadcast hash equi-joins of the intervals against the
-    *     cumulative grid — map-only, no shuffle of either input.
+    *     equi-joins of the intervals against the cumulative grid —
+    *     broadcast hash joins while the grid is ≤ `broadcastSlots`
+    *     (map-only, no shuffle of either input — the ts02 shape), a
+    *     plain shuffled equi-join on the slot beyond that (the
+    *     intervals shuffle once per endpoint; the points are still
+    *     never joined, only aggregated).
     *
     * Semantics: counts points p with slot(start) ≤ slot(p) ≤ slot(end)
     * (slot = floor(epoch-seconds / slotSeconds)). This EQUALS exact
@@ -371,16 +385,20 @@ object TemporalJoin {
     * points emit cnt = 0 and sums = 0, unlike the inner-join shape of
     * intervalJoin+groupBy; filter cnt > 0 for that) plus `cnt` and one
     * `sum_<name>` per entry of `sums` (expressions over the points
-    * table). Empty points input short-circuits to all-zero aggregates.
-    * Interval endpoints must be non-null (a null endpoint nulls its
-    * lookup and the difference would under-count); null point
-    * timestamps never match any interval in intervalJoin and are
-    * likewise excluded here by the slot grouping emitting a null slot
-    * no lookup clamps to. */
+    * table, each `sum_<name>` typed as sum(<expr>) regardless of input
+    * content — the empty-points short-circuit casts its zeros to the
+    * same types). An interval with a NULL endpoint, or a reversed one
+    * (start > end), contains no points under intervalJoin's predicate
+    * and likewise emits cnt = 0 / sums = 0 here (guarded explicitly —
+    * C(end) − C(start−1) would otherwise mis-count through the clamps).
+    * Null point timestamps never match any interval in intervalJoin and
+    * are likewise excluded here by the slot grouping emitting a null
+    * slot no lookup clamps to. */
   def rangeAggregate(points: DataFrame, ptTs: String,
       sums: Seq[(String, Column)],
       intervals: DataFrame, startTs: String, endTs: String,
-      slotSeconds: Long, maxSlots: Long = 2000000L): DataFrame = {
+      slotSeconds: Long, maxSlots: Long = 16000000L,
+      broadcastSlots: Long = 4000000L): DataFrame = {
     require(slotSeconds > 0, "slotSeconds must be positive")
     def slotOf(c: Column) = floor(c.cast("timestamp").cast("long") / slotSeconds)
       .cast("long")
@@ -393,47 +411,96 @@ object TemporalJoin {
       // pinned: the grid-sized partial table feeds the bounds probe AND
       // the dense-grid join; without it the points scan runs twice
       .localCheckpoint()
+    // the aggregated sum types (decimal widening, …) read off the
+    // partial table's SCHEMA — both output branches cast their zeros
+    // and differences to these, so the result schema never depends on
+    // whether the points table happened to be empty
+    val sumType = sums.map { case (n, _) =>
+      n -> per.schema(s"__s_$n").dataType }.toMap
+    def zero(n: String) = lit(0L).cast(sumType(n))
     val bounds = per.agg(min(col("__slot")), max(col("__slot"))).head()
     if (bounds.isNullAt(0)) {
       // no points at all: every interval aggregates to zero
       return sums.foldLeft(intervals.withColumn("cnt", lit(0L))) {
-        case (d, (n, _)) => d.withColumn(s"sum_$n", lit(0L))
+        case (d, (n, _)) => d.withColumn(s"sum_$n", zero(n))
       }
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     require(hi - lo + 1 <= maxSlots,
       s"rangeAggregate grid ${hi - lo + 1} slots exceeds maxSlots=$maxSlots — " +
-        "coarsen slotSeconds (the grid must stay metadata-scale)")
-    // dense cumulative grid: one row per slot in [lo, hi]; the window has
-    // no partition key BY DESIGN — it runs over grid rows only (bounded
-    // above), never over data rows
-    val wCum = Window.orderBy(col("__slot"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = points.sparkSession.range(lo, hi + 1).toDF("__slot")
+        "coarsen slotSeconds (the grid must stay bounded)")
+    val gridSlots = hi - lo + 1
+    // dense cumulative grid via a TWO-LEVEL prefix sum: per-block
+    // running sums (each window partition is ≤ PrefixBlock rows — no
+    // task ever sorts the whole grid) + a broadcast exclusive
+    // block-offset table (≤ maxSlots/PrefixBlock rows; that tiny table
+    // carries the only partition-less window)
+    val grid = points.sparkSession.range(lo, hi + 1).toDF("__slot")
       .join(per, Seq("__slot"), "left")
-      .select(col("__slot") +:
-        sum(coalesce(col("__c"), lit(0L))).over(wCum).as("__cc") +:
+      .withColumn("__blk",
+        floor((col("__slot") - lit(lo)) / lit(PrefixBlock)).cast("long"))
+    val wBlk = Window.partitionBy(col("__blk")).orderBy(col("__slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlk = grid.select(col("__slot") +: col("__blk") +:
+      sum(coalesce(col("__c"), lit(0L))).over(wBlk).as("__cc0") +:
+      sums.map { case (n, _) =>
+        sum(coalesce(col(s"__s_$n"), zero(n))).over(wBlk).as(s"__cs0_$n") }: _*)
+    val wOff = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = grid.groupBy(col("__blk"))
+      .agg(sum(coalesce(col("__c"), lit(0L))).as("__bc"),
         sums.map { case (n, _) =>
-          sum(coalesce(col(s"__s_$n"), lit(0L))).over(wCum).as(s"__cs_$n") }: _*)
+          sum(coalesce(col(s"__s_$n"), zero(n))).as(s"__bs_$n") }: _*)
+      .select(col("__blk") +:
+        coalesce(sum(col("__bc")).over(wOff), lit(0L)).as("__oc") +:
+        sums.map { case (n, _) =>
+          coalesce(sum(col(s"__bs_$n")).over(wOff), zero(n)).as(s"__os_$n") }: _*)
+    val cum = inBlk.join(broadcast(offs), Seq("__blk"))
+      .select(col("__slot") +:
+        (col("__cc0") + col("__oc")).as("__cc") +:
+        sums.map { case (n, _) =>
+          // cast back to the plain sum type: window sums widen decimals
+          // per level, and the cumulative total is semantically the
+          // same domain as a single sum aggregate
+          (col(s"__cs0_$n") + col(s"__os_$n")).cast(sumType(n))
+            .as(s"__cs_$n") }: _*)
     def lookup(slotExpr: Column, suffix: String) = {
       val renamed = cum.select(col("__slot").as(s"__slot$suffix") +:
         (col("__cc").as(s"__cc$suffix") +:
           sums.map { case (n, _) => col(s"__cs_$n").as(s"__cs_$n$suffix") }): _*)
       // clamp above hi (C = grand total); a slot below lo finds no grid
-      // row and the left join's null coalesces to 0
-      (least(slotExpr, lit(hi)).as(s"__q$suffix"), broadcast(renamed))
+      // row and the left join's null coalesces to 0; NULL endpoints are
+      // handled by the explicit empty-interval guard below, not here.
+      // Past broadcastSlots the lookup is a plain shuffled equi-join on
+      // the slot — the intervals shuffle once per endpoint, the points
+      // side still never joins at all
+      (least(slotExpr, lit(hi)).as(s"__q$suffix"),
+        if (gridSlots <= broadcastSlots) broadcast(renamed) else renamed)
     }
-    val (qe, cumE) = lookup(slotOf(col(endTs)), "_e")
-    val (qs, cumS) = lookup(slotOf(col(startTs)) - 1, "_s")
-    val joined = intervals.withColumn("__q_e", qe).withColumn("__q_s", qs)
+    val (qe, cumE) = lookup(col("__pe"), "_e")
+    val (qs, cumS) = lookup(col("__ps") - 1, "_s")
+    val joined = intervals
+      .withColumn("__ps", slotOf(col(startTs)))
+      .withColumn("__pe", slotOf(col(endTs)))
+      .withColumn("__q_e", qe).withColumn("__q_s", qs)
       .join(cumE, col("__q_e") === col("__slot_e"), "left")
       .join(cumS, col("__q_s") === col("__slot_s"), "left")
+    // an interval with a NULL endpoint, or a reversed one (start > end),
+    // contains no points under intervalJoin's predicate — emit explicit
+    // zeros instead of trusting the clamped lookups' difference (least()
+    // skips NULLs, so a null endpoint would silently clamp to hi)
+    val emptyIval = col("__ps").isNull || col("__pe").isNull ||
+      col("__ps") > col("__pe")
     val out = joined.withColumn("cnt",
-      coalesce(col("__cc_e"), lit(0L)) - coalesce(col("__cc_s"), lit(0L)))
+      when(emptyIval, lit(0L)).otherwise(
+        coalesce(col("__cc_e"), lit(0L)) - coalesce(col("__cc_s"), lit(0L))))
     sums.foldLeft(out) { case (d, (n, _)) =>
       d.withColumn(s"sum_$n",
-        coalesce(col(s"__cs_${n}_e"), lit(0L)) - coalesce(col(s"__cs_${n}_s"), lit(0L)))
-    }.drop(Seq("__q_e", "__q_s", "__slot_e", "__slot_s", "__cc_e", "__cc_s") ++
+        when(emptyIval, zero(n)).otherwise(
+          coalesce(col(s"__cs_${n}_e"), zero(n)) -
+            coalesce(col(s"__cs_${n}_s"), zero(n))).cast(sumType(n)))
+    }.drop(Seq("__ps", "__pe", "__q_e", "__q_s", "__slot_e", "__slot_s",
+      "__cc_e", "__cc_s") ++
       sums.flatMap { case (n, _) => Seq(s"__cs_${n}_e", s"__cs_${n}_s") }: _*)
   }
 

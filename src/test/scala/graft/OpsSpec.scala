@@ -307,10 +307,63 @@ class OpsSpec extends AnyFunSuite {
     val pts = Seq.empty[(java.sql.Date, Double)].toDF("p", "v")
     val iv = Seq((1L, java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-05")))
       .toDF("id", "s", "e")
-    val out = graft.ops.TemporalJoin.rangeAggregate(
-      pts, "p", Seq("v" -> col("v")), iv, "s", "e", 86400L).collect()
+    val res = graft.ops.TemporalJoin.rangeAggregate(
+      pts, "p", Seq("v" -> col("v")), iv, "s", "e", 86400L)
+    // schema must NOT depend on input content: sum_v is typed as
+    // sum(double) = double even on the empty short-circuit branch
+    assert(res.schema("sum_v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val out = res.collect()
     assert(out.length == 1 && out.head.getAs[Long]("cnt") == 0L &&
-      out.head.getAs[Long]("sum_v") == 0L)
+      out.head.getAs[Double]("sum_v") == 0.0)
+  }
+
+  test("rangeAggregate: null/reversed interval endpoints emit zero, sum type matches non-empty branch") {
+    val pts = Seq((java.sql.Date.valueOf("2024-01-02"), 2.0),
+      (java.sql.Date.valueOf("2024-01-03"), 3.0)).toDF("p", "v")
+    val iv = Seq(
+      (1L, "2024-01-01", "2024-01-05"),   // contains both points
+      (2L, "2024-01-05", "2024-01-01"),   // reversed: contains nothing
+      (3L, null, "2024-01-05"),           // null start
+      (4L, "2024-01-01", null),           // null end
+      (5L, null, null))
+      .toDF("id", "s0", "e0")
+      .select(col("id"), col("s0").cast("date").as("s"),
+        col("e0").cast("date").as("e"))
+    val res = graft.ops.TemporalJoin.rangeAggregate(
+      pts, "p", Seq("v" -> col("v")), iv, "s", "e", 86400L)
+    assert(res.schema("sum_v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val got = res.select(col("id"), col("cnt"), col("sum_v")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (2L, 5.0))
+    for (id <- 2L to 5L)
+      assert(got(id) == (0L, 0.0), s"interval $id must emit explicit zeros")
+  }
+
+  test("rangeAggregate: fine slot grid past the old single-task bound (two-level prefix sum)") {
+    // 1-second slots over ~58 days = ~5M slots — more than the old 2M
+    // single-task ceiling; the two-level path must both ACCEPT and
+    // answer it exactly (points sit mid-slot, so slot containment =
+    // exact containment only for slot-aligned endpoints — use aligned
+    // epoch-second timestamps)
+    val ts0 = 1704067200L // 2024-01-01T00:00:00Z
+    val pts = Seq(ts0 + 86400L, ts0 + 1000000L, ts0 + 4999999L)
+      .map(s => Tuple1(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))))
+      .toDF("p")
+    val iv = Seq(
+      (1L, ts0, ts0 + 999999L),          // first point only
+      (2L, ts0 + 1000000L, ts0 + 5000000L), // second + third
+      (3L, ts0 + 5000001L, ts0 + 6000000L)) // none
+      .map { case (id, s, e) =>
+        (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e))) }
+      .toDF("id", "s", "e")
+    val got = graft.ops.TemporalJoin.rangeAggregate(
+        pts, "p", Nil, iv, "s", "e", slotSeconds = 1L)
+      .select(col("id"), col("cnt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 0L))
   }
 
   test("rangeAggregate refuses a grid wider than maxSlots") {
