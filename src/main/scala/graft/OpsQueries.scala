@@ -2992,7 +2992,8 @@ object OpsQueries {
         |      FROM d),
         |a AS (SELECT scope, count(*)::BIGINT AS m, max(h) AS kth
         |      FROM r WHERE rn <= 64 GROUP BY scope)
-        |SELECT scope, m, CASE WHEN m < 64 THEN NULL ELSE kth END AS kth_hash,
+        |SELECT scope, 64 AS k, m,
+        |  CASE WHEN m < 64 THEN NULL ELSE kth END AS kth_hash,
         |  CASE WHEN m < 64 THEN m
         |       ELSE (63::BIGINT * 4503599627370496) // kth END AS est
         |FROM a""".stripMargin),
@@ -3021,7 +3022,7 @@ object OpsQueries {
         |       FROM events GROUP BY 1),
         |ix AS (SELECT scope, m, 1 + (1 * (m - 1)) // 2 AS i50,
         |              1 + (9 * (m - 1)) // 10 AS i90 FROM mm)
-        |SELECT nn.scope, nn.n, ix.m, a.v AS q_p50, b.v AS q_p90
+        |SELECT nn.scope, nn.n, 128 AS k, ix.m, a.v AS q_p50, b.v AS q_p90
         |FROM nn JOIN ix USING (scope)
         |JOIN rv a ON a.scope = ix.scope AND a.rv = ix.i50
         |JOIN rv b ON b.scope = ix.scope AND b.rv = ix.i90""".stripMargin),
@@ -4173,7 +4174,8 @@ object OpsQueries {
         |      FROM d),
         |a AS (SELECT scope, count(*)::BIGINT AS m, max(h) AS kth
         |      FROM r WHERE rn <= 32 GROUP BY scope)
-        |SELECT scope, m, CASE WHEN m < 32 THEN NULL ELSE kth END AS kth_hash,
+        |SELECT scope, 32 AS k, m,
+        |  CASE WHEN m < 32 THEN NULL ELSE kth END AS kth_hash,
         |  CASE WHEN m < 32 THEN m
         |       ELSE (31::BIGINT * 4503599627370496) // kth END AS est
         |FROM a""".stripMargin),
@@ -6459,7 +6461,8 @@ object OpsQueries {
         |      FROM d),
         |a AS (SELECT scope, count(*)::BIGINT AS m, max(h) AS kth
         |      FROM r WHERE rn <= 256 GROUP BY scope)
-        |SELECT scope, m, CASE WHEN m < 256 THEN NULL ELSE kth END AS kth_hash,
+        |SELECT scope, 256 AS k, m,
+        |  CASE WHEN m < 256 THEN NULL ELSE kth END AS kth_hash,
         |  CASE WHEN m < 256 THEN m
         |       ELSE (255::BIGINT * 4503599627370496) // kth END AS est
         |FROM a""".stripMargin),
@@ -7460,7 +7463,7 @@ object OpsQueries {
         |       FROM lineitem GROUP BY 1),
         |ix AS (SELECT scope, m, 1 + (1 * (m - 1)) // 2 AS i50,
         |              1 + (9 * (m - 1)) // 10 AS i90 FROM mm)
-        |SELECT nn.scope, nn.n, ix.m, a.v AS q_p50, b.v AS q_p90
+        |SELECT nn.scope, nn.n, 256 AS k, ix.m, a.v AS q_p50, b.v AS q_p90
         |FROM nn JOIN ix USING (scope)
         |JOIN rv a ON a.scope = ix.scope AND a.rv = ix.i50
         |JOIN rv b ON b.scope = ix.scope AND b.rv = ix.i90""".stripMargin),
@@ -7496,7 +7499,7 @@ object OpsQueries {
         |nn AS (SELECT count(*)::BIGINT AS n FROM orders),
         |ix AS (SELECT m, 1 + (1 * (m - 1)) // 2 AS i50,
         |              1 + (9 * (m - 1)) // 10 AS i90 FROM mm)
-        |SELECT t.scope, nn.n, ix.m, a.v AS q_p50, b.v AS q_p90
+        |SELECT t.scope, nn.n, 128 AS k, ix.m, a.v AS q_p50, b.v AS q_p90
         |FROM (VALUES ('__MERGED__'), ('__DIRECT__')) t(scope)
         |CROSS JOIN nn CROSS JOIN ix
         |JOIN rv a ON a.rv = ix.i50

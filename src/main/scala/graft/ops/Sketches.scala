@@ -71,20 +71,41 @@ object Sketches {
     * count); when m < k the sketch IS the distinct set and `est` is
     * exact; otherwise est = (k−1)·M DIV kth_hash — integer arithmetic,
     * exactly restatable as `ORDER BY hash LIMIT k` by any engine. */
-  /** (m, kth_hash, est) projection of a bottom-k sketch column `ks` —
-    * shared by the batch and streaming forms so both derive the
-    * estimate from the identical integer arithmetic. */
+  /** Distributed k-compatibility guard shared by the sketch merges:
+    * evaluates to `out` when every input row's stored `k` is ≥ the
+    * merge's `k`, RAISES (Spark assert_true → SparkRuntimeException)
+    * otherwise. A sketch built with a smaller k has already discarded
+    * entries the merged bottom-k needs — undetectable from the entry
+    * set alone, which is exactly why `k` now rides in the state. A
+    * NULL side (one-sided full-outer scope) passes the guard. */
+  private def kGuarded(out: Column, k: Int, what: String,
+      inputKs: Column*): Column = {
+    val ok = inputKs.map(c => coalesce(c, lit(Int.MaxValue)) >= k)
+      .reduce(_ && _)
+    when(assert_true(ok, lit(s"$what: an input sketch was built with " +
+      s"k smaller than the merge/rollup k=$k — its bottom-k state has " +
+      s"already discarded entries the merged sketch needs; rebuild the " +
+      s"inputs with k >= $k")).isNull, out)
+  }
+
+  /** (k, m, kth_hash, est) projection of a bottom-k sketch column `ks`
+    * — shared by the batch and streaming forms so both derive the
+    * estimate from the identical integer arithmetic. The state's `k`
+    * column rides through to the output (and to any DuckDB restatement
+    * of it). */
   private[graft] def kmvEstimate(df: DataFrame, k: Int): DataFrame = {
     val M = graft.functions.KmvSketch.M
-    df.select(col("scope"), size(col("ks")).cast("long").as("m"),
+    df.select(col("scope"), col("k"), size(col("ks")).cast("long").as("m"),
         when(size(col("ks")) < k, lit(null).cast("long"))
           .otherwise(element_at(col("ks"), k)).as("kth_hash"))
       .withColumn("est", when(col("kth_hash").isNull, col("m"))
         .otherwise(expr(s"${(k - 1).toLong * M}L DIV kth_hash")))
   }
 
-  /** Per-group bottom-k sketch column — (scope, ks) — the storable/
-    * mergeable artifact behind [[kmvDistinctPerGroup]]. */
+  /** Per-group bottom-k sketch column — (scope, k, ks) — the storable/
+    * mergeable artifact behind [[kmvDistinctPerGroup]]. `k` rides IN
+    * the state so a later merge/rollup can verify compatibility (see
+    * [[kmvMergeSketches]]) instead of silently biasing. */
   def kmvSketchPerGroup(df: DataFrame, group: Column, value: Column,
       k: Int, salt: String): DataFrame = {
     require(k >= 2 && k <= 1024, s"kmv needs k in [2, 1024] ((k-1)*M must fit a long): $k")
@@ -96,22 +117,26 @@ object Sketches {
         kmvHash(value, salt).as("__h"))
       .groupBy(col("scope"))
       .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks"))
+      .select(col("scope"), lit(k).as("k"), col("ks"))
   }
 
   /** Merge two per-group sketch tables: bottom-k of the union per
     * scope (full outer on scope; a scope on one side passes through).
     * Exactly bottom-k(A ∪ B) by the union-closure property — so
     * incrementally-maintained sketches equal from-scratch ones, which
-    * is what the e12 gate pins. Same caller contract as
-    * [[quantileSketchMerge]]: both inputs must have been built with
-    * sketch size ≥ this `k` (a smaller-k input has already discarded
-    * hashes the merged bottom-k needs, undetectably). */
+    * is what the e12 gate pins. Union closure holds only when BOTH
+    * inputs were built with sketch size ≥ this `k` — ENFORCED from the
+    * state's `k` column (the merge RAISES on a smaller-k input rather
+    * than emitting a silently biased sketch). */
   def kmvMergeSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     val empty = array().cast("array<long>")
-    a.select(col("scope"), col("ks").as("ka"))
-      .join(b.select(col("scope"), col("ks").as("kb")), Seq("scope"), "full_outer")
-      .select(col("scope"), slice(array_sort(array_union(
-        coalesce(col("ka"), empty), coalesce(col("kb"), empty))), 1, k).as("ks"))
+    a.select(col("scope"), col("k").as("__ka_k"), col("ks").as("ka"))
+      .join(b.select(col("scope"), col("k").as("__kb_k"), col("ks").as("kb")),
+        Seq("scope"), "full_outer")
+      .select(col("scope"), lit(k).as("k"),
+        kGuarded(slice(array_sort(array_union(
+            coalesce(col("ka"), empty), coalesce(col("kb"), empty))), 1, k),
+          k, "kmvMergeSketches", col("__ka_k"), col("__kb_k")).as("ks"))
   }
 
   def kmvDistinctPerGroup(df: DataFrame, group: Column, value: Column,
@@ -200,6 +225,7 @@ object Sketches {
       .groupBy(col("scope"))
       .agg(count(lit(1)).as("n"),
         graft.functions.QuantileSample.bottomK(k)(col("__h"), col("__v")).as("qs"))
+      .select(col("scope"), col("n"), lit(k).as("k"), col("qs"))
   }
 
   /** Merge two per-group sketch tables: bottom-k of the pair union per
@@ -209,21 +235,24 @@ object Sketches {
     * lake-rollup property a05's exact group quantiles lack: per-day
     * sketches roll up to any coarser scope without re-scanning data.
     *
-    * CALLER CONTRACT: union closure holds only when BOTH inputs were
-    * built with sketch size ≥ this `k` — a sketch built with a smaller
-    * k' has already discarded pairs the merged bottom-k would need, and
-    * the merge cannot detect that from the state alone (a group with
-    * fewer than k' distinct rows looks identical either way). Same
-    * caveat as [[quantileSketchRollup]]; build everything at one k. */
+    * Union closure holds only when BOTH inputs were built with sketch
+    * size ≥ this `k` — a sketch built with a smaller k' has already
+    * discarded pairs the merged bottom-k would need, and a group with
+    * fewer than k' distinct rows looks identical either way. The state
+    * therefore carries `k`, and the merge ENFORCES compatibility from
+    * it (RAISES on a smaller-k input instead of silently biasing). */
   def quantileSketchMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     val empty = array().cast("array<struct<_1:bigint,_2:double>>")
-    a.select(col("scope"), col("n").as("na"), col("qs").as("qa"))
-      .join(b.select(col("scope"), col("n").as("nb"), col("qs").as("qb")),
-        Seq("scope"), "full_outer")
+    a.select(col("scope"), col("n").as("na"), col("k").as("__ka_k"),
+        col("qs").as("qa"))
+      .join(b.select(col("scope"), col("n").as("nb"), col("k").as("__kb_k"),
+        col("qs").as("qb")), Seq("scope"), "full_outer")
       .select(col("scope"),
         (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"),
-        slice(array_sort(array_union(
-          coalesce(col("qa"), empty), coalesce(col("qb"), empty))), 1, k).as("qs"))
+        lit(k).as("k"),
+        kGuarded(slice(array_sort(array_union(
+            coalesce(col("qa"), empty), coalesce(col("qb"), empty))), 1, k),
+          k, "quantileSketchMerge", col("__ka_k"), col("__kb_k")).as("qs"))
   }
 
   /** Roll a sketch table up to a coarser scope (`newScope` is computed
@@ -235,29 +264,33 @@ object Sketches {
   def quantileSketchRollup(sk: DataFrame, newScope: Column, k: Int): DataFrame = {
     // pin the (tiny, O(groups·k)) input state once: the count and
     // pair-set aggregations below each consume it, and without pinning
-    // a computed `sk` (e.g. a fresh per-day build) would run twice
-    val keyed = sk.select(newScope.cast("string").as("scope"), col("n"), col("qs"))
+    // a computed `sk` (e.g. a fresh per-day build) would run twice.
+    // Every input row's stored k is guarded ≥ this k (same contract as
+    // the merge — enforced per row before any pair is dropped)
+    val keyed = sk.select(newScope.cast("string").as("scope"), col("n"),
+        kGuarded(col("qs"), k, "quantileSketchRollup", col("k")).as("qs"))
       .localCheckpoint()
     val ns = keyed.groupBy(col("scope")).agg(sum(col("n")).as("n"))
     val qs = keyed.select(col("scope"), explode(col("qs")).as("p"))
       .groupBy(col("scope"))
       .agg(graft.functions.QuantileSample.bottomK(k)(
         col("p._1"), col("p._2")).as("qs"))
-    ns.join(qs, Seq("scope"))
+    ns.join(qs, Seq("scope")).select(col("scope"), col("n"),
+      lit(k).as("k"), col("qs"))
   }
 
   /** Quantile query over a sketch table: for each probability num/den
     * (exact rationals so both engines index identically), the sampled
     * value at 1-based index 1 + (num·(m−1)) DIV den of the
     * VALUE-sorted sample — the lower empirical quantile. Emits
-    * (scope, n, m, q_<name>...); rank error vs the true quantile is
+    * (scope, n, k, m, q_<name>...); rank error vs the true quantile is
     * DKW-bounded by √(ln(2/δ)/(2m)). */
   def quantileSketchQuery(sk: DataFrame,
       probs: Seq[(String, Int, Int)]): DataFrame = {
     val vs = array_sort(transform(col("qs"), p => p("_2")))
     val m = size(col("qs")).cast("long")
     probs.foldLeft(
-        sk.select(col("scope"), col("n"), m.as("m"), vs.as("__vs"))) {
+        sk.select(col("scope"), col("n"), col("k"), m.as("m"), vs.as("__vs"))) {
       case (d, (name, num, den)) =>
         // integer DIV so the index is exact (Column./ is double division)
         d.withColumn(s"q_$name", expr(

@@ -69,7 +69,8 @@ object EventStreams {
       events.select(col("event_type").as("scope"),
           graft.ops.Sketches.kmvHash(col("user_id"), salt).as("__h"))
         .groupBy(col("scope"))
-        .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks")), k)
+        .agg(graft.functions.KmvSketch.bottomK(k)(col("__h")).as("ks"))
+        .withColumn("k", lit(k)), k)
 
   /** [[kmvDistinctPerType]] as a real streaming query (AvailableNow,
     * complete mode). */
@@ -350,8 +351,8 @@ object EventStreams {
     * state = exactly-once sketch maintenance). This is the streaming
     * lake pattern: per-batch sketch states persist once; any later
     * scope answers from stored state without re-reading events.
-    * Returns the post-crash (scope, n, m, q_p50, q_p90) the exact-state
-    * oracle restates as a single direct sketch. */
+    * Returns the post-crash (scope, n, k, m, q_p50, q_p90) the
+    * exact-state oracle restates as a single direct sketch. */
   def runStreamQuantileCrash(spark: SparkSession, parquetPath: String,
       k: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.functions.pmod
@@ -388,7 +389,8 @@ object EventStreams {
     q2.awaitTermination()
     graft.ops.Sketches.quantileSketchQuery(
       graft.ops.Sketches.quantileSketchRollup(
-        spark.read.parquet(out).select(col("scope"), col("n"), col("qs")),
+        spark.read.parquet(out)
+          .select(col("scope"), col("n"), col("k"), col("qs")),
         col("scope"), k),
       Seq(("p50", 1, 2), ("p90", 9, 10)))
   }

@@ -3886,10 +3886,10 @@ class OpsSpec extends AnyFunSuite {
     // once, holds forever)
     val q = Sketches.quantileSketchQuery(sk(li),
       Seq(("p50", 1, 2), ("p90", 9, 10))).head()
-    val (n, m) = (q.getLong(1), q.getLong(2))
+    val (n, m) = (q.getLong(1), q.getLong(3))
     assert(m == k)
     val eps = math.sqrt(math.log(2 / 0.01) / (2.0 * m))
-    for ((p, idx) <- Seq(0.5 -> 3, 0.9 -> 4)) {
+    for ((p, idx) <- Seq(0.5 -> 4, 0.9 -> 5)) {
       val v = q.getDouble(idx)
       val rank = li.filter(col("l_extendedprice").cast("double") <= v).count()
         .toDouble / n
@@ -3898,8 +3898,40 @@ class OpsSpec extends AnyFunSuite {
     // single-row group: the only value answers every quantile
     val one = Sketches.quantileSketchQuery(
       sk(li.limit(1)), Seq(("p50", 1, 2))).head()
-    assert(one.getLong(2) == 1L && one.getDouble(3) == li.limit(1)
+    assert(one.getLong(3) == 1L && one.getDouble(4) == li.limit(1)
       .select(col("l_extendedprice").cast("double")).as[Double].head())
+  }
+
+  test("sketch merges/rollups REFUSE a smaller-k input (k is enforced from the state)") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val df = spark.range(0, 500).select(
+      (col("id") % 3).cast("string").as("g"), col("id"))
+    val q16 = graft.ops.Sketches.quantileSketchPerGroup(
+      df, col("g"), col("id"), col("id"), 16, "kk")
+    val q32 = graft.ops.Sketches.quantileSketchPerGroup(
+      df, col("g"), col("id"), col("id"), 32, "kk")
+    // merging at 32 with a 16-built input must RAISE, not silently bias
+    val e1 = intercept[Throwable] {
+      graft.ops.Sketches.quantileSketchMerge(q32, q16, 32).collect()
+    }
+    assert(msgChain(e1).contains("smaller"), msgChain(e1))
+    val e2 = intercept[Throwable] {
+      graft.ops.Sketches.quantileSketchRollup(q16, lit("all"), 32).collect()
+    }
+    assert(msgChain(e2).contains("smaller"), msgChain(e2))
+    val k16 = graft.ops.Sketches.kmvSketchPerGroup(df, col("g"), col("id"), 16, "kk")
+    val k32 = graft.ops.Sketches.kmvSketchPerGroup(df, col("g"), col("id"), 32, "kk")
+    val e3 = intercept[Throwable] {
+      graft.ops.Sketches.kmvMergeSketches(k32, k16, 32).collect()
+    }
+    assert(msgChain(e3).contains("smaller"), msgChain(e3))
+    // compatible inputs pass: input k >= merge k (wider is fine), and
+    // the output state carries the MERGE's k
+    val down = graft.ops.Sketches.kmvMergeSketches(k32, k32, 16)
+    assert(down.select("k").distinct().collect().map(_.getInt(0)).toSeq == Seq(16))
+    assert(down.count() == 3)
   }
 
   test("labelPropagation: deterministic min-tie communities, layout-independent, Q beats trivial") {
