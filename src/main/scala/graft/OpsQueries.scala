@@ -7142,6 +7142,70 @@ object OpsQueries {
         "true AS recall_floor_met, true AS scratch_agree, " +
         "true AS tomb_ok, true AS cov_ok"),
 
+    // IVF index PERSISTENCE round-trip — the piece that turns the
+    // e15/e16 maintenance story from session-bound into a production
+    // one: fit on the base corpus, SAVE (parquet lists + centroids),
+    // LOAD, run the full maintenance cycle (upsert the delta, delete
+    // the tombstones) on the RELOADED index. Gates: (a) centroids
+    // round-trip bit-exactly (doubles through parquet), (b) the
+    // reloaded-and-maintained lists are row-identical to the same
+    // cycle on the never-persisted index AND cover exactly the
+    // independently-counted survivors, (c) recall@10 >= 90% probes
+    // through the reloaded-and-maintained index
+    ("e17_ivf_persist",
+      (s, _) => {
+        val all = clusteredEmb(s)
+        val surviving = all.filter(col("vec_id") < 20 || col("vec_id") % 7 =!= 3)
+        var idx: Similarity.IvfIndex = null
+        var agree = false
+        var centsOk = false
+        val verdict = annRecallGateOn(s, surviving, floorPct = 90) { (corpus, qv) =>
+          if (idx == null) {
+            val full = all.filter(col("vec_id") >= 20)
+            val base = full.filter(col("vec_id") % 10 =!= 0)
+            val delta = full.filter(col("vec_id") % 10 === 0)
+            val tomb = full.filter(col("vec_id") % 7 === 3)
+            val fit = annIvfAuto(base)
+            val dir = "/root/repo/target/derived/ivf_e17"
+            Similarity.saveIvf(fit, dir)
+            val reloaded = Similarity.loadIvf(s, dir)
+            centsOk = reloaded.centroids.length == fit.centroids.length &&
+              reloaded.centroids.zip(fit.centroids)
+                .forall { case (a, b) => a.sameElements(b) }
+            def cycle(i0: Similarity.IvfIndex) =
+              Similarity.ivfDelete(
+                Similarity.ivfUpsert(i0, delta, col("vec_id"), col("embedding")),
+                tomb, col("vec_id"))
+            val maintained = cycle(reloaded)
+            val never = cycle(fit)
+            // row-identity vs the never-persisted cycle + independent
+            // survivor coverage, in ONE full-outer pass (e16 discipline)
+            val st = maintained.assigned.select(col("vec_id"), col("cluster"))
+              .join(never.assigned
+                .select(col("vec_id"), col("cluster").as("n_cluster")),
+                Seq("vec_id"), "full_outer")
+              .agg(count(lit(1)).as("n_rows"),
+                count(when(col("cluster").isNull || col("n_cluster").isNull ||
+                  col("cluster") =!= col("n_cluster"), 1)).as("n_bad"))
+              .head()
+            val nSurv = all.filter(col("vec_id") >= 20 && col("vec_id") % 7 =!= 3)
+              .count()
+            agree = st.getAs[Long]("n_bad") == 0 &&
+              st.getAs[Long]("n_rows") == nSurv
+            // pin the shrunk lists for the 20 probes (constructed index
+            // — must pin explicitly, the e16 lesson)
+            idx = Similarity.IvfIndex(maintained.assigned.cache(),
+              maintained.centroids)
+          }
+          annIvfAutoProbe(idx, qv)
+        }
+        verdict.select(col("n_queries"), col("floor_pct"),
+          col("recall_floor_met"), lit(centsOk).as("cents_roundtrip"),
+          lit(agree).as("maintain_agree"))
+      },
+      "SELECT 20 AS n_queries, 90 AS floor_pct, true AS recall_floor_met, " +
+        "true AS cents_roundtrip, true AS maintain_agree"),
+
     ("e13_rollup_maintain",
       (s, sf) => {
         val d = docs(s, sf).select(col("doc_id"), col("text"))

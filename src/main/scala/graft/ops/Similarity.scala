@@ -241,6 +241,35 @@ object Similarity {
         Seq("vec_id"), "left_anti"),
       idx.centroids)
 
+  /** Persist an IVF index: the inverted lists (assigned) as a parquet
+    * table, the centroids (tiny — nLists×dim doubles) as one parquet
+    * table of (cluster, values). This is what makes [[ivfUpsert]] /
+    * [[ivfDelete]] a PRODUCTION maintenance story rather than a
+    * session-bound one: a deployment fits once, saves, and every later
+    * maintenance batch loads the index, folds its delta/tombstones in,
+    * and saves back — the k-means fit never re-runs. Doubles round-trip
+    * parquet bit-exactly, so a reloaded index assigns/probes
+    * IDENTICALLY to the never-persisted one (gated by e17). */
+  def saveIvf(idx: IvfIndex, dir: String): Unit = {
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    idx.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cluster", "values")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load an IVF index written by [[saveIvf]]. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cluster"), col("values"))
+      .as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    require(cents.nonEmpty, s"loadIvf: no centroids under $dir")
+    IvfIndex(spark.read.parquet(s"$dir/assigned"), cents)
+  }
+
   /** kNN join: for every query vector, its k nearest corpus vectors by
     * cosine. The corpus is broadcast and each partition streams its query
     * rows against it with a bounded heap — no shuffle and no n×m row

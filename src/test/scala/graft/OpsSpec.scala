@@ -3985,6 +3985,25 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("saveIvf/loadIvf: centroids round-trip bit-exactly, lists row-exactly, probes agree") {
+    import graft.ops.Similarity
+    val all = OpsQueries.clusteredEmb(spark, n = 400, dim = 16, centers = 8)
+    val idx = Similarity.buildIvf(all, col("vec_id"), col("embedding"), nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvf(idx, dir)
+    val back = Similarity.loadIvf(spark, dir)
+    assert(back.centroids.length == idx.centroids.length)
+    assert(back.centroids.zip(idx.centroids)
+      .forall { case (a, b) => a.sameElements(b) }, "centroid doubles must round-trip bit-exactly")
+    val rows = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("vec_id").cast("long"), col("cluster").cast("int"))
+        .as[(Long, Int)].collect().toSet
+    assert(rows(back.assigned) == rows(idx.assigned))
+    val qv = OpsQueries.clusteredQueryVec(spark)
+    assert(back.topK(qv, k = 5, nProbe = 3).select("vec_id").as[Long].collect().toSeq ==
+      idx.topK(qv, k = 5, nProbe = 3).select("vec_id").as[Long].collect().toSeq)
+  }
+
   test("sortedNeighborhood: equals the window-definition brute force, layout-independent") {
     val cust = spark.read.parquet(s"$sf/customer.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
