@@ -7670,6 +7670,26 @@ object OpsQueries {
       Similarity.loadSq8(s, dir, e, col("vec_id"), col("embedding"))
         .topKExact(queryVec(s, sf), k = 10)
     }),
+    // e16's gate form runs on the sf-INDEPENDENT clustered fixture (its
+    // correctness verdict must be identical at every sf), so timing it
+    // across scale dirs would measure nothing. The bench form times the
+    // operator a deployment pays per delete batch AT CORPUS SCALE: load
+    // the persisted index for this sf dir (fitted+saved once — the
+    // s09/s10 build-once regime), anti-join the tombstones out, and
+    // materialize the shrunk lists. The scale smoke fits e16's alpha on
+    // this; the recall/row-identity gate stays in `queries`.
+    "e16_ivf_delete" -> ((s, sf) => {
+      val e = emb(s, sf)
+      val label = new java.io.File(sf).getName
+      val dir = s"/root/repo/target/derived/$label/ivf_bench"
+      if (!new java.io.File(s"$dir/assigned/_SUCCESS").exists()) {
+        val (nLists, _) = Similarity.autoIvfParams(e.count())
+        Similarity.saveIvf(
+          Similarity.buildIvf(e, col("vec_id"), col("embedding"), nLists), dir)
+      }
+      Similarity.ivfDelete(Similarity.loadIvf(s, dir),
+        e.filter(col("vec_id") % 7 === 3), col("vec_id")).assigned
+    }),
   )
 
   /** DuckDB twin of [[graft.ops.Similarity.mmrTopK]]: the greedy MMR
