@@ -3323,6 +3323,44 @@ object OpsQueries {
         |  AND l_shipdate <= o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))
         |GROUP BY o_orderkey""".stripMargin),
 
+    // the EDGE contract of the prefix-sum path, driver-gated: intervals
+    // with a NULL endpoint or reversed bounds (start after end) contain
+    // nothing and must emit an explicit cnt = 0 — never a negative
+    // C(end)−C(start−1) through the clamps — while well-formed
+    // intervals count exactly; output keeps the zero rows (left-style)
+    ("ts26_range_edge",
+      (s, sf) => {
+        val pts = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_quantity") === 50).select(col("l_shipdate"))
+        val endBase = date_add(col("o_orderdate"),
+          (col("o_orderkey") % 20 + 1).cast("int"))
+        val ivals = s.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 11 === 0, lit(null).cast("date"))
+              .when(col("o_orderkey") % 5 === 0, endBase)
+              .otherwise(col("o_orderdate")).as("o_start"),
+            when(col("o_orderkey") % 7 === 0, lit(null).cast("date"))
+              .when(col("o_orderkey") % 5 === 0, col("o_orderdate"))
+              .otherwise(endBase).as("o_end"))
+        TemporalJoin.rangeAggregate(pts, "l_shipdate", Nil, ivals,
+            "o_start", "o_end", slotSeconds = 86400L)
+          .select(col("o_orderkey"), col("cnt"))
+      },
+      """WITH iv AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |         WHEN o_orderkey % 5 = 0 THEN
+        |           o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))
+        |         ELSE o_orderdate END AS s,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         WHEN o_orderkey % 5 = 0 THEN o_orderdate
+        |         ELSE o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT))
+        |         END AS e
+        |  FROM orders)
+        |SELECT iv.o_orderkey, count(l.l_shipdate)::BIGINT AS cnt
+        |FROM iv LEFT JOIN lineitem l ON l.l_quantity = 50
+        |  AND l.l_shipdate >= iv.s AND l.l_shipdate <= iv.e
+        |GROUP BY 1""".stripMargin),
+
     // the hot-key as-of variant ((key, time-slice) windows + carry-in —
     // the route when one key dominates): same enrichment as ts01, sliced
     // by day (unix_micros of the normalized event time — dtype-agnostic),
