@@ -2507,6 +2507,39 @@ object OpsQueries {
         |  ON o.o_orderdate <= l.l_end AND l.l_shipdate <= o.o_end
         |GROUP BY o_orderkey""".stripMargin),
 
+    // overlap COUNT on the dual-prefix-sum path — the ts02↔ts24
+    // contrast applied to ts04: SAME fixture, SAME DuckDB
+    // inequality-join oracle, but the operator never materializes a
+    // pair (per-slot start/end counts → two cumulative grids → two
+    // broadcast lookups per order window; right side only aggregated).
+    // cnt > 0 restores the oracle's inner-join shape
+    ("ts27_overlap_count",
+      (s, sf) => {
+        val ow = s.read.parquet(s"$sf/orders.parquet")
+          .filter(col("o_orderkey") % 19 === 0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
+              .as("o_end"))
+        val sw = s.read.parquet(s"$sf/lineitem.parquet")
+          .filter(col("l_quantity") >= 48)
+          .select(col("l_shipdate"),
+            expr("timestampadd(DAY, CAST(l_linenumber * 3 AS INT), l_shipdate)")
+              .as("l_end"))
+        TemporalJoin.overlapCount(ow, "o_orderdate", "o_end",
+            sw, "l_shipdate", "l_end", slotSeconds = 86400L)
+          .filter(col("cnt") > 0)
+          .select(col("o_orderkey"), col("cnt"))
+      },
+      """SELECT o_orderkey, count(*) AS cnt
+        |FROM (SELECT o_orderkey, o_orderdate,
+        |        o_orderdate + to_days(CAST(o_orderkey % 20 + 1 AS INT)) AS o_end
+        |      FROM orders WHERE o_orderkey % 19 = 0) o
+        |JOIN (SELECT l_shipdate,
+        |        l_shipdate + to_days(CAST(l_linenumber * 3 AS INT)) AS l_end
+        |      FROM lineitem WHERE l_quantity >= 48) l
+        |  ON o.o_orderdate <= l.l_end AND l.l_shipdate <= o.o_end
+        |GROUP BY o_orderkey""".stripMargin),
+
     // sketch gates: the oracle pins the EXACT value (computed by both
     // engines independently) plus a measured-error verdict on the sketch
     // — HLL++/GK are deterministic, so the verdict is reproducible

@@ -541,4 +541,103 @@ object TemporalJoin {
     intervalOverlapJoin(left, lStart, lEnd, right, rStart, rEnd,
       math.max(autoSlotSeconds(left, lStart, lEnd),
         autoSlotSeconds(right, rStart, rEnd)))
+
+  /** Per-left-interval COUNT of overlapping right intervals — the
+    * near-linear fast path replacing [[intervalOverlapJoin]]+groupBy
+    * when the query wants only counts (the ts04 shape) and no per-pair
+    * attributes; the overlap sibling of [[rangeAggregate]]. Pair-free
+    * by the stabbing decomposition
+    *
+    *   #overlap(l) = #{r : slot(rStart) ≤ slot(lEnd)}
+    *               − #{r : slot(rEnd)   <  slot(lStart)}
+    *
+    * (valid because every well-formed r with rEnd < lStart also has
+    * rStart ≤ lEnd), which needs only TWO cumulative counts over one
+    * slot grid — right STARTS and right ENDS — built in a single
+    * aggregation pass over the right table and answered per left row
+    * by two grid lookups. Same machinery as rangeAggregate: two-level
+    * prefix sum (no single task ever holds the grid), broadcast
+    * lookups while the grid is ≤ `broadcastSlots`, a shuffled
+    * equi-join of the left side beyond; the right side is never
+    * joined, only aggregated, and no pair is ever materialized.
+    *
+    * Contracts (mirroring rangeAggregate): slot-granularity semantics,
+    * exact for slot-aligned endpoints (DATE columns on a day grid).
+    * Right rows with a NULL endpoint or rStart > rEnd are EXCLUDED
+    * (the decomposition cannot count malformed intervals); left rows
+    * with a NULL endpoint or lStart > lEnd emit cnt = 0. Output: every
+    * left row + `cnt` (left-style; filter cnt > 0 for the inner-join
+    * shape of intervalOverlapJoin+groupBy). */
+  def overlapCount(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      slotSeconds: Long, maxSlots: Long = 16000000L,
+      broadcastSlots: Long = 4000000L): DataFrame = {
+    require(slotSeconds > 0, "slotSeconds must be positive")
+    def slotOf(c: Column) = floor(c.cast("timestamp").cast("long") / slotSeconds)
+      .cast("long")
+    // ONE pass over the right table: per-slot counts of starts and ends
+    // (each well-formed right row contributes one start and one end)
+    val per = right
+      .select(slotOf(col(rStart)).as("__ss"), slotOf(col(rEnd)).as("__es"))
+      .filter(col("__ss").isNotNull && col("__es").isNotNull &&
+        col("__ss") <= col("__es"))
+      .select(explode(array(
+        struct(col("__ss").as("__slot"), lit(1L).as("__is_s")),
+        struct(col("__es").as("__slot"), lit(0L).as("__is_s")))).as("x"))
+      .select(col("x.__slot").as("__slot"), col("x.__is_s").as("__is_s"))
+      .groupBy(col("__slot"))
+      .agg(sum(col("__is_s")).as("__cs0"),
+        sum(lit(1L) - col("__is_s")).as("__ce0"))
+      // pinned: feeds the bounds probe and the dense-grid join
+      .localCheckpoint()
+    val bounds = per.agg(min(col("__slot")), max(col("__slot"))).head()
+    if (bounds.isNullAt(0)) return left.withColumn("cnt", lit(0L))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    require(hi - lo + 1 <= maxSlots,
+      s"overlapCount grid ${hi - lo + 1} slots exceeds maxSlots=$maxSlots — " +
+        "coarsen slotSeconds (the grid must stay bounded)")
+    val gridSlots = hi - lo + 1
+    // two-level prefix sum over the dense grid, two running counts at
+    // once (see rangeAggregate for the block/offset design)
+    val grid = right.sparkSession.range(lo, hi + 1).toDF("__slot")
+      .join(per, Seq("__slot"), "left")
+      .withColumn("__blk",
+        floor((col("__slot") - lit(lo)) / lit(PrefixBlock)).cast("long"))
+    val wBlk = Window.partitionBy(col("__blk")).orderBy(col("__slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlk = grid.select(col("__slot"), col("__blk"),
+      sum(coalesce(col("__cs0"), lit(0L))).over(wBlk).as("__ics"),
+      sum(coalesce(col("__ce0"), lit(0L))).over(wBlk).as("__ice"))
+    val wOff = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = grid.groupBy(col("__blk"))
+      .agg(sum(coalesce(col("__cs0"), lit(0L))).as("__bs"),
+        sum(coalesce(col("__ce0"), lit(0L))).as("__be"))
+      .select(col("__blk"),
+        coalesce(sum(col("__bs")).over(wOff), lit(0L)).as("__os"),
+        coalesce(sum(col("__be")).over(wOff), lit(0L)).as("__oe"))
+    val cum = inBlk.join(broadcast(offs), Seq("__blk"))
+      .select(col("__slot"), (col("__ics") + col("__os")).as("__ccs"),
+        (col("__ice") + col("__oe")).as("__cce"))
+    def lookup(suffix: String) = {
+      val renamed = cum.select(col("__slot").as(s"__slot$suffix"),
+        col("__ccs").as(s"__ccs$suffix"), col("__cce").as(s"__cce$suffix"))
+      if (gridSlots <= broadcastSlots) broadcast(renamed) else renamed
+    }
+    val joined = left
+      .withColumn("__ps", slotOf(col(lStart)))
+      .withColumn("__pe", slotOf(col(lEnd)))
+      .withColumn("__q_e", least(col("__pe"), lit(hi)))
+      .withColumn("__q_s", least(col("__ps") - 1, lit(hi)))
+      .join(lookup("_e"), col("__q_e") === col("__slot_e"), "left")
+      .join(lookup("_s"), col("__q_s") === col("__slot_s"), "left")
+    val emptyIval = col("__ps").isNull || col("__pe").isNull ||
+      col("__ps") > col("__pe")
+    joined.withColumn("cnt",
+        when(emptyIval, lit(0L)).otherwise(
+          // starts ≤ slot(lEnd), minus ends strictly before slot(lStart)
+          coalesce(col("__ccs_e"), lit(0L)) - coalesce(col("__cce_s"), lit(0L))))
+      .drop("__ps", "__pe", "__q_e", "__q_s", "__slot_e", "__slot_s",
+        "__ccs_e", "__cce_e", "__ccs_s", "__cce_s")
+  }
 }

@@ -366,6 +366,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 0L))
   }
 
+  test("overlapCount equals intervalOverlapJoin+groupBy on day-aligned windows, zero-overlap lefts emit 0") {
+    val ow = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
+          .as("o_end"))
+    val sw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_shipdate"),
+        expr("timestampadd(DAY, CAST(l_linenumber * 3 AS INT), l_shipdate)")
+          .as("l_end"))
+    val naive = graft.ops.TemporalJoin.intervalOverlapJoin(
+        ow, "o_orderdate", "o_end", sw, "l_shipdate", "l_end", 86400L)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    val got = graft.ops.TemporalJoin.overlapCount(
+        ow, "o_orderdate", "o_end", sw, "l_shipdate", "l_end", 86400L)
+      .select(col("o_orderkey"), col("cnt")).as[(Long, Long)].collect()
+    assert(got.length == ow.count(), "left-style: every left row emits")
+    got.foreach { case (k, c) => assert(c == naive.getOrElse(k, 0L), s"order $k") }
+    assert(naive.nonEmpty && got.count(_._2 > 0) == naive.size)
+  }
+
+  test("overlapCount contract: malformed right rows excluded, malformed left rows emit 0") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val right = Seq(
+      (d("2024-01-02"), d("2024-01-04")),            // well-formed
+      (d("2024-01-05"), d("2024-01-03")),            // reversed: excluded
+      (d("2024-01-02"), null.asInstanceOf[java.sql.Date])) // null: excluded
+      .toDF("rs", "re")
+    val left = Seq(
+      (1L, d("2024-01-01"), d("2024-01-03")), // overlaps the well-formed r
+      (2L, d("2024-01-05"), d("2024-01-09")), // past it
+      (3L, d("2024-01-04"), d("2024-01-01")), // reversed left: 0
+      (4L, null.asInstanceOf[java.sql.Date], d("2024-01-03"))) // null left: 0
+      .toDF("id", "ls", "le")
+    val got = graft.ops.TemporalJoin.overlapCount(
+        left, "ls", "le", right, "rs", "re", 86400L)
+      .select(col("id"), col("cnt")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L), s"$got")
+  }
+
   test("rangeAggregate refuses a grid wider than maxSlots") {
     val pts = Seq((java.sql.Date.valueOf("1970-01-02"), 1.0),
       (java.sql.Date.valueOf("2024-01-01"), 1.0)).toDF("p", "v")

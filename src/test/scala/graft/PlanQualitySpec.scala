@@ -266,6 +266,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("__slot"), s"slot grid missing:\n$p")
   }
 
+  test("ts27: overlap count rides the dual prefix-sum path — broadcast grid lookups, no pair join") {
+    val p = plan("ts27_overlap_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap count degenerated to a pair-materializing plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast grid lookups:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"dual prefix-sum path must never shuffle-join the inputs:\n$p")
+    assert(p.contains("__slot"), s"slot grid missing:\n$p")
+  }
+
   test("ts24: interval join plans as an equi-join on the slot, never a nested loop") {
     val p = plan("ts24_interval_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"),
