@@ -288,15 +288,16 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData((8 until 20).map(i => (ts(0, i % 60), i.toLong, "click")): _*)
       q.processAllAvailable()
       val got = spark.table("kmv_test")
-        .as[(String, Long, Option[Long], Long)].collect().toSeq
+        .as[(String, Int, Long, Option[Long], Long)].collect().toSeq
       // the streaming state must equal the batch sketch over the union
+      // (including the carried k column)
       val batch = graft.ops.Sketches.kmvDistinctPerGroup(
         (0 until 20).map(i => (i.toLong, "click")).toDF("user_id", "event_type"),
         org.apache.spark.sql.functions.col("event_type"),
         org.apache.spark.sql.functions.col("user_id"), k = 8, salt = "kst")
-        .as[(String, Long, Option[Long], Long)].collect().toSeq
+        .as[(String, Int, Long, Option[Long], Long)].collect().toSeq
       assert(got == batch, s"stream $got vs batch $batch")
-      assert(got.head._2 == 8, "sketch saturated at k")
+      assert(got.head._2 == 8 && got.head._3 == 8, "sketch saturated at k")
     } finally q.stop()
   }
 
