@@ -40,10 +40,49 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
       s"graft_polyhash expects (string, bigint, bigint), got " +
         s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
 
-  override def nullSafeEval(s: Any, baseAny: Any, modAny: Any): Any = {
-    val bytes = s.asInstanceOf[UTF8String]
-    val base = baseAny.asInstanceOf[Long]
-    val mod = modAny.asInstanceOf[Long]
+  override def nullSafeEval(s: Any, baseAny: Any, modAny: Any): Any =
+    PolyHash.hashUtf8(s.asInstanceOf[UTF8String],
+      baseAny.asInstanceOf[Long], modAny.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, base, mod) => {
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val b0 = ctx.freshName("b0")
+      val cp = ctx.freshName("cp"); val len = ctx.freshName("len")
+      s"""
+         |int $n = $s.numBytes();
+         |long $h = 7L;
+         |if ($n == 0) $h = ($h * $base) % $mod;
+         |int $i = 0;
+         |while ($i < $n) {
+         |  int $b0 = $s.getByte($i) & 0xFF;
+         |  // length first + bounds clamp: truncated/malformed sequences
+         |  // degrade to one code unit per byte, never read past numBytes
+         |  int $len = $b0 < 0x80 ? 1 : (($b0 & 0xE0) == 0xC0 ? 2 : (($b0 & 0xF0) == 0xE0 ? 3 : 4));
+         |  int $cp;
+         |  if ($i + $len > $n) { $cp = $b0; $len = 1; }
+         |  else if ($len == 1) { $cp = $b0; }
+         |  else if ($len == 2) { $cp = (($b0 & 0x1F) << 6) | ($s.getByte($i + 1) & 0x3F); }
+         |  else if ($len == 3) { $cp = (($b0 & 0x0F) << 12) | (($s.getByte($i + 1) & 0x3F) << 6) | ($s.getByte($i + 2) & 0x3F); }
+         |  else { $cp = (($b0 & 0x07) << 18) | (($s.getByte($i + 1) & 0x3F) << 12) | (($s.getByte($i + 2) & 0x3F) << 6) | ($s.getByte($i + 3) & 0x3F); }
+         |  $h = ($h * $base + $cp) % $mod;
+         |  $i += $len;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PolyHash {
+  /** The polynomial code-point hash as a plain static — shared by the
+    * PolyHash expression's interpreted path and the batched consumers
+    * ([[SlotCounts]], [[HashedMargin]]) that hash every token of a row
+    * inside one call. Identical logic to the codegen template above. */
+  private[functions] def hashUtf8(bytes: UTF8String, base: Long, mod: Long): Long = {
     val n = bytes.numBytes()
     var h = 7L
     if (n == 0) h = (h * base) % mod
@@ -75,34 +114,132 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
     }
     h
   }
+}
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (s, base, mod) => {
-      val n = ctx.freshName("n"); val h = ctx.freshName("h")
-      val i = ctx.freshName("i"); val b0 = ctx.freshName("b0")
-      val cp = ctx.freshName("cp"); val len = ctx.freshName("len")
-      s"""
-         |int $n = $s.numBytes();
-         |long $h = 7L;
-         |if ($n == 0) $h = ($h * $base) % $mod;
-         |int $i = 0;
-         |while ($i < $n) {
-         |  int $b0 = $s.getByte($i) & 0xFF;
-         |  // length first + bounds clamp: truncated/malformed sequences
-         |  // degrade to one code unit per byte, never read past numBytes
-         |  int $len = $b0 < 0x80 ? 1 : (($b0 & 0xE0) == 0xC0 ? 2 : (($b0 & 0xF0) == 0xE0 ? 3 : 4));
-         |  int $cp;
-         |  if ($i + $len > $n) { $cp = $b0; $len = 1; }
-         |  else if ($len == 1) { $cp = $b0; }
-         |  else if ($len == 2) { $cp = (($b0 & 0x1F) << 6) | ($s.getByte($i + 1) & 0x3F); }
-         |  else if ($len == 3) { $cp = (($b0 & 0x0F) << 12) | (($s.getByte($i + 1) & 0x3F) << 6) | ($s.getByte($i + 2) & 0x3F); }
-         |  else { $cp = (($b0 & 0x07) << 18) | (($s.getByte($i + 1) & 0x3F) << 12) | (($s.getByte($i + 2) & 0x3F) << 6) | ($s.getByte($i + 3) & 0x3F); }
-         |  $h = ($h * $base + $cp) % $mod;
-         |  $i += $len;
-         |}
-         |${ev.value} = $h;
-       """.stripMargin
-    })
+/** Hashed bag-of-words slot counts in ONE pass over the token array:
+  * count[j] = |{t : polyHash(t, 257, 2^31−1) mod dim = j}| — bit-identical
+  * to the HOF spelling `transform(sequence(0, dim−1), j ->
+  * size(filter(toks, t -> hash(t) % dim = j)))` (counts are exact
+  * integers, emitted as doubles), which hashed every token dim times
+  * through interpreted lambdas: dim×ntok interpreted evals per row was
+  * the dominant cost of classifier training AND of the t17 gate's
+  * deploy-consistency check. Here each token is hashed once. */
+case class SlotCounts(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_slot_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_slot_counts expects array<string> tokens, got ${left.dataType}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_slot_counts expects a literal int dim")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val dim: Int = {
+    val d = right.eval().asInstanceOf[Int]
+    require(d >= 1 && d <= (1 << 20), s"dim out of [1, 2^20]: $d")
+    d
+  }
+
+  def counts(toksAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Double](dim)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      // null tokens cannot come out of TextOps.tokens (split never emits
+      // them); skipping matches the HOF filter's null-predicate drop
+      if (!toks.isNullAt(i)) {
+        val slot = (PolyHash.hashUtf8(toks.getUTF8String(i), 257L, 2147483647L)
+          % dim).toInt
+        out(slot) += 1.0
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(toksAny: Any, dimAny: Any): Any = counts(toksAny)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSlotCounts", this,
+      classOf[SlotCounts].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.counts($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hashed linear margin in ONE pass over the token array:
+  * bias + Σ_t w[polyHash(t, 257, 2^31−1) mod |w|], accumulated in token
+  * order — bit-identical to the HOF spelling `aggregate(toks, bias,
+  * (acc, t) -> acc + element_at(w, slot(t)+1))` (same doubles added in
+  * the same order), which paid an interpreted lambda + array element_at
+  * per token. This is the scan-stage scorer of every quality-classifier
+  * gate; the weights ride as a plan literal. */
+case class HashedMargin(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_hashed_margin"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!first.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        first.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_hashed_margin expects array<string> tokens, got ${first.dataType}")
+    else if (!second.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        second.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType != DoubleType || !second.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_hashed_margin expects a literal array<double> weight vector")
+    else if (third.dataType != DoubleType || !third.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_hashed_margin expects a literal double bias")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val weights: Array[Double] = {
+    val arr = second.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr.numElements() >= 1, "graft_hashed_margin: empty weight vector")
+    arr.toDoubleArray()
+  }
+  @transient private lazy val bias: Double = third.eval().asInstanceOf[Double]
+
+  def margin(toksAny: Any): Double = {
+    val toks = toksAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val w = weights
+    var acc = bias
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      // null tokens cannot come out of TextOps.tokens (split never emits
+      // them); skipped for a defined degradation instead of a crash
+      if (!toks.isNullAt(i))
+        acc += w((PolyHash.hashUtf8(toks.getUTF8String(i), 257L, 2147483647L)
+          % w.length).toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(toksAny: Any, wAny: Any, bAny: Any): Any =
+    margin(toksAny)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftHashedMargin", this,
+      classOf[HashedMargin].getName)
+    nullSafeCodeGen(ctx, ev, (t, _, _) => s"${ev.value} = $ref.margin($t);")
+  }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
@@ -510,6 +647,11 @@ object HashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polyhash", exprs => PolyHash(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_slot_counts", exprs => SlotCounts(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hashed_margin",
+      exprs => HashedMargin(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_lanes", exprs => MinHashLanes(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_shingles", exprs => WordShingles(exprs.head, exprs(1)), "built-in")
@@ -590,5 +732,19 @@ object HashFunctions {
   def deflateSize(s: Column): Column = {
     scala.util.Try(register(SparkSession.active))
     call_function("graft_deflate_size", s)
+  }
+
+  /** Hashed bag-of-words slot-count column (one native pass per row). */
+  def slotCounts(tokens: Column, dim: Int): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_slot_counts", tokens, lit(dim))
+  }
+
+  /** Hashed linear margin column (one native pass per row; weights and
+    * bias ride as plan literals). */
+  def hashedMargin(tokens: Column, weights: Seq[Double], bias: Double): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_hashed_margin", tokens,
+      org.apache.spark.sql.functions.typedLit(weights), lit(bias))
   }
 }

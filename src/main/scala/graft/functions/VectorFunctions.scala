@@ -332,6 +332,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_prefix52", exprs => Md5Prefix52(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poisson_mults",
+      exprs => PoissonMults(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_wordpiece",
       exprs => WordPieceEncode(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

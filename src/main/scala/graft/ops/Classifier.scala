@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
 object Classifier {
 
   /** Hashed slot-count feature array (length `dim`): slot j holds the
-    * number of tokens hashing to j. O(dim·ntok) per row — fine for the
-    * training sample; the SCORER never materializes this (its fold is
-    * O(ntok)). */
-  private[graft] def slotCounts(text: Column, dim: Int): Column = {
+    * number of tokens hashing to j — ONE native pass per row
+    * ([[graft.functions.SlotCounts]]); the HOF spelling below hashed
+    * every token dim times through interpreted lambdas (dim×ntok
+    * interpreted evals per row dominated both training-feature
+    * materialization and the t17 deploy-consistency check). */
+  private[graft] def slotCounts(text: Column, dim: Int): Column =
+    graft.functions.HashFunctions.slotCounts(TextOps.tokens(text), dim)
+
+  /** The higher-order-function formulation slotCounts replaced; private
+    * to the bit-equality spec (the wordShinglesHof discipline). */
+  private[graft] def slotCountsHof(text: Column, dim: Int): Column = {
     val toks = TextOps.tokens(text)
     transform(sequence(lit(0), lit(dim - 1)), j =>
       size(filter(toks, t =>

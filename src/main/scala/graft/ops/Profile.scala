@@ -235,7 +235,7 @@ object Profile {
     * compare against the SAME literal doubles (no transcendental eval
     * at query time). P(X ≤ i) for i = 0..8; beyond 8 the tail is
     * ~1.1e-9 and the multiplicity caps (identically on both sides). */
-  private val PoissonCdf: Seq[Double] = Seq(
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
     0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
     0.981011843123846, 0.9963401531726563, 0.9994058151824183,
     0.9999167588507119, 0.9999897508033253, 0.9999988805746001)
@@ -256,17 +256,18 @@ object Profile {
     * division, 6-dp floored; the CI bounds are exact rank statistics of
     * the B means. Output one row:
     * (b, mean_full6, lo6, hi6) at ranks ⌈α/2·B⌉ and B−⌈α/2·B⌉+1. */
-  /** Deterministic Poisson(1) multiplicity of (salt:rep:id): inverse
-    * CDF on a 52-bit md5 uniform against [[PoissonCdf]]. */
-  private def poissonMult(rep: Column, id: Column, salt: String): Column = {
+  /** All `b` deterministic Poisson(1) multiplicities of `id` at once —
+    * element `rep` is the inverse CDF on the 52-bit md5 uniform of
+    * `salt:rep:id` against [[PoissonCdf]], computed by the
+    * [[graft.functions.PoissonMults]] expression in one buffer-reusing
+    * loop (the exploded per-(rep, row) spelling paid a UTF8String
+    * concat + int→string cast + 9-deep CASE chain per rep per row —
+    * measured ~3× the digest itself). posexplode the result: pos IS
+    * the rep id. */
+  private def poissonMultsArr(id: Column, b: Int, salt: String): Column = {
     scala.util.Try(graft.functions.VectorFunctions.register(
       org.apache.spark.sql.SparkSession.active))
-    val u = call_function("graft_md5_prefix52", concat(lit(salt + ":"),
-      rep.cast("string"), lit(":"), id))
-      .cast("double") / lit(4503599627370496.0)
-    PoissonCdf.zipWithIndex.foldRight(lit(9): Column) {
-      case ((c, i), rest) => when(u < c, lit(i)).otherwise(rest)
-    }
+    call_function("graft_poisson_mults", id, lit(b), lit(salt))
   }
 
   /** Pre-materialization rep-mean stage of [[poissonBootstrapCi]] —
@@ -280,9 +281,9 @@ object Profile {
     val base = Dedup.ensureParallelism(
         df.select(value.cast("decimal(18,2)").as("__v"),
           id.cast("string").as("__id")).repartition(col("__id")))
-      .select(col("__v"), col("__id"),
-        explode(sequence(lit(0), lit(b - 1))).as("rep"))
-    base.withColumn("__m", poissonMult(col("rep"), col("__id"), salt))
+      .select(col("__v"),
+        posexplode(poissonMultsArr(col("__id"), b, salt)).as(Seq("rep", "__m")))
+    base
       .groupBy(col("rep"))
       .agg(sum(col("__v") * col("__m")).as("s"),
         sum(col("__m")).cast("long").as("n"))
@@ -335,9 +336,8 @@ object Profile {
         df.select(value.cast("decimal(18,2)").as("__v"),
           id.cast("string").as("__id"), treatment.cast("boolean").as("__t"))
           .repartition(col("__id")))
-      .select(col("__v"), col("__id"), col("__t"),
-        explode(sequence(lit(0), lit(b - 1))).as("rep"))
-      .withColumn("__m", poissonMult(col("rep"), col("__id"), salt))
+      .select(col("__v"), col("__t"),
+        posexplode(poissonMultsArr(col("__id"), b, salt)).as(Seq("rep", "__m")))
     def mean6(s: Column, n: Column) =
       floor(s.cast("double") / n.cast("double") * 1e6 + 0.5) / 1e6
     val reps = base.groupBy(col("rep")).agg(

@@ -180,8 +180,13 @@ object TemporalJoin {
       .foldLeft(rBase.withColumn("__side", lit(0))) {
         (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
+    // pinned: the union feeds BOTH the in-slice window pass and the
+    // slice-extremes aggregate below — without the checkpoint each
+    // consumer re-evaluates the full upstream (two scans + the right
+    // side's pre-aggregation), measured ~1.5× the whole op at sf1
     val u = lAligned.unionByName(rAligned)
       .withColumn("__slice", sliceOf(col(ts)))
+      .localCheckpoint()
     val wB = Window.partitionBy(col(key), col("__slice"))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -192,16 +197,19 @@ object TemporalJoin {
       .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
       .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
     // per-(key, slice) extremes of the right rows, then the two carries
-    // over the tiny per-key slice table
-    val sliceExt = u.filter(col("__side") === 0)
-      .groupBy(col(key), col("__slice"))
-      .agg(max(col("__rv")).as("__mx"), min(col("__rv")).as("__mn"))
-    val allSlices = u.select(col(key), col("__slice")).distinct()
+    // over the tiny per-key slice table. ONE aggregate produces both
+    // the extremes AND the full slice set (a row per (key, slice) of u;
+    // conditional max/min skip the left rows exactly like the previous
+    // filter+agg⟕distinct pair did) — one pass over the checkpoint
+    // instead of two plus their re-join
+    val sliceExt = u.groupBy(col(key), col("__slice"))
+      .agg(max(when(col("__side") === 0, col("__rv"))).as("__mx"),
+        min(when(col("__side") === 0, col("__rv"))).as("__mn"))
     val wPrev = Window.partitionBy(col(key)).orderBy(col("__slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wNext = Window.partitionBy(col(key)).orderBy(col("__slice").asc)
       .rowsBetween(1, Window.unboundedFollowing)
-    val carry = allSlices.join(sliceExt, Seq(key, "__slice"), "left")
+    val carry = sliceExt
       .select(col(key), col("__slice"),
         last(col("__mx"), ignoreNulls = true).over(wPrev).as("__cb"),
         first(col("__mn"), ignoreNulls = true).over(wNext).as("__cf"))
@@ -255,8 +263,12 @@ object TemporalJoin {
         .withColumn("__side", lit(0))) {
         (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
+    // pinned: the union feeds the in-slice window pass AND the per-slice
+    // aggregate — without it each consumer re-evaluates the upstream
+    // scans (the asofJoinNearestSliced measurement)
     val u = lAligned.unionByName(rAligned)
       .withColumn("__slice", sliceOf(col(ts)))
+      .localCheckpoint()
     // pass 1: the base fill, but partitioned by (key, slice) — the hot
     // key's rows hash across its slices
     val wIn = Window.partitionBy(col(key), col("__slice"))
@@ -266,20 +278,23 @@ object TemporalJoin {
       (d, c) => d.withColumn(s"__rv_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(wIn))
     }
     // pass 2: per (key, slice) the last non-null right value — max_by
-    // keyed on ts-where-value-is-non-null, so a trailing null value falls
-    // back to the newest non-null exactly like the base ignoreNulls fill
-    // (ties at equal ts fall to either row, the same unspecified-order
-    // contract the base window has) — then the carry from
-    // strictly-earlier slices over the tiny per-key slice table
+    // keyed on ts-where-(right AND value-non-null), so left rows and
+    // trailing null values are skipped exactly like the previous
+    // side-filter + agg over only right rows (ties at equal ts fall to
+    // either row, the same unspecified-order contract the base window
+    // has) — then the carry from strictly-earlier slices over the tiny
+    // per-key slice table. ONE aggregate emits a row per (key, slice)
+    // of u (left-only slices carry nulls), replacing the previous
+    // side-0 agg + distinct-slices + re-join trio
     val slAggs = rightVals.map(c =>
-      max_by(col(s"__rv_$c"), when(col(s"__rv_$c").isNotNull, col(ts))).as(s"__sl_$c"))
-    val sliceLast = u.filter(col("__side") === 0)
-      .groupBy(col(key), col("__slice"))
+      max_by(col(s"__rv_$c"),
+        when(col("__side") === 0 && col(s"__rv_$c").isNotNull, col(ts)))
+        .as(s"__sl_$c"))
+    val sliceLast = u.groupBy(col(key), col("__slice"))
       .agg(slAggs.head, slAggs.tail: _*)
-    val allSlices = u.select(col(key), col("__slice")).distinct()
     val wCarry = Window.partitionBy(col(key)).orderBy(col("__slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = allSlices.join(sliceLast, Seq(key, "__slice"), "left")
+    val carry = sliceLast
       .select(Seq(col(key), col("__slice")) ++ rightVals.map(c =>
         last(col(s"__sl_$c"), ignoreNulls = true).over(wCarry).as(s"__ci_$c")): _*)
     filledIn.filter(col("__side") === 1)

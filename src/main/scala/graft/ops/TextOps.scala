@@ -646,6 +646,16 @@ object TextOps {
     * so the IEEE double sum is bit-reproducible cross-engine. */
   def hashedLinearMargin(text: Column, weights: Seq[Double], bias: Double = 0.0): Column = {
     require(weights.nonEmpty, "hashedLinearMargin: empty weight vector")
+    // one native pass per row ([[graft.functions.HashedMargin]]) — same
+    // doubles added in the same token order as the HOF fold below, which
+    // paid an interpreted lambda + element_at per token
+    graft.functions.HashFunctions.hashedMargin(tokens(text), weights, bias)
+  }
+
+  /** The higher-order-function formulation hashedLinearMargin replaced;
+    * private to the bit-equality spec (the wordShinglesHof discipline). */
+  private[graft] def hashedLinearMarginHof(text: Column, weights: Seq[Double],
+      bias: Double = 0.0): Column = {
     val w = typedLit(weights)
     val slot = (t: Column) =>
       graft.functions.HashFunctions.polyHash(t, 257, 2147483647L) % weights.length

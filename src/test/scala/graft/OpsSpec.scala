@@ -2482,6 +2482,33 @@ class OpsSpec extends AnyFunSuite {
     assert(run(orders.repartition(13, col("o_custkey"))) == (b, mean, lo, hi))
   }
 
+  test("PoissonMults: array form is elementwise the md5-spelling multiplicity; CDFs in sync") {
+    // the batched expression must replay the exploded spelling the
+    // oracle restates: m[rep] == inverse-CDF(md5_52('salt:rep:id')/2^52)
+    graft.functions.VectorFunctions.register(spark)
+    assert(graft.functions.PoissonMults.Cdf.toSeq ==
+      graft.ops.Profile.PoissonCdf, "CDF tables diverged")
+    val ids = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").cast("string").as("id")).limit(500)
+    val b = 23
+    val batched = ids.select(col("id"),
+      posexplode(call_function("graft_poisson_mults",
+        col("id"), lit(b), lit("pbX"))).as(Seq("rep", "m")))
+    val u = call_function("graft_md5_prefix52", concat(lit("pbX:"),
+      col("rep").cast("string"), lit(":"), col("id")))
+      .cast("double") / lit(4503599627370496.0)
+    val spelled = graft.ops.Profile.PoissonCdf.zipWithIndex
+      .foldRight(lit(9): org.apache.spark.sql.Column) {
+        case ((c, i), rest) => when(u < c, lit(i)).otherwise(rest)
+      }
+    val diff = batched.withColumn("m2", spelled)
+      .filter(col("m") =!= col("m2")).count()
+    assert(diff == 0, s"$diff (id, rep) multiplicities diverge from the md5 spelling")
+    // and the distribution is sane: mean multiplicity ~1 (Poisson(1))
+    val mean = batched.agg(avg(col("m"))).as[Double].head()
+    assert(math.abs(mean - 1.0) < 0.05, s"multiplicity mean $mean far from 1")
+  }
+
   test("poissonBootstrapAbCi: null split's CI contains 0; planted lift detected") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     // an arbitrary-parity split of one population: true lift = ~0 and
@@ -3110,6 +3137,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1).getDouble(1) == 0.25)
     // weights and token hashing actually discriminate
     assert(single("alpha") != single("beta"))
+  }
+
+  test("SlotCounts/HashedMargin: native one-pass forms are bit-identical to the HOF spellings") {
+    import graft.ops.Classifier
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val w = Seq.tabulate(64)(j => (((j * 37 + 11) % 21) - 10) / 10.0)
+    // margin: identical doubles (same adds in the same token order)
+    val md = df.select(
+        TextOps.hashedLinearMargin(col("text"), w, bias = -0.5).as("a"),
+        TextOps.hashedLinearMarginHof(col("text"), w, bias = -0.5).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(md == 0, s"$md rows: native margin diverges from the HOF fold")
+    // slot counts: identical arrays
+    val sd = df.select(
+        Classifier.slotCounts(col("text"), 64).as("a"),
+        Classifier.slotCountsHof(col("text"), 64).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(sd == 0, s"$sd rows: native slot counts diverge from the HOF form")
+    // empty text: margin = bias, counts = zeros (the tokens() empty branch)
+    val e = Seq("  ").toDF("text").select(
+      TextOps.hashedLinearMargin(col("text"), w, bias = 0.25).as("m"),
+      Classifier.slotCounts(col("text"), 8).as("c")).head()
+    assert(e.getDouble(0) == 0.25 && e.getSeq[Double](1).forall(_ == 0.0))
   }
 
   test("fitQualityClassifier: learns planted separation; deployed fold equals the model") {
