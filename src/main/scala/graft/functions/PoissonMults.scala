@@ -49,46 +49,18 @@ case class PoissonMults(first: Expression, second: Expression,
     n
   }
 
-  /** `salt:rep:` prefix bytes per rep — rendered once, immutable, shared
-    * across threads. */
-  @transient private lazy val prefixes: Array[Array[Byte]] = {
-    val salt = third.eval().asInstanceOf[UTF8String].toString
-    Array.tabulate(b)(rep =>
-      (salt + ":" + rep + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  @transient private lazy val sampler = new PoissonMults.Sampler(
+    third.eval().asInstanceOf[UTF8String].toString, b)
+
+  /** Thread-confined b-int scratch, reused across rows; the returned
+    * UnsafeArrayData copies out of it. */
+  @transient private lazy val scratch = new ThreadLocal[Array[Int]] {
+    override def initialValue() = new Array[Int](b)
   }
 
-  /** Thread-confined (digest, 16-byte out buffer, b-int scratch) — the
-    * digest is stateful and the buffers are reused across rows; the
-    * returned UnsafeArrayData copies out of the scratch. */
-  @transient private lazy val state =
-    new ThreadLocal[(java.security.MessageDigest, Array[Byte], Array[Int])] {
-      override def initialValue() =
-        (java.security.MessageDigest.getInstance("MD5"), new Array[Byte](16),
-          new Array[Int](b))
-    }
-
   def mults(id: UTF8String): ArrayData = {
-    val (md, out, ms) = state.get()
-    val idBytes = id.getBytes
-    val cdf = PoissonMults.Cdf
-    var rep = 0
-    while (rep < b) {
-      md.reset()
-      md.update(prefixes(rep))
-      md.update(idBytes)
-      md.digest(out, 0, 16)
-      val h = ((out(0) & 0xFFL) << 44) | ((out(1) & 0xFFL) << 36) |
-        ((out(2) & 0xFFL) << 28) | ((out(3) & 0xFFL) << 20) |
-        ((out(4) & 0xFFL) << 12) | ((out(5) & 0xFFL) << 4) |
-        ((out(6) & 0xF0L) >>> 4)
-      // EXACTLY the exploded spelling's arithmetic: u = h / 2^52 (exact
-      // — h has <= 52 bits), first threshold with u < cdf(i) wins
-      val u = h.toDouble / 4503599627370496.0
-      var m = 0
-      while (m < 9 && u >= cdf(m)) m += 1
-      ms(rep) = m
-      rep += 1
-    }
+    val ms = scratch.get()
+    sampler.fill(id.getBytes, ms)
     UnsafeArrayData.fromPrimitiveArray(ms)
   }
 
@@ -115,4 +87,44 @@ object PoissonMults {
     0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
     0.981011843123846, 0.9963401531726563, 0.9994058151824183,
     0.9999167588507119, 0.9999897508033253, 0.9999988805746001)
+
+  /** The multiplicity derivation as a reusable, serializable sampler —
+    * shared by the [[PoissonMults]] expression and the bootstrap
+    * aggregators, so both sides hash the SAME `salt:rep:` prefixes
+    * against the SAME thresholds. Thread-confined digest + 16-byte out
+    * buffer; `fill` writes all B multiplicities of one id into the
+    * caller's scratch array. */
+  private[graft] final class Sampler(salt: String, val b: Int)
+      extends Serializable {
+    require(b >= 1 && b <= 100000, s"rep count out of [1,100000]: $b")
+    @transient private lazy val prefixes: Array[Array[Byte]] =
+      Array.tabulate(b)(rep =>
+        (salt + ":" + rep + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    @transient private lazy val state =
+      new ThreadLocal[(java.security.MessageDigest, Array[Byte])] {
+        override def initialValue() =
+          (java.security.MessageDigest.getInstance("MD5"), new Array[Byte](16))
+      }
+    def fill(idBytes: Array[Byte], ms: Array[Int]): Unit = {
+      val (md, out) = state.get()
+      var rep = 0
+      while (rep < b) {
+        md.reset()
+        md.update(prefixes(rep))
+        md.update(idBytes)
+        md.digest(out, 0, 16)
+        val h = ((out(0) & 0xFFL) << 44) | ((out(1) & 0xFFL) << 36) |
+          ((out(2) & 0xFFL) << 28) | ((out(3) & 0xFFL) << 20) |
+          ((out(4) & 0xFFL) << 12) | ((out(5) & 0xFFL) << 4) |
+          ((out(6) & 0xF0L) >>> 4)
+        // u = h / 2^52 is exact (h has <= 52 bits); first threshold with
+        // u < Cdf(i) wins — the oracle's CASE chain verbatim
+        val u = h.toDouble / 4503599627370496.0
+        var m = 0
+        while (m < 9 && u >= Cdf(m)) m += 1
+        ms(rep) = m
+        rep += 1
+      }
+    }
+  }
 }

@@ -256,39 +256,161 @@ object Profile {
     * division, 6-dp floored; the CI bounds are exact rank statistics of
     * the B means. Output one row:
     * (b, mean_full6, lo6, hi6) at ranks ⌈α/2·B⌉ and B−⌈α/2·B⌉+1. */
-  /** All `b` deterministic Poisson(1) multiplicities of `id` at once —
-    * element `rep` is the inverse CDF on the 52-bit md5 uniform of
-    * `salt:rep:id` against [[PoissonCdf]], computed by the
-    * [[graft.functions.PoissonMults]] expression in one buffer-reusing
-    * loop (the exploded per-(rep, row) spelling paid a UTF8String
-    * concat + int→string cast + 9-deep CASE chain per rep per row —
-    * measured ~3× the digest itself). posexplode the result: pos IS
-    * the rep id. */
-  private def poissonMultsArr(id: Column, b: Int, salt: String): Column = {
-    scala.util.Try(graft.functions.VectorFunctions.register(
-      org.apache.spark.sql.SparkSession.active))
-    call_function("graft_poisson_mults", id, lit(b), lit(salt))
+  /** The published 6-dp floor, replicated exactly as Spark evaluates
+    * `floor(s/n * 1e6 + 0.5) / 1e6` on doubles: FLOOR(double) is
+    * math.floor(...).toLong (so a 0/0 NaN lands at 0, ±Inf clamps at
+    * Long.Min/MaxValue), then a long/double division. */
+  private def floor6(x: Double): Double = math.floor(x * 1e6 + 0.5).toLong / 1e6
+
+  /** `Decimal(…, 2).cast(double)` replicated exactly: Spark's
+    * Decimal.toDouble is toBigDecimal.doubleValue — one rounding of the
+    * exact cents/100 rational, NOT cents.toDouble/100 (two roundings,
+    * divergent past 2^53 cents). */
+  private def centsToDouble(cents: Long): Double =
+    java.math.BigDecimal.valueOf(cents, 2).doubleValue
+
+  /** Per-rep resample sums of ALL B reps in ONE typed aggregation —
+    * the B×n exploded row set never exists: each input row derives its
+    * B multiplicities in one md5 loop ([[graft.functions.PoissonMults
+    * .Sampler]] — same bytes/thresholds as the expression form, spec-
+    * tied) and folds value·m into a 2B+1-long buffer (cents exactly —
+    * the DECIMAL(18,2) values are scale-2, so unscaled longs ARE the
+    * exact sums; Math.addExact/multiplyExact refuse overflow loudly at
+    * ~9.2e16 dollars per rep rather than wrapping). Partials combine
+    * map-side (ObjectHashAggregate); the only exchange carries
+    * numPartitions buffers of 2B+1 longs to a single partition. The
+    * prior explode+groupBy(rep) spelling materialized and re-aggregated
+    * B×n rows with per-row BigDecimal multiplies — measured 2.3× this
+    * form at sf1 (6.5 s vs 2.8 s). */
+  private final class BootstrapMeans(b: Int, salt: String)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, String), Array[Long], Seq[Double]] {
+    @transient private lazy val sampler =
+      new graft.functions.PoissonMults.Sampler(salt, b)
+    @transient private lazy val scratch = new ThreadLocal[Array[Int]] {
+      override def initialValue() = new Array[Int](b)
+    }
+    // layout: [0,b) cents sums, [b,2b) multiplicity sums, [2b] row count
+    override def zero: Array[Long] = new Array[Long](2 * b + 1)
+    override def reduce(buf: Array[Long], in: (Long, String)): Array[Long] = {
+      val ms = scratch.get()
+      sampler.fill(in._2.getBytes(java.nio.charset.StandardCharsets.UTF_8), ms)
+      val cents = in._1
+      var r = 0
+      while (r < b) {
+        val m = ms(r)
+        if (m != 0) {
+          buf(r) = Math.addExact(buf(r), Math.multiplyExact(cents, m.toLong))
+          buf(b + r) += m
+        }
+        r += 1
+      }
+      buf(2 * b) += 1
+      buf
+    }
+    override def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 2 * b) { a(i) = Math.addExact(a(i), c(i)); i += 1 }
+      a(2 * b) += c(2 * b)
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Double] =
+      // zero input rows → no reps (the groupBy spelling emitted no rows);
+      // a rep whose multiplicities all drew 0 divides 0/0 → NaN → the
+      // floor's NaN.toLong lands it at 0.0, exactly as the SQL spelling
+      if (buf(2 * b) == 0L) Nil
+      else Seq.tabulate(b) { r =>
+        floor6(centsToDouble(buf(r)) / buf(b + r).toDouble)
+      }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact cents (unscaled DECIMAL(18,2)) of the value column; a null
+    * value lands at 0 cents, which contributes the same nothing to the
+    * resample sums the old null-skipping decimal sum did (while its
+    * multiplicities still count toward n, as before). */
+  private def centsOf(value: Column): Column =
+    coalesce((value.cast("decimal(18,2)") * lit(100)).cast("long"), lit(0L))
+
+  /** [[BootstrapMeans]] for the A/B lift: both arms' per-rep sums in one
+    * buffer; finish replays the SQL spelling's null/NaN edges — an arm
+    * with ZERO input rows has null sums (→ null diff6), an arm whose
+    * multiplicities all drew 0 divides 0/0 (→ NaN → floored to 0). */
+  private final class BootstrapLifts(b: Int, salt: String)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, String, Option[Boolean]), Array[Long], Seq[Option[Double]]] {
+    @transient private lazy val sampler =
+      new graft.functions.PoissonMults.Sampler(salt, b)
+    @transient private lazy val scratch = new ThreadLocal[Array[Int]] {
+      override def initialValue() = new Array[Int](b)
+    }
+    // layout: [0,b) sa, [b,2b) na, [2b,3b) sb, [3b,4b) nb,
+    // [4b] rows, [4b+1] rowsA, [4b+2] rowsB
+    override def zero: Array[Long] = new Array[Long](4 * b + 3)
+    override def reduce(buf: Array[Long],
+        in: (Long, String, Option[Boolean])): Array[Long] = {
+      buf(4 * b) += 1
+      // a null treatment joins neither arm (the WHEN spelling's skip),
+      // but the row still exists for the empty-input distinction
+      if (in._3.isEmpty) return buf
+      val ms = scratch.get()
+      sampler.fill(in._2.getBytes(java.nio.charset.StandardCharsets.UTF_8), ms)
+      val cents = in._1
+      val off = if (in._3.get) 0 else 2 * b
+      var r = 0
+      while (r < b) {
+        val m = ms(r)
+        if (m != 0) {
+          buf(off + r) = Math.addExact(buf(off + r), Math.multiplyExact(cents, m.toLong))
+          buf(off + b + r) += m
+        }
+        r += 1
+      }
+      buf(if (in._3.get) 4 * b + 1 else 4 * b + 2) += 1
+      buf
+    }
+    override def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 4 * b) { a(i) = Math.addExact(a(i), c(i)); i += 1 }
+      a(4 * b) += c(4 * b); a(4 * b + 1) += c(4 * b + 1); a(4 * b + 2) += c(4 * b + 2)
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Option[Double]] =
+      if (buf(4 * b) == 0L) Nil
+      else Seq.tabulate(b) { r =>
+        if (buf(4 * b + 1) == 0L || buf(4 * b + 2) == 0L) None
+        else {
+          val ma = floor6(centsToDouble(buf(r)) / buf(b + r).toDouble)
+          val mb = floor6(centsToDouble(buf(2 * b + r)) / buf(3 * b + r).toDouble)
+          Some(floor6(ma - mb))
+        }
+      }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Option[Double]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
   /** Pre-materialization rep-mean stage of [[poissonBootstrapCi]] —
     * exposed so the plan guard can assert its shape (the checkpoint in
-    * the public op truncates the visible plan): the explode multiplies
-    * rows B× but INHERITS the input's (file-sized) partition count, so
-    * the base rows spread first (measured 15 s/rep at sf0.1 unspread vs
-    * ~1 s spread), and the B×n rows fold map-side into B partials. */
+    * the public op truncates the visible plan): ONE typed aggregation
+    * over the base rows ([[BootstrapMeans]]) — no B× explode, no
+    * rep-keyed shuffle; the single exchange moves numPartitions
+    * 2B+1-long buffers. The base rows still spread first (repartition —
+    * the per-row work is B md5s, and a one-file scan would serialize
+    * it). */
   private[graft] def bootstrapRepMeans(df: DataFrame, value: Column,
       id: Column, b: Int, salt: String): DataFrame = {
-    val base = Dedup.ensureParallelism(
-        df.select(value.cast("decimal(18,2)").as("__v"),
-          id.cast("string").as("__id")).repartition(col("__id")))
-      .select(col("__v"),
-        posexplode(poissonMultsArr(col("__id"), b, salt)).as(Seq("rep", "__m")))
-    base
-      .groupBy(col("rep"))
-      .agg(sum(col("__v") * col("__m")).as("s"),
-        sum(col("__m")).cast("long").as("n"))
-      .select(col("rep"), (floor(col("s").cast("double") /
-        col("n").cast("double") * 1e6 + 0.5) / 1e6).as("mean6"))
+    val agg = udaf(new BootstrapMeans(b, salt),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String)]())
+    Dedup.ensureParallelism(
+        df.select(centsOf(value).as("__c"), id.cast("string").as("__id"))
+          .repartition(col("__id")))
+      .agg(agg(col("__c"), col("__id")).as("__ms"))
+      .select(posexplode(col("__ms")).as(Seq("rep", "mean6")))
   }
 
   def poissonBootstrapCi(df: DataFrame, value: Column, id: Column,
@@ -330,23 +452,19 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val loRank = math.ceil(alpha / 2 * b).toInt.max(1)
     val hiRank = b - loRank + 1
-    // same spread + single-materialization discipline as
-    // [[poissonBootstrapCi]] (see the comment there)
-    val base = Dedup.ensureParallelism(
-        df.select(value.cast("decimal(18,2)").as("__v"),
-          id.cast("string").as("__id"), treatment.cast("boolean").as("__t"))
-          .repartition(col("__id")))
-      .select(col("__v"), col("__t"),
-        posexplode(poissonMultsArr(col("__id"), b, salt)).as(Seq("rep", "__m")))
     def mean6(s: Column, n: Column) =
       floor(s.cast("double") / n.cast("double") * 1e6 + 0.5) / 1e6
-    val reps = base.groupBy(col("rep")).agg(
-        sum(when(col("__t"), col("__v") * col("__m"))).as("sa"),
-        sum(when(col("__t"), col("__m")).otherwise(lit(0L))).cast("long").as("na"),
-        sum(when(!col("__t"), col("__v") * col("__m"))).as("sb"),
-        sum(when(!col("__t"), col("__m")).otherwise(lit(0L))).cast("long").as("nb"))
-      .select(col("rep"), (floor((mean6(col("sa"), col("na"))
-        - mean6(col("sb"), col("nb"))) * 1e6 + 0.5) / 1e6).as("diff6"))
+    // same spread + single-materialization + one-typed-aggregation
+    // discipline as [[poissonBootstrapCi]] (see bootstrapRepMeans)
+    val agg = udaf(new BootstrapLifts(b, salt),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        (Long, String, Option[Boolean])]())
+    val reps = Dedup.ensureParallelism(
+        df.select(centsOf(value).as("__c"), id.cast("string").as("__id"),
+          treatment.cast("boolean").as("__t"))
+          .repartition(col("__id")))
+      .agg(agg(col("__c"), col("__id"), col("__t")).as("__ds"))
+      .select(posexplode(col("__ds")).as(Seq("rep", "diff6")))
       .localCheckpoint()
     val ranked = reps.withColumn("r",
       row_number().over(Window.orderBy(col("diff6").asc, col("rep").asc)))

@@ -212,20 +212,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"bloom report joined:\n$p")
   }
 
-  test("a23: bootstrap resample sums are map-side combined; only rep partials shuffle") {
+  test("a23: bootstrap resample sums are map-side combined; only buffer partials shuffle") {
     // inspect the rep-mean stage directly — the public op checkpoints
-    // it (by design: the CI rank branches must not re-run the explode),
+    // it (by design: the CI rank branches must not re-run the pass),
     // which truncates the visible plan
     val df = spark.read.parquet(s"$sf/orders.parquet")
     val p = graft.ops.Profile.bootstrapRepMeans(df,
         org.apache.spark.sql.functions.col("o_totalprice"),
         org.apache.spark.sql.functions.col("o_orderkey"), 50, "pb1")
       .queryExecution.executedPlan.toString
-    // the B×n exploded rows must fold into per-rep partials BEFORE the
-    // exchange — the whole scale claim of the Poisson bootstrap
-    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
-    assert(p.contains("hashpartitioning(rep"),
-      s"rep partials not the shuffle key:\n$p")
+    // ONE typed aggregation over the base rows: all B resample sums fold
+    // into a 2B+1-long buffer per partition BEFORE the exchange (partial
+    // mode), and the B×n exploded row set never exists — the whole scale
+    // claim of the Poisson bootstrap
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"no map-side-combined typed aggregation:\n$p")
+    assert(!p.toLowerCase.contains("generate explode") &&
+      !p.toLowerCase.contains("posexplode(graft_poisson"),
+      s"B×n explode resurfaced below the aggregation:\n$p")
+    // the only exchange is the buffer gather to a single partition —
+    // never a data-sized rep-keyed shuffle
+    assert(p.contains("SinglePartition"), s"buffer gather exchange missing:\n$p")
+    assert(!p.contains("hashpartitioning(rep"),
+      s"rep-keyed data shuffle resurfaced:\n$p")
     // the scan reads only the value + id columns
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
       s"scan not pruned:\n$p")
