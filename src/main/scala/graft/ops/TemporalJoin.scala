@@ -118,12 +118,25 @@ object TemporalJoin {
     val wB = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the forward fill is spelled as a REVERSED-order RUNNING frame, not
+    // first(...) over (currentRow, unboundedFollowing): Spark evaluates a
+    // shrinking unbounded-following frame by recomputing the aggregate
+    // from scratch at every row (UnboundedFollowingWindowFunctionFrame) —
+    // O(rows²) per window partition, measured 26–42 s on an 800k-row
+    // union at sf2 — while a running frame accumulates incrementally.
+    // last(non-null) walking (ts desc, side desc) selects exactly the
+    // row first(non-null) would walking (ts asc, side asc) from the
+    // current row: the earliest right row strictly after (ts, __side) in
+    // the original order (right rows AT a left ts still land backward —
+    // they sort before side=1 ascending, i.e. after it descending).
+    // Cost: a second sort of the partition (same single exchange), never
+    // a per-row rescan.
     val wF = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(ts).desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u
       .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
-      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
+      .withColumn("__f", last(col("__rv"), ignoreNulls = true).over(wF))
     val lm = unix_micros(col(ts))
     val db = lm - col("__b").getField("__rts")   // >= 0 (incl. ties at 0)
     val df = col("__f").getField("__rts") - lm   // > 0 (equal-ts rights land backward)
@@ -190,12 +203,17 @@ object TemporalJoin {
     val wB = Window.partitionBy(col(key), col("__slice"))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reversed-order running frame, NOT first(...) over (currentRow,
+    // unboundedFollowing) — the shrinking frame recomputes its aggregate
+    // per row (O(rows² per (key, slice) partition); the hot key's slices
+    // made that the whole gate: ts23 measured 40 s at sf2, fitted smoke
+    // alpha 1.38). Identical row selection — see asofJoinNearest.
     val wF = Window.partitionBy(col(key), col("__slice"))
-      .orderBy(col(ts).asc, col("__side").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(ts).desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filledIn = u
       .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
-      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
+      .withColumn("__f", last(col("__rv"), ignoreNulls = true).over(wF))
     // per-(key, slice) extremes of the right rows, then the two carries
     // over the tiny per-key slice table. ONE aggregate produces both
     // the extremes AND the full slice set (a row per (key, slice) of u;
@@ -207,12 +225,17 @@ object TemporalJoin {
         min(when(col("__side") === 0, col("__rv"))).as("__mn"))
     val wPrev = Window.partitionBy(col(key)).orderBy(col("__slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = Window.partitionBy(col(key)).orderBy(col("__slice").asc)
-      .rowsBetween(1, Window.unboundedFollowing)
+    // (1, unboundedFollowing) is also a shrinking frame (per-row rescan);
+    // over the slice table it is O(slices²) per key — harmless at day
+    // granularity, quadratic again at fine slices. Same reversal: rows
+    // strictly after the current slice ascending = rows strictly before
+    // it descending, and (key, __slice) is unique so the order is total.
+    val wNext = Window.partitionBy(col(key)).orderBy(col("__slice").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val carry = sliceExt
       .select(col(key), col("__slice"),
         last(col("__mx"), ignoreNulls = true).over(wPrev).as("__cb"),
-        first(col("__mn"), ignoreNulls = true).over(wNext).as("__cf"))
+        last(col("__mn"), ignoreNulls = true).over(wNext).as("__cf"))
     val joined = filledIn.filter(col("__side") === 1)
       .join(carry, Seq(key, "__slice"), "left")
       .withColumn("__bc", coalesce(col("__b"), col("__cb")))

@@ -318,6 +318,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected window formulation:\n$p")
   }
 
+  test("ts22/ts23: nearest as-of fills run as RUNNING frames — no shrinking unbounded-following frame") {
+    // first(...) over (currentRow, unboundedFollowing) is evaluated by
+    // re-scanning the remainder of the partition per row (O(rows²) per
+    // window partition — ts23 measured 40 s at sf2, smoke alpha 1.38);
+    // the forward fill must stay spelled as last(...) over the reversed
+    // ordering's running frame (round-16 optimization)
+    for (g <- Seq("ts22_asof_nearest", "ts23_asof_nearest_sliced")) {
+      val p = plan(g)
+      assert(!p.contains("unboundedfollowing"),
+        s"$g regressed to a shrinking unbounded-following window frame:\n$p")
+    }
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
