@@ -51,6 +51,9 @@ object Closure {
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
       val next = r.union(stepped).distinct().localCheckpoint(true)
       val n2 = next.count()
+      // next's eager checkpoint consumed r — release the superseded
+      // round's blocks (graft.ops.Ckpt ladder; the fixpoint result stays)
+      Ckpt.release(r)
       if (n2 == n) return next // fixpoint: no new pairs
       r = next; n = n2; round += 1
     }
@@ -100,6 +103,11 @@ object Closure {
     // empty frontier is still a fixpoint, not an error
     if (!drained)
       sys.error(s"seeded closure did not converge in $maxRounds rounds")
+    // the result is the union of the per-round frontier checkpoints; the
+    // pinned edge table and the drained (empty, never-appended) final
+    // frontier are not part of it (Ckpt ladder)
+    Ckpt.release(e)
+    if (drained && !fronts.headOption.contains(frontier)) Ckpt.release(frontier)
     reached
   }
 }

@@ -482,6 +482,10 @@ object Dedup {
           least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") < col("old_label")).isEmpty
+      // next's eager checkpoint consumed the superseded label table —
+      // release it (Ckpt ladder; the final round's checkpoint IS the
+      // returned labeling and stays persisted)
+      Ckpt.release(labels)
       labels = next.select(col("node"), col("label"))
       round += 1
     }
@@ -489,6 +493,8 @@ object Dedup {
     // refuse instead
     require(converged,
       s"connectedComponents did not converge within $maxRounds rounds")
+    // the returned labeling no longer references the edge checkpoint
+    Ckpt.release(edges)
     labels
   }
 

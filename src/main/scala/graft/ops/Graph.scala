@@ -69,10 +69,15 @@ object Graph {
       val contribs = ew.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (base + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
         .localCheckpoint()
+      // eager checkpoint above has consumed prev's blocks — release the
+      // superseded round (no-op on the lazy pre-loop state); the FINAL
+      // checkpoint stays persisted, it IS the returned data (Ckpt ladder)
+      Ckpt.release(prev)
     }
     nodes.unpersist(); ew.unpersist()
     ranks
@@ -127,14 +132,22 @@ object Graph {
     var hub = nodes.select(col("node"), lit(h0).as("s"))
     var auth = hub
     for (_ <- 1 to iterations) {
+      // Ckpt ladder: auth(i)'s eager checkpoint (inside normalized8) has
+      // consumed auth(i-1); hub(i)'s consumes hub(i-1). The FINAL hub and
+      // auth checkpoints stay persisted — `out` reads them. (Round 1's
+      // releases are no-ops: hub/auth are still the lazy init state, a
+      // projection over the persisted `nodes`, which rddOf cannot match.)
+      val (ph, pa) = (hub, auth)
       auth = normalized8(
         eBySrc.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("s").cast("decimal(19,8)")).cast("double").as("raw")))
+      Ckpt.release(pa)
       hub = normalized8(
         eByDst.join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("s").cast("decimal(19,8)")).cast("double").as("raw")))
+      Ckpt.release(ph)
     }
     val out = nodes
       .join(hub.withColumnRenamed("s", "hub8"), Seq("node"), "left")
@@ -278,6 +291,7 @@ object Graph {
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
+      val (pf, pv) = (frontier, visited)
       frontier = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
@@ -285,8 +299,15 @@ object Graph {
       visited = visited
         .union(frontier.select(col("node"), lit(hop).as("hops")))
         .localCheckpoint()
+      // both eager checkpoints are materialized — the superseded round's
+      // frontier and visited blocks are dead (Ckpt ladder)
+      Ckpt.release(pf); Ckpt.release(pv)
     }
     e.unpersist()
+    // the final ROUND's frontier checkpoint is not part of the result;
+    // hop == 0 means frontier is still the lazy projection over the
+    // initial visited checkpoint — releasing it would free the result
+    if (hop > 0) Ckpt.release(frontier)
     visited
   }
 
@@ -612,10 +633,14 @@ object Graph {
         .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc) as a single min-of-struct —
       // one aggregation, no window sort
+      val prev = lab
       lab = cnt.groupBy(col("x").as("n"))
         .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("b"))
         .select(col("n"), col("b.l").as("lab"))
         .localCheckpoint()
+      // superseded round released once the eager checkpoint above has
+      // consumed it; the final round's checkpoint IS the result (Ckpt)
+      Ckpt.release(prev)
     }
     val out = lab.select(col("n").as("node"), col("lab").as("community"))
     sym.unpersist()
@@ -686,6 +711,9 @@ object Graph {
         .where(col("u") =!= col("v")).distinct()
         .localCheckpoint()
       converged = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
+      // the convergence check was prev's last reader (Ckpt ladder; the
+      // final round's checkpoint survives — the labeling reads it)
+      Ckpt.release(e)
       e = ss
       round += 1
     }

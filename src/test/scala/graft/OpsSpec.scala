@@ -4051,6 +4051,39 @@ class OpsSpec extends AnyFunSuite {
     assert(lpaQ == 0.5 && trivialQ < 0.0, s"lpa Q=$lpaQ trivial Q=$trivialQ")
   }
 
+  test("iterative ops release superseded localCheckpoint blocks (Ckpt ladder)") {
+    // Dataset.unpersist is a no-op for checkpoint storage, so an
+    // iterative op that checkpoints per round without releasing the
+    // superseded round leaks one dead RDD per round per invocation —
+    // measured as monotone slowdown across back-to-back invocations
+    // (round-16 optimization). Each op here must leave at most its
+    // RESULT's checkpoints persisted, not one per round.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (11L, 12L))
+      .toDF("a", "b")
+    val ids = (1L to 12L).toDF("id")
+    def persistedDelta(f: => org.apache.spark.sql.DataFrame): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = f
+      out.write.mode("overwrite").format("noop").save()
+      graft.ops.Ckpt.release(out) // drop the result's own checkpoint too
+      val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+      after.size
+    }
+    val lpa = persistedDelta(
+      graft.ops.Graph.labelPropagation(e, col("a"), col("b"), rounds = 4))
+    assert(lpa <= 1, s"labelPropagation leaked $lpa checkpoints (4 rounds)")
+    val cc = persistedDelta(
+      graft.ops.Dedup.connectedComponents(e.select(col("a").as("x"), col("b").as("y")),
+        col("x"), col("y"), ids, col("id")))
+    assert(cc <= 1, s"connectedComponents leaked $cc checkpoints")
+    val pr = persistedDelta(
+      graft.ops.Graph.pageRank(e, col("a"), col("b"), iterations = 4))
+    assert(pr <= 1, s"pageRank leaked $pr checkpoints (4 iterations)")
+    val tc = persistedDelta(
+      graft.ops.Closure.transitive(e.select(col("a").as("src"), col("b").as("dst"))))
+    assert(tc <= 1, s"Closure.transitive leaked $tc checkpoints")
+  }
+
   test("ivfUpsert: exact argmin matches k-means' own assignments, covers all rows, layout-independent") {
     import graft.ops.Similarity
     val all = OpsQueries.clusteredEmb(spark, n = 400, dim = 16, centers = 8)
