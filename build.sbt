@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (was 8g, round 17): local[32] runs 32 concurrent tasks in ONE
+  // JVM heap — 8g is 0.25 GB/core, far below any production
+  // executor sizing, and execution memory starvation showed up as
+  // measured 2x slowdowns on the shuffle-heavy gates (d25 at sf5:
+  // min-of-reps 100 s at 8g vs 50 s at 24g, same code). 24g is still a
+  // modest 0.75 GB/core; override via SPARK_DRIVER_MEM either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -313,7 +313,20 @@ object OpsQueries {
     annRecallGateOn(s, emb(s, sf), floorPct)(ann)
 
   /** Same protocol over an arbitrary embedding table (vec_id < 20 are the
-    * queries, the rest the corpus). */
+    * queries, the rest the corpus).
+    *
+    * Round-17 execution reshape (same verdict row, proven by the
+    * unchanged oracles): the exact side runs as ONE batched job
+    * ([[Similarity.bruteForceTopKBatch]] — identical cosine arithmetic
+    * and tie-break per query) instead of 20 sequential TakeOrdered
+    * jobs, and the 19 post-warmup ANN probes run CONCURRENTLY from a
+    * small thread pool (guide §2.6: independent read-only jobs over the
+    * cached corpus/index back-fill the executor; the first probe stays
+    * sequential because every indexed gate builds its index lazily on
+    * first invocation, and pool submission after it completes gives the
+    * workers a happens-before view of the built index). The old
+    * per-query driver loop was ~40 sequential jobs per gate — the
+    * gates' dominant cost at every SF, since corpus size is fixed. */
   private def annRecallGateOn(s: SparkSession, all: DataFrame, floorPct: Int)(
       ann: (DataFrame, Seq[Double]) => DataFrame): DataFrame = {
     import s.implicits._
@@ -321,11 +334,27 @@ object OpsQueries {
     val qs = all.filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val recalls = qs.map { case (_, qv) =>
-      val exactIds = Similarity.bruteForceTopK(corpus, col("vec_id"),
-        col("embedding"), qv.toSeq, k = 10).select("vec_id").as[Long].collect().toSet
-      val annIds = ann(corpus, qv.toSeq).select("vec_id").as[Long].collect().toSet
-      (annIds & exactIds).size / 10.0
+    val exact: Map[Long, Set[Long]] = Similarity.bruteForceTopKBatch(
+      corpus, col("vec_id"), col("embedding"),
+      qs.map { case (qid, qv) => (qid, qv.toSeq) }.toSeq, k = 10)
+    def annIds(qv: Seq[Double]): Set[Long] =
+      ann(corpus, qv).select(col("vec_id").cast("long")).as[Long].collect().toSet
+    val annRes = new Array[Set[Long]](qs.length)
+    annRes(0) = annIds(qs.head._2) // sequential: builds the gate's index
+    if (qs.length > 1) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, qs.length - 1))
+      try {
+        val futs = (1 until qs.length).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = annRes(i) = annIds(qs(i)._2)
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    val recalls = qs.zipWithIndex.map { case ((qid, _), i) =>
+      (annRes(i) & exact.getOrElse(qid, Set.empty)).size / 10.0
     }
     corpus.unpersist()
     val avg = recalls.sum / recalls.length
@@ -7111,13 +7140,20 @@ object OpsQueries {
           annIvfAutoProbe(idx, qv)
         }
         val asg = idx.assigned.cache()
-        val nBase = asg.filter(col("vec_id") % 10 =!= 0).count()
-        val nDelta = asg.filter(col("vec_id") % 10 === 0).count()
+        // ONE aggregation pass over the index for base/delta/coverage
+        // counts (was three jobs — r17, guide §1.2: don't pay three
+        // scans for one pass's worth of statistics)
+        val st = asg.agg(
+          count(when(col("vec_id") % 10 =!= 0, 1)).as("nb"),
+          count(when(col("vec_id") % 10 === 0, 1)).as("nd"),
+          count_distinct(col("vec_id")).as("ncov")).head()
+        val nBase = st.getAs[Long]("nb")
+        val nDelta = st.getAs[Long]("nd")
         // coverage asserted against an INDEPENDENT corpus count (not the
         // index's own rows, which would mask drops that shift the
         // fixture constants in lockstep): every corpus row, exactly once
         val nCorpus = all.filter(col("vec_id") >= 20).count()
-        val covOk = asg.select(col("vec_id")).distinct().count() == nCorpus &&
+        val covOk = st.getAs[Long]("ncov") == nCorpus &&
           nBase + nDelta == nCorpus
         // independent argmin formulation: explode the centroid list to
         // rows, min-of-struct per vector, compare cluster choices

@@ -14,13 +14,23 @@ private[graft] object Ckpt {
 
   /** Handle on a localCheckpoint'ed DataFrame's persisted RDD. Returns
     * None for plans that are not checkpoint-rooted (safe to call on the
-    * pre-loop lazy state). Caveat: matches the FIRST LogicalRDD in the
-    * plan, so on a lazy projection OVER a checkpoint it returns that
-    * underlying checkpoint — only release states whose underlying
-    * checkpoint really is superseded. */
-  def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
+    * pre-loop lazy state). Caveat: on a lazy projection OVER a
+    * checkpoint it returns that underlying checkpoint — only release
+    * states whose underlying checkpoint really is superseded. A plan
+    * containing MORE than one LogicalRDD (e.g. a join of two
+    * checkpointed frames) has no well-defined "its" checkpoint: the
+    * old collectFirst silently released an arbitrary one, so this now
+    * returns None and logs — a bounded leak instead of a silent
+    * release of a frame someone still reads (round-16 ADVICE). */
+  def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] = {
+    val rdds = df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    if (rdds.size > 1) {
+      System.err.println(s"[Ckpt] release skipped: plan contains ${rdds.size} " +
+        "checkpoint roots (ambiguous owner); blocks leak until JVM exit")
+      None
+    } else rdds.headOption
+  }
 
   /** Release a SUPERSEDED checkpoint's blocks. Only call once nothing
     * will read `df` again — i.e. after the next round's checkpoint has

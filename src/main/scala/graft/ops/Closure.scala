@@ -107,7 +107,7 @@ object Closure {
     // pinned edge table and the drained (empty, never-appended) final
     // frontier are not part of it (Ckpt ladder)
     Ckpt.release(e)
-    if (drained && !fronts.headOption.contains(frontier)) Ckpt.release(frontier)
+    if (!fronts.headOption.contains(frontier)) Ckpt.release(frontier)
     reached
   }
 }

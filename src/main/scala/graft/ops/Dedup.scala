@@ -459,7 +459,21 @@ object Dedup {
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
       .union(pairs.select(idB.as("src"), idA.as("dst")))
       .localCheckpoint()
-    var labels = ids.select(id.as("node"), id.as("label")).localCheckpoint()
+    // The iteration runs over the EDGE ENDPOINT set only, not the full
+    // `ids` table (round-17 optimization, guide §2.3 — shuffle fewer
+    // bytes): a node outside `pairs` is a singleton whose label can
+    // never change, so carrying it through every round's three
+    // endpoint-sized shuffles is pure waste — near-dup pair sets are
+    // typically ~1% of the corpus (Lee et al.), so the loop tables
+    // shrink ~100×. Singletons are attached at the END by one left
+    // join + coalesce(label, node) — row-identical output (label = min
+    // reachable id; a singleton's min reachable id is itself), asserted
+    // by the existing CC specs and every CC-consuming oracle gate.
+    // Labels of endpoints only ever point at endpoint ids (min over
+    // self ∪ neighbors), so the pointer-jumping self-join stays closed
+    // over the endpoint set.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -495,7 +509,12 @@ object Dedup {
       s"connectedComponents did not converge within $maxRounds rounds")
     // the returned labeling no longer references the edge checkpoint
     Ckpt.release(edges)
-    labels
+    // singletons (ids outside the pair graph) label themselves; the
+    // endpoint labeling is tiny next to `ids`, so this join broadcasts
+    ids.select(id.as("node"))
+      .join(labels.withColumnRenamed("node", "__ep"),
+        col("node") === col("__ep"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   /** Benchmark decontamination: training documents sharing at least one

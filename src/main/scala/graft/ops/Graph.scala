@@ -65,7 +65,7 @@ object Graph {
           when(onSeed, lit(1.0 / seeds.size)).otherwise(lit(0.0)))
       }
     var ranks = nodes.select(col("node"), init.as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ew.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
@@ -75,9 +75,14 @@ object Graph {
           (base + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
         .localCheckpoint()
       // eager checkpoint above has consumed prev's blocks — release the
-      // superseded round (no-op on the lazy pre-loop state); the FINAL
-      // checkpoint stays persisted, it IS the returned data (Ckpt ladder)
-      Ckpt.release(prev)
+      // superseded round; the FINAL checkpoint stays persisted, it IS the
+      // returned data (Ckpt ladder). Round 1 is SKIPPED, not a no-op:
+      // prev is then the pre-loop lazy state rooted in the CALLER's
+      // plan, and on a checkpoint-rooted `edges` input (e.g. output of
+      // Closure.transitive) rddOf would find the caller-owned
+      // checkpoint and release a frame the caller still reads
+      // (round-16 ADVICE).
+      if (i > 1) Ckpt.release(prev)
     }
     nodes.unpersist(); ew.unpersist()
     ranks
@@ -131,23 +136,27 @@ object Graph {
     }
     var hub = nodes.select(col("node"), lit(h0).as("s"))
     var auth = hub
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // Ckpt ladder: auth(i)'s eager checkpoint (inside normalized8) has
       // consumed auth(i-1); hub(i)'s consumes hub(i-1). The FINAL hub and
-      // auth checkpoints stay persisted — `out` reads them. (Round 1's
-      // releases are no-ops: hub/auth are still the lazy init state, a
-      // projection over the persisted `nodes`, which rddOf cannot match.)
+      // auth checkpoints stay persisted — `out` reads them. Round 1's
+      // releases are SKIPPED, not trusted to be no-ops: hub/auth are then
+      // the lazy init state rooted in the caller's plan, and on a
+      // checkpoint-rooted `edges` input rddOf would find the CALLER's
+      // checkpoint — releasing it mid-round breaks eByDst's first
+      // materialization, which happens after the pa release fires
+      // (round-16 ADVICE).
       val (ph, pa) = (hub, auth)
       auth = normalized8(
         eBySrc.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("s").cast("decimal(19,8)")).cast("double").as("raw")))
-      Ckpt.release(pa)
+      if (i > 1) Ckpt.release(pa)
       hub = normalized8(
         eByDst.join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("s").cast("decimal(19,8)")).cast("double").as("raw")))
-      Ckpt.release(ph)
+      if (i > 1) Ckpt.release(ph)
     }
     val out = nodes
       .join(hub.withColumnRenamed("s", "hub8"), Seq("node"), "left")

@@ -41,6 +41,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched [[bruteForceTopK]]: the exact cosine top-k id sets for MANY
+    * query vectors in ONE job. Per-query results are IDENTICAL to the
+    * one-query form — the same [[graft.functions.CosineSimilarity]]
+    * arithmetic (interleaved accumulation, one sqrt) scores every
+    * (query, corpus) pair, and the per-query rank uses the same
+    * (cosine desc, id asc) tie-break — only the execution shape changes:
+    * the queries ride the plan as ONE literal array, each corpus row
+    * fans out over it inside the scan, and a per-query rank window
+    * replaces N sequential TakeOrdered jobs. N driver-paced jobs → 1
+    * (guide §2.6/§5: the recall gates' cost was the sequential driver
+    * loop, not the arithmetic). Query count × corpus must be modest
+    * (recall-gate scale: 20 × corpus); at 100 TB use per-query top-k
+    * over an index instead. */
+  def bruteForceTopKBatch(df: DataFrame, id: Column, vec: Column,
+      queries: Seq[(Long, Seq[Double])], k: Int): Map[Long, Set[Long]] = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "bruteForceTopKBatch needs at least one query")
+    val spark = df.sparkSession
+    VectorFunctions.register(spark)
+    val qlit = typedLit(queries.map { case (qid, qv) => (qid, qv) })
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    df.select(id.cast("long").as("vec_id"), vec.as("__v"))
+      .select(col("vec_id"), col("__v"), explode(qlit).as("__q"))
+      .select(col("__q").getField("_1").as("qid"), col("vec_id"),
+        VectorFunctions.cosine(col("__v"), col("__q").getField("_2")).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("vec_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+  }
+
   /** Matryoshka (MRL) funnel retrieval: score the corpus on the FIRST
     * `mDims` dimensions only (the cheap pass — an MRL-trained embedding
     * front-loads information, so the prefix cosine is a high-recall

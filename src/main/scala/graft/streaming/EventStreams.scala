@@ -245,9 +245,11 @@ object EventStreams {
   private[streaming] def runToMemory(spark: SparkSession, plan: DataFrame, name: String,
       mode: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = plan.writeStream.format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    graft.tools.Tuning.withStreamShuffle(spark) {
+      val q = plan.writeStream.format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -268,12 +270,14 @@ object EventStreams {
       if (f.exists()) walk(f)
     }
     rm(outDir); rm(checkpointDir)
-    val q = plan.writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    graft.tools.Tuning.withStreamShuffle(spark) {
+      val q = plan.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -322,12 +326,14 @@ object EventStreams {
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    val q1 = start(inject = true)
-    try q1.awaitTermination()
-    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
-    require(injected.get(), "crash injection must have fired")
-    val q2 = start(inject = false)
-    q2.awaitTermination()
+    graft.tools.Tuning.withStreamShuffle(spark) {
+      val q1 = start(inject = true)
+      try q1.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      require(injected.get(), "crash injection must have fired")
+      val q2 = start(inject = false)
+      q2.awaitTermination()
+    }
     spark.read.parquet(out).drop("batch")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
@@ -381,12 +387,14 @@ object EventStreams {
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    val q1 = start(inject = true)
-    try q1.awaitTermination()
-    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
-    require(injected.get(), "crash injection must have fired")
-    val q2 = start(inject = false)
-    q2.awaitTermination()
+    graft.tools.Tuning.withStreamShuffle(spark) {
+      val q1 = start(inject = true)
+      try q1.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      require(injected.get(), "crash injection must have fired")
+      val q2 = start(inject = false)
+      q2.awaitTermination()
+    }
     graft.ops.Sketches.quantileSketchQuery(
       graft.ops.Sketches.quantileSketchRollup(
         spark.read.parquet(out)
@@ -666,7 +674,7 @@ object EventStreams {
         if (e.id == qid) done.countDown()
     }
     spark.streams.addListener(listener)
-    try {
+    try graft.tools.Tuning.withStreamShuffle(spark) {
       val q = plan.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       qid = q.id
@@ -729,7 +737,7 @@ object EventStreams {
         if (e.id == qid) done.countDown()
     }
     spark.streams.addListener(listener)
-    try {
+    try graft.tools.Tuning.withStreamShuffle(spark) {
       val q = plan.writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       qid = q.id

@@ -109,14 +109,16 @@ object JdbcUpsertSink {
     ensureTable(url, table, plan.schema)
     spark.streams.active.filter(_.name == "jdbc_upsert").foreach(_.stop())
     val ckpt = java.nio.file.Files.createTempDirectory("graft_jdbc_ckpt").toString
-    val q = plan.writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, url, table, Seq("user_id"))
-      }
-      .option("checkpointLocation", ckpt)
-      .queryName("jdbc_upsert")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    graft.tools.Tuning.withStreamShuffle(spark) {
+      val q = plan.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsertBatch(batch, url, table, Seq("user_id"))
+        }
+        .option("checkpointLocation", ckpt)
+        .queryName("jdbc_upsert")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.read.format("jdbc").option("url", url).option("dbtable", table)
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
   }

@@ -108,6 +108,35 @@ class OpsSpec extends AnyFunSuite {
       assert(brute.get(id).forall(b => math.abs(b - c) < 1e-9)) }
   }
 
+  test("bruteForceTopKBatch: per-query sets identical to sequential bruteForceTopK") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val batch = Similarity.bruteForceTopKBatch(corpus, col("vec_id"),
+      col("embedding"), queries, k = 10)
+    assert(batch.keySet == queries.map(_._1).toSet)
+    queries.foreach { case (qid, qv) =>
+      val seqIds = Similarity.bruteForceTopK(corpus, col("vec_id"),
+        col("embedding"), qv, 10).select("vec_id").as[Long].collect().toSet
+      assert(batch(qid) == seqIds, s"query $qid: batch != sequential")
+    }
+    // tie-break determinism: duplicate vectors force equal cosines, the
+    // (cosine desc, id asc) order must pick the same ids both ways
+    val slim = corpus.select(col("vec_id"), col("embedding"))
+    val dup = slim.limit(3).select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val withDup = slim.unionByName(dup)
+    val b2 = Similarity.bruteForceTopKBatch(withDup, col("vec_id"),
+      col("embedding"), queries.take(2), k = 10)
+    queries.take(2).foreach { case (qid, qv) =>
+      val s2 = Similarity.bruteForceTopK(withDup, col("vec_id"),
+        col("embedding"), qv, 10).select("vec_id").as[Long].collect().toSet
+      assert(b2(qid) == s2)
+    }
+  }
+
   test("IVF topK scores match brute force for the vectors it returns") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0)
