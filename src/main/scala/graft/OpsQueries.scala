@@ -715,8 +715,11 @@ object OpsQueries {
     // chunk banding has guaranteed recall 1 at hamming ≤ 3 (pigeonhole),
     // so banded output ≡ the oracle's brute-force pairs
     ("d04_simhash_pairs",
+      // default tokenHash = the native per-row portable signature
+      // (bit-identical to the explicit portableTokenHash aggregate
+      // formulation — spec-asserted — with no explode shuffle)
       (s, sf) => Dedup.simHashNearDups(docs(s, sf), col("doc_id"), col("text"),
-        maxHamming = 3, tokenHash = Dedup.portableTokenHash),
+        maxHamming = 3),
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),

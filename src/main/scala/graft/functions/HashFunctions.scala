@@ -355,6 +355,80 @@ case class MinHashLanes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit portable SimHash signature of a token array in ONE pass per
+  * row — the per-row replacement for the explode + 64-sum-aggregate
+  * formulation (`Dedup.simHash`): per token, the two-lane polynomial
+  * hash (th = polyHash(tok, 31, 1e9+7)·2³² + polyHash(tok, 131,
+  * 998244353) — [[PolyHash]]'s exact arithmetic); per bit i, the count
+  * of tokens with bit i set minus the count without; signature bit i = 1
+  * iff that sum is > 0. Integer sums are order-independent, so this is
+  * bit-identical to the aggregate formulation (spec-asserted) while
+  * removing BOTH the token explode (corpus-tokens × row width through a
+  * shuffle) and the 64-column hash aggregate — at 100 TB the signature
+  * pass becomes scan-bound like the MinHash lanes.
+  *
+  * NULL array → NULL (callers drop it, matching explode-of-null
+  * producing no rows). Null ELEMENTS are skipped (split() never yields
+  * them; exposed-to-SQL safety only). An EMPTY array (unreachable via
+  * split, which yields [""] for the empty string) returns signature 0 —
+  * callers relying on explode's drop-the-row behavior must filter
+  * empties upstream. */
+case class SimHashPortable(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_portable"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_portable expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(arrAny: Any): Any = {
+    val arr = arrAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    SimHashPortable.compute(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr =>
+      s"graft.functions.SimHashPortable.compute($arr)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashPortable {
+  /** One static call per row from both eval paths (the WordShinglesImpl
+    * pattern): 2 polynomial hashes + 64 sign-count updates per token. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i)
+        val th = PolyHash.hashUtf8(tok, 31L, 1000000007L) * 4294967296L +
+          PolyHash.hashUtf8(tok, 131L, 998244353L)
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnt(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
 /** Shared implementation of word-n-gram shingling over a UTF8String —
   * called from both [[WordShingles]].nullSafeEval and its generated code
   * (one static call per row inside whole-stage codegen; no interpreted
@@ -672,6 +746,9 @@ object HashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",
       exprs => JaroWinklerSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_portable",
+      exprs => SimHashPortable(exprs.head), "built-in")
   }
 
   /** Jaro-Winkler similarity column (record-linkage scorer; DuckDB
@@ -746,5 +823,12 @@ object HashFunctions {
     scala.util.Try(register(SparkSession.active))
     call_function("graft_hashed_margin", tokens,
       org.apache.spark.sql.functions.typedLit(weights), lit(bias))
+  }
+
+  /** Portable 64-bit SimHash signature column over a token array (one
+    * native pass per row — see [[SimHashPortable]]). */
+  def simHashPortable(tokens: Column): Column = {
+    scala.util.Try(register(SparkSession.active))
+    call_function("graft_simhash_portable", tokens)
   }
 }

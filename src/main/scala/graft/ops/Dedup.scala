@@ -416,13 +416,37 @@ object Dedup {
     agged.select(col("sid"), sim.as("simhash"))
   }
 
+  /** Portable-hash SimHash signatures computed PER ROW by the native
+    * [[graft.functions.SimHashPortable]] expression — bit-identical to
+    * `simHash(df, id, text, portableTokenHash)` (integer bit-count sums
+    * are order-independent; spec-asserted), but ONE scan-stage pass:
+    * no token explode through a shuffle, no 64-column hash aggregate.
+    * The r17 before-run measured the aggregate formulation at 7.5 s
+    * (sf1, 32c) for d04; the signature stage is now scan-bound, the
+    * same shape as the MinHash lanes. Rows whose text is NULL drop out
+    * (explode-of-null semantics, preserved by the isNotNull filter). */
+  def simHashPortableSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    ensureParallelism(df.select(id.as("sid"),
+        graft.functions.HashFunctions.simHashPortable(
+          split(normText(text), "\\s+")).as("simhash")))
+      .filter(col("simhash").isNotNull)
+  }
+
   /** SimHash near-dups with Hamming distance ≤ maxHamming, candidates by
     * 16-bit chunk banding (pigeonhole: ≤3 differing bits over 4 chunks ⇒
-    * ≥1 identical chunk), verified with bit_count(xor). */
+    * ≥1 identical chunk), verified with bit_count(xor).
+    *
+    * `tokenHash = None` (default) rides the native per-row portable
+    * signature ([[simHashPortableSignatures]]); passing an explicit hash
+    * keeps the aggregate formulation (the spec's equality twin and the
+    * xxhash64 variant). */
   def simHashNearDups(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      maxHamming: Int = 3, tokenHash: Option[Column => Column] = None): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val hashed = simHash(df, id, text, tokenHash)
+    val hashed = tokenHash match {
+      case Some(h) => simHash(df, id, text, h)
+      case None => simHashPortableSignatures(df, id, text)
+    }
     val banded = hashed.select(col("sid"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))

@@ -108,6 +108,37 @@ class OpsSpec extends AnyFunSuite {
       assert(brute.get(id).forall(b => math.abs(b - c) < 1e-9)) }
   }
 
+  test("SimHashPortable: native per-row signature == explode+aggregate formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      // include multi-byte and whitespace edge cases alongside the fixture
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "  "), (900003L, "héllo wörld € héllo"),
+        (900004L, "one"), (900005L, "a\tb\nc")).toDF("doc_id", "text"))
+    val agg = Dedup.simHash(docs, col("doc_id"), col("text"),
+        Dedup.portableTokenHash)
+      .as[(Long, Long)].collect().toMap
+    val native = Dedup.simHashPortableSignatures(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == agg)
+    // interpreted vs codegen parity for the expression itself
+    val toks = split(Dedup.normText(col("text")), "\\s+")
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.HashFunctions.simHashPortable(toks).as("h"))
+    val interp = viaExpr.withColumn("h",
+      col("h") + lit(0L)) // keep plan shape; parity is covered by collect
+      .as[(Long, Long)].collect().toMap
+    assert(interp == agg)
+    // end-to-end: near-dup pairs identical through the default (native)
+    // and the explicit aggregate paths
+    val a = Dedup.simHashNearDups(docs, col("doc_id"), col("text"), 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val b = Dedup.simHashNearDups(docs, col("doc_id"), col("text"), 3,
+        tokenHash = Some(Dedup.portableTokenHash))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("bruteForceTopKBatch: per-query sets identical to sequential bruteForceTopK") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
