@@ -1110,7 +1110,15 @@ object Dedup {
     // string has L(q) ≥ m > 2^j, so q sits in level j and contributes
     // its row — counts are exact by the same suffix argument as the
     // ladder.
+    // the explode below is the wave's heavy map work and runs BEFORE the
+    // join's exchange, i.e. on allRanks' own partitioning — which is the
+    // checkpoints' (often 1–3 size-coalesced partitions a checkpoint
+    // scan can never re-widen, AQE only re-plans shuffles). Widen HERE,
+    // once, with one narrow position-table-sized exchange, so the
+    // explode+join-key map stage uses every core (jstack-sampled r17:
+    // 31 of 32 executor threads idle through this stage before the fix).
     val exploded = allRanks
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__hi", least(pow2(col("lvl")) * 2, lit(maxLen.toLong),
         col("n") - col("pos")))
       // sequence() DESCENDS when start > stop — guard the empty range

@@ -16,6 +16,7 @@ object MicroBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Tuning.localDir)
+      .config("spark.sql.join.preferSortMergeJoin", Tuning.preferSortMergeJoin)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args) {

@@ -29,6 +29,16 @@ object Tuning {
       } else System.getProperty("java.io.tmpdir")
     }
 
+  /** `spark.sql.join.preferSortMergeJoin` for the perf sessions
+    * (SPARK_GRAFT_PREFER_SMJ). Default false (guide §3.1/§9): the
+    * planner may pick shuffled-hash join when its size conditions hold —
+    * no sort of either side; d25's wave join ran sort-bound under SMJ
+    * (jstack-sampled r17, sort_addToSorter dominating the busy
+    * samples). SMJ remains the fallback whenever the size conditions
+    * fail, and spills guard the hash build. */
+  def preferSortMergeJoin: String =
+    sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
+
   /** Run `f` (a streaming query: plan + start + awaitTermination) with
     * `spark.sql.shuffle.partitions` capped at SPARK_GRAFT_STREAM_PARTITIONS
     * (default 8), restoring the session value afterwards.
